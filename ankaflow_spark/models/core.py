@@ -1,0 +1,119 @@
+"""Pipeline stage models (engine-agnostic, Pydantic).
+
+Same YAML surface as the reference's stage tree (reference:
+ankaflow/models/core.py:44-355 — semantics studied, re-modeled from the
+documented YAML schema): a pipeline is an ordered list of stages; each
+stage has a kind (source/tap, transform, sink, sql, internal, pipeline),
+a name (arbitrary string — the engine mangles it into a temp-view name),
+an optional SQL query, an optional connection, and control attributes
+(skip_if, show, on_error, throttle, nested stages, explicit fields).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Dict, List, Optional
+
+import yaml
+from pydantic import BaseModel, Field, field_validator
+
+
+class StageKind(str, enum.Enum):
+    source = "source"
+    tap = "tap"
+    transform = "transform"
+    sink = "sink"
+    sql = "sql"
+    internal = "internal"
+    pipeline = "pipeline"
+
+
+class ErrorPolicy(str, enum.Enum):
+    fail = "fail"
+    # continue is a Python keyword; YAML value stays "continue"
+    proceed = "continue"
+
+
+class Column(BaseModel):
+    name: str
+    type: str = "VARCHAR"
+
+
+class ConnectionSpec(BaseModel):
+    """Connection config attached to taps/sinks/sql stages.
+
+    ``kind`` selects the connector (parquet/csv/json/file/variable/
+    delta/rest/...). ``version`` + ``key`` enable the incremental
+    latest-record-wins dedup read (SURVEY.md §2A 'versioned dedup').
+    """
+
+    model_config = {"extra": "allow"}
+
+    kind: str = "parquet"
+    locator: Optional[str] = None
+    fields: Optional[List[Column]] = None
+    version: Optional[str] = None
+    key: Optional[List[str]] = None
+    # file-format options passed to the Spark reader/writer
+    options: Dict[str, Any] = Field(default_factory=dict)
+    # sink-only: overwrite/append/error
+    mode: Optional[str] = None
+    partition_by: Optional[List[str]] = None
+    single_file: bool = False
+
+
+class Stage(BaseModel):
+    model_config = {"extra": "forbid"}
+
+    kind: StageKind
+    name: str
+    query: Optional[str] = None
+    connection: Optional[ConnectionSpec] = None
+    skip_if: Optional[Any] = None
+    show: int = 0
+    on_error: ErrorPolicy = ErrorPolicy.fail
+    throttle: float = 0
+    explain: bool = False
+    stages: Optional["Stages"] = None
+    fields: Optional[List[Column]] = None
+
+    @field_validator("name")
+    @classmethod
+    def _nonempty(cls, v: str) -> str:
+        if not v.strip():
+            raise ValueError("stage name must be non-empty")
+        return v
+
+
+class Stages(BaseModel):
+    """Ordered stage list; the whole pipeline definition."""
+
+    root: List[Stage]
+
+    def __iter__(self):
+        return iter(self.root)
+
+    def __len__(self):
+        return len(self.root)
+
+    def __getitem__(self, i):
+        return self.root[i]
+
+    @classmethod
+    def load(cls, path: str) -> "Stages":
+        with open(path) as fh:
+            data = yaml.safe_load(fh)
+        return cls.parse(data)
+
+    @classmethod
+    def loads(cls, text: str) -> "Stages":
+        return cls.parse(yaml.safe_load(text))
+
+    @classmethod
+    def parse(cls, data: Any) -> "Stages":
+        if isinstance(data, dict) and "stages" in data:
+            data = data["stages"]
+        return cls(root=[Stage.model_validate(s) for s in data])
+
+
+Stage.model_rebuild()

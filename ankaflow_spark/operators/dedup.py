@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all engine-native (no Python UDFs — every hash is md5 +
+string ops so the DuckDB oracle computes bit-identical results):
+
+* **versioned dedup** — the reference's incremental latest-record-wins
+  read (reference: ankaflow/common/util.py:336-383); window + filter.
+* **exact dedup** — content-key hashing (bag-of-words md5), groupBy.
+* **MinHash + LSH** — word-shingle signatures via k independent min-md5
+  hashes, banded into buckets, candidate pairs by bucket self-join.
+  At 100 TB this is the standard near-dup path: the signature pass is a
+  single scan + one groupBy(doc), the pair pass shuffles only bucket
+  keys (tiny vs corpus), never an all-pairs product.
+* **SimHash** — 32-bit signatures from per-bit weighted sums; Hamming
+  bucketing happens on the (tiny) signature table.
+
+Portability note: MinHash permutations are ``min(md5(seed || shingle))``
+— lexicographic min over fixed-length lowercase hex equals numeric min,
+and md5 is identical everywhere, so Spark and the DuckDB oracle agree
+exactly (no reliance on engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sqlfront.ranking import versioned_dedup  # re-export for q06  # noqa: F401
+from .tables import load_tables
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.5 pairs
+SHINGLE_WORDS = 3
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared shingle SQL fragments (Spark spelling / DuckDB spelling)
+# ---------------------------------------------------------------------------
+# word 3-shingles, distinct per document
+SPARK_SHINGLES = """
+  SELECT doc_id, explode(array_distinct(transform(
+           sequence(1, greatest(size(split(text, ' ')) - {n1}, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, {n}))
+         ))) AS sh
+  FROM documents
+""".format(n=SHINGLE_WORDS, n1=SHINGLE_WORDS - 1)
+
+DUCK_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {n1}, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i + {n1}], ' ')
+         ))) AS sh
+  FROM documents
+""".format(n1=SHINGLE_WORDS - 1)
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup via content key (bag-of-words md5): one scan + one
+# groupBy; the canonical "hash-groupBy" exact dedup at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT
+      md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS content_key,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY content_key
+    """,
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))))
+    )
+    return (
+        spark.table("documents")
+        .groupBy(key.alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .orderBy("content_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d02 — MinHash signatures + LSH banding -> candidate near-dup pairs
+# ---------------------------------------------------------------------------
+def _spark_minhash_aggs() -> List:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(MINHASH_K)
+    ]
+
+
+def _duck_minhash_aggs() -> str:
+    return ",\n      ".join(
+        f"MIN(md5('{s}:' || sh)) AS mh{s}" for s in range(MINHASH_K)
+    )
+
+
+def _band_cols_sql(fmt: str) -> List[str]:
+    rows = MINHASH_K // LSH_BANDS
+    out = []
+    for b in range(LSH_BANDS):
+        parts = " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        out.append(fmt.format(b=b, parts=parts))
+    return out
+
+
+@query(
+    "d02_minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingles AS ({DUCK_SHINGLES}),
+    sigs AS (
+      SELECT doc_id, {_duck_minhash_aggs()}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(_band_cols_sql("SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs"))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    shingles = spark.sql(SPARK_SHINGLES)
+    sigs = shingles.groupBy("doc_id").agg(*_spark_minhash_aggs())
+    rows = MINHASH_K // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        band_key = F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_id"), band_key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d03 — n-gram Jaccard similarity join: shingle equi-join -> per-pair
+# intersection counts -> |A∩B| / |A∪B|. The scale path prunes hot
+# shingles first (identically on both sides, so the oracle still
+# matches): a shingle present in >50% of docs contributes no precision.
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.2
+MAX_SHINGLE_DF = 200  # drop shingles appearing in more docs than this
+
+
+@query(
+    "d03_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({DUCK_SHINGLES}),
+    pruned AS (
+      SELECT doc_id, sh FROM shingles
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM pruned GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    shingles = spark.sql(SPARK_SHINGLES)
+    from pyspark.sql.window import Window as W
+
+    pruned = (
+        shingles.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d04 — SimHash: 32-bit signature per document from md5-derived bit
+# weights. One explode + one groupBy(doc) — linear in corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "d04_simhash",
+    oracle=f"""
+    WITH shingles AS ({DUCK_SHINGLES}),
+    bits AS (
+      SELECT s.doc_id, b.b,
+        CASE WHEN ((instr('0123456789abcdef', substr(md5(s.sh), (b.b // 4) + 1, 1)) - 1)
+                   >> (3 - (b.b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS w
+      FROM shingles s, (SELECT unnest(range(0, 32)) AS b) b
+    )
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b) t
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    WITH shingles AS ({SPARK_SHINGLES}),
+    bits AS (
+      SELECT s.doc_id, b.b,
+        CASE WHEN shiftright(
+               instr('0123456789abcdef', substr(md5(s.sh), CAST(b.b div 4 AS INT) + 1, 1)) - 1,
+               CAST(3 - (b.b % 4) AS INT)) % 2 = 1
+             THEN 1 ELSE -1 END AS w
+      FROM shingles s
+      CROSS JOIN (SELECT explode(sequence(0, 31)) AS b) b
+    )
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(31 - b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b) t
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """)

@@ -1,0 +1,665 @@
+"""Relational operator battery (SURVEY.md §2C coverage).
+
+Each query has a Spark-first implementation (DataFrame API — Catalyst
+picks the physical plan) and a DuckDB oracle SQL string with IDENTICAL
+column names and value semantics.
+
+Cross-engine float determinism: SUM over doubles is order-dependent, and
+Spark's partial aggregation order differs from DuckDB's sequential scan.
+Every money/quantity aggregate therefore casts its operand to DECIMAL
+first (exact, associative arithmetic — identical in both engines) and
+casts the final aggregate back to DOUBLE. This also reflects what a
+production pipeline at 100 TB should do: decimal aggregation of money
+columns is both deterministic and auditable.
+
+Reference behavior covered here (studied, not copied):
+* versioned dedup ranking — reference ankaflow/common/util.py:336-383
+* LIMIT injection / top-k    — reference ankaflow/connections/connection.py:277-284
+* sample/show                — reference ankaflow/core/flow.py:61-80
+* calendar table macro       — reference ankaflow/internal/macros.py:74-96
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .tables import load_tables
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(col, p: int = 12, s: int = 4) -> Column:
+    """Exact-arithmetic operand: cast to decimal for deterministic sums."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast(f"decimal({p},{s})")
+
+
+def dsum(col, alias: str) -> Column:
+    """Deterministic SUM(double) -> DOUBLE via decimal accumulation."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary: filter + groupBy + 8 aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) * CAST(1 + l_tax AS DECIMAL(12,4))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — projection + filter + predicates (pushdown showcase)
+# ---------------------------------------------------------------------------
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000 AND o_orderpriority IS NOT NULL
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 200000)
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — join + aggregate (TPC-H Q3 skeleton): 3-way join, group, top-k
+# ---------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+      o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer side is small after the segment filter -> broadcast
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — 5-way star join + aggregate (TPC-H Q5 skeleton)
+# ---------------------------------------------------------------------------
+@query(
+    "q04_local_supplier_volume",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    # dimension chain is tiny -> broadcast the whole supplier->nation->region arm
+    dim = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"].filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — window functions: top order per customer by value (row_number)
+# ---------------------------------------------------------------------------
+@query(
+    "q05_window_top_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — versioned dedup (THE reference core operator):
+# ROW_NUMBER() OVER (PARTITION BY keys ORDER BY version DESC) = 1
+# reference: ankaflow/common/util.py:336-383 (latest-record-wins).
+# Tie-break pinned on unique event_id for cross-engine determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "q06_versioned_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS __rank__
+      FROM events
+    ) t
+    WHERE __rank__ = 1
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import versioned_dedup
+
+    t = load_tables(spark, sf_dir)
+    return versioned_dedup(
+        t["events"], keys=["user_id", "event_type"], version="ts", tiebreak="event_id"
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# q07 — global top-k (ORDER BY + LIMIT; Spark executes as TakeOrdered — no
+# full sort of 100 TB, each partition keeps k rows)
+# ---------------------------------------------------------------------------
+@query(
+    "q07_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — set operations: UNION ALL of two filtered branches
+# (reference integration.yaml:94-104 unions multiple taps)
+# ---------------------------------------------------------------------------
+@query(
+    "q08_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+# ---------------------------------------------------------------------------
+# q09 — distinct + count distinct + conditional aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q09_distinct_counts",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — calendar table (Fn.calendar analog, reference macros.py:74-96)
+# over a FIXED range so the oracle is deterministic. ISO week/year via
+# the Thursday rule, identical in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_calendar",
+    oracle="""
+    WITH days AS (
+      SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT
+      d AS date,
+      CAST(year(d)    AS INT) AS year,
+      CAST(month(d)   AS INT) AS month,
+      CAST(day(d)     AS INT) AS day,
+      CAST(quarter(d) AS INT) AS quarter,
+      CAST(weekofyear(d) AS INT) AS iso_week,
+      CAST(isoyear(d) AS INT) AS iso_year,
+      CAST(isodow(d)  AS INT) AS iso_day,
+      CAST(isoyear(d) * 100 + weekofyear(d) AS INT) AS yearweek,
+      dayname(d)   AS day_name,
+      monthname(d) AS month_name,
+      CAST(date_trunc('month', d) AS DATE) AS month_start,
+      last_day(d)  AS month_end,
+      CAST(date_trunc('week', d) AS DATE)  AS week_start
+    FROM days
+    ORDER BY d
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("date")
+    # ISO year: year of the Thursday in this date's ISO week.
+    iso_day = F.weekday(d) + F.lit(1)  # 1=Mon .. 7=Sun
+    thursday = F.date_add(d, 4 - iso_day)
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-12-31").cast("date"),
+                )
+            ).alias("date")
+        )
+        .select(
+            d,
+            F.year(d).cast("int").alias("year"),
+            F.month(d).cast("int").alias("month"),
+            F.dayofmonth(d).cast("int").alias("day"),
+            F.quarter(d).cast("int").alias("quarter"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            F.year(thursday).cast("int").alias("iso_year"),
+            iso_day.cast("int").alias("iso_day"),
+            (F.year(thursday) * 100 + F.weekofyear(d)).cast("int").alias("yearweek"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.trunc(d, "month").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.trunc(d, "week").alias("week_start"),
+        )
+        .orderBy("date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — HAVING + aggregate filters
+# ---------------------------------------------------------------------------
+@query(
+    "q11_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 550
+    ORDER BY n_items DESC, l_suppkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "total_qty"))
+        .filter(F.col("n_items") > 550)
+        .orderBy(F.desc("n_items"), F.asc("l_suppkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — semi join (IN subquery) + anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q13_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — ROLLUP (grouping sets)
+# ---------------------------------------------------------------------------
+@query(
+    "q14_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — pivot (conditional aggregation across event types)
+# ---------------------------------------------------------------------------
+@query(
+    "q15_pivot_events",
+    oracle="""
+    SELECT user_id,
+      CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+
+    def n_of(kind: str):
+        return F.sum(F.when(F.col("event_type") == kind, 1).otherwise(0)).cast("bigint")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_of("click").alias("n_click"),
+            n_of("view").alias("n_view"),
+            n_of("purchase").alias("n_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — running / cumulative window aggregates (frame clauses)
+# ---------------------------------------------------------------------------
+@query(
+    "q16_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_spend"),
+            F.lag("o_orderkey").over(w).cast("bigint").alias("prev_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — scalar function surface: string/regex/date built-ins
+# (Fn.includes / Fn.extract / Fn.trim analogs — reference macros.py:249-251)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_scalar_functions",
+    oracle="""
+    SELECT doc_id,
+      CAST(length(text) AS INT) AS n_len,
+      upper(substr(text, 1, 10)) AS head10,
+      CASE WHEN regexp_matches(text, '[0-9]+') THEN TRUE ELSE FALSE END AS has_digits,
+      regexp_extract(text, '[A-Za-z]+') AS first_word,
+      trim(substr(text, 1, 12)) AS trimmed,
+      replace(lower(substr(text, 1, 20)), ' ', '_') AS slugged
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.length(txt).alias("n_len"),
+            F.upper(F.substring(txt, 1, 10)).alias("head10"),
+            txt.rlike("[0-9]+").alias("has_digits"),
+            F.regexp_extract(txt, "[A-Za-z]+", 0).alias("first_word"),
+            F.trim(F.substring(txt, 1, 12)).alias("trimmed"),
+            F.replace(F.lower(F.substring(txt, 1, 20)), F.lit(" "), F.lit("_")).alias("slugged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — safe-cast / null-safe arithmetic (Fn.div/float/int/bool analogs,
+# reference macros.py:100-105, 232-240)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_safe_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      COALESCE(l_extendedprice / NULLIF(l_quantity, 0), 0) AS unit_price,
+      COALESCE(TRY_CAST(l_returnflag AS DOUBLE), 0.0) AS flag_as_num,
+      COALESCE(TRY_CAST(l_quantity AS BIGINT), 0) AS qty_int,
+      CASE WHEN l_discount IS NULL THEN FALSE
+           WHEN l_discount = 0 THEN FALSE ELSE TRUE END AS has_discount
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fn import fn_div, fn_float, fn_int, fn_bool
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            fn_div(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+            fn_float(F.col("l_returnflag")).alias("flag_as_num"),
+            fn_int(F.col("l_quantity")).alias("qty_int"),
+            fn_bool(F.col("l_discount")).alias("has_discount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — correlated scalar subquery (avg comparison), TPC-H Q17 flavor
+# ---------------------------------------------------------------------------
+@query(
+    "q19_above_avg_items",
+    oracle="""
+    WITH avg_per_part AS (
+      SELECT l_partkey AS p_key,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_above
+    FROM lineitem l
+    JOIN avg_per_part a ON l.l_partkey = a.p_key
+    WHERE l.l_quantity > a.avg_qty * 1.5
+    GROUP BY l.l_partkey
+    ORDER BY n_above DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(avg_per_part, li.l_partkey == avg_per_part.p_key)
+        .filter(F.col("l_quantity") > F.col("avg_qty") * 1.5)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy(F.desc("n_above"), F.asc("l_partkey"))
+        .limit(50)
+    )

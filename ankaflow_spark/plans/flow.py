@@ -1,0 +1,175 @@
+"""Pipeline executor: runs a ``Stages`` tree against a ``SparkEngine``.
+
+The Spark analog of the reference's flow loop (reference:
+ankaflow/core/flow.py:589-625 — behavior studied, not ported): stages run
+sequentially; each registers its result under the stage name so later
+stages can reference it in SQL; ``pipeline`` stages loop a nested flow
+once per row of the previous stage (rows cross to the driver — bounded
+by design, the only collect in the engine).
+
+Scale notes: transforms stay lazy (Catalyst fuses across stages); only
+taps materialize (read-once semantics for side-effecting sources). A
+sink writes distributed output by default; ``single_file: true``
+coalesces to 1 partition for locator-compatible single-file output —
+documented as a small-result-only option.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+
+from ..models.core import ErrorPolicy, Stage, StageKind, Stages
+from ..session import SparkEngine
+from .renderer import Renderer
+
+
+class FlowError(RuntimeError):
+    pass
+
+
+class Flow:
+    """Synchronous pipeline driver (the reference's async facade adds
+    nothing on Spark — Spark actions already block on the JVM)."""
+
+    def __init__(
+        self,
+        stages: Stages,
+        engine: Optional[SparkEngine] = None,
+        context: Optional[Dict[str, Any]] = None,
+        variables: Optional[Dict[str, Any]] = None,
+    ):
+        self.stages = stages
+        self.engine = engine or SparkEngine()
+        self.context = dict(context or {})
+        self.variables = variables if variables is not None else {}
+        self.renderer = Renderer()
+        self.lastname: Optional[str] = None
+        self._last_df: Optional[DataFrame] = None
+
+    # ------------------------------------------------------------------
+    def run(self) -> Optional[DataFrame]:
+        for stage in self.stages:
+            self._run_stage(stage)
+        return self._last_df
+
+    def df(self):
+        """Final stage as pandas (driver-side; small results only)."""
+        return self._last_df.toPandas() if self._last_df is not None else None
+
+    # ------------------------------------------------------------------
+    def _render(self, value):
+        return self.renderer.render(
+            value,
+            {"context": self.context, "variables": self.variables, **self.variables},
+        )
+
+    def _run_stage(self, stage: Stage) -> None:
+        if stage.skip_if is not None:
+            rendered = self._render(stage.skip_if)
+            if str(rendered).strip().lower() in ("1", "true", "yes"):
+                return
+        try:
+            handler = HANDLERS[stage.kind]
+            df = handler(self, stage)
+        except Exception as e:
+            if stage.on_error == ErrorPolicy.proceed:
+                return
+            raise FlowError(f"stage '{stage.name}' failed: {e}") from e
+        if df is not None:
+            self._last_df = df
+            self.lastname = stage.name
+            if stage.explain:
+                df.explain("formatted")
+            if stage.show:
+                df.show(20 if stage.show < 0 else stage.show)
+        if stage.throttle:
+            time.sleep(stage.throttle)
+
+
+# ---------------------------------------------------------------------------
+# handlers (registry keyed on stage kind, as in the reference's factory)
+# ---------------------------------------------------------------------------
+def _connector(flow: Flow, stage: Stage):
+    from ..sources import get_connector
+
+    spec = stage.connection
+    if spec is None:
+        raise FlowError(f"stage '{stage.name}' needs a connection")
+    rendered = flow._render(spec.model_dump())
+    return get_connector(rendered["kind"])(flow.engine, rendered, flow.variables)
+
+
+def handle_tap(flow: Flow, stage: Stage) -> DataFrame:
+    conn = _connector(flow, stage)
+    query = flow._render(stage.query) if stage.query else None
+    df = conn.tap(query, stage)
+    # eager materialization = the reference's CTAS tap semantics
+    return flow.engine.register(stage.name, df, materialize=True)
+
+
+def handle_transform(flow: Flow, stage: Stage) -> DataFrame:
+    query = flow._render(stage.query or "")
+    df = flow.engine.sql(query)
+    return flow.engine.register(stage.name, df, materialize=False)
+
+
+def handle_sink(flow: Flow, stage: Stage) -> Optional[DataFrame]:
+    conn = _connector(flow, stage)
+    if stage.query:
+        df = flow.engine.sql(flow._render(stage.query))
+    elif flow.lastname:
+        df = flow.engine.table(flow.lastname)
+    else:
+        raise FlowError("sink has no input: no query and no previous stage")
+    conn.sink(df, stage)
+    return df
+
+
+def handle_sql(flow: Flow, stage: Stage) -> None:
+    """Statement executed on the external system (reference: remote DDL).
+    For file/variable connectors this is a no-op surface; Delta admin
+    pseudo-SQL (OPTIMIZE/VACUUM) routes through the connector."""
+    conn = _connector(flow, stage)
+    conn.execute(flow._render(stage.query or ""), stage)
+
+
+def handle_internal(flow: Flow, stage: Stage) -> DataFrame:
+    df = flow.engine.sql(flow._render(stage.query or ""))
+    return flow.engine.register(stage.name, df, materialize=False)
+
+
+def handle_pipeline(flow: Flow, stage: Stage) -> None:
+    """Nested pipeline: once, or once per row of the previous stage.
+
+    Per-row iteration collects the driver rows (reference behavior —
+    the loop driver is bounded by design; it is control flow, not data
+    flow)."""
+    if stage.stages is None:
+        raise FlowError(f"pipeline stage '{stage.name}' has no stages")
+    rows = [None]
+    if flow.lastname is not None:
+        rows = [r.asDict(recursive=True) for r in flow.engine.table(flow.lastname).collect()]
+    for row in rows:
+        if row is not None:
+            flow.variables["loop_control"] = row
+        sub = Flow(
+            stage.stages,
+            engine=flow.engine,
+            context=flow.context,
+            variables=flow.variables,
+        )
+        sub.run()
+
+
+HANDLERS = {
+    StageKind.source: handle_tap,
+    StageKind.tap: handle_tap,
+    StageKind.transform: handle_transform,
+    StageKind.sink: handle_sink,
+    StageKind.sql: handle_sql,
+    StageKind.internal: handle_internal,
+    StageKind.pipeline: handle_pipeline,
+}

@@ -1,0 +1,172 @@
+"""Engine session layer: the Spark analog of the reference's embedded-DB
+connection manager (reference: ankaflow/internal/duckdb.py:49-121,
+ankaflow/internal/server.py:56-169 — studied for behavior, not ported).
+
+Responsibilities:
+
+* Build a ``SparkSession`` tuned for both local testing and large-cluster
+  execution (AQE on, sane shuffle partitioning, UTC session time zone,
+  Arrow transfers).
+* Maintain the stage-name registry: reference stage names are arbitrary
+  strings (spaces allowed); Spark temp views are identifier-restricted,
+  so a deterministic mangling layer maps user names -> view names and
+  rewrites references inside user SQL.
+* Register the ``Fn.*`` function surface at connect time (see
+  ``ankaflow_spark.functions``).
+
+Scale notes (100 TB design): the session defaults below are *local-mode*
+test values; on a real cluster the same builder honors
+``SPARK_GRAFT_CPUS`` / explicit ``spark.sql.shuffle.partitions`` and
+leaves executor sizing to the cluster manager. Nothing here collects data
+to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "ankaflow_spark",
+    master: Optional[str] = None,
+    extra_conf: Optional[Dict[str, str]] = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    Defaults chosen for correctness-critical cross-engine comparison
+    (UTC, ANSI off to match permissive reference semantics) and for
+    scale (AQE + skew-join handling + partition coalescing on).
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        # testdata parquet uses TIMESTAMP(NANOS); Spark reads them as
+        # int64 ns with this flag and the table loader converts to
+        # timestamp via integer division (no double round-trip).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+_MANGLE_RE = re.compile(r"[^A-Za-z0-9_]")
+
+
+def mangle_view_name(name: str) -> str:
+    """Deterministically map an arbitrary stage name to a legal Spark
+    temp-view identifier.
+
+    The reference allows stage names like ``"Extract Data"`` referenced
+    double-quoted inside SQL (reference: ankaflow/core/flow.py:267). Spark
+    temp views reject spaces, so ``Extract Data`` -> ``extract_data__h1a2b``
+    (lower-cased, non-word chars to ``_``, short hash suffix to avoid
+    collisions between e.g. ``a b`` and ``a_b``).
+    """
+    safe = _MANGLE_RE.sub("_", name)
+    if safe == name and not name[:1].isdigit():
+        return name
+    import hashlib
+
+    h = hashlib.md5(name.encode()).hexdigest()[:6]
+    if safe[:1].isdigit():
+        safe = "_" + safe
+    return f"{safe}__{h}"
+
+
+class SparkEngine:
+    """Thin engine wrapper: view registry + SQL execution + name mangling.
+
+    Analog of the reference's internal DB handle (a connection against
+    which every stage materializes a table/view). Here a *tap* registers
+    an eagerly-cached DataFrame (read-once semantics for side-effecting
+    sources) and a *transform* registers a lazy view.
+    """
+
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self.spark = spark or get_spark()
+        # user stage name -> mangled temp view name
+        self._views: Dict[str, str] = {}
+        self._cached: Dict[str, DataFrame] = {}
+        from .functions.fn import register_engine_functions
+
+        register_engine_functions(self.spark)
+
+    # -- registry ---------------------------------------------------------
+    def register(self, name: str, df: DataFrame, materialize: bool = False) -> DataFrame:
+        """Register ``df`` under stage name ``name``.
+
+        ``materialize=True`` reproduces the reference's tap semantics
+        (DuckDB CTAS = eager table): cache + trigger a count so that
+        side-effecting sources (REST/LLM) execute exactly once. Plain
+        transforms stay lazy views so Catalyst can fuse across stages.
+        """
+        view = mangle_view_name(name)
+        if materialize:
+            df = df.cache()
+            df.count()  # force; bounded by tap semantics, not a data-path collect
+            self._cached[name] = df
+        df.createOrReplaceTempView(view)
+        self._views[name] = view
+        return df
+
+    def unregister(self, name: str) -> None:
+        view = self._views.pop(name, None)
+        if view:
+            self.spark.catalog.dropTempView(view)
+        df = self._cached.pop(name, None)
+        if df is not None:
+            df.unpersist()
+
+    def table(self, name: str) -> DataFrame:
+        view = self._views.get(name, name)
+        return self.spark.table(view)
+
+    # -- SQL --------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run user SQL after the engine's rewrite pipeline.
+
+        Rewrites applied (all text/AST-level, pre-Catalyst — the
+        reference likewise only rewrites SQL text and delegates all
+        relational optimization to its embedded engine; SURVEY.md §4):
+        1. ``Fn.*`` macro expansion to plain Spark SQL expressions.
+        2. Quoted stage-name references -> mangled temp-view names.
+        3. Light dialect normalization (DuckDB-isms -> Spark).
+        """
+        from .sqlfront.rewrite import rewrite_sql
+
+        return self.spark.sql(rewrite_sql(query, self._views))
+
+    def stop(self) -> None:
+        self.spark.stop()

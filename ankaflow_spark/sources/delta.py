@@ -1,0 +1,113 @@
+"""Delta Lake connector (reference surface: ankaflow/connections/delta.py —
+strategy matrix SKIP/CREATE/WRITE, modes append/overwrite/error, schema
+merge/overwrite, partition_by, post-write OPTIMIZE/VACUUM pseudo-SQL).
+
+delta-spark jars are not in this container: the connector maps the full
+option surface onto ``spark.read.format("delta")`` / ``df.write.format``
+and raises a clear error at use time when the format is unavailable.
+The admin pseudo-SQL parser (OPTIMIZE table [COMPACT] [VACUUM] [AGE=..]
+[DRY_RUN]) is implemented and unit-tested independently of the jars.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+
+from ..models.core import Stage
+from ..session import SparkEngine
+from ..sqlfront.ranking import apply_ranking
+
+
+class DeltaUnavailable(RuntimeError):
+    pass
+
+
+def _delta_available(spark) -> bool:
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<table>\S+)"
+    r"(?P<compact>\s+COMPACT)?"
+    r"(?P<vacuum>\s+VACUUM)?"
+    r"(?:\s+AGE\s*=\s*(?P<age>\d+)\s*(?P<unit>HOURS?|DAYS?)?)?"
+    r"(?P<dry>\s+DRY_RUN)?\s*$",
+    re.IGNORECASE,
+)
+
+VACUUM_DEFAULT_DAYS = 7
+VACUUM_MAX_DAYS = 365
+
+
+def parse_optimize(sql: str) -> Optional[Dict[str, Any]]:
+    """Parse the admin pseudo-SQL into an action dict; None if not an
+    OPTIMIZE statement. Retention clamps to [0, 365] days with a 7-day
+    default, mirroring the reference's retention policy."""
+    m = _OPTIMIZE_RE.match(sql)
+    if not m:
+        return None
+    age_days = VACUUM_DEFAULT_DAYS
+    if m.group("age"):
+        val = int(m.group("age"))
+        unit = (m.group("unit") or "DAYS").upper()
+        age_days = val / 24 if unit.startswith("HOUR") else val
+        age_days = max(0, min(VACUUM_MAX_DAYS, age_days))
+    return {
+        "table": m.group("table").strip('"'),
+        "compact": bool(m.group("compact")),
+        "vacuum": bool(m.group("vacuum")),
+        "retention_hours": age_days * 24,
+        "dry_run": bool(m.group("dry")),
+    }
+
+
+class DeltaConnection:
+    def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
+        self.engine = engine
+        self.spec = spec
+        self.variables = variables
+        if not _delta_available(engine.spark):
+            raise DeltaUnavailable(
+                "delta-spark jars are not on the classpath in this environment; "
+                "add io.delta:delta-spark to spark.jars.packages"
+            )
+
+    def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
+        df = self.engine.spark.read.format("delta").load(self.spec["locator"])
+        df = apply_ranking(df, self.spec)
+        if query:
+            view = f"__delta_{abs(hash(stage.name)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            return self.engine.sql(query.replace(f'"{stage.name}"', view))
+        return df
+
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        spec = self.spec
+        writer = df.write.format("delta").mode(spec.get("mode") or "append")
+        if spec.get("options", {}).get("merge_schema"):
+            writer = writer.option("mergeSchema", "true")
+        if spec.get("options", {}).get("overwrite_schema"):
+            writer = writer.option("overwriteSchema", "true")
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        writer.save(spec["locator"])
+
+    def execute(self, query: str, stage: Stage) -> None:
+        action = parse_optimize(query)
+        if action is None:
+            self.engine.spark.sql(query)
+            return
+        from delta.tables import DeltaTable  # type: ignore
+
+        dt = DeltaTable.forPath(self.engine.spark, self.spec["locator"])
+        if action["compact"] and not action["dry_run"]:
+            dt.optimize().executeCompaction()
+        if action["vacuum"] and not action["dry_run"]:
+            dt.vacuum(action["retention_hours"])

@@ -1,0 +1,275 @@
+"""File-family connectors: Parquet / CSV / JSON / pandas-format File /
+in-memory Variable (reference surface: ankaflow/connections/file.py —
+behavior studied; implementation is spark.read / df.write).
+
+Tap semantics: the connector produces a DataFrame for the stage query's
+FROM-placeholder; the user query (if any) runs against it with the
+stage-local view name ``source``. Sink semantics: distributed write by
+default; ``single_file: true`` coalesces to one partition and renames
+the part file to the exact locator path (locator-compatible with the
+reference's single-file COPY TO output; documented small-result path).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..models.core import Stage
+from ..session import SparkEngine
+
+_DUCK_TO_SPARK = {
+    "VARCHAR": T.StringType(),
+    "TEXT": T.StringType(),
+    "STRING": T.StringType(),
+    "BIGINT": T.LongType(),
+    "INT8": T.LongType(),
+    "LONG": T.LongType(),
+    "INTEGER": T.IntegerType(),
+    "INT": T.IntegerType(),
+    "INT4": T.IntegerType(),
+    "SMALLINT": T.ShortType(),
+    "INT2": T.ShortType(),
+    "TINYINT": T.ByteType(),
+    "DOUBLE": T.DoubleType(),
+    "FLOAT8": T.DoubleType(),
+    "FLOAT": T.FloatType(),
+    "REAL": T.FloatType(),
+    "FLOAT4": T.FloatType(),
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATETIME": T.TimestampType(),
+    "DATE": T.DateType(),
+    "BLOB": T.BinaryType(),
+    "JSON": T.StringType(),
+    "UUID": T.StringType(),
+}
+
+
+def fields_to_schema(fields: Optional[List[Dict[str, str]]]) -> Optional[T.StructType]:
+    """Explicit ``fields`` -> Spark schema (type names per SURVEY.md §1.2;
+    DECIMAL(p,s) and nested ARRAY/STRUCT accepted via DDL parse)."""
+    if not fields:
+        return None
+    cols = []
+    for f in fields:
+        name = f["name"] if isinstance(f, dict) else f.name
+        typ = (f["type"] if isinstance(f, dict) else f.type).upper().strip()
+        if typ in _DUCK_TO_SPARK:
+            spark_t: T.DataType = _DUCK_TO_SPARK[typ]
+        else:
+            try:
+                spark_t = T._parse_datatype_string(typ)  # DECIMAL(38,18), ARRAY<...>
+            except Exception:
+                spark_t = T.StringType()
+        cols.append(T.StructField(name, spark_t, True))
+    return T.StructType(cols)
+
+
+class BaseFileConnection:
+    format: str = "parquet"
+
+    def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
+        self.engine = engine
+        self.spec = spec
+        self.variables = variables
+
+    # -- helpers -----------------------------------------------------------
+    def _locator(self) -> str:
+        loc = self.spec.get("locator")
+        if not loc:
+            raise ValueError(f"{self.format} connection needs a locator")
+        return loc
+
+    def _schema(self) -> Optional[T.StructType]:
+        return fields_to_schema(self.spec.get("fields"))
+
+    def _read(self) -> DataFrame:
+        reader = self.engine.spark.read
+        schema = self._schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        opts = dict(self.spec.get("options") or {})
+        return self._do_read(reader, self._locator(), opts)
+
+    def _do_read(self, reader, path: str, opts: Dict[str, Any]) -> DataFrame:
+        raise NotImplementedError
+
+    # -- tap ---------------------------------------------------------------
+    def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
+        df = self._read()
+        if not query:
+            return df
+        # the user query references the source by placeholder; register a
+        # stage-local view and run the query through the engine rewriter
+        from ..sqlfront.ranking import apply_ranking
+
+        view = f"__tap_{abs(hash(stage.name)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        q = query
+        for placeholder in (stage.name, "source", self._table_placeholder()):
+            if placeholder:
+                q = q.replace(f'"{placeholder}"', view)
+        out = self.engine.sql(q)
+        out = apply_ranking(out, self.spec)
+        return out
+
+    def _table_placeholder(self) -> Optional[str]:
+        loc = self.spec.get("locator") or ""
+        return os.path.splitext(os.path.basename(loc))[0] or None
+
+    # -- sink --------------------------------------------------------------
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        path = self._locator()
+        mode = self.spec.get("mode") or "overwrite"
+        single = bool(self.spec.get("single_file")) or not path.rstrip("/").endswith("__dir__")
+        opts = dict(self.spec.get("options") or {})
+        partition_by = self.spec.get("partition_by") or []
+        if single and "." in os.path.basename(path):
+            # locator names a single file (reference COPY TO semantics)
+            tmp = path + ".__tmp__"
+            writer = df.coalesce(1).write.mode("overwrite").options(**opts)
+            self._do_write(writer, tmp)
+            part = glob.glob(os.path.join(tmp, "part-*"))[0]
+            if os.path.exists(path):
+                os.remove(path)
+            shutil.move(part, path)
+            shutil.rmtree(tmp)
+        else:
+            writer = df.write.mode(mode).options(**opts)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            self._do_write(writer, path)
+
+    def _do_write(self, writer, path: str) -> None:
+        getattr(writer, self.format)(path)
+
+    def execute(self, query: str, stage: Stage) -> None:
+        raise NotImplementedError(f"{self.format} connection does not support sql stages")
+
+
+class ParquetConnection(BaseFileConnection):
+    format = "parquet"
+
+    def _do_read(self, reader, path, opts):
+        if opts.pop("union_by_name", None) or opts.pop("mergeSchema", None):
+            reader = reader.option("mergeSchema", "true")
+        return reader.options(**opts).parquet(path)
+
+
+class CSVConnection(BaseFileConnection):
+    format = "csv"
+
+    def _do_read(self, reader, path, opts):
+        # map the reference's CSV option spelling onto Spark's
+        mapped = {
+            "header": str(opts.pop("header", True)).lower(),
+            "sep": opts.pop("delim", opts.pop("sep", ",")),
+            "mode": "DROPMALFORMED" if opts.pop("ignore_errors", False) else "PERMISSIVE",
+        }
+        skip = opts.pop("skip", None)
+        if self._schema() is None:
+            mapped["inferSchema"] = "true"
+        df = reader.options(**mapped, **opts).csv(path)
+        if skip:
+            # no reader option for row-skip; the reference's `skip` applies
+            # to physical leading lines — emulate via zipWithIndex-free filter
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("__rid__", F.monotonically_increasing_id())
+            df = df.filter(F.col("__rid__") >= int(skip)).drop("__rid__")
+        return df
+
+
+class JSONConnection(BaseFileConnection):
+    format = "json"
+
+    def _do_read(self, reader, path, opts):
+        fmt = str(opts.pop("format", "lines")).lower()
+        if fmt in ("array", "auto") or opts.pop("multiline", False):
+            reader = reader.option("multiLine", "true")
+        return reader.options(**opts).json(path)
+
+    def _do_write(self, writer, path):
+        writer.json(path)  # NDJSON, matching the reference's JSON sink
+
+
+class FileConnection(BaseFileConnection):
+    """Pandas-format files (XLSX/XML/HTML/TXT): driver-side pandas read,
+    then distribute. Same small-file path as the reference (file.py:121-169).
+    The xlsx engine is not in this container — gated behind import."""
+
+    format = "file"
+
+    def _read(self) -> DataFrame:
+        import pandas as pd
+
+        path = self._locator()
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".txt", ".text"):
+            with open(path) as fh:
+                pdf = pd.DataFrame({"line": fh.read().splitlines()})
+        elif ext == ".csv":
+            pdf = pd.read_csv(path)
+        elif ext in (".xlsx", ".xls"):
+            pdf = pd.read_excel(path)  # requires openpyxl; raises if absent
+        elif ext == ".xml":
+            pdf = pd.read_xml(path)
+        elif ext in (".html", ".htm"):
+            pdf = pd.read_html(path)[0]
+        elif ext in (".json", ".jsonl", ".ndjson"):
+            pdf = pd.read_json(path, lines=ext != ".json")
+        else:
+            raise ValueError(f"unsupported file extension: {ext}")
+        schema = self._schema()
+        return self.engine.spark.createDataFrame(pdf, schema=schema)
+
+    def _do_write(self, writer, path):
+        raise NotImplementedError("file sink: use csv/json/parquet kinds")
+
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        path = self._locator()
+        ext = os.path.splitext(path)[1].lower()
+        pdf = df.toPandas()  # driver-side by design: pandas-format sinks are small
+        if ext in (".xlsx", ".xls"):
+            pdf.to_excel(path, index=False)
+        elif ext == ".csv":
+            pdf.to_csv(path, index=False)
+        elif ext in (".json",):
+            pdf.to_json(path, orient="records")
+        else:
+            raise ValueError(f"unsupported file sink extension: {ext}")
+
+
+class VariableConnection(BaseFileConnection):
+    """In-memory variable tap/sink (reference file.py:17-36): tap reads a
+    records-list variable into a DataFrame; sink collects the stage result
+    into the variables dict (bounded driver-side by contract)."""
+
+    format = "variable"
+
+    def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
+        name = self._locator()
+        records = self.variables.get(name)
+        if records is None:
+            raise KeyError(f"variable '{name}' is not set")
+        schema = self._schema()
+        df = self.engine.spark.createDataFrame(records, schema=schema)
+        if query:
+            view = f"__var_{abs(hash(name)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            return self.engine.sql(query.replace(f'"{name}"', view))
+        return df
+
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        name = self._locator()
+        self.variables[name] = [r.asDict(recursive=True) for r in df.collect()]
+
+    def execute(self, query: str, stage: Stage) -> None:
+        raise NotImplementedError("variable connection does not support sql stages")

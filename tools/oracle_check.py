@@ -1,0 +1,139 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names/types, and cell-exact values (order-insensitive). Stricter than a
+hash compare: on mismatch it prints the first differing rows.
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact: doubles must match bit-for-bit across engines
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def compare(name, spark_df, duck_rel, verbose=True):
+    t0 = time.time()
+    s_cols = [f.name for f in spark_df.schema.fields]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    t_spark = time.time() - t0
+
+    t0 = time.time()
+    d_cols = [d[0] for d in duck_rel.description]
+    d_rows = duck_rel.fetchall()
+    t_duck = time.time() - t0
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount differs: spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        _, sc = canon_rows(s_cols, s_rows)
+        _, dc = canon_rows(d_cols, d_rows)
+        for i, (a, b) in enumerate(zip(sc, dc)):
+            if a != b:
+                problems.append(f"first value mismatch at sorted-row {i}:\n  spark={a}\n  duck ={b}")
+                break
+    status = "OK " if not problems else "FAIL"
+    print(f"[{status}] {name:28s} rows={len(s_rows):7d} spark={t_spark:5.1f}s duck={t_duck:4.1f}s")
+    for p in problems:
+        print(f"       {p}")
+    return not problems
+
+
+def main():
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else SF_DIR
+    names = argv[1:] if argv and os.path.isdir(argv[0]) else argv
+
+    import __spark_entry__ as entrymod
+    from ankaflow_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    selected = names or list(queries)
+    ok = bad = 0
+    for name in selected:
+        if name not in queries:
+            print(f"[SKIP] {name} not in queries()")
+            continue
+        try:
+            sdf = queries[name](spark, sf_dir)
+        except Exception as e:
+            print(f"[ERR ] {name} spark-side: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if name not in oracles:
+            n = sdf.count()
+            print(f"[rows] {name:28s} rows={n} (no oracle — weaker check)")
+            ok += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+        except Exception as e:
+            print(f"[ERR ] {name} duck-side: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if compare(name, sdf, rel):
+            ok += 1
+        else:
+            bad += 1
+    print(f"\n{ok} ok, {bad} failing")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
