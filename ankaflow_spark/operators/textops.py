@@ -1,3 +1,217 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token statistics, heuristic language-ID, quality
+scoring, and winnowing document fingerprints.
+
+All pure engine-side expression work (regexp counts, integer arithmetic,
+md5) — one scan per query, no UDFs, embarrassingly parallel at 100 TB.
+Ratios divide integers in IEEE doubles (deterministic), never summing
+floats across rows, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
 from typing import Callable, Dict
-QUERIES: Dict[str, Callable] = {}
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_tables
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# t01 — token statistics: counts via regexp / distinct tokens / ttr
+# ---------------------------------------------------------------------------
+@query(
+    "t01_token_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_unique,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        / len(regexp_extract_all(text, '\\S+')) AS type_token_ratio,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(regexp_extract_all(text, '\\S+')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(r"""
+    SELECT doc_id,
+      CAST(size(regexp_extract_all(text, '\\S+', 0)) AS BIGINT) AS n_tokens,
+      CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS n_unique,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(size(array_distinct(split(lower(text), ' '))) AS DOUBLE)
+        / size(regexp_extract_all(text, '\\S+', 0)) AS type_token_ratio,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / size(regexp_extract_all(text, '\\S+', 0)) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """)
+
+
+# ---------------------------------------------------------------------------
+# t02 — heuristic language ID: function-word hit counts per language,
+# argmax with deterministic tie-break (first in list order). The word
+# lists are engine constants; scoring is regexp counting — a realistic
+# n-gram-free lang-ID baseline that runs at full scan speed.
+# ---------------------------------------------------------------------------
+_LANG_WORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "la", "y", "es", "un"],
+    "zh": ["de", "shi", "he", "zai", "you"],
+}
+
+
+def _lang_score(lang: str, count_fn) -> str:
+    words = "|".join(_LANG_WORDS[lang])
+    return count_fn(f"(^| )({words})( |$)")
+
+
+@query(
+    "t02_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+        {", ".join(f"CAST(len(regexp_extract_all(lower(text), '{_lang_score(lg, lambda p: p)}')) AS BIGINT) AS score_{lg}" for lg in _LANG_WORDS)}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+      CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+        WHEN score_en THEN 'en' WHEN score_de THEN 'de' WHEN score_fr THEN 'fr'
+        WHEN score_es THEN 'es' ELSE 'zh' END AS predicted_lang,
+      score_en, score_de, score_fr, score_es, score_zh
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    score_cols = ", ".join(
+        f"CAST(regexp_count(lower(text), '{_lang_score(lg, lambda p: p)}') AS BIGINT) AS score_{lg}"
+        for lg in _LANG_WORDS
+    )
+    return spark.sql(f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang, {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+      CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+        WHEN score_en THEN 'en' WHEN score_de THEN 'de' WHEN score_fr THEN 'fr'
+        WHEN score_es THEN 'es' ELSE 'zh' END AS predicted_lang,
+      score_en, score_de, score_fr, score_es, score_zh
+    FROM scores
+    ORDER BY doc_id
+    """)
+
+
+# ---------------------------------------------------------------------------
+# t03 — quality scoring: length / punctuation / stopword / repetition
+# signals combined into one score with explicit integer->double math.
+# ---------------------------------------------------------------------------
+_QUALITY = dict(
+    # weights of the linear score; thresholds pick the quality bucket
+    w_len=0.3, w_stop=0.4, w_ttr=0.3, lo=0.35, hi=0.6
+)
+
+
+def _quality_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
+        n_stop = "regexp_count(lower(text), '(^| )(the|a|of|and|is|in|to)( |$)')"
+        n_unique = "size(array_distinct(split(lower(text), ' ')))"
+    else:
+        n_tokens = "len(regexp_extract_all(text, '\\S+'))"
+        n_stop = "len(regexp_extract_all(lower(text), '(^| )(the|a|of|and|is|in|to)( |$)'))"
+        n_unique = "len(list_distinct(string_split(lower(text), ' ')))"
+    q = _QUALITY
+    return f"""
+    SELECT doc_id, n_tokens, stop_ratio, ttr, score,
+      CASE WHEN score < {q["lo"]} THEN 'low'
+           WHEN score < {q["hi"]} THEN 'mid' ELSE 'high' END AS quality
+    FROM (
+      SELECT doc_id, n_tokens, stop_ratio, ttr,
+             {q["w_len"]} * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+           + {q["w_stop"]} * LEAST(stop_ratio * 5, 1.0)
+           + {q["w_ttr"]} * ttr AS score
+      FROM (
+        SELECT doc_id,
+               CAST({n_tokens} AS BIGINT) AS n_tokens,
+               CAST({n_stop} AS DOUBLE) / {n_tokens} AS stop_ratio,
+               CAST({n_unique} AS DOUBLE) / {n_tokens} AS ttr
+        FROM documents
+      ) raw
+    ) scored
+    ORDER BY doc_id
+    """
+
+
+@query("t03_quality_score", oracle=_quality_sql(False))
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_quality_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t04 — winnowing fingerprint: md5 word-bigram hashes, per-position
+# window minimum (w=4), distinct mins -> document fingerprint. The
+# standard local-fingerprint scheme for plagiarism/near-dup detection;
+# scales as one window pass over exploded shingles.
+# ---------------------------------------------------------------------------
+_WINNOW_W = 4
+
+
+def _winnow_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        shingles = """
+          SELECT doc_id, pos, md5(concat_ws(' ', slice(words, pos, 2))) AS h
+          FROM (SELECT doc_id, split(text, ' ') AS words FROM documents) w
+          LATERAL VIEW explode(sequence(1, greatest(size(words) - 1, 1))) t AS pos
+        """
+        agg = "md5(concat_ws('', array_sort(collect_set(minh))))"
+        n_mins = "CAST(size(collect_set(minh)) AS BIGINT)"
+    else:
+        shingles = """
+          SELECT doc_id, pos.pos AS pos,
+                 md5(array_to_string(words[pos.pos:pos.pos + 1], ' ')) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+               LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS pos) pos
+        """
+        agg = "md5(array_to_string(list_sort(list_distinct(list(minh))), ''))"
+        n_mins = "CAST(len(list_distinct(list(minh))) AS BIGINT)"
+    return f"""
+    WITH shingles AS ({shingles}),
+    mins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS minh
+      FROM shingles
+    )
+    SELECT doc_id, {agg} AS fingerprint, {n_mins} AS n_mins
+    FROM mins
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("t04_winnow_fingerprint", oracle=_winnow_sql(False))
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_winnow_sql(True))

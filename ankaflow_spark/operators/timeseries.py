@@ -1,3 +1,215 @@
+"""Event-stream (time-series) operators over the ``events`` table:
+tumbling-window aggregation, sessionization, as-of join, JSON
+extraction, and gap-filling against a calendar spine.
+
+These are the batch twins of the streaming stage kinds in
+``ankaflow_spark.streaming`` (same logical semantics; the streaming
+versions add watermarks/state). Timestamps are compared via integer
+epoch microseconds — no float time arithmetic — so the DuckDB oracle
+matches exactly.
+"""
+
+from __future__ import annotations
+
 from typing import Callable, Dict
-QUERIES: Dict[str, Callable] = {}
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_tables
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
+
+SESSION_GAP_MIN = 30
+BUCKET_SEC = 300  # 5-minute tumbling windows
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# ts01 — tumbling-window aggregation (5-min buckets)
+# ---------------------------------------------------------------------------
+@query(
+    "ts01_time_buckets",
+    oracle=f"""
+    SELECT
+      make_timestamp(((epoch_us(ts) // 1000000) // {BUCKET_SEC}) * {BUCKET_SEC} * 1000000) AS bucket,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+)
+def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    SELECT
+      timestamp_seconds(((unix_micros(ts) div 1000000) div {BUCKET_SEC}) * {BUCKET_SEC}) AS bucket,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# ts02 — sessionization: lag + gap>threshold -> cumulative session ids,
+# then per-session stats. One shuffle on user_id; the window pattern
+# scales linearly and is the standard batch sessionizer.
+# ---------------------------------------------------------------------------
+_SESSION_CORE = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(({epoch}(MAX(ts)) - {epoch}(MIN(ts))) / 1000000.0 AS DOUBLE) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+"""
+
+
+@query(
+    "ts02_sessionization",
+    oracle=_SESSION_CORE.format(epoch="epoch_us", gap_us=SESSION_GAP_MIN * 60 * 1000000),
+)
+def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _SESSION_CORE.format(epoch="unix_micros", gap_us=SESSION_GAP_MIN * 60 * 1000000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts03 — as-of join: each purchase matched to the user's most recent
+# prior click. Expressed as a running MAX(CASE) window over the merged
+# stream — no point-in-time self-join, single shuffle on user_id.
+# (A merge_asof-style applyInPandas variant lives in operators/asof.py.)
+# ---------------------------------------------------------------------------
+_ASOF_CORE = """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value, last_click_ts,
+           CAST(({epoch}(ts) - {epoch}(last_click_ts)) / 1000000.0 AS DOUBLE) AS sec_since_click
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+"""
+
+
+@query("ts03_asof_last_click", oracle=_ASOF_CORE.format(epoch="epoch_us"))
+def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ASOF_CORE.format(epoch="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# ts04 — JSON property extraction + aggregation (events.props holds a
+# JSON object; the reference keeps JSON as strings + extraction fns)
+# ---------------------------------------------------------------------------
+@query(
+    "ts04_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# ts05 — gap-fill: left join a generated day spine against daily event
+# counts; missing days appear with zeros (calendar-spine pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "ts05_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY spine.day
+    """,
+)
+def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY spine.day
+    """)
