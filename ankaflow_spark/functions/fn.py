@@ -145,10 +145,10 @@ def fn_dt(a) -> Column:
     magnitude (1e9..1e10 s, 1e12..1e13 ms, >1e15 ns).
     """
     c = _c(a)
-    s = F.trim(F.try_cast(c, "string"))
+    s = F.trim(c.try_cast("string"))
     digits = F.regexp_extract(s, r"^(\d+)(?:\.\d+)?$", 1)
     ndig = F.length(digits)
-    frac = F.try_cast(F.regexp_extract(s, r"^\d+(\.\d+)?$", 1), "double")
+    frac = F.regexp_extract(s, r"^\d+(\.\d+)?$", 1).try_cast("double")
     # strip trailing Z or +hh:mm / -hh:mm zone suffix from ISO strings
     iso = F.regexp_replace(F.regexp_replace(s, r"[Zz]$", ""), r"[+-]\d{2}:?\d{2}$", "")
     iso = F.regexp_replace(iso, r"[Tt]", " ")
@@ -157,17 +157,17 @@ def fn_dt(a) -> Column:
         .when(
             (ndig == 10),
             F.timestamp_micros(
-                (F.try_cast(digits, "bigint") * 1000000)
+                (digits.try_cast("bigint") * 1000000)
                 + F.coalesce((frac * 1000000).cast("bigint"), F.lit(0))
             ),
         )
-        .when((ndig == 13), F.timestamp_millis(F.try_cast(digits, "bigint")))
-        .when((ndig >= 18), F.timestamp_micros((F.try_cast(digits, "bigint") / 1000).cast("bigint")))
-        .when((ndig >= 15), F.timestamp_micros(F.try_cast(digits, "bigint")))
+        .when((ndig == 13), F.timestamp_millis(digits.try_cast("bigint")))
+        .when((ndig >= 18), F.timestamp_micros((digits.try_cast("bigint") / 1000).cast("bigint")))
+        .when((ndig >= 15), F.timestamp_micros(digits.try_cast("bigint")))
         .otherwise(
             F.coalesce(
-                F.try_cast(iso, "timestamp"),
-                F.try_cast(s, "timestamp"),
+                iso.try_cast("timestamp"),
+                s.try_cast("timestamp"),
                 F.timestamp_seconds(F.lit(0)),
             )
         )
@@ -310,13 +310,13 @@ def fn_has(lst, x) -> Column:
 
 
 def fn_includes(text, regex) -> Column:
-    r = regex if isinstance(regex, Column) else F.lit(regex)
-    return _c(text).rlike(r) if isinstance(regex, str) else F.regexp_like(_c(text), r)
+    if isinstance(regex, str):
+        return _c(text).rlike(regex)
+    return F.regexp_like(_c(text), regex)
 
 
-def fn_extract(text, regex) -> Column:
-    r = regex if isinstance(regex, str) else regex
-    return F.regexp_extract(_c(text), r, 0)
+def fn_extract(text, regex: str) -> Column:
+    return F.regexp_extract(_c(text), regex, 0)
 
 
 def fn_trim(a) -> Column:

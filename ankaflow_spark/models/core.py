@@ -84,6 +84,13 @@ class Stage(BaseModel):
             raise ValueError("stage name must be non-empty")
         return v
 
+    @field_validator("stages", mode="before")
+    @classmethod
+    def _coerce_stages(cls, v):
+        if isinstance(v, list):
+            return {"root": v}
+        return v
+
 
 class Stages(BaseModel):
     """Ordered stage list; the whole pipeline definition."""

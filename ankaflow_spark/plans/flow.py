@@ -61,9 +61,16 @@ class Flow:
 
     # ------------------------------------------------------------------
     def _render(self, value):
+        from .api import API
+
         return self.renderer.render(
             value,
-            {"context": self.context, "variables": self.variables, **self.variables},
+            {
+                "context": self.context,
+                "variables": self.variables,
+                "API": API(self.variables),
+                **self.variables,
+            },
         )
 
     def _run_stage(self, stage: Stage) -> None:

@@ -27,7 +27,8 @@ class DeltaUnavailable(RuntimeError):
 
 def _delta_available(spark) -> bool:
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        # py4j resolves packages lazily; Class.forName is a real probe
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")  # noqa: SLF001
         return True
     except Exception:
         return False

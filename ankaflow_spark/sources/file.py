@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 from typing import Any, Dict, List, Optional
 
@@ -60,12 +61,19 @@ def fields_to_schema(fields: Optional[List[Dict[str, str]]]) -> Optional[T.Struc
     cols = []
     for f in fields:
         name = f["name"] if isinstance(f, dict) else f.name
-        typ = (f["type"] if isinstance(f, dict) else f.type).upper().strip()
+        raw = (f["type"] if isinstance(f, dict) else f.type).strip()
+        typ = raw.upper()
+        m_dec = re.match(r"^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", typ)
         if typ in _DUCK_TO_SPARK:
             spark_t: T.DataType = _DUCK_TO_SPARK[typ]
+        elif typ in ("DECIMAL", "NUMERIC"):
+            spark_t = T.DecimalType(38, 18)  # reference default precision
+        elif m_dec:
+            spark_t = T.DecimalType(int(m_dec.group(1)), int(m_dec.group(2)))
         else:
             try:
-                spark_t = T._parse_datatype_string(typ)  # DECIMAL(38,18), ARRAY<...>
+                # nested ARRAY<...> / STRUCT<...>; needs an active session
+                spark_t = T.DataType.fromDDL(raw)
             except Exception:
                 spark_t = T.StringType()
         cols.append(T.StructField(name, spark_t, True))
@@ -103,13 +111,13 @@ class BaseFileConnection:
 
     # -- tap ---------------------------------------------------------------
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
-        df = self._read()
-        if not query:
-            return df
-        # the user query references the source by placeholder; register a
-        # stage-local view and run the query through the engine rewriter
         from ..sqlfront.ranking import apply_ranking
 
+        df = self._read()
+        if not query:
+            return apply_ranking(df, self.spec)
+        # the user query references the source by placeholder; register a
+        # stage-local view and run the query through the engine rewriter
         view = f"__tap_{abs(hash(stage.name)) % 10**8}"
         df.createOrReplaceTempView(view)
         q = query
@@ -154,13 +162,32 @@ class BaseFileConnection:
         raise NotImplementedError(f"{self.format} connection does not support sql stages")
 
 
+def convert_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as int64 ns under the
+    nanosAsLong flag; convert via bigint `div` (a double round-trip would
+    lose precision above 2^53 ns)."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        if not files or not os.path.exists(files[0]):
+            return df
+        for field in pq.read_schema(files[0]):
+            if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+                df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+    except Exception:
+        pass
+    return df
+
+
 class ParquetConnection(BaseFileConnection):
     format = "parquet"
 
     def _do_read(self, reader, path, opts):
         if opts.pop("union_by_name", None) or opts.pop("mergeSchema", None):
             reader = reader.option("mergeSchema", "true")
-        return reader.options(**opts).parquet(path)
+        return convert_ns_timestamps(reader.options(**opts).parquet(path), path)
 
 
 class CSVConnection(BaseFileConnection):

@@ -1,0 +1,176 @@
+"""Connector round-trip tests (model: reference integration suite —
+every file format taps back what the sink wrote)."""
+
+import json
+import os
+
+import pytest
+
+from ankaflow_spark.models.core import Stages
+from ankaflow_spark.plans.flow import Flow
+from ankaflow_spark.sources.delta import parse_optimize
+from ankaflow_spark.sources.file import fields_to_schema
+
+
+def roundtrip(engine, tmp_path, kind, filename, write_opts="", read_opts=""):
+    path = tmp_path / filename
+    flow = Flow(
+        Stages.loads(f"""
+- kind: internal
+  name: seed
+  query: >
+    SELECT id, concat('User ', id) AS name, id * 50 AS amount
+    FROM (SELECT explode(sequence(1, 5)) AS id)
+- kind: sink
+  name: write
+  connection:
+    kind: {kind}
+    locator: {path}
+    {write_opts}
+- kind: tap
+  name: readback
+  connection:
+    kind: {kind}
+    locator: {path}
+    {read_opts}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert df.count() == 5
+    return df
+
+
+def test_parquet_single_file_roundtrip(engine, tmp_path):
+    df = roundtrip(engine, tmp_path, "parquet", "data.parquet")
+    assert os.path.isfile(tmp_path / "data.parquet")  # real single file
+    assert {r["name"] for r in df.collect()} == {f"User {i}" for i in range(1, 6)}
+
+
+def test_parquet_directory_output(engine, tmp_path):
+    path = tmp_path / "out__dir__"
+    flow = Flow(
+        Stages.loads(f"""
+- kind: internal
+  name: seed
+  query: SELECT explode(sequence(1, 100)) AS id
+- kind: sink
+  name: write
+  connection:
+    kind: parquet
+    locator: {path}
+"""),
+        engine=engine,
+    )
+    flow.run()
+    assert os.path.isdir(path)
+
+
+def test_csv_roundtrip(engine, tmp_path):
+    df = roundtrip(
+        engine,
+        tmp_path,
+        "csv",
+        "data.csv",
+        write_opts="options: {header: true}",
+        read_opts="options: {header: true}",
+    )
+    row = {r["id"]: r["amount"] for r in df.collect()}
+    assert row[1] == 50
+
+
+def test_csv_explicit_schema(engine, tmp_path):
+    path = tmp_path / "typed.csv"
+    path.write_text("id;name\n1;a\n2;b\n")
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: typed
+  connection:
+    kind: csv
+    locator: {path}
+    options: {{delim: ';', header: true}}
+    fields:
+    - {{name: id, type: BIGINT}}
+    - {{name: name, type: VARCHAR}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_jsonl_roundtrip(engine, tmp_path):
+    df = roundtrip(engine, tmp_path, "json", "data.jsonl")
+    assert df.filter("amount = 250").count() == 1
+
+
+def test_json_array_read(engine, tmp_path):
+    path = tmp_path / "arr.json"
+    path.write_text(json.dumps([{"a": 1}, {"a": 2}]))
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: arr
+  connection:
+    kind: json
+    locator: {path}
+    options: {{format: array}}
+"""),
+        engine=engine,
+    )
+    assert flow.run().count() == 2
+
+
+def test_file_txt_tap(engine, tmp_path):
+    path = tmp_path / "notes.txt"
+    path.write_text("alpha\nbeta\ngamma\n")
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: txt
+  connection:
+    kind: file
+    locator: {path}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert [r["line"] for r in df.collect()] == ["alpha", "beta", "gamma"]
+
+
+def test_fields_to_schema_nested(spark):
+    schema = fields_to_schema(
+        [
+            {"name": "a", "type": "BIGINT"},
+            {"name": "b", "type": "DECIMAL(38,18)"},
+            {"name": "c", "type": "ARRAY<BIGINT>"},
+            {"name": "d", "type": "STRUCT<x: STRING, y: BIGINT>"},
+        ]
+    )
+    assert schema.simpleString() == (
+        "struct<a:bigint,b:decimal(38,18),c:array<bigint>,d:struct<x:string,y:bigint>>"
+    )
+
+
+def test_delta_optimize_parser():
+    act = parse_optimize("OPTIMIZE mytable COMPACT VACUUM AGE=48 HOURS DRY_RUN")
+    assert act == {
+        "table": "mytable",
+        "compact": True,
+        "vacuum": True,
+        "retention_hours": 48.0,
+        "dry_run": True,
+    }
+    assert parse_optimize("SELECT 1") is None
+    # retention clamps to 365 days
+    act = parse_optimize("OPTIMIZE t VACUUM AGE=9999 DAYS")
+    assert act["retention_hours"] == 365 * 24
+
+
+def test_delta_unavailable_raises(engine):
+    from ankaflow_spark.sources import get_connector
+    from ankaflow_spark.sources.delta import DeltaUnavailable
+
+    with pytest.raises(DeltaUnavailable):
+        get_connector("delta")(engine, {"kind": "delta", "locator": "/tmp/x"}, {})

@@ -1,0 +1,84 @@
+"""SQL front-end unit tests (model: reference tests/test_sql_helpers.py —
+ranked-query shape, validator rules, rewrite behavior)."""
+
+import pytest
+
+from ankaflow_spark.session import mangle_view_name
+from ankaflow_spark.sqlfront.ranking import build_ranked_sql
+from ankaflow_spark.sqlfront.rewrite import (
+    expand_fn_macros,
+    normalize_dialect,
+    rewrite_sql,
+)
+from ankaflow_spark.sqlfront.validate import QueryValidationError, validate_simple_query
+
+
+def test_mangle_plain_name_unchanged():
+    assert mangle_view_name("orders") == "orders"
+
+
+def test_mangle_spaces_deterministic():
+    a = mangle_view_name("Extract Data")
+    b = mangle_view_name("Extract Data")
+    assert a == b
+    assert " " not in a
+    assert mangle_view_name("Extract_Data") != a  # no collision
+
+
+def test_fn_expansion():
+    assert expand_fn_macros("SELECT Fn.div(a, b) FROM t") == "SELECT fn_div(a, b) FROM t"
+    assert expand_fn_macros("Fn.not_(x)") == "fn_not(x)"
+    assert "fn_dt_yyyy_mm_dd" in expand_fn_macros("Fn.dt_yyyy_mm_dd(ts)")
+
+
+def test_fn_not_expanded_inside_literal():
+    out = rewrite_sql("SELECT 'Fn.div(a,b)' AS s", {})
+    assert "'Fn.div(a,b)'" in out
+
+
+def test_quoted_stage_rewrite():
+    views = {"Extract Data": mangle_view_name("Extract Data")}
+    out = rewrite_sql('SELECT * FROM "Extract Data"', views)
+    assert '"' not in out
+    assert views["Extract Data"] in out
+
+
+def test_sample_rewrite():
+    out = normalize_dialect("SELECT * FROM t USING SAMPLE 5 ROWS")
+    assert "TABLESAMPLE (5 ROWS)" in out
+
+
+def test_ranked_sql_shape():
+    sql = build_ranked_sql("SELECT * FROM src", version="updated_at", keys=["id", "region"])
+    assert 'PARTITION BY "id", "region"' in sql
+    assert 'ORDER BY "updated_at" DESC' in sql
+    assert "__rank__ = 1" in sql
+
+
+def test_validator_accepts_simple():
+    validate_simple_query("SELECT a, b FROM t WHERE c = 3 AND d IS NOT NULL")
+
+
+def test_validator_rejects_cte():
+    with pytest.raises(QueryValidationError):
+        validate_simple_query("WITH x AS (SELECT 1) SELECT * FROM x")
+
+
+def test_validator_rejects_join():
+    with pytest.raises(QueryValidationError):
+        validate_simple_query("SELECT * FROM a JOIN b ON a.id = b.id")
+
+
+def test_validator_rejects_subquery():
+    with pytest.raises(QueryValidationError):
+        validate_simple_query("SELECT * FROM t WHERE id IN (SELECT id FROM u)")
+
+
+def test_validator_rejects_agg_when_ranking():
+    with pytest.raises(QueryValidationError):
+        validate_simple_query("SELECT count(*) FROM t", ranking_enabled=True)
+    validate_simple_query("SELECT count(*) FROM t", ranking_enabled=False)
+
+
+def test_validator_ignores_keywords_in_literals():
+    validate_simple_query("SELECT a FROM t WHERE b = 'JOIN me WITH you'")
