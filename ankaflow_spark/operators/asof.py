@@ -1,0 +1,99 @@
+"""As-of (point-in-time) join operator.
+
+Spark has no native as-of join; two strategies per the preference order
+in the build plan:
+
+* ``asof_join_window`` — composition of built-in ops: union the two
+  streams, one window pass carries the right side's latest value onto
+  left rows. One shuffle on the key; fully codegen'd; preferred at
+  scale whenever the right side's carried columns are few (ts03 uses
+  this shape).
+* ``asof_join_pandas`` — grouped ``applyInPandas`` with
+  ``pd.merge_asof`` per key group for wide right sides / tolerance
+  semantics. Arrow-batched; shuffles both sides once on the key.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: List[str],
+    value_col: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the greatest right ``on`` <= left ``on``
+    (strictly earlier rows win ties deterministically via the source tag)
+    carrying ``value_col``."""
+    lt = left.withColumn("__side__", F.lit(1)).withColumn("__val__", F.lit(None).cast(
+        right.schema[value_col].dataType
+    ))
+    rt = (
+        right.withColumn("__side__", F.lit(0))
+        .withColumn("__val__", F.col(value_col))
+        .select(*[F.col(c) for c in by], F.col(on), F.col("__side__"), F.col("__val__"))
+    )
+    lt_cols = [c for c in left.columns]
+    merged = lt.select(
+        *[F.col(c) for c in lt_cols], F.col("__side__"), F.col("__val__")
+    ).unionByName(
+        rt.select(
+            *[
+                F.col(c) if c in rt.columns else F.lit(None).alias(c)
+                for c in lt_cols + ["__side__", "__val__"]
+            ]
+        ),
+        allowMissingColumns=False,
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side__").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = merged.withColumn(f"{value_col}{suffix}", F.last("__val__", ignorenulls=True).over(w))
+    return out.filter(F.col("__side__") == 1).drop("__side__", "__val__")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: List[str],
+    tolerance: Optional[pd.Timedelta] = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """merge_asof per key group (cogrouped Pandas path). Right columns
+    (except keys) are appended with pandas' merge_asof semantics."""
+    right_cols = [c for c in right.columns if c not in by and c != on]
+    out_schema = left.schema
+    from pyspark.sql import types as T
+
+    fields = list(out_schema.fields) + [
+        T.StructField(f"{c}_asof", right.schema[c].dataType, True) for c in right_cols
+    ]
+    schema = T.StructType(fields)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(on)
+        r = r.sort_values(on)[[on] + right_cols].rename(
+            columns={c: f"{c}_asof" for c in right_cols}
+        )
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in fields])
+        merged = pd.merge_asof(l, r, on=on, tolerance=tolerance, direction=direction)
+        return merged
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(lambda key, l, r: merge(l, r), schema=schema)
+    )

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns plus typed metadata, processed by Arrow-batched pandas
+iterators (``mapInPandas``).
+
+The decode/resize/feature kernels are STUBBED (image/audio libraries are
+not in this container — see ``decode_image``) behind deterministic
+fakes, but everything Spark-side is real and tested: schema contract,
+binary handling through Arrow batches, partition-preserving batch
+iteration, and the metadata projection. Swapping the fake kernel for
+PIL/torchvision changes one function.
+
+Scale design: media blobs stay in the executor (never collected); the
+batch iterator processes ``spark.sql.execution.arrow.maxRecordsPerBatch``
+rows at a time so memory is bounded by batch x blob size; derived
+features are small fixed-width vectors, so the shuffle after extraction
+moves KB per row, not the media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub contract
+    """Real decoder hook. The container has no image codec libraries, so
+    this raises; ``extract_features`` uses the deterministic fake below.
+    Production: replace with PIL.Image.open(BytesIO(payload))."""
+    raise NotImplementedError("image codecs unavailable in this environment")
+
+
+def _fake_feature(payload: bytes) -> list:
+    """Deterministic stand-in feature: 8 floats derived from the sha256
+    digest — stable across runs/engines, exercises the full pipeline."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [
+        struct.unpack(">I", digest[i * 4 : i * 4 + 4])[0] / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(_fake_feature),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling plumbing: explode synthetic frame indices
+    from metadata (real impl would decode frame offsets); keeps the
+    explode + per-frame row contract."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))).alias(
+                "frame_no"
+            ),
+        )
+    )
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (payload bytes are
+    a function of media_id)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.md5(str(i).encode()).digest() * (4 + i % 5)
+        meta = {"n_frames": str(8 + i % 7)} if kind == "video" else {"w": "64", "h": "48"}
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,86 @@
+"""Operator-layer unit tests: as-of join strategies, multimodal
+plumbing, and registry integrity."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ankaflow_spark.operators import collect_all
+from ankaflow_spark.operators.asof import asof_join_pandas, asof_join_window
+from ankaflow_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+
+
+def test_registry_integrity():
+    queries, oracles = collect_all()
+    assert len(queries) >= 30
+    # every oracle key has a query
+    assert set(oracles) <= set(queries)
+    # the vast majority of queries carry a strict oracle
+    assert len(oracles) >= len(queries) - 2
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0), ("A", 5, 99.0)],
+        ["sym", "t", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 12, 2.0), ("A", 20, 3.0), ("B", 1, 9.0)],
+        ["sym", "t", "bid"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_window(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join_window(trades, quotes, on="t", by=["sym"], value_col="bid")
+    got = {(r["sym"], r["t"]): r["bid_asof"] for r in out.collect()}
+    assert got[("A", 5)] is None  # no quote yet
+    assert got[("A", 10)] == 1.0
+    assert got[("A", 20)] == 3.0  # equal timestamps: right side wins (side order)
+    assert got[("B", 15)] == 9.0
+
+
+def test_asof_join_pandas(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join_pandas(trades, quotes, on="t", by=["sym"])
+    got = {(r["sym"], r["t"]): r["bid_asof"] for r in out.collect()}
+    assert got[("A", 10)] == 1.0
+    assert got[("A", 20)] == 3.0
+    assert got[("B", 15)] == 9.0
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again[0] == rows[0]["feature"] if rows[0]["media_id"] == 0 else True
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample(media, every_n=2)
+    pdf = frames.toPandas()
+    assert (pdf["frame_no"] % 2 == 0).all()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert pdf["media_id"].nunique() == n_videos
+
+
+def test_decode_stub_contract():
+    from ankaflow_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,57 @@
+"""Structured Streaming extension tests: parquet-backed bounded streams
+driven to completion on a memory sink."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ankaflow_spark.streaming.stream import (
+    run_stream_to_memory,
+    stream_tap,
+    streaming_dedup,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    # re-write sf0.001 events as a clean µs-timestamp parquet dir the
+    # streaming reader can consume with an explicit schema
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    df.write.mode("overwrite").parquet(out)
+    return out, df.schema
+
+
+def test_stream_windowed_agg_matches_batch(spark, events_stream_dir):
+    path, schema = events_stream_dir
+    stream = stream_tap(spark, path, schema)
+    agg = windowed_agg(stream, "ts", window_len="5 minutes", group_cols=["event_type"])
+    # complete mode: append would (correctly) hold back the final window
+    # still above the watermark; complete emits every window state.
+    run_stream_to_memory(agg, "win_out", output_mode="complete")
+    got = spark.sql("SELECT count(*) AS n, sum(n_events) AS total FROM win_out").collect()[0]
+
+    batch = spark.read.schema(schema).parquet(path)
+    expected_total = batch.count()
+    expected_windows = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
+    )
+    assert got["total"] == expected_total
+    assert got["n"] == expected_windows
+
+
+def test_streaming_dedup_bounds_duplicates(spark, events_stream_dir):
+    path, schema = events_stream_dir
+    stream = stream_tap(spark, path, schema)
+    deduped = streaming_dedup(stream, keys=["user_id", "event_type"], ts_col="ts")
+    run_stream_to_memory(deduped, "dedup_out")
+    out = spark.sql("SELECT user_id, event_type, count(*) AS c FROM dedup_out GROUP BY 1, 2")
+    assert out.filter("c > 1").count() == 0
+    # every key survives
+    batch_keys = (
+        spark.read.schema(schema).parquet(path).select("user_id", "event_type").distinct().count()
+    )
+    assert spark.sql("SELECT * FROM dedup_out").select("user_id", "event_type").distinct().count() == batch_keys
