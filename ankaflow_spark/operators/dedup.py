@@ -51,22 +51,29 @@ def query(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 # shared shingle SQL fragments (Spark spelling / DuckDB spelling)
 # ---------------------------------------------------------------------------
-# word 3-shingles, distinct per document
+# word 3-shingles, distinct per document. split() runs once per row in a
+# subquery; shingles come from three element accesses (array slicing per
+# position would be O(len^2) allocation). Docs shorter than the shingle
+# width collapse to one whole-text shingle in both dialects.
 SPARK_SHINGLES = """
-  SELECT doc_id, explode(array_distinct(transform(
-           sequence(1, greatest(size(split(text, ' ')) - {n1}, 1)),
-           i -> concat_ws(' ', slice(split(text, ' '), i, {n}))
-         ))) AS sh
-  FROM documents
-""".format(n=SHINGLE_WORDS, n1=SHINGLE_WORDS - 1)
+  SELECT doc_id, explode(array_distinct(
+           CASE WHEN size(words) >= 3 THEN
+             transform(sequence(0, size(words) - 3),
+                       i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2]))
+           ELSE array(concat_ws(' ', words)) END
+         )) AS sh
+  FROM (SELECT doc_id, split(text, ' ') AS words FROM documents)
+"""
 
 DUCK_SHINGLES = """
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - {n1}, 1) + 1),
-           i -> array_to_string(string_split(text, ' ')[i:i + {n1}], ' ')
-         ))) AS sh
-  FROM documents
-""".format(n1=SHINGLE_WORDS - 1)
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])
+           ELSE [array_to_string(words, ' ')] END
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -142,16 +149,26 @@ def _band_cols_sql(fmt: str) -> List[str]:
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    shingles = spark.sql(SPARK_SHINGLES)
-    sigs = shingles.groupBy("doc_id").agg(*_spark_minhash_aggs())
     rows = MINHASH_K // LSH_BANDS
-    bands = None
-    for b in range(LSH_BANDS):
-        band_key = F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_id"), band_key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Narrow plan, small generated code: explode the seed dimension and
+    # min-aggregate (map-side combine shrinks the shuffle to docs x k
+    # before exchange), then fold each band's 4 ordered minhashes with
+    # conditional MAX aggs. A 16-wide min(md5(..)) single aggregate gives
+    # the same values but generates pathological whole-stage code.
+    band_cols = ", ".join(f"MAX(CASE WHEN seed % {rows} = {r} THEN mh END)" for r in range(rows))
+    bands = spark.sql(f"""
+      WITH shingles AS ({SPARK_SHINGLES}),
+      perm AS (
+        SELECT doc_id, s.seed AS seed, MIN(md5(concat(s.seed, ':', sh))) AS mh
+        FROM shingles
+        CROSS JOIN (SELECT explode(sequence(0, {MINHASH_K - 1})) AS seed) s
+        GROUP BY doc_id, s.seed
+      )
+      SELECT doc_id, CAST(seed div {rows} AS INT) AS band_id,
+             md5(concat({band_cols})) AS band_key
+      FROM perm
+      GROUP BY doc_id, seed div {rows}
+    """)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -253,20 +270,24 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    # Same math as the oracle, but as 32 conditional aggregates over the
+    # shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
+    # the shape that survives a 100x corpus scale-up).
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN shiftright("
+        f"instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1, {3 - (b % 4)}"
+        f") % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {31 - b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
     return spark.sql(f"""
     WITH shingles AS ({SPARK_SHINGLES}),
-    bits AS (
-      SELECT s.doc_id, b.b,
-        CASE WHEN shiftright(
-               instr('0123456789abcdef', substr(md5(s.sh), CAST(b.b div 4 AS INT) + 1, 1)) - 1,
-               CAST(3 - (b.b % 4) AS INT)) % 2 = 1
-             THEN 1 ELSE -1 END AS w
-      FROM shingles s
-      CROSS JOIN (SELECT explode(sequence(0, 31)) AS b) b
-    )
-    SELECT doc_id,
-      CAST(SUM(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(31 - b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-    FROM (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b) t
-    GROUP BY doc_id
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+    bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM bitsums
     ORDER BY doc_id
     """)
