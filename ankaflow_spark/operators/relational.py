@@ -663,3 +663,153 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_above"), F.asc("l_partkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q20 — Fn.dt coercion parity (reference macros.py:106-174): messy
+# strings (unix s/ms, ISO-with-zone, plain, date-only, garbage) built
+# deterministically from events.ts, parsed by the engine's fn_dt; the
+# oracle states the expected branch semantics independently.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_fn_dt_coercion",
+    oracle="""
+    WITH messy AS (
+      SELECT event_id,
+        CASE CAST(event_id % 6 AS INT)
+          WHEN 0 THEN CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+          WHEN 1 THEN CAST(epoch_us(ts) // 1000 AS VARCHAR)
+          WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+          WHEN 3 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+          WHEN 4 THEN strftime(ts, '%Y-%m-%d')
+          ELSE 'not a date' END AS raw
+      FROM events
+    )
+    SELECT event_id, raw,
+      CASE
+        WHEN regexp_matches(raw, '^\\d{10}$')
+          THEN make_timestamp(CAST(raw AS BIGINT) * 1000000)
+        WHEN regexp_matches(raw, '^\\d{13}$')
+          THEN make_timestamp(CAST(raw AS BIGINT) * 1000)
+        ELSE COALESCE(
+          TRY_CAST(replace(rtrim(raw, 'Z'), 'T', ' ') AS TIMESTAMP),
+          make_timestamp(0))
+      END AS parsed
+    FROM messy
+    ORDER BY event_id
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fn import fn_dt
+
+    t = load_tables(spark, sf_dir)
+    raw = (
+        F.when(F.col("event_id") % 6 == 0, F.expr("CAST(unix_micros(ts) div 1000000 AS STRING)"))
+        .when(F.col("event_id") % 6 == 1, F.expr("CAST(unix_micros(ts) div 1000 AS STRING)"))
+        .when(F.col("event_id") % 6 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(F.col("event_id") % 6 == 3, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 6 == 4, F.date_format("ts", "yyyy-MM-dd"))
+        .otherwise(F.lit("not a date"))
+    )
+    return (
+        t["events"]
+        .select("event_id", raw.alias("raw"))
+        .withColumn("parsed", fn_dt(F.col("raw")))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — deterministic hash sampling: the scalable replacement for
+# USING SAMPLE at 100 TB (reproducible across engines/runs/partitions,
+# no coordination). ~10% bernoulli via first md5 byte < 0x1a.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    ORDER BY o_orderkey
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — collection aggregates (Fn.uniquelist / Fn.has analogs,
+# reference macros.py:246-247): set-valued aggregation + membership.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_collection_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           list_contains(list_distinct(list(o_orderstatus)), 'F') AS has_finished,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fn import fn_has, fn_uniquelist
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(fn_uniquelist(F.col("o_orderstatus"))).alias("statuses"),
+            fn_has(fn_uniquelist(F.col("o_orderstatus")), F.lit("F")).alias("has_finished"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — 4-4-5 retail calendar month (Fn.month445, reference
+# macros.py:252-267) over the fixed calendar year.
+# ---------------------------------------------------------------------------
+@query(
+    "q23_month445",
+    oracle="""
+    WITH days AS (
+      SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT d AS date,
+      CAST(weekofyear(d) AS BIGINT) AS iso_week,
+      CAST(((weekofyear(d) - 1) // 13) * 3 +
+        CASE WHEN weekofyear(d) - ((weekofyear(d) - 1) // 13) * 13 <= 4 THEN 1
+             WHEN weekofyear(d) - ((weekofyear(d) - 1) // 13) * 13 <= 8 THEN 2
+             ELSE 3 END AS BIGINT) AS month445
+    FROM days
+    ORDER BY d
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fn import fn_month445
+
+    d = F.col("date")
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit("2024-01-01").cast("date"), F.lit("2024-12-31").cast("date"))
+            ).alias("date")
+        )
+        .select(
+            d,
+            F.weekofyear(d).cast("bigint").alias("iso_week"),
+            fn_month445(d).alias("month445"),
+        )
+        .orderBy("date")
+    )

@@ -112,10 +112,13 @@ class BaseFileConnection:
     # -- tap ---------------------------------------------------------------
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
         from ..sqlfront.ranking import apply_ranking
+        from ..sqlfront.validate import validate_simple_query
 
         df = self._read()
         if not query:
             return apply_ranking(df, self.spec)
+        ranking = bool(self.spec.get("version") and self.spec.get("key"))
+        validate_simple_query(query, ranking_enabled=ranking)
         # the user query references the source by placeholder; register a
         # stage-local view and run the query through the engine rewriter
         view = f"__tap_{abs(hash(stage.name)) % 10**8}"

@@ -1,0 +1,75 @@
+"""User macro registration + CLI smoke (model: reference
+tests/test_fn_register.py + CLI surface)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from ankaflow_spark.functions.register import MacroError, register_macro
+
+
+def test_register_macro_both_spellings(engine):
+    spark = engine.spark
+    register_macro(spark, "discount", "(price DOUBLE, pct DOUBLE) RETURNS DOUBLE",
+                   "price * (1 - pct / 100)")
+    assert spark.sql("SELECT fn_discount(200.0, 25.0) AS v").collect()[0]["v"] == 150.0
+    # reference spelling through the engine rewriter
+    assert engine.sql("SELECT Fn.discount(200.0, 25.0) AS v").collect()[0]["v"] == 150.0
+
+
+def test_register_macro_rejects_builtin(spark):
+    with pytest.raises(MacroError, match="built-in"):
+        register_macro(spark, "div", "(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a / b")
+
+
+def test_register_macro_rejects_bad_name(spark):
+    with pytest.raises(MacroError):
+        register_macro(spark, "bad name!", "(a INT) RETURNS INT", "a")
+
+
+def test_tap_validator_wired(engine, sf_dir):
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow, FlowError
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: bad tap
+  connection:
+    kind: parquet
+    locator: {sf_dir}/orders.parquet
+  query: SELECT * FROM "bad tap" JOIN other ON 1=1
+"""),
+        engine=engine,
+    )
+    with pytest.raises(FlowError, match="JOIN"):
+        flow.run()
+
+
+def test_cli_runs_pipeline(tmp_path, sf_dir):
+    yaml_file = tmp_path / "pipe.yaml"
+    out = tmp_path / "out.csv"
+    yaml_file.write_text(f"""
+- kind: tap
+  name: orders
+  connection:
+    kind: parquet
+    locator: {sf_dir}/orders.parquet
+- kind: transform
+  name: by status
+  query: SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1
+""")
+    proc = subprocess.run(
+        [sys.executable, "-m", "ankaflow_spark", str(yaml_file), "--out", str(out)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pandas as pd
+
+    pdf = pd.read_csv(out)
+    assert set(pdf.columns) == {"o_orderstatus", "n"}
+    assert pdf["n"].sum() == 1500
