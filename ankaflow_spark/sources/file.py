@@ -89,11 +89,14 @@ class BaseFileConnection:
         self.variables = variables
 
     # -- helpers -----------------------------------------------------------
-    def _locator(self) -> str:
+    def _locator(self, use_wildcard: bool = False) -> str:
+        from .locator import Locator
+
         loc = self.spec.get("locator")
         if not loc:
             raise ValueError(f"{self.format} connection needs a locator")
-        return loc
+        resolver = Locator(bucket=self.spec.get("bucket"), prefix=self.spec.get("prefix"))
+        return resolver.locate(loc, use_wildcard=use_wildcard)
 
     def _schema(self) -> Optional[T.StructType]:
         return fields_to_schema(self.spec.get("fields"))
