@@ -32,22 +32,39 @@ TABLES = (
 def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     """Read every star-schema table and register it as a temp view.
 
+    Works on ANY session, including the driver's vanilla one: pins the
+    session to UTC (required for oracle-identical timestamp semantics)
+    and normalizes TIMESTAMP(NANOS) parquet columns to TimestampType —
+    they surface as timestamp_ntz on a default Spark 4 session, or as
+    int64 ns when spark.sql.legacy.parquet.nanosAsLong is set (then
+    converted via bigint `div`, never a lossy double round-trip).
+
     Registration is idempotent and cheap (lazy scans); queries that only
     touch a subset still prune at the source thanks to lazy evaluation.
     """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # nanos columns fail Spark's parquet converter outright; with the
+        # legacy flag they arrive as int64 ns and are converted below
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     dfs: Dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as int64 ns (nanosAsLong):
-        # convert to timestamp with `div` (bigint division — a double
-        # round-trip would lose precision above 2^53 ns).
-        arrow_schema = pq.read_schema(path)
-        for field in arrow_schema:
-            if str(field.type) == "timestamp[ns]":
-                df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        ns_cols = {
+            field.name for field in pq.read_schema(path) if str(field.type) == "timestamp[ns]"
+        }
+        for col, dtype in df.dtypes:
+            if col not in ns_cols:
+                continue
+            if dtype == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs

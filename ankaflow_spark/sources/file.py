@@ -169,9 +169,10 @@ class BaseFileConnection:
 
 
 def convert_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as int64 ns under the
-    nanosAsLong flag; convert via bigint `div` (a double round-trip would
-    lose precision above 2^53 ns)."""
+    """Normalize TIMESTAMP(NANOS) parquet columns to TimestampType: they
+    surface as timestamp_ntz on a default Spark 4 session, or as int64
+    ns under the nanosAsLong flag (converted via bigint `div` — a double
+    round-trip would lose precision above 2^53 ns)."""
     try:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
@@ -179,9 +180,14 @@ def convert_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
         files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
         if not files or not os.path.exists(files[0]):
             return df
-        for field in pq.read_schema(files[0]):
-            if str(field.type) == "timestamp[ns]" and field.name in df.columns:
-                df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        ns_cols = {f.name for f in pq.read_schema(files[0]) if str(f.type) == "timestamp[ns]"}
+        for col, dtype in df.dtypes:
+            if col not in ns_cols:
+                continue
+            if dtype == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     except Exception:
         pass
     return df
@@ -193,6 +199,10 @@ class ParquetConnection(BaseFileConnection):
     def _do_read(self, reader, path, opts):
         if opts.pop("union_by_name", None) or opts.pop("mergeSchema", None):
             reader = reader.option("mergeSchema", "true")
+        try:
+            self.engine.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         return convert_ns_timestamps(reader.options(**opts).parquet(path), path)
 
 
