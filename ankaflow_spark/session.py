@@ -168,5 +168,35 @@ class SparkEngine:
 
         return self.spark.sql(rewrite_sql(query, self._views))
 
+    # -- schema introspection (reference Schema.show / Fn.columns) --------
+    def describe(self, name: str):
+        """Column name/type pairs for a registered stage (reference:
+        DESCRIBE surface, connection.py:157-178 / Fn.columns macro)."""
+        df = self.table(name)
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    # -- storage credentials (reference: per-bucket secrets,
+    # internal/server.py:98-169 -> Hadoop per-bucket configuration) -------
+    def configure_bucket(
+        self,
+        bucket: str,
+        access_key: Optional[str] = None,
+        secret_key: Optional[str] = None,
+        endpoint: Optional[str] = None,
+        extra: Optional[Dict[str, str]] = None,
+    ) -> None:
+        """Scope S3 credentials to one bucket via Hadoop's per-bucket
+        configuration (the Spark-native analog of scoped CREATE SECRET)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        prefix = f"fs.s3a.bucket.{bucket}"
+        if access_key:
+            hconf.set(f"{prefix}.access.key", access_key)
+        if secret_key:
+            hconf.set(f"{prefix}.secret.key", secret_key)
+        if endpoint:
+            hconf.set(f"{prefix}.endpoint", endpoint)
+        for k, v in (extra or {}).items():
+            hconf.set(f"{prefix}.{k}", v)
+
     def stop(self) -> None:
         self.spark.stop()

@@ -110,9 +110,67 @@ def quoted_stage_refs_to_views(sql: str, views: Dict[str, str]) -> str:
     return _map_nonliteral(sql, fix)
 
 
+def _depth0_keyword_pos(sql: str, words: Tuple[str, ...], start: int = 0) -> int:
+    """Index of the first keyword (from ``words``) occurring at paren
+    depth 0 outside string literals; -1 if absent. Case-insensitive,
+    word-bounded."""
+    depth = 0
+    in_lit = False
+    upper = sql.upper()
+    i = start
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for w in words:
+                if upper.startswith(w, i):
+                    before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+                    after = i + len(w)
+                    after_ok = after >= n or not (sql[after].isalnum() or sql[after] == "_")
+                    if before_ok and after_ok:
+                        return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(sql: str) -> str:
+    """DuckDB's QUALIFY (filter on window expressions) has no Spark
+    equivalent; rewrite to the standard subquery form: compute the
+    predicate (windows and all) as a projected boolean, filter on it,
+    drop the helper column with ``* EXCEPT``. Paren-depth-aware so
+    ORDER BY inside OVER(...) clauses is not mistaken for the tail."""
+    s = sql.strip().rstrip(";")
+    qpos = _depth0_keyword_pos(s, ("QUALIFY",))
+    if qpos < 0:
+        return sql
+    base = s[:qpos].strip()
+    rest = s[qpos + len("QUALIFY"):]
+    tpos = _depth0_keyword_pos(rest, ("ORDER", "LIMIT"))
+    pred = (rest if tpos < 0 else rest[:tpos]).strip()
+    tail = "" if tpos < 0 else rest[tpos:].strip()
+    return (
+        f"SELECT * EXCEPT(__qualify__) FROM ("
+        f"SELECT *, ({pred}) AS __qualify__ FROM ({base}) __qbase__"
+        f") __qfiltered__ WHERE __qualify__ {tail}"
+    )
+
+
 def rewrite_sql(sql: str, views: Dict[str, str]) -> str:
     out = _map_nonliteral(sql, expand_fn_macros)
     out = rewrite_views(out, views)
     out = normalize_dialect(out)
+    out = rewrite_qualify(out)
     out = quoted_stage_refs_to_views(out, views)
     return out

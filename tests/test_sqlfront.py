@@ -82,3 +82,37 @@ def test_validator_rejects_agg_when_ranking():
 
 def test_validator_ignores_keywords_in_literals():
     validate_simple_query("SELECT a FROM t WHERE b = 'JOIN me WITH you'")
+
+
+def test_qualify_rewrite_text():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_qualify
+
+    out = rewrite_qualify(
+        "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1"
+    )
+    assert "EXCEPT(__qualify__)" in out
+    assert "WHERE __qualify__" in out
+    # no QUALIFY -> untouched
+    assert rewrite_qualify("SELECT 1") == "SELECT 1"
+
+
+def test_qualify_executes(engine, sf_dir):
+    engine.register("q_orders", engine.spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    df = engine.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM q_orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1
+        ORDER BY o_custkey LIMIT 20
+    """)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert "__qualify__" not in df.columns
+
+
+def test_describe_and_bucket_conf(engine, sf_dir):
+    engine.register("d_nation", engine.spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    cols = engine.describe("d_nation")
+    assert ("n_nationkey", "int") in cols
+    engine.configure_bucket("my-bucket", access_key="AK", secret_key="SK", endpoint="http://minio:9000")
+    hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.bucket.my-bucket.access.key") == "AK"
+    assert hconf.get("fs.s3a.bucket.my-bucket.endpoint") == "http://minio:9000"
