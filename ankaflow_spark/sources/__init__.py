@@ -36,4 +36,12 @@ def get_connector(kind: str):
         from .rest import RestConnection
 
         return RestConnection
+    if kind.lower() in ("jdbc", "clickhouse", "postgres", "mysql"):
+        from .jdbc import JDBCConnection
+
+        return JDBCConnection
+    if kind.lower() == "sqlgen":
+        from .sqlgen import SQLGenConnection
+
+        return SQLGenConnection
     raise KeyError(f"unknown connection kind: {kind}")

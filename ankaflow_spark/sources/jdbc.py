@@ -1,0 +1,95 @@
+"""JDBC connection: the Spark-native path for the reference's
+ClickHouse-style warehouse taps/sinks (reference surface:
+ankaflow/connections/clickhouse.py — streamed reads in 50k-row blocks,
+batched inserts; behavior studied, fresh implementation).
+
+Spark's JDBC source replaces the driver-side block streaming with
+executor-side partitioned reads (``partitionColumn``/``numPartitions``),
+and ``fetchsize`` plays the reference's blocksize role (default 50_000).
+The incremental version/key dedup is PUSHED INTO the remote query
+exactly as the reference does — the remote engine ranks, Spark reads
+only surviving rows (SURVEY.md §4 row 1, the one rewrite Catalyst can't
+do for us).
+
+No JDBC driver jars ship in this container; ``tap``/``sink`` raise a
+clear error at use time, while query construction (the engine logic) is
+fully unit-testable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+
+from ..models.core import Stage
+from ..session import SparkEngine
+from ..sqlfront.ranking import build_ranked_sql
+from ..sqlfront.validate import validate_simple_query
+
+DEFAULT_FETCHSIZE = 50_000  # the reference's stream block size
+
+
+def build_remote_query(
+    query: str,
+    version: Optional[str] = None,
+    keys: Optional[list] = None,
+    limit: Optional[int] = None,
+) -> str:
+    """Compose the exact SQL the remote engine runs: validate the simple
+    select, inject latest-record-wins ranking when version+keys are
+    declared, wrap with LIMIT last."""
+    ranking = bool(version and keys)
+    validate_simple_query(query, ranking_enabled=ranking)
+    out = query.strip().rstrip(";")
+    if ranking:
+        out = build_ranked_sql(out, version=version, keys=list(keys))
+    if limit is not None:
+        out = f"SELECT * FROM ({out}) __limited__ LIMIT {int(limit)}"
+    return out
+
+
+class JDBCConnection:
+    def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
+        self.engine = engine
+        self.spec = spec
+        self.variables = variables
+
+    def _options(self, dbtable_or_query: Dict[str, str]) -> Dict[str, str]:
+        opts = dict(self.spec.get("options") or {})
+        url = opts.pop("url", None) or self.spec.get("locator")
+        if not url or not str(url).startswith("jdbc:"):
+            raise ValueError("jdbc connection needs a jdbc:... url (locator or options.url)")
+        base = {
+            "url": url,
+            "fetchsize": str(opts.pop("fetchsize", DEFAULT_FETCHSIZE)),
+            "batchsize": str(opts.pop("batchsize", DEFAULT_FETCHSIZE)),
+            **dbtable_or_query,
+            **opts,
+        }
+        return base
+
+    def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
+        spec = self.spec
+        if query:
+            remote = build_remote_query(
+                query, version=spec.get("version"), keys=spec.get("key")
+            )
+            options = self._options({"query": remote})
+        else:
+            table = spec.get("table") or spec.get("locator")
+            options = self._options({"dbtable": table})
+        return self.engine.spark.read.format("jdbc").options(**options).load()
+
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        table = self.spec.get("table")
+        if not table:
+            raise ValueError("jdbc sink needs `table`")
+        mode = self.spec.get("mode") or "append"
+        df.write.format("jdbc").options(**self._options({"dbtable": table})).mode(mode).save()
+
+    def execute(self, query: str, stage: Stage) -> None:
+        raise NotImplementedError(
+            "remote DDL over raw JDBC requires a driver-specific client; "
+            "not available in this environment"
+        )

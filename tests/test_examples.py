@@ -1,0 +1,32 @@
+"""The shipped example pipelines run end-to-end."""
+
+import os
+
+from ankaflow_spark.models.core import Stages
+from ankaflow_spark.plans.flow import Flow
+
+
+def test_training_data_pipeline(engine, tmp_path):
+    flow = Flow(
+        Stages.load("/root/repo/examples/training_data_pipeline.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001", "out_dir": str(tmp_path)},
+    )
+    flow.run()
+    out = engine.spark.read.parquet(str(tmp_path / "curated.parquet"))
+    n_docs = engine.spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < out.count() <= n_docs
+    assert "n_tokens" in out.columns
+
+
+def test_incremental_dedup_example(engine, tmp_path):
+    out = tmp_path / "latest.parquet"
+    flow = Flow(
+        Stages.load("/root/repo/examples/incremental_dedup.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001", "out": str(out)},
+    )
+    flow.run()
+    assert os.path.exists(out)
+    back = engine.spark.read.parquet(str(out))
+    assert set(back.columns) == {"user_id", "n_types", "avg_value"}
