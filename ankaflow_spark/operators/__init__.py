@@ -15,11 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def collect_all() -> Tuple[Dict[str, Callable[[SparkSession, str], DataFrame]], Dict[str, str]]:
-    from . import relational, dedup, similarity, textops, timeseries
+    from . import dedup, relational, similarity, streamq, textops, timeseries
 
     queries: Dict[str, Callable] = {}
     oracles: Dict[str, str] = {}
-    for mod in (relational, timeseries, dedup, similarity, textops):
+    for mod in (relational, timeseries, dedup, similarity, textops, streamq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
