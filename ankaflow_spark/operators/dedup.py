@@ -6,16 +6,17 @@ string ops so the DuckDB oracle computes bit-identical results):
 * **versioned dedup** — the reference's incremental latest-record-wins
   read (reference: ankaflow/common/util.py:336-383); window + filter.
 * **exact dedup** — content-key hashing (bag-of-words md5), groupBy.
-* **MinHash + LSH** — word-shingle signatures via k independent min-md5
-  hashes, banded into buckets, candidate pairs by bucket self-join.
-  At 100 TB this is the standard near-dup path: the signature pass is a
-  single scan + one groupBy(doc), the pair pass shuffles only bucket
-  keys (tiny vs corpus), never an all-pairs product.
+* **MinHash + LSH** — word-shingle signatures: one md5 per shingle, k
+  permutations derived as hex-string rotations, min-aggregated and
+  banded into buckets; candidate pairs by bucket self-join. At 100 TB
+  this is the standard near-dup path: the signature pass is a single
+  scan + one groupBy(doc), the pair pass shuffles only bucket keys
+  (tiny vs corpus), never an all-pairs product.
 * **SimHash** — 32-bit signatures from per-bit weighted sums; Hamming
   bucketing happens on the (tiny) signature table.
 
-Portability note: MinHash permutations are ``min(md5(seed || shingle))``
-— lexicographic min over fixed-length lowercase hex equals numeric min,
+Portability note: every hash is md5 + substr/concat over its hex form —
+lexicographic min over fixed-length lowercase hex equals numeric min,
 and md5 is identical everywhere, so Spark and the DuckDB oracle agree
 exactly (no reliance on engine-specific hash functions).
 """
@@ -108,38 +109,35 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d02 — MinHash signatures + LSH banding -> candidate near-dup pairs
 # ---------------------------------------------------------------------------
-def _spark_minhash_aggs() -> List:
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
-        for s in range(MINHASH_K)
-    ]
 
 
-def _duck_minhash_aggs() -> str:
-    return ",\n      ".join(
-        f"MIN(md5('{s}:' || sh)) AS mh{s}" for s in range(MINHASH_K)
-    )
 
 
-def _band_cols_sql(fmt: str) -> List[str]:
-    rows = MINHASH_K // LSH_BANDS
-    out = []
-    for b in range(LSH_BANDS):
-        parts = " || ".join(f"mh{b * rows + r}" for r in range(rows))
-        out.append(fmt.format(b=b, parts=parts))
-    return out
+
+
+_DUCK_BAND_COLS = ", ".join(
+    f"MAX(CASE WHEN seed % {MINHASH_K // LSH_BANDS} = {r} THEN mh END)"
+    for r in range(MINHASH_K // LSH_BANDS)
+)
 
 
 @query(
     "d02_minhash_lsh_pairs",
     oracle=f"""
     WITH shingles AS ({DUCK_SHINGLES}),
-    sigs AS (
-      SELECT doc_id, {_duck_minhash_aggs()}
-      FROM shingles GROUP BY doc_id
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+    perm AS (
+      SELECT doc_id, s.seed AS seed,
+             MIN(substr(h, s.seed + 1) || substr(h, 1, s.seed)) AS mh
+      FROM hashed
+      CROSS JOIN (SELECT unnest(range(0, {MINHASH_K})) AS seed) s
+      GROUP BY doc_id, s.seed
     ),
     bands AS (
-      {" UNION ALL ".join(_band_cols_sql("SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs"))}
+      SELECT doc_id, CAST(seed // {MINHASH_K // LSH_BANDS} AS INT) AS band_id,
+             md5(concat({_DUCK_BAND_COLS})) AS band_key
+      FROM perm
+      GROUP BY doc_id, seed // {MINHASH_K // LSH_BANDS}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -150,24 +148,25 @@ def _band_cols_sql(fmt: str) -> List[str]:
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     rows = MINHASH_K // LSH_BANDS
-    # Narrow plan, small generated code: explode the seed dimension and
-    # min-aggregate (map-side combine shrinks the shuffle to docs x k
-    # before exchange), then fold each band's 4 ordered minhashes with
-    # conditional MAX aggs. A 16-wide min(md5(..)) single aggregate gives
-    # the same values but generates pathological whole-stage code.
-    band_cols = ", ".join(f"MAX(CASE WHEN seed % {rows} = {r} THEN mh END)" for r in range(rows))
+    # Hash each shingle ONCE; derive the k MinHash permutations as
+    # hex-string rotations (order-distinct, far cheaper than k md5
+    # calls) aggregated as k wide MIN columns — no 16x row explosion, no
+    # 16x shuffle volume; map-side combine reduces to one row per doc
+    # before the exchange. Bands unpivot from the signature row via
+    # stack (one pass).
+    sig_aggs = ", ".join(
+        f"MIN(concat(substr(h, {s + 1}), substr(h, 1, {s}))) AS mh{s}" for s in range(MINHASH_K)
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat({', '.join(f'mh{b * rows + r}' for r in range(rows))}))"
+        for b in range(LSH_BANDS)
+    )
     bands = spark.sql(f"""
       WITH shingles AS ({SPARK_SHINGLES}),
-      perm AS (
-        SELECT doc_id, s.seed AS seed, MIN(md5(concat(s.seed, ':', sh))) AS mh
-        FROM shingles
-        CROSS JOIN (SELECT explode(sequence(0, {MINHASH_K - 1})) AS seed) s
-        GROUP BY doc_id, s.seed
-      )
-      SELECT doc_id, CAST(seed div {rows} AS INT) AS band_id,
-             md5(concat({band_cols})) AS band_key
-      FROM perm
-      GROUP BY doc_id, seed div {rows}
+      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+      sigs AS (SELECT doc_id, {sig_aggs} FROM hashed GROUP BY doc_id)
+      SELECT doc_id, stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)
+      FROM sigs
     """)
     a = bands.alias("a")
     b = bands.alias("b")

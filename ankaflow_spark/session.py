@@ -52,12 +52,16 @@ def get_spark(
     scale (AQE + skew-join handling + partition coalescing on).
     """
     cpus = _default_parallelism()
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect advisory partition sizes when coalescing: partition
+        # count follows data volume, not a fixed parallelism target
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
