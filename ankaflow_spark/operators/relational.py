@@ -813,3 +813,80 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+@query(
+    "q24_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+    SELECT n_regionkey,
+           listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q25 — exact percentiles (linear interpolation, identical both engines)
+# ---------------------------------------------------------------------------
+@query(
+    "q25_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+    SELECT o_orderpriority,
+           percentile(o_totalprice, 0.25) AS p25,
+           percentile(o_totalprice, 0.5)  AS p50,
+           percentile(o_totalprice, 0.9)  AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q26 — CUBE grouping sets
+# ---------------------------------------------------------------------------
+@query(
+    "q26_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

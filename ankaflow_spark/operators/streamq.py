@@ -49,3 +49,17 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["st01_stream_window"] = st01
+
+
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over deterministic synthetic media
+    (binary payloads -> sha256 + fixed-width features via mapInPandas).
+    Rows-only check: binary/mapInPandas plumbing is not SQL-expressible
+    in the oracle; determinism is asserted in tests/test_operators.py."""
+    from .multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 120)
+    return extract_features(media).orderBy("media_id")
+
+
+QUERIES["m01_multimodal_features"] = m01

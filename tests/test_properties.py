@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none): engine invariants that must
+hold for arbitrary inputs."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ankaflow_spark.plans.api import API
+from ankaflow_spark.plans.renderer import Renderer
+from ankaflow_spark.session import mangle_view_name
+from ankaflow_spark.sources.locator import Locator, normalize_scheme
+from ankaflow_spark.sqlfront.ranking import build_ranked_sql
+from ankaflow_spark.sqlfront.rewrite import expand_fn_macros, rewrite_qualify
+
+slow = settings(max_examples=50, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+
+
+@slow
+@given(st.text(min_size=1, max_size=60))
+def test_mangle_always_legal_identifier(name):
+    out = mangle_view_name(name)
+    assert out
+    assert all(c.isalnum() or c == "_" for c in out)
+    assert not out[0].isdigit()
+    # deterministic
+    assert out == mangle_view_name(name)
+
+
+@slow
+@given(st.text(min_size=1, max_size=60), st.text(min_size=1, max_size=60))
+def test_mangle_injective_on_distinct_names(a, b):
+    if a != b:
+        assert mangle_view_name(a) != mangle_view_name(b)
+
+
+@slow
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(10**9), 10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=20),
+            st.none(),
+            st.booleans(),
+        ),
+        max_size=8,
+    )
+)
+def test_sqltuple_never_breaks_out(values):
+    out = API.sqltuple(values)
+    assert out.startswith("(") and out.endswith(")")
+    # any embedded quote must be doubled: strip doubled quotes, none remain
+    inner = out[1:-1]
+    for chunk in inner.split(", "):
+        if chunk.startswith("'") and chunk.endswith("'"):
+            assert "'" not in chunk[1:-1].replace("''", "")
+
+
+@slow
+@given(st.integers(0, 2**31 - 1))
+def test_api_dt_unix_seconds_roundtrip(epoch):
+    got = API.dt(epoch)
+    assert got == dt.datetime.fromtimestamp(epoch, dt.timezone.utc).replace(tzinfo=None)
+    # string spelling parses the same once it has 10 digits (the
+    # all-digit branch is length-aware below that)
+    if len(str(epoch)) == 10:
+        assert API.dt(str(epoch)) == got
+
+
+@slow
+@given(st.datetimes(min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2100, 1, 1)))
+def test_api_dt_iso_roundtrip(value):
+    assert API.dt(value.isoformat()) == value
+
+
+@slow
+@given(st.text(max_size=40))
+def test_renderer_passthrough_without_delimiters(text):
+    r = Renderer()
+    if "<<" not in text and "<%" not in text and "<#" not in text:
+        assert r.render(text, {}) == text
+
+
+@slow
+@given(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" _.()=<>'"),
+        max_size=80,
+    )
+)
+def test_fn_expansion_idempotent(sql):
+    once = expand_fn_macros(sql)
+    assert expand_fn_macros(once) == once
+
+
+@slow
+@given(
+    st.lists(st.sampled_from(["id", "region", "kind"]), min_size=1, max_size=3, unique=True),
+    st.sampled_from(["updated_at", "ts", "v"]),
+)
+def test_ranked_sql_always_filters_rank(keys, version):
+    sql = build_ranked_sql("SELECT * FROM src", version=version, keys=keys)
+    assert "__rank__ = 1" in sql
+    for k in keys:
+        assert f'"{k}"' in sql
+    assert f'"{version}" DESC' in sql
+
+
+@slow
+@given(st.sampled_from([
+    "SELECT a FROM t",
+    "SELECT a FROM t WHERE b = 'QUALIFY'",
+    "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t",
+]))
+def test_qualify_rewrite_no_false_positive(sql):
+    assert rewrite_qualify(sql) == sql
+
+
+@slow
+@given(st.sampled_from(["s3", "gs", "hdfs", "file"]), st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="-_/."),
+    min_size=1, max_size=30,
+))
+def test_locator_scheme_stability(scheme, path):
+    uri = f"{scheme}://{path}"
+    out = normalize_scheme(uri)
+    # normalization is idempotent and preserves the path
+    assert normalize_scheme(out) == out
+    assert out.endswith(path)
+
+
+@slow
+@given(st.text(min_size=1, max_size=25).filter(lambda s: "/" not in s and ":" not in s))
+def test_locator_relative_join_contains_name(name):
+    out = Locator(bucket="s3://b", prefix="p").locate(name)
+    assert out.startswith("s3a://b/p/")
+    assert out.endswith(name.lstrip("/"))
