@@ -44,4 +44,8 @@ def get_connector(kind: str):
         from .sqlgen import SQLGenConnection
 
         return SQLGenConnection
+    if kind.lower() == "custom":
+        from .custom import CustomConnection
+
+        return CustomConnection
     raise KeyError(f"unknown connection kind: {kind}")
