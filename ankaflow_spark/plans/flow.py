@@ -40,11 +40,15 @@ class Flow:
         engine: Optional[SparkEngine] = None,
         context: Optional[Dict[str, Any]] = None,
         variables: Optional[Dict[str, Any]] = None,
+        conn_config: Optional["ConnectionConfiguration"] = None,
     ):
+        from ..models.configs import ConnectionConfiguration
+
         self.stages = stages
         self.engine = engine or SparkEngine()
         self.context = dict(context or {})
         self.variables = variables if variables is not None else {}
+        self.conn_config = conn_config or ConnectionConfiguration()
         self.renderer = Renderer()
         self.lastname: Optional[str] = None
         self._last_df: Optional[DataFrame] = None
@@ -58,6 +62,12 @@ class Flow:
     def df(self):
         """Final stage as pandas (driver-side; small results only)."""
         return self._last_df.toPandas() if self._last_df is not None else None
+
+    def pull_df(self):
+        """Run the flow and return the final stage as pandas (the
+        reference's one-call convenience entry point)."""
+        self.run()
+        return self.df()
 
     # ------------------------------------------------------------------
     def _render(self, value):
@@ -91,7 +101,8 @@ class Flow:
             if stage.explain:
                 df.explain("formatted")
             if stage.show:
-                df.show(20 if stage.show < 0 else stage.show)
+                # show: -1 prints all rows (debug surface, bounded by use)
+                df.show(df.count() if stage.show < 0 else stage.show)
         if stage.throttle:
             time.sleep(stage.throttle)
 
@@ -106,6 +117,7 @@ def _connector(flow: Flow, stage: Stage):
     if spec is None:
         raise FlowError(f"stage '{stage.name}' needs a connection")
     rendered = flow._render(spec.model_dump())
+    rendered = flow.conn_config.apply_defaults(rendered)
     return get_connector(rendered["kind"])(flow.engine, rendered, flow.variables)
 
 

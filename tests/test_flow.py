@@ -247,3 +247,38 @@ def test_api_sqltuple(engine, sf_dir):
         variables={"keys": [1, 2, 3]},
     )
     assert flow.run().count() == 3
+
+
+def test_conn_config_defaults(engine, sf_dir):
+    from ankaflow_spark.models.configs import ConnectionConfiguration
+
+    flow = Flow(
+        Stages.loads("""
+- kind: tap
+  name: rel
+  connection:
+    kind: parquet
+    locator: region.parquet
+"""),
+        engine=engine,
+        conn_config=ConnectionConfiguration(bucket=sf_dir),
+    )
+    assert flow.run().count() == 5
+
+
+def test_pull_df(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: nation
+  connection:
+    kind: parquet
+    locator: {sf_dir}/nation.parquet
+- kind: transform
+  name: count
+  query: SELECT count(*) AS n FROM nation
+"""),
+        engine=engine,
+    )
+    pdf = flow.pull_df()
+    assert pdf["n"][0] == 25
