@@ -890,3 +890,36 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — INTERSECT / EXCEPT set operations
+# ---------------------------------------------------------------------------
+@query(
+    "q27_intersect_except",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT c_custkey, 'f_only' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    ORDER BY tag, c_custkey
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    f_side = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_side = t["orders"].filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f_side.intersect(o_side).select("c_custkey", F.lit("both").alias("tag"))
+    f_only = f_side.subtract(o_side).select("c_custkey", F.lit("f_only").alias("tag"))
+    return both.unionByName(f_only).orderBy("tag", "c_custkey")
