@@ -65,8 +65,8 @@ def dsum(col, alias: str) -> Column:
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) * CAST(1 + l_tax AS DECIMAL(12,4))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS sum_disc_price,
+      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) * CAST(1 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)) AS sum_charge,
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
       COUNT(*) AS count_order
@@ -86,8 +86,12 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # money sums stay DECIMAL end-to-end: casting a scale-12
+            # decimal to double is only bit-identical across engines
+            # while the scaled integer fits 2^53 — DECIMAL output is
+            # exact at ANY scale (the 100 TB-safe contract).
+            F.sum(disc_price).cast("decimal(38,8)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,12)").alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
             (F.sum(dec("l_discount")).cast("double") / F.count("*")).cast("double").alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -168,7 +172,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -196,7 +200,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"].select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,8)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
