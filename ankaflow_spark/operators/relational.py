@@ -7,10 +7,11 @@ column names and value semantics.
 Cross-engine float determinism: SUM over doubles is order-dependent, and
 Spark's partial aggregation order differs from DuckDB's sequential scan.
 Every money/quantity aggregate therefore casts its operand to DECIMAL
-first (exact, associative arithmetic — identical in both engines) and
-casts the final aggregate back to DOUBLE. This also reflects what a
-production pipeline at 100 TB should do: decimal aggregation of money
-columns is both deterministic and auditable.
+first (exact, associative arithmetic — identical in both engines); the
+result converts back to DOUBLE only where the scaled integer fits 2^53
+(identical rounding in both engines) and stays DECIMAL otherwise. This
+also reflects what a production pipeline at 100 TB should do: decimal
+aggregation of money columns is deterministic and auditable.
 
 Reference behavior covered here (studied, not copied):
 * versioned dedup ranking — reference ankaflow/common/util.py:336-383
@@ -927,3 +928,39 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = f_side.intersect(o_side).select("c_custkey", F.lit("both").alias("tag"))
     f_only = f_side.subtract(o_side).select("c_custkey", F.lit("f_only").alias("tag"))
     return both.unionByName(f_only).orderBy("tag", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q28 — the Fn.* SQL surface end-to-end: a transform written exactly as a
+# reference user would (Fn.div / Fn.trim / Fn.dt_quarter / Fn.includes
+# spellings), executed through the engine's rewrite pipeline + SQL UDFs.
+# ---------------------------------------------------------------------------
+@query(
+    "q28_fn_sql_surface",
+    oracle="""
+    SELECT o_orderkey,
+      COALESCE(o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0), 0.0) AS ratio,
+      trim(o_orderpriority) AS prio,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      CASE WHEN regexp_matches(o_orderpriority, '^[12]') THEN TRUE ELSE FALSE END AS urgent
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    engine = SparkEngine(spark)
+    engine.register("orders_fn", spark.table("orders"))
+    return engine.sql("""
+    SELECT o_orderkey,
+      Fn.div(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE)) AS ratio,
+      Fn.trim(o_orderpriority) AS prio,
+      Fn.dt_quarter(o_orderdate) AS q,
+      Fn.includes(o_orderpriority, '^[12]') AS urgent
+    FROM orders_fn
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """)
