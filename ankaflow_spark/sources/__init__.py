@@ -48,4 +48,8 @@ def get_connector(kind: str):
         from .custom import CustomConnection
 
         return CustomConnection
+    if kind.lower() == "bigquery":
+        from .bigquery import BigQueryConnection
+
+        return BigQueryConnection
     raise KeyError(f"unknown connection kind: {kind}")

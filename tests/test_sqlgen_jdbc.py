@@ -88,3 +88,22 @@ def test_jdbc_needs_url(engine):
     conn = get_connector("clickhouse")(engine, {"kind": "clickhouse", "locator": "nope"}, {})
     with pytest.raises(ValueError, match="jdbc:"):
         conn.tap(None, None)
+
+
+def test_bigquery_disposition_mapping():
+    from ankaflow_spark.sources.bigquery import disposition_mode
+
+    assert disposition_mode("WRITE_APPEND") == "append"
+    assert disposition_mode("WRITE_TRUNCATE") == "overwrite"
+    assert disposition_mode("WRITE_EMPTY") == "errorifexists"
+    assert disposition_mode(None) == "append"
+    with pytest.raises(ValueError, match="disposition"):
+        disposition_mode("WRITE_WAT")
+
+
+def test_bigquery_unavailable_raises(engine):
+    from ankaflow_spark.sources import get_connector
+    from ankaflow_spark.sources.bigquery import BigQueryUnavailable
+
+    with pytest.raises(BigQueryUnavailable):
+        get_connector("bigquery")(engine, {"kind": "bigquery", "table": "p.d.t"}, {})
