@@ -290,3 +290,78 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bitsums
     ORDER BY doc_id
     """)
+
+
+# ---------------------------------------------------------------------------
+# d05 — embedding-cosine near-duplicate pairs: LSH-bucket candidates
+# (integer hyperplanes, exact in both engines) -> exact cosine -> pairs
+# above threshold. The embedding twin of d02: bucket join instead of an
+# all-pairs product, so candidate volume ∝ bucket occupancy, not n².
+# ---------------------------------------------------------------------------
+EMB_NEARDUP_COSINE = 0.2
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle=f"""
+    WITH buckets AS ({{duck_buckets}}),
+    norms AS ({{duck_norm}}),
+    cands AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT vec_a, vec_b,
+             list_reduce(list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y) AS dot
+      FROM cands
+      JOIN embeddings q ON q.vec_id = vec_a
+      JOIN embeddings c ON c.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b,
+           dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {EMB_NEARDUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _SPARK_NORM, _bucket_sql
+
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    WITH buckets AS ({_bucket_sql(True)}),
+    norms AS ({_SPARK_NORM}),
+    cands AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT vec_a, vec_b,
+             aggregate(zip_with(q.embedding, c.embedding,
+                    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (x, y) -> x + y) AS dot
+      FROM cands
+      JOIN embeddings q ON q.vec_id = vec_a
+      JOIN embeddings c ON c.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b,
+           dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {EMB_NEARDUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """)
+
+
+# resolve the oracle template against the similarity module's fragments
+from .similarity import _DUCK_NORM as _SIM_DUCK_NORM  # noqa: E402
+from .similarity import _bucket_sql as _sim_bucket_sql  # noqa: E402
+
+ORACLES["d05_embedding_neardup"] = ORACLES["d05_embedding_neardup"].format(
+    duck_buckets=_sim_bucket_sql(False), duck_norm=_SIM_DUCK_NORM
+)

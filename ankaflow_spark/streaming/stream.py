@@ -93,3 +93,71 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     q.processAllAvailable()
     q.stop()
     return q
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming sessionization via
+# applyInPandasWithState (the batch twin is operators ts02)
+# ---------------------------------------------------------------------------
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionizer: per-key state carries the open session
+    (start, last-seen, count); a gap beyond ``gap_minutes`` closes and
+    emits the previous session. Open sessions stay in state (three
+    longs per key — bounded); a production deployment adds an
+    EventTimeTimeout to flush idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        for pdf in pdf_iter:
+            for t in sorted(pdf[ts_col]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if start is None:
+                    start, last, n = t_us, t_us, 1
+                elif t_us - last > gap_us:
+                    rows.append((user_id, start, last, n))
+                    start, last, n = t_us, t_us, 1
+                else:
+                    last, n = t_us, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -55,3 +55,37 @@ def test_streaming_dedup_bounds_duplicates(spark, events_stream_dir):
         spark.read.schema(schema).parquet(path).select("user_id", "event_type").distinct().count()
     )
     assert spark.sql("SELECT * FROM dedup_out").select("user_id", "event_type").distinct().count() == batch_keys
+
+
+def test_stateful_sessionization(spark, events_stream_dir):
+    from ankaflow_spark.streaming.stream import sessionize_stateful
+
+    path, schema = events_stream_dir
+    stream = stream_tap(spark, path, schema)
+    sessions = sessionize_stateful(stream, gap_minutes=30)
+    run_stream_to_memory(sessions, "sess_out", output_mode="append")
+    out = spark.sql("SELECT * FROM sess_out")
+    emitted = out.count()
+    assert emitted > 0
+    # emitted sessions are the CLOSED ones (a later event followed after
+    # a >30min gap); batch ts02-style count per user is the upper bound
+    batch = spark.read.schema(schema).parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gaps = (
+        batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull() | (F.unix_micros("ts") - F.unix_micros("prev") > 30 * 60 * 1000000)).cast("int"),
+        )
+        .agg(F.sum("new_s"))
+        .collect()[0][0]
+    )
+    total_sessions = gaps
+    open_sessions = batch.select("user_id").distinct().count()  # one open per user at end
+    assert emitted == total_sessions - open_sessions
+    # no session row exceeds its bounds
+    bad = out.filter("session_end < session_start OR n_events <= 0").count()
+    assert bad == 0
