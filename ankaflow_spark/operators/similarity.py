@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, as a 100 TB pipeline needs both:
+Three paths, as a 100 TB pipeline needs all of them:
 
 * **Brute-force top-k cosine** (s01) — broadcast the (small) query set,
   one scan over the corpus, per-query top-k via window. Exact baseline.
@@ -8,6 +8,9 @@ Two paths, as a 100 TB pipeline needs both:
   from *integer-deterministic* pseudo-random planes (exact in both
   engines — no libm drift), candidates restricted to matching buckets.
   At scale the bucket join replaces the corpus×queries product.
+* **IVF-style ANN** (s03) — coarse k-means quantizer + inverted-file
+  cell probe + exact re-rank inside the cell: the path for large query
+  sets where even one scan per query batch is too much.
 
 Float determinism: per-element products are IEEE doubles (deterministic)
 but a SUM over rows is order-dependent, so dot products fold over the
@@ -210,3 +213,117 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms nc ON nc.vec_id = cand_id
     ORDER BY query_id, cand_id
     """)
+
+
+# ---------------------------------------------------------------------------
+# s03 — IVF-style ANN: coarse quantizer (one deterministic k-means step
+# from seeded centroids) -> probe the query's cell -> exact cosine
+# re-rank inside the cell. The scale path when the corpus is too large
+# to scan per query: the inverted-file cell join replaces the full scan.
+#
+# Cross-engine determinism: distances/dots are sequential folds; the
+# centroid update averages member values folded in vec_id order
+# (collect-sort-fold — exact same order both engines). Centroid
+# training at 100 TB runs on a sample; the cell assignment is one
+# broadcast join + fold per row.
+# ---------------------------------------------------------------------------
+IVF_K = 8
+IVF_TOP_K = 5
+
+
+def _ivf_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dim_seq = f"explode(sequence(0, {DIM - 1}))"
+        idx = lambda arr, i: f"{arr}[{i}]"  # 0-based
+        l2 = (
+            "aggregate(zip_with(v.embedding, c.centroid, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        dot = (
+            "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        fold_sorted = (
+            "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        rebuild = "transform(array_sort(collect_list(struct(d, m))), s -> s.m)"
+        init_centroid = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        dim_seq = f"unnest(range(0, {DIM}))"
+        idx = lambda arr, i: f"{arr}[{i} + 1]"  # 1-based
+        l2 = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> "
+            "(CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]) * "
+            "(CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])), (a, b) -> a + b)"
+        )
+        dot = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> "
+            "CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+        )
+        fold_sorted = "list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b)"
+        rebuild = "list(m ORDER BY d)"
+        init_centroid = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    return f"""
+    WITH init AS (
+      SELECT vec_id AS cid, {init_centroid} AS centroid
+      FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
+        FROM embeddings v CROSS JOIN init c
+      ) r WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a.cid, e.vec_id, t.d, CAST({idx("e.embedding", "t.d")} AS DOUBLE) AS v
+      FROM assign1 a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      CROSS JOIN (SELECT {dim_seq} AS d) t
+    ),
+    means AS (
+      SELECT cid, d, {fold_sorted} / COUNT(*) AS m
+      FROM dims GROUP BY cid, d
+    ),
+    trained AS (
+      SELECT cid, {rebuild} AS centroid FROM means GROUP BY cid
+    ),
+    assign2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
+        FROM embeddings v CROSS JOIN trained c
+      ) r WHERE rn = 1
+    ),
+    norms AS ({norm}),
+    hits AS (
+      SELECT aq.vec_id AS query_id, am.vec_id AS cand_id, q.embedding AS qe, m.embedding AS me
+      FROM assign2 aq
+      JOIN assign2 am ON am.cid = aq.cid AND am.vec_id <> aq.vec_id
+      JOIN embeddings q ON q.vec_id = aq.vec_id
+      JOIN embeddings m ON m.vec_id = am.vec_id
+      WHERE aq.vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             {dot.replace("q.embedding", "qe").replace("m.embedding", "me")}
+               / (sqrt(nq.norm2) * sqrt(nc.norm2)) AS cosine
+      FROM hits
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine, rn FROM (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    ) t WHERE rn <= {IVF_TOP_K}
+    ORDER BY query_id, rn
+    """
+
+
+@query("s03_ivf_ann", oracle=_ivf_sql(False))
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ivf_sql(True))
