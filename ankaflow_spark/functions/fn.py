@@ -40,6 +40,11 @@ def fn_add(a, b) -> Column:
     return _c(a) + _c(b)
 
 
+def fn_plus(a, b) -> Column:
+    """Alias of add (the reference ships both spellings)."""
+    return fn_add(a, b)
+
+
 def fn_minus(a, b) -> Column:
     return _c(a) - _c(b)
 
@@ -379,6 +384,7 @@ def fn_validate_not_between(value, lo, hi, allow_null=True) -> Column:
 # Python/serde cost, usable from any transform stage's SQL.
 SQL_FN_BODIES: Dict[str, str] = {
     "fn_add(a DOUBLE, b DOUBLE) RETURNS DOUBLE": "a + b",
+    "fn_plus(a DOUBLE, b DOUBLE) RETURNS DOUBLE": "a + b",
     "fn_minus(a DOUBLE, b DOUBLE) RETURNS DOUBLE": "a - b",
     "fn_mult(a DOUBLE, b DOUBLE) RETURNS DOUBLE": "a * b",
     "fn_div(a DOUBLE, b DOUBLE) RETURNS DOUBLE": "coalesce(a / nullif(b, 0), 0.0)",

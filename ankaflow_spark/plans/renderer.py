@@ -9,6 +9,7 @@ recursive over dict/list so whole connection configs can be templated.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Dict
 
 from jinja2.sandbox import SandboxedEnvironment
@@ -46,6 +47,11 @@ class Renderer:
             if "<<" not in value and "<%" not in value and "<#" not in value:
                 return value
             rendered = self.env.from_string(value).render(**ctx)
+            # JSON block marker: a rendered value prefixed with "@json"
+            # parses into a real object (reference renderer behavior)
+            stripped = rendered.strip()
+            if stripped.startswith("@json"):
+                return json.loads(stripped[len("@json"):].strip())
             if rendered != value and not isinstance(value, bool):
                 inferred = _infer(rendered)
                 # only infer when the whole string was a template output

@@ -114,9 +114,9 @@ def sessionize_stateful(
 ) -> DataFrame:
     """Streaming sessionizer: per-key state carries the open session
     (start, last-seen, count); a gap beyond ``gap_minutes`` closes and
-    emits the previous session. Open sessions stay in state (three
-    longs per key — bounded); a production deployment adds an
-    EventTimeTimeout to flush idle keys."""
+    emits the previous session, and an event-time timeout flushes a
+    session once the watermark passes its last event + gap (idle keys
+    leave state — bounded at three longs per live key)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -124,6 +124,18 @@ def sessionize_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
         rows = []
         start = last = n = None
         if state.exists:
@@ -140,6 +152,8 @@ def sessionize_stateful(
                     last, n = t_us, n + 1
         if start is not None:
             state.update((start, last, n))
+            # flush when event-time watermark passes last + gap
+            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
         if rows:
             yield pd.DataFrame(
                 {
@@ -158,6 +172,6 @@ def sessionize_stateful(
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -116,3 +116,15 @@ def test_describe_and_bucket_conf(engine, sf_dir):
     hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.bucket.my-bucket.access.key") == "AK"
     assert hconf.get("fs.s3a.bucket.my-bucket.endpoint") == "http://minio:9000"
+
+
+def test_fn_plus_alias(engine):
+    assert engine.sql("SELECT Fn.plus(2, 3) AS v").collect()[0]["v"] == 5.0
+
+
+def test_renderer_json_block():
+    from ankaflow_spark.plans.renderer import Renderer
+
+    r = Renderer()
+    out = r.render('@json {"a": << n >>, "b": ["x"]}', {"n": 5})
+    assert out == {"a": 5, "b": ["x"]}

@@ -84,8 +84,10 @@ def test_stateful_sessionization(spark, events_stream_dir):
         .collect()[0][0]
     )
     total_sessions = gaps
-    open_sessions = batch.select("user_id").distinct().count()  # one open per user at end
-    assert emitted == total_sessions - open_sessions
+    # gap-closed sessions all emit; sessions idle past the watermark
+    # horizon also flush via event-time timeout -> between the two bounds
+    open_sessions = batch.select("user_id").distinct().count()
+    assert total_sessions - open_sessions <= emitted <= total_sessions
     # no session row exceeds its bounds
     bad = out.filter("session_end < session_start OR n_events <= 0").count()
     assert bad == 0
