@@ -26,6 +26,9 @@ class StageKind(str, enum.Enum):
     sql = "sql"
     internal = "internal"
     pipeline = "pipeline"
+    # beyond-reference: declarative operator stages (dedup, similarity,
+    # text analysis, as-of — see ankaflow_spark.operators.registry)
+    operator = "operator"
 
 
 class ErrorPolicy(str, enum.Enum):
@@ -76,6 +79,10 @@ class Stage(BaseModel):
     explain: bool = False
     stages: Optional["Stages"] = None
     fields: Optional[List[Column]] = None
+    # operator stages only
+    op: Optional[str] = None
+    params: Dict[str, Any] = Field(default_factory=dict)
+    input: Optional[str] = None
 
     @field_validator("name")
     @classmethod

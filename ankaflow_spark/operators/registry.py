@@ -1,0 +1,209 @@
+"""Declarative operator registry: the ``kind: operator`` stage surface.
+
+Beyond-reference capability: the training-data operators (dedup,
+similarity, text analysis, as-of, sampling) are invocable from YAML
+without hand-writing their SQL — the stage names an operator + params,
+the engine builds the Spark plan:
+
+    - kind: operator
+      name: latest
+      op: versioned_dedup
+      params: {keys: [user_id, event_type], version: ts}
+      input: events            # defaults to the previous stage
+
+Every operator takes (engine, input DataFrame, params) and returns a
+DataFrame, registered like any transform so later SQL stages can
+reference the result by stage name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPERATORS: Dict[str, Callable] = {}
+
+
+def operator(name: str):
+    def deco(fn):
+        OPERATORS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_operator(name: str):
+    try:
+        return OPERATORS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown operator {name!r}; available: {sorted(OPERATORS)}"
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+@operator("versioned_dedup")
+def op_versioned_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    from ..sqlfront.ranking import versioned_dedup
+
+    return versioned_dedup(
+        df,
+        keys=list(params["keys"]),
+        version=params["version"],
+        tiebreak=params.get("tiebreak"),
+    )
+
+
+@operator("exact_dedup")
+def op_exact_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Keep one row per distinct value of ``key_columns`` (first by
+    ``order_by`` asc, default arbitrary-deterministic via all columns)."""
+    keys = list(params["key_columns"])
+    order = params.get("order_by") or df.columns
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+    )
+
+
+@operator("hash_sample")
+def op_hash_sample(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Deterministic bernoulli sample: md5(key) threshold (2 hex chars
+    per ~1/256 granularity). fraction in (0, 1]."""
+    key = params["key"]
+    fraction = float(params.get("fraction", 0.1))
+    threshold = format(max(1, min(255, int(round(fraction * 256)))), "02x")
+    return df.filter(F.substring(F.md5(F.col(key).cast("string")), 1, 2) < threshold)
+
+
+@operator("minhash_pairs")
+def op_minhash_pairs(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs over a text column."""
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    k = int(params.get("k", 16))
+    bands = int(params.get("bands", 4))
+    rows = k // bands
+    view = "__op_minhash_src__"
+    df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).createOrReplaceTempView(view)
+    spark = engine.spark
+    sig_aggs = ", ".join(
+        f"MIN(concat(substr(h, {s + 1}), substr(h, 1, {s}))) AS mh{s}" for s in range(k)
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat({', '.join(f'mh{b * rows + r}' for r in range(rows))}))"
+        for b in range(bands)
+    )
+    bands_df = spark.sql(f"""
+      WITH shingles AS (
+        SELECT doc_id, explode(array_distinct(
+                 CASE WHEN size(words) >= 3 THEN
+                   transform(sequence(0, size(words) - 3),
+                             i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2]))
+                 ELSE array(concat_ws(' ', words)) END)) AS sh
+        FROM (SELECT doc_id, split(text, ' ') AS words FROM {view})
+      ),
+      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+      sigs AS (SELECT doc_id, {sig_aggs} FROM hashed GROUP BY doc_id)
+      SELECT doc_id, stack({bands}, {stack_args}) AS (band_id, band_key) FROM sigs
+    """)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@operator("cosine_topk")
+def op_cosine_topk(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Exact top-k cosine of every row against a query subset."""
+    id_col = params.get("id_column", "vec_id")
+    vec_col = params.get("vector_column", "embedding")
+    k = int(params.get("k", 10))
+    query_filter = params.get("query_filter", f"{id_col} < 5")
+    view = "__op_cosine_src__"
+    df.createOrReplaceTempView(view)
+    return engine.spark.sql(f"""
+    WITH norms AS (
+      SELECT {id_col} AS vid,
+             aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (a, b) -> a + b) AS norm2
+      FROM {view}
+    ),
+    dots AS (
+      SELECT /*+ BROADCAST(q) */ q.{id_col} AS query_id, c.{id_col} AS cand_id,
+             aggregate(zip_with(q.{vec_col}, c.{vec_col},
+                    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    CAST(0 AS DOUBLE), (a, b) -> a + b) AS dot
+      FROM (SELECT * FROM {view} WHERE {query_filter}) q
+      CROSS JOIN {view} c
+      WHERE c.{id_col} <> q.{id_col}
+    )
+    SELECT query_id, cand_id, cosine, rn FROM (
+      SELECT query_id, cand_id,
+             dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, cand_id) AS rn
+      FROM dots
+      JOIN norms nq ON nq.vid = query_id
+      JOIN norms nc ON nc.vid = cand_id
+    ) t WHERE rn <= {k}
+    """)
+
+
+@operator("quality_score")
+def op_quality_score(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Text quality signals + bucket (length / stopword / type-token)."""
+    text_col = params.get("text_column", "text")
+    lo = float(params.get("low", 0.35))
+    hi = float(params.get("high", 0.6))
+    n_tokens = F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)"))
+    n_stop = F.expr(f"regexp_count(lower({text_col}), '(^| )(the|a|of|and|is|in|to)( |$)')")
+    n_unique = F.size(F.array_distinct(F.split(F.lower(F.col(text_col)), " ")))
+    score = (
+        F.lit(0.3) * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.4) * F.least(n_stop.cast("double") / n_tokens * 5, F.lit(1.0))
+        + F.lit(0.3) * (n_unique.cast("double") / n_tokens)
+    )
+    return df.withColumn("quality_score", score).withColumn(
+        "quality",
+        F.when(F.col("quality_score") < lo, "low")
+        .when(F.col("quality_score") < hi, "mid")
+        .otherwise("high"),
+    )
+
+
+@operator("asof_join")
+def op_asof_join(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Point-in-time join against another registered stage."""
+    from .asof import asof_join_window
+
+    right = engine.table(params["right"])
+    return asof_join_window(
+        df,
+        right,
+        on=params["on"],
+        by=list(params["by"]),
+        value_col=params["value_column"],
+    )
+
+
+@operator("token_stats")
+def op_token_stats(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    text_col = params.get("text_column", "text")
+    return df.withColumn(
+        "n_tokens", F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast("bigint")
+    ).withColumn(
+        "n_unique",
+        F.size(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).cast("bigint"),
+    )

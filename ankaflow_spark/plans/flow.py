@@ -183,6 +183,22 @@ def handle_pipeline(flow: Flow, stage: Stage) -> None:
         sub.run()
 
 
+def handle_operator(flow: Flow, stage: Stage) -> DataFrame:
+    """Declarative operator stage: named operator + params over the
+    previous stage (or an explicit ``input`` stage)."""
+    from ..operators.registry import get_operator
+
+    if not stage.op:
+        raise FlowError(f"operator stage '{stage.name}' needs `op`")
+    source = stage.input or flow.lastname
+    if source is None:
+        raise FlowError(f"operator stage '{stage.name}' has no input stage")
+    df = flow.engine.table(source)
+    params = flow._render(dict(stage.params or {}))
+    out = get_operator(stage.op)(flow.engine, df, params)
+    return flow.engine.register(stage.name, out, materialize=False)
+
+
 HANDLERS = {
     StageKind.source: handle_tap,
     StageKind.tap: handle_tap,
@@ -191,4 +207,5 @@ HANDLERS = {
     StageKind.sql: handle_sql,
     StageKind.internal: handle_internal,
     StageKind.pipeline: handle_pipeline,
+    StageKind.operator: handle_operator,
 }
