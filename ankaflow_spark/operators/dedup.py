@@ -365,3 +365,69 @@ from .similarity import _bucket_sql as _sim_bucket_sql  # noqa: E402
 ORACLES["d05_embedding_neardup"] = ORACLES["d05_embedding_neardup"].format(
     duck_buckets=_sim_bucket_sql(False), duck_norm=_SIM_DUCK_NORM
 )
+
+
+# ---------------------------------------------------------------------------
+# d06 — near-dup cluster assignment: connected components over the
+# MinHash candidate pairs via min-label propagation (3 fixed rounds —
+# identical algorithm both engines; at 100 TB each round is one
+# join+groupBy and near-dup components are shallow). The cluster
+# representative (min doc_id) is the keep-one selection for dedup.
+# ---------------------------------------------------------------------------
+CC_ROUNDS = 3
+
+
+def _cc_sql(spark_dialect: bool, pairs_cte: str) -> str:
+    # labels0: every doc in a pair labeled with min(neighbor ids, self)
+    # round k: label = min(label, min over neighbors of their label)
+    rounds = []
+    prev = "labels0"
+    for r in range(1, CC_ROUNDS + 1):
+        rounds.append(f"""
+    labels{r} AS (
+      SELECT n.doc_id, LEAST(l.lbl, MIN(nl.lbl)) AS lbl
+      FROM edges n
+      JOIN {prev} l  ON l.doc_id = n.doc_id
+      JOIN {prev} nl ON nl.doc_id = n.nbr
+      GROUP BY n.doc_id, l.lbl
+    )""")
+        prev = f"labels{r}"
+    return f"""
+    WITH pairs AS ({pairs_cte}),
+    edges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_a AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_b AS nbr FROM pairs
+    ),
+    labels0 AS (
+      SELECT doc_id, MIN(nbr) AS lbl FROM edges GROUP BY doc_id
+    ),
+    {", ".join(rounds)}
+    SELECT doc_id, lbl AS cluster_id,
+           CASE WHEN doc_id = lbl THEN TRUE ELSE FALSE END AS is_representative
+    FROM {prev}
+    ORDER BY cluster_id, doc_id
+    """
+
+
+@query("d06_dedup_clusters")
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    # candidate pairs are tiny vs the corpus by LSH construction: cache
+    # them once instead of re-deriving the signature pipeline per
+    # propagation round (at cluster scale: persist to storage instead)
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).cache()
+    pairs.count()
+    pairs.createOrReplaceTempView("__d06_pairs__")
+    return spark.sql(_cc_sql(True, "SELECT doc_a, doc_b FROM __d06_pairs__"))
+
+
+# oracle: the same fixed-round propagation over the same d02 pair CTE
+ORACLES["d06_dedup_clusters"] = _cc_sql(
+    False,
+    ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", ""),
+)
