@@ -213,3 +213,71 @@ def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine LEFT JOIN daily ON spine.day = daily.day
     ORDER BY spine.day
     """)
+
+
+# ---------------------------------------------------------------------------
+# ts06 — gap fill with LINEAR INTERPOLATION: per-user daily totals over
+# a continuous day spine; missing days interpolate between the nearest
+# observed neighbors (edges carry the nearest value). Two window passes
+# (carry-back + carry-forward), no self-joins — linear at any scale.
+# ---------------------------------------------------------------------------
+def _interp_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        spine = "SELECT explode(sequence(d0, d1)) AS day FROM bounds"
+        ddiff = "datediff({a}, {b})"
+        # Spark spells IGNORE NULLS after the argument list
+        lastnn = "last_value({e}) IGNORE NULLS"
+        firstnn = "first_value({e}) IGNORE NULLS"
+    else:
+        spine = "SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds"
+        ddiff = "date_diff('day', {b}, {a})"
+        lastnn = "last_value({e} IGNORE NULLS)"
+        firstnn = "first_value({e} IGNORE NULLS)"
+    d = lambda a, b: ddiff.format(a=a, b=b)
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(MIN(day) AS DATE) AS d0, CAST(MAX(day) AS DATE) AS d1 FROM daily
+    ),
+    spine AS ({spine}),
+    grid AS (
+      SELECT u.user_id, s.day, d.v
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN spine s
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    ),
+    ctx AS (
+      SELECT user_id, day, v,
+        {lastnn.format(e="v")} OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        {lastnn.format(e="CASE WHEN v IS NOT NULL THEN day END")}
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        {firstnn.format(e="v")} OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        {firstnn.format(e="CASE WHEN v IS NOT NULL THEN day END")}
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid
+    )
+    SELECT user_id, day,
+      CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) * (CAST({d("day", "pd")} AS DOUBLE) / {d("nd", "pd")})
+      END AS value_filled,
+      CASE WHEN v IS NULL THEN TRUE ELSE FALSE END AS interpolated
+    FROM ctx
+    ORDER BY user_id, day
+    """
+
+
+@query("ts06_interpolate", oracle=_interp_sql(False))
+def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_interp_sql(True))
