@@ -207,3 +207,26 @@ def op_token_stats(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         "n_unique",
         F.size(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).cast("bigint"),
     )
+
+
+@operator("salted_agg")
+def op_salted_agg(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed groups: phase 1
+    aggregates (key, salt) partials, phase 2 merges per key. The manual
+    fallback when AQE's skew handling isn't enough (e.g. one key holds
+    half the corpus). count and decimal-sum stay exact across the
+    two-phase merge."""
+    keys = list(params["keys"])
+    salt = int(params.get("salt", 16))
+    agg = params.get("agg", "count")
+    salted = df.withColumn("__salt__", (F.rand(seed=42) * salt).cast("int"))
+    if agg == "count":
+        partial = salted.groupBy(*keys, "__salt__").agg(F.count("*").alias("__p__"))
+        return partial.groupBy(*keys).agg(F.sum("__p__").cast("bigint").alias("n"))
+    if agg == "sum":
+        col = params["column"]
+        partial = salted.groupBy(*keys, "__salt__").agg(
+            F.sum(F.col(col).cast("decimal(18,4)")).alias("__p__")
+        )
+        return partial.groupBy(*keys).agg(F.sum("__p__").cast("double").alias("total"))
+    raise ValueError(f"salted_agg supports count|sum, got {agg!r}")
