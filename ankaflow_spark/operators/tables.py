@@ -55,9 +55,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        ns_cols = {
-            field.name for field in pq.read_schema(path) if str(field.type) == "timestamp[ns]"
-        }
+        probe = path
+        if os.path.isdir(path):
+            import glob
+
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            probe = parts[0] if parts else None
+        ns_cols = (
+            {field.name for field in pq.read_schema(probe) if str(field.type) == "timestamp[ns]"}
+            if probe
+            else set()
+        )
         for col, dtype in df.dtypes:
             if col not in ns_cols:
                 continue
