@@ -109,12 +109,6 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d02 — MinHash signatures + LSH banding -> candidate near-dup pairs
 # ---------------------------------------------------------------------------
-
-
-
-
-
-
 _DUCK_BAND_COLS = ", ".join(
     f"MAX(CASE WHEN seed % {MINHASH_K // LSH_BANDS} = {r} THEN mh END)"
     for r in range(MINHASH_K // LSH_BANDS)
