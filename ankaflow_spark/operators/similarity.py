@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .tables import load_tables
@@ -327,3 +328,25 @@ def _ivf_sql(spark_dialect: bool) -> str:
 def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_ivf_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized alternative kernel: pandas_udf cosine for pipelines
+# that already pay the Python boundary (e.g. after a mapInPandas
+# feature extractor). NumPy dot per batch — not bit-identical to the
+# SQL fold (different summation order), so it backs operator pipelines,
+# not the oracle battery.
+# ---------------------------------------------------------------------------
+def cosine_pandas_udf():
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy()).astype(np.float64)
+        bv = np.stack(b.to_numpy()).astype(np.float64)
+        dots = (av * bv).sum(axis=1)
+        norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(dots / norms)
+
+    return cos

@@ -84,3 +84,37 @@ def test_decode_stub_contract():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_cosine_pandas_udf_matches_fold(spark):
+    from pyspark.sql import functions as F
+
+    from ankaflow_spark.operators.similarity import cosine_pandas_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.filter("vec_id < 3").alias("a")
+    b = emb.filter("vec_id >= 3 AND vec_id < 6").alias("b")
+    pairs = a.crossJoin(b).select(
+        F.col("a.vec_id").alias("ida"),
+        F.col("b.vec_id").alias("idb"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    cos = cosine_pandas_udf()
+    udf_vals = pairs.withColumn("c", cos("ea", "eb"))
+    fold_vals = pairs.withColumn(
+        "c",
+        F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (p, q) -> p + q)"
+        )
+        / (
+            F.sqrt(F.expr("aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (p, q) -> p + q)"))
+            * F.sqrt(F.expr("aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (p, q) -> p + q)"))
+        ),
+    )
+    got = {(r["ida"], r["idb"]): r["c"] for r in udf_vals.collect()}
+    want = {(r["ida"], r["idb"]): r["c"] for r in fold_vals.collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
