@@ -140,20 +140,34 @@ def fn_not(a) -> Column:
 # (Fn.dt, 7-branch coercion; reference macros.py:106-174)
 # ---------------------------------------------------------------------------
 def fn_dt(a) -> Column:
-    """Coerce anything to a timestamp.
+    """Coerce anything to a timestamp (reference macros.py Fn.dt cases
+    1-7, same branch outcomes).
 
-    Branches (string input): all-digit strings are unix epochs — 10
-    digits = seconds (with optional fraction), 13 = milliseconds, >=18 =
-    nanoseconds; ISO strings with a T/Z/offset get the zone suffix
-    stripped and parse as naive UTC; plain timestamp/date strings cast
-    directly; unparseable -> epoch 0. Numeric input discriminates by
-    magnitude (1e9..1e10 s, 1e12..1e13 ms, >1e15 ns).
+    Numeric inputs are first normalized to plain decimal notation
+    (Spark stringifies DOUBLE as ``'1.6E9'``; the reference sees
+    DuckDB's ``'1600000000.0'``) so the digit discrimination matches
+    the reference's text-based CASE. Branches: digit strings with an
+    integral part of exactly 10 digits are epoch seconds (fractional
+    seconds preserved, reference case 4); integral digit strings of
+    more than 15 digits are nanoseconds (case 5); any other integral
+    digit string is milliseconds (case 6 — the reference's catch-all,
+    so 9/11/12/14/15-digit epochs land here, not at epoch 0); ISO
+    strings get the T/Z/offset suffix stripped and parse as naive UTC
+    (cases 1-3); everything else falls back to epoch 0. Digit-first
+    ordering is behavior-equivalent to the reference's cast-first
+    ordering because DuckDB never casts pure-digit strings to
+    TIMESTAMP/DATE (verified), while Spark's lenient ``'2024'`` ->
+    2024-01-01 cast must not shadow the milliseconds branch.
     """
     c = _c(a)
     s = F.trim(c.try_cast("string"))
-    digits = F.regexp_extract(s, r"^(\d+)(?:\.\d+)?$", 1)
+    # plain-decimal normalization for numeric-looking input
+    norm = F.coalesce(s.try_cast("decimal(38,9)").cast("string"), s)
+    digits = F.regexp_extract(norm, r"^(\d+)(?:\.\d+)?$", 1)
     ndig = F.length(digits)
-    frac = F.regexp_extract(s, r"^\d+(\.\d+)?$", 1).try_cast("double")
+    frac = F.coalesce(
+        F.regexp_extract(norm, r"^\d+(\.\d+)?$", 1).try_cast("double"), F.lit(0.0)
+    )
     # strip trailing Z or +hh:mm / -hh:mm zone suffix from ISO strings
     iso = F.regexp_replace(F.regexp_replace(s, r"[Zz]$", ""), r"[+-]\d{2}:?\d{2}$", "")
     iso = F.regexp_replace(iso, r"[Tt]", " ")
@@ -162,13 +176,14 @@ def fn_dt(a) -> Column:
         .when(
             (ndig == 10),
             F.timestamp_micros(
-                (digits.try_cast("bigint") * 1000000)
-                + F.coalesce((frac * 1000000).cast("bigint"), F.lit(0))
+                (digits.try_cast("bigint") * 1000000) + (frac * 1000000).cast("bigint")
             ),
         )
-        .when((ndig == 13), F.timestamp_millis(digits.try_cast("bigint")))
-        .when((ndig >= 18), F.timestamp_micros((digits.try_cast("bigint") / 1000).cast("bigint")))
-        .when((ndig >= 15), F.timestamp_micros(digits.try_cast("bigint")))
+        .when(
+            (ndig > 15) & (frac == 0),
+            F.timestamp_micros((digits.try_cast("bigint") / 1000).cast("bigint")),
+        )
+        .when((ndig > 0) & (frac == 0), F.timestamp_millis(digits.try_cast("bigint")))
         .otherwise(
             F.coalesce(
                 iso.try_cast("timestamp"),
@@ -293,13 +308,29 @@ def fn_dt_eom(a) -> Column:
 
 
 def fn_month445(a) -> Column:
-    """4-4-5 retail-calendar month from the ISO week (reference
-    macros.py:252-267): weeks 1-4 -> 1, 5-8 -> 2, 9-13 -> 3, ... 49-53 -> 12."""
+    """4-4-5 retail-calendar month *number* from the ISO week (reference
+    macros.py:252-267 boundaries): weeks 1-4 -> 1, 5-8 -> 2, 9-13 -> 3,
+    ... 49-53 -> 12. Numeric convenience variant; the reference-exact
+    '%G-MM' label is :func:`fn_month445_label` (and the SQL-callable
+    ``fn_month445`` mirrors the reference's string form)."""
     wk = F.weekofyear(_c(a))
-    period = F.floor((wk - 1) / 13)  # 0..3 quarters of 13 weeks
-    inq = wk - period * 13  # 1..13 week-in-quarter
+    # 0..3 quarters of 13 weeks; ISO week 53 stays in Q4 (the reference
+    # maps weeks 48-53 all to month 12)
+    period = F.least(F.floor((wk - 1) / 13), F.lit(3))
+    inq = wk - period * 13  # 1..13 (14 for week 53) week-in-quarter
     month_in_q = F.when(inq <= 4, 1).when(inq <= 8, 2).otherwise(3)
     return (period * 3 + month_in_q).cast("bigint")
+
+
+def fn_month445_label(a) -> Column:
+    """Reference-exact Fn.month445: the 4-4-5 month as an
+    ``'<ISOYEAR>-<MM>'`` string (reference macros.py:252-267 returns
+    ``strftime('%G-01', date)``-style labels)."""
+    return F.concat(
+        fn_dt_iso_year(a).cast("string"),
+        F.lit("-"),
+        F.lpad(fn_month445(a).cast("string"), 2, "0"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -417,13 +448,107 @@ SQL_FN_BODIES: Dict[str, str] = {
     ),
 }
 
+# -- fn_dt as one SQL expression (same branches as the Column builder) -------
+_DT_S = "trim(a)"
+_DT_NORM = "coalesce(cast(try_cast(trim(a) AS DECIMAL(38,9)) AS STRING), trim(a))"
+_DT_DIGITS = "regexp_extract(" + _DT_NORM + ", '^([0-9]+)([.][0-9]+)?$', 1)"
+_DT_FRAC = (
+    "coalesce(try_cast(regexp_extract(" + _DT_NORM + ", '^[0-9]+([.][0-9]+)?$', 1) AS DOUBLE), 0.0)"
+)
+_DT_ISO = (
+    "regexp_replace(regexp_replace(regexp_replace(trim(a), '[Zz]$', ''), "
+    "'[+-][0-9]{2}:?[0-9]{2}$', ''), '[Tt]', ' ')"
+)
+SQL_FN_BODIES["fn_dt(a STRING) RETURNS TIMESTAMP"] = (
+    "CASE WHEN a IS NULL THEN timestamp_seconds(0) "
+    f"WHEN length({_DT_DIGITS}) = 10 THEN timestamp_micros(try_cast({_DT_DIGITS} AS BIGINT) * 1000000 + cast({_DT_FRAC} * 1000000 AS BIGINT)) "
+    f"WHEN length({_DT_DIGITS}) > 15 AND {_DT_FRAC} = 0 THEN timestamp_micros(cast(try_cast({_DT_DIGITS} AS BIGINT) / 1000 AS BIGINT)) "
+    f"WHEN length({_DT_DIGITS}) > 0 AND {_DT_FRAC} = 0 THEN timestamp_millis(try_cast({_DT_DIGITS} AS BIGINT)) "
+    f"ELSE coalesce(try_cast({_DT_ISO} AS TIMESTAMP), try_cast({_DT_S} AS TIMESTAMP), timestamp_seconds(0)) END"
+)
 
-def register_engine_functions(spark: SparkSession) -> None:
-    """Register the SQL-callable ``fn_*`` surface. Idempotent."""
+# strptime/human pattern -> Java pattern conversion as a replace chain
+# (same order as _PATTERN_MAP; earlier rewrites never re-match later ones)
+_PAT_SQL = "p"
+for _src, _dst in _PATTERN_MAP:
+    _PAT_SQL = f"replace({_PAT_SQL}, '{_src}', '{_dst}')"
+SQL_FN_BODIES["fn_dt_pattern(a STRING, p STRING) RETURNS TIMESTAMP"] = (
+    f"to_timestamp(a, {_PAT_SQL})"
+)
+
+_ISO_YEAR = "year(date_add(CAST(a AS DATE), 4 - (weekday(a) + 1)))"
+_ISO_WEEK = "lpad(cast(weekofyear(a) AS STRING), 2, '0')"
+_M445_NO = (
+    "cast(least(floor((weekofyear(a) - 1) / 13), 3) * 3 + CASE "
+    "WHEN weekofyear(a) - least(floor((weekofyear(a) - 1) / 13), 3) * 13 <= 4 THEN 1 "
+    "WHEN weekofyear(a) - least(floor((weekofyear(a) - 1) / 13), 3) * 13 <= 8 THEN 2 "
+    "ELSE 3 END AS BIGINT)"
+)
+SQL_FN_BODIES.update(
+    {
+        "fn_dt_yyyy(a TIMESTAMP) RETURNS STRING": "date_format(a, 'yyyy')",
+        "fn_dt_mm(a TIMESTAMP) RETURNS STRING": "date_format(a, 'MM')",
+        "fn_dt_dd(a TIMESTAMP) RETURNS STRING": "date_format(a, 'dd')",
+        "fn_dt_hh(a TIMESTAMP) RETURNS STRING": "date_format(a, 'HH')",
+        "fn_dt_iso_weekdate(a TIMESTAMP) RETURNS STRING": (
+            f"concat(cast({_ISO_YEAR} AS STRING), '-W', {_ISO_WEEK}, '-', "
+            "cast(weekday(a) + 1 AS STRING))"
+        ),
+        # reference-exact Fn.month445: '<ISOYEAR>-<MM>' label
+        "fn_month445(a TIMESTAMP) RETURNS STRING": (
+            f"concat(cast({_ISO_YEAR} AS STRING), '-', lpad(cast({_M445_NO} AS STRING), 2, '0'))"
+        ),
+        "fn_validate_regex(value STRING, pattern STRING, allow_null BOOLEAN) RETURNS STRING": (
+            "CASE WHEN value IS NULL AND allow_null THEN NULL "
+            "WHEN value IS NULL THEN raise_error('Validation failed: NULL value not allowed') "
+            "WHEN value RLIKE pattern THEN value "
+            "ELSE raise_error(concat('Validation failed: ', value, ' does not match pattern ', pattern)) END"
+        ),
+        "fn_validate_gt(value DOUBLE, threshold DOUBLE, allow_null BOOLEAN) RETURNS DOUBLE": (
+            "CASE WHEN value IS NULL AND allow_null THEN NULL "
+            "WHEN value IS NULL THEN raise_error('Validation failed: NULL value not allowed') "
+            "WHEN value > threshold THEN value "
+            "ELSE raise_error(concat('Validation failed: ', cast(value AS STRING), ' <= ', cast(threshold AS STRING))) END"
+        ),
+        "fn_validate_lt(value DOUBLE, threshold DOUBLE, allow_null BOOLEAN) RETURNS DOUBLE": (
+            "CASE WHEN value IS NULL AND allow_null THEN NULL "
+            "WHEN value IS NULL THEN raise_error('Validation failed: NULL value not allowed') "
+            "WHEN value < threshold THEN value "
+            "ELSE raise_error(concat('Validation failed: ', cast(value AS STRING), ' >= ', cast(threshold AS STRING))) END"
+        ),
+        "fn_validate_between(value DOUBLE, min_val DOUBLE, max_val DOUBLE, allow_null BOOLEAN) RETURNS DOUBLE": (
+            "CASE WHEN value IS NULL AND allow_null THEN NULL "
+            "WHEN value IS NULL THEN raise_error('Validation failed: NULL value not allowed') "
+            "WHEN value BETWEEN min_val AND max_val THEN value "
+            "ELSE raise_error(concat('Validation failed: ', cast(value AS STRING), ' not in range')) END"
+        ),
+        "fn_validate_not_between(value DOUBLE, min_val DOUBLE, max_val DOUBLE, allow_null BOOLEAN) RETURNS DOUBLE": (
+            "CASE WHEN value IS NULL AND allow_null THEN NULL "
+            "WHEN value IS NULL THEN raise_error('Validation failed: NULL value not allowed') "
+            "WHEN value NOT BETWEEN min_val AND max_val THEN value "
+            "ELSE raise_error(concat('Validation failed: ', cast(value AS STRING), ' is within disallowed range')) END"
+        ),
+    }
+)
+
+#: function names registered as Spark SQL UDFs (``fn_div`` etc.) — the
+#: sqlfront rewriter consults this to give a clear error for Fn.* names
+#: that are neither registered nor inline-expandable.
+SQL_FN_NAMES = {sig.split("(", 1)[0].strip() for sig in SQL_FN_BODIES}
+
+#: user macros added via ``functions.register.register_macro`` — the
+#: rewriter accepts these in the ``Fn.*`` spelling alongside built-ins.
+USER_FN_NAMES: set = set()
+
+
+def register_engine_functions(spark: SparkSession) -> list:
+    """Register the SQL-callable ``fn_*`` surface. Idempotent. Returns
+    the list of (name, error) pairs that failed to register — a single
+    bad body must not take down the rest of the library."""
+    failures = []
     for signature, body in SQL_FN_BODIES.items():
         try:
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {signature} RETURN {body}")
-        except Exception:
-            # SQL UDFs unavailable (older Spark): the sqlfront expansion
-            # path still rewrites Fn.*() calls to plain expressions.
-            break
+        except Exception as exc:  # pragma: no cover - env-dependent
+            failures.append((signature.split("(", 1)[0], exc))
+    return failures

@@ -39,4 +39,7 @@ def register_macro(spark: SparkSession, name: str, signature: str, body: str) ->
     if not re.match(r"^\s*\(.*\)\s*RETURNS\s+\S+", signature, re.IGNORECASE | re.DOTALL):
         raise MacroError(f"signature must be '(args) RETURNS TYPE', got: {signature!r}")
     spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {fn_name}{signature} RETURN {body}")
+    from .fn import USER_FN_NAMES
+
+    USER_FN_NAMES.add(fn_name)
     return fn_name

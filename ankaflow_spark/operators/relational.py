@@ -796,9 +796,9 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d AS date,
       CAST(weekofyear(d) AS BIGINT) AS iso_week,
-      CAST(((weekofyear(d) - 1) // 13) * 3 +
-        CASE WHEN weekofyear(d) - ((weekofyear(d) - 1) // 13) * 13 <= 4 THEN 1
-             WHEN weekofyear(d) - ((weekofyear(d) - 1) // 13) * 13 <= 8 THEN 2
+      CAST(least((weekofyear(d) - 1) // 13, 3) * 3 +
+        CASE WHEN weekofyear(d) - least((weekofyear(d) - 1) // 13, 3) * 13 <= 4 THEN 1
+             WHEN weekofyear(d) - least((weekofyear(d) - 1) // 13, 3) * 13 <= 8 THEN 2
              ELSE 3 END AS BIGINT) AS month445
     FROM days
     ORDER BY d

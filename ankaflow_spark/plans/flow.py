@@ -101,8 +101,10 @@ class Flow:
             if stage.explain:
                 df.explain("formatted")
             if stage.show:
-                # show: -1 prints all rows (debug surface, bounded by use)
-                df.show(df.count() if stage.show < 0 else stage.show)
+                # show: -1 means "all rows" in the reference; cap the
+                # debug surface at 10k rows so it is one bounded action
+                # (never a full count + full collect at 100 TB)
+                df.show(10_000 if stage.show < 0 else stage.show)
         if stage.throttle:
             time.sleep(stage.throttle)
 

@@ -170,7 +170,13 @@ class SparkEngine:
         """
         from .sqlfront.rewrite import rewrite_sql
 
-        return self.spark.sql(rewrite_sql(query, self._views))
+        def schema_lookup(name):
+            try:
+                return self.describe(name)
+            except Exception:
+                return None
+
+        return self.spark.sql(rewrite_sql(query, self._views, schema_lookup))
 
     # -- bucketed tables (co-located joins without a shuffle) -------------
     def write_bucketed(

@@ -107,7 +107,11 @@ class BaseFileConnection:
         if schema is not None:
             reader = reader.schema(schema)
         opts = dict(self.spec.get("options") or {})
-        return self._do_read(reader, self._locator(), opts)
+        # the reference wildcard-substitutes every file tap's locator
+        # (trailing number group -> *) so partitioned file families read
+        # as one glob; `locator_wildcard: false` opts out per connection
+        wildcard = bool(self.spec.get("locator_wildcard", True))
+        return self._do_read(reader, self._locator(use_wildcard=wildcard), opts)
 
     def _do_read(self, reader, path: str, opts: Dict[str, Any]) -> DataFrame:
         raise NotImplementedError
@@ -146,7 +150,25 @@ class BaseFileConnection:
         opts = dict(self.spec.get("options") or {})
         partition_by = self.spec.get("partition_by") or []
         if single and "." in os.path.basename(path):
-            # locator names a single file (reference COPY TO semantics)
+            # locator names a single file (reference COPY TO semantics).
+            # This path renames a part file on the local filesystem, so
+            # remote schemes and non-overwrite modes get a clear error
+            # instead of silently overwriting (directory sinks support
+            # the full mode matrix).
+            if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+                "file://"
+            ):
+                raise ValueError(
+                    f"single-file sink requires a local path, got {path!r}; "
+                    "use a directory locator for remote object stores"
+                )
+            if mode not in ("overwrite", "error", "errorifexists"):
+                raise ValueError(
+                    f"single-file sink does not support mode={mode!r}; "
+                    "use a directory locator for append"
+                )
+            if mode in ("error", "errorifexists") and os.path.exists(path):
+                raise FileExistsError(f"single-file sink target exists: {path}")
             tmp = path + ".__tmp__"
             writer = df.coalesce(1).write.mode("overwrite").options(**opts)
             self._do_write(writer, tmp)

@@ -22,7 +22,7 @@ from typing import Optional
 
 _SCHEME_MAP = {"s3": "s3a", "gs": "gcs"}
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
-_WILDCARD_RE = re.compile(r"[-_.]?\d+(?=\.[A-Za-z0-9]+$)")
+_WILDCARD_RE = re.compile(r"([-_.]?)\d+(?=\.[A-Za-z0-9]+$)")
 
 
 def normalize_scheme(uri: str) -> str:
@@ -35,11 +35,11 @@ def normalize_scheme(uri: str) -> str:
 
 
 def wildcardize(name: str) -> str:
-    """``data-2024.parquet`` -> ``data-*.parquet`` (trailing number group
-    in the stem becomes ``*``); names without one gain ``*`` before the
-    extension only when explicitly requested by callers."""
-    out = _WILDCARD_RE.sub("-*", name)
-    return out
+    """``data-2024.parquet`` -> ``data-*.parquet``, ``events_20240101.json``
+    -> ``events_*.json`` (trailing number group in the stem becomes ``*``,
+    preserving the separator so the glob still matches the file family);
+    names without a trailing number pass through unchanged."""
+    return _WILDCARD_RE.sub(r"\1*", name)
 
 
 @dataclass

@@ -61,16 +61,225 @@ _FN_CALL = re.compile(r"\bFn\.([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE)
 _SAMPLE_ROWS = re.compile(r"\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b", re.IGNORECASE)
 _SAMPLE_PCT = re.compile(r"\bUSING\s+SAMPLE\s+([0-9.]+)\s*%", re.IGNORECASE)
 
+# Untyped / aggregate / control-flow macros can't be Spark SQL UDFs
+# (UDF parameters are typed; collect_set is an aggregate) — these expand
+# inline at rewrite time with real argument substitution, exactly like
+# DuckDB inlines the reference's macros. {n} are argument slots.
+INLINE_FN_TEMPLATES: Dict[str, str] = {
+    "eq": "({0} = {1})",
+    "ne": "({0} <> {1})",
+    "gt": "({0} > {1})",
+    "lt": "({0} < {1})",
+    "gte": "({0} >= {1})",
+    "lte": "({0} <= {1})",
+    "ifelse": "(CASE WHEN {0} THEN {1} ELSE {2} END)",
+    "when": "(CASE WHEN fn_bool({0}) THEN {1} ELSE {2} END)",
+    "and": "(fn_bool({0}) AND fn_bool({1}))",
+    "or": "(fn_bool({0}) OR fn_bool({1}))",
+    "not": "(NOT fn_bool({0}))",
+    "uniquelist": "collect_set({0})",
+    "has": "array_contains({0}, {1})",
+}
 
-def expand_fn_macros(sql: str) -> str:
-    """``Fn.div(a,b)`` -> ``fn_div(a,b)``; ``Fn.not(...)`` etc. keep the
-    reference spelling available in transforms."""
+# Fn.calendar() table macro (reference internal/macros.py:74-96): a
+# 5-year rolling daily calendar with strftime-shaped string columns.
+# Expanded to a Spark subquery; `date` is a DATE (the reference's
+# generate_series yields timestamps — the projections are identical).
+_ISO_YEAR_D = "year(date_add(d, 4 - (weekday(d) + 1)))"
+_ISO_WEEK_D = "lpad(cast(weekofyear(d) AS STRING), 2, '0')"
+CALENDAR_SUBQUERY = (
+    "(SELECT d AS date, "
+    "date_format(d, 'yyyy') AS year, "
+    "date_format(d, 'MMM') AS month, "
+    "date_format(d, 'MM') AS month_no, "
+    "date_format(d, 'dd') AS day, "
+    "date_format(d, 'EEE') AS weekday, "
+    "cast(weekday(d) + 1 AS STRING) AS weekday_no, "
+    f"cast({_ISO_YEAR_D} AS STRING) AS isoyear, "
+    f"{_ISO_WEEK_D} AS iso_week, "
+    f"concat({_ISO_YEAR_D}, '-', {_ISO_WEEK_D}, '-', weekday(d) + 1) AS isoweekdate, "
+    f"concat({_ISO_YEAR_D}, '-00-', {_ISO_WEEK_D}) AS isoweek, "
+    f"concat({_ISO_WEEK_D}, '-', weekday(d) + 1) AS iso_week_day, "
+    "date_format(d, 'yyyy-MM-dd') AS isodate, "
+    "cast(quarter(d) AS BIGINT) AS quarter, "
+    f"cast({_ISO_YEAR_D} * 100 + weekofyear(d) AS BIGINT) AS yearweek "
+    "FROM (SELECT explode(sequence(add_months(current_date(), -48), "
+    "add_months(current_date(), 12), interval 1 day)) AS d))"
+)
 
-    def repl(m: re.Match) -> str:
+
+def _in_literal(sql: str, pos: int) -> bool:
+    in_lit = False
+    i = 0
+    while i < pos:
+        if sql[i] == "'":
+            if in_lit and i + 1 < len(sql) and sql[i + 1] == "'":
+                i += 1
+            else:
+                in_lit = not in_lit
+        i += 1
+    return in_lit
+
+
+def _find_matching_paren(sql: str, open_idx: int) -> int:
+    depth = 0
+    in_lit = False
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_args(s: str) -> List[str]:
+    if not s.strip():
+        return []
+    args: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    in_lit = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_lit:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    args.append("".join(buf).strip())
+    return args
+
+
+def _template_arity(tmpl: str) -> int:
+    slots = [int(m) for m in re.findall(r"\{(\d+)\}", tmpl)]
+    return max(slots) + 1 if slots else 0
+
+
+def expand_fn_macros(sql: str, schema_lookup=None) -> str:
+    """Expand the reference's ``Fn.*`` spelling for Spark SQL.
+
+    Three classes (reference internal/macros.py — all registered as
+    DuckDB macros there; Spark needs three strategies):
+
+    * typed scalar macros -> renamed to their registered SQL UDFs
+      (``Fn.div(a,b)`` -> ``fn_div(a,b)``);
+    * untyped / aggregate / control-flow macros -> inlined with real
+      argument substitution (``Fn.uniquelist(x)`` -> ``collect_set(x)``,
+      ``Fn.when(c,a,b)`` -> ``CASE WHEN fn_bool(c) ...``);
+    * table macros -> subquery expansion: ``FROM Fn.calendar()`` and
+      ``FROM Fn.columns('stage')`` (the latter needs ``schema_lookup``,
+      a callable ``name -> [(column_name, data_type), ...]`` supplied
+      by the flow, which snapshots the catalog at rewrite time).
+
+    Unknown ``Fn.x`` names raise ``ValueError`` with the supported
+    inventory instead of leaking an UNRESOLVED_ROUTINE Spark error.
+    """
+    from ..functions.fn import SQL_FN_NAMES, USER_FN_NAMES
+
+    callable_names = SQL_FN_NAMES | USER_FN_NAMES
+    out = sql
+    for _ in range(500):
+        m = None
+        for cand in _FN_CALL.finditer(out):
+            if not _in_literal(out, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return out
         name = m.group(1).lower().rstrip("_")
-        return f"fn_{name}"
+        start, end = m.span()
 
-    return _FN_CALL.sub(repl, sql)
+        def _args_of() -> tuple:
+            j = end
+            while j < len(out) and out[j].isspace():
+                j += 1
+            if j >= len(out) or out[j] != "(":
+                raise ValueError(f"Fn.{m.group(1)} must be called with parentheses")
+            close = _find_matching_paren(out, j)
+            if close < 0:
+                raise ValueError(f"Unbalanced parentheses in Fn.{m.group(1)}(...)")
+            return _split_args(out[j + 1 : close]), close
+
+        if name in INLINE_FN_TEMPLATES:
+            tmpl = INLINE_FN_TEMPLATES[name]
+            args, close = _args_of()
+            want = _template_arity(tmpl)
+            if len(args) != want:
+                raise ValueError(
+                    f"Fn.{name} takes {want} argument(s), got {len(args)}"
+                )
+            out = out[:start] + tmpl.format(*args) + out[close + 1 :]
+        elif name == "calendar":
+            args, close = _args_of()
+            if args:
+                raise ValueError("Fn.calendar() takes no arguments")
+            out = out[:start] + CALENDAR_SUBQUERY + out[close + 1 :]
+        elif name == "columns":
+            args, close = _args_of()
+            if len(args) != 1:
+                raise ValueError("Fn.columns(table) takes exactly one argument")
+            if schema_lookup is None:
+                raise ValueError(
+                    "Fn.columns() needs a catalog: run it inside a Flow stage"
+                )
+            table = args[0].strip().strip("'\"")
+            cols = schema_lookup(table)
+            if not cols:
+                raise ValueError(f"Fn.columns: unknown table {table!r}")
+            values = ", ".join(
+                "('" + c.replace("'", "''") + "', '" + t.replace("'", "''") + "')"
+                for c, t in cols
+            )
+            out = (
+                out[:start]
+                + f"(SELECT column_name, data_type FROM (VALUES {values}) AS __cols__(column_name, data_type))"
+                + out[close + 1 :]
+            )
+        elif f"fn_{name}" in callable_names:
+            out = out[:start] + f"fn_{name}" + out[end:]
+        else:
+            known = sorted(
+                {n[3:] for n in callable_names}
+                | set(INLINE_FN_TEMPLATES)
+                | {"calendar", "columns"}
+            )
+            raise ValueError(
+                f"Fn.{m.group(1)} is not SQL-callable; supported: {', '.join(known)}"
+            )
+    raise ValueError("Fn.* macro expansion did not converge (cyclic input?)")
 
 
 def rewrite_views(sql: str, views: Dict[str, str]) -> str:
@@ -167,8 +376,8 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
-def rewrite_sql(sql: str, views: Dict[str, str]) -> str:
-    out = _map_nonliteral(sql, expand_fn_macros)
+def rewrite_sql(sql: str, views: Dict[str, str], schema_lookup=None) -> str:
+    out = expand_fn_macros(sql, schema_lookup=schema_lookup)
     out = rewrite_views(out, views)
     out = normalize_dialect(out)
     out = rewrite_qualify(out)

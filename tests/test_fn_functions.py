@@ -149,3 +149,81 @@ def test_fn_macro_spelling_via_engine(engine):
     # the reference spelling Fn.div(...) works through the rewriter
     assert engine.sql("SELECT Fn.div(10, 4) AS v").collect()[0]["v"] == 2.5
     assert engine.sql("SELECT Fn.trim('  x ') AS v").collect()[0]["v"] == "x"
+
+
+def test_fn_dt_reference_branch_parity(spark):
+    """fn_dt matches the reference's case 4/5/6 outcomes: 10-digit
+    seconds (+fraction), >15-digit ns, any other all-digit string ms;
+    numeric input is normalized to plain decimal notation first."""
+    ts = lambda s: one(spark, fn.fn_dt(F.lit(s)))
+    assert str(ts("1600000000")) == "2020-09-13 12:26:40"
+    assert str(ts("1600000000.25")) == "2020-09-13 12:26:40.250000"
+    assert str(ts("1600000000000")) == "2020-09-13 12:26:40"          # 13 -> ms
+    assert str(ts("971208000")) == "1970-01-12 05:46:48"              # 9 -> ms
+    assert str(ts("160000000000")) == "1975-01-26 20:26:40"           # 12 -> ms
+    assert str(ts("1600000000000000000")) == "2020-09-13 12:26:40"    # 19 -> ns
+    # DOUBLE input: Spark stringifies as 1.6E9; decimal normalization
+    # must still land in the seconds branch (reference case 4)
+    assert str(one(spark, fn.fn_dt(F.lit(1.6e9)))) == "2020-09-13 12:26:40"
+    # all-digit '2024' is milliseconds (case 6), not year-2024
+    assert str(ts("2024")) == "1970-01-01 00:00:02.024000"
+    assert str(ts("garbage")) == "1970-01-01 00:00:00"
+
+
+def test_fn_dt_sql_udf_matches_builder(spark):
+    """The SQL-callable fn_dt and the Column builder agree on every branch."""
+    from ankaflow_spark.functions.fn import register_engine_functions
+
+    register_engine_functions(spark)
+    inputs = [
+        "1600000000", "1600000000.25", "1600000000000", "971208000",
+        "160000000000", "160000000000000", "1600000000000000000",
+        "2024-03-05T10:00:00Z", "2024-03-05 10:00:00+02:00",
+        "2024-03-05", "2024", "garbage", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in inputs], "raw string")
+    out = df.select(
+        fn.fn_dt(F.col("raw")).alias("builder"), F.expr("fn_dt(raw)").alias("sqludf")
+    ).collect()
+    for row in out:
+        assert row["builder"] == row["sqludf"], row
+
+
+def test_month445_label_reference_form(spark):
+    from ankaflow_spark.functions.fn import register_engine_functions
+
+    register_engine_functions(spark)
+    assert one(spark, fn.fn_month445_label(F.lit("2024-07-15").cast("timestamp"))) == "2024-07"
+    # SQL-callable form mirrors the reference's '%G-MM' string
+    assert spark.sql("SELECT fn_month445(TIMESTAMP '2024-01-03') AS v").collect()[0]["v"] == "2024-01"
+    # Jan 1-s belonging to the previous ISO year use the ISO year
+    assert spark.sql("SELECT fn_month445(TIMESTAMP '2027-01-01') AS v").collect()[0]["v"] == "2026-12"
+
+
+def test_sql_validate_udfs(spark):
+    from ankaflow_spark.functions.fn import register_engine_functions
+
+    register_engine_functions(spark)
+    assert spark.sql("SELECT fn_validate_gt(5.0, 1.0, true) AS v").collect()[0]["v"] == 5.0
+    assert spark.sql("SELECT fn_validate_gt(CAST(NULL AS DOUBLE), 1.0, true) AS v").collect()[0]["v"] is None
+    with pytest.raises(Exception, match="Validation failed"):
+        spark.sql("SELECT fn_validate_gt(0.5, 1.0, true) AS v").collect()
+    with pytest.raises(Exception, match="Validation failed"):
+        spark.sql("SELECT fn_validate_regex('xbc', '^a', true) AS v").collect()
+
+
+def test_register_engine_functions_reports_no_failures(spark):
+    from ankaflow_spark.functions.fn import register_engine_functions
+
+    assert register_engine_functions(spark) == []
+
+
+def test_fn_calendar_and_columns_in_sql(engine):
+    cal = engine.sql(
+        "SELECT count(*) AS n, count(DISTINCT isoweekdate) AS wd FROM Fn.calendar()"
+    ).collect()[0]
+    assert cal["n"] >= 365 * 5  # rolling -4y..+1y window
+    assert cal["wd"] == cal["n"]  # isoweekdate is unique per day
+    engine.register("Cols Demo", engine.spark.sql("SELECT 1 AS a, 'x' AS b"))
+    rows = engine.sql("SELECT * FROM Fn.columns('Cols Demo') ORDER BY column_name").collect()
+    assert [(r["column_name"], r["data_type"]) for r in rows] == [("a", "int"), ("b", "string")]

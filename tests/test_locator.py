@@ -26,8 +26,44 @@ def test_relative_join():
 
 def test_wildcardize():
     assert wildcardize("data-2024.parquet") == "data-*.parquet"
-    assert wildcardize("events_20240101.json") == "events-*.json"
+    # separator is preserved so the glob still matches the file family
+    assert wildcardize("events_20240101.json") == "events_*.json"
+    assert wildcardize("snap.20240101.parquet") == "snap.*.parquet"
     assert wildcardize("plain.parquet") == "plain.parquet"
+
+
+def test_file_tap_reads_wildcard_family(engine, tmp_path):
+    """The reference wildcard-substitutes every file tap locator: a tap
+    naming one dated file reads the whole family."""
+    import pandas as pd
+
+    pd.DataFrame({"v": [1]}).to_parquet(tmp_path / "part_20240101.parquet")
+    pd.DataFrame({"v": [2]}).to_parquet(tmp_path / "part_20240102.parquet")
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: fam
+  connection:
+    kind: parquet
+    locator: {tmp_path}/part_20240101.parquet
+"""),
+        engine=engine,
+    )
+    assert flow.run().count() == 2
+
+    # locator_wildcard: false opts out (single file read)
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: one
+  connection:
+    kind: parquet
+    locator: {tmp_path}/part_20240101.parquet
+    locator_wildcard: false
+"""),
+        engine=engine,
+    )
+    assert flow.run().count() == 1
 
 
 def test_bucket_prefix_in_pipeline(engine, sf_dir, tmp_path):

@@ -27,8 +27,28 @@ def test_mangle_spaces_deterministic():
 
 def test_fn_expansion():
     assert expand_fn_macros("SELECT Fn.div(a, b) FROM t") == "SELECT fn_div(a, b) FROM t"
-    assert expand_fn_macros("Fn.not_(x)") == "fn_not(x)"
+    # untyped/control-flow macros expand inline (like DuckDB macro inlining)
+    assert expand_fn_macros("Fn.not_(x)") == "(NOT fn_bool(x))"
+    assert expand_fn_macros("Fn.uniquelist(v)") == "collect_set(v)"
+    assert expand_fn_macros("Fn.when(c, a, b)") == "(CASE WHEN fn_bool(c) THEN a ELSE b END)"
+    # nested macro calls expand outermost-first until stable
+    assert (
+        expand_fn_macros("Fn.and(Fn.gt(a, 1), Fn.lt(a, 9))")
+        == "(fn_bool((a > 1)) AND fn_bool((a < 9)))"
+    )
     assert "fn_dt_yyyy_mm_dd" in expand_fn_macros("Fn.dt_yyyy_mm_dd(ts)")
+
+
+def test_fn_unknown_name_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="not SQL-callable"):
+        expand_fn_macros("SELECT Fn.bogus(a) FROM t")
+
+
+def test_fn_calendar_expands_to_subquery():
+    out = expand_fn_macros("SELECT * FROM Fn.calendar()")
+    assert "explode(sequence(" in out and "isoweekdate" in out
 
 
 def test_fn_not_expanded_inside_literal():
