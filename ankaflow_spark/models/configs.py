@@ -10,6 +10,7 @@ A stage's own connection values always win.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 from pydantic import BaseModel, Field
@@ -24,6 +25,34 @@ class JDBCConfig(BaseModel):
     fetchsize: Optional[int] = None
 
 
+class S3Config(BaseModel):
+    bucket: Optional[str] = None
+    region: Optional[str] = None
+    access_key_id: Optional[str] = None
+    secret_access_key: Optional[str] = None
+
+
+class GSConfig(BaseModel):
+    bucket: Optional[str] = None
+    region: Optional[str] = None
+    hmac_key: Optional[str] = None
+    hmac_secret: Optional[str] = None
+    credential_file: Optional[str] = None
+
+
+class BigQueryConfig(BaseModel):
+    project: Optional[str] = None
+    credential_file: Optional[str] = None
+
+
+def _as_bucket_uri(name: str, scheme: str) -> str:
+    """A bare bucket name gets its scheme; URIs / absolute paths pass
+    through (local paths keep the CLI testable without object storage)."""
+    if "://" in name or name.startswith("/"):
+        return name
+    return f"{scheme}://{name}"
+
+
 class ConnectionConfiguration(BaseModel):
     model_config = {"extra": "allow"}
 
@@ -31,6 +60,38 @@ class ConnectionConfiguration(BaseModel):
     prefix: Optional[str] = None
     jdbc: Optional[JDBCConfig] = None
     rest_headers: Dict[str, str] = Field(default_factory=dict)
+    s3: Optional[S3Config] = None
+    gs: Optional[GSConfig] = None
+    bigquery: Optional[BigQueryConfig] = None
+
+    @classmethod
+    def from_env(cls, env: Optional[Dict[str, str]] = None) -> "ConnectionConfiguration":
+        """Build deployment defaults from environment variables (reference
+        cli.py:37-56 resolve_config — same variable names)."""
+        e = env if env is not None else os.environ
+        s3 = S3Config(
+            bucket=e.get("AWS_DEFAULT_BUCKET"),
+            region=e.get("AWS_REGION") or e.get("AWS_DEFAULT_REGION"),
+            access_key_id=e.get("AWS_ACCESS_KEY_ID"),
+            secret_access_key=e.get("AWS_SECRET_ACCESS_KEY"),
+        )
+        gs = GSConfig(
+            bucket=e.get("GOOGLE_STORAGE_BUCKET"),
+            region=e.get("GOOGLE_STORAGE_REGION"),
+            hmac_key=e.get("GS_HMAC_KEY_ID"),
+            hmac_secret=e.get("GS_HMAC_SECRET"),
+            credential_file=e.get("GOOGLE_APPLICATION_CREDENTIALS"),
+        )
+        bq = BigQueryConfig(
+            project=e.get("GOOGLE_CLOUD_PROJECT"),
+            credential_file=e.get("GOOGLE_APPLICATION_CREDENTIALS"),
+        )
+        bucket = None
+        if s3.bucket:
+            bucket = _as_bucket_uri(s3.bucket, "s3")
+        elif gs.bucket:
+            bucket = _as_bucket_uri(gs.bucket, "gs")
+        return cls(bucket=bucket, s3=s3, gs=gs, bigquery=bq)
 
     def apply_defaults(self, spec: Dict[str, Any]) -> Dict[str, Any]:
         """Merge these defaults under a rendered connection spec dict."""

@@ -107,18 +107,47 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d02 — MinHash signatures + LSH banding -> candidate near-dup pairs
+# d02 — MinHash signatures + LSH banding -> candidate near-dup pairs.
+# The candidate CTE chain is shared: d03 composes its Jaccard
+# verification over these candidates, d06 clusters them.
 # ---------------------------------------------------------------------------
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _DUCK_BAND_COLS = ", ".join(
-    f"MAX(CASE WHEN seed % {MINHASH_K // LSH_BANDS} = {r} THEN mh END)"
-    for r in range(MINHASH_K // LSH_BANDS)
+    f"MAX(CASE WHEN seed % {_ROWS_PER_BAND} = {r} THEN mh END)"
+    for r in range(_ROWS_PER_BAND)
 )
 
+# Hash each shingle ONCE; derive the k MinHash permutations as
+# hex-string rotations (order-distinct, far cheaper than k md5 calls)
+# aggregated as k wide MIN columns — no 16x row explosion, no 16x
+# shuffle volume; map-side combine reduces to one row per doc before
+# the exchange. Bands unpivot from the signature row via stack.
+_SPARK_SIG_AGGS = ", ".join(
+    f"MIN(concat(substr(h, {s + 1}), substr(h, 1, {s}))) AS mh{s}" for s in range(MINHASH_K)
+)
+_SPARK_STACK_ARGS = ", ".join(
+    f"{b}, md5(concat({', '.join(f'mh{b * _ROWS_PER_BAND + r}' for r in range(_ROWS_PER_BAND))}))"
+    for b in range(LSH_BANDS)
+)
 
-@query(
-    "d02_minhash_lsh_pairs",
-    oracle=f"""
-    WITH shingles AS ({DUCK_SHINGLES}),
+#: shared CTE chain `shingles -> ... -> cands` (banded LSH candidate
+#: pairs), in each dialect. Prepend with WITH and select from `cands`.
+SPARK_CAND_CTES = f"""
+    shingles AS ({SPARK_SHINGLES}),
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS}) AS (band_id, band_key)
+      FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+DUCK_CAND_CTES = f"""
+    shingles AS ({DUCK_SHINGLES}),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     perm AS (
       SELECT doc_id, s.seed AS seed,
@@ -128,67 +157,88 @@ _DUCK_BAND_COLS = ", ".join(
       GROUP BY doc_id, s.seed
     ),
     bands AS (
-      SELECT doc_id, CAST(seed // {MINHASH_K // LSH_BANDS} AS INT) AS band_id,
+      SELECT doc_id, CAST(seed // {_ROWS_PER_BAND} AS INT) AS band_id,
              md5(concat({_DUCK_BAND_COLS})) AS band_key
       FROM perm
-      GROUP BY doc_id, seed // {MINHASH_K // LSH_BANDS}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "d02_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {DUCK_CAND_CTES}
+    SELECT doc_a, doc_b FROM cands
     ORDER BY doc_a, doc_b
     """,
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    rows = MINHASH_K // LSH_BANDS
-    # Hash each shingle ONCE; derive the k MinHash permutations as
-    # hex-string rotations (order-distinct, far cheaper than k md5
-    # calls) aggregated as k wide MIN columns — no 16x row explosion, no
-    # 16x shuffle volume; map-side combine reduces to one row per doc
-    # before the exchange. Bands unpivot from the signature row via
-    # stack (one pass).
-    sig_aggs = ", ".join(
-        f"MIN(concat(substr(h, {s + 1}), substr(h, 1, {s}))) AS mh{s}" for s in range(MINHASH_K)
-    )
-    stack_args = ", ".join(
-        f"{b}, md5(concat({', '.join(f'mh{b * rows + r}' for r in range(rows))}))"
-        for b in range(LSH_BANDS)
-    )
-    bands = spark.sql(f"""
-      WITH shingles AS ({SPARK_SHINGLES}),
-      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
-      sigs AS (SELECT doc_id, {sig_aggs} FROM hashed GROUP BY doc_id)
-      SELECT doc_id, stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)
-      FROM sigs
+    return spark.sql(f"""
+      WITH {SPARK_CAND_CTES}
+      SELECT doc_a, doc_b FROM cands
+      ORDER BY doc_a, doc_b
     """)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
 
 
 # ---------------------------------------------------------------------------
-# d03 — n-gram Jaccard similarity join: shingle equi-join -> per-pair
-# intersection counts -> |A∩B| / |A∪B|. The scale path prunes hot
-# shingles first (identically on both sides, so the oracle still
-# matches): a shingle present in >50% of docs contributes no precision.
+# d03 — n-gram Jaccard near-dup pairs, COMPOSED scale path (default):
+# exact Jaccard verified only over d02's banded LSH candidate pairs.
+# The shingle self-equi-join of the exact variant has output
+# multiplicity Σ(df²) per shingle — the one all-pairs-shaped cost in
+# the dedup family; composing over LSH candidates bounds the work by
+# |candidates| x avg shingles/doc instead, which is the shape that
+# survives a 100 TB corpus. Recall is the LSH recall (bands tuned for
+# jaccard >~ 0.5); the exact variant below remains for full-recall
+# verification at small scale.
 # ---------------------------------------------------------------------------
 JACCARD_THRESHOLD = 0.2
-MAX_SHINGLE_DF = 200  # drop shingles appearing in more docs than this
+MAX_SHINGLE_DF = 200  # exact variant: drop shingles appearing in more docs
 
 
+def _jaccard_over_cands(cand_ctes: str) -> str:
+    """Jaccard verification over the candidate CTE chain — identical
+    text in both dialects (shingle spelling differs inside cand_ctes).
+    Intersections come from joining candidates to each side's shingles
+    (never a shingle self-join)."""
+    return f"""
+    WITH {cand_ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("d03_ngram_jaccard", oracle=_jaccard_over_cands(DUCK_CAND_CTES))
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_jaccard_over_cands(SPARK_CAND_CTES))
+
+
+# ---------------------------------------------------------------------------
+# d03x — exact (full-recall) n-gram Jaccard join: shingle equi-join with
+# a document-frequency prune. Kept as the exact-verification option;
+# see d03 for why the composed path is the at-scale default.
+# ---------------------------------------------------------------------------
 @query(
-    "d03_ngram_jaccard",
+    "d03x_ngram_jaccard_exact",
     oracle=f"""
     WITH shingles AS ({DUCK_SHINGLES}),
     pruned AS (
@@ -210,7 +260,7 @@ MAX_SHINGLE_DF = 200  # drop shingles appearing in more docs than this
     ORDER BY doc_a, doc_b
     """,
 )
-def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     shingles = spark.sql(SPARK_SHINGLES)
     from pyspark.sql.window import Window as W

@@ -405,6 +405,46 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q29 — the Fn.calendar() table macro expansion itself, end-to-end: a
+# transform selecting FROM Fn.calendar() (reference internal/macros.py:
+# 74-96). Both engines evaluate the same rolling -4y..+1y current_date
+# window; the oracle mirrors the strftime projections.
+# ---------------------------------------------------------------------------
+@query(
+    "q29_fn_calendar",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(UNNEST(generate_series(current_date - INTERVAL 4 YEAR,
+                                         current_date + INTERVAL 1 YEAR,
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT d AS date,
+      strftime(d, '%Y') AS year,
+      strftime(d, '%b') AS month,
+      strftime(d, '%m') AS month_no,
+      strftime(d, '%d') AS day,
+      strftime(d, '%a') AS weekday,
+      strftime(d, '%u') AS weekday_no,
+      strftime(d, '%G') AS isoyear,
+      strftime(d, '%V') AS iso_week,
+      strftime(d, '%G-%V-%u') AS isoweekdate,
+      strftime(d, '%G-00-%V') AS isoweek,
+      strftime(d, '%V-%u') AS iso_week_day,
+      strftime(d, '%x') AS isodate,
+      CAST(quarter(d) AS BIGINT) AS quarter,
+      CAST(CAST(strftime(d, '%G') AS BIGINT) * 100 + CAST(strftime(d, '%V') AS BIGINT) AS BIGINT) AS yearweek
+    FROM days
+    ORDER BY d
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlfront.rewrite import expand_fn_macros
+
+    sql = expand_fn_macros("SELECT * FROM Fn.calendar() ORDER BY date")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
 # q11 — HAVING + aggregate filters
 # ---------------------------------------------------------------------------
 @query(

@@ -230,6 +230,13 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 IVF_K = 8
 IVF_TOP_K = 5
+#: centroid training runs on a deterministic 1-in-N sample of the
+#: corpus (vec_id modulus — identical in both engines). At 100 TB the
+#: training pass is the only full-width corpus expansion in s03, and a
+#: quantizer only needs a representative sample; assignment still
+#: covers every vector. This makes the documented "train on a sample"
+#: contract code, not comment.
+IVF_TRAIN_MOD = 4
 
 
 def _ivf_sql(spark_dialect: bool) -> str:
@@ -267,21 +274,25 @@ def _ivf_sql(spark_dialect: bool) -> str:
         init_centroid = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
     return f"""
-    WITH init AS (
+    WITH train_set AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {IVF_TRAIN_MOD} = 0
+    ),
+    init AS (
       SELECT vec_id AS cid, {init_centroid} AS centroid
-      FROM embeddings WHERE vec_id < {IVF_K}
+      FROM train_set WHERE vec_id < {IVF_K * IVF_TRAIN_MOD}
     ),
     assign1 AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
-        FROM embeddings v CROSS JOIN init c
+        FROM train_set v CROSS JOIN init c
       ) r WHERE rn = 1
     ),
     dims AS (
       SELECT a.cid, e.vec_id, t.d, CAST({idx("e.embedding", "t.d")} AS DOUBLE) AS v
       FROM assign1 a
-      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN train_set e ON e.vec_id = a.vec_id
       CROSS JOIN (SELECT {dim_seq} AS d) t
     ),
     means AS (

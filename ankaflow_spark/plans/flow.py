@@ -49,6 +49,14 @@ class Flow:
         self.context = dict(context or {})
         self.variables = variables if variables is not None else {}
         self.conn_config = conn_config or ConnectionConfiguration()
+        s3 = getattr(self.conn_config, "s3", None)
+        if s3 and s3.bucket and (s3.access_key_id or s3.secret_access_key):
+            if "://" not in s3.bucket and not s3.bucket.startswith("/"):
+                # scope credentials to the configured bucket (reference:
+                # per-bucket secrets; Hadoop per-bucket fs.s3a config)
+                self.engine.configure_bucket(
+                    s3.bucket, s3.access_key_id, s3.secret_access_key
+                )
         self.renderer = Renderer()
         self.lastname: Optional[str] = None
         self._last_df: Optional[DataFrame] = None

@@ -69,18 +69,50 @@ def parse_optimize(sql: str) -> Optional[Dict[str, Any]]:
     }
 
 
+class SinkStrategy:
+    """Reference delta.py:368-386 — decided from declared schema + rows."""
+
+    SKIP = "SKIP"
+    CREATE = "CREATE"
+    WRITE = "WRITE"
+
+
+def create_strategy(has_schema: bool, rows: int) -> str:
+    """The reference's strategy matrix (delta.py sink docstring):
+
+    | Schema (fields) | Data | Strategy                    |
+    |-----------------|------|-----------------------------|
+    | no              | no   | SKIP   — no action          |
+    | yes             | no   | CREATE — define schema only |
+    | yes             | yes  | WRITE  — create & write     |
+    | no              | yes  | WRITE  — infer & write      |
+    """
+    if not has_schema and rows == 0:
+        return SinkStrategy.SKIP
+    if has_schema and rows == 0:
+        return SinkStrategy.CREATE
+    return SinkStrategy.WRITE
+
+
 class DeltaConnection:
+    """Full surface mapped onto spark delta format; every JVM-touching
+    operation is gated behind a clear error while the jars are absent
+    (strategy decisions and spec parsing stay testable without them)."""
+
     def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
         self.engine = engine
         self.spec = spec
         self.variables = variables
-        if not _delta_available(engine.spark):
+
+    def _require_delta(self) -> None:
+        if not _delta_available(self.engine.spark):
             raise DeltaUnavailable(
                 "delta-spark jars are not on the classpath in this environment; "
                 "add io.delta:delta-spark to spark.jars.packages"
             )
 
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
+        self._require_delta()
         df = self.engine.spark.read.format("delta").load(self.spec["locator"])
         df = apply_ranking(df, self.spec)
         if query:
@@ -89,7 +121,29 @@ class DeltaConnection:
             return self.engine.sql(query.replace(f'"{stage.name}"', view))
         return df
 
-    def sink(self, df: DataFrame, stage: Stage) -> None:
+    # -- sink strategy machinery (reference delta.py:316-366, 461-520) ----
+    def _is_deltatable(self) -> bool:
+        from delta.tables import DeltaTable  # type: ignore
+
+        return DeltaTable.isDeltaTable(self.engine.spark, self.spec["locator"])
+
+    def _create_empty_table(self) -> None:
+        """CREATE: an empty Delta table from declared fields (reference
+        _create_deltatable writes a dummy row through delta-rs; Spark can
+        write a genuinely empty DataFrame with the declared schema)."""
+        from .file import fields_to_schema
+
+        schema = fields_to_schema(self.spec.get("fields"))
+        if schema is None:
+            raise ValueError(
+                "Cannot create empty Delta table: no schema fields provided."
+            )
+        empty = self.engine.spark.createDataFrame([], schema=schema)
+        empty.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).save(self.spec["locator"])
+
+    def _write(self, df: DataFrame) -> None:
         spec = self.spec
         writer = df.write.format("delta").mode(spec.get("mode") or "append")
         if spec.get("options", {}).get("merge_schema"):
@@ -100,7 +154,23 @@ class DeltaConnection:
             writer = writer.partitionBy(*spec["partition_by"])
         writer.save(spec["locator"])
 
+    def sink(self, df: DataFrame, stage: Stage) -> None:
+        self._require_delta()
+        # emptiness, not a full count: the matrix only needs rows == 0
+        rows = 0 if df.isEmpty() else 1
+        strategy = create_strategy(bool(self.spec.get("fields")), rows)
+        if strategy == SinkStrategy.SKIP:
+            return
+        if strategy == SinkStrategy.CREATE:
+            if not self._is_deltatable() and self.spec.get("fields"):
+                self._create_empty_table()
+            return
+        self._write(df)
+        if self.spec.get("optimize") is not None:
+            self.execute(f"OPTIMIZE {self.spec['locator']} COMPACT VACUUM", stage)
+
     def execute(self, query: str, stage: Stage) -> None:
+        self._require_delta()
         action = parse_optimize(query)
         if action is None:
             self.engine.spark.sql(query)

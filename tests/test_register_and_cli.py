@@ -73,3 +73,45 @@ def test_cli_runs_pipeline(tmp_path, sf_dir):
     pdf = pd.read_csv(out)
     assert set(pdf.columns) == {"o_orderstatus", "n"}
     assert pdf["n"].sum() == 1500
+
+
+def test_connection_configuration_from_env(tmp_path):
+    from ankaflow_spark.models.configs import ConnectionConfiguration
+
+    env = {
+        "AWS_DEFAULT_BUCKET": "my-bucket",
+        "AWS_REGION": "eu-west-1",
+        "AWS_ACCESS_KEY_ID": "AK",
+        "AWS_SECRET_ACCESS_KEY": "SK",
+        "GOOGLE_CLOUD_PROJECT": "proj",
+    }
+    cfg = ConnectionConfiguration.from_env(env)
+    assert cfg.bucket == "s3://my-bucket"
+    assert cfg.s3.access_key_id == "AK" and cfg.s3.region == "eu-west-1"
+    assert cfg.bigquery.project == "proj"
+    # bare bucket names gain a scheme; paths/URIs pass through
+    assert ConnectionConfiguration.from_env({"AWS_DEFAULT_BUCKET": str(tmp_path)}).bucket == str(tmp_path)
+    # the default fills relative locators
+    spec = cfg.apply_defaults({"kind": "parquet", "locator": "data.parquet"})
+    assert spec["bucket"] == "s3://my-bucket"
+
+
+def test_cli_env_configured_bucket(tmp_path, monkeypatch, spark):
+    """python -m ankaflow_spark with AWS_DEFAULT_BUCKET set resolves a
+    relative locator against the env-configured bucket (reference
+    cli.py:37-56 behavior, local path standing in for the bucket)."""
+    import pandas as pd
+
+    from ankaflow_spark import __main__ as cli
+
+    pd.DataFrame({"v": [1, 2, 3]}).to_parquet(tmp_path / "rel.parquet")
+    yml = tmp_path / "p.yaml"
+    yml.write_text(
+        "- kind: tap\n"
+        "  name: t\n"
+        "  connection: {kind: parquet, locator: rel.parquet}\n"
+    )
+    out = tmp_path / "out.csv"
+    monkeypatch.setenv("AWS_DEFAULT_BUCKET", str(tmp_path))
+    assert cli.main([str(yml), "--out", str(out)]) == 0
+    assert len(out.read_text().strip().splitlines()) == 4  # header + 3 rows

@@ -168,9 +168,72 @@ def test_delta_optimize_parser():
     assert act["retention_hours"] == 365 * 24
 
 
-def test_delta_unavailable_raises(engine):
+def test_delta_unavailable_raises_at_use(engine):
+    """The jar gate fires at operation time (spec parsing and strategy
+    decisions stay importable/testable without the jars)."""
     from ankaflow_spark.sources import get_connector
     from ankaflow_spark.sources.delta import DeltaUnavailable
 
+    conn = get_connector("delta")(engine, {"kind": "delta", "locator": "/tmp/x"}, {})
     with pytest.raises(DeltaUnavailable):
-        get_connector("delta")(engine, {"kind": "delta", "locator": "/tmp/x"}, {})
+        conn.tap(None, None)
+    with pytest.raises(DeltaUnavailable):
+        conn.sink(engine.spark.range(1), None)
+
+
+def test_delta_create_strategy_matrix():
+    """Reference test_delta.py test_create_strategy_all_cases: the
+    SKIP/CREATE/WRITE matrix over (schema, rows)."""
+    from ankaflow_spark.sources.delta import SinkStrategy, create_strategy
+
+    assert create_strategy(has_schema=True, rows=0) == SinkStrategy.CREATE
+    assert create_strategy(has_schema=False, rows=0) == SinkStrategy.SKIP
+    assert create_strategy(has_schema=True, rows=2) == SinkStrategy.WRITE
+    assert create_strategy(has_schema=False, rows=2) == SinkStrategy.WRITE
+
+
+def test_delta_sink_strategy_dispatch(engine):
+    """Sink behavior per strategy, exercised through a fake that records
+    the gated operations (reference test_write_deltatable_create_and_append
+    / test_create_deltatable semantics, jar-free)."""
+    from ankaflow_spark.sources.delta import DeltaConnection
+
+    class FakeDelta(DeltaConnection):
+        def __init__(self, engine, spec, exists):
+            super().__init__(engine, spec, {})
+            self.calls = []
+            self._exists = exists
+
+        def _require_delta(self):
+            pass
+
+        def _is_deltatable(self):
+            return self._exists
+
+        def _create_empty_table(self):
+            self.calls.append("create_empty")
+
+        def _write(self, df):
+            self.calls.append("write")
+
+    spark = engine.spark
+    empty = spark.createDataFrame([], "a INT")
+    data = spark.range(3)
+    fields = [{"name": "a", "type": "BIGINT"}]
+
+    # no schema + no rows -> SKIP (no calls)
+    c = FakeDelta(engine, {"locator": "/t"}, exists=False)
+    c.sink(empty, None)
+    assert c.calls == []
+    # schema + no rows + table absent -> CREATE empty table only
+    c = FakeDelta(engine, {"locator": "/t", "fields": fields}, exists=False)
+    c.sink(empty, None)
+    assert c.calls == ["create_empty"]
+    # schema + no rows + table exists -> CREATE skips creation
+    c = FakeDelta(engine, {"locator": "/t", "fields": fields}, exists=True)
+    c.sink(empty, None)
+    assert c.calls == []
+    # rows -> WRITE regardless of schema
+    c = FakeDelta(engine, {"locator": "/t"}, exists=True)
+    c.sink(data, None)
+    assert c.calls == ["write"]

@@ -91,3 +91,27 @@ def test_stateful_sessionization(spark, events_stream_dir):
     # no session row exceeds its bounds
     bad = out.filter("session_end < session_start OR n_events <= 0").count()
     assert bad == 0
+
+
+def test_st01_stream_equals_ts01_batch(spark):
+    """The graded streaming query st01 (availableNow windowed agg) is
+    value-equivalent to its oracle-checked batch twin ts01 on the same
+    input: same (bucket, event_type) keys, same counts, same value sums.
+    This is the batch-equivalence contract that makes st01 gradeable."""
+    from ankaflow_spark.operators.streamq import st01
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in st01(spark, sf).collect()
+    }
+    batch_rows = {
+        (r["bucket"], r["event_type"]): (r["n_events"], float(r["total_value"]))
+        for r in TS_QUERIES["ts01_time_buckets"](spark, sf).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    for key, (n, total) in batch_rows.items():
+        sn, stotal = stream_rows[key]
+        assert sn == n, key
+        assert abs(stotal - total) < 1e-6, key
