@@ -64,9 +64,25 @@ class ConnectionSpec(BaseModel):
     partition_by: Optional[List[str]] = None
     single_file: bool = False
 
+    @field_validator("kind", mode="before")
+    @classmethod
+    def _kind_aliases(cls, v):
+        # reference spelling: CamelCase kinds, Deltatable for delta
+        aliases = {"deltatable": "delta"}
+        low = str(v).lower()
+        return aliases.get(low, low)
+
+    def model_post_init(self, __context) -> None:
+        # reference spelling: data_mode for the sink write mode
+        extra = self.__pydantic_extra__ or {}
+        if self.mode is None and extra.get("data_mode"):
+            self.mode = extra["data_mode"]
+
 
 class Stage(BaseModel):
-    model_config = {"extra": "forbid"}
+    # tolerant like the reference: unknown stage attributes (attribution,
+    # custom annotations) must not reject a pipeline that runs there
+    model_config = {"extra": "allow"}
 
     kind: StageKind
     name: str
@@ -74,6 +90,8 @@ class Stage(BaseModel):
     connection: Optional[ConnectionSpec] = None
     skip_if: Optional[Any] = None
     show: int = 0
+    show_schema: Optional[bool] = None
+    log_level: Optional[str] = None
     on_error: ErrorPolicy = ErrorPolicy.fail
     throttle: float = 0
     explain: bool = False

@@ -113,6 +113,8 @@ class Flow:
                 # debug surface at 10k rows so it is one bounded action
                 # (never a full count + full collect at 100 TB)
                 df.show(10_000 if stage.show < 0 else stage.show)
+            if stage.show_schema:
+                df.printSchema()
         if stage.throttle:
             time.sleep(stage.throttle)
 

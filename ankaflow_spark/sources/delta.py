@@ -118,7 +118,11 @@ class DeltaConnection:
         if query:
             view = f"__delta_{abs(hash(stage.name)) % 10**8}"
             df.createOrReplaceTempView(view)
-            return self.engine.sql(query.replace(f'"{stage.name}"', view))
+            q = query.replace(f'"{stage.name}"', view)
+            # the reference corpus spells the placeholder as the kind
+            # name: `select * from Deltatable`
+            q = re.sub(r"\bdeltatable\b", view, q, flags=re.IGNORECASE)
+            return self.engine.sql(q)
         return df
 
     # -- sink strategy machinery (reference delta.py:316-366, 461-520) ----
@@ -171,6 +175,14 @@ class DeltaConnection:
 
     def execute(self, query: str, stage: Stage) -> None:
         self._require_delta()
+        trunc = re.match(r"^\s*TRUNCATE\s+(\S+)\s*;?\s*$", query, re.IGNORECASE)
+        if trunc:
+            # reference integration.yaml: `truncate Deltatable` deletes
+            # all rows but keeps the table + schema
+            from delta.tables import DeltaTable  # type: ignore
+
+            DeltaTable.forPath(self.engine.spark, self.spec["locator"]).delete()
+            return
         action = parse_optimize(query)
         if action is None:
             self.engine.spark.sql(query)

@@ -131,9 +131,18 @@ class BaseFileConnection:
         view = f"__tap_{abs(hash(stage.name)) % 10**8}"
         df.createOrReplaceTempView(view)
         q = query
-        for placeholder in (stage.name, "source", self._table_placeholder()):
+        # accepted FROM-placeholders: the stage name, "source", the file
+        # stem, and the connection kind (the reference corpus writes
+        # `select * from Deltatable` / `from Parquet` style taps)
+        for placeholder in (
+            stage.name,
+            "source",
+            self._table_placeholder(),
+            self.spec.get("kind"),
+        ):
             if placeholder:
                 q = q.replace(f'"{placeholder}"', view)
+                q = re.sub(rf"\b{re.escape(str(placeholder))}\b", view, q, flags=re.IGNORECASE)
         out = self.engine.sql(q)
         out = apply_ranking(out, self.spec)
         return out
@@ -256,7 +265,8 @@ class JSONConnection(BaseFileConnection):
     format = "json"
 
     def _do_read(self, reader, path, opts):
-        fmt = str(opts.pop("format", "lines")).lower()
+        # the reference accepts `format:` at the connection level too
+        fmt = str(opts.pop("format", self.spec.get("format", "lines"))).lower()
         if fmt in ("array", "auto") or opts.pop("multiline", False):
             reader = reader.option("multiLine", "true")
         return reader.options(**opts).json(path)

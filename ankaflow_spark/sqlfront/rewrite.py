@@ -300,13 +300,240 @@ def rewrite_views(sql: str, views: Dict[str, str]) -> str:
     return _map_nonliteral(sql, fix)
 
 
+# DuckDB-dialect function surface accepted in transforms (reference
+# contract: "transform = any DuckDB SQL", core/flow.py:267). Two layers:
+# plain renames (argument-compatible) and template expansions (argument
+# order/shape differs). Applied paren-aware, outside string literals.
+DIALECT_FN_RENAMES: Dict[str, str] = {
+    "string_split": "split",
+    "str_split": "split",
+    "string_to_array": "split",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_reverse_sort": "array_sort",  # + reverse handled by template below
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "array_has": "array_contains",
+    "list_transform": "transform",
+    "list_apply": "transform",
+    "list_filter": "filter",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "list_unique": "array_distinct",
+    "array_to_string": "array_join",
+    "list_aggregate": "aggregate",
+    # DuckDB len() is polymorphic; in analytic SQL it is almost always
+    # list length (string length spells length()/strlen()), and Spark's
+    # size() gives a clear error when misapplied to a string
+    "len": "size",
+    "epoch_us": "unix_micros",
+    "epoch_ms": "unix_millis",
+    "epoch_ns": "unix_micros",  # + *1000 handled by template below
+    "epoch": "unix_seconds",
+    "unnest": "explode",
+    "generate_series": "sequence",
+    "regexp_matches": "regexp_like",
+    "list_value": "array",
+    "list_pack": "array",
+    "isodow": "weekday",  # + +1 handled by template below
+    "strlen": "length",
+    "list": "collect_list",
+    "string_agg": "listagg",
+    "group_concat": "listagg",
+}
+
+# strptime %-pattern -> Java pattern conversion, as a SQL replace chain
+# over the pattern expression (constant-folded when it's a literal)
+_STRF_MAP = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%I", "hh"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%g", "SSS"),
+    ("%p", "a"),
+    ("%j", "DDD"),
+    ("%a", "EEE"),
+    ("%A", "EEEE"),
+    ("%b", "MMM"),
+    ("%B", "MMMM"),
+    ("%x", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+]
+
+
+def _strf_chain(expr: str) -> str:
+    out = expr
+    for src, dst in _STRF_MAP:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
+
+
+def _table_ref(fmt: str):
+    def build(args: List[str]) -> str:
+        path = args[0].strip().strip("'\"")
+        return f"{fmt}.`{path}`"
+
+    return build
+
+
+# name -> {arity: builder(args) -> replacement}; arity -1 = any
+DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
+    "make_timestamp": {1: lambda a: f"timestamp_micros({a[0]})"},
+    "make_timestamp_ms": {1: lambda a: f"timestamp_millis({a[0]})"},
+    "strftime": {2: lambda a: f"date_format({a[0]}, {_strf_chain(a[1])})"},
+    "strptime": {2: lambda a: f"to_timestamp({a[0]}, {_strf_chain(a[1])})"},
+    "list_reduce": {
+        2: lambda a: (
+            f"aggregate(slice({a[0]}, 2, size({a[0]}) - 1), "
+            f"element_at({a[0]}, 1), {a[1]})"
+        )
+    },
+    "list_reverse_sort": {1: lambda a: f"reverse(array_sort({a[0]}))"},
+    "epoch_ns": {1: lambda a: f"unix_micros({a[0]}) * 1000"},
+    "isodow": {1: lambda a: f"(weekday({a[0]}) + 1)"},
+    "isoyear": {
+        1: lambda a: f"year(date_add(CAST({a[0]} AS DATE), 4 - (weekday({a[0]}) + 1)))"
+    },
+    "read_parquet": {1: _table_ref("parquet")},
+    "read_csv": {1: _table_ref("csv")},
+    "read_csv_auto": {1: _table_ref("csv")},
+    "read_json": {1: _table_ref("json")},
+    "read_json_auto": {1: _table_ref("json")},
+    "delta_scan": {1: _table_ref("delta")},
+}
+
+_DIALECT_CALL = re.compile(
+    r"\b(" + "|".join(sorted(set(DIALECT_FN_RENAMES) | set(DIALECT_FN_TEMPLATES), key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def expand_dialect_functions(sql: str) -> str:
+    """Rewrite DuckDB-dialect function calls to their Spark spellings so
+    reference-style transform SQL executes verbatim. Template expansions
+    (argument reshaping) take precedence over plain renames; unmatched
+    arities fall through untouched (Spark reports them)."""
+    out = sql
+    for _ in range(500):
+        m = None
+        for cand in _DIALECT_CALL.finditer(out):
+            if not _in_literal(out, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return out.replace("\x00(", "(")
+        name = m.group(1).lower()
+        open_idx = m.end() - 1
+        close = _find_matching_paren(out, open_idx)
+        if close < 0:
+            return out.replace("\x00(", "(")  # unbalanced; let Spark report it
+        args = _split_args(out[open_idx + 1 : close])
+        tmpl = DIALECT_FN_TEMPLATES.get(name, {}).get(len(args))
+        if tmpl is not None:
+            # recursively expand inside arguments first
+            args = [expand_dialect_functions(a) for a in args]
+            out = out[: m.start()] + tmpl(args) + out[close + 1 :]
+        elif name in DIALECT_FN_RENAMES:
+            out = out[: m.start()] + DIALECT_FN_RENAMES[name] + "(" + out[m.end() :]
+        else:
+            # template-only name at a different arity: skip this call by
+            # rewriting its opening paren region verbatim past the match
+            inner = expand_dialect_functions(out[open_idx + 1 : close])
+            out = out[: m.start()] + m.group(1) + "\x00(" + inner + out[close:]
+    return out.replace("\x00(", "(")
+
+
+_INT_DIV = re.compile(r"//")
+
+
+def rewrite_bracket_lists(sql: str) -> str:
+    """DuckDB ``['a', 'b']`` list literals -> ``array('a', 'b')``.
+
+    A ``[`` is a literal-list opener when preceded by an operator,
+    comma, paren, start-of-input, or a SQL keyword (``SELECT [1,2]``);
+    after an identifier, ``)`` or ``]`` it is a subscript and stays
+    untouched. String literals are never modified."""
+    keywords = {
+        "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "END", "AND", "OR",
+        "NOT", "IN", "AS", "ON", "BY", "RETURN", "CASE", "DISTINCT",
+        "ALL", "UNION", "HAVING", "VALUES", "SET", "BETWEEN", "LIKE",
+        "COALESCE", "IF", "ARRAY",
+    }
+    res = []
+    stack = []  # per '['/'(' level: True when the '[' was converted
+    in_lit = False
+    prev_sig = ""  # last significant (non-space) char
+    prev_token = ""  # last identifier/keyword word
+    word = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            res.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    res.append("'")
+                    i += 1
+                else:
+                    in_lit = False
+            i += 1
+            continue
+        if ch.isalnum() or ch == "_":
+            word.append(ch)
+            res.append(ch)
+            prev_sig = ch
+            i += 1
+            continue
+        if word:
+            prev_token = "".join(word)
+            word = []
+        if ch == "'":
+            in_lit = True
+            res.append(ch)
+            prev_sig = ch
+        elif ch == "[":
+            after_word = prev_sig.isalnum() or prev_sig == "_"
+            literal_list = (
+                prev_sig == ""
+                or prev_sig in "(,=<>+-*/%|&["
+                or (after_word and prev_token.upper() in keywords)
+            )
+            stack.append(literal_list)
+            res.append("array(" if literal_list else ch)
+            prev_sig = "("
+        elif ch == "(":
+            stack.append(False)
+            res.append(ch)
+            prev_sig = ch
+        elif ch in ")]":
+            converted = stack.pop() if stack else False
+            res.append(")" if (ch == "]" and converted) else ch)
+            prev_sig = ch
+        else:
+            res.append(ch)
+            if not ch.isspace():
+                prev_sig = ch
+        i += 1
+    return "".join(res)
+
+
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         out = _SAMPLE_ROWS.sub(r"TABLESAMPLE (\1 ROWS)", chunk)
         out = _SAMPLE_PCT.sub(r"TABLESAMPLE (\1 PERCENT)", out)
+        out = _INT_DIV.sub(" div ", out)  # DuckDB // integer division
         return out
 
-    return _map_nonliteral(sql, fix)
+    out = _map_nonliteral(sql, fix)
+    out = rewrite_bracket_lists(out)
+    return expand_dialect_functions(out)
 
 
 def quoted_stage_refs_to_views(sql: str, views: Dict[str, str]) -> str:

@@ -1,0 +1,138 @@
+"""Golden tests: the reference's own pipeline YAMLs execute verbatim
+through Flow (loaded directly from the read-only reference checkout —
+nothing is copied into this repo).
+
+Covers (reference tests/support/integration.yaml): Rest sources with
+the reference-shaped client/request spec (429 retry, plain read, query
+pagination), CamelCase connection kinds, Parquet/JSON/JSONL/CSV taps
+via templated locators, transforms over bare stage names, UNION ALL,
+`show: -1` / `show_schema`, and the Deltatable boundary (jar-gated in
+this environment — asserted as the clean gate error).
+"""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import pandas as pd
+import pytest
+
+from ankaflow_spark.models.core import Stages
+from ankaflow_spark.plans.flow import Flow, FlowError
+
+REF_YAML = Path("/root/reference/ankaflow/tests/support/integration.yaml")
+
+RECORDS = [{"id": i, "name": f"row{i}", "value": float(i) * 1.5} for i in range(5)]
+
+
+class RefHandler(BaseHTTPRequestHandler):
+    """Mirror of the reference test server's /json contract
+    (reference tests/support/rest_server.py:86-143)."""
+
+    counters = {}
+
+    def log_message(self, *args):
+        pass
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if parsed.path != "/json":
+            self.send_error(404)
+            return
+        qs = parse_qs(parsed.query)
+
+        def get_int(p):
+            return int(qs[p][0]) if p in qs else None
+
+        page_no, page_size = get_int("page_no"), get_int("page_size")
+        simulate429 = get_int("simulate429")
+        if simulate429 is not None:
+            key = f"{page_no}-{page_size}-{simulate429}"
+            if self.counters.get(key, 0) < simulate429:
+                self.counters[key] = self.counters.get(key, 0) + 1
+                self.send_error(429, "Simulated 429 - rate limit")
+                return
+            self._send([{"retry429": f"success after {simulate429} retries"}])
+            return
+        data = RECORDS
+        if page_no is not None and page_size is not None:
+            data = data[page_no * page_size : (page_no + 1) * page_size]
+        self._send(data)
+
+    def _send(self, obj):
+        payload = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+@pytest.fixture(scope="module")
+def ref_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), RefHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.mark.skipif(not REF_YAML.exists(), reason="reference checkout absent")
+def test_reference_integration_yaml_verbatim(engine, ref_server, tmp_path, monkeypatch):
+    import ankaflow_spark.sources.rest as rest_mod
+
+    monkeypatch.setattr(rest_mod.time, "sleep", lambda s: None)
+    RefHandler.counters.clear()
+
+    pdf = pd.DataFrame(RECORDS)
+    pdf.to_parquet(tmp_path / "in.parquet")
+    # reference TestJSONRead/TestJSONLRead both resolve through
+    # templated locators; NDJSON matches this engine's JSON default
+    (tmp_path / "in.json").write_text("\n".join(json.dumps(r) for r in RECORDS))
+    (tmp_path / "in.jsonl").write_text("\n".join(json.dumps(r) for r in RECORDS))
+    pdf.to_csv(tmp_path / "in.csv", index=False)
+
+    variables = {
+        "base_url": ref_server,
+        "test_parquet_read": str(tmp_path / "in.parquet"),
+        "test_json_read": str(tmp_path / "in.json"),
+        "test_jsonl_read": str(tmp_path / "in.jsonl"),
+        "test_csv_read": str(tmp_path / "in.csv"),
+        "test_delta": str(tmp_path / "delta"),
+    }
+    flow = Flow(Stages.load(str(REF_YAML)), engine=engine, variables=variables)
+    # runs verbatim up to the Deltatable boundary: delta-spark jars are
+    # absent in this environment, so WriteDelta fails with the gate error
+    with pytest.raises(FlowError, match="delta-spark jars"):
+        flow.run()
+
+    # everything before the boundary produced the reference results
+    assert engine.table("TestHTTPRead429").collect()[0]["retry429"] == "success after 2 retries"
+    assert engine.table("TestHTTPRead").count() == 5
+    assert engine.table("TestHTTPPaging").count() == 5  # pages of 2: 2+2+1
+    assert engine.table("TestParquetRead").count() == 5
+    assert engine.table("TestParquetTranform").collect()[0]["totals"] == 5
+    assert engine.table("UnionAllSources").count() == 20  # 4 sources x 5 rows
+
+
+@pytest.mark.skipif(not REF_YAML.exists(), reason="reference checkout absent")
+def test_reference_example_yaml_transforms(engine, tmp_path):
+    """example.yaml's transform stages verbatim (its source stage points
+    at a public HTTPS parquet — no network here, so the same frame is
+    tapped from a local file under the same stage name)."""
+    import yaml as _yaml
+
+    stages = _yaml.safe_load(
+        Path("/root/reference/ankaflow/yaml/example.yaml").read_text()
+    )
+    pd.DataFrame({"PassengerId": [3, 1, 2], "Name": list("abc")}).to_parquet(
+        tmp_path / "titanic.parquet"
+    )
+    stages[0]["connection"]["locator"] = str(tmp_path / "titanic.parquet")
+    flow = Flow(Stages.parse(stages), engine=engine)
+    df = flow.run()
+    ids = [r["PassengerId"] for r in df.collect()]
+    assert sorted(ids) == [1, 1, 2, 2, 3, 3]  # asc union desc
+    assert engine.table("SortAsc").collect()[0]["PassengerId"] == 1
+    assert engine.table("SortDesc").collect()[0]["PassengerId"] == 3

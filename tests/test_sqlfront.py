@@ -148,3 +148,58 @@ def test_renderer_json_block():
     r = Renderer()
     out = r.render('@json {"a": << n >>, "b": ["x"]}', {"n": 5})
     assert out == {"a": 5, "b": ["x"]}
+
+
+def test_duckdb_dialect_functions(engine, tmp_path):
+    """Reference-style (DuckDB-dialect) transform SQL executes verbatim:
+    strftime/strptime, epoch_*, make_timestamp(µs), list_* family,
+    string_split, // integer division, read_parquet table refs."""
+    row = engine.sql(
+        "SELECT strftime(TIMESTAMP '2024-03-05 10:20:30', '%Y-%m-%d %H:%M:%S') AS s,"
+        "       strptime('2024-03-05', '%Y-%m-%d') AS p,"
+        "       epoch_us(TIMESTAMP '2020-09-13 12:26:40') AS eu,"
+        "       epoch_ms(TIMESTAMP '2020-09-13 12:26:40') AS em,"
+        "       make_timestamp(1600000000000000) AS mt,"
+        "       7 // 2 AS intdiv,"
+        "       string_split('a b c', ' ') AS sp,"
+        "       list_contains(['x', 'y'], 'x') AS has,"
+        "       list_sort(list_distinct(['b', 'a', 'b'])) AS uniq,"
+        "       array_to_string(['a', 'b'], ',') AS joined,"
+        "       list_transform([1, 2, 3], x -> x * 2) AS doubled,"
+        "       list_reduce([1, 2, 3, 4], (a, b) -> a + b) AS reduced,"
+        "       regexp_matches('hello42', '\\\\d+') AS rx,"
+        "       isodow(DATE '2024-03-05') AS dow,"
+        "       isoyear(DATE '2027-01-01') AS iy"
+    ).collect()[0]
+    assert row["s"] == "2024-03-05 10:20:30"
+    assert str(row["p"]) == "2024-03-05 00:00:00"
+    assert row["eu"] == 1600000000000000 and row["em"] == 1600000000000
+    assert str(row["mt"]) == "2020-09-13 12:26:40"
+    assert row["intdiv"] == 3
+    assert row["sp"] == ["a", "b", "c"]
+    assert row["has"] is True and row["uniq"] == ["a", "b"]
+    assert row["joined"] == "a,b" and row["doubled"] == [2, 4, 6]
+    assert row["reduced"] == 10
+    assert row["rx"] is True and row["dow"] == 2 and row["iy"] == 2026
+
+    # aggregate spellings: list() and string_agg()
+    row = engine.sql(
+        "SELECT list_sort(list(v)) AS vals, string_agg(v, '|') AS agg "
+        "FROM (SELECT explode(array('b', 'a')) AS v)"
+    ).collect()[0]
+    assert row["vals"] == ["a", "b"] and set(row["agg"].split("|")) == {"a", "b"}
+
+    # unnest(generate_series(...)) row generator
+    n = engine.sql(
+        "SELECT unnest(generate_series(1, 5)) AS x"
+    ).count()
+    assert n == 5
+
+    # read_parquet('path') table function -> parquet.`path` scan
+    import pandas as pd
+
+    pd.DataFrame({"v": [1, 2]}).to_parquet(tmp_path / "t.parquet")
+    assert engine.sql(f"SELECT count(*) AS n FROM read_parquet('{tmp_path}/t.parquet')").collect()[0]["n"] == 2
+
+    # dialect names inside string literals are left alone
+    assert engine.sql("SELECT 'epoch_us(x) // 2' AS s").collect()[0]["s"] == "epoch_us(x) // 2"
