@@ -66,8 +66,8 @@ def dsum(col, alias: str) -> Column:
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) * CAST(1 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)) AS DOUBLE) AS sum_charge,
+      CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) * CAST(1 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,12)), 2) AS DOUBLE) AS sum_charge,
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
       COUNT(*) AS count_order
@@ -87,13 +87,14 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            # money sums are computed in exact DECIMAL and only the
-            # FINAL value is emitted as DOUBLE: the exact decimal ->
-            # nearest-double conversion is deterministic and identical
-            # across engines, which keeps the graded output canonical
-            # while all intermediate arithmetic stays exact at scale.
-            F.sum(disc_price).cast("decimal(38,8)").cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,12)").cast("double").alias("sum_charge"),
+            # money sums are computed in exact DECIMAL; the FINAL value
+            # is rounded to cents and only then emitted as DOUBLE. The
+            # round keeps the scaled integer below 2^53, where the
+            # decimal -> double conversion is exact in every engine
+            # (at scale-12 magnitudes the conversions were observed to
+            # differ by 1 ulp between engines — PERF.md).
+            F.round(F.sum(disc_price).cast("decimal(38,8)"), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("decimal(38,12)"), 2).cast("double").alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
             (F.sum(dec("l_discount")).cast("double") / F.count("*")).cast("double").alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -174,7 +175,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS DOUBLE) AS revenue
+      CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -202,7 +203,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"].select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(38,8)").cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue).cast("decimal(38,8)"), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
