@@ -82,14 +82,31 @@ class JDBCConnection:
         return self.engine.spark.read.format("jdbc").options(**options).load()
 
     def sink(self, df: DataFrame, stage: Stage) -> None:
-        table = self.spec.get("table")
+        # the reference's warehouse sinks name the target table in the
+        # locator (integration.yaml ClickHouse stages)
+        table = self.spec.get("table") or self.spec.get("locator")
         if not table:
-            raise ValueError("jdbc sink needs `table`")
+            raise ValueError("jdbc sink needs `table` (or a table-name locator)")
         mode = self.spec.get("mode") or "append"
         df.write.format("jdbc").options(**self._options({"dbtable": table})).mode(mode).save()
 
     def execute(self, query: str, stage: Stage) -> None:
-        raise NotImplementedError(
-            "remote DDL over raw JDBC requires a driver-specific client; "
-            "not available in this environment"
-        )
+        """Remote DDL/DML statement on the external system (reference
+        'sql' stage for warehouse connections): executed through
+        java.sql.DriverManager on the driver JVM — any JDBC driver on
+        the Spark classpath works (Derby ships with Spark; ClickHouse/
+        Postgres need their jar added)."""
+        opts = dict(self.spec.get("options") or {})
+        url = opts.get("url") or self.spec.get("locator")
+        if not url or not str(url).startswith("jdbc:"):
+            raise ValueError("jdbc sql stage needs a jdbc:... url (locator or options.url)")
+        jvm = self.engine.spark._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(query)
+            finally:
+                st.close()
+        finally:
+            conn.close()
