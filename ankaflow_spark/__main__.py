@@ -29,14 +29,53 @@ def _parse_keyvals(pairs):
     return out
 
 
+def _resolve_yaml_path(path_arg: str) -> str:
+    """'DEMO' maps to the bundled demo pipeline (reference cli.py
+    resolve_yaml_path)."""
+    if path_arg.upper() == "DEMO":
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return os.path.join(here, "examples", "demo.yaml")
+    return path_arg
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ankaflow_spark", description=__doc__)
-    parser.add_argument("pipeline", help="YAML pipeline file")
-    parser.add_argument("--var", action="append", default=[], help="variable k=v")
-    parser.add_argument("--context", action="append", default=[], help="context k=v")
-    parser.add_argument("--out", help="write final stage to this file (parquet/csv/json)")
+    parser.add_argument(
+        "pipeline", help="YAML pipeline file (or DEMO for the bundled demo flow)"
+    )
+    parser.add_argument(
+        "-v", "--variable", "--var", dest="var", action="append", default=[],
+        help="variable k=v",
+    )
+    parser.add_argument(
+        "-c", "--context", action="append", default=[], help="context k=v"
+    )
+    parser.add_argument(
+        "-o", "--output", nargs=2, metavar=("FORMAT", "PATH"),
+        help="write final dataframe as FORMAT (parquet/csv/json) to PATH",
+    )
+    parser.add_argument("--out", help="write final stage to this file (format from extension)")
+    parser.add_argument("-l", "--log", help="path to log file")
+    parser.add_argument("--verbose", action="store_true", help="DEBUG logging")
     parser.add_argument("--show", type=int, default=0, help="print N rows of the final stage")
     args = parser.parse_args(argv)
+
+    # configure logging only for a real CLI invocation (argv is None) or
+    # when explicitly asked — embedding callers keep their own config
+    if argv is None or args.log or args.verbose:
+        import logging
+
+        level = logging.DEBUG if args.verbose else logging.INFO
+        handlers = [logging.StreamHandler(sys.stdout)]
+        if args.log:
+            handlers.append(logging.FileHandler(args.log))
+        logging.basicConfig(
+            level=level,
+            format="%(asctime)s %(levelname)s: %(message)s",
+            datefmt="%Y-%m-%d %H:%M:%S",
+            handlers=handlers,
+            force=True,
+        )
 
     from .models.configs import ConnectionConfiguration
     from .models.core import Stages
@@ -46,7 +85,7 @@ def main(argv=None) -> int:
     context = {"env": dict(os.environ), "user": _parse_keyvals(args.context)}
 
     flow = Flow(
-        Stages.load(args.pipeline),
+        Stages.load(_resolve_yaml_path(args.pipeline)),
         context=context,
         variables=variables,
         conn_config=ConnectionConfiguration.from_env(),
@@ -57,14 +96,23 @@ def main(argv=None) -> int:
         return 1
     if args.show:
         df.show(args.show)
-    if args.out:
+
+    def write(fmt: str, path: str) -> None:
         pdf = df.toPandas()
-        if args.out.endswith(".csv"):
-            pdf.to_csv(args.out, index=False)
-        elif args.out.endswith(".json"):
-            pdf.to_json(args.out, orient="records")
+        if fmt == "csv":
+            pdf.to_csv(path, index=False)
+        elif fmt == "json":
+            pdf.to_json(path, orient="records")
+        elif fmt == "parquet":
+            pdf.to_parquet(path, index=False)
         else:
-            pdf.to_parquet(args.out, index=False)
+            raise SystemExit(f"unsupported output format: {fmt}")
+
+    if args.output:
+        write(args.output[0].lower(), args.output[1])
+    if args.out:
+        ext = args.out.rsplit(".", 1)[-1].lower()
+        write(ext if ext in ("csv", "json") else "parquet", args.out)
     return 0
 
 

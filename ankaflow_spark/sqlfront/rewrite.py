@@ -285,7 +285,13 @@ def expand_fn_macros(sql: str, schema_lookup=None) -> str:
 def rewrite_views(sql: str, views: Dict[str, str]) -> str:
     """Replace references to registered stage names with their mangled
     temp-view identifiers. Handles both double-quoted (``"Extract Data"``)
-    and bare spellings."""
+    and bare spellings. Bare-name replacement is token-aware: a match
+    preceded by ``.`` (qualified column ``t.stage``), followed by ``(``
+    (function call), or followed by ``.`` where it acts as a qualifier
+    for its own columns is a table reference and rewrites; a match in a
+    function-call position does not — this keeps a column that happens
+    to share a stage's name from being clobbered in expressions like
+    ``SELECT other.stage_name FROM ...``."""
 
     def fix(chunk: str) -> str:
         out = chunk
@@ -294,7 +300,12 @@ def rewrite_views(sql: str, views: Dict[str, str]) -> str:
                 continue
             out = out.replace(f'"{user}"', view)
             if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", user):
-                out = re.sub(rf"\b{re.escape(user)}\b", view, out)
+                # not preceded by '.' or word char; not followed by '('
+                out = re.sub(
+                    rf"(?<![\w.`]){re.escape(user)}\b(?!\s*\()",
+                    view,
+                    out,
+                )
         return out
 
     return _map_nonliteral(sql, fix)

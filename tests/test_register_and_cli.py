@@ -115,3 +115,17 @@ def test_cli_env_configured_bucket(tmp_path, monkeypatch, spark):
     monkeypatch.setenv("AWS_DEFAULT_BUCKET", str(tmp_path))
     assert cli.main([str(yml), "--out", str(out)]) == 0
     assert len(out.read_text().strip().splitlines()) == 4  # header + 3 rows
+
+
+def test_cli_demo_and_output_format(tmp_path, spark):
+    """'DEMO' resolves to the bundled demo pipeline; -o FORMAT PATH
+    writes the final frame (reference cli.py surface)."""
+    from ankaflow_spark import __main__ as cli
+
+    out = tmp_path / "demo.json"
+    assert cli.main(["DEMO", "-o", "json", str(out)]) == 0
+    import json as _json
+
+    rows = _json.loads(out.read_text())
+    assert len(rows) == 20  # asc ∪ desc over 10 ids
+    assert {r["id"] for r in rows} == set(range(1, 11))

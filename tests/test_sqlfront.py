@@ -203,3 +203,21 @@ def test_duckdb_dialect_functions(engine, tmp_path):
 
     # dialect names inside string literals are left alone
     assert engine.sql("SELECT 'epoch_us(x) // 2' AS s").collect()[0]["s"] == "epoch_us(x) // 2"
+
+
+def test_rewrite_views_token_aware():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_views
+
+    views = {"stage1": "stage1__abc"}
+    # table positions rewrite
+    assert rewrite_views("SELECT * FROM stage1", views) == "SELECT * FROM stage1__abc"
+    assert (
+        rewrite_views("SELECT stage1.x FROM stage1", views)
+        == "SELECT stage1__abc.x FROM stage1__abc"
+    )
+    # qualified column of ANOTHER table does not rewrite
+    assert rewrite_views("SELECT t.stage1 FROM t", views) == "SELECT t.stage1 FROM t"
+    # function-call position does not rewrite
+    assert rewrite_views("SELECT stage1(x) FROM t", views) == "SELECT stage1(x) FROM t"
+    # string literals untouched
+    assert rewrite_views("SELECT 'stage1' AS s", views) == "SELECT 'stage1' AS s"
