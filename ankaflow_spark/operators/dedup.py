@@ -130,10 +130,26 @@ _SPARK_STACK_ARGS = ", ".join(
     for b in range(LSH_BANDS)
 )
 
+def cached_shingles(spark: SparkSession) -> None:
+    """Materialize the shingle table ONCE as a cached view. The CTE
+    chain below references `shingles` many times; inline expansion
+    would re-scan + re-split the documents table per reference (12
+    scans observed in the composed d03 plan). At cluster scale this is
+    the persisted signature-input table every near-dup pipeline keeps;
+    locally a cache() expresses the same single-materialization
+    contract. Spark's CacheManager dedupes by logical plan, so repeat
+    calls are no-ops."""
+    df = spark.sql(SPARK_SHINGLES)
+    df.createOrReplaceTempView("__shingles__")
+    df.cache()
+
+
 #: shared CTE chain `shingles -> ... -> cands` (banded LSH candidate
 #: pairs), in each dialect. Prepend with WITH and select from `cands`.
+#: The Spark spelling reads the cached __shingles__ view (see
+#: cached_shingles); the DuckDB oracle inlines the same shingle SQL.
 SPARK_CAND_CTES = f"""
-    shingles AS ({SPARK_SHINGLES}),
+    shingles AS (SELECT doc_id, sh FROM __shingles__),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
     bands AS (
@@ -179,6 +195,7 @@ DUCK_CAND_CTES = f"""
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_shingles(spark)
     return spark.sql(f"""
       WITH {SPARK_CAND_CTES}
       SELECT doc_a, doc_b FROM cands
@@ -229,6 +246,7 @@ def _jaccard_over_cands(cand_ctes: str) -> str:
 @query("d03_ngram_jaccard", oracle=_jaccard_over_cands(DUCK_CAND_CTES))
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_shingles(spark)
     return spark.sql(_jaccard_over_cands(SPARK_CAND_CTES))
 
 
@@ -262,7 +280,8 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    shingles = spark.sql(SPARK_SHINGLES)
+    cached_shingles(spark)
+    shingles = spark.table("__shingles__")
     from pyspark.sql.window import Window as W
 
     pruned = (
@@ -313,6 +332,7 @@ def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_shingles(spark)
     # Same math as the oracle, but as 32 conditional aggregates over the
     # shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
     # the shape that survives a 100x corpus scale-up).
@@ -327,7 +347,7 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(32)
     )
     return spark.sql(f"""
-    WITH shingles AS ({SPARK_SHINGLES}),
+    WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
@@ -373,9 +393,10 @@ EMB_NEARDUP_COSINE = 0.2
     """,
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _SPARK_NORM, _bucket_sql
+    from .similarity import _SPARK_NORM, _bucket_sql, cached_embeddings
 
     load_tables(spark, sf_dir)
+    cached_embeddings(spark)
     return spark.sql(f"""
     WITH buckets AS ({_bucket_sql(True)}),
     norms AS ({_SPARK_NORM}),
@@ -461,11 +482,14 @@ def _cc_sql(spark_dialect: bool, pairs_cte: str) -> str:
 @query("d06_dedup_clusters")
 def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    # candidate pairs are tiny vs the corpus by LSH construction: cache
-    # them once instead of re-deriving the signature pipeline per
-    # propagation round (at cluster scale: persist to storage instead)
-    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).cache()
-    pairs.count()
+    # candidate pairs are tiny vs the corpus by LSH construction.
+    # localCheckpoint (not cache) TRUNCATES the lineage: the fixed-round
+    # propagation SQL references `edges` a multiplicative number of
+    # times, and with full lineage each reference re-serializes the
+    # whole signature pipeline into every task (observed 6.5 MiB task
+    # binaries, ~3x wall). Iterative algorithms checkpoint their base —
+    # at cluster scale this is a persisted pairs table.
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).localCheckpoint()
     pairs.createOrReplaceTempView("__d06_pairs__")
     return spark.sql(_cc_sql(True, "SELECT doc_a, doc_b FROM __d06_pairs__"))
 

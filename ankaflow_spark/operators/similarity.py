@@ -37,6 +37,16 @@ N_PLANES = 8
 DIM = 64
 
 
+def cached_embeddings(spark: SparkSession) -> None:
+    """Cache the embeddings relation: the ANN CTE chains reference it
+    many times (24 scans observed in the inlined s03 plan); Spark's
+    CacheManager matches the logical plan so every reference hits one
+    materialization. At cluster scale the corpus lives in cached/
+    persisted storage exactly once — this expresses that contract."""
+    spark.table("embeddings").cache()
+
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -104,6 +114,7 @@ _SPARK_DOT = """aggregate(zip_with(q.embedding, c.embedding,
 )
 def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_embeddings(spark)
     return spark.sql(f"""
     WITH norms AS ({_SPARK_NORM}),
     dots AS (
@@ -192,6 +203,7 @@ def _bucket_sql(spark_dialect: bool) -> str:
 )
 def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_embeddings(spark)
     return spark.sql(f"""
     WITH buckets AS ({_bucket_sql(True)}),
     norms AS ({_SPARK_NORM}),
@@ -338,6 +350,7 @@ def _ivf_sql(spark_dialect: bool) -> str:
 @query("s03_ivf_ann", oracle=_ivf_sql(False))
 def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    cached_embeddings(spark)
     return spark.sql(_ivf_sql(True))
 
 
