@@ -49,13 +49,57 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["st01_stream_window"] = st01
+# The streaming RESULT is SQL-expressible even though the execution is
+# not: an availableNow complete-mode run over a bounded source equals
+# the batch windowed aggregation — so st01 gets a full value oracle
+# (decimal-summed, see streaming.windowed_agg).
+ORACLES["st01_stream_window"] = """
+    SELECT
+      make_timestamp(((epoch_us(ts) // 1000000) // 300) * 300 * 1000000) AS window_start,
+      make_timestamp((((epoch_us(ts) // 1000000) // 300) * 300 + 300) * 1000000) AS window_end,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+"""
 
 
 def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over deterministic synthetic media
-    (binary payloads -> sha256 + fixed-width features via mapInPandas).
-    Rows-only check: binary/mapInPandas plumbing is not SQL-expressible
-    in the oracle; determinism is asserted in tests/test_operators.py."""
+    """Multimodal binary round-trip, ORACLE-CHECKED: the synthetic
+    payloads are md5-derived bytes DuckDB can reproduce with
+    repeat(unhex(md5(...))), and n_bytes is measured in pandas from the
+    real bytes after the Arrow/mapInPandas hop — a cross-engine
+    verification that binary payloads survive the pipeline intact.
+    (sha256/feature columns are graded rows-only in m02: DuckDB's
+    sha256 only accepts VARCHAR, so the byte-hash isn't oracle-
+    expressible; determinism is pytest-asserted.)"""
+    from .multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 120)
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+QUERIES["m01_multimodal_features"] = m01
+ORACLES["m01_multimodal_features"] = """
+    SELECT i AS media_id,
+           CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(repeat(unhex(md5(CAST(i AS VARCHAR))), CAST(4 + i % 5 AS INT))) AS n_bytes
+    FROM range(120) t(i)
+    ORDER BY media_id
+"""
+
+
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal feature surface (sha256 + fixed-width features
+    via mapInPandas). Rows-only check: byte-level sha256/feature math
+    is not SQL-expressible in the DuckDB oracle; determinism is
+    asserted in tests/test_operators.py."""
     from .multimodal import extract_features, synth_media
 
     media = synth_media(spark, 120)
@@ -71,4 +115,4 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-QUERIES["m01_multimodal_features"] = m01
+QUERIES["m02_multimodal_feature_surface"] = m02

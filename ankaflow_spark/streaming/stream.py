@@ -51,7 +51,13 @@ def windowed_agg(
     keys = [w] + [F.col(c) for c in (group_cols or [])]
     aggs = [F.count("*").alias("n_events")]
     if "value" in events.columns:
-        aggs.append(F.sum("value").alias("total_value"))
+        # sum in DECIMAL: exact and associative, so the streaming state
+        # accumulation order (partition/trigger dependent) cannot change
+        # the result — the same cross-engine determinism rule the batch
+        # aggregates follow (PERF.md); emitted as DOUBLE
+        aggs.append(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value")
+        )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(*keys)
