@@ -433,32 +433,84 @@ ORACLES["d05_embedding_neardup"] = ORACLES["d05_embedding_neardup"].format(
 
 
 # ---------------------------------------------------------------------------
-# d06 — near-dup cluster assignment: connected components over the
-# MinHash candidate pairs via min-label propagation (3 fixed rounds —
-# identical algorithm both engines; at 100 TB each round is one
-# join+groupBy and near-dup components are shallow). The cluster
-# representative (min doc_id) is the keep-one selection for dedup.
+# d06 — near-dup cluster assignment: TRUE connected components over the
+# MinHash candidate pairs. Spark iterates min-label propagation to a
+# FIXPOINT (each round one join+groupBy over the tiny pairs table,
+# lineage truncated per round with localCheckpoint); the oracle computes
+# the same ground truth as a DuckDB recursive transitive closure. Both
+# yield min-reachable-id per node, so they agree for any chain length —
+# unlike a fixed round count, which under-merges components whose
+# diameter exceeds the horizon. The cluster representative (min doc_id)
+# is the keep-one selection for dedup.
 # ---------------------------------------------------------------------------
-CC_ROUNDS = 3
+CC_MAX_ROUNDS = 64  # safety bound only; the loop exits at fixpoint
 
 
-def _cc_sql(spark_dialect: bool, pairs_cte: str) -> str:
-    # labels0: every doc in a pair labeled with min(neighbor ids, self)
-    # round k: label = min(label, min over neighbors of their label)
-    rounds = []
-    prev = "labels0"
-    for r in range(1, CC_ROUNDS + 1):
-        rounds.append(f"""
-    labels{r} AS (
-      SELECT n.doc_id, LEAST(l.lbl, MIN(nl.lbl)) AS lbl
-      FROM edges n
-      JOIN {prev} l  ON l.doc_id = n.doc_id
-      JOIN {prev} nl ON nl.doc_id = n.nbr
-      GROUP BY n.doc_id, l.lbl
-    )""")
-        prev = f"labels{r}"
-    return f"""
-    WITH pairs AS ({pairs_cte}),
+def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected edge list
+    (columns doc_a, doc_b). Returns (doc_id, cluster_id,
+    is_representative) with cluster_id = min doc_id in the component.
+
+    Scale shape: each round is one shuffle-join of labels against the
+    (small, checkpointed) edge table plus a groupBy — the GraphFrames /
+    Pregel iteration pattern. Rounds needed = graph diameter; near-dup
+    graphs are shallow, and the fixpoint test is a cheap count over the
+    label-diff (labels ≈ |V(pairs)| rows, tiny vs the corpus). Lineage
+    is truncated every round so task binaries stay constant-size.
+    """
+    # localCheckpoint TRUNCATES lineage: iterative plans otherwise
+    # re-serialize the whole upstream pipeline into every task
+    # (observed 6.5 MiB task binaries, ~3x wall, in the fixed-round
+    # predecessor). At cluster scale this is a persisted pairs table.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = (
+        pairs.selectExpr("doc_a AS doc_id", "doc_b AS nbr")
+        .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_a AS nbr"))
+        .unionAll(pairs.selectExpr("doc_a AS doc_id", "doc_a AS nbr"))
+        .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_b AS nbr"))
+        .localCheckpoint()
+    )
+    labels = edges.groupBy("doc_id").agg(F.min("nbr").alias("lbl")).localCheckpoint()
+    for _ in range(CC_MAX_ROUNDS):
+        n = edges.alias("n")
+        l_own = labels.alias("l")
+        l_nbr = labels.alias("nl")
+        new_labels = (
+            n.join(l_own, F.col("n.doc_id") == F.col("l.doc_id"))
+            .join(l_nbr, F.col("n.nbr") == F.col("nl.doc_id"))
+            .groupBy(F.col("n.doc_id").alias("doc_id"), F.col("l.lbl").alias("old_lbl"))
+            .agg(F.min(F.col("nl.lbl")).alias("min_nbr"))
+            .select(
+                "doc_id",
+                F.least(F.col("old_lbl"), F.col("min_nbr")).alias("lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = new_labels.select("doc_id", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
+    ).orderBy("cluster_id", "doc_id")
+
+
+@query("d06_dedup_clusters")
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
+    return connected_components(spark, pairs)
+
+
+# oracle: exact connected components as a recursive transitive closure —
+# min reachable id per node, the same ground truth the fixpoint loop
+# converges to. UNION (not UNION ALL) in the recursive arm dedupes the
+# frontier so the closure terminates.
+ORACLES["d06_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", "")}),
     edges AS (
       SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
       UNION ALL
@@ -468,34 +520,14 @@ def _cc_sql(spark_dialect: bool, pairs_cte: str) -> str:
       UNION ALL
       SELECT doc_b AS doc_id, doc_b AS nbr FROM pairs
     ),
-    labels0 AS (
-      SELECT doc_id, MIN(nbr) AS lbl FROM edges GROUP BY doc_id
-    ),
-    {", ".join(rounds)}
-    SELECT doc_id, lbl AS cluster_id,
-           CASE WHEN doc_id = lbl THEN TRUE ELSE FALSE END AS is_representative
-    FROM {prev}
+    reach(doc_id, nbr) AS (
+      SELECT doc_id, nbr FROM edges
+      UNION
+      SELECT r.doc_id, e.nbr FROM reach r JOIN edges e ON e.doc_id = r.nbr
+    )
+    SELECT doc_id, MIN(nbr) AS cluster_id,
+           CASE WHEN doc_id = MIN(nbr) THEN TRUE ELSE FALSE END AS is_representative
+    FROM reach
+    GROUP BY doc_id
     ORDER BY cluster_id, doc_id
     """
-
-
-@query("d06_dedup_clusters")
-def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
-    # candidate pairs are tiny vs the corpus by LSH construction.
-    # localCheckpoint (not cache) TRUNCATES the lineage: the fixed-round
-    # propagation SQL references `edges` a multiplicative number of
-    # times, and with full lineage each reference re-serializes the
-    # whole signature pipeline into every task (observed 6.5 MiB task
-    # binaries, ~3x wall). Iterative algorithms checkpoint their base —
-    # at cluster scale this is a persisted pairs table.
-    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).localCheckpoint()
-    pairs.createOrReplaceTempView("__d06_pairs__")
-    return spark.sql(_cc_sql(True, "SELECT doc_a, doc_b FROM __d06_pairs__"))
-
-
-# oracle: the same fixed-round propagation over the same d02 pair CTE
-ORACLES["d06_dedup_clusters"] = _cc_sql(
-    False,
-    ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", ""),
-)

@@ -11,6 +11,7 @@ row counts reconcile against it in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from typing import Callable, Dict
@@ -31,8 +32,12 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t["events"]
     # stage a µs-normalized copy for the streaming file source (the
     # raw file's ns timestamps need the batch loader's conversion)
+    # md5, not hash(): Python string hashing is per-process salted, so
+    # hash() would mint a fresh staging dir every run and leak stale
+    # copies; md5 keeps the path stable across processes.
     staged = os.path.join(
-        tempfile.gettempdir(), f"ankaflow_stream_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"ankaflow_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         events.write.mode("overwrite").parquet(staged)
@@ -106,9 +111,10 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     # serialize the float-array feature for the graded projection (the
     # harness canonicalizes via pandas, which can't hash lists); fixed
-    # 6-decimal formatting keeps the string deterministic.
+    # 6-decimal printf formatting keeps the string deterministic with
+    # no locale separators (format_number inserts thousands commas).
     feat_str = F.concat_ws(
-        ",", F.transform("feature", lambda x: F.format_number(x.cast("double"), 6))
+        ",", F.transform("feature", lambda x: F.format_string("%.6f", x.cast("double")))
     )
     return feats.select(
         "media_id", "kind", "n_bytes", "sha256", feat_str.alias("feature_csv")

@@ -11,6 +11,7 @@ The admin pseudo-SQL parser (OPTIMIZE table [COMPACT] [VACUUM] [AGE=..]
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Any, Dict, Optional
 
@@ -116,7 +117,9 @@ class DeltaConnection:
         df = self.engine.spark.read.format("delta").load(self.spec["locator"])
         df = apply_ranking(df, self.spec)
         if query:
-            view = f"__delta_{abs(hash(stage.name)) % 10**8}"
+            # md5 of the stage name, not hash(): per-process hash salting
+            # would make the view name unreproducible across runs.
+            view = f"__delta_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
             df.createOrReplaceTempView(view)
             q = query.replace(f'"{stage.name}"', view)
             # the reference corpus spells the placeholder as the kind

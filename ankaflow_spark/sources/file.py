@@ -13,6 +13,7 @@ reference's single-file COPY TO output; documented small-result path).
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import re
 import shutil
@@ -128,7 +129,7 @@ class BaseFileConnection:
         validate_simple_query(query, ranking_enabled=ranking)
         # the user query references the source by placeholder; register a
         # stage-local view and run the query through the engine rewriter
-        view = f"__tap_{abs(hash(stage.name)) % 10**8}"
+        view = f"__tap_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
         df.createOrReplaceTempView(view)
         q = query
         # accepted FROM-placeholders: the stage name, "source", the file
@@ -337,7 +338,7 @@ class VariableConnection(BaseFileConnection):
         schema = self._schema()
         df = self.engine.spark.createDataFrame(records, schema=schema)
         if query:
-            view = f"__var_{abs(hash(name)) % 10**8}"
+            view = f"__var_{hashlib.md5(name.encode()).hexdigest()[:8]}"
             df.createOrReplaceTempView(view)
             return self.engine.sql(query.replace(f'"{name}"', view))
         return df

@@ -27,6 +27,7 @@ Connection spec — both shapes are accepted:
 from __future__ import annotations
 
 import base64
+import hashlib
 import io
 import json
 import time
@@ -500,7 +501,7 @@ class RestConnection:
                 raise ValueError("REST source returned no rows and no explicit fields are set")
             df = self.engine.spark.createDataFrame([], schema=schema)
         if query:
-            view = f"__rest_{abs(hash(stage.name)) % 10**8}"
+            view = f"__rest_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
             df.createOrReplaceTempView(view)
             df = self.engine.sql(query.replace(f'"{stage.name}"', view))
         return df

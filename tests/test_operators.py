@@ -118,3 +118,29 @@ def test_cosine_pandas_udf_matches_fold(spark):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_connected_components_long_chain(spark):
+    """A 10-node path graph must collapse to ONE cluster — a chain
+    longer than any fixed round horizon (regression for the old
+    CC_ROUNDS=3 under-merge)."""
+    from ankaflow_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(spark, pairs).collect()
+    assert len(out) == 10
+    assert {r["cluster_id"] for r in out} == {0}
+    reps = [r["doc_id"] for r in out if r["is_representative"]]
+    assert reps == [0]
+
+
+def test_connected_components_multiple_components(spark):
+    from ankaflow_spark.operators.dedup import connected_components
+
+    # two chains and an isolated pair: {1..4}, {10..12}, {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(spark, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
