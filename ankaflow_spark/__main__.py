@@ -31,10 +31,26 @@ def _parse_keyvals(pairs):
 
 def _resolve_yaml_path(path_arg: str) -> str:
     """'DEMO' maps to the bundled demo pipeline (reference cli.py
-    resolve_yaml_path)."""
+    resolve_yaml_path). Resolved as package data so an installed wheel
+    works; a source checkout's examples/demo.yaml is the fallback."""
     if path_arg.upper() == "DEMO":
+        try:
+            from importlib.resources import files
+
+            pkg = files("ankaflow_spark") / "examples" / "demo.yaml"
+            if pkg.is_file():
+                return str(pkg)
+        except Exception:
+            pass
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        return os.path.join(here, "examples", "demo.yaml")
+        candidate = os.path.join(here, "examples", "demo.yaml")
+        if not os.path.exists(candidate):
+            raise SystemExit(
+                "DEMO pipeline not found: expected packaged "
+                "ankaflow_spark/examples/demo.yaml or a source checkout's "
+                f"examples/demo.yaml (looked at {candidate})"
+            )
+        return candidate
     return path_arg
 
 

@@ -12,10 +12,16 @@ an optional SQL query, an optional connection, and control attributes
 from __future__ import annotations
 
 import enum
+import logging
 from typing import Any, Dict, List, Optional
 
 import yaml
 from pydantic import BaseModel, Field, field_validator
+
+log = logging.getLogger("ankaflow_spark.models")
+
+# unknown stage keys the reference corpus legitimately carries
+_KNOWN_STAGE_EXTRAS = frozenset({"attribution", "annotations", "comment", "description", "doc"})
 
 
 class StageKind(str, enum.Enum):
@@ -115,6 +121,21 @@ class Stage(BaseModel):
         if isinstance(v, list):
             return {"root": v}
         return v
+
+    def model_post_init(self, __context) -> None:
+        # extra=allow keeps reference-corpus pipelines loading, but a
+        # typoed control field (`skipif`, `data_mode` on a tap, ...)
+        # silently changing behavior is worse than noise — warn for
+        # anything outside the known reference extras.
+        unknown = set(self.__pydantic_extra__ or {}) - _KNOWN_STAGE_EXTRAS
+        if unknown:
+            log.warning(
+                "stage %r: ignoring unknown key(s) %s — possible typo? "
+                "known fields: %s",
+                self.name,
+                sorted(unknown),
+                sorted(type(self).model_fields),
+            )
 
 
 class Stages(BaseModel):

@@ -121,10 +121,13 @@ class DeltaConnection:
             # would make the view name unreproducible across runs.
             view = f"__delta_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
             df.createOrReplaceTempView(view)
-            q = query.replace(f'"{stage.name}"', view)
             # the reference corpus spells the placeholder as the kind
-            # name: `select * from Deltatable`
-            q = re.sub(r"\bdeltatable\b", view, q, flags=re.IGNORECASE)
+            # name (`select * from Deltatable`); rewriting is
+            # table-position-aware (FROM/JOIN only) so the word in a
+            # literal or column position survives.
+            from ..sqlfront.rewrite import rewrite_table_placeholders
+
+            q = rewrite_table_placeholders(query, (stage.name, "Deltatable"), view)
             return self.engine.sql(q)
         return df
 

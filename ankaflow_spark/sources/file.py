@@ -131,19 +131,19 @@ class BaseFileConnection:
         # stage-local view and run the query through the engine rewriter
         view = f"__tap_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
         df.createOrReplaceTempView(view)
-        q = query
         # accepted FROM-placeholders: the stage name, "source", the file
         # stem, and the connection kind (the reference corpus writes
-        # `select * from Deltatable` / `from Parquet` style taps)
-        for placeholder in (
-            stage.name,
-            "source",
-            self._table_placeholder(),
-            self.spec.get("kind"),
-        ):
-            if placeholder:
-                q = q.replace(f'"{placeholder}"', view)
-                q = re.sub(rf"\b{re.escape(str(placeholder))}\b", view, q, flags=re.IGNORECASE)
+        # `select * from Deltatable` / `from Parquet` style taps).
+        # Rewriting is table-position-aware: a column named `source` or
+        # matching the file stem, or the kind word in a string literal,
+        # stays untouched.
+        from ..sqlfront.rewrite import rewrite_table_placeholders
+
+        q = rewrite_table_placeholders(
+            query,
+            (stage.name, "source", self._table_placeholder(), self.spec.get("kind")),
+            view,
+        )
         out = self.engine.sql(q)
         out = apply_ranking(out, self.spec)
         return out

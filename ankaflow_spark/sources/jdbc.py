@@ -101,7 +101,15 @@ class JDBCConnection:
         if not url or not str(url).startswith("jdbc:"):
             raise ValueError("jdbc sql stage needs a jdbc:... url (locator or options.url)")
         jvm = self.engine.spark._jvm  # noqa: SLF001
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # authenticated warehouses (the normal ClickHouse/Postgres case)
+        # need the same credentials the Spark reader gets via _options;
+        # a bare getConnection(url) only ever worked for embedded Derby.
+        user = opts.get("user")
+        password = opts.get("password")
+        if user is not None:
+            conn = jvm.java.sql.DriverManager.getConnection(url, str(user), str(password or ""))
+        else:
+            conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
             st = conn.createStatement()
             try:

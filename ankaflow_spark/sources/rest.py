@@ -420,9 +420,13 @@ class RestConnection:
             in_body = str(handler.get("param_locator", "query")).lower() == "body"
             total_path = handler.get("total_records")
             throttle = handler.get("throttle")
+            # bound like the legacy path's max_pages=1000: an API that
+            # over-reports total_records or keeps returning empty pages
+            # must not loop forever
+            max_pages = int(handler.get("max_pages", 1000))
             received = 0
             req = json.loads(json.dumps(request))  # deep copy
-            while True:
+            for _ in range(max_pages):
                 _, raw = client.fetch(req)
                 records = decode_payload(raw, content_type, locator)
                 received += len(records)
@@ -432,7 +436,7 @@ class RestConnection:
                     import jmespath
 
                     total = int(jmespath.search(total_path, json.loads(raw)) or 0)
-                    has_next = received < total
+                    has_next = received < total and len(records) > 0
                 elif len(records) < page_size:
                     has_next = False
                 if not has_next:
@@ -501,9 +505,11 @@ class RestConnection:
                 raise ValueError("REST source returned no rows and no explicit fields are set")
             df = self.engine.spark.createDataFrame([], schema=schema)
         if query:
+            from ..sqlfront.rewrite import rewrite_table_placeholders
+
             view = f"__rest_{hashlib.md5(stage.name.encode()).hexdigest()[:8]}"
             df.createOrReplaceTempView(view)
-            df = self.engine.sql(query.replace(f'"{stage.name}"', view))
+            df = self.engine.sql(rewrite_table_placeholders(query, (stage.name,), view))
         return df
 
     def sink(self, df: DataFrame, stage: Stage) -> None:

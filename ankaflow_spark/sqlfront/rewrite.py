@@ -282,6 +282,23 @@ def expand_fn_macros(sql: str, schema_lookup=None) -> str:
     raise ValueError("Fn.* macro expansion did not converge (cyclic input?)")
 
 
+def _alias_definitions(sql: str) -> set:
+    """Names the query itself defines — table/column aliases (``AS x``,
+    also catching CAST target types, which is harmless) and CTE names
+    (``x AS (``). A stage name shadowed by one of these must NOT be
+    rewritten: ``FROM other AS stage_name`` aliases *other*, and later
+    ``stage_name.col`` refs mean the alias, not the stage."""
+    defs = set()
+    for is_lit, chunk in _split_literals(sql):
+        if is_lit:
+            continue
+        for m in re.finditer(r"(?i)\bAS\s+([A-Za-z_]\w*)", chunk):
+            defs.add(m.group(1).lower())
+        for m in re.finditer(r"(?i)\b([A-Za-z_]\w*)\s+AS\s*\(", chunk):
+            defs.add(m.group(1).lower())
+    return defs
+
+
 def rewrite_views(sql: str, views: Dict[str, str]) -> str:
     """Replace references to registered stage names with their mangled
     temp-view identifiers. Handles both double-quoted (``"Extract Data"``)
@@ -291,7 +308,9 @@ def rewrite_views(sql: str, views: Dict[str, str]) -> str:
     for its own columns is a table reference and rewrites; a match in a
     function-call position does not — this keeps a column that happens
     to share a stage's name from being clobbered in expressions like
-    ``SELECT other.stage_name FROM ...``."""
+    ``SELECT other.stage_name FROM ...``. A stage name the query itself
+    defines as an alias or CTE is shadowed and left alone entirely."""
+    shadowed = _alias_definitions(sql)
 
     def fix(chunk: str) -> str:
         out = chunk
@@ -299,13 +318,59 @@ def rewrite_views(sql: str, views: Dict[str, str]) -> str:
             if user == view:
                 continue
             out = out.replace(f'"{user}"', view)
-            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", user):
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", user) and user.lower() not in shadowed:
                 # not preceded by '.' or word char; not followed by '('
                 out = re.sub(
                     rf"(?<![\w.`]){re.escape(user)}\b(?!\s*\()",
                     view,
                     out,
                 )
+        return out
+
+    return _map_nonliteral(sql, fix)
+
+
+# keywords that can directly follow a table reference — anything else in
+# that position is an (implicit) alias
+_POST_TABLE_KEYWORDS = frozenset(
+    "where group order limit having union intersect except join inner left "
+    "right full cross on using qualify window natural semi anti lateral".split()
+)
+
+
+def rewrite_table_placeholders(sql: str, placeholders, view: str) -> str:
+    """Rewrite tap-source placeholders (stage name / ``source`` / file
+    stem / connection kind) to the tap's temp view — but ONLY where they
+    act as table references: the double-quoted spelling anywhere outside
+    string literals, and bare names directly after FROM/JOIN. A column
+    that happens to be named ``source``, a column matching the file
+    stem, or the kind word inside a string literal is left alone (the
+    pre-r3 whole-query ``re.sub`` clobbered those). When the reference
+    is not already aliased, the original name is kept as an alias
+    (``FROM stem`` -> ``FROM __tap_x AS stem``) so qualified column
+    refs like ``stem.col`` keep resolving."""
+    names = [str(p) for p in placeholders if p]
+
+    def fix(chunk: str) -> str:
+        out = chunk
+        for p in names:
+            out = out.replace(f'"{p}"', view)
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p):
+                continue
+
+            def sub(m: "re.Match[str]") -> str:
+                rest = m.string[m.end():]
+                nxt = re.match(r"\s*(AS\s+)?([A-Za-z_]\w*)", rest, re.IGNORECASE)
+                aliased = bool(nxt) and (
+                    bool(nxt.group(1)) or nxt.group(2).lower() not in _POST_TABLE_KEYWORDS
+                )
+                return m.group(1) + (view if aliased else f"{view} AS {m.group(2)}")
+
+            out = re.sub(
+                rf"(?i)\b((?:FROM|JOIN)\s+)({re.escape(p)})(?![\w.$])(?!\s*\()",
+                sub,
+                out,
+            )
         return out
 
     return _map_nonliteral(sql, fix)

@@ -282,3 +282,26 @@ def test_pull_df(engine, sf_dir):
     )
     pdf = flow.pull_df()
     assert pdf["n"][0] == 25
+
+
+def test_stage_unknown_key_warns(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="ankaflow_spark.models"):
+        Stages.loads("""
+- kind: transform
+  name: t
+  query: SELECT 1
+  skipif: true
+""")
+    assert any("skipif" in r.message or "skipif" in str(r.args) for r in caplog.records)
+    # known reference extras stay silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ankaflow_spark.models"):
+        Stages.loads("""
+- kind: transform
+  name: t
+  query: SELECT 1
+  attribution: someone
+""")
+    assert not caplog.records

@@ -97,6 +97,11 @@ class Handler(BaseHTTPRequestHandler):
             )
         elif parsed.path == "/download.csv":
             self._raw(b"id,value\n10,x\n11,y\n", "text/csv")
+        elif parsed.path == "/overreport":
+            # lies: claims 100 total records but only page 0 has any
+            self.state["overreport_hits"] = self.state.get("overreport_hits", 0) + 1
+            page = int(qs.get("page", ["0"])[0])
+            self._json({"total": 100, "rows": PAGES[0] if page == 0 else []})
         else:
             self.send_response(404)
             self.end_headers()
@@ -350,3 +355,36 @@ def test_rest_empty_with_fields(engine, server):
     df = flow.run()
     assert df.count() == 0
     assert dict(df.dtypes) == {"id": "bigint", "value": "string"}
+
+
+def test_rest_pagination_overreported_total_terminates(engine, server):
+    """An API that over-reports total_records and then returns empty
+    pages must not loop forever: an empty page ends pagination and the
+    loop is additionally bounded by max_pages (ADVICE r2)."""
+    Handler.state["overreport_hits"] = 0
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: liar
+  connection:
+    kind: rest
+    client: {{base_url: {server}}}
+    request:
+      endpoint: /overreport
+      method: get
+      query: {{page: 0}}
+      response:
+        content_type: json
+        locator: rows
+        handler:
+          kind: Pagination
+          page_param: page
+          page_size: 2
+          total_records: total
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert df.count() == 2
+    # page 0 (2 rows) + page 1 (empty -> stop): exactly two requests
+    assert Handler.state["overreport_hits"] == 2

@@ -237,3 +237,28 @@ def test_delta_sink_strategy_dispatch(engine):
     c = FakeDelta(engine, {"locator": "/t"}, exists=True)
     c.sink(data, None)
     assert c.calls == ["write"]
+
+
+def test_tap_placeholder_not_clobbering_columns(engine, tmp_path):
+    """A column named `source` (or matching the file stem / kind word in
+    a literal) must survive tap-query rewriting — only the table
+    reference becomes the temp view (ADVICE r2)."""
+    path = tmp_path / "data.csv"
+    path.write_text("source,amount\nweb,10\napp,20\nweb,5\n")
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: mytap
+  connection:
+    kind: csv
+    locator: {path}
+  query: |
+    SELECT source, sum(amount) AS total
+    FROM data
+    WHERE source <> 'csv'
+    GROUP BY source ORDER BY source
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    assert [(r["source"], r["total"]) for r in rows] == [("app", 20), ("web", 15)]

@@ -221,3 +221,61 @@ def test_rewrite_views_token_aware():
     assert rewrite_views("SELECT stage1(x) FROM t", views) == "SELECT stage1(x) FROM t"
     # string literals untouched
     assert rewrite_views("SELECT 'stage1' AS s", views) == "SELECT 'stage1' AS s"
+
+
+def test_rewrite_views_alias_shadowing():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_views
+
+    views = {"stage1": "stage1__abc"}
+    # an alias DEFINITION equal to a stage name shadows it: neither the
+    # definition nor subsequent uses are rewritten
+    sql = "SELECT stage1.x FROM other AS stage1"
+    assert rewrite_views(sql, views) == sql
+    # CTE name equal to a stage name shadows it too
+    sql = "WITH stage1 AS (SELECT 1 AS x) SELECT x FROM stage1"
+    assert rewrite_views(sql, views) == sql
+
+
+def test_rewrite_table_placeholders_positions():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_table_placeholders
+
+    v = "__tap_x"
+    # FROM/JOIN positions rewrite, keeping the name as an alias so
+    # qualified refs still resolve
+    assert (
+        rewrite_table_placeholders("SELECT * FROM source", ["source"], v)
+        == f"SELECT * FROM {v} AS source"
+    )
+    assert (
+        rewrite_table_placeholders("SELECT source.a FROM source WHERE a>1", ["source"], v)
+        == f"SELECT source.a FROM {v} AS source WHERE a>1"
+    )
+    # already-aliased reference: no double alias
+    assert (
+        rewrite_table_placeholders("SELECT t.a FROM source t", ["source"], v)
+        == f"SELECT t.a FROM {v} t"
+    )
+    assert (
+        rewrite_table_placeholders("SELECT t.a FROM source AS t", ["source"], v)
+        == f"SELECT t.a FROM {v} AS t"
+    )
+    # a COLUMN named like the placeholder is untouched
+    assert (
+        rewrite_table_placeholders("SELECT source FROM tbl", ["source"], v)
+        == "SELECT source FROM tbl"
+    )
+    # placeholder word inside a string literal is untouched
+    assert (
+        rewrite_table_placeholders("SELECT * FROM data WHERE fmt = 'csv'", ["csv"], v)
+        == "SELECT * FROM data WHERE fmt = 'csv'"
+    )
+    # case-insensitive table match (reference writes `from Parquet`)
+    assert (
+        rewrite_table_placeholders("select * from Parquet", ["parquet"], v)
+        == f"select * from {v} AS Parquet"
+    )
+    # quoted spelling rewrites anywhere
+    assert (
+        rewrite_table_placeholders('SELECT "My Stage".a FROM "My Stage"', ["My Stage"], v)
+        == f"SELECT {v}.a FROM {v}"
+    )
