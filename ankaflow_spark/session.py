@@ -168,7 +168,11 @@ class SparkEngine:
         2. Quoted stage-name references -> mangled temp-view names.
         3. Light dialect normalization (DuckDB-isms -> Spark).
         """
-        from .sqlfront.rewrite import rewrite_sql
+        from .sqlfront.rewrite import parse_pivot_statement, rewrite_sql
+
+        piv = parse_pivot_statement(query)
+        if piv is not None:
+            return self._run_pivot(piv)
 
         def schema_lookup(name):
             try:
@@ -177,6 +181,56 @@ class SparkEngine:
                 return None
 
         return self.spark.sql(rewrite_sql(query, self._views, schema_lookup))
+
+    def _run_pivot(self, piv) -> DataFrame:
+        """DuckDB ``PIVOT`` statement, executed Spark-first: like DuckDB
+        itself (its PIVOT binds in two phases, first materializing the
+        pivot column's distinct values), the pivot runs as
+        ``groupBy().pivot().agg()`` — Spark computes the distinct value
+        set (bounded by spark.sql.pivotMaxValues) unless the statement's
+        ``IN (...)`` list pins it. Implicit grouping keys are every
+        source column not referenced by ON or USING, matching DuckDB."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .sqlfront.rewrite import _split_top_level, normalize_dialect
+
+        src = piv["src"]
+        base = self.sql(
+            f"SELECT * FROM {src} __pivot_src__" if src.startswith("(") else f"SELECT * FROM {src}"
+        )
+        on_col = piv["on"].strip('`"')
+        aggs = []
+        agg_cols = set()
+        for part in _split_top_level(piv["agg"]):
+            m = _re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
+            expr_sql, alias = (m.group(1), m.group(2)) if m else (part, None)
+            expr_sql = normalize_dialect(expr_sql)
+            agg_cols |= {
+                c for c in base.columns if _re.search(rf"\b{_re.escape(c)}\b", expr_sql, _re.I)
+            }
+            expr = F.expr(expr_sql)
+            aggs.append(expr.alias(alias) if alias else expr)
+        if piv["group"]:
+            groups = [g.strip().strip('`"') for g in _split_top_level(piv["group"])]
+        else:
+            groups = [c for c in base.columns if c.lower() != on_col.lower() and c not in agg_cols]
+        pivoted = base.groupBy(*groups)
+        if piv["in_vals"]:
+            # the IN list entries are SQL literals; fold them driver-side
+            vals = list(
+                self.spark.sql("SELECT " + ", ".join(piv["in_vals"])).first()
+            )
+            pivoted = pivoted.pivot(on_col, vals)
+        else:
+            pivoted = pivoted.pivot(on_col)
+        out = pivoted.agg(*aggs)
+        if piv["tail"]:
+            view = "__pivot_out__"
+            out.createOrReplaceTempView(view)
+            out = self.spark.sql(f"SELECT * FROM {view} {piv['tail']}")
+        return out
 
     # -- bucketed tables (co-located joins without a shuffle) -------------
     def write_bucketed(

@@ -137,12 +137,21 @@ class BaseFileConnection:
         # Rewriting is table-position-aware: a column named `source` or
         # matching the file stem, or the kind word in a string literal,
         # stays untouched.
-        from ..sqlfront.rewrite import rewrite_table_placeholders
+        from ..sqlfront.rewrite import resolve_short_locators, rewrite_table_placeholders
+        from .locator import Locator
 
         q = rewrite_table_placeholders(
             query,
             (stage.name, "source", self._table_placeholder(), self.spec.get("kind")),
             view,
+        )
+        # raw-SQL table functions (`read_parquet('short')`) resolve the
+        # short name against this connection's bucket+prefix, wildcarded
+        # (reference raw-SQL rewriter, connection.py:290-323)
+        q = resolve_short_locators(
+            q,
+            Locator(bucket=self.spec.get("bucket"), prefix=self.spec.get("prefix")),
+            self.spec.get("locator"),
         )
         out = self.engine.sql(q)
         out = apply_ranking(out, self.spec)

@@ -20,7 +20,7 @@ literals and leaves unknown constructs for Spark's parser to report.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 
 def _split_literals(sql: str) -> List[Tuple[bool, str]]:
@@ -451,6 +451,40 @@ def _strf_chain(expr: str) -> str:
     return out
 
 
+_RAW_LOCATOR_CALL = re.compile(
+    r"\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json|delta_scan)"
+    r"\s*\(\s*'([^']+)'",
+    re.IGNORECASE,
+)
+
+
+def resolve_short_locators(sql: str, resolver, conn_locator: Optional[str]) -> str:
+    """Resolve relative locators inside raw-SQL table functions against
+    the connection's bucket+prefix, with wildcard substitution —
+    behavior parity with the reference's raw-SQL rewriter (reference
+    connection.py:290-323 _raw_sql_rewriter): absolute paths pass
+    through; a short name must equal the connection's declared locator
+    (the guard against silently reading an unrelated file); the
+    replacement is the fully-located, wildcarded path."""
+
+    def repl(m: "re.Match[str]") -> str:
+        short = m.group(2)
+        if _SCHEME_PREFIX.match(short) or short.startswith("/"):
+            return m.group(0)
+        if conn_locator and short != conn_locator:
+            raise ValueError(
+                f"raw-SQL locator {short!r} does not match the connection's "
+                f"locator {conn_locator!r}"
+            )
+        full = resolver.locate(short, use_wildcard=True)
+        return m.group(0).replace(short, full, 1)
+
+    return _RAW_LOCATOR_CALL.sub(repl, sql)
+
+
+_SCHEME_PREFIX = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
 def _table_ref(fmt: str):
     def build(args: List[str]) -> str:
         path = args[0].strip().strip("'\"")
@@ -529,6 +563,233 @@ def expand_dialect_functions(sql: str) -> str:
 _INT_DIV = re.compile(r"//")
 
 
+class UnsupportedDialect(ValueError):
+    """DuckDB construct with no Spark rewrite — raised with an
+    actionable message naming the construct instead of letting Spark
+    produce an opaque parse error."""
+
+
+def _find_matching(sql: str, open_idx: int, open_ch: str, close_ch: str) -> int:
+    """Index of the bracket closing ``sql[open_idx]``; -1 if unbalanced.
+    Quote- and all-bracket-aware (parens/brackets/braces nest freely)."""
+    depth = 0
+    in_lit = False
+    i, n = open_idx, len(sql)
+    pairs = {"(": ")", "[": "]", "{": "}"}
+    stack: List[str] = []
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch in pairs:
+            stack.append(pairs[ch])
+            depth += 1
+        elif stack and ch == stack[-1]:
+            stack.pop()
+            depth -= 1
+            if depth == 0:
+                return i if ch == close_ch else -1
+        i += 1
+    return -1
+
+
+def _split_top_level(s: str, sep: str = ",") -> List[str]:
+    """Split on ``sep`` at bracket depth 0 (parens, brackets, AND braces
+    — unlike _split_args, which predates struct literals)."""
+    parts: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    in_lit = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_lit:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+            buf.append(ch)
+        elif ch in "([{":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf).strip())
+    return parts
+
+
+_STRUCT_KEY = re.compile(r"^\s*('(?:[^']|'')*'|\"[^\"]+\"|[A-Za-z_]\w*)\s*:\s*(.+)$", re.DOTALL)
+
+
+def _struct_body_to_named_struct(body: str) -> Optional[str]:
+    """``'a': 1, 'b': x`` -> ``named_struct('a', 1, 'b', x)``; None when
+    the body is not struct-literal-shaped (leave the braces alone)."""
+    entries = _split_top_level(body)
+    if not entries or entries == [""]:
+        return None
+    flat: List[str] = []
+    for entry in entries:
+        m = _STRUCT_KEY.match(entry)
+        if not m:
+            return None
+        key, value = m.group(1), m.group(2).strip()
+        if key.startswith('"'):
+            key = "'" + key[1:-1].replace("'", "''") + "'"
+        elif not key.startswith("'"):
+            key = f"'{key}'"
+        flat.append(key)
+        flat.append(rewrite_struct_literals(value))
+    return f"named_struct({', '.join(flat)})"
+
+
+def rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literals ``{'a': 1, 'b': col}`` ->
+    ``named_struct('a', 1, 'b', col)``, recursively (nested structs and
+    structs inside list literals included). Braces that are not
+    struct-literal-shaped pass through untouched."""
+    out: List[str] = []
+    i, n = 0, len(sql)
+    in_lit = False
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_lit = False
+            i += 1
+            continue
+        if ch == "'":
+            in_lit = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "{":
+            close = _find_matching(sql, i, "{", "}")
+            if close > 0:
+                conv = _struct_body_to_named_struct(sql[i + 1 : close])
+                if conv is not None:
+                    out.append(conv)
+                    i = close + 1
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_EXCLUDE_PARENS = re.compile(r"\bEXCLUDE\s*\(", re.IGNORECASE)
+_EXCLUDE_BARE = re.compile(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", re.IGNORECASE)
+_COLUMNS_EXPR = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _reject_columns_expr(chunk: str) -> None:
+    if _COLUMNS_EXPR.search(chunk):
+        raise UnsupportedDialect(
+            "DuckDB COLUMNS(...) expressions are not supported by the Spark "
+            "engine: list the columns explicitly, or use `* EXCLUDE(...)` "
+            "(rewritten to Spark's `* EXCEPT(...)`) to drop columns"
+        )
+
+
+_UNPIVOT_STMT = re.compile(
+    r"^\s*UNPIVOT\s+(?P<src>\([^)]*\)|[\w.`\"]+)\s+ON\s+(?P<cols>.+?)\s+"
+    r"INTO\s+NAME\s+(?P<name>[\w`\"]+)\s+VALUE\s+(?P<value>[\w`\"]+)\s*(?P<tail>ORDER\s+BY.*|LIMIT.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+_PIVOT_STMT = re.compile(r"^\s*PIVOT\b", re.IGNORECASE)
+
+
+def parse_pivot_statement(sql: str) -> Optional[Dict[str, Optional[str]]]:
+    """Parse DuckDB's ``PIVOT <src> ON <col> [IN (v, ...)] USING <agg>
+    [GROUP BY cols] [ORDER BY ...] [LIMIT n]`` statement form. Returns
+    the pieces (src/on/in_vals/agg/group/tail) or None when the text is
+    not a PIVOT statement. Execution is engine-side: like DuckDB, the
+    pivot column's distinct values are materialized first, then the
+    pivot runs as a grouped aggregation (SparkEngine.sql)."""
+    s = sql.strip().rstrip(";")
+    if not _PIVOT_STMT.match(s):
+        return None
+    body = s[s.upper().index("PIVOT") + 5 :]
+    on_pos = _depth0_keyword_pos(body, ("ON",))
+    using_pos = _depth0_keyword_pos(body, ("USING",))
+    if on_pos < 0 or using_pos < 0 or using_pos < on_pos:
+        raise UnsupportedDialect(
+            "PIVOT statement must have the shape "
+            "`PIVOT <source> ON <column> [IN (...)] USING <aggregate> [GROUP BY ...]`"
+        )
+    src = body[:on_pos].strip()
+    on_clause = body[on_pos + 2 : using_pos].strip()
+    rest = body[using_pos + 5 :]
+    group_pos = _depth0_keyword_pos(rest, ("GROUP",))
+    tail_pos = _depth0_keyword_pos(rest, ("ORDER", "LIMIT"))
+    if group_pos >= 0:
+        agg = rest[:group_pos].strip()
+        group_part = rest[group_pos:]
+        gtail_pos = _depth0_keyword_pos(group_part, ("ORDER", "LIMIT"))
+        group = (group_part if gtail_pos < 0 else group_part[:gtail_pos])
+        group = re.sub(r"(?i)^GROUP\s+BY\s+", "", group).strip()
+        tail = "" if gtail_pos < 0 else group_part[gtail_pos:].strip()
+    else:
+        agg = (rest if tail_pos < 0 else rest[:tail_pos]).strip()
+        group = None
+        tail = "" if tail_pos < 0 else rest[tail_pos:].strip()
+    in_vals = None
+    in_pos = _depth0_keyword_pos(on_clause, ("IN",))
+    on_col = on_clause
+    if in_pos >= 0:
+        on_col = on_clause[:in_pos].strip()
+        paren = on_clause.index("(", in_pos)
+        close = _find_matching(on_clause, paren, "(", ")")
+        in_vals = _split_top_level(on_clause[paren + 1 : close])
+    return {
+        "src": src,
+        "on": on_col.strip(),
+        "in_vals": in_vals,
+        "agg": agg,
+        "group": group,
+        "tail": tail,
+    }
+
+
+def rewrite_unpivot_statement(sql: str) -> str:
+    """DuckDB ``UNPIVOT tbl ON a, b, c INTO NAME k VALUE v`` ->
+    Spark's UNPIVOT clause
+    ``SELECT * FROM tbl UNPIVOT (v FOR k IN (a, b, c))`` (NULL rows
+    excluded by default in both engines)."""
+    m = _UNPIVOT_STMT.match(sql.strip().rstrip(";"))
+    if not m:
+        return sql
+    cols = ", ".join(_split_top_level(m.group("cols")))
+    tail = f" {m.group('tail')}" if m.group("tail") else ""
+    return (
+        f"SELECT * FROM {m.group('src')} UNPIVOT "
+        f"({m.group('value')} FOR {m.group('name')} IN ({cols})){tail}"
+    )
+
+
 def rewrite_bracket_lists(sql: str) -> str:
     """DuckDB ``['a', 'b']`` list literals -> ``array('a', 'b')``.
 
@@ -602,12 +863,17 @@ def rewrite_bracket_lists(sql: str) -> str:
 
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
+        _reject_columns_expr(chunk)
         out = _SAMPLE_ROWS.sub(r"TABLESAMPLE (\1 ROWS)", chunk)
         out = _SAMPLE_PCT.sub(r"TABLESAMPLE (\1 PERCENT)", out)
         out = _INT_DIV.sub(" div ", out)  # DuckDB // integer division
+        out = _EXCLUDE_PARENS.sub("EXCEPT(", out)  # DuckDB * EXCLUDE(...)
+        out = _EXCLUDE_BARE.sub(r"\1EXCEPT(\2)", out)
         return out
 
-    out = _map_nonliteral(sql, fix)
+    out = rewrite_unpivot_statement(sql)
+    out = _map_nonliteral(out, fix)
+    out = rewrite_struct_literals(out)
     out = rewrite_bracket_lists(out)
     return expand_dialect_functions(out)
 

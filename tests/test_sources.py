@@ -262,3 +262,41 @@ def test_tap_placeholder_not_clobbering_columns(engine, tmp_path):
     )
     rows = flow.run().collect()
     assert [(r["source"], r["total"]) for r in rows] == [("app", 20), ("web", 15)]
+
+
+def test_raw_sql_short_locator_resolution(engine, tmp_path):
+    """`read_parquet('short-name')` inside a tap query resolves against
+    the connection's bucket+prefix with wildcard substitution (reference
+    connection.py:290-323 raw-SQL rewriter)."""
+    d = tmp_path / "pre"
+    d.mkdir()
+    engine.spark.range(3).write.mode("overwrite").parquet(str(d / "data-1.parquet"))
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: raw
+  connection:
+    kind: parquet
+    bucket: {tmp_path}
+    prefix: pre
+    locator: data-1.parquet
+  query: SELECT count(*) AS n FROM read_parquet('data-1.parquet')
+"""),
+        engine=engine,
+    )
+    assert flow.run().collect()[0]["n"] == 3
+
+
+def test_raw_sql_short_locator_mismatch_raises(engine, tmp_path):
+    from ankaflow_spark.sqlfront.rewrite import resolve_short_locators
+    from ankaflow_spark.sources.locator import Locator
+
+    with pytest.raises(ValueError, match="does not match"):
+        resolve_short_locators(
+            "SELECT * FROM read_parquet('other.parquet')",
+            Locator(bucket="b", prefix="p"),
+            "data.parquet",
+        )
+    # absolute paths pass through untouched
+    sql = "SELECT * FROM read_parquet('s3://x/y.parquet')"
+    assert resolve_short_locators(sql, Locator(bucket="b"), "data.parquet") == sql

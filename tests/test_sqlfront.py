@@ -279,3 +279,75 @@ def test_rewrite_table_placeholders_positions():
         rewrite_table_placeholders('SELECT "My Stage".a FROM "My Stage"', ["My Stage"], v)
         == f"SELECT {v}.a FROM {v}"
     )
+
+
+def test_struct_literal_rewrite_text():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_struct_literals
+
+    assert (
+        rewrite_struct_literals("SELECT {'a': 1, 'b': x} AS s FROM t")
+        == "SELECT named_struct('a', 1, 'b', x) AS s FROM t"
+    )
+    # nested structs and lists
+    assert (
+        rewrite_struct_literals("SELECT {'o': {'i': 2}} AS s")
+        == "SELECT named_struct('o', named_struct('i', 2)) AS s"
+    )
+    # bare and double-quoted keys normalize to quoted names
+    assert (
+        rewrite_struct_literals('SELECT {a: 1, "b c": 2} AS s')
+        == "SELECT named_struct('a', 1, 'b c', 2) AS s"
+    )
+    # non-struct braces (and literals) pass through
+    assert rewrite_struct_literals("SELECT '{not sql}' AS s") == "SELECT '{not sql}' AS s"
+
+
+def test_struct_literal_executes(engine):
+    row = engine.sql("SELECT {'a': 1, 'b': 'x'} AS s").first()
+    assert row["s"]["a"] == 1 and row["s"]["b"] == "x"
+
+
+def test_exclude_rewrite(engine):
+    df = engine.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("__excl__")
+    assert engine.sql("SELECT * EXCLUDE(b) FROM __excl__").columns == ["a", "c"]
+    assert engine.sql("SELECT * EXCLUDE (b, c) FROM __excl__").columns == ["a"]
+    # bare single-column form
+    assert engine.sql("SELECT * EXCLUDE b FROM __excl__").columns == ["a", "c"]
+
+
+def test_columns_expr_rejected(engine):
+    import pytest as _pytest
+
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    with _pytest.raises(UnsupportedDialect, match="COLUMNS"):
+        engine.sql("SELECT COLUMNS(*) FROM t")
+
+
+def test_unpivot_statement(engine):
+    engine.sql("SELECT 'x' AS id, 1 AS q1, 2 AS q2, 3 AS q3").createOrReplaceTempView(
+        "__unp__"
+    )
+    df = engine.sql("UNPIVOT __unp__ ON q1, q2, q3 INTO NAME quarter VALUE sales")
+    rows = {(r["quarter"], r["sales"]) for r in df.collect()}
+    assert rows == {("q1", 1), ("q2", 2), ("q3", 3)}
+    assert df.columns == ["id", "quarter", "sales"]
+
+
+def test_pivot_statement_auto_values(engine):
+    engine.sql(
+        "SELECT * FROM VALUES ('nl', 2000, 16), ('nl', 2010, 17), "
+        "('us', 2000, 282), ('us', 2010, 309) AS t(country, year, pop)"
+    ).createOrReplaceTempView("__piv__")
+    df = engine.sql("PIVOT __piv__ ON year USING sum(pop)")
+    got = {r["country"]: (r["2000"], r["2010"]) for r in df.collect()}
+    assert got == {"nl": (16, 17), "us": (282, 309)}
+
+
+def test_pivot_statement_in_list_and_group(engine):
+    df = engine.sql("PIVOT __piv__ ON year IN (2000) USING sum(pop) GROUP BY country")
+    got = {r["country"]: r["2000"] for r in df.collect()}
+    assert got == {"nl": 16, "us": 282}
+    # ORDER BY tail survives
+    df = engine.sql("PIVOT __piv__ ON year USING sum(pop) ORDER BY country DESC")
+    assert [r["country"] for r in df.collect()] == ["us", "nl"]
