@@ -2,11 +2,15 @@
 strategy matrix SKIP/CREATE/WRITE, modes append/overwrite/error, schema
 merge/overwrite, partition_by, post-write OPTIMIZE/VACUUM pseudo-SQL).
 
-delta-spark jars are not in this container: the connector maps the full
-option surface onto ``spark.read.format("delta")`` / ``df.write.format``
-and raises a clear error at use time when the format is unavailable.
-The admin pseudo-SQL parser (OPTIMIZE table [COMPACT] [VACUUM] [AGE=..]
-[DRY_RUN]) is implemented and unit-tested independently of the jars.
+With delta-spark jars on the classpath the connector maps the full
+option surface onto ``spark.read.format("delta")`` / ``df.write.format``.
+Without them (this container) every operation routes through the
+jar-free delta_log fallback — a minimal reader/writer for the public
+Delta transaction-log protocol (see sources/delta_log.py for the
+documented subset) — so tap/sink/TRUNCATE/OPTIMIZE all execute e2e
+against real local tables (tests/test_delta.py). The admin pseudo-SQL
+parser (OPTIMIZE table [COMPACT] [VACUUM] [AGE=..] [DRY_RUN]) is
+engine-independent.
 """
 
 from __future__ import annotations
@@ -105,16 +109,22 @@ class DeltaConnection:
         self.spec = spec
         self.variables = variables
 
-    def _require_delta(self) -> None:
-        if not _delta_available(self.engine.spark):
-            raise DeltaUnavailable(
-                "delta-spark jars are not on the classpath in this environment; "
-                "add io.delta:delta-spark to spark.jars.packages"
-            )
+    def _use_jars(self) -> bool:
+        """True when delta-spark is on the classpath (preferred: full
+        protocol, concurrent writers). Otherwise every operation routes
+        through the jar-free delta_log fallback — single-writer local
+        commits, reader protocol <= 2 (delta_log module docstring)."""
+        return _delta_available(self.engine.spark)
+
+    def _read(self) -> DataFrame:
+        if self._use_jars():
+            return self.engine.spark.read.format("delta").load(self.spec["locator"])
+        from . import delta_log
+
+        return delta_log.read_delta_table(self.engine.spark, self.spec["locator"])
 
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
-        self._require_delta()
-        df = self.engine.spark.read.format("delta").load(self.spec["locator"])
+        df = self._read()
         df = apply_ranking(df, self.spec)
         if query:
             # md5 of the stage name, not hash(): per-process hash salting
@@ -133,9 +143,13 @@ class DeltaConnection:
 
     # -- sink strategy machinery (reference delta.py:316-366, 461-520) ----
     def _is_deltatable(self) -> bool:
-        from delta.tables import DeltaTable  # type: ignore
+        if self._use_jars():
+            from delta.tables import DeltaTable  # type: ignore
 
-        return DeltaTable.isDeltaTable(self.engine.spark, self.spec["locator"])
+            return DeltaTable.isDeltaTable(self.engine.spark, self.spec["locator"])
+        from . import delta_log
+
+        return delta_log.is_delta_table(self.spec["locator"])
 
     def _create_empty_table(self) -> None:
         """CREATE: an empty Delta table from declared fields (reference
@@ -148,6 +162,16 @@ class DeltaConnection:
             raise ValueError(
                 "Cannot create empty Delta table: no schema fields provided."
             )
+        if not self._use_jars():
+            from . import delta_log
+
+            delta_log.create_empty_table(
+                self.engine.spark,
+                self.spec["locator"],
+                schema,
+                list(self.spec.get("partition_by") or []),
+            )
+            return
         empty = self.engine.spark.createDataFrame([], schema=schema)
         empty.write.format("delta").mode("overwrite").option(
             "overwriteSchema", "true"
@@ -155,6 +179,17 @@ class DeltaConnection:
 
     def _write(self, df: DataFrame) -> None:
         spec = self.spec
+        if not self._use_jars():
+            from . import delta_log
+
+            delta_log.write_delta_table(
+                self.engine.spark,
+                df,
+                spec["locator"],
+                mode=spec.get("mode") or "append",
+                partition_by=list(spec.get("partition_by") or []),
+            )
+            return
         writer = df.write.format("delta").mode(spec.get("mode") or "append")
         if spec.get("options", {}).get("merge_schema"):
             writer = writer.option("mergeSchema", "true")
@@ -165,7 +200,6 @@ class DeltaConnection:
         writer.save(spec["locator"])
 
     def sink(self, df: DataFrame, stage: Stage) -> None:
-        self._require_delta()
         # emptiness, not a full count: the matrix only needs rows == 0
         rows = 0 if df.isEmpty() else 1
         strategy = create_strategy(bool(self.spec.get("fields")), rows)
@@ -180,23 +214,37 @@ class DeltaConnection:
             self.execute(f"OPTIMIZE {self.spec['locator']} COMPACT VACUUM", stage)
 
     def execute(self, query: str, stage: Stage) -> None:
-        self._require_delta()
         trunc = re.match(r"^\s*TRUNCATE\s+(\S+)\s*;?\s*$", query, re.IGNORECASE)
         if trunc:
             # reference integration.yaml: `truncate Deltatable` deletes
             # all rows but keeps the table + schema
-            from delta.tables import DeltaTable  # type: ignore
+            if self._use_jars():
+                from delta.tables import DeltaTable  # type: ignore
 
-            DeltaTable.forPath(self.engine.spark, self.spec["locator"]).delete()
+                DeltaTable.forPath(self.engine.spark, self.spec["locator"]).delete()
+            else:
+                from . import delta_log
+
+                delta_log.truncate_delta_table(self.engine.spark, self.spec["locator"])
             return
         action = parse_optimize(query)
         if action is None:
             self.engine.spark.sql(query)
             return
-        from delta.tables import DeltaTable  # type: ignore
+        if self._use_jars():
+            from delta.tables import DeltaTable  # type: ignore
 
-        dt = DeltaTable.forPath(self.engine.spark, self.spec["locator"])
+            dt = DeltaTable.forPath(self.engine.spark, self.spec["locator"])
+            if action["compact"] and not action["dry_run"]:
+                dt.optimize().executeCompaction()
+            if action["vacuum"] and not action["dry_run"]:
+                dt.vacuum(action["retention_hours"])
+            return
+        from . import delta_log
+
         if action["compact"] and not action["dry_run"]:
-            dt.optimize().executeCompaction()
+            delta_log.compact_delta_table(self.engine.spark, self.spec["locator"])
         if action["vacuum"] and not action["dry_run"]:
-            dt.vacuum(action["retention_hours"])
+            delta_log.vacuum_delta_table(
+                self.engine.spark, self.spec["locator"], action["retention_hours"]
+            )

@@ -102,18 +102,21 @@ def test_reference_integration_yaml_verbatim(engine, ref_server, tmp_path, monke
         "test_delta": str(tmp_path / "delta"),
     }
     flow = Flow(Stages.load(str(REF_YAML)), engine=engine, variables=variables)
-    # runs verbatim up to the Deltatable boundary: delta-spark jars are
-    # absent in this environment, so WriteDelta fails with the gate error
-    with pytest.raises(FlowError, match="delta-spark jars"):
-        flow.run()
+    # the whole pipeline runs verbatim, Deltatable stages included (the
+    # jar-free delta_log fallback executes WriteDelta / Read Delta /
+    # Truncate Delta / Read Empty Delta against a real local table);
+    # the trailing RemoteTests pipeline self-skips via skip_if.
+    flow.run()
 
-    # everything before the boundary produced the reference results
     assert engine.table("TestHTTPRead429").collect()[0]["retry429"] == "success after 2 retries"
     assert engine.table("TestHTTPRead").count() == 5
     assert engine.table("TestHTTPPaging").count() == 5  # pages of 2: 2+2+1
     assert engine.table("TestParquetRead").count() == 5
     assert engine.table("TestParquetTranform").collect()[0]["totals"] == 5
     assert engine.table("UnionAllSources").count() == 20  # 4 sources x 5 rows
+    # Deltatable round-trip: append of the 20-row union, then truncate
+    assert engine.table("Read Delta").count() == 20
+    assert engine.table("Read Empty Delta").count() == 0
 
 
 @pytest.mark.skipif(not REF_YAML.exists(), reason="reference checkout absent")

@@ -168,17 +168,17 @@ def test_delta_optimize_parser():
     assert act["retention_hours"] == 365 * 24
 
 
-def test_delta_unavailable_raises_at_use(engine):
-    """The jar gate fires at operation time (spec parsing and strategy
-    decisions stay importable/testable without the jars)."""
+def test_delta_missing_table_raises_at_use(engine, tmp_path):
+    """Reading a path with no _delta_log is a clear error (the jar-free
+    fallback engages automatically when delta-spark is absent; full
+    e2e coverage lives in tests/test_delta.py)."""
     from ankaflow_spark.sources import get_connector
-    from ankaflow_spark.sources.delta import DeltaUnavailable
 
-    conn = get_connector("delta")(engine, {"kind": "delta", "locator": "/tmp/x"}, {})
-    with pytest.raises(DeltaUnavailable):
+    conn = get_connector("delta")(
+        engine, {"kind": "delta", "locator": str(tmp_path / "nope")}, {}
+    )
+    with pytest.raises(Exception, match="_delta_log|not a Delta table"):
         conn.tap(None, None)
-    with pytest.raises(DeltaUnavailable):
-        conn.sink(engine.spark.range(1), None)
 
 
 def test_delta_create_strategy_matrix():
