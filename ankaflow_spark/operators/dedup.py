@@ -141,15 +141,23 @@ _BAND_JOIN = " AND ".join(
     ["a.band_id = b.band_id"] + [f"a.k{r} = b.k{r}" for r in range(_ROWS_PER_BAND)]
 )
 
-def cached_shingles(spark: SparkSession) -> None:
-    """Materialize the shingle table ONCE as a cached view. The CTE
-    chain below references `shingles` many times; inline expansion
+#: (session id, sf_dir, name) -> materialized DataFrame. Materialized
+#: via localCheckpoint, NOT cache(): a temp view over a checkpointed
+#: DataFrame resolves to a LogicalRDD, so every reference — including
+#: both sides of the LSH self-join and repeated queries after view
+#: re-registration — reads the computed blocks by construction.
+#: cache() relies on CacheManager plan matching, which was observed to
+#: silently miss after load_tables re-registers the source views
+#: (the signature aggregation then re-executed per join side).
+_MATERIALIZED: Dict[tuple, DataFrame] = {}
+
+
+def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the shingle table ONCE per (session, sf). The CTE
+    chains below reference `shingles` several times; inline expansion
     would re-scan + re-split the documents table per reference (12
     scans observed in the composed d03 plan). At cluster scale this is
-    the persisted signature-input table every near-dup pipeline keeps;
-    locally a cache() expresses the same single-materialization
-    contract. Spark's CacheManager dedupes by logical plan, so repeat
-    calls are no-ops.
+    the persisted signature-input table every near-dup pipeline keeps.
 
     The materialization is hash-partitioned on doc_id across the full
     parallelism: a small documents.parquet arrives as ONE input split,
@@ -157,27 +165,54 @@ def cached_shingles(spark: SparkSession) -> None:
     runs single-task (measured: the whole 16-min HashAggregate on one
     core, 2.0s of a 2.7s query). Partitioning by doc_id also pre-aligns
     the per-doc groupBys and the candidate-to-shingle joins, which all
-    key on doc_id — the cache's outputPartitioning satisfies their
-    distribution requirement, so those exchanges disappear."""
-    df = spark.sql(SPARK_SHINGLES).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    key on doc_id."""
+    key = (id(spark), sf_dir, "shingles")
+    df = _MATERIALIZED.get(key)
+    if df is None:
+        df = (
+            spark.sql(SPARK_SHINGLES)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .localCheckpoint()
+        )
+        _MATERIALIZED[key] = df
+    # (re-)register: another sf_dir may have claimed the view name
     df.createOrReplaceTempView("__shingles__")
-    df.cache()
+    return df
 
 
-#: shared CTE chain `shingles -> ... -> cands` (banded LSH candidate
-#: pairs), in each dialect. Prepend with WITH and select from `cands`.
-#: The Spark spelling reads the cached __shingles__ view (see
-#: cached_shingles); the DuckDB oracle inlines the same shingle SQL.
+_SPARK_BANDS_SQL = f"""
+    WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS}) AS (band_id, {_BAND_VAL_COLS})
+    FROM sigs
+"""
+
+
+def cached_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the LSH band table ONCE per (session, sf) (tiny:
+    docs x bands rows). The candidate self-join references `bands`
+    twice, and Spark inlines CTEs — without materialization the whole
+    shingle-scan + 16-min signature aggregation executes once per join
+    side; at cluster scale this is the persisted signature/band table a
+    production near-dup pipeline maintains."""
+    cached_shingles(spark, sf_dir)
+    key = (id(spark), sf_dir, "bands")
+    df = _MATERIALIZED.get(key)
+    if df is None:
+        df = spark.sql(_SPARK_BANDS_SQL).localCheckpoint()
+        _MATERIALIZED[key] = df
+    df.createOrReplaceTempView("__bands__")
+    return df
+
+
+#: shared CTE chain `bands -> cands` (banded LSH candidate pairs), in
+#: each dialect. Prepend with WITH and select from `cands`. The Spark
+#: spelling reads the cached __bands__/__shingles__ views (see
+#: cached_bands); the DuckDB oracle inlines the same SQL chain.
 SPARK_CAND_CTES = f"""
     shingles AS (SELECT doc_id, sh FROM __shingles__),
-    hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
-    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS}) AS (band_id, {_BAND_VAL_COLS})
-      FROM sigs
-    ),
+    bands AS (SELECT * FROM __bands__),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -217,7 +252,7 @@ DUCK_CAND_CTES = f"""
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    cached_shingles(spark)
+    cached_bands(spark, sf_dir)
     return spark.sql(f"""
       WITH {SPARK_CAND_CTES}
       SELECT doc_a, doc_b FROM cands
@@ -268,7 +303,7 @@ def _jaccard_over_cands(cand_ctes: str) -> str:
 @query("d03_ngram_jaccard", oracle=_jaccard_over_cands(DUCK_CAND_CTES))
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    cached_shingles(spark)
+    cached_bands(spark, sf_dir)
     return spark.sql(_jaccard_over_cands(SPARK_CAND_CTES))
 
 
@@ -302,7 +337,7 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    cached_shingles(spark)
+    cached_shingles(spark, sf_dir)
     shingles = spark.table("__shingles__")
     from pyspark.sql.window import Window as W
 
@@ -354,7 +389,7 @@ def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    cached_shingles(spark)
+    cached_shingles(spark, sf_dir)
     # Same math as the oracle, but as 32 conditional aggregates over the
     # shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
     # the shape that survives a 100x corpus scale-up).
