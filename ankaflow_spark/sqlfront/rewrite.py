@@ -861,6 +861,104 @@ def rewrite_bracket_lists(sql: str) -> str:
     return "".join(res)
 
 
+def _depth0_word_pos(s: str, word: str) -> int:
+    """Index of the first case-insensitive, word-bounded ``word`` in
+    ``s`` at bracket depth 0 outside string literals; -1 if absent."""
+    depth = 0
+    in_lit = False
+    n, w = len(s), len(word)
+    upper, word = s.upper(), word.upper()
+    i = 0
+    while i < n:
+        ch = s[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and upper.startswith(word, i):
+            before = s[i - 1] if i else ""
+            after = s[i + w] if i + w < n else ""
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+        i += 1
+    return -1
+
+
+def _parse_comprehension(body: str):
+    """Parse ``expr FOR var IN source [IF cond]``; None if not one."""
+    fpos = _depth0_word_pos(body, "for")
+    if fpos <= 0:
+        return None
+    expr = body[:fpos].strip()
+    rest = body[fpos + 3:]
+    ipos = _depth0_word_pos(rest, "in")
+    if ipos < 0:
+        return None
+    var = rest[:ipos].strip()
+    if not re.fullmatch(r"[A-Za-z_]\w*", var):
+        return None
+    tail = rest[ipos + 2:]
+    cpos = _depth0_word_pos(tail, "if")
+    if cpos >= 0:
+        src, cond = tail[:cpos].strip(), tail[cpos + 2:].strip()
+    else:
+        src, cond = tail.strip(), None
+    if not expr or not src or (cpos >= 0 and not cond):
+        return None
+    return expr, var, src, cond
+
+
+def rewrite_list_comprehensions(sql: str) -> str:
+    """DuckDB list comprehensions (reference transforms may use any
+    DuckDB SQL): ``[expr FOR x IN lst IF cond]`` becomes Spark
+    ``transform(filter(lst, x -> cond), x -> expr)`` (``filter`` omitted
+    without IF). Runs before bracket-list rewriting so the comprehension
+    brackets are consumed first; nested comprehensions recurse."""
+    out: List[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "[":
+            close = _find_matching(sql, i, "[", "]")
+            if close != -1:
+                parsed = _parse_comprehension(sql[i + 1:close])
+                if parsed:
+                    expr, var, src, cond = parsed
+                    src = rewrite_list_comprehensions(src)
+                    expr = rewrite_list_comprehensions(expr)
+                    if cond is not None:
+                        cond = rewrite_list_comprehensions(cond)
+                        src = f"filter({src}, {var} -> {cond})"
+                    out.append(f"transform({src}, {var} -> {expr})")
+                    i = close + 1
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         _reject_columns_expr(chunk)
@@ -874,6 +972,7 @@ def normalize_dialect(sql: str) -> str:
     out = rewrite_unpivot_statement(sql)
     out = _map_nonliteral(out, fix)
     out = rewrite_struct_literals(out)
+    out = rewrite_list_comprehensions(out)
     out = rewrite_bracket_lists(out)
     return expand_dialect_functions(out)
 

@@ -351,3 +351,29 @@ def test_pivot_statement_in_list_and_group(engine):
     # ORDER BY tail survives
     df = engine.sql("PIVOT __piv__ ON year USING sum(pop) ORDER BY country DESC")
     assert [r["country"] for r in df.collect()] == ["us", "nl"]
+
+def test_list_comprehension_rewrite_text():
+    from ankaflow_spark.sqlfront.rewrite import rewrite_list_comprehensions
+
+    assert (
+        rewrite_list_comprehensions("SELECT [x * 2 FOR x IN lst] AS d")
+        == "SELECT transform(lst, x -> x * 2) AS d"
+    )
+    assert (
+        rewrite_list_comprehensions("SELECT [x for x in lst if x > 0] AS p")
+        == "SELECT transform(filter(lst, x -> x > 0), x -> x) AS p"
+    )
+    # subscripts and plain list literals are untouched
+    assert rewrite_list_comprehensions("SELECT a[1], [1, 2]") == "SELECT a[1], [1, 2]"
+    # 'for' inside a string literal is not a comprehension
+    assert rewrite_list_comprehensions("SELECT ['for x in y']") == "SELECT ['for x in y']"
+
+
+def test_list_comprehension_executes(engine):
+    row = engine.sql("SELECT [x * 2 FOR x IN [1, 2, 3]] AS d").first()
+    assert row["d"] == [2, 4, 6]
+    row = engine.sql("SELECT [x FOR x IN [1, 2, 3, 4] IF x % 2 = 0] AS evens").first()
+    assert row["evens"] == [2, 4]
+    # nested: comprehension over a comprehension source
+    row = engine.sql("SELECT [y + 1 FOR y IN [x * 10 FOR x IN [1, 2]]] AS n").first()
+    assert row["n"] == [11, 21]
