@@ -588,3 +588,62 @@ ORACLES["d06_dedup_clusters"] = f"""
     GROUP BY doc_id
     ORDER BY cluster_id, doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# d07 — benchmark decontamination: flag training docs sharing word
+# 5-grams with a held-out benchmark set (here: doc_id % 50 = 0, a
+# deterministic stand-in for an eval-suite corpus). The standard
+# n-gram-overlap contamination check every training-data pipeline runs
+# before a model sees the corpus.
+#
+# Scale shape: the benchmark gram set is tiny relative to the corpus
+# (eval suites are MBs, corpora are TBs) -> broadcast hash join against
+# the streaming training-gram scan; one shuffle to re-group per doc.
+# Grams are md5'd so join keys are fixed-width (no long-string compare).
+# ---------------------------------------------------------------------------
+DECONTAM_N = 5  # words per gram
+DECONTAM_MOD = 50  # doc_id % MOD = 0 -> benchmark member
+
+
+@query(
+    "d07_benchmark_decontam",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= {DECONTAM_N} THEN
+          list_transform(range(1, len(w) - {DECONTAM_N - 2}),
+                         i -> md5(array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))
+        ELSE [md5(array_to_string(w, ' '))] END)) AS g
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECONTAM_MOD} <> 0)
+    SELECT t.doc_id, CAST(COUNT(b.g) AS BIGINT) AS n_shared_ngrams,
+           COUNT(b.g) > 0 AS contaminated
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, explode(array_distinct(
+        CASE WHEN size(w) >= {DECONTAM_N} THEN
+          transform(sequence(0, size(w) - {DECONTAM_N}),
+                    i -> md5(concat_ws(' ', slice(w, i + 1, {DECONTAM_N}))))
+        ELSE array(md5(concat_ws(' ', w))) END)) AS g
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECONTAM_MOD} <> 0)
+    SELECT /*+ BROADCAST(b) */ t.doc_id, CAST(COUNT(b.g) AS BIGINT) AS n_shared_ngrams,
+           COUNT(b.g) > 0 AS contaminated
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """)

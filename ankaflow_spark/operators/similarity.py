@@ -355,6 +355,77 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s04 — int8 scalar quantization fidelity: per-vector symmetric
+# quantization (scale = 127/max|x|, q = floor(x*scale + 0.5), dequant
+# q/scale) with reconstruction-error and cosine-fidelity metrics. The
+# storage path for an embedding corpus at 100 TB (4x smaller than
+# float32); this operator IS the quality gate one runs before flipping
+# ANN search to quantized vectors. Pure per-row array expression work —
+# embarrassingly parallel, no shuffle at all (the ORDER BY is
+# presentation-only). floor(x+0.5) is used instead of round() because
+# the two engines disagree on half-even vs half-away rounding; floor is
+# bit-identical IEEE in both.
+# ---------------------------------------------------------------------------
+_S04_DUCK = f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             127.0 / greatest(CAST(list_max(list_transform(e, x -> abs(x))) AS DOUBLE), 1e-30) AS scale
+      FROM base
+    ),
+    dq AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> floor(x * scale + 0.5) / scale) AS r
+      FROM scaled
+    )
+    SELECT vec_id, scale,
+      CAST(list_max(list_transform(range(1, {DIM} + 1), i -> abs(e[i] - r[i]))) AS DOUBLE) AS max_abs_err,
+      list_reduce(list_transform(range(1, {DIM} + 1), i -> (e[i] - r[i]) * (e[i] - r[i])),
+                  (a, b) -> a + b) / {DIM} AS mse,
+      list_reduce(list_transform(range(1, {DIM} + 1), i -> e[i] * r[i]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(r, x -> x * x), (a, b) -> a + b))) AS cos_fidelity
+    FROM dq
+    ORDER BY vec_id
+    """
+
+_S04_SPARK = f"""
+    WITH base AS (
+      SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             127.0 / greatest(array_max(transform(e, x -> abs(x))), 1e-30D) AS scale
+      FROM base
+    ),
+    dq AS (
+      SELECT vec_id, e, scale,
+             transform(e, x -> floor(x * scale + 0.5) / scale) AS r
+      FROM scaled
+    )
+    SELECT vec_id, scale,
+      array_max(zip_with(e, r, (x, y) -> abs(x - y))) AS max_abs_err,
+      aggregate(zip_with(e, r, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (a, b) -> a + b) / {DIM} AS mse,
+      aggregate(zip_with(e, r, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)
+        / (sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))
+           * sqrt(aggregate(transform(r, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b))) AS cos_fidelity
+    FROM dq
+    ORDER BY vec_id
+    """
+
+
+@query("s04_quantization_fidelity", oracle=_S04_DUCK)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_S04_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # Arrow-vectorized alternative kernel: pandas_udf cosine for pipelines
 # that already pay the Python boundary (e.g. after a mapInPandas
 # feature extractor). NumPy dot per batch — not bit-identical to the

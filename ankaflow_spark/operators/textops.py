@@ -132,7 +132,8 @@ _QUALITY = dict(
 )
 
 
-def _quality_sql(spark_dialect: bool) -> str:
+def _quality_scored(spark_dialect: bool) -> str:
+    """The scored relation (no ORDER BY) — shared by t03 and t05."""
     if spark_dialect:
         n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
         n_stop = "regexp_count(lower(text), '(^| )(the|a|of|and|is|in|to)( |$)')"
@@ -159,14 +160,45 @@ def _quality_sql(spark_dialect: bool) -> str:
         FROM documents
       ) raw
     ) scored
-    ORDER BY doc_id
     """
+
+
+def _quality_sql(spark_dialect: bool) -> str:
+    return _quality_scored(spark_dialect) + " ORDER BY doc_id"
 
 
 @query("t03_quality_score", oracle=_quality_sql(False))
 def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_quality_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t05 — per-group quality top-k: keep the N best-scoring docs per
+# language — the curation step that balances a training mix after
+# scoring. One shuffle on the group key + per-group heap (rank window);
+# never a global sort of the corpus.
+# ---------------------------------------------------------------------------
+_TOPK_PER_LANG = 5
+
+
+def _topk_sql(spark_dialect: bool) -> str:
+    return f"""
+    WITH scored AS ({_quality_scored(spark_dialect)})
+    SELECT lang, doc_id, n_tokens, score, quality, rk FROM (
+      SELECT d.lang, s.doc_id, s.n_tokens, s.score, s.quality,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.score DESC, s.doc_id) AS rk
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ) ranked WHERE rk <= {_TOPK_PER_LANG}
+    ORDER BY lang, rk
+    """
+
+
+@query("t05_groupwise_quality_topk", oracle=_topk_sql(False))
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_topk_sql(True))
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,43 @@ def test_connected_components_multiple_components(spark):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(spark, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_d07_decontam_semantics(spark):
+    from ankaflow_spark.operators.dedup import DECONTAM_MOD, QUERIES
+
+    df = QUERIES["d07_benchmark_decontam"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert df.columns == ["doc_id", "n_shared_ngrams", "contaminated"]
+    # benchmark members never appear as training docs
+    assert all(r["doc_id"] % DECONTAM_MOD != 0 for r in rows)
+    # flag agrees with the count
+    assert all(r["contaminated"] == (r["n_shared_ngrams"] > 0) for r in rows)
+
+
+def test_t05_topk_semantics(spark):
+    from ankaflow_spark.operators.textops import _TOPK_PER_LANG, QUERIES
+
+    df = QUERIES["t05_groupwise_quality_topk"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in per_lang.items():
+        assert len(rs) <= _TOPK_PER_LANG
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_s04_quantization_bounds(spark):
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    df = QUERIES["s04_quantization_fidelity"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # |x - floor(x*s + 0.5)/s| <= 0.5/s by construction
+        assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-12
+        assert r["mse"] >= 0
+        assert 0.99 < r["cos_fidelity"] <= 1.0 + 1e-12
