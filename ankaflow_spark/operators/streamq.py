@@ -28,20 +28,10 @@ ORACLES: Dict[str, str] = {}
 def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_stream_to_memory, stream_tap, windowed_agg
 
-    t = load_tables(spark, sf_dir)
-    events = t["events"]
-    # stage a µs-normalized copy for the streaming file source (the
-    # raw file's ns timestamps need the batch loader's conversion)
-    # md5, not hash(): Python string hashing is per-process salted, so
-    # hash() would mint a fresh staging dir every run and leak stale
-    # copies; md5 keeps the path stable across processes.
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"ankaflow_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        events.write.mode("overwrite").parquet(staged)
-    schema = spark.read.parquet(staged).schema
+    # staging uses md5, not hash(): Python string hashing is per-process
+    # salted, so hash() would mint a fresh staging dir every run and
+    # leak stale copies; md5 keeps the path stable across processes.
+    staged, schema = _staged_events(spark, sf_dir)
     stream = stream_tap(spark, staged, schema)
     agg = windowed_agg(stream, "ts", window_len="5 minutes", group_cols=["event_type"])
     name = "st01_out"
@@ -68,6 +58,49 @@ ORACLES["st01_stream_window"] = """
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
+"""
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stage a µs-normalized events copy for the streaming file source
+    (shared by st01/st02); returns (path, schema)."""
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        t["events"].write.mode("overwrite").parquet(staged)
+    return staged, spark.read.parquet(staged).schema
+
+
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup, ORACLE-CHECKED on its key projection: which
+    physical row survives dropDuplicates depends on arrival order
+    (partition/trigger dependent), but the SET of surviving keys is
+    exactly the distinct key set — so projecting to the keys makes a
+    real streaming-state execution fully value-checkable against
+    batch SELECT DISTINCT. State is bounded by the watermark horizon
+    (reference has no streaming surface; extension per SURVEY §7)."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap, streaming_dedup
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    deduped = streaming_dedup(stream, keys=["user_id", "event_type"], ts_col="ts")
+    name = "st02_out"
+    run_stream_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+QUERIES["st02_stream_dedup"] = st02
+ORACLES["st02_stream_dedup"] = """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
 """
 
 
