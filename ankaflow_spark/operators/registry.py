@@ -230,3 +230,85 @@ def op_salted_agg(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         )
         return partial.groupBy(*keys).agg(F.sum("__p__").cast("double").alias("total"))
     raise ValueError(f"salted_agg supports count|sum, got {agg!r}")
+
+
+@operator("ngram_decontaminate")
+def op_ngram_decontaminate(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Flag rows whose text shares word n-grams with a benchmark stage
+    (broadcast: eval suites are MBs, corpora are TBs). Adds
+    ``n_shared_ngrams``/``contaminated``; pass drop: true to filter."""
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    n = int(params.get("n", 5))
+    bench = engine.table(params["benchmark"])
+    bench_text = params.get("benchmark_text_column", text_col)
+
+    def grams(rel: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        w = F.split(F.col(col), " ")
+        g = F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - n),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
+                    ),
+                ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+            )
+        ).alias("__g__")
+        return rel.select(F.col(id_col).alias("__id__"), g) if keep_id else rel.select(g)
+
+    bench_grams = F.broadcast(grams(bench, bench_text, keep_id=False).distinct())
+    counts = (
+        grams(df, text_col, keep_id=True)
+        .join(bench_grams, "__g__", "left_semi")
+        .groupBy("__id__")
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
+    out = (
+        df.join(counts, df[id_col] == counts["__id__"], "left")
+        .drop("__id__")
+        .withColumn("n_shared_ngrams", F.coalesce("n_shared_ngrams", F.lit(0)))
+        .withColumn("contaminated", F.col("n_shared_ngrams") > 0)
+    )
+    if params.get("drop"):
+        out = out.filter(~F.col("contaminated"))
+    return out
+
+
+@operator("groupwise_topk")
+def op_groupwise_topk(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Top-k rows per group (rank window): one shuffle on the group
+    keys, per-group heap — never a global sort."""
+    from pyspark.sql.window import Window as W
+
+    keys = list(params["keys"])
+    order = params["order_by"]
+    k = int(params.get("k", 5))
+    desc = bool(params.get("descending", True))
+    tiebreak = params.get("tiebreak")
+    cols = [F.col(order).desc() if desc else F.col(order).asc()]
+    if tiebreak:
+        cols.append(F.col(tiebreak))
+    w = W.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+@operator("quantize_embeddings")
+def op_quantize_embeddings(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Int8 symmetric scalar quantization of a vector column: adds
+    ``scale`` and ``qvec`` (array<tinyint>, 4x smaller than float32).
+    Per-row expression work, no shuffle. floor(x*s + 0.5) rounding —
+    deterministic IEEE in every engine."""
+    vec = params.get("vector_column", "embedding")
+    e = F.transform(F.col(vec), lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    out = df.withColumn("scale", scale)
+    q = F.transform(
+        e, lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("tinyint")
+    )
+    return out.withColumn("qvec", q)

@@ -112,3 +112,93 @@ def test_unknown_operator_fails(engine, sf_dir):
     )
     with pytest.raises(FlowError, match="unknown operator"):
         flow.run()
+
+
+def test_decontaminate_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: bench
+  query: SELECT * FROM docs WHERE doc_id % 50 = 0
+- kind: transform
+  name: train
+  query: SELECT * FROM docs WHERE doc_id % 50 <> 0
+- kind: operator
+  name: checked
+  op: ngram_decontaminate
+  params: {{benchmark: bench, n: 5}}
+  input: train
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert "n_shared_ngrams" in df.columns and "contaminated" in df.columns
+    rows = df.collect()
+    assert len(rows) == engine.table("train").count()
+    assert all(r["contaminated"] == (r["n_shared_ngrams"] > 0) for r in rows)
+    # a benchmark doc checked against itself is fully contaminated
+    self_hit = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: bench
+  query: SELECT * FROM docs WHERE doc_id % 50 = 0
+- kind: operator
+  name: checked
+  op: ngram_decontaminate
+  params: {{benchmark: bench, n: 5, drop: true}}
+  input: bench
+"""),
+        engine=engine,
+    ).run()
+    assert self_hit.count() == 0  # every bench doc drops against itself
+
+
+def test_groupwise_topk_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: top
+  op: groupwise_topk
+  params: {{keys: [lang], order_by: doc_id, k: 3, descending: false}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    per = {}
+    for r in df.collect():
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    for lang, ids in per.items():
+        assert len(ids) <= 3
+        assert ids == sorted(ids)
+
+
+def test_quantize_embeddings_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: emb
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: quant
+  op: quantize_embeddings
+  params: {{vector_column: embedding}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    row = df.first()
+    assert row["qvec"] is not None and len(row["qvec"]) == len(row["embedding"])
+    assert all(-127 <= q <= 127 for q in row["qvec"])
+    # dequantized values reconstruct within the quantization bound
+    s = row["scale"]
+    for x, q in zip(row["embedding"], row["qvec"]):
+        assert abs(x - q / s) <= 0.5 / s + 1e-9
