@@ -700,7 +700,35 @@ def rewrite_struct_literals(sql: str) -> str:
 
 _EXCLUDE_PARENS = re.compile(r"\bEXCLUDE\s*\(", re.IGNORECASE)
 _EXCLUDE_BARE = re.compile(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", re.IGNORECASE)
+_REPLACE_STAR = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
 _COLUMNS_EXPR = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def rewrite_star_replace(sql: str) -> str:
+    """DuckDB ``* REPLACE (expr AS col, ...)`` -> Spark
+    ``* EXCEPT(col, ...), expr AS col, ...``. Values match exactly;
+    the one divergence is column ORDER (replaced columns move to the
+    end of the star expansion — Spark has no positional replace)."""
+    while True:
+        m = _REPLACE_STAR.search(sql)
+        if m is None or _in_literal(sql, m.start()):
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close == -1:
+            return sql
+        names, rendered = [], []
+        for part in _split_top_level(sql[open_idx + 1:close]):
+            am = re.search(r"\s+AS\s+([A-Za-z_]\w*|`[^`]+`)\s*$", part, re.IGNORECASE)
+            if am is None:
+                raise UnsupportedDialect(
+                    "REPLACE entries must be 'expr AS column', got: " + part
+                )
+            names.append(am.group(1))
+            rendered.append(part)
+        star = sql[m.start():m.start() + 1]  # '*'
+        repl = f"{star} EXCEPT({', '.join(names)}), {', '.join(rendered)}"
+        sql = sql[:m.start()] + repl + sql[close + 1:]
 
 
 def _reject_columns_expr(chunk: str) -> None:
@@ -970,6 +998,7 @@ def normalize_dialect(sql: str) -> str:
         return out
 
     out = rewrite_unpivot_statement(sql)
+    out = rewrite_star_replace(out)
     out = _map_nonliteral(out, fix)
     out = rewrite_struct_literals(out)
     out = rewrite_list_comprehensions(out)

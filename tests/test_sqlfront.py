@@ -377,3 +377,21 @@ def test_list_comprehension_executes(engine):
     # nested: comprehension over a comprehension source
     row = engine.sql("SELECT [y + 1 FOR y IN [x * 10 FOR x IN [1, 2]]] AS n").first()
     assert row["n"] == [11, 21]
+
+
+def test_star_replace_rewrite(engine):
+    engine.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("__repl__")
+    df = engine.sql("SELECT * REPLACE (b * 10 AS b) FROM __repl__")
+    row = df.first()
+    assert set(df.columns) == {"a", "b", "c"} and row["b"] == 20
+    # multiple replacements, qualified star
+    df = engine.sql("SELECT t.* REPLACE (a + 1 AS a, c - 1 AS c) FROM __repl__ t")
+    row = df.first()
+    assert row["a"] == 2 and row["b"] == 2 and row["c"] == 2
+    # malformed entry raises with an actionable message
+    import pytest as _pytest
+
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    with _pytest.raises(UnsupportedDialect, match="REPLACE"):
+        engine.sql("SELECT * REPLACE (b * 10) FROM __repl__")
