@@ -49,11 +49,54 @@ def build_remote_query(
     return out
 
 
+_WAREHOUSE_KINDS = ("clickhouse", "postgres", "mysql")
+
+
+def resolve_warehouse_table(locator: str, database: Optional[str] = None) -> str:
+    """Fully-qualified ``"db"."table"`` with the reference's validation
+    rules (reference clickhouse.py:120-143 locate()): a dotted locator
+    must be exactly db.table and must NOT be combined with a configured
+    database; a bare locator REQUIRES a configured database."""
+    if "." in locator:
+        parts = locator.split(".")
+        if len(parts) != 2:
+            raise ValueError(f"Invalid locator format: {locator}")
+        if database:
+            raise ValueError(
+                f"Locator '{locator}' must not include a database prefix "
+                "when 'database' is set."
+            )
+        db, table = parts
+    else:
+        if not database:
+            raise ValueError(
+                f"Locator '{locator}' must include a database prefix "
+                "when 'database' is not set."
+            )
+        db, table = database, locator
+    return f'"{db}"."{table}"'
+
+
 class JDBCConnection:
     def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
         self.engine = engine
         self.spec = spec
         self.variables = variables
+
+    def _qualified_table(self) -> Optional[str]:
+        """The sink/tap target table. Warehouse kinds (clickhouse/...)
+        use the reference's db-qualification rules; plain ``jdbc`` takes
+        the name verbatim. A jdbc: locator is a URL, never a table."""
+        table = self.spec.get("table") or self.spec.get("locator")
+        if not table or str(table).startswith("jdbc:"):
+            return None
+        kind = str(self.spec.get("kind") or "").lower()
+        if kind in _WAREHOUSE_KINDS:
+            database = self.spec.get("database") or (self.spec.get("options") or {}).get(
+                "database"
+            )
+            return resolve_warehouse_table(str(table), database)
+        return str(table)
 
     def _options(self, dbtable_or_query: Dict[str, str]) -> Dict[str, str]:
         opts = dict(self.spec.get("options") or {})
@@ -77,14 +120,14 @@ class JDBCConnection:
             )
             options = self._options({"query": remote})
         else:
-            table = spec.get("table") or spec.get("locator")
+            table = self._qualified_table() or spec.get("table") or spec.get("locator")
             options = self._options({"dbtable": table})
         return self.engine.spark.read.format("jdbc").options(**options).load()
 
     def sink(self, df: DataFrame, stage: Stage) -> None:
         # the reference's warehouse sinks name the target table in the
         # locator (integration.yaml ClickHouse stages)
-        table = self.spec.get("table") or self.spec.get("locator")
+        table = self._qualified_table()
         if not table:
             raise ValueError("jdbc sink needs `table` (or a table-name locator)")
         mode = self.spec.get("mode") or "append"

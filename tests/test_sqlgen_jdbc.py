@@ -85,8 +85,13 @@ def test_jdbc_remote_query_validates():
 def test_jdbc_needs_url(engine):
     from ankaflow_spark.sources import get_connector
 
-    conn = get_connector("clickhouse")(engine, {"kind": "clickhouse", "locator": "nope"}, {})
+    conn = get_connector("clickhouse")(engine, {"kind": "clickhouse", "locator": "db.nope"}, {})
     with pytest.raises(ValueError, match="jdbc:"):
+        conn.tap(None, None)
+    # bare locator without a database fails the reference's locate()
+    # validation before the URL check (reference clickhouse.py:120-143)
+    conn = get_connector("clickhouse")(engine, {"kind": "clickhouse", "locator": "nope"}, {})
+    with pytest.raises(ValueError, match="must include a database"):
         conn.tap(None, None)
 
 
@@ -311,3 +316,40 @@ def test_sqlgen_http_client_live(engine):
         assert seen[0]["messages"][0] == {"role": "system", "content": "seven please"}
     finally:
         srv.shutdown()
+
+
+def test_warehouse_locator_resolution():
+    import pytest as _pytest
+
+    from ankaflow_spark.sources.jdbc import resolve_warehouse_table
+
+    # dotted locator, no database configured
+    assert resolve_warehouse_table("analytics.events") == '"analytics"."events"'
+    # bare locator + configured database
+    assert resolve_warehouse_table("events", "analytics") == '"analytics"."events"'
+    # dotted + configured database = ambiguous (reference rule)
+    with _pytest.raises(ValueError, match="must not include"):
+        resolve_warehouse_table("analytics.events", "analytics")
+    # bare + no database
+    with _pytest.raises(ValueError, match="must include"):
+        resolve_warehouse_table("events")
+    # malformed
+    with _pytest.raises(ValueError, match="Invalid locator"):
+        resolve_warehouse_table("a.b.c")
+
+
+def test_clickhouse_kind_qualifies_sink_table(engine):
+    from ankaflow_spark.sources.jdbc import JDBCConnection
+
+    conn = JDBCConnection(
+        engine,
+        {"kind": "clickhouse", "locator": "events", "options": {"database": "analytics"}},
+        {},
+    )
+    assert conn._qualified_table() == '"analytics"."events"'
+    # plain jdbc kind keeps the table name verbatim
+    conn = JDBCConnection(engine, {"kind": "jdbc", "table": "raw_events"}, {})
+    assert conn._qualified_table() == "raw_events"
+    # a jdbc: url locator is not a table
+    conn = JDBCConnection(engine, {"kind": "jdbc", "locator": "jdbc:derby:x"}, {})
+    assert conn._qualified_table() is None
