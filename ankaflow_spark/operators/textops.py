@@ -276,3 +276,49 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _WINNOW_SPARK_SQL.format(np=spark.sparkContext.defaultParallelism)
     )
+
+
+# ---------------------------------------------------------------------------
+# t06 — sequence packing: assign documents to fixed-size context windows
+# (greedy contiguous fill in doc_id order) for pretraining batch
+# construction. Packing is per-SHARD (doc_id % N_SHARDS): a single
+# global running sum would serialize the corpus through one partition;
+# per-shard running sums give N independent window partitions — the
+# shape that scales (shards ~ executor count at 100 TB). Output is the
+# (shard, seq_id, seq_offset) placement of every doc — integer window
+# arithmetic, exact in both engines.
+# ---------------------------------------------------------------------------
+_PACK_CTX = 2048  # tokens per packed sequence
+_PACK_SHARDS = 8
+
+
+def _pack_sql(spark_dialect: bool) -> str:
+    n_tokens = (
+        "size(regexp_extract_all(text, '\\\\S+', 0))"
+        if spark_dialect
+        else "len(regexp_extract_all(text, '\\S+'))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+             CAST({n_tokens} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / {_PACK_CTX}.0) AS BIGINT) AS seq_id,
+           CAST(start_tok - floor(start_tok / {_PACK_CTX}.0) * {_PACK_CTX} AS BIGINT) AS seq_offset
+    FROM packed
+    ORDER BY shard, doc_id
+    """
+
+
+@query("t06_sequence_pack", oracle=_pack_sql(False))
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pack_sql(True))

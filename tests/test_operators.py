@@ -184,3 +184,23 @@ def test_s04_quantization_bounds(spark):
         assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-12
         assert r["mse"] >= 0
         assert 0.99 < r["cos_fidelity"] <= 1.0 + 1e-12
+
+
+def test_t06_sequence_pack_semantics(spark):
+    from ankaflow_spark.operators.textops import _PACK_CTX, _PACK_SHARDS, QUERIES
+
+    df = QUERIES["t06_sequence_pack"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    per_shard = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % _PACK_SHARDS
+        assert 0 <= r["seq_offset"] < _PACK_CTX
+        per_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in per_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:  # greedy contiguous fill: start = running token sum
+            assert r["seq_id"] == cum // _PACK_CTX
+            assert r["seq_offset"] == cum % _PACK_CTX
+            cum += r["n_tokens"]
