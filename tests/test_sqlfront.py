@@ -395,3 +395,23 @@ def test_star_replace_rewrite(engine):
 
     with _pytest.raises(UnsupportedDialect, match="REPLACE"):
         engine.sql("SELECT * REPLACE (b * 10) FROM __repl__")
+
+
+def test_summarize_statement(engine):
+    engine.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (NULL, 'b') AS t(x, s)"
+    ).createOrReplaceTempView("__summ__")
+    df = engine.sql("SUMMARIZE __summ__")
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == {"x", "s"}
+    x = rows["x"]
+    assert x["min"] == "1" and x["max"] == "2" and x["count"] == 3
+    assert abs(x["null_percentage"] - 100 / 3) < 1e-9
+    assert x["avg"] == 1.5
+    s = rows["s"]
+    assert s["min"] == "a" and s["max"] == "b" and s["avg"] is None
+    # subquery form
+    df = engine.sql("SUMMARIZE (SELECT x FROM __summ__ WHERE x IS NOT NULL)")
+    assert df.count() == 1 and df.first()["null_percentage"] == 0.0
+    # bare SELECT form
+    assert engine.sql("SUMMARIZE SELECT 1 AS one").first()["max"] == "1"
