@@ -104,6 +104,53 @@ ORACLES["st02_stream_dedup"] = """
 """
 
 
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed DISTINCT-user counts, ORACLE-CHECKED.
+    COUNT(DISTINCT) is unsupported inside streaming aggregations, so
+    this runs the canonical two-operator composition: watermarked
+    dropDuplicates on (user_id, window bucket) feeding a windowed
+    count — two stateful operators chained in one streaming query.
+    The surviving (user, bucket) SET is deterministic (st02's
+    argument), so the per-window counts are too: full value oracle
+    against batch COUNT(DISTINCT user_id)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .withColumn("bucket", F.window("ts", "15 minutes"))
+        .dropDuplicates(subset=["user_id", "bucket"])
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_users"))
+    )
+    name = "st03_out"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("bucket.start").alias("window_start"),
+            F.col("bucket.end").alias("window_end"),
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+QUERIES["st03_stream_distinct_users"] = st03
+ORACLES["st03_stream_distinct_users"] = """
+    SELECT
+      make_timestamp(((epoch_us(ts) // 1000000) // 900) * 900 * 1000000) AS window_start,
+      make_timestamp((((epoch_us(ts) // 1000000) // 900) * 900 + 900) * 1000000) AS window_end,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start
+"""
+
+
 def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary round-trip, ORACLE-CHECKED: the synthetic
     payloads are md5-derived bytes DuckDB can reproduce with
