@@ -30,3 +30,17 @@ def test_incremental_dedup_example(engine, tmp_path):
     assert os.path.exists(out)
     back = engine.spark.read.parquet(str(out))
     assert set(back.columns) == {"user_id", "n_types", "avg_value"}
+
+
+def test_operator_pipeline_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/operator_pipeline.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().first()
+    assert row["latest_rows"] > 0
+    assert 0 < row["sampled_rows"] < row["latest_rows"]
+    assert row["clean_docs"] > 0
+    # curation keeps at most k=25 docs per language
+    assert 0 < row["curated_docs"] <= row["clean_docs"]
