@@ -137,3 +137,55 @@ def test_locator_relative_join_contains_name(name):
     out = Locator(bucket="s3://b", prefix="p").locate(name)
     assert out.startswith("s3a://b/p/")
     assert out.endswith(name.lstrip("/"))
+
+
+# -- dialect rewriters never corrupt non-matching SQL -----------------------
+_sql_texts = st.text(
+    alphabet=st.sampled_from(list("abcxyz_ (),.*'+-=<>0123456789\n")), max_size=60
+)
+
+
+@given(_sql_texts)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_comprehension_rewrite_total(sql):
+    """Never raises on arbitrary input; output only changes if a
+    bracket was present to interpret."""
+    from ankaflow_spark.sqlfront.rewrite import rewrite_list_comprehensions
+
+    out = rewrite_list_comprehensions(sql)
+    if "[" not in sql:
+        assert out == sql
+
+
+@given(
+    st.lists(st.integers(-99, 99), min_size=1, max_size=5),
+    st.integers(1, 9),
+)
+@settings(max_examples=50, suppress_health_check=[HealthCheck.too_slow])
+def test_comprehension_matches_python(items, mul):
+    """[x*m FOR x IN lst] evaluates like the Python comprehension."""
+    from ankaflow_spark.sqlfront.rewrite import rewrite_list_comprehensions
+
+    lst = "[" + ", ".join(str(i) for i in items) + "]"
+    sql = rewrite_list_comprehensions(f"SELECT [x * {mul} FOR x IN {lst}] AS r")
+    assert sql == (
+        f"SELECT transform({lst}, x -> x * {mul}) AS r"
+    )
+
+
+@given(_sql_texts)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_star_replace_total(sql):
+    """Total on arbitrary input: either rewrites a well-formed REPLACE,
+    raises the typed UnsupportedDialect, or leaves text unchanged."""
+    from ankaflow_spark.sqlfront.rewrite import (
+        UnsupportedDialect,
+        rewrite_star_replace,
+    )
+
+    try:
+        out = rewrite_star_replace(sql)
+    except UnsupportedDialect:
+        return
+    if "REPLACE" not in sql.upper():
+        assert out == sql
