@@ -322,3 +322,81 @@ def _pack_sql(spark_dialect: bool) -> str:
 def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_pack_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t07 — repetition signals (Gopher/FineWeb-style filters): fraction of
+# the document covered by its most frequent word bigram/trigram, plus
+# the duplicate-token fraction. High values flag boilerplate/spam that
+# length- and stopword-based scores (t03) miss. Shape: explode n-grams
+# -> one (doc, gram) count aggregation -> per-doc max via window; two
+# shuffles on doc-sized keys, no all-pairs anything.
+# ---------------------------------------------------------------------------
+def _repetition_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        words = "split(text, ' ')"
+        n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
+        n_unique = "size(array_distinct(split(lower(text), ' ')))"
+        gram2 = """
+          SELECT doc_id, explode(
+            CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),
+              i -> concat(w[i], ' ', w[i + 1]))
+            ELSE array(concat_ws(' ', w)) END) AS g
+          FROM (SELECT doc_id, {words} AS w FROM documents)
+        """
+        gram3 = """
+          SELECT doc_id, explode(
+            CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
+              i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+            ELSE array(concat_ws(' ', w)) END) AS g
+          FROM (SELECT doc_id, {words} AS w FROM documents)
+        """
+    else:
+        words = "string_split(text, ' ')"
+        n_tokens = "len(regexp_extract_all(text, '\\S+'))"
+        n_unique = "len(list_distinct(string_split(lower(text), ' ')))"
+        gram2 = """
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i + 1])
+            ELSE [array_to_string(w, ' ')] END) AS g
+          FROM (SELECT doc_id, {words} AS w FROM documents)
+        """
+        gram3 = """
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+            ELSE [array_to_string(w, ' ')] END) AS g
+          FROM (SELECT doc_id, {words} AS w FROM documents)
+        """
+    gram2 = gram2.format(words=words)
+    gram3 = gram3.format(words=words)
+    return f"""
+    WITH g2 AS ({gram2}),
+    g3 AS ({gram3}),
+    top2 AS (
+      SELECT doc_id, MAX(c) AS top_n, SUM(c) AS total FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+      ) t GROUP BY doc_id
+    ),
+    top3 AS (
+      SELECT doc_id, MAX(c) AS top_n, SUM(c) AS total FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g
+      ) t GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST({n_tokens} AS BIGINT) AS n_tokens,
+           1.0 - CAST({n_unique} AS DOUBLE) / {n_tokens} AS dup_token_frac,
+           CAST(t2.top_n AS DOUBLE) / t2.total AS top_bigram_frac,
+           CAST(t3.top_n AS DOUBLE) / t3.total AS top_trigram_frac
+    FROM documents d
+    JOIN top2 t2 ON t2.doc_id = d.doc_id
+    JOIN top3 t3 ON t3.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("t07_repetition_signals", oracle=_repetition_sql(False))
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_repetition_sql(True))
