@@ -606,44 +606,42 @@ DECONTAM_N = 5  # words per gram
 DECONTAM_MOD = 50  # doc_id % MOD = 0 -> benchmark member
 
 
-@query(
-    "d07_benchmark_decontam",
-    oracle=f"""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    grams AS (
-      SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(w) >= {DECONTAM_N} THEN
-          list_transform(range(1, len(w) - {DECONTAM_N - 2}),
-                         i -> md5(array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))
-        ELSE [md5(array_to_string(w, ' '))] END)) AS g
-      FROM words
-    ),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0),
-    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECONTAM_MOD} <> 0)
-    SELECT t.doc_id, CAST(COUNT(b.g) AS BIGINT) AS n_shared_ngrams,
-           COUNT(b.g) > 0 AS contaminated
-    FROM train t LEFT JOIN bench b ON t.g = b.g
-    GROUP BY t.doc_id
-    ORDER BY doc_id
-    """,
-)
-def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
-    return spark.sql(f"""
-    WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-    grams AS (
+def decontam_sql(spark_dialect: bool, ordered: bool = True) -> str:
+    """The d07 relation in either dialect; ``ordered=False`` yields the
+    bare relation for composition (t08's curation gate)."""
+    if spark_dialect:
+        grams = f"""
       SELECT doc_id, explode(array_distinct(
         CASE WHEN size(w) >= {DECONTAM_N} THEN
           transform(sequence(0, size(w) - {DECONTAM_N}),
                     i -> md5(concat_ws(' ', slice(w, i + 1, {DECONTAM_N}))))
         ELSE array(md5(concat_ws(' ', w))) END)) AS g
-      FROM words
-    ),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0),
-    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECONTAM_MOD} <> 0)
-    SELECT /*+ BROADCAST(b) */ t.doc_id, CAST(COUNT(b.g) AS BIGINT) AS n_shared_ngrams,
+      FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        """
+        hint = "/*+ BROADCAST(b) */ "
+    else:
+        grams = f"""
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= {DECONTAM_N} THEN
+          list_transform(range(1, len(w) - {DECONTAM_N - 2}),
+                         i -> md5(array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))
+        ELSE [md5(array_to_string(w, ' '))] END)) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        """
+        hint = ""
+    return f"""
+    SELECT {hint}t.doc_id, CAST(COUNT(b.g) AS BIGINT) AS n_shared_ngrams,
            COUNT(b.g) > 0 AS contaminated
-    FROM train t LEFT JOIN bench b ON t.g = b.g
+    FROM (SELECT doc_id, g FROM ({grams}) __g__
+          WHERE doc_id % {DECONTAM_MOD} <> 0) t
+    LEFT JOIN (SELECT DISTINCT g FROM ({grams}) __b__
+               WHERE doc_id % {DECONTAM_MOD} = 0) b ON t.g = b.g
     GROUP BY t.doc_id
-    ORDER BY doc_id
-    """)
+    {"ORDER BY doc_id" if ordered else ""}
+    """
+
+
+@query("d07_benchmark_decontam", oracle=decontam_sql(False))
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(decontam_sql(True))

@@ -332,7 +332,7 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> one (doc, gram) count aggregation -> per-doc max via window; two
 # shuffles on doc-sized keys, no all-pairs anything.
 # ---------------------------------------------------------------------------
-def _repetition_sql(spark_dialect: bool) -> str:
+def _repetition_sql(spark_dialect: bool, ordered: bool = True) -> str:
     if spark_dialect:
         words = "split(text, ' ')"
         n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
@@ -392,7 +392,7 @@ def _repetition_sql(spark_dialect: bool) -> str:
     FROM documents d
     JOIN top2 t2 ON t2.doc_id = d.doc_id
     JOIN top3 t3 ON t3.doc_id = d.doc_id
-    ORDER BY d.doc_id
+    {"ORDER BY d.doc_id" if ordered else ""}
     """
 
 
@@ -400,3 +400,44 @@ def _repetition_sql(spark_dialect: bool) -> str:
 def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_repetition_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t08 — curation gate: the composed verdict a pretraining pipeline
+# computes per document before the corpus ships — quality score (t03)
+# x repetition signals (t07) x benchmark decontamination (d07) joined
+# on doc_id into one boolean `keep`. Each input is itself
+# oracle-checked; the gate demonstrates the joins compose exactly.
+# Benchmark members (eval docs) are excluded by construction via the
+# decontam relation. All joins key on doc_id — at scale they co-align
+# on the same hash partitioning, so the gate adds ONE shuffle over the
+# per-doc signal tables (tiny vs the corpus scans that feed them).
+# ---------------------------------------------------------------------------
+_GATE = dict(max_top_trigram=0.18, max_dup_token=0.75)
+
+
+def _gate_sql(spark_dialect: bool) -> str:
+    from .dedup import decontam_sql
+
+    g = _GATE
+    return f"""
+    WITH scored AS ({_quality_scored(spark_dialect)}),
+    rep AS ({_repetition_sql(spark_dialect, ordered=False)}),
+    decon AS ({decontam_sql(spark_dialect, ordered=False)})
+    SELECT s.doc_id, s.score, s.quality,
+           r.top_trigram_frac, r.dup_token_frac, c.n_shared_ngrams,
+           (s.quality <> 'low'
+            AND r.top_trigram_frac < {g["max_top_trigram"]}
+            AND r.dup_token_frac < {g["max_dup_token"]}
+            AND c.n_shared_ngrams = 0) AS keep
+    FROM scored s
+    JOIN rep r ON r.doc_id = s.doc_id
+    JOIN decon c ON c.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@query("t08_curation_gate", oracle=_gate_sql(False))
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_gate_sql(True))
