@@ -415,3 +415,21 @@ def test_summarize_statement(engine):
     assert df.count() == 1 and df.first()["null_percentage"] == 0.0
     # bare SELECT form
     assert engine.sql("SUMMARIZE SELECT 1 AS one").first()["max"] == "1"
+
+
+def test_duckdb_native_idioms_pass_through(engine):
+    """GROUP BY ALL / ORDER BY ALL / string_agg / ILIKE are DuckDB
+    idioms Spark 4 accepts natively — locked in here so a Spark
+    regression (or an overeager rewrite) surfaces as a test failure."""
+    engine.sql(
+        "SELECT * FROM VALUES ('a', 1), ('a', 2), ('b', 3) AS t(k, v)"
+    ).createOrReplaceTempView("__idioms__")
+    rows = engine.sql(
+        "SELECT k, sum(v) AS s FROM __idioms__ GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    assert [(r["k"], r["s"]) for r in rows] == [("a", 3), ("b", 3)]
+    agg = engine.sql(
+        "SELECT string_agg(k, ',') AS ks FROM (SELECT DISTINCT k FROM __idioms__ ORDER BY k)"
+    ).first()
+    assert agg["ks"] == "a,b"
+    assert engine.sql("SELECT 'Abc' ILIKE 'a%' AS m").first()["m"] is True
