@@ -645,3 +645,79 @@ def decontam_sql(spark_dialect: bool, ordered: bool = True) -> str:
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(decontam_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d08 — dedup survivor selection: the step that actually SHRINKS the
+# corpus. Composes the near-dup clusters (d06) with quality scores (t03)
+# and keeps exactly one document per cluster — the highest-scoring
+# member, ties broken by lowest doc_id. Docs in no near-dup pair are
+# their own singleton cluster and survive. This is the end of the dedup
+# pipeline: pairs (d02) -> clusters (d06) -> survivors (d08).
+#
+# Scale shape: the cluster-label table is tiny (only docs that appear in
+# near-dup pairs, ~= |pairs| rows) -> broadcast left-join against the
+# corpus scan; quality scoring is per-row expression work on the same
+# scan; survivor choice is one window over cluster_id (shuffle bounded
+# by corpus size, same as any groupBy — no extra passes).
+# ---------------------------------------------------------------------------
+def _survivor_select(labels_rel: str, scored_rel: str) -> str:
+    """Engine-neutral tail of d08: assign cluster ids over the full
+    corpus (COALESCE for singletons), then pick the best-quality member
+    per cluster. Same SQL text works in both dialects."""
+    return f"""
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           score,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, doc_id) = 1 AS keep
+    FROM (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, s.score
+      FROM documents d
+      LEFT JOIN ({labels_rel}) l ON l.doc_id = d.doc_id
+      JOIN ({scored_rel}) s ON s.doc_id = d.doc_id
+    ) assigned
+    ORDER BY doc_id
+    """
+
+
+@query("d08_dedup_survivors")
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _quality_scored
+
+    load_tables(spark, sf_dir)
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
+    labels = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    labels.createOrReplaceTempView("d08_cluster_labels")
+    return spark.sql(
+        _survivor_select(
+            "SELECT doc_id, cluster_id FROM d08_cluster_labels",
+            f"SELECT doc_id, score FROM ({_quality_scored(True)}) q",
+        )
+    )
+
+
+def _d08_oracle() -> str:
+    from .textops import _quality_scored
+
+    closure = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", "")}),
+    cedges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+      UNION ALL SELECT doc_a, doc_a FROM pairs
+      UNION ALL SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(doc_id, nbr) AS (
+      SELECT doc_id, nbr FROM cedges
+      UNION
+      SELECT r.doc_id, e.nbr FROM reach r JOIN cedges e ON e.doc_id = r.nbr
+    )
+    SELECT doc_id, MIN(nbr) AS cluster_id FROM reach GROUP BY doc_id
+    """
+    return _survivor_select(
+        closure, f"SELECT doc_id, score FROM ({_quality_scored(False)}) q"
+    )
+
+
+ORACLES["d08_dedup_survivors"] = _d08_oracle()

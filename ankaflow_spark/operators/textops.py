@@ -441,3 +441,115 @@ def _gate_sql(spark_dialect: bool) -> str:
 def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_gate_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t09 — PII redaction: scrub emails / IPv4 addresses / phone numbers
+# from document text before it can reach a training corpus, reporting
+# per-doc hit counts and the md5 of the scrubbed text. Pure
+# regexp_replace / regexp_extract_all expression work — full scan
+# speed, embarrassingly parallel, zero shuffles at 100 TB.
+#
+# The synthetic corpus contains no PII, so the query deterministically
+# plants some (email/IP/phone derived from doc_id) and then removes it
+# — the oracle check proves the redaction regexes find EXACTLY the
+# planted strings and nothing else, in both engines' regex dialects
+# (Java util.regex vs RE2: patterns below avoid constructs where the
+# two differ — no backrefs, no lookaround, ASCII classes only).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+_PII_PHONE = "\\+\\d-\\d{3}-\\d{4}"
+
+
+def _pii_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        # Spark SQL string literals process backslash escapes -> double
+        e, i, p = (
+            _PII_EMAIL.replace("\\", "\\\\"),
+            _PII_IP.replace("\\", "\\\\"),
+            _PII_PHONE.replace("\\", "\\\\"),
+        )
+        n_email = f"size(regexp_extract_all(text, '{e}', 0))"
+        n_ip = f"size(regexp_extract_all(text, '{i}', 0))"
+        n_phone = f"size(regexp_extract_all(text, '{p}', 0))"
+        redact = (
+            f"regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{e}', '[EMAIL]'), '{i}', '[IP]'), '{p}', '[PHONE]')"
+        )
+        cast_s = "CAST(doc_id AS STRING)"
+    else:
+        e, i, p = _PII_EMAIL, _PII_IP, _PII_PHONE
+        n_email = f"len(regexp_extract_all(text, '{e}'))"
+        n_ip = f"len(regexp_extract_all(text, '{i}'))"
+        n_phone = f"len(regexp_extract_all(text, '{p}'))"
+        redact = (
+            f"regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{e}', '[EMAIL]', 'g'), '{i}', '[IP]', 'g'), '{p}', '[PHONE]', 'g')"
+        )
+        cast_s = "CAST(doc_id AS VARCHAR)"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             concat(text,
+                    ' contact user', {cast_s}, '@mail',
+                    CAST(doc_id % 7 AS {"STRING" if spark_dialect else "VARCHAR"}), '.example.com',
+                    ' from 10.', CAST(doc_id % 256 AS {"STRING" if spark_dialect else "VARCHAR"}),
+                    '.0.', CAST(doc_id % 100 AS {"STRING" if spark_dialect else "VARCHAR"}),
+                    ' tel +1-555-', lpad(CAST(doc_id % 10000 AS {"STRING" if spark_dialect else "VARCHAR"}), 4, '0')
+             ) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({n_email} AS BIGINT) AS n_emails,
+           CAST({n_ip} AS BIGINT) AS n_ips,
+           CAST({n_phone} AS BIGINT) AS n_phones,
+           md5({redact}) AS redacted_md5
+    FROM planted
+    ORDER BY doc_id
+    """
+
+
+@query("t09_pii_redaction", oracle=_pii_sql(False))
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pii_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t10 — stratified mixing sample: resample the corpus to a target
+# language mix (downsample the dominant language, keep low-resource
+# ones) with a deterministic md5-threshold bernoulli per stratum — the
+# data-mixing step of a pretraining pipeline. Reproducible across
+# engines, runs, and partitionings (q21's sampler, stratified);
+# coordination-free at 100 TB: no counts, no windows, one scan.
+# Per-stratum rates map to 4-hex-digit cut points on the first 16 bits
+# of md5('mix' || doc_id): keep iff hash16 < floor(rate * 65536).
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 0.35, "de": 0.80, "fr": 0.80, "es": 0.80, "zh": 1.00}
+
+
+def _mix_sql(spark_dialect: bool) -> str:
+    cast_s = "STRING" if spark_dialect else "VARCHAR"
+    cuts = " ".join(
+        f"WHEN '{lang}' THEN '{min(int(rate * 65536), 65535):04x}'"
+        for lang, rate in sorted(_MIX_RATES.items())
+    )
+    # the cut is strict (<), so rate=1.0 strata bypass the comparison
+    # entirely (hash16 == 'ffff' must also be kept)
+    keep_all = ", ".join(f"'{k}'" for k, v in sorted(_MIX_RATES.items()) if v >= 1.0)
+    return f"""
+    SELECT doc_id, lang,
+           substr(md5(concat('mix', CAST(doc_id AS {cast_s}))), 1, 4) AS u16
+    FROM documents
+    WHERE lang IN ({keep_all})
+       OR substr(md5(concat('mix', CAST(doc_id AS {cast_s}))), 1, 4)
+          < CASE lang {cuts} ELSE '0000' END
+    ORDER BY doc_id
+    """
+
+
+@query("t10_stratified_mix", oracle=_mix_sql(False))
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_mix_sql(True))

@@ -204,3 +204,67 @@ def test_t06_sequence_pack_semantics(spark):
             assert r["seq_id"] == cum // _PACK_CTX
             assert r["seq_offset"] == cum % _PACK_CTX
             cum += r["n_tokens"]
+
+
+def test_d08_survivor_semantics(spark):
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    df = QUERIES["d08_dedup_survivors"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert len(rows) == docs  # every document gets a verdict
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in clusters.items():
+        assert all(r["cluster_size"] == len(rs) for r in rs)
+        # exactly one survivor per cluster: the best score, doc_id tiebreak
+        kept = [r for r in rs if r["keep"]]
+        assert len(kept) == 1
+        best = max(rs, key=lambda r: (r["score"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+    # singletons survive
+    singles = [rs[0] for rs in clusters.values() if len(rs) == 1]
+    assert singles and all(r["keep"] for r in singles)
+
+
+def test_t09_pii_redaction_scrubs_planted(spark):
+    from ankaflow_spark.operators.textops import QUERIES, _pii_sql
+
+    df = QUERIES["t09_pii_redaction"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    # each doc had exactly one email, one IP, one phone planted (the
+    # synthetic corpus itself contains none)
+    assert all(r["n_emails"] == 1 and r["n_ips"] == 1 and r["n_phones"] == 1 for r in rows)
+    # and the scrubbed text no longer matches any PII pattern
+    sql = _pii_sql(True).replace(
+        "md5(", "(", 1
+    )  # expose the raw redacted text instead of its md5
+    red = spark.sql(sql).selectExpr(
+        "max(redacted_md5 rlike '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}') AS email",
+        "max(redacted_md5 rlike '\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}') AS ip",
+    ).collect()[0]
+    assert red["email"] is False and red["ip"] is False
+
+
+def test_t10_stratified_rates(spark):
+    from ankaflow_spark.operators.textops import _MIX_RATES, QUERIES
+
+    df = QUERIES["t10_stratified_mix"](spark, "/root/testdata/sf0.01")
+    kept = {r["lang"]: 0 for r in df.collect()}
+    for r in df.collect():
+        kept[r["lang"]] += 1
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, rate in _MIX_RATES.items():
+        frac = kept.get(lang, 0) / totals[lang]
+        if rate >= 1.0:
+            assert frac == 1.0  # keep-all stratum is exact
+        else:
+            assert abs(frac - rate) < 0.15  # bernoulli tolerance at n~100
