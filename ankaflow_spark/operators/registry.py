@@ -312,3 +312,94 @@ def op_quantize_embeddings(engine, df: DataFrame, params: Dict[str, Any]) -> Dat
         e, lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("tinyint")
     )
     return out.withColumn("qvec", q)
+
+
+@operator("pii_redact")
+def op_pii_redact(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers from a text column
+    (in place), adding per-row hit counts. Pure regexp expression work —
+    zero shuffles. Patterns agree between Java regex and RE2 (no
+    backrefs/lookaround, ASCII classes only)."""
+    from .textops import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    text_col = params.get("text_column", "text")
+    pats = {
+        "emails": (_PII_EMAIL, params.get("email_token", "[EMAIL]")),
+        "ips": (_PII_IP, params.get("ip_token", "[IP]")),
+        "phones": (_PII_PHONE, params.get("phone_token", "[PHONE]")),
+    }
+    out = df
+    for name, (pat, tok) in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.expr(
+                f"regexp_extract_all({text_col}, '{pat.replace(chr(92), chr(92) * 2)}', 0)"
+            )).cast("bigint"),
+        )
+    redacted = F.col(text_col)
+    for name, (pat, tok) in pats.items():
+        # the Column API takes the regex verbatim (no SQL-literal escape
+        # pass), unlike the expr() counts above which need \\ doubled
+        redacted = F.regexp_replace(redacted, pat, tok)
+    return out.withColumn(text_col, redacted)
+
+
+@operator("stratified_sample")
+def op_stratified_sample(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Deterministic per-stratum bernoulli resampling to a target mix
+    (t10's sampler as a reusable stage): keep iff the first 16 bits of
+    md5(salt || key) fall under floor(rate * 65536). Reproducible across
+    engines/runs/partitionings; no counts, no windows, one scan.
+
+    params: strata: {value: rate}, stratum_column, key (id column),
+    salt (optional, default 'mix'). Strata absent from the map drop."""
+    strata: Dict[str, float] = dict(params["strata"])
+    scol = params.get("stratum_column", "lang")
+    key = params.get("key", "doc_id")
+    salt = str(params.get("salt", "mix"))
+    h16 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4)
+    keep = F.lit(False)
+    for val, rate in sorted(strata.items()):
+        cut = format(min(int(float(rate) * 65536), 65535), "04x")
+        in_stratum = F.col(scol) == val
+        keep = keep | (
+            in_stratum
+            if float(rate) >= 1.0
+            else (in_stratum & (h16 < F.lit(cut)))
+        )
+    return df.filter(keep)
+
+
+@operator("dedup_survivors")
+def op_dedup_survivors(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Collapse near-dup clusters to one surviving row each (d08 as a
+    reusable stage): connected components over a candidate-pair stage,
+    then keep the best row per cluster by ``score_column`` (id tiebreak).
+    Rows in no pair are singleton clusters and survive. The label table
+    is ~|pairs| rows -> broadcast against the corpus; one window.
+
+    params: pairs (stage name with [pair_left, pair_right] columns,
+    default doc_a/doc_b), id_column, score_column; keep_all: true keeps
+    losers with keep=false instead of filtering."""
+    from .dedup import connected_components
+
+    id_col = params.get("id_column", "doc_id")
+    score = params["score_column"]
+    pairs = engine.table(params["pairs"]).selectExpr(
+        f"{params.get('pair_left', 'doc_a')} AS doc_a",
+        f"{params.get('pair_right', 'doc_b')} AS doc_b",
+    )
+    labels = (
+        connected_components(df.sparkSession, pairs)
+        .selectExpr("doc_id AS __cc_id__", "cluster_id")
+    )
+    from pyspark.sql.window import Window as W
+
+    assigned = (
+        df.join(F.broadcast(labels), df[id_col] == labels["__cc_id__"], "left")
+        .drop("__cc_id__")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col(score).desc(), F.col(id_col))
+    out = assigned.withColumn("keep", F.row_number().over(w) == 1)
+    return out if params.get("keep_all") else out.filter("keep").drop("keep")

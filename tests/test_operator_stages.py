@@ -202,3 +202,92 @@ def test_quantize_embeddings_stage(engine, sf_dir):
     s = row["scale"]
     for x, q in zip(row["embedding"], row["qvec"]):
         assert abs(x - q / s) <= 0.5 / s + 1e-9
+
+
+def test_pii_redact_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: planted
+  query: >
+    SELECT doc_id, concat(text, ' mail me at alice@corp.example.org or 192.168.0.7') AS text
+    FROM docs
+- kind: operator
+  name: scrubbed
+  op: pii_redact
+  params: {{text_column: text}}
+- kind: transform
+  name: check
+  query: >
+    SELECT sum(n_emails) AS e, sum(n_ips) AS i,
+           sum(CASE WHEN text LIKE '%[EMAIL]%' AND text LIKE '%[IP]%' THEN 1 ELSE 0 END) AS marked,
+           sum(CASE WHEN text LIKE '%@%' THEN 1 ELSE 0 END) AS leaked
+    FROM scrubbed
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    n = engine.table("docs").count()
+    assert row["e"] == n and row["i"] == n
+    assert row["marked"] == n and row["leaked"] == 0
+
+
+def test_stratified_sample_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: mixed
+  op: stratified_sample
+  params:
+    stratum_column: lang
+    key: doc_id
+    strata: {{en: 0.3, zh: 1.0}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    kept = {r["lang"]: r["n"] for r in df.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r["lang"]: r["n"] for r in engine.table("docs").groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert set(kept) == {"en", "zh"}  # unmapped strata drop
+    assert kept["zh"] == totals["zh"]  # rate 1.0 keeps all
+    assert 0 < kept["en"] < totals["en"]
+    # deterministic on re-run
+    assert df.count() == engine.table("mixed").count()
+
+
+def test_dedup_survivors_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: scored
+  op: quality_score
+  params: {{text_column: text}}
+- kind: operator
+  name: pairs
+  op: minhash_pairs
+  input: docs
+  params: {{id_column: doc_id, text_column: text}}
+- kind: operator
+  name: survivors
+  op: dedup_survivors
+  input: scored
+  params: {{pairs: pairs, id_column: doc_id, score_column: quality_score}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    n_docs = engine.table("docs").count()
+    n_pairs = engine.table("pairs").count()
+    n_out = df.count()
+    assert n_out < n_docs or n_pairs == 0  # every pair collapses someone
+    # survivors are unique per cluster
+    assert df.groupBy("cluster_id").count().filter("count > 1").count() == 0
