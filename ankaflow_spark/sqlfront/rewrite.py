@@ -418,6 +418,19 @@ DIALECT_FN_RENAMES: Dict[str, str] = {
     "list": "collect_list",
     "string_agg": "listagg",
     "group_concat": "listagg",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    # list_position returns 0 when absent in current DuckDB — same
+    # contract as Spark's array_position (both 1-based)
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_has_any": "arrays_overlap",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
 }
 
 # strptime %-pattern -> Java pattern conversion, as a SQL replace chain
@@ -510,6 +523,20 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
     "isodow": {1: lambda a: f"(weekday({a[0]}) + 1)"},
     "isoyear": {
         1: lambda a: f"year(date_add(CAST({a[0]} AS DATE), 4 - (weekday({a[0]}) + 1)))"
+    },
+    # DuckDB quantile_cont == Spark's exact interpolated percentile
+    "quantile_cont": {2: lambda a: f"percentile({a[0]}, {a[1]})"},
+    # all elements of the 2nd list present in the 1st
+    "list_has_all": {
+        2: lambda a: f"(size(array_except(({a[1]}), ({a[0]}))) = 0)"
+    },
+    # DuckDB slice is 1-based inclusive [b, e]; Spark slice takes
+    # (start, length). Positive-index spelling (the common case).
+    "list_slice": {
+        3: lambda a: f"slice(({a[0]}), ({a[1]}), ({a[2]}) - ({a[1]}) + 1)"
+    },
+    "array_slice": {
+        3: lambda a: f"slice(({a[0]}), ({a[1]}), ({a[2]}) - ({a[1]}) + 1)"
     },
     "read_parquet": {1: _table_ref("parquet")},
     "read_csv": {1: _table_ref("csv")},

@@ -433,3 +433,29 @@ def test_duckdb_native_idioms_pass_through(engine):
     ).first()
     assert agg["ks"] == "a,b"
     assert engine.sql("SELECT 'Abc' ILIKE 'a%' AS m").first()["m"] is True
+
+
+def test_duckdb_dialect_functions_round3b(engine):
+    """Second wave of everyday DuckDB spellings: arg_max/arg_min,
+    quantile_cont, list_has_any/all, list_position, list_slice,
+    starts_with/ends_with — values asserted against DuckDB's own
+    results for the same expressions."""
+    row = engine.sql(
+        "SELECT arg_max(x, y) AS am, arg_min(x, y) AS an,"
+        "       quantile_cont(x, 0.25) AS q,"
+        "       list_has_any([1, 2], [2, 9]) AS ha,"
+        "       list_has_all([1, 2, 3], [1, 3]) AS hl,"
+        "       list_has_all([1, 2], [1, 9]) AS hln,"
+        "       list_position([1, 2], 2) AS lp,"
+        "       list_position([1, 2], 5) AS lp0,"
+        "       list_slice([1, 2, 3, 4], 2, 3) AS sl,"
+        "       starts_with('abc', 'ab') AS sw,"
+        "       ends_with('abc', 'bc') AS ew"
+        " FROM (VALUES (1, 10), (2, 20), (3, 5)) t(x, y)"
+    ).collect()[0]
+    assert row["am"] == 2 and row["an"] == 3
+    assert row["q"] == 1.5
+    assert row["ha"] is True and row["hl"] is True and row["hln"] is False
+    assert row["lp"] == 2 and row["lp0"] == 0
+    assert row["sl"] == [2, 3]
+    assert row["sw"] is True and row["ew"] is True
