@@ -202,3 +202,59 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["m02_multimodal_feature_surface"] = m02
+
+
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (custom stateful operator via
+    applyInPandasWithState), ORACLE-CHECKED. The sessionizer emits a
+    session when a later event closes it (gap > 30 min); with the
+    watermark horizon set beyond the data's time span, event-time
+    timeouts never fire, so the emitted set is EXACTLY the gap-closed
+    sessions — i.e. every session except each user's last. That set is
+    deterministic (session boundaries depend only on each key's
+    timestamp multiset, not arrival order) and batch-computable, so the
+    streaming execution of a custom stateful operator gets a full value
+    oracle. st03's argument covers why per-key processing is exact;
+    state is three longs per live key."""
+    from ..streaming.stream import run_stream_to_memory, sessionize_stateful, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    sessions = sessionize_stateful(
+        stream, gap_minutes=30, watermark="3650 days"
+    )
+    name = "st04_out"
+    run_stream_to_memory(sessions, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES["st04_stream_sessions"] = st04
+ORACLES["st04_stream_sessions"] = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    ORDER BY user_id, session_start
+"""
