@@ -42,5 +42,10 @@ def test_operator_pipeline_example(engine):
     assert row["latest_rows"] > 0
     assert 0 < row["sampled_rows"] < row["latest_rows"]
     assert row["clean_docs"] > 0
+    # dedup collapse and remixing only ever shrink the set
+    assert 0 < row["surviving_docs"] <= row["clean_docs"]
+    assert 0 < row["mixed_docs"] <= row["surviving_docs"]
+    # the synthetic corpus carries no PII of its own
+    assert row["pii_hits"] == 0
     # curation keeps at most k=25 docs per language
-    assert 0 < row["curated_docs"] <= row["clean_docs"]
+    assert 0 < row["curated_docs"] <= row["mixed_docs"]
