@@ -665,6 +665,10 @@ def _survivor_select(labels_rel: str, scored_rel: str) -> str:
     """Engine-neutral tail of d08: assign cluster ids over the full
     corpus (COALESCE for singletons), then pick the best-quality member
     per cluster. Same SQL text works in both dialects."""
+    # the broadcast hint matters: the label table is a checkpointed
+    # LogicalRDD with no stats, so without it Spark sort-merge-joins a
+    # tiny (~|pairs|-row) table against the corpus. DuckDB ignores the
+    # hint comment.
     return f"""
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
@@ -672,7 +676,8 @@ def _survivor_select(labels_rel: str, scored_rel: str) -> str:
            ROW_NUMBER() OVER (PARTITION BY cluster_id
                               ORDER BY score DESC, doc_id) = 1 AS keep
     FROM (
-      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, s.score
+      SELECT /*+ BROADCAST(l) */
+             d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, s.score
       FROM documents d
       LEFT JOIN ({labels_rel}) l ON l.doc_id = d.doc_id
       JOIN ({scored_rel}) s ON s.doc_id = d.doc_id
