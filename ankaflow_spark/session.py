@@ -87,6 +87,11 @@ def get_spark(
 
 _MANGLE_RE = re.compile(r"[^A-Za-z0-9_]")
 
+# COPY <table | (query)> TO 'path' [WITH] [(opt, ...)]  (DuckDB export)
+_COPY_STMT = re.compile(
+    r"(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:WITH\s*)?(?:\((.*)\))?\s*;?\s*$"
+)
+
 
 def mangle_view_name(name: str) -> str:
     """Deterministically map an arbitrary stage name to a legal Spark
@@ -173,6 +178,9 @@ class SparkEngine:
         summ = re.match(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", query)
         if summ is not None:
             return self._run_summarize(summ.group(1))
+        copy = _COPY_STMT.match(query)
+        if copy is not None:
+            return self._run_copy(copy)
         piv = parse_pivot_statement(query)
         if piv is not None:
             return self._run_pivot(piv)
@@ -234,6 +242,76 @@ class SparkEngine:
             out.createOrReplaceTempView(view)
             out = self.spark.sql(f"SELECT * FROM {view} {piv['tail']}")
         return out
+
+    def _run_copy(self, m: "re.Match[str]") -> DataFrame:
+        """DuckDB ``COPY <table | (query)> TO 'path' [(options)]``:
+        export a relation to a single file, DuckDB-style (one output
+        file, overwrite). Source text goes through the full rewrite
+        pipeline, so stage names and dialect functions work inside the
+        copied query. Supported options: FORMAT PARQUET/CSV/JSON
+        (default: inferred from the path extension), HEADER [true|
+        false], DELIMITER/DELIM/SEP '<c>'. Returns the single-column
+        ``Count`` relation DuckDB returns.
+
+        Single-file semantics are the reference's COPY TO contract —
+        a driver-coordinated coalesce(1), only sane for bounded exports
+        (the same documented small-result path as the file sink);
+        directory-scale output belongs to sink stages."""
+        import glob
+        import shutil
+
+        src, path, raw_opts = m.group(1).strip(), m.group(2), m.group(3) or ""
+        from .sqlfront.rewrite import _split_top_level
+
+        if src.startswith("("):
+            df = self.sql(src[1:-1])
+        elif re.match(r"(?is)^SELECT\b", src):
+            df = self.sql(src)
+        else:
+            df = self.table(src.strip('`"'))
+        opts: Dict[str, str] = {}
+        for part in _split_top_level(raw_opts, ","):
+            part = part.strip()
+            if not part:
+                continue
+            kv = part.split(None, 1)
+            opts[kv[0].lower()] = kv[1].strip().strip("'\"") if len(kv) > 1 else "true"
+        fmt = opts.get("format", "").lower() or {
+            ".parquet": "parquet",
+            ".csv": "csv",
+            ".json": "json",
+            ".jsonl": "json",
+            ".ndjson": "json",
+        }.get(os.path.splitext(path)[1].lower(), "")
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(
+                f"COPY TO: unsupported or unknown format {fmt or os.path.splitext(path)[1]!r}; "
+                "use FORMAT PARQUET/CSV/JSON or a .parquet/.csv/.json path"
+            )
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith("file://"):
+            raise ValueError(
+                f"COPY TO requires a local path, got {path!r}; use a sink stage "
+                "with a directory locator for remote object stores"
+            )
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option(
+                "header", opts.get("header", "true").lower() not in ("false", "0")
+            )
+            delim = opts.get("delimiter") or opts.get("delim") or opts.get("sep")
+            if delim:
+                writer = writer.option("sep", delim)
+        tmp = path + ".__copy_tmp__"
+        getattr(writer, fmt)(tmp)
+        part_file = glob.glob(os.path.join(tmp, "part-*"))[0]
+        if os.path.exists(path):
+            os.remove(path)
+        shutil.move(part_file, path)
+        shutil.rmtree(tmp)
+        n = self.spark.read.format(fmt).options(
+            **({"header": "true"} if fmt == "csv" else {})
+        ).load(path).count()
+        return self.spark.createDataFrame([(n,)], "Count: bigint")
 
     def _run_summarize(self, target: str) -> DataFrame:
         """DuckDB ``SUMMARIZE <table | (subquery) | SELECT ...>``:

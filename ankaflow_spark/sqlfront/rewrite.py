@@ -546,6 +546,10 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
     "delta_scan": {1: _table_ref("delta")},
 }
 
+_READ_TABLE_FNS = frozenset(
+    ("read_parquet", "read_csv", "read_csv_auto", "read_json", "read_json_auto", "delta_scan")
+)
+
 _DIALECT_CALL = re.compile(
     r"\b(" + "|".join(sorted(set(DIALECT_FN_RENAMES) | set(DIALECT_FN_TEMPLATES), key=len, reverse=True)) + r")\s*\(",
     re.IGNORECASE,
@@ -580,6 +584,16 @@ def expand_dialect_functions(sql: str) -> str:
         elif name in DIALECT_FN_RENAMES:
             out = out[: m.start()] + DIALECT_FN_RENAMES[name] + "(" + out[m.end() :]
         else:
+            if name in _READ_TABLE_FNS:
+                # read_csv('x', header=true, ...): Spark's path-table
+                # syntax cannot carry reader options — fail actionably
+                # instead of letting Spark report an undefined function
+                raise UnsupportedDialect(
+                    f"DuckDB {name}(...) with reader options is not expressible "
+                    "in raw Spark SQL; declare a tap stage (kind: csv/json/"
+                    "parquet) with `fields`/options instead, then reference it "
+                    "by stage name"
+                )
             # template-only name at a different arity: skip this call by
             # rewriting its opening paren region verbatim past the match
             inner = expand_dialect_functions(out[open_idx + 1 : close])

@@ -459,3 +459,39 @@ def test_duckdb_dialect_functions_round3b(engine):
     assert row["lp"] == 2 and row["lp0"] == 0
     assert row["sl"] == [2, 3]
     assert row["sw"] is True and row["ew"] is True
+
+
+def test_copy_statement_parquet_and_csv(engine, tmp_path):
+    """DuckDB COPY ... TO exports execute Spark-first: subquery and
+    table sources, format inference, CSV options, Count return."""
+    engine.register("copysrc", engine.sql(
+        "SELECT id AS k, id * 2 AS v FROM range(10)"))
+    out_pq = str(tmp_path / "out.parquet")
+    n = engine.sql(f"COPY (SELECT * FROM copysrc WHERE k < 7) TO '{out_pq}'").collect()
+    assert n[0]["Count"] == 7
+    back = engine.spark.read.parquet(out_pq)
+    assert back.count() == 7 and set(back.columns) == {"k", "v"}
+
+    out_csv = str(tmp_path / "out.csv")
+    n = engine.sql(
+        f"COPY copysrc TO '{out_csv}' (FORMAT CSV, HEADER, DELIMITER '|')"
+    ).collect()
+    assert n[0]["Count"] == 10
+    first = open(out_csv).readline().strip()
+    assert first == "k|v"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported or unknown format"):
+        engine.sql(f"COPY copysrc TO '{tmp_path}/out.xyz'")
+    with _pytest.raises(ValueError, match="local path"):
+        engine.sql("COPY copysrc TO 's3://bucket/out.parquet'")
+
+
+def test_read_table_fn_with_options_actionable_error(engine):
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedDialect, match="tap stage"):
+        engine.sql("SELECT * FROM read_csv('data.csv', header=true)")
