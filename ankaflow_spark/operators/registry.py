@@ -229,7 +229,20 @@ def op_salted_agg(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
             F.sum(F.col(col).cast("decimal(18,4)")).alias("__p__")
         )
         return partial.groupBy(*keys).agg(F.sum("__p__").cast("double").alias("total"))
-    raise ValueError(f"salted_agg supports count|sum, got {agg!r}")
+    if agg == "count_sum":
+        # one pass for both; decimal partials stay exact across the
+        # two-phase merge, rounded to cents before the DOUBLE emission
+        # (the cross-engine money-determinism rule, PERF.md)
+        col = params["column"]
+        partial = salted.groupBy(*keys, "__salt__").agg(
+            F.count("*").alias("__n__"),
+            F.sum(F.col(col).cast("decimal(18,6)")).alias("__s__"),
+        )
+        return partial.groupBy(*keys).agg(
+            F.sum("__n__").cast("bigint").alias("n"),
+            F.round(F.sum("__s__"), 2).cast("double").alias("total"),
+        )
+    raise ValueError(f"salted_agg supports count|sum|count_sum, got {agg!r}")
 
 
 @operator("ngram_decontaminate")

@@ -1009,3 +1009,36 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey <= 500
     ORDER BY o_orderkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# q30 — skew-resistant aggregation: the salted two-phase count+sum
+# (registry operator `salted_agg`) graded against a plain GROUP BY.
+# Salting is invisible in the result by construction — counts and
+# decimal sums re-merge exactly — which is precisely what makes it a
+# safe drop-in when one key holds a corpus-scale share that AQE's
+# skew-split can't balance. The salt column comes from rand(seed),
+# partition-dependent, so the TEST is that the merged output is
+# byte-identical to the unsalted oracle anyway.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import op_salted_agg
+
+    t = load_tables(spark, sf_dir)
+    out = op_salted_agg(
+        None,
+        t["events"],
+        {"keys": ["event_type"], "agg": "count_sum", "column": "value", "salt": 16},
+    )
+    return out.orderBy("event_type")

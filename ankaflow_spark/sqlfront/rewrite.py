@@ -1028,9 +1028,19 @@ def rewrite_list_comprehensions(sql: str) -> str:
     return "".join(out)
 
 
+_ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
+
+
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         _reject_columns_expr(chunk)
+        if _ASOF_JOIN.search(chunk):
+            raise UnsupportedDialect(
+                "DuckDB ASOF JOIN has no Spark SQL spelling; use the "
+                "`asof_join` operator stage (kind: operator, op: asof_join, "
+                "params: {right, on, by, value_column}) — the window-based "
+                "point-in-time join with identical semantics"
+            )
         out = _SAMPLE_ROWS.sub(r"TABLESAMPLE (\1 ROWS)", chunk)
         out = _SAMPLE_PCT.sub(r"TABLESAMPLE (\1 PERCENT)", out)
         out = _INT_DIV.sub(" div ", out)  # DuckDB // integer division

@@ -495,3 +495,14 @@ def test_read_table_fn_with_options_actionable_error(engine):
 
     with _pytest.raises(UnsupportedDialect, match="tap stage"):
         engine.sql("SELECT * FROM read_csv('data.csv', header=true)")
+
+
+def test_asof_join_actionable_error(engine):
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedDialect, match="asof_join"):
+        engine.sql("SELECT * FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts")
+    # the word inside a string literal is untouched
+    assert engine.sql("SELECT 'ASOF JOIN' AS s").collect()[0]["s"] == "ASOF JOIN"
