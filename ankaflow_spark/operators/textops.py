@@ -553,3 +553,69 @@ def _mix_sql(spark_dialect: bool) -> str:
 def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_mix_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t11 — vocabulary construction: global token counts + document
+# frequency, top-K by count (deterministic token tiebreak) — the
+# tokenizer-prep pass of a training pipeline. Plan: explode tokens ->
+# one partial-aggregated shuffle on token -> top-K via rank (never a
+# global sort of the vocabulary; K rows reach the driver).
+# ---------------------------------------------------------------------------
+_VOCAB_K = 200
+
+
+def _vocab_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        toks = "SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents"
+    else:
+        toks = "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents"
+    return f"""
+    WITH toks AS ({toks}),
+    counts AS (
+      SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+      FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, n, df, rk FROM (
+      SELECT tok, n, df, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+      FROM counts
+    ) ranked WHERE rk <= {_VOCAB_K}
+    ORDER BY rk
+    """
+
+
+@query("t11_vocab_topk", oracle=_vocab_sql(False))
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_vocab_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t12 — normalized exact dedup: canonicalize text (lowercase, strip
+# punctuation, collapse whitespace) and keep one doc per canonical
+# form — exact dedup's real-world spelling, where trivial formatting
+# differences shouldn't defeat the content key. One scan + one
+# groupBy(md5) shuffle; the canonical key is md5-fixed-width.
+# ---------------------------------------------------------------------------
+def _normdedup_sql(spark_dialect: bool) -> str:
+    # identical function names in both dialects; only regex-literal
+    # escaping differs (Spark SQL literals process backslashes)
+    bs = "\\\\" if spark_dialect else "\\"
+    canon = (
+        f"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9{bs}s]', ' '), "
+        f"'{bs}s+', ' '))"
+    )
+    return f"""
+    SELECT md5({canon}) AS canon_key,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM documents
+    GROUP BY md5({canon})
+    ORDER BY canon_key
+    """
+
+
+@query("t12_normalized_dedup", oracle=_normdedup_sql(False))
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_normdedup_sql(True))

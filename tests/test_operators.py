@@ -268,3 +268,30 @@ def test_t10_stratified_rates(spark):
             assert frac == 1.0  # keep-all stratum is exact
         else:
             assert abs(frac - rate) < 0.15  # bernoulli tolerance at n~100
+
+
+def test_t11_vocab_semantics(spark):
+    from ankaflow_spark.operators.textops import QUERIES
+
+    rows = QUERIES["t11_vocab_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["df"] <= r["n"] for r in rows)
+
+
+def test_t12_normalized_dedup_collapses_formatting(spark):
+    from ankaflow_spark.operators.textops import QUERIES
+
+    spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("documents")
+    # bypass load_tables by querying the relation SQL directly
+    from ankaflow_spark.operators.textops import _normdedup_sql
+
+    rows = spark.sql(_normdedup_sql(True)).collect()
+    assert len(rows) == 2  # the two formatting variants share a key
+    merged = [r for r in rows if r["n_variants"] == 2][0]
+    assert merged["keep_doc_id"] == 1
