@@ -70,9 +70,13 @@ def asof_join_pandas(
     by: List[str],
     tolerance: Optional[pd.Timedelta] = None,
     direction: str = "backward",
+    carry_on: Optional[str] = None,
 ) -> DataFrame:
     """merge_asof per key group (cogrouped Pandas path). Right columns
-    (except keys) are appended with pandas' merge_asof semantics."""
+    (except keys) are appended with pandas' merge_asof semantics.
+    ``carry_on`` additionally emits the matched right ``on`` value under
+    that name — duplicated pandas-side because a Spark-side alias of the
+    same attribute is pruned to one column on the Arrow cogroup hop."""
     right_cols = [c for c in right.columns if c not in by and c != on]
     out_schema = left.schema
     from pyspark.sql import types as T
@@ -80,6 +84,8 @@ def asof_join_pandas(
     fields = list(out_schema.fields) + [
         T.StructField(f"{c}_asof", right.schema[c].dataType, True) for c in right_cols
     ]
+    if carry_on:
+        fields.append(T.StructField(carry_on, right.schema[on].dataType, True))
     schema = T.StructType(fields)
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
@@ -87,6 +93,8 @@ def asof_join_pandas(
         r = r.sort_values(on)[[on] + right_cols].rename(
             columns={c: f"{c}_asof" for c in right_cols}
         )
+        if carry_on:
+            r[carry_on] = r[on]
         if l.empty:
             return pd.DataFrame(columns=[f.name for f in fields])
         merged = pd.merge_asof(l, r, on=on, tolerance=tolerance, direction=direction)

@@ -281,3 +281,48 @@ def _interp_sql(spark_dialect: bool) -> str:
 def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_interp_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts07 — as-of join, Arrow/merge_asof strategy (operators/asof.py's
+# cogrouped applyInPandas path) graded against a full value oracle.
+# Same point-in-time question as ts03 but the INCLUSIVE variant
+# (click_ts <= purchase_ts, pandas merge_asof backward semantics), so
+# the oracle's window frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW
+# — all peers of the current timestamp included. Proves the pandas/
+# Arrow hop computes exactly what the SQL spelling does; at scale this
+# path shuffles both sides once on user_id and streams Arrow batches.
+# ---------------------------------------------------------------------------
+@query(
+    "ts07_asof_pandas",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value, last_click_ts
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+)
+def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .asof import asof_join_pandas
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_pandas(
+        purchases, clicks, on="ts", by=["user_id"], carry_on="last_click_ts"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value", "last_click_ts"
+    ).orderBy("user_id", "event_id")
