@@ -416,3 +416,55 @@ def op_dedup_survivors(engine, df: DataFrame, params: Dict[str, Any]) -> DataFra
     w = W.partitionBy("cluster_id").orderBy(F.col(score).desc(), F.col(id_col))
     out = assigned.withColumn("keep", F.row_number().over(w) == 1)
     return out if params.get("keep_all") else out.filter("keep").drop("keep")
+
+
+@operator("vocab_topk")
+def op_vocab_topk(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Vocabulary construction (t11 as a reusable stage): global token
+    count + document frequency, top-k by count with token tiebreak.
+    One partial-aggregated shuffle on token; k rows survive the rank."""
+    from pyspark.sql.window import Window as W
+
+    text_col = params.get("text_column", "text")
+    id_col = params.get("id_column", "doc_id")
+    k = int(params.get("k", 1000))
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("n"), F.countDistinct("__id__").alias("df")
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+@operator("normalized_dedup")
+def op_normalized_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Exact dedup on a canonical text form (t12 as a reusable stage):
+    lowercase, strip punctuation, collapse whitespace, md5 — keep the
+    lowest-id row per canonical key. One groupBy-shuffle on a
+    fixed-width key."""
+    from pyspark.sql.window import Window as W
+
+    text_col = params.get("text_column", "text")
+    id_col = params.get("id_column", "doc_id")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", " "),
+                "\\s+",
+                " ",
+            )
+        )
+    )
+    w = W.partitionBy("__canon__").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__canon__", canon)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+        .withColumnRenamed("__canon__", "canon_key")
+    )

@@ -291,3 +291,34 @@ def test_dedup_survivors_stage(engine, sf_dir):
     assert n_out < n_docs or n_pairs == 0  # every pair collapses someone
     # survivors are unique per cluster
     assert df.groupBy("cluster_id").count().filter("count > 1").count() == 0
+
+
+def test_vocab_and_normalized_dedup_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: vocab
+  op: vocab_topk
+  params: {{k: 10}}
+- kind: operator
+  name: canonical
+  op: normalized_dedup
+  input: docs
+- kind: transform
+  name: report
+  query: >
+    SELECT (SELECT count(*) FROM vocab) AS vocab_rows,
+           (SELECT max(n) FROM vocab) AS top_count,
+           (SELECT count(*) FROM canonical) AS canon_docs,
+           (SELECT count(DISTINCT canon_key) FROM canonical) AS canon_keys
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    assert 0 < row["vocab_rows"] <= 10
+    assert row["top_count"] > 0
+    # survivors are unique per canonical key
+    assert row["canon_docs"] == row["canon_keys"] > 0
