@@ -370,9 +370,7 @@ def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d04 — SimHash: 32-bit signature per document from md5-derived bit
 # weights. One explode + one groupBy(doc) — linear in corpus size.
 # ---------------------------------------------------------------------------
-@query(
-    "d04_simhash",
-    oracle=f"""
+_SIMHASH_DUCK_CORE = f"""
     WITH shingles AS ({DUCK_SHINGLES}),
     bits AS (
       SELECT s.doc_id, b.b,
@@ -384,15 +382,15 @@ def d03x(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END) AS BIGINT) AS simhash
     FROM (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b) t
     GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-)
-def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
-    cached_shingles(spark, sf_dir)
-    # Same math as the oracle, but as 32 conditional aggregates over the
-    # shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
-    # the shape that survives a 100x corpus scale-up).
+"""
+
+
+def _simhash_spark_core() -> str:
+    """d04's signature relation (no ORDER BY) — shared with d09.
+
+    Same math as the oracle, but as 32 conditional aggregates over the
+    shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
+    the shape that survives a 100x corpus scale-up)."""
     bit_sums = ", ".join(
         "SUM(CASE WHEN shiftright("
         f"instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1, {3 - (b % 4)}"
@@ -403,13 +401,78 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {31 - b}) ELSE CAST(0 AS BIGINT) END"
         for b in range(32)
     )
-    return spark.sql(f"""
+    return f"""
     WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
     FROM bitsums
-    ORDER BY doc_id
+    """
+
+
+@query("d04_simhash", oracle=_SIMHASH_DUCK_CORE + " ORDER BY doc_id")
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    return spark.sql(_simhash_spark_core() + " ORDER BY doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d09 — SimHash near-dup pairs: completes the SimHash family (d04 =
+# signatures, d09 = pairing). Candidates by the pigeonhole rule — two
+# signatures within Hamming distance 3 must agree on at least one of
+# four 8-bit blocks — so the join is an equi-join on (block_id,
+# block_value), never an all-pairs Hamming scan; the exact
+# bit_count(XOR) check then filters candidates. The standard
+# Manku/Jain/Sarma web-dedup shape: bucket join cost tracks bucket
+# occupancy, corpus scan stays linear.
+# ---------------------------------------------------------------------------
+SIMHASH_HAM_MAX = 3
+
+
+@query(
+    "d09_simhash_neardup",
+    oracle=f"""
+    WITH sigs AS ({_SIMHASH_DUCK_CORE}),
+    blocks AS (
+      SELECT doc_id, simhash, b.b AS block_id,
+             (simhash >> (8 * b.b)) & 255 AS block_val
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                      b.doc_id AS doc_b, b.simhash AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    return spark.sql(f"""
+    WITH sigs AS ({_simhash_spark_core()}),
+    blocks AS (
+      SELECT doc_id, simhash, b.block_id,
+             shiftright(simhash, 8 * b.block_id) % 256 AS block_val
+      FROM sigs, (SELECT explode(sequence(0, 3)) AS block_id) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                      b.doc_id AS doc_b, b.simhash AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.block_id = b.block_id AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming
+    FROM cands
+    WHERE bit_count(sig_a ^ sig_b) <= {SIMHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
     """)
 
 

@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.01"
 # bracketing bounds) — documented in PERF.md per query.
 BNLJ_ALLOWED = {
     "d05_embedding_neardup",  # hyperplane table (8 rows) x embeddings
+    "d09_simhash_neardup",  # block-id table (4 rows) x signatures
     "s01_cosine_topk",  # exact baseline: 5-query broadcast cross join
     "s02_lsh_ann",  # hyperplane table x query/corpus buckets
     "s03_ivf_ann",  # queries x centroids (5 x 16) + probe products
