@@ -83,6 +83,13 @@ class ConnectionSpec(BaseModel):
         extra = self.__pydantic_extra__ or {}
         if self.mode is None and extra.get("data_mode"):
             self.mode = extra["data_mode"]
+        # reference 0.8.0 spelling: `params` passes arbitrary reader
+        # arguments to the underlying reader primitive (changelog.md
+        # 0.8.0 "Dynamic File Reader Arguments") — merged under our
+        # `options`, which wins on key conflicts
+        params = extra.get("params")
+        if isinstance(params, dict):
+            self.options = {**params, **self.options}
 
 
 class Stage(BaseModel):

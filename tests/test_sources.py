@@ -300,3 +300,28 @@ def test_raw_sql_short_locator_mismatch_raises(engine, tmp_path):
     # absolute paths pass through untouched
     sql = "SELECT * FROM read_parquet('s3://x/y.parquet')"
     assert resolve_short_locators(sql, Locator(bucket="b"), "data.parquet") == sql
+
+
+def test_reference_params_reader_arguments(engine, tmp_path):
+    """Reference 0.8.0 'Dynamic File Reader Arguments': connection.params
+    flows to the reader (changelog.md 0.8.0). Pipe-delimited CSV read
+    through the reference spelling."""
+    p = tmp_path / "pipes.csv"
+    p.write_text("a|b\n1|x\n2|y\n")
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: piped
+  connection:
+    kind: csv
+    locator: {p}
+    params: {{delim: '|'}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert set(df.columns) == {"a", "b"}
+    assert df.count() == 2
