@@ -295,3 +295,68 @@ def test_t12_normalized_dedup_collapses_formatting(spark):
     assert len(rows) == 2  # the two formatting variants share a key
     merged = [r for r in rows if r["n_variants"] == 2][0]
     assert merged["keep_doc_id"] == 1
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property: min-label propagation at fixpoint equals a union-find
+    ground truth on randomized graphs (chains, stars, cliques, isolated
+    pairs — seeded, 12 graphs). Guards the one operator whose at-scale
+    correctness depends on iteration count rather than plan shape."""
+    import random
+
+    from ankaflow_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260813)
+    for trial in range(12):
+        n = rng.randint(2, 40)
+        edges = set()
+        # random edges + one long chain to stress the diameter
+        for _ in range(rng.randint(1, 60)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        chain = rng.sample(range(n), min(n, rng.randint(2, 12)))
+        edges.update(
+            (min(a, b), max(a, b)) for a, b in zip(chain, chain[1:])
+        )
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({v for e in edges for v in e})
+        truth = {v: find(v) for v in nodes}
+        # spark answer
+        pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(spark, pairs).collect()
+        }
+        assert got == truth, f"trial {trial}: {sorted(edges)}"
+
+
+def test_deterministic_samplers_partition_invariant(spark):
+    """q21/t10-style md5-threshold sampling must select the SAME rows
+    under any partitioning — the property that makes it the only sane
+    sampler at 100 TB."""
+    from ankaflow_spark.operators.registry import op_hash_sample, op_stratified_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for op, params in [
+        (op_hash_sample, {"key": "doc_id", "fraction": 0.3}),
+        (
+            op_stratified_sample,
+            {"strata": {"en": 0.4, "de": 1.0}, "stratum_column": "lang", "key": "doc_id"},
+        ),
+    ]:
+        a = sorted(r["doc_id"] for r in op(None, df.repartition(1), params).collect())
+        b = sorted(r["doc_id"] for r in op(None, df.repartition(13, "lang"), params).collect())
+        assert a == b and a
