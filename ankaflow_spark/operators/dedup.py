@@ -385,8 +385,9 @@ _SIMHASH_DUCK_CORE = f"""
 """
 
 
-def _simhash_spark_core() -> str:
-    """d04's signature relation (no ORDER BY) — shared with d09.
+def _simhash_spark_core(shingle_view: str = "__shingles__") -> str:
+    """d04's signature relation (no ORDER BY) — shared with d09 and the
+    ``simhash_pairs`` registry operator (any (doc_id, sh) relation).
 
     Same math as the oracle, but as 32 conditional aggregates over the
     shingle rows (no 32x row explosion, single groupBy(doc_id) pass —
@@ -402,7 +403,7 @@ def _simhash_spark_core() -> str:
         for b in range(32)
     )
     return f"""
-    WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
+    WITH shingles AS (SELECT doc_id, sh FROM {shingle_view}),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
