@@ -67,11 +67,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
             else set()
         )
         for col, dtype in df.dtypes:
-            if col not in ns_cols:
-                continue
-            if dtype == "bigint":
+            if dtype == "bigint" and col in ns_cols:
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
             elif dtype == "timestamp_ntz":
+                # parquet timestamps without a timezone (any unit — the
+                # driver has shipped both ns and us over rounds) surface as
+                # NTZ on a default Spark 4 session; watermarks and
+                # unix_micros need TIMESTAMP, and the UTC session pin makes
+                # the cast value-identical to DuckDB's naive reading
                 df = df.withColumn(col, F.col(col).cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
