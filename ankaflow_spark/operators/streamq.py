@@ -63,14 +63,37 @@ ORACLES["st01_stream_window"] = """
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
     """Stage a µs-normalized events copy for the streaming file source
-    (shared by st01/st02); returns (path, schema)."""
+    (shared by st01/st02); returns (path, schema).
+
+    The staged copy is invalidated when the source parquet is newer
+    (the driver regenerates testdata between rounds) or when a previous
+    writer left TIMESTAMP_NTZ behind (a host session with
+    spark.sql.timestampType=TIMESTAMP_NTZ makes cast("timestamp") a
+    no-op) — watermarks hard-require TIMESTAMP, so a stale NTZ staging
+    would fail every streaming query."""
     t = load_tables(spark, sf_dir)
     staged = os.path.join(
         tempfile.gettempdir(),
         f"ankaflow_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        t["events"].write.mode("overwrite").parquet(staged)
+    success = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    fresh = os.path.exists(success) and (
+        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
+    )
+    if fresh:
+        fresh = not any(
+            f.dataType.typeName() == "timestamp_ntz"
+            for f in spark.read.parquet(staged).schema.fields
+        )
+    if not fresh:
+        from pyspark.sql.types import TimestampType
+
+        df = t["events"]
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+        df.write.mode("overwrite").parquet(staged)
     return staged, spark.read.parquet(staged).schema
 
 

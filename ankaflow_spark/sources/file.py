@@ -223,12 +223,17 @@ def convert_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
             return df
         ns_cols = {f.name for f in pq.read_schema(files[0]) if str(f.type) == "timestamp[ns]"}
         for col, dtype in df.dtypes:
-            if col not in ns_cols:
-                continue
-            if dtype == "bigint":
+            if dtype == "bigint" and col in ns_cols:
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
             elif dtype == "timestamp_ntz":
-                df = df.withColumn(col, F.col(col).cast("timestamp"))
+                # no-tz parquet timestamps of ANY unit (us as well as ns)
+                # surface as NTZ on a default Spark 4 session; the UTC
+                # session pin makes the cast value-identical to DuckDB.
+                # Explicit TimestampType(): the "timestamp" alias follows
+                # spark.sql.timestampType and may resolve back to NTZ.
+                from pyspark.sql.types import TimestampType
+
+                df = df.withColumn(col, F.col(col).cast(TimestampType()))
     except Exception:
         pass
     return df

@@ -325,3 +325,47 @@ def test_reference_params_reader_arguments(engine, tmp_path):
     df = flow.run()
     assert set(df.columns) == {"a", "b"}
     assert df.count() == 2
+
+
+def test_parquet_us_ntz_timestamp_reads_as_timestamp(engine, tmp_path):
+    """Microsecond-unit no-tz parquet timestamps must surface as TIMESTAMP
+    (not TIMESTAMP_NTZ) through ParquetConnection, same as the ns path —
+    downstream epoch_us/unix_micros and watermark operators require it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    path = str(tmp_path / "us_ntz.parquet")
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts_us": pa.array(
+                [datetime(2024, 1, 1, 12, 0, 0), datetime(2024, 6, 1, 0, 30, 15)],
+                pa.timestamp("us"),
+            ),
+            "ts_ns": pa.array(
+                [datetime(2024, 1, 1, 12, 0, 0), datetime(2024, 6, 1, 0, 30, 15)],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: t
+  connection:
+    kind: parquet
+    locator: {path}
+- kind: transform
+  name: out
+  query: SELECT id, unix_micros(ts_us) AS us, unix_micros(ts_ns) AS ns FROM t
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    rows = {r["id"]: (r["us"], r["ns"]) for r in df.collect()}
+    # UTC-pinned session: 2024-01-01T12:00:00Z == 1704110400000000 us
+    assert rows[1] == (1704110400000000, 1704110400000000)
+    assert rows[2] == (1717201815000000, 1717201815000000)

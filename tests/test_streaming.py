@@ -16,11 +16,13 @@ from ankaflow_spark.streaming.stream import (
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
     # re-write sf0.001 events as a clean µs-timestamp parquet dir the
-    # streaming reader can consume with an explicit schema
+    # streaming reader can consume with an explicit schema; load_tables
+    # normalizes ts to TIMESTAMP whatever unit the driver shipped
+    # (ns-as-bigint, ntz-us, ntz-ns)
+    from ankaflow_spark.operators.tables import load_tables
+
     out = str(tmp_path_factory.mktemp("events_stream"))
-    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    df = load_tables(spark, "/root/testdata/sf0.001")["events"]
     df.write.mode("overwrite").parquet(out)
     return out, df.schema
 

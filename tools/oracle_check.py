@@ -6,6 +6,11 @@ names/types, and cell-exact values (order-insensitive). Stricter than a
 hash compare: on mismatch it prints the first differing rows.
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+
+Set ORACLE_CHECK_JSON=/path/out.json to also write a driver-format
+artifact ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — used to commit CORRECTNESS_FULL_r{N}.json covering
+the full battery (the driver's own artifact caps at 50 entries).
 """
 
 from __future__ import annotations
@@ -57,7 +62,7 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare(name, spark_df, duck_rel, verbose=True):
+def compare(name, spark_df, duck_rel, record=None):
     t0 = time.time()
     s_cols = [f.name for f in spark_df.schema.fields]
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -69,17 +74,31 @@ def compare(name, spark_df, duck_rel, verbose=True):
     t_duck = time.time() - t0
 
     problems = []
-    if sorted(s_cols) != sorted(d_cols):
+    cols_ok = sorted(s_cols) == sorted(d_cols)
+    rows_ok = len(s_rows) == len(d_rows)
+    vals_ok = False
+    if not cols_ok:
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-    if len(s_rows) != len(d_rows):
+    if not rows_ok:
         problems.append(f"rowcount differs: spark={len(s_rows)} duck={len(d_rows)}")
     if not problems:
+        vals_ok = True
         _, sc = canon_rows(s_cols, s_rows)
         _, dc = canon_rows(d_cols, d_rows)
         for i, (a, b) in enumerate(zip(sc, dc)):
             if a != b:
+                vals_ok = False
                 problems.append(f"first value mismatch at sorted-row {i}:\n  spark={a}\n  duck ={b}")
                 break
+    if record is not None:
+        record[name] = {
+            "rows_match": rows_ok,
+            "schema_match": cols_ok,
+            "hash_match": vals_ok,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "err": None,
+        }
     status = "OK " if not problems else "FAIL"
     print(f"[{status}] {name:28s} rows={len(s_rows):7d} spark={t_spark:5.1f}s duck={t_duck:4.1f}s")
     for p in problems:
@@ -105,6 +124,7 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     selected = names or list(queries)
+    record: dict = {}
     ok = bad = 0
     for name in selected:
         if name not in queries:
@@ -114,23 +134,54 @@ def main():
             sdf = queries[name](spark, sf_dir)
         except Exception as e:
             print(f"[ERR ] {name} spark-side: {type(e).__name__}: {e}")
+            record[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark-side {type(e).__name__}: {e}",
+            }
             bad += 1
             continue
         if name not in oracles:
             n = sdf.count()
             print(f"[rows] {name:28s} rows={n} (no oracle — weaker check)")
+            record[name] = {
+                "rows_match": n >= 0,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": n,
+                "oracle_rows": None,
+                "err": None,
+            }
             ok += 1
             continue
         try:
             rel = con.sql(oracles[name])
         except Exception as e:
             print(f"[ERR ] {name} duck-side: {type(e).__name__}: {e}")
+            record[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"duck-side {type(e).__name__}: {e}",
+            }
             bad += 1
             continue
-        if compare(name, sdf, rel):
+        if compare(name, sdf, rel, record):
             ok += 1
         else:
             bad += 1
+    out_json = os.environ.get("ORACLE_CHECK_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(record, fh, indent=2)
+        print(f"wrote {out_json} ({len(record)} entries)")
     print(f"\n{ok} ok, {bad} failing")
     sys.exit(1 if bad else 0)
 
