@@ -781,6 +781,165 @@ def _reject_columns_expr(chunk: str) -> None:
         )
 
 
+def _depth_at(sql: str, pos: int) -> int:
+    depth = 0
+    in_lit = False
+    for i in range(pos):
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    return depth
+
+
+def _scan_at_depth(sql: str, start: int, init_depth: int, target_depth: int, words: Tuple[str, ...]) -> int:
+    """First position >= start where one of ``words`` appears at paren
+    depth ``target_depth`` (word-bounded, outside literals); -1 if the
+    scan leaves the enclosing scope (depth < target) or hits the end."""
+    depth = init_depth
+    in_lit = False
+    upper = sql.upper()
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < target_depth:
+                return -1
+        elif depth == target_depth:
+            for w in words:
+                if upper.startswith(w, i):
+                    before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_`")
+                    after = i + len(w)
+                    after_ok = after >= n or not (sql[after].isalnum() or sql[after] in "_`")
+                    if before_ok and after_ok:
+                        return i
+        i += 1
+    return -1
+
+
+_CLAUSE_AFTER_FROM = (
+    "WHERE", "GROUP", "QUALIFY", "HAVING", "WINDOW", "ORDER", "LIMIT", "UNION",
+    "INTERSECT", "EXCEPT",
+)
+
+
+def expand_columns_expr(sql: str, schema_lookup) -> str:
+    """DuckDB ``COLUMNS(*)`` / ``COLUMNS('regex')`` star expressions,
+    expanded against the schema of the containing SELECT's single FROM
+    relation (reference transforms accept any DuckDB SQL; models/core.py
+    query contract). Two shapes, matching the overwhelmingly common
+    uses: bare ``COLUMNS(...)`` in the select list (expands to the
+    column list) and a single-argument wrapping call
+    ``fn(COLUMNS(...))`` (applies ``fn`` per column, aliased
+    ``fn(col)``). Anything else — multi-relation FROM, subquery source,
+    EXCLUDE/lambda arguments — keeps the actionable rejection raised by
+    ``normalize_dialect``."""
+    if schema_lookup is None:
+        return sql
+    search_from = 0
+    for _ in range(64):  # bounded: each pass consumes one COLUMNS(
+        m = _COLUMNS_EXPR.search(sql, search_from)
+        if m is None:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close == -1:
+            return sql
+        arg = sql[open_idx + 1 : close].strip()
+
+        # wrapping single-arg call fn(COLUMNS(...)) ?
+        wrapper = None
+        wm = re.search(r"([A-Za-z_]\w*)\s*\(\s*$", sql[: m.start()])
+        if wm is not None and wm.group(1).upper() not in ("COLUMNS",):
+            wrapper_open = sql.rindex("(", wm.start(), m.start())
+            wrapper_close = _find_matching(sql, wrapper_open, "(", ")")
+            if (
+                wrapper_close != -1
+                and sql[wrapper_open + 1 : wrapper_close].strip() == sql[m.start() : close + 1].strip()
+            ):
+                wrapper = wm.group(1)
+                expr_start, expr_end = wm.start(1), wrapper_close
+            else:
+                raise UnsupportedDialect(
+                    "COLUMNS(...) inside a multi-argument call is not "
+                    "supported: apply the function to each column explicitly"
+                )
+        if wrapper is None:
+            expr_start, expr_end = m.start(), close
+
+        d = _depth_at(sql, expr_start)
+        from_pos = _scan_at_depth(sql, expr_end + 1, _depth_at(sql, expr_end + 1), d, ("FROM",))
+        if from_pos == -1:
+            raise UnsupportedDialect(
+                "COLUMNS(...) could not be resolved: no FROM clause found in "
+                "the containing SELECT — list the columns explicitly"
+            )
+        rel_m = re.match(
+            r'\s*("([^"]+)"|`([^`]+)`|[A-Za-z_][\w.]*)', sql[from_pos + 4 :]
+        )
+        if rel_m is None:
+            raise UnsupportedDialect(
+                "COLUMNS(...) requires a single named FROM relation "
+                "(subquery sources are not supported) — list the columns "
+                "explicitly"
+            )
+        relname = rel_m.group(2) or rel_m.group(3) or rel_m.group(1)
+        rel_end = from_pos + 4 + rel_m.end()
+        clause_pos = _scan_at_depth(sql, rel_end, d, d, _CLAUSE_AFTER_FROM)
+        join_pos = _scan_at_depth(sql, rel_end, d, d, ("JOIN", ","))
+        if join_pos != -1 and (clause_pos == -1 or join_pos < clause_pos):
+            raise UnsupportedDialect(
+                "COLUMNS(...) over a multi-relation FROM (join/comma) is "
+                "ambiguous — list the columns explicitly"
+            )
+        cols = schema_lookup(relname)
+        if not cols:
+            raise UnsupportedDialect(
+                f"COLUMNS(...) could not resolve the schema of {relname!r} — "
+                "is it a registered stage or table?"
+            )
+        names = [c[0] if isinstance(c, (tuple, list)) else c for c in cols]
+        if arg == "*":
+            selected = names
+        elif re.fullmatch(r"'(?:[^']|'')*'", arg):
+            pat = arg[1:-1].replace("''", "'")
+            selected = [c for c in names if re.search(pat, c)]
+            if not selected:
+                raise UnsupportedDialect(
+                    f"COLUMNS({arg}) matched no columns of {relname!r} "
+                    f"(columns: {', '.join(names)})"
+                )
+        else:
+            raise UnsupportedDialect(
+                "COLUMNS argument must be * or a 'regex' string literal "
+                "(EXCLUDE/lambda forms are not supported) — got: " + arg
+            )
+        if wrapper is None:
+            repl = ", ".join(f"`{c}`" for c in selected)
+        else:
+            repl = ", ".join(f"{wrapper}(`{c}`) AS `{wrapper}({c})`" for c in selected)
+        sql = sql[:expr_start] + repl + sql[expr_end + 1 :]
+        search_from = expr_start + len(repl)
+    return sql
+
+
 _UNPIVOT_STMT = re.compile(
     r"^\s*UNPIVOT\s+(?P<src>\([^)]*\)|[\w.`\"]+)\s+ON\s+(?P<cols>.+?)\s+"
     r"INTO\s+NAME\s+(?P<name>[\w`\"]+)\s+VALUE\s+(?P<value>[\w`\"]+)\s*(?P<tail>ORDER\s+BY.*|LIMIT.*)?$",
@@ -1126,6 +1285,7 @@ def rewrite_qualify(sql: str) -> str:
 
 def rewrite_sql(sql: str, views: Dict[str, str], schema_lookup=None) -> str:
     out = expand_fn_macros(sql, schema_lookup=schema_lookup)
+    out = expand_columns_expr(out, schema_lookup)
     out = rewrite_views(out, views)
     out = normalize_dialect(out)
     out = rewrite_qualify(out)

@@ -360,3 +360,24 @@ def test_deterministic_samplers_partition_invariant(spark):
         a = sorted(r["doc_id"] for r in op(None, df.repartition(1), params).collect())
         b = sorted(r["doc_id"] for r in op(None, df.repartition(13, "lang"), params).collect())
         assert a == b and a
+
+
+def test_load_tables_ltz_under_ntz_default_session(spark):
+    """A host session may set spark.sql.timestampType=TIMESTAMP_NTZ (it
+    makes naive parquet reads match DuckDB's typing) — the 'timestamp'
+    cast alias then resolves to NTZ and watermarks/unix_micros break.
+    load_tables must still deliver TIMESTAMP (LTZ) columns."""
+    from ankaflow_spark.operators import tables as T
+
+    prev = spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        T._DF_CACHE.clear()
+        T._ACTIVE.clear()
+        dfs = T.load_tables(spark, "/root/testdata/sf0.001")
+        ts_field = [f for f in dfs["events"].schema.fields if f.name == "ts"][0]
+        assert ts_field.dataType.typeName() == "timestamp", ts_field.dataType
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
+        T._DF_CACHE.clear()
+        T._ACTIVE.clear()

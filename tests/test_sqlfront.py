@@ -315,13 +315,46 @@ def test_exclude_rewrite(engine):
     assert engine.sql("SELECT * EXCLUDE b FROM __excl__").columns == ["a", "c"]
 
 
-def test_columns_expr_rejected(engine):
+def test_columns_expr_unresolvable_rejected(engine):
     import pytest as _pytest
 
     from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
 
+    # unknown relation: still an actionable error naming the construct
     with _pytest.raises(UnsupportedDialect, match="COLUMNS"):
-        engine.sql("SELECT COLUMNS(*) FROM t")
+        engine.sql("SELECT COLUMNS(*) FROM __no_such_rel__")
+
+
+def test_columns_expr_expansion(engine):
+    engine.sql(
+        "SELECT 1 AS id, 10 AS amt_a, 20 AS amt_b, 'x' AS tag"
+    ).createOrReplaceTempView("__colsrc__")
+    # bare star form == SELECT *
+    df = engine.sql("SELECT COLUMNS(*) FROM __colsrc__")
+    assert df.columns == ["id", "amt_a", "amt_b", "tag"]
+    # regex form selects the matching subset
+    df = engine.sql("SELECT COLUMNS('^amt_') FROM __colsrc__")
+    assert df.columns == ["amt_a", "amt_b"]
+    # wrapped call applies per column with fn(col) aliases
+    df = engine.sql("SELECT max(COLUMNS('^amt_')) FROM __colsrc__")
+    assert df.columns == ["max(amt_a)", "max(amt_b)"]
+    assert [tuple(r) for r in df.collect()] == [(10, 20)]
+    # alongside ordinary select items
+    df = engine.sql("SELECT id, min(COLUMNS('amt')) FROM __colsrc__ GROUP BY id")
+    assert df.columns == ["id", "min(amt_a)", "min(amt_b)"]
+
+
+def test_columns_expr_multi_relation_rejected(engine):
+    import pytest as _pytest
+
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    engine.sql("SELECT 1 AS a").createOrReplaceTempView("__c1__")
+    engine.sql("SELECT 2 AS b").createOrReplaceTempView("__c2__")
+    with _pytest.raises(UnsupportedDialect, match="multi-relation"):
+        engine.sql("SELECT COLUMNS(*) FROM __c1__ JOIN __c2__ ON 1=1")
+    with _pytest.raises(UnsupportedDialect, match="regex"):
+        engine.sql("SELECT COLUMNS(c -> c LIKE 'a%') FROM __c1__")
 
 
 def test_unpivot_statement(engine):
