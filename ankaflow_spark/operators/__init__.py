@@ -22,12 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 # time-series, dedup, similarity/ANN, text curation, streaming,
 # multimodal), and entries that have never appeared in a driver artifact
 # come first within their family. The overflow (everything after
-# position 50) is exclusively queries already hash-green in BOTH the r2
-# and r3 driver artifacts; they stay registered, run in pytest
-# (tests/test_oracle_battery.py) and in tools/oracle_check.py, whose full
-# 69-query result is committed per round as CORRECTNESS_FULL_r{N}.json.
+# position 50) is exclusively queries already hash-green in a prior
+# driver artifact (r2 and/or r3); they stay registered, run in the registry
+# integrity pytest and in tools/oracle_check.py, whose full
+# battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # relational / dialect core (13): bench headliners + the reference's
+    # relational / dialect core (11): bench headliners + the reference's
     # flagship semantics (versioned dedup, Fn.dt coercion, Fn.calendar,
     # collection aggs, set ops, skew-salted agg)
     "q01_pricing_summary",
@@ -35,12 +35,10 @@ GRADED_FIRST = [
     "q04_local_supplier_volume",
     "q05_window_top_order",
     "q06_versioned_dedup",
-    "q07_topk_orders",
     "q09_distinct_counts",
     "q14_rollup",
     "q20_fn_dt_coercion",
     "q22_collection_aggs",
-    "q27_intersect_except",
     "q29_fn_calendar",
     "q30_skew_salted_agg",
     # time-series (6)
@@ -60,6 +58,7 @@ GRADED_FIRST = [
     "d07_benchmark_decontam",
     "d08_dedup_survivors",
     "d09_simhash_neardup",
+    "d10_semantic_dedup",
     # similarity / ANN (4)
     "s01_cosine_topk",
     "s02_lsh_ann",
@@ -78,6 +77,7 @@ GRADED_FIRST = [
     "t10_stratified_mix",
     "t11_vocab_topk",
     "t12_normalized_dedup",
+    "t13_bigram_surprisal",
     # streaming (4)
     "st01_stream_window",
     "st02_stream_dedup",

@@ -790,3 +790,105 @@ def _d08_oracle() -> str:
 
 
 ORACLES["d08_dedup_survivors"] = _d08_oracle()
+
+
+# ---------------------------------------------------------------------------
+# d10 — semantic dedup (SemDeDup-style): IVF cells as the blocking
+# structure for embedding near-dup clustering. The coarse quantizer
+# (shared verbatim with s03 — sampled training, one Lloyd step, full
+# assignment) buckets the corpus into cells; exact cosine runs only
+# WITHIN a cell; pairs >= tau feed connected components; each cluster
+# keeps its min-id representative. Output covers the whole corpus:
+# singletons keep themselves.
+#
+# Scale shape: never all-pairs — work is sum over cells of |cell|^2
+# with K sized to the corpus (K ~ N/target_cell); the quantizer trains
+# on a 1-in-4 sample; the CC iteration runs over the (tiny) thresholded
+# pair set only. This is the standard semantic-dedup pipeline for a
+# 100 TB embedding corpus, expressed as three bucketed joins.
+# ---------------------------------------------------------------------------
+SEMDEDUP_COSINE = 0.35
+
+
+def _semdedup_pairs_sql(spark_dialect: bool) -> str:
+    from .similarity import _DUCK_NORM, _SPARK_NORM, DIM, ivf_assign_ctes
+
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    if spark_dialect:
+        dot = (
+            "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+    else:
+        dot = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> "
+            "CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+        )
+    return f"""{ivf_assign_ctes(spark_dialect)},
+    semnorms AS ({norm}),
+    semcands AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign2 a JOIN assign2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    semdots AS (
+      SELECT vec_a, vec_b, {dot} AS dot
+      FROM semcands
+      JOIN embeddings q ON q.vec_id = vec_a
+      JOIN embeddings m ON m.vec_id = vec_b
+    ),
+    sempairs AS (
+      SELECT vec_a AS doc_a, vec_b AS doc_b
+      FROM semdots
+      JOIN semnorms na ON na.vec_id = vec_a
+      JOIN semnorms nb ON nb.vec_id = vec_b
+      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {SEMDEDUP_COSINE}
+    )"""
+
+
+@query("d10_semantic_dedup")
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cached_embeddings
+
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    pairs = spark.sql(f"WITH {_semdedup_pairs_sql(True)} SELECT doc_a, doc_b FROM sempairs")
+    cc = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    emb = spark.table("embeddings").select("vec_id")
+    # labels cover only vectors that appear in a near-dup pair — a small
+    # minority of the corpus (like d08's cluster labels), and the
+    # checkpointed iteration leaves Spark without stats, so hint the
+    # broadcast explicitly rather than inherit a sort-merge join.
+    return (
+        emb.join(F.broadcast(cc), emb.vec_id == cc.doc_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+ORACLES["d10_semantic_dedup"] = f"""
+    WITH RECURSIVE {_semdedup_pairs_sql(False)},
+    semedges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM sempairs
+      UNION ALL SELECT doc_b, doc_a FROM sempairs
+      UNION ALL SELECT doc_a, doc_a FROM sempairs
+      UNION ALL SELECT doc_b, doc_b FROM sempairs
+    ),
+    semreach(doc_id, nbr) AS (
+      SELECT doc_id, nbr FROM semedges
+      UNION
+      SELECT r.doc_id, e.nbr FROM semreach r JOIN semedges e ON e.doc_id = r.nbr
+    ),
+    semclusters AS (
+      SELECT doc_id, MIN(nbr) AS cluster_id FROM semreach GROUP BY doc_id
+    )
+    SELECT e.vec_id,
+           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+           (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS keep
+    FROM embeddings e
+    LEFT JOIN semclusters c ON c.doc_id = e.vec_id
+    ORDER BY cluster_id, vec_id
+    """

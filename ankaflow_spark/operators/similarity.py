@@ -251,7 +251,7 @@ IVF_TOP_K = 5
 IVF_TRAIN_MOD = 4
 
 
-def _ivf_sql(spark_dialect: bool) -> str:
+def _ivf_fragments(spark_dialect: bool):
     if spark_dialect:
         dim_seq = f"explode(sequence(0, {DIM - 1}))"
         idx = lambda arr, i: f"{arr}[{i}]"  # 0-based
@@ -284,9 +284,20 @@ def _ivf_sql(spark_dialect: bool) -> str:
         fold_sorted = "list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b)"
         rebuild = "list(m ORDER BY d)"
         init_centroid = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
-    return f"""
-    WITH train_set AS (
+    return dict(dim_seq=dim_seq, idx=idx, l2=l2, dot=dot, fold_sorted=fold_sorted,
+                rebuild=rebuild, init_centroid=init_centroid)
+
+
+def ivf_assign_ctes(spark_dialect: bool) -> str:
+    """The IVF coarse-quantizer CTE chain (shared by s03 ANN and d10
+    semantic dedup): deterministic sampled training set, seeded initial
+    centroids, one Lloyd step with collect-sort-fold means, and the
+    full-corpus cell assignment ``assign2 (vec_id, cid)``. Emitted
+    without the leading WITH so callers append their own CTEs."""
+    f = _ivf_fragments(spark_dialect)
+    dim_seq, idx, l2 = f["dim_seq"], f["idx"], f["l2"]
+    fold_sorted, rebuild, init_centroid = f["fold_sorted"], f["rebuild"], f["init_centroid"]
+    return f"""train_set AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE vec_id % {IVF_TRAIN_MOD} = 0
     ),
@@ -320,7 +331,15 @@ def _ivf_sql(spark_dialect: bool) -> str:
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
         FROM embeddings v CROSS JOIN trained c
       ) r WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_sql(spark_dialect: bool) -> str:
+    f = _ivf_fragments(spark_dialect)
+    dot = f["dot"]
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    return f"""
+    WITH {ivf_assign_ctes(spark_dialect)},
     norms AS ({norm}),
     hits AS (
       SELECT aq.vec_id AS query_id, am.vec_id AS cand_id, q.embedding AS qe, m.embedding AS me

@@ -381,3 +381,47 @@ def test_load_tables_ltz_under_ntz_default_session(spark):
         spark.conf.set("spark.sql.timestampType", prev)
         T._DF_CACHE.clear()
         T._ACTIVE.clear()
+
+
+def test_t13_bigram_surprisal_math(spark):
+    """Hand-computed corpus: 'a b' appears in docs 1,2; 'a c' only in
+    doc 3. Prefix count c1(a)=3, so P(b|a)=2/3 (surprisal ln 1.5) and
+    P(c|a)=1/3 (surprisal ln 3, novel)."""
+    import math
+
+    from ankaflow_spark.operators.textops import (
+        _T13_MATERIALIZED,
+        _T13_SPARK_BIGRAMS,
+        _bigram_surprisal_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("documents")
+    spark.sql(_T13_SPARK_BIGRAMS).createOrReplaceTempView("t13_bigrams")
+    rows = {r["doc_id"]: r for r in spark.sql(_bigram_surprisal_sql(True)).collect()}
+    assert set(rows) == {1, 2, 3}  # doc 4 has no bigrams
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["avg_surprisal"] == round(math.log(3 / 2), 6)
+    assert rows[1]["novel_frac"] == 0.0
+    assert rows[3]["avg_surprisal"] == round(math.log(3.0), 6)
+    assert rows[3]["novel_frac"] == 1.0
+    _T13_MATERIALIZED.clear()  # the real view is rebuilt per sf_dir
+
+
+def test_d10_semantic_dedup_keep_semantics(spark, sf_dir):
+    """Every cluster keeps exactly its min-id member; dropped vectors
+    always point at a kept representative; corpus fully covered."""
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d10_semantic_dedup"](spark, sf_dir).collect()
+    n_emb = spark.table("embeddings").count()
+    assert len(out) == n_emb
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1
+        assert kept[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
