@@ -281,3 +281,71 @@ ORACLES["st04_stream_sessions"] = """
     WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
     ORDER BY user_id, session_start
 """
+
+
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, ORACLE-CHECKED: the event stream is enriched
+    against a static dimension (per-event_type integer weights derived
+    deterministically from md5 — the stand-in for a dimension table on
+    a real cluster) and then windowed-aggregated. Spark broadcasts the
+    static side into every micro-batch; this is THE pattern for
+    enriching a 100 TB/day event stream against reference data without
+    shuffling the stream.
+
+    Determinism: the weighted sum keeps streaming state exact — value
+    is cast to DECIMAL before multiplying by the INTEGER weight, so the
+    state accumulation is associative whatever the trigger/partition
+    order; the single division by 2^24 happens once at emit in IEEE
+    doubles. Same rule as st01 (PERF.md)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    dim = spark.sql("""
+      SELECT event_type,
+             CAST(conv(substring(md5(event_type), 1, 6), 16, 10) AS BIGINT) AS w
+      FROM (SELECT DISTINCT event_type FROM events)
+    """)
+    stream = stream_tap(spark, staged, schema)
+    joined = stream.join(F.broadcast(dim), "event_type")
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("w")).alias("wsum"),
+        )
+    )
+    name = "st05_out"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round(F.col("wsum").cast("double") / F.lit(16777216.0), 6).alias("weighted_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+QUERIES["st05_stream_static_join"] = st05
+ORACLES["st05_stream_static_join"] = """
+    WITH dim AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(event_type), 1, 6)) AS BIGINT) AS w
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT
+      make_timestamp(((epoch_us(ts) // 1000000) // 900) * 900 * 1000000) AS window_start,
+      make_timestamp((((epoch_us(ts) // 1000000) // 900) * 900 + 900) * 1000000) AS window_end,
+      e.event_type AS event_type,
+      COUNT(*) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(w AS DECIMAL(8,0))) AS DOUBLE) / 16777216.0, 6) AS weighted_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+"""
