@@ -810,10 +810,19 @@ ORACLES["d08_dedup_survivors"] = _d08_oracle()
 SEMDEDUP_COSINE = 0.35
 
 
-def _semdedup_pairs_sql(spark_dialect: bool) -> str:
-    from .similarity import _DUCK_NORM, _SPARK_NORM, DIM, ivf_assign_ctes
+def _semdedup_pairs_sql(
+    spark_dialect: bool,
+    table: str = "embeddings",
+    threshold: float = None,
+    k: int = None,
+) -> str:
+    from .similarity import _DUCK_NORM, _SPARK_NORM, DIM, IVF_K, ivf_assign_ctes
 
-    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    threshold = SEMDEDUP_COSINE if threshold is None else threshold
+    k = IVF_K if k is None else k
+    norm = (_SPARK_NORM if spark_dialect else _DUCK_NORM).replace(
+        "FROM embeddings", f"FROM {table}"
+    )
     if spark_dialect:
         dot = (
             "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
@@ -824,7 +833,7 @@ def _semdedup_pairs_sql(spark_dialect: bool) -> str:
             f"list_reduce(list_transform(range(1, {DIM} + 1), i -> "
             "CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)), (a, b) -> a + b)"
         )
-    return f"""{ivf_assign_ctes(spark_dialect)},
+    return f"""{ivf_assign_ctes(spark_dialect, table=table, k=k)},
     semnorms AS ({norm}),
     semcands AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -833,15 +842,15 @@ def _semdedup_pairs_sql(spark_dialect: bool) -> str:
     semdots AS (
       SELECT vec_a, vec_b, {dot} AS dot
       FROM semcands
-      JOIN embeddings q ON q.vec_id = vec_a
-      JOIN embeddings m ON m.vec_id = vec_b
+      JOIN {table} q ON q.vec_id = vec_a
+      JOIN {table} m ON m.vec_id = vec_b
     ),
     sempairs AS (
       SELECT vec_a AS doc_a, vec_b AS doc_b
       FROM semdots
       JOIN semnorms na ON na.vec_id = vec_a
       JOIN semnorms nb ON nb.vec_id = vec_b
-      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {SEMDEDUP_COSINE}
+      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {threshold}
     )"""
 
 

@@ -468,3 +468,59 @@ def op_normalized_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
         .drop("__rn__")
         .withColumnRenamed("__canon__", "canon_key")
     )
+
+
+@operator("semantic_dedup")
+def op_semantic_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """SemDeDup-style embedding dedup (d10 as a reusable stage): IVF
+    cells block the corpus, exact cosine runs within a cell, pairs over
+    ``threshold`` form connected components, the min-id member
+    represents each cluster. Returns the input plus ``cluster_id`` and
+    ``keep`` — filter on keep for the deduped corpus. Never all-pairs:
+    work is bounded by cell size; size ``n_cells`` to the corpus."""
+    from .dedup import _semdedup_pairs_sql, connected_components
+
+    id_col = params.get("id_column", "vec_id")
+    emb_col = params.get("embedding_column", "embedding")
+    threshold = float(params.get("threshold", 0.35))
+    n_cells = int(params.get("n_cells", 8))
+    view = "__op_semdedup_src__"
+    df.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).createOrReplaceTempView(view)
+    pairs = engine.spark.sql(
+        f"WITH {_semdedup_pairs_sql(True, table=view, threshold=threshold, k=n_cells)} "
+        "SELECT doc_a, doc_b FROM sempairs"
+    )
+    labels = connected_components(engine.spark, pairs).select("doc_id", "cluster_id")
+    joined = df.join(F.broadcast(labels), df[id_col] == labels.doc_id, "left").drop("doc_id")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.withColumn("cluster_id", cluster).withColumn(
+        "keep", cluster == F.col(id_col)
+    )
+
+
+@operator("bigram_surprisal")
+def op_bigram_surprisal(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Corpus LM cross-entropy score (t13 as a reusable stage): builds
+    the corpus MLE bigram model (two map-side-combinable groupBys) and
+    scores each document's avg/max -ln P(w2|w1) + novel-bigram
+    fraction. Documents shorter than two tokens are excluded (no
+    bigrams). The bigram table materializes once (localCheckpoint)."""
+    from .textops import _bigram_surprisal_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    view = "__op_bigram_src__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    bigrams = engine.spark.sql(f"""
+      SELECT doc_id, pos, w[pos - 1] AS w1, w[pos] AS w2
+      FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS w FROM {view})
+      LATERAL VIEW explode(
+        CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1) ELSE array() END
+      ) t AS pos
+    """).localCheckpoint(eager=True)
+    bigrams.createOrReplaceTempView("t13_bigrams")
+    return engine.spark.sql(_bigram_surprisal_sql(True))

@@ -288,22 +288,47 @@ def _ivf_fragments(spark_dialect: bool):
                 rebuild=rebuild, init_centroid=init_centroid)
 
 
-def ivf_assign_ctes(spark_dialect: bool) -> str:
-    """The IVF coarse-quantizer CTE chain (shared by s03 ANN and d10
-    semantic dedup): deterministic sampled training set, seeded initial
-    centroids, one Lloyd step with collect-sort-fold means, and the
-    full-corpus cell assignment ``assign2 (vec_id, cid)``. Emitted
-    without the leading WITH so callers append their own CTEs."""
+def ivf_assign_ctes(
+    spark_dialect: bool,
+    table: str = "embeddings",
+    k: int = IVF_K,
+    train_mod: int = IVF_TRAIN_MOD,
+) -> str:
+    """The IVF coarse-quantizer CTE chain (shared by s03 ANN, d10
+    semantic dedup, and the ``semantic_dedup`` YAML operator):
+    deterministic sampled training set, rank-seeded initial centroids
+    (first ``k`` sampled ids — id-scheme agnostic), one Lloyd step with
+    collect-sort-fold means, and the full-corpus cell assignment
+    ``assign2 (vec_id, cid)``. Emitted without the leading WITH so
+    callers append their own CTEs. The Spark dims expansion uses
+    posexplode, so any embedding dimension works; the DuckDB dialect is
+    only emitted for the graded oracle (fixed-DIM corpus)."""
     f = _ivf_fragments(spark_dialect)
     dim_seq, idx, l2 = f["dim_seq"], f["idx"], f["l2"]
     fold_sorted, rebuild, init_centroid = f["fold_sorted"], f["rebuild"], f["init_centroid"]
+    if spark_dialect:
+        dims_cte = """dims AS (
+      SELECT a.cid, e.vec_id, p.d, CAST(p.pv AS DOUBLE) AS v
+      FROM assign1 a
+      JOIN train_set e ON e.vec_id = a.vec_id
+      LATERAL VIEW posexplode(e.embedding) p AS d, pv
+    )"""
+    else:
+        dims_cte = f"""dims AS (
+      SELECT a.cid, e.vec_id, t.d, CAST({idx("e.embedding", "t.d")} AS DOUBLE) AS v
+      FROM assign1 a
+      JOIN train_set e ON e.vec_id = a.vec_id
+      CROSS JOIN (SELECT {dim_seq} AS d) t
+    )"""
     return f"""train_set AS (
-      SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {IVF_TRAIN_MOD} = 0
+      SELECT vec_id, embedding FROM {table}
+      WHERE vec_id % {train_mod} = 0
     ),
     init AS (
       SELECT vec_id AS cid, {init_centroid} AS centroid
-      FROM train_set WHERE vec_id < {IVF_K * IVF_TRAIN_MOD}
+      FROM (
+        SELECT vec_id, embedding FROM train_set ORDER BY vec_id LIMIT {k}
+      ) seed
     ),
     assign1 AS (
       SELECT vec_id, cid FROM (
@@ -312,12 +337,7 @@ def ivf_assign_ctes(spark_dialect: bool) -> str:
         FROM train_set v CROSS JOIN init c
       ) r WHERE rn = 1
     ),
-    dims AS (
-      SELECT a.cid, e.vec_id, t.d, CAST({idx("e.embedding", "t.d")} AS DOUBLE) AS v
-      FROM assign1 a
-      JOIN train_set e ON e.vec_id = a.vec_id
-      CROSS JOIN (SELECT {dim_seq} AS d) t
-    ),
+    {dims_cte},
     means AS (
       SELECT cid, d, {fold_sorted} / COUNT(*) AS m
       FROM dims GROUP BY cid, d
@@ -329,7 +349,7 @@ def ivf_assign_ctes(spark_dialect: bool) -> str:
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
-        FROM embeddings v CROSS JOIN trained c
+        FROM {table} v CROSS JOIN trained c
       ) r WHERE rn = 1
     )"""
 

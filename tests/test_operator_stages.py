@@ -322,3 +322,52 @@ def test_vocab_and_normalized_dedup_stages(engine, sf_dir):
     assert row["top_count"] > 0
     # survivors are unique per canonical key
     assert row["canon_docs"] == row["canon_keys"] > 0
+
+
+def test_semantic_dedup_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: vectors
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: deduped
+  op: semantic_dedup
+  params: {{threshold: 0.35, n_cells: 4}}
+- kind: transform
+  name: report
+  query: >
+    SELECT count(*) AS n, count_if(keep) AS kept,
+           count(DISTINCT cluster_id) AS clusters
+    FROM deduped
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    assert row["n"] > 0
+    assert row["kept"] == row["clusters"]  # exactly one representative each
+    assert row["kept"] <= row["n"]
+
+
+def test_bigram_surprisal_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: scored
+  op: bigram_surprisal
+- kind: transform
+  name: report
+  query: >
+    SELECT count(*) AS n, min(avg_surprisal) AS lo, max(avg_surprisal) AS hi,
+           min(novel_frac) AS nf_lo, max(novel_frac) AS nf_hi
+    FROM scored
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    assert row["n"] > 0
+    assert 0.0 <= row["lo"] <= row["hi"]
+    assert 0.0 <= row["nf_lo"] <= row["nf_hi"] <= 1.0
