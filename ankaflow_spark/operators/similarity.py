@@ -484,3 +484,65 @@ def cosine_pandas_udf():
         return pd.Series(dots / norms)
 
     return cos
+
+
+# ---------------------------------------------------------------------------
+# s05 — kNN label classification: the evaluation harness run over any
+# labeled embedding corpus (probe quality of an embedding space, audit
+# a clustering, sanity-check ANN recall). A deterministic held-out
+# slice (vec_id % 10 = 0) is classified by the majority label of its
+# k nearest neighbors in the remaining corpus; ties break to the
+# smallest label. Brute-force dots here (exact baseline, same shape as
+# s01 — broadcast the test slice); at 100 TB the candidate set comes
+# from s02/s03's bucketed paths instead of the full cross product.
+# ---------------------------------------------------------------------------
+KNN_K = 7
+KNN_TEST_MOD = 10
+
+
+def _knn_label_sql(spark_dialect: bool) -> str:
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
+    hint = "/*+ BROADCAST(q) */ " if spark_dialect else ""
+    return f"""
+    WITH norms AS ({norm}),
+    dots AS (
+      SELECT {hint}q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             {dot} AS dot
+      FROM (SELECT * FROM embeddings WHERE vec_id % {KNN_TEST_MOD} = 0) q
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % {KNN_TEST_MOD} <> 0) c
+    ),
+    neighbors AS (
+      SELECT query_id, true_label, cand_label FROM (
+        SELECT query_id, true_label, cand_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, cand_id
+               ) AS rn
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+      ) r WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label AS predicted_label,
+             COUNT(*) AS n_votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY COUNT(*) DESC, cand_label
+             ) AS vr
+      FROM neighbors
+      GROUP BY query_id, true_label, cand_label
+    )
+    SELECT query_id, true_label, predicted_label, n_votes,
+           CASE WHEN predicted_label = true_label THEN TRUE ELSE FALSE END AS correct
+    FROM votes WHERE vr = 1
+    ORDER BY query_id
+    """
+
+
+@query("s05_knn_label", oracle=_knn_label_sql(False))
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_knn_label_sql(True))

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "d05_embedding_neardup",  # hyperplane table (8 rows) x embeddings
     "d09_simhash_neardup",  # block-id table (4 rows) x signatures
     "s01_cosine_topk",  # exact baseline: 5-query broadcast cross join
+    "s05_knn_label",  # exact kNN eval: broadcast test-slice cross join (ANN paths replace it at scale)
     "s02_lsh_ann",  # hyperplane table x query/corpus buckets
     "s03_ivf_ann",  # queries x centroids (5 x 16) + probe products
     "ts06_interpolate",  # bracketing-bounds join over a 30-row spine
