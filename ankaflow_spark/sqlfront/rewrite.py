@@ -742,7 +742,40 @@ def rewrite_struct_literals(sql: str) -> str:
 _EXCLUDE_PARENS = re.compile(r"\bEXCLUDE\s*\(", re.IGNORECASE)
 _EXCLUDE_BARE = re.compile(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", re.IGNORECASE)
 _REPLACE_STAR = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+_RENAME_STAR = re.compile(r"\*\s+RENAME\s*\(", re.IGNORECASE)
 _COLUMNS_EXPR = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+_UNION_BY_NAME = re.compile(r"\b(UNION|INTERSECT|EXCEPT)(\s+ALL)?\s+BY\s+NAME\b", re.IGNORECASE)
+
+
+def rewrite_star_rename(sql: str) -> str:
+    """DuckDB ``* RENAME (a AS b, ...)`` -> Spark
+    ``* EXCEPT(a, ...), a AS b, ...``. Values identical; like REPLACE,
+    the renamed columns move to the end of the star expansion (Spark
+    has no positional rename)."""
+    while True:
+        m = _RENAME_STAR.search(sql)
+        if m is None or _in_literal(sql, m.start()):
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close == -1:
+            return sql
+        olds, rendered = [], []
+        for part in _split_top_level(sql[open_idx + 1 : close]):
+            am = re.match(
+                r"\s*([A-Za-z_]\w*|`[^`]+`|\"[^\"]+\")\s+AS\s+([A-Za-z_]\w*|`[^`]+`)\s*$",
+                part,
+                re.IGNORECASE,
+            )
+            if am is None:
+                raise UnsupportedDialect(
+                    "RENAME entries must be 'column AS new_name', got: " + part
+                )
+            olds.append(am.group(1))
+            rendered.append(f"{am.group(1)} AS {am.group(2)}")
+        star = sql[m.start() : m.start() + 1]  # '*'
+        repl = f"{star} EXCEPT({', '.join(olds)}), {', '.join(rendered)}"
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
 
 
 def rewrite_star_replace(sql: str) -> str:
@@ -1193,6 +1226,13 @@ _ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         _reject_columns_expr(chunk)
+        if _UNION_BY_NAME.search(chunk):
+            raise UnsupportedDialect(
+                "DuckDB's set operations BY NAME have no Spark SQL spelling; "
+                "list matching columns explicitly on both sides (SELECT a, b "
+                "... UNION ALL SELECT a, b ...), or use the DataFrame API's "
+                "unionByName through a custom operator stage"
+            )
         if _ASOF_JOIN.search(chunk):
             raise UnsupportedDialect(
                 "DuckDB ASOF JOIN has no Spark SQL spelling; use the "
@@ -1209,6 +1249,7 @@ def normalize_dialect(sql: str) -> str:
 
     out = rewrite_unpivot_statement(sql)
     out = rewrite_star_replace(out)
+    out = rewrite_star_rename(out)
     out = _map_nonliteral(out, fix)
     out = rewrite_struct_literals(out)
     out = rewrite_list_comprehensions(out)

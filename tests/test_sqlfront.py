@@ -539,3 +539,21 @@ def test_asof_join_actionable_error(engine):
         engine.sql("SELECT * FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts")
     # the word inside a string literal is untouched
     assert engine.sql("SELECT 'ASOF JOIN' AS s").collect()[0]["s"] == "ASOF JOIN"
+
+
+def test_star_rename_rewrite(engine):
+    engine.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("__ren__")
+    df = engine.sql("SELECT * RENAME (a AS x) FROM __ren__")
+    assert df.columns == ["b", "c", "x"]  # renamed column moves to the end
+    assert [tuple(r) for r in df.collect()] == [(2, 3, 1)]
+    df = engine.sql("SELECT * RENAME (a AS x, b AS y) FROM __ren__")
+    assert sorted(df.columns) == ["c", "x", "y"]
+
+
+def test_union_by_name_rejected(engine):
+    import pytest as _pytest
+
+    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+
+    with _pytest.raises(UnsupportedDialect, match="BY NAME"):
+        engine.sql("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a")
