@@ -573,17 +573,38 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     is_representative) with cluster_id = min doc_id in the component.
 
     Scale shape: each round is one shuffle-join of labels against the
-    (small, checkpointed) edge table plus a groupBy — the GraphFrames /
-    Pregel iteration pattern. Rounds needed = graph diameter; near-dup
-    graphs are shallow, and the fixpoint test is a cheap count over the
-    label-diff (labels ≈ |V(pairs)| rows, tiny vs the corpus). Lineage
-    is truncated every round so task binaries stay constant-size.
+    (small, checkpointed) edge table plus a groupBy and three pointer
+    jumps — the GraphFrames / Pregel iteration pattern with doubling.
+    Rounds needed ~ log16(graph diameter); the fixpoint test is a cheap
+    count over the label-diff (labels ≈ |V(pairs)| rows, tiny vs the
+    corpus). Lineage is truncated every round and superseded
+    checkpoints release their blocks immediately.
     """
-    # localCheckpoint TRUNCATES lineage: iterative plans otherwise
-    # re-serialize the whole upstream pipeline into every task
-    # (observed 6.5 MiB task binaries, ~3x wall, in the fixed-round
-    # predecessor). At cluster scale this is a persisted pairs table.
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    # File round-trips (not localCheckpoint) truncate BOTH lineage and
+    # Catalyst's ESTIMATED statistics. A checkpoint keeps the origin
+    # plan's estimated sizeInBytes, and in an iterative join loop that
+    # estimate compounds geometrically round over round — measured: by
+    # round ~8 jobs with constant plans/rows/tasks slowed ~6x per round
+    # while a driver thread spun in BigInteger.multiplyToomCook3 under
+    # stats estimation (IterableOnceOps.product), multiplying
+    # million-digit size estimates. The parquet re-read yields real
+    # file-size stats every round — the same reliable-checkpoint
+    # pattern GraphFrames uses for its CC iteration; at cluster scale
+    # these are the persisted per-round label tables.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="ankaflow_cc_")
+    atexit.register(shutil.rmtree, workdir, True)
+
+    def persist_reset(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    pairs = persist_reset(pairs.select("doc_a", "doc_b"), "pairs")
     edges = (
         pairs.selectExpr("doc_a AS doc_id", "doc_b AS nbr")
         .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_a AS nbr"))
@@ -591,8 +612,10 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_b AS nbr"))
         .localCheckpoint()
     )
-    labels = edges.groupBy("doc_id").agg(F.min("nbr").alias("lbl")).localCheckpoint()
-    for _ in range(CC_MAX_ROUNDS):
+    labels = persist_reset(
+        edges.groupBy("doc_id").agg(F.min("nbr").alias("lbl")), "labels_init"
+    )
+    for rnd in range(CC_MAX_ROUNDS):
         n = edges.alias("n")
         l_own = labels.alias("l")
         l_nbr = labels.alias("nl")
@@ -606,12 +629,40 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 F.least(F.col("old_lbl"), F.col("min_nbr")).alias("lbl"),
                 "old_lbl",
             )
-            .localCheckpoint()
         )
+        # pointer jumps: l(v) <- min(l(v), l(l(v))), applied 3x per
+        # round. Neighbor-min alone converges in DIAMETER rounds — a
+        # thresholded-similarity graph can be path-shaped (measured:
+        # the sf0.1 semantic graph was still changing after 64 rounds,
+        # minutes of driver-loop joins). Each jump halves the label's
+        # distance-to-root, so a round shrinks it 16x (one hop + three
+        # doublings): rounds ~ log16(diameter). Round count matters
+        # beyond wall-clock: measured on local[32], per-round latency
+        # degrades sharply after ~8 checkpointed iterations with
+        # constant plans/rows/tasks (JVM-cumulative, not data-driven) —
+        # converging in <=6 rounds sidesteps it for any realistic
+        # diameter (16^6 ≈ 1.7e7).
+        for _ in range(3):
+            ptr = new_labels.selectExpr("doc_id AS j_doc", "lbl AS j_lbl")
+            new_labels = new_labels.join(
+                ptr, F.col("lbl") == F.col("j_doc")
+            ).select(
+                "doc_id",
+                F.least(F.col("lbl"), F.col("j_lbl")).alias("lbl"),
+                "old_lbl",
+            )
+        # alternate two round dirs: the write fully materializes before
+        # the next round overwrites the other one, and the final labels
+        # keep reading their own files (workdir lives until exit)
+        new_labels = persist_reset(new_labels, f"labels_r{rnd % 2}")
         changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
             break
+    try:
+        edges.rdd.unpersist()
+    except Exception:
+        pass
     return labels.select(
         F.col("doc_id"),
         F.col("lbl").alias("cluster_id"),
@@ -854,13 +905,67 @@ def _semdedup_pairs_sql(
     )"""
 
 
+def semdedup_pairs_df(
+    spark: SparkSession,
+    table: str = "embeddings",
+    threshold: float = None,
+    k: int = None,
+) -> DataFrame:
+    """Semantic near-dup pairs with an at-scale Spark execution shape:
+    the corpus is repartitioned by vec_id BEFORE the interpreted-lambda
+    fold work (a single-row-group parquet otherwise pipelines the whole
+    IVF chain onto ONE task — the r3 single-task-scan finding,
+    PERF.md), and the cell assignment is materialized once with
+    localCheckpoint (the within-cell self-join references it twice and
+    Spark inlines CTEs — without this the centroid training chain
+    executes per join side). Values are identical to the inline
+    ``_semdedup_pairs_sql`` chain the DuckDB oracle runs."""
+    from .similarity import _SPARK_NORM, IVF_K, ivf_assign_ctes
+
+    threshold = SEMDEDUP_COSINE if threshold is None else threshold
+    k = IVF_K if k is None else k
+    par = spark.sparkContext.defaultParallelism
+    view, aview = "__semdedup_vecs__", "__semdedup_cells__"
+    spark.table(table).select("vec_id", "embedding").repartition(
+        par, "vec_id"
+    ).createOrReplaceTempView(view)
+    assign = spark.sql(
+        f"WITH {ivf_assign_ctes(True, table=view, k=k)} SELECT vec_id, cid FROM assign2"
+    ).localCheckpoint(eager=True)
+    assign.createOrReplaceTempView(aview)
+    dot = (
+        "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    norm = _SPARK_NORM.replace("FROM embeddings", f"FROM {view}")
+    return spark.sql(f"""
+    WITH semnorms AS ({norm}),
+    semcands AS (
+      SELECT /*+ REPARTITION({par}, vec_a) */ a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM {aview} a JOIN {aview} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    semdots AS (
+      -- explicit numPartitions: AQE's size-based coalescing would fold
+      -- this KB-sized-but-lambda-heavy exchange onto one task (the dot
+      -- folds are interpreted, not codegen'd — cost is per ROW PAIR,
+      -- not per byte, and the coalesce cost model only sees bytes)
+      SELECT vec_a, vec_b, {dot} AS dot
+      FROM semcands
+      JOIN {view} q ON q.vec_id = vec_a
+      JOIN {view} m ON m.vec_id = vec_b
+    )
+    SELECT vec_a AS doc_a, vec_b AS doc_b
+    FROM semdots
+    JOIN semnorms na ON na.vec_id = vec_a
+    JOIN semnorms nb ON nb.vec_id = vec_b
+    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {threshold}
+    """)
+
+
 @query("d10_semantic_dedup")
 def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import cached_embeddings
-
     load_tables(spark, sf_dir)
-    cached_embeddings(spark)
-    pairs = spark.sql(f"WITH {_semdedup_pairs_sql(True)} SELECT doc_a, doc_b FROM sempairs")
+    pairs = semdedup_pairs_df(spark)
     cc = connected_components(spark, pairs).select("doc_id", "cluster_id")
     emb = spark.table("embeddings").select("vec_id")
     # labels cover only vectors that appear in a near-dup pair — a small

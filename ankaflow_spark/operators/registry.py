@@ -478,7 +478,7 @@ def op_semantic_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFram
     represents each cluster. Returns the input plus ``cluster_id`` and
     ``keep`` — filter on keep for the deduped corpus. Never all-pairs:
     work is bounded by cell size; size ``n_cells`` to the corpus."""
-    from .dedup import _semdedup_pairs_sql, connected_components
+    from .dedup import connected_components, semdedup_pairs_df
 
     id_col = params.get("id_column", "vec_id")
     emb_col = params.get("embedding_column", "embedding")
@@ -488,10 +488,7 @@ def op_semantic_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFram
     df.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     ).createOrReplaceTempView(view)
-    pairs = engine.spark.sql(
-        f"WITH {_semdedup_pairs_sql(True, table=view, threshold=threshold, k=n_cells)} "
-        "SELECT doc_a, doc_b FROM sempairs"
-    )
+    pairs = semdedup_pairs_df(engine.spark, table=view, threshold=threshold, k=n_cells)
     labels = connected_components(engine.spark, pairs).select("doc_id", "cluster_id")
     joined = df.join(F.broadcast(labels), df[id_col] == labels.doc_id, "left").drop("doc_id")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
