@@ -1221,6 +1221,78 @@ def rewrite_list_comprehensions(sql: str) -> str:
 
 
 _ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
+_DISTINCT_ON = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) ... [ORDER BY o]`` ->
+    plain SELECT + ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys
+    ORDER BY o) = 1`` (the existing QUALIFY rewrite then turns it into
+    a subquery). With no ORDER BY the row kept per group is arbitrary —
+    same contract as DuckDB — and the window orders by the keys."""
+    for _ in range(16):
+        m = _DISTINCT_ON.search(sql)
+        if m is None or _in_literal(sql, m.start()):
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close == -1:
+            return sql
+        keys = sql[open_idx + 1 : close].strip()
+        d = _depth_at(sql, m.start())
+        # drop the DISTINCT ON (...) prefix, keep the select list
+        body = sql[: m.start()] + "SELECT " + sql[close + 1 :]
+        # positions shift: recompute scan start right after SELECT
+        scan_from = m.start() + len("SELECT ")
+        ob = _scan_at_depth(body, scan_from, d, d, ("ORDER",))
+        if ob != -1 and re.match(r"ORDER\s+BY\b", body[ob:], re.IGNORECASE):
+            tail = _scan_at_depth(body, ob + 5, d, d, ("LIMIT",))
+            order_end = tail if tail != -1 else None
+            by_idx = body.upper().index("BY", ob) + 2
+            order_expr = (body[by_idx:order_end] if order_end else body[by_idx:]).strip()
+            # strip to the enclosing scope if the ORDER BY text runs past it
+            cut = order_expr
+            depth = 0
+            for i, ch in enumerate(order_expr):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        cut = order_expr[:i]
+                        break
+            qualify = (
+                f" QUALIFY ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {cut.strip()}) = 1 "
+            )
+            sql = body[:ob] + qualify + body[ob:]
+        else:
+            lim = _scan_at_depth(body, scan_from, d, d, ("LIMIT", "UNION", "INTERSECT", "EXCEPT"))
+            qualify = f" QUALIFY ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {keys}) = 1 "
+            if lim == -1:
+                # insert before the enclosing scope closes (or at end)
+                depth = d
+                i, n = scan_from, len(body)
+                in_lit = False
+                end = n
+                while i < n:
+                    ch = body[i]
+                    if in_lit:
+                        if ch == "'":
+                            in_lit = False
+                    elif ch == "'":
+                        in_lit = True
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth < d:
+                            end = i
+                            break
+                    i += 1
+                sql = body[:end] + qualify + body[end:]
+            else:
+                sql = body[:lim] + qualify + body[lim:]
+    return sql
 
 
 def normalize_dialect(sql: str) -> str:
@@ -1250,6 +1322,7 @@ def normalize_dialect(sql: str) -> str:
     out = rewrite_unpivot_statement(sql)
     out = rewrite_star_replace(out)
     out = rewrite_star_rename(out)
+    out = rewrite_distinct_on(out)
     out = _map_nonliteral(out, fix)
     out = rewrite_struct_literals(out)
     out = rewrite_list_comprehensions(out)

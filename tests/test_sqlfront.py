@@ -557,3 +557,26 @@ def test_union_by_name_rejected(engine):
 
     with _pytest.raises(UnsupportedDialect, match="BY NAME"):
         engine.sql("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a")
+
+
+def test_distinct_on_rewrite(engine):
+    engine.sql(
+        "SELECT explode(array(1, 1, 2, 2, 3)) AS k"
+    ).selectExpr("k", "k * 10 + monotonically_increasing_id() AS v").createOrReplaceTempView(
+        "__don__"
+    )
+    # deterministic: keep the row with the highest v per k
+    df = engine.sql("SELECT DISTINCT ON (k) k, v FROM __don__ ORDER BY k, v DESC")
+    rows = df.collect()
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    # one row per key, and it is the max-v row
+    per_k = {}
+    for r in engine.sql("SELECT k, max(v) AS mv FROM __don__ GROUP BY k").collect():
+        per_k[r["k"]] = r["mv"]
+    assert all(r["v"] == per_k[r["k"]] for r in rows)
+    # no ORDER BY: still exactly one row per key
+    df2 = engine.sql("SELECT DISTINCT ON (k) k, v FROM __don__")
+    assert sorted(r["k"] for r in df2.collect()) == [1, 2, 3]
+    # with LIMIT
+    df3 = engine.sql("SELECT DISTINCT ON (k) k, v FROM __don__ ORDER BY k LIMIT 2")
+    assert len(df3.collect()) == 2
