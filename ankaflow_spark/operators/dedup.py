@@ -1006,3 +1006,62 @@ ORACLES["d10_semantic_dedup"] = f"""
     LEFT JOIN semclusters c ON c.doc_id = e.vec_id
     ORDER BY cluster_id, vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# d11 — incremental near-dup check: the production daily-crawl pattern.
+# A NEW batch (deterministic stand-in: doc_id % 10 = 0) is checked
+# against the persisted corpus signature/band table WITHOUT recomputing
+# the corpus: new-batch bands equi-join the full band table, so work is
+# |new bands| x bucket width, independent of corpus size. Output is a
+# verdict per new doc — is_dup plus the smallest partner id (existing
+# or new), NULL when the batch doc is genuinely novel.
+# ---------------------------------------------------------------------------
+INCR_NEW_MOD = 10  # doc_id % 10 = 0 -> member of the incoming batch
+
+
+def _incremental_sql(cand_ctes: str) -> str:
+    """Identical text both dialects (band spelling differs inside
+    cand_ctes, which ends at the `bands` CTE; the cands CTE it also
+    defines goes unused here)."""
+    return f"""
+    WITH {cand_ctes},
+    new_docs AS (
+      SELECT DISTINCT doc_id FROM bands WHERE doc_id % {INCR_NEW_MOD} = 0
+    ),
+    hits AS (
+      -- the batch side is small BY DESIGN (daily increment vs corpus):
+      -- broadcast it so the corpus band table streams past, never
+      -- shuffles (DuckDB reads the hint as a comment)
+      SELECT /*+ BROADCAST(n) */ DISTINCT n.doc_id, b.doc_id AS partner
+      FROM (SELECT * FROM bands WHERE doc_id % {INCR_NEW_MOD} = 0) n
+      JOIN bands b
+        ON {{join_pred}} AND b.doc_id <> n.doc_id
+    ),
+    best AS (
+      SELECT doc_id, MIN(partner) AS dup_of FROM hits GROUP BY doc_id
+    )
+    SELECT /*+ BROADCAST(b) */ d.doc_id AS doc_id,
+           (b.dup_of IS NOT NULL) AS is_dup,
+           b.dup_of AS dup_of
+    FROM new_docs d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+_SPARK_INCR_JOIN = " AND ".join(
+    ["n.band_id = b.band_id"] + [f"n.k{r} = b.k{r}" for r in range(_ROWS_PER_BAND)]
+)
+
+
+@query(
+    "d11_incremental_dedup",
+    oracle=_incremental_sql(DUCK_CAND_CTES).format(
+        join_pred="n.band_id = b.band_id AND n.band_key = b.band_key"
+    ),
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_incremental_sql(SPARK_CAND_CTES).format(join_pred=_SPARK_INCR_JOIN))
