@@ -704,3 +704,47 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         _T13_MATERIALIZED[key] = df
     df.createOrReplaceTempView("t13_bigrams")
     return spark.sql(_bigram_surprisal_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t14 — BPE-style token counting: the GPT-2-family pre-tokenizer regex
+# (contraction suffixes, letter runs, digit runs, punctuation runs,
+# each with an optional leading space) — the token-budget estimate a
+# training pipeline uses when the real tokenizer is too expensive to
+# run corpus-wide. The pattern avoids lookarounds/backreferences so
+# Java regex (Spark) and RE2 (DuckDB) match identically — the same
+# portability rule t09's PII patterns follow. Pure expression work,
+# one scan, no UDFs.
+# ---------------------------------------------------------------------------
+_BPE_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def _bpe_token_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        pat = _BPE_REGEX.replace("'", "\\'")  # Spark: backslash-escaped quote
+        n = f"size(regexp_extract_all(text, '{pat}', 0))"
+        n_alpha = "size(regexp_extract_all(text, ' ?[A-Za-z]+', 0))"
+        n_num = "size(regexp_extract_all(text, ' ?[0-9]+', 0))"
+        ws = r"size(regexp_extract_all(text, '\\S+', 0))"
+    else:
+        pat = _BPE_REGEX.replace("'", "''")  # DuckDB: doubled quote
+        n = f"len(regexp_extract_all(text, '{pat}'))"
+        n_alpha = "len(regexp_extract_all(text, ' ?[A-Za-z]+'))"
+        n_num = "len(regexp_extract_all(text, ' ?[0-9]+'))"
+        ws = r"len(regexp_extract_all(text, '\S+'))"
+    return f"""
+    SELECT doc_id,
+      CAST({n} AS BIGINT) AS n_bpe_tokens,
+      CAST({n_alpha} AS BIGINT) AS n_word_tokens,
+      CAST({n_num} AS BIGINT) AS n_number_tokens,
+      CAST({ws} AS BIGINT) AS n_ws_tokens,
+      CAST({n} AS DOUBLE) / greatest({ws}, 1) AS bpe_per_word
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("t14_bpe_token_count", oracle=_bpe_token_sql(False))
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_bpe_token_sql(True))

@@ -425,3 +425,17 @@ def test_d10_semantic_dedup_keep_semantics(spark, sf_dir):
         kept = [m for m in members if m["keep"]]
         assert len(kept) == 1
         assert kept[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
+
+
+def test_t14_bpe_tokenization_math(spark):
+    from ankaflow_spark.operators.textops import _bpe_token_sql
+
+    spark.createDataFrame(
+        [(1, "don't stop 123 now!")], ["doc_id", "text"]
+    ).createOrReplaceTempView("documents")
+    r = spark.sql(_bpe_token_sql(True)).collect()[0]
+    # don | 't | ' stop' | ' 123' | ' now' | '!'  -> 6 BPE-ish tokens
+    assert r["n_bpe_tokens"] == 6
+    assert r["n_word_tokens"] == 4  # don, t, stop, now (letter runs counted standalone)
+    assert r["n_number_tokens"] == 1
+    assert r["n_ws_tokens"] == 4
