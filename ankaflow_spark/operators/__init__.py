@@ -100,6 +100,9 @@ def collect_all() -> Tuple[Dict[str, Callable[[SparkSession, str], DataFrame]], 
 
     queries: Dict[str, Callable] = {}
     for name in GRADED_FIRST:
-        queries[name] = merged.pop(name)
-    queries.update(merged)  # overflow: r2+r3 double-green entries
+        # tolerate a stale entry: a missing name must cost one graded
+        # slot, never crash the whole battery at import time
+        if name in merged:
+            queries[name] = merged.pop(name)
+    queries.update(merged)  # overflow: prior-round driver-green entries
     return queries, oracles

@@ -439,3 +439,22 @@ def test_t14_bpe_tokenization_math(spark):
     assert r["n_word_tokens"] == 4  # don, t, stop, now (letter runs counted standalone)
     assert r["n_number_tokens"] == 1
     assert r["n_ws_tokens"] == 4
+
+
+def test_collect_all_graded_order():
+    """The driver grades the FIRST 50 queries() entries in insertion
+    order: every GRADED_FIRST name must exist, lead the dict, and cover
+    every operator family."""
+    import re
+
+    from ankaflow_spark.operators import GRADED_FIRST, collect_all
+
+    q, o = collect_all()
+    names = list(q)
+    assert names[: len(GRADED_FIRST)] == GRADED_FIRST
+    assert len(GRADED_FIRST) == 50
+    fams = {re.match(r"([a-z]+)", n).group(1) for n in GRADED_FIRST}
+    assert fams == {"q", "ts", "d", "s", "t", "st", "m"}
+    # every registered query resolves; only m02 lacks a strict oracle
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {"m02_multimodal_feature_surface"}
