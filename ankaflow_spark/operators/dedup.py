@@ -1065,3 +1065,63 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_bands(spark, sf_dir)
     return spark.sql(_incremental_sql(SPARK_CAND_CTES).format(join_pred=_SPARK_INCR_JOIN))
+
+
+# ---------------------------------------------------------------------------
+# d12 — LSH recall/precision evaluation: before trusting the banded
+# candidate generation (d02) as the at-scale near-dup path, measure it
+# against exact ground truth (d03x's pruned shingle self-join) at the
+# jaccard level the bands are tuned for (>= 0.5). Output is one metrics
+# row — the quality gate a production dedup pipeline runs on a sampled
+# slice before every corpus-wide run. All ratios divide two BIGINT
+# counts (engine-identical); the exact truth join is the expensive part
+# and is exactly the cost profile documented for d03x.
+# ---------------------------------------------------------------------------
+RECALL_EVAL_JACCARD = 0.5
+
+
+def _recall_eval_sql(cand_ctes: str) -> str:
+    return f"""
+    WITH {cand_ctes},
+    pruned AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM shingles
+      ) fsh WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM pruned GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+            >= {RECALL_EVAL_JACCARD}
+    ),
+    hits AS (
+      SELECT t.doc_a FROM truth t
+      JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cands) AS n_cands,
+             (SELECT COUNT(*) FROM hits) AS n_hits
+    )
+    SELECT n_truth, n_cands, n_hits,
+           CASE WHEN n_truth = 0 THEN 1.0
+                ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall_at_05,
+           CASE WHEN n_cands = 0 THEN 1.0
+                ELSE CAST(n_hits AS DOUBLE) / n_cands END AS candidate_precision_at_05
+    FROM counts
+    """
+
+
+@query("d12_lsh_recall_eval", oracle=_recall_eval_sql(DUCK_CAND_CTES))
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_recall_eval_sql(SPARK_CAND_CTES))

@@ -1042,3 +1042,29 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"keys": ["event_type"], "agg": "count_sum", "column": "value", "salt": 16},
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q31 — explicit GROUPING SETS with GROUPING() markers (the general form
+# behind q14's ROLLUP / q26's CUBE). Spark plans one Expand + one
+# aggregate exchange for all three sets — same cost as a single
+# groupBy at any scale. ORDER BY leads with the grouping flags so NULL
+# grouping columns never compete with values inside a tie group (Spark
+# and DuckDB default NULL ordering differ).
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """
+
+
+@query("q31_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -349,3 +349,45 @@ ORACLES["st05_stream_static_join"] = """
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
 """
+
+
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (the hypertable rollup pattern,
+    ORACLE-CHECKED): a real streaming query maintains the finest
+    (1-minute) rollup; coarser resolutions re-aggregate the minute
+    table instead of ever rescanning the raw stream — ts08's cascade
+    with a streaming base. Exactness argument: minute totals accumulate
+    in DECIMAL inside the streaming state (associative, trigger-order
+    independent), are emitted as doubles < 2^53 (exactly representable),
+    and re-enter DECIMAL for the hour merge — so the hour totals equal
+    the batch decimal sum over raw events bit-for-bit."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap, windowed_agg
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    minute = windowed_agg(stream, "ts", window_len="1 minute", group_cols=["event_type"])
+    run_stream_to_memory(minute, "st06_minute", output_mode="complete")
+    return spark.sql("""
+      SELECT timestamp_seconds(((unix_micros(window_start) div 1000000) div 3600) * 3600)
+               AS bucket,
+             event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(total_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             COUNT(*) AS n_minutes
+      FROM st06_minute
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type
+    """)
+
+
+QUERIES["st06_stream_rollup"] = st06
+ORACLES["st06_stream_rollup"] = """
+    SELECT make_timestamp(((epoch_us(ts) // 1000000) // 3600) * 3600 * 1000000) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT (epoch_us(ts) // 1000000) // 60) AS n_minutes
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+"""

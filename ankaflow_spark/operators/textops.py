@@ -748,3 +748,106 @@ def _bpe_token_sql(spark_dialect: bool) -> str:
 def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_bpe_token_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t15 — tf-idf top terms per document (keyword extraction for curation /
+# topic tagging). Token counts shuffle once on (doc_id, term); document
+# frequency re-aggregates the (already tiny vs corpus) term table; the
+# per-doc top-3 is one row_number window. Corpus size N joins in as a
+# broadcast scalar. Float discipline: Java's Math.log and DuckDB's libm
+# log can differ in the last ULP, so the score is quantized to exact
+# micro-units — floor(tf * ln(N/df) * 1e6) AS BIGINT — which both
+# engines compute identically (a 1-ulp input wobble changes the floor
+# only when the true value sits within ~1e-10 of a quantization
+# boundary). Ranking uses the quantized score, so mathematically-tied
+# terms (tf1*ln(N/df1) == tf2*ln(N/df2)) order by term in both engines
+# instead of by engine-specific ULP noise.
+# ---------------------------------------------------------------------------
+def _tfidf_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        tok_src = "SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents"
+    else:
+        tok_src = "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM ({tok_src}) raw
+      WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    docfreq AS (
+      SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.term, CAST(tok.tf AS BIGINT) AS tf,
+             CAST(floor(tok.tf * ln(CAST(corpus.n_docs AS DOUBLE) / docfreq.df)
+                        * 1000000) AS BIGINT) AS tfidf_e6
+      FROM tok JOIN docfreq ON tok.term = docfreq.term CROSS JOIN corpus
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf_e6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf_e6 DESC, term) AS INT) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf_e6, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """
+
+
+@query("t15_tfidf_topterms", oracle=_tfidf_sql(False))
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_tfidf_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t16 — training-mix domain weights: per (lang, source) token share with
+# temperature-scaled sampling weights (alpha = 0.5, the multilingual
+# upsampling rule w_i ∝ p_i^alpha). One corpus scan + a groupBy onto a
+# handful of domain rows; everything after is driver-trivial. Float
+# discipline: shares divide two BIGINTs (correctly-rounded IEEE); sqrt
+# is IEEE-exact; the scaled weight quantizes to nano-units via floor
+# (double->DECIMAL casts round differently across engines, so decimals
+# are built from exact BIGINTs instead), making the normalizer an
+# integer sum — order-independent and engine-identical.
+# ---------------------------------------------------------------------------
+def _domain_mix_sql(spark_dialect: bool) -> str:
+    ntok = (
+        "size(split(text, ' '))" if spark_dialect else "len(string_split(text, ' '))"
+    )
+    return f"""
+    WITH per_group AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_group
+    ),
+    shared AS (
+      SELECT lang, source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / total_tokens)
+                        * 1000000000) AS BIGINT) AS sq_e9
+      FROM per_group CROSS JOIN tot
+    ),
+    z AS (
+      SELECT CAST(SUM(sq_e9) AS BIGINT) AS zsum FROM shared
+    )
+    SELECT lang, source, n_docs, n_tokens, token_share,
+           CAST(sq_e9 AS DOUBLE) / zsum AS mix_weight
+    FROM shared CROSS JOIN z
+    ORDER BY lang, source
+    """
+
+
+@query("t16_domain_mixture", oracle=_domain_mix_sql(False))
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_domain_mix_sql(True))

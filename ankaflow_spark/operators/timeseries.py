@@ -326,3 +326,102 @@ def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "ts", "value", "last_click_ts"
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# ts08 — hierarchical rollup cascade (continuous-aggregate pattern):
+# minute buckets are aggregated ONCE from the raw stream, then hour and
+# day resolutions re-aggregate the next-finer rollup instead of
+# rescanning events. At 100 TB this is the TimescaleDB/Druid rollup
+# shape: the raw scan happens exactly once, each coarser level works on
+# data already reduced by orders of magnitude, and counts/decimal sums
+# re-merge exactly (no double accumulation across levels).
+# ---------------------------------------------------------------------------
+def _rollup_cascade_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        minute_idx = "(unix_micros(ts) div 1000000) div 60"
+        idiv = "div"
+        hour_ts = "timestamp_seconds(hour_idx * 3600)"
+        day_ts = "timestamp_seconds(day_idx * 86400)"
+    else:
+        minute_idx = "(epoch_us(ts) // 1000000) // 60"
+        idiv = "//"
+        hour_ts = "make_timestamp(hour_idx * 3600 * 1000000)"
+        day_ts = "make_timestamp(day_idx * 86400 * 1000000)"
+    return f"""
+    WITH minute AS (
+      SELECT {minute_idx} AS min_idx, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT min_idx {idiv} 60 AS hour_idx, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             SUM(sum_value) AS sum_value,
+             COUNT(*) AS n_finer
+      FROM minute GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT hour_idx {idiv} 24 AS day_idx, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             SUM(sum_value) AS sum_value,
+             COUNT(*) AS n_finer
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, {hour_ts} AS bucket, event_type,
+           n_events, CAST(sum_value AS DOUBLE) AS total_value,
+           CAST(n_finer AS BIGINT) AS n_finer_buckets
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, {day_ts} AS bucket, event_type,
+           n_events, CAST(sum_value AS DOUBLE) AS total_value,
+           CAST(n_finer AS BIGINT) AS n_finer_buckets
+    FROM daily
+    ORDER BY resolution, bucket, event_type
+    """
+
+
+@query("ts08_rollup_cascade", oracle=_rollup_cascade_sql(False))
+def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_rollup_cascade_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts09 — OHLC downsampling (candlesticks): per day x event_type, the
+# first/last value by (ts, event_id) plus high/low/volume. open/close
+# come from deterministic window endpoints (never arg_min on a tied
+# timestamp alone); the window's (day, event_type) exchange is reused
+# by the following groupBy — one shuffle total, linear at any scale.
+# Identical SQL in both dialects.
+# ---------------------------------------------------------------------------
+_OHLC_SQL = """
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             value, ts, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT day, event_type, value,
+        FIRST_VALUE(value) OVER (PARTITION BY day, event_type
+          ORDER BY ts, event_id) AS open_v,
+        LAST_VALUE(value) OVER (PARTITION BY day, event_type
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+      FROM base
+    )
+    SELECT day, event_type,
+           MIN(open_v) AS open, MAX(value) AS high,
+           MIN(value) AS low, MIN(close_v) AS close,
+           COUNT(*) AS n_trades,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM w GROUP BY day, event_type
+    ORDER BY day, event_type
+    """
+
+
+@query("ts09_ohlc", oracle=_OHLC_SQL)
+def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_OHLC_SQL)
