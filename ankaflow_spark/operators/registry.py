@@ -521,3 +521,128 @@ def op_bigram_surprisal(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     """).localCheckpoint(eager=True)
     bigrams.createOrReplaceTempView("t13_bigrams")
     return engine.spark.sql(_bigram_surprisal_sql(True))
+
+
+@operator("tfidf_topterms")
+def op_tfidf_topterms(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Per-document tf-idf top-k terms (t15 as a reusable stage).
+    Corpus size joins in as a broadcast scalar (no driver collect);
+    scores are floor-quantized to micro-units so ranking is integer-
+    deterministic (see operators/textops.py t15)."""
+    from pyspark.sql.window import Window as W
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    k = int(params.get("k", 3))
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf_e6",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf_e6", "rk")
+    )
+
+
+@operator("domain_mixture")
+def op_domain_mixture(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Training-mix domain weights (t16 as a reusable stage): per-group
+    token share + sqrt-temperature sampling weight with an integer-
+    quantized normalizer (order-independent across partitions)."""
+    keys = list(params.get("keys", ["lang", "source"]))
+    text_col = params.get("text_column", "text")
+    per = df.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    shared = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "token_share", F.col("n_tokens").cast("double") / F.col("total_tokens")
+        )
+        .withColumn(
+            "sq_e9",
+            F.floor(F.sqrt(F.col("token_share")) * F.lit(1000000000.0)).cast("long"),
+        )
+    )
+    z = shared.agg(F.sum("sq_e9").cast("long").alias("zsum"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .withColumn("mix_weight", F.col("sq_e9").cast("double") / F.col("zsum"))
+        .select(*keys, "n_docs", "n_tokens", "token_share", "mix_weight")
+    )
+
+
+@operator("time_rollup")
+def op_time_rollup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Tumbling-bucket rollup (ts01/ts08's building block): integer
+    epoch bucketing, count + exact decimal sum emitted as double.
+    Coarser resolutions can re-aggregate this output (sums/counts
+    re-merge exactly) instead of rescanning the source."""
+    ts_col = params.get("ts", "ts")
+    value_col = params.get("value")
+    sec = int(params.get("bucket_seconds", 3600))
+    keys = list(params.get("keys", []))
+    bucket = F.expr(
+        f"timestamp_seconds(((unix_micros({ts_col}) div 1000000) div {sec}) * {sec})"
+    ).alias("bucket")
+    aggs = [F.count("*").alias("n_events")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return df.groupBy(bucket, *[F.col(c) for c in keys]).agg(*aggs)
+
+
+@operator("ohlc")
+def op_ohlc(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """OHLC candlestick downsampling (ts09 as a reusable stage):
+    open/close from deterministic window endpoints ordered by
+    (ts, tiebreak); the window exchange is reused by the groupBy."""
+    from pyspark.sql.window import Window as W
+
+    ts_col = params.get("ts", "ts")
+    value_col = params.get("value", "value")
+    sec = int(params.get("bucket_seconds", 86400))
+    keys = list(params.get("keys", []))
+    order = [F.col(ts_col)] + (
+        [F.col(params["tiebreak"])] if params.get("tiebreak") else []
+    )
+    bucketed = df.withColumn(
+        "bucket",
+        F.expr(f"timestamp_seconds(((unix_micros({ts_col}) div 1000000) div {sec}) * {sec})"),
+    )
+    part = ["bucket"] + keys
+    w_open = W.partitionBy(*part).orderBy(*order)
+    w_close = w_open.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    v = F.col(value_col)
+    enriched = bucketed.withColumn("open_v", F.first(v).over(w_open)).withColumn(
+        "close_v", F.last(v).over(w_close)
+    )
+    return enriched.groupBy("bucket", *keys).agg(
+        F.min("open_v").alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.min("close_v").alias("close"),
+        F.count("*").alias("n_rows"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("volume"),
+    )

@@ -371,3 +371,68 @@ def test_bigram_surprisal_stage(engine, sf_dir):
     assert row["n"] > 0
     assert 0.0 <= row["lo"] <= row["hi"]
     assert 0.0 <= row["nf_lo"] <= row["nf_hi"] <= 1.0
+
+
+def test_tfidf_and_domain_mixture_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: keyterms
+  op: tfidf_topterms
+  params: {{id_column: doc_id, text_column: text, k: 2}}
+- kind: operator
+  name: mix
+  op: domain_mixture
+  input: docs
+  params: {{keys: [lang], text_column: text}}
+- kind: transform
+  name: summary
+  query: >
+    SELECT (SELECT count(*) FROM keyterms WHERE rk > 2) AS n_overflow,
+           (SELECT max(rk) FROM keyterms) AS max_rk,
+           (SELECT count(*) FROM mix) AS n_domains,
+           (SELECT sum(mix_weight) FROM mix) AS z
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    assert row.n_overflow == 0
+    assert row.max_rk == 2
+    assert row.n_domains > 1
+    # weights normalize to ~1 (integer-quantized normalizer)
+    assert abs(row.z - 1.0) < 1e-6
+
+
+def test_time_rollup_and_ohlc_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: hourly
+  op: time_rollup
+  params: {{ts: ts, value: value, bucket_seconds: 3600, keys: [event_type]}}
+- kind: operator
+  name: daily
+  op: ohlc
+  input: events
+  params: {{ts: ts, value: value, bucket_seconds: 86400, keys: [event_type], tiebreak: event_id}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT cast(sum(n_events) AS BIGINT) FROM hourly) AS n_from_rollup,
+           (SELECT cast(sum(n_rows) AS BIGINT) FROM daily) AS n_from_ohlc,
+           (SELECT count(*) FROM events) AS n_raw,
+           (SELECT count(*) FROM daily WHERE high < low OR open > high OR open < low
+                                          OR close > high OR close < low) AS n_bad
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    assert row.n_from_rollup == row.n_raw
+    assert row.n_from_ohlc == row.n_raw
+    assert row.n_bad == 0
