@@ -26,12 +26,16 @@ BNLJ_ALLOWED = {
     "s02_lsh_ann",  # hyperplane table x query/corpus buckets
     "s03_ivf_ann",  # queries x centroids (5 x 16) + probe products
     "ts06_interpolate",  # bracketing-bounds join over a 30-row spine
+    "d12_lsh_recall_eval",  # three 1-row count relations merged into the metrics row
+    "t15_tfidf_topterms",  # 1-row corpus-size scalar broadcast into the idf term
+    "t16_domain_mixture",  # 1-row total-tokens / normalizer scalars broadcast
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
 # large at scale; today's graded plans broadcast every small side.
 SMJ_ALLOWED = {
     "s03_ivf_ann",  # cell-candidates x embeddings re-rank join
+    "d12_lsh_recall_eval",  # exact ground-truth shingle self-join: both sides ARE the corpus by design (d03x's documented cost profile)
 }
 
 
