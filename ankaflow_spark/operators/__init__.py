@@ -27,43 +27,43 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # relational / dialect core (10): bench headliners + the reference's
-    # flagship semantics (versioned dedup, Fn.dt coercion, Fn.calendar,
-    # skew-salted agg)
+    # Re-curated for round 4: all 26 entries that have never appeared in
+    # a driver artifact lead their family (everything added in r3/r4),
+    # padded to 50 with the flagship prior-green entries; the 10 rotated
+    # to overflow (q03/q04/q05/q09/q14, ts03-ts06, d04) are hash-green
+    # in CORRECTNESS_r01-r03 AND re-checked every round in
+    # CORRECTNESS_FULL_r{N}.json, so no operator loses its evidence.
+    # relational / dialect core (6)
     "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_local_supplier_volume",
-    "q05_window_top_order",
     "q06_versioned_dedup",
-    "q09_distinct_counts",
-    "q14_rollup",
     "q20_fn_dt_coercion",
     "q29_fn_calendar",
     "q30_skew_salted_agg",
-    # time-series (6)
+    "q31_grouping_sets",
+    # time-series (4)
     "ts01_time_buckets",
-    "ts02_sessionization",
-    "ts03_asof_last_click",
-    "ts04_json_props",
-    "ts05_gap_fill",
-    "ts06_interpolate",
-    # dedup (9)
+    "ts08_rollup_cascade",
+    "ts09_ohlc",
+    "ts10_anomaly_zscore",
+    # dedup (11)
     "d01_exact_dedup",
     "d02_minhash_lsh_pairs",
     "d03_ngram_jaccard",
-    "d04_simhash",
     "d05_embedding_neardup",
     "d06_dedup_clusters",
     "d07_benchmark_decontam",
     "d08_dedup_survivors",
     "d09_simhash_neardup",
     "d10_semantic_dedup",
-    # similarity / ANN (4)
+    "d11_incremental_dedup",
+    "d12_lsh_recall_eval",
+    # similarity / ANN (5)
     "s01_cosine_topk",
     "s02_lsh_ann",
     "s03_ivf_ann",
     "s04_quantization_fidelity",
-    # text curation (12)
+    "s05_knn_label",
+    # text curation (16)
     "t01_token_stats",
     "t02_lang_id",
     "t03_quality_score",
@@ -77,12 +77,16 @@ GRADED_FIRST = [
     "t11_vocab_topk",
     "t12_normalized_dedup",
     "t13_bigram_surprisal",
-    # streaming (5)
+    "t14_bpe_token_count",
+    "t15_tfidf_topterms",
+    "t16_domain_mixture",
+    # streaming (6)
     "st01_stream_window",
     "st02_stream_dedup",
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
+    "st06_stream_rollup",
     # multimodal (2)
     "m01_multimodal_features",
     "m02_multimodal_feature_surface",

@@ -425,3 +425,67 @@ _OHLC_SQL = """
 def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_OHLC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts10 — anomaly detection: per event_type minute totals z-scored
+# against a trailing baseline of the previous 60 observed buckets.
+# One window over the (already tiny) minute-rollup table — the raw scan
+# happens once, the baseline never rescans events, linear at any scale.
+# Float discipline: bucket totals quantize to exact cent BIGINTs
+# (floor of a DECIMAL — both engines truncate identically); the frame's
+# SUM/SUMSQ are integer-exact and < 2^53, so the mean/variance/z
+# arithmetic is pure correctly-rounded IEEE with no libm calls except
+# sqrt (exact) — bit-identical across engines.
+# ---------------------------------------------------------------------------
+ANOMALY_Z = 3.0
+BASELINE_BUCKETS = 60
+
+
+def _anomaly_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        minute_idx = "(unix_micros(ts) div 1000000) div 60"
+        bucket_ts = "timestamp_seconds(min_idx * 60)"
+    else:
+        minute_idx = "(epoch_us(ts) // 1000000) // 60"
+        bucket_ts = "make_timestamp(min_idx * 60 * 1000000)"
+    frame = f"ROWS BETWEEN {BASELINE_BUCKETS} PRECEDING AND 1 PRECEDING"
+    return f"""
+    WITH minute AS (
+      SELECT {minute_idx} AS min_idx, event_type,
+             CAST(floor(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS tot_e2,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT min_idx, event_type, tot_e2, n_events,
+        CAST(SUM(tot_e2) OVER (PARTITION BY event_type ORDER BY min_idx
+             {frame}) AS BIGINT) AS base_sum,
+        CAST(SUM(tot_e2 * tot_e2) OVER (PARTITION BY event_type ORDER BY min_idx
+             {frame}) AS BIGINT) AS base_sumsq,
+        COUNT(*) OVER (PARTITION BY event_type ORDER BY min_idx
+             {frame}) AS base_n
+      FROM minute
+    ),
+    scored AS (
+      SELECT min_idx, event_type, tot_e2, n_events, base_n,
+        (CAST(tot_e2 AS DOUBLE) - CAST(base_sum AS DOUBLE) / base_n)
+          / sqrt((CAST(base_sumsq AS DOUBLE)
+                  - CAST(base_sum AS DOUBLE) * base_sum / base_n)
+                 / (base_n - 1)) AS z
+      FROM base
+      WHERE base_n >= 30
+    )
+    SELECT {bucket_ts} AS bucket, event_type,
+           CAST(tot_e2 AS DOUBLE) / 100 AS bucket_total,
+           n_events, base_n, z
+    FROM scored
+    WHERE abs(z) > {ANOMALY_Z}
+    ORDER BY event_type, bucket
+    """
+
+
+@query("ts10_anomaly_zscore", oracle=_anomaly_sql(False))
+def ts10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_anomaly_sql(True))
