@@ -35,6 +35,10 @@ HEADLINE = [
     "t01_token_stats",
     "t03_quality_score",
     "t04_winnow_fingerprint",
+    # round-4 continuation additions (trajectory comparisons should use
+    # the per-query dict; the total now covers 21 queries, not 19)
+    "ts08_rollup_cascade",
+    "t15_tfidf_topterms",
 ]
 
 
