@@ -49,3 +49,14 @@ def test_operator_pipeline_example(engine):
     assert row["pii_hits"] == 0
     # curation keeps at most k=25 docs per language
     assert 0 < row["curated_docs"] <= row["mixed_docs"]
+
+
+def test_timeseries_pipeline_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/timeseries_pipeline.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().first()
+    assert row["n_rolled"] == row["n_raw"] == row["n_ohlc"]
+    assert row["n_bad"] == 0
