@@ -1102,14 +1102,19 @@ def _recall_eval_sql(cand_ctes: str) -> str:
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
             >= {RECALL_EVAL_JACCARD}
     ),
-    hits AS (
-      SELECT t.doc_a FROM truth t
-      JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    merged AS (
+      -- one pass over each pair set: scalar COUNT subqueries would make
+      -- Spark re-execute the (expensive) truth subtree once per count
+      SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cands
+      FROM truth t FULL OUTER JOIN cands c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     ),
     counts AS (
-      SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-             (SELECT COUNT(*) FROM cands) AS n_cands,
-             (SELECT COUNT(*) FROM hits) AS n_hits
+      SELECT CAST(COALESCE(SUM(in_truth), 0) AS BIGINT) AS n_truth,
+             CAST(COALESCE(SUM(in_cands), 0) AS BIGINT) AS n_cands,
+             CAST(COALESCE(SUM(in_truth * in_cands), 0) AS BIGINT) AS n_hits
+      FROM merged
     )
     SELECT n_truth, n_cands, n_hits,
            CASE WHEN n_truth = 0 THEN 1.0

@@ -384,8 +384,47 @@ def _rollup_cascade_sql(spark_dialect: bool) -> str:
 
 @query("ts08_rollup_cascade", oracle=_rollup_cascade_sql(False))
 def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark inlines CTEs, so the naive single-statement spelling executes
+    # the minute->hourly chain once per UNION branch — TWO raw scans
+    # (plan-audited). The hourly rollup is instead materialized
+    # (localCheckpoint: thousands of rows at any corpus size — this is
+    # the persisted continuous-aggregate table) so the raw stream is
+    # scanned exactly once and the day level re-aggregates the hour
+    # table, which is the entire point of the cascade.
     load_tables(spark, sf_dir)
-    return spark.sql(_rollup_cascade_sql(True))
+    minute_idx = "(unix_micros(ts) div 1000000) div 60"
+    hourly = spark.sql(f"""
+      SELECT min_idx div 60 AS hour_idx, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             SUM(sum_value) AS sum_value,
+             COUNT(*) AS n_finer
+      FROM (
+        SELECT {minute_idx} AS min_idx, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        FROM events GROUP BY 1, 2
+      ) minute GROUP BY 1, 2
+    """).localCheckpoint()
+    hourly.createOrReplaceTempView("__ts08_hourly__")
+    return spark.sql("""
+    WITH daily AS (
+      SELECT hour_idx div 24 AS day_idx, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             SUM(sum_value) AS sum_value,
+             COUNT(*) AS n_finer
+      FROM __ts08_hourly__ GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, timestamp_seconds(hour_idx * 3600) AS bucket,
+           event_type, n_events, CAST(sum_value AS DOUBLE) AS total_value,
+           CAST(n_finer AS BIGINT) AS n_finer_buckets
+    FROM __ts08_hourly__
+    UNION ALL
+    SELECT 'day' AS resolution, timestamp_seconds(day_idx * 86400) AS bucket,
+           event_type, n_events, CAST(sum_value AS DOUBLE) AS total_value,
+           CAST(n_finer AS BIGINT) AS n_finer_buckets
+    FROM daily
+    ORDER BY resolution, bucket, event_type
+    """)
 
 
 # ---------------------------------------------------------------------------
