@@ -456,8 +456,15 @@ SIMHASH_HAM_MAX = 3
 def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
+    # the pigeonhole self-join references `blocks` twice and Spark
+    # inlines CTEs — without materialization the 32-way signature
+    # aggregation executes once per join side (plan-audited). The
+    # checkpointed signature table is what a production pipeline
+    # persists anyway (same rationale as cached_bands for d02).
+    sigs = spark.sql(_simhash_spark_core()).localCheckpoint()
+    sigs.createOrReplaceTempView("__d09_sigs__")
     return spark.sql(f"""
-    WITH sigs AS ({_simhash_spark_core()}),
+    WITH sigs AS (SELECT * FROM __d09_sigs__),
     blocks AS (
       SELECT doc_id, simhash, b.block_id,
              shiftright(simhash, 8 * b.block_id) % 256 AS block_val
