@@ -45,8 +45,7 @@ GRADED_FIRST = [
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
-    # dedup (11)
-    "d01_exact_dedup",
+    # dedup (12)
     "d02_minhash_lsh_pairs",
     "d03_ngram_jaccard",
     "d05_embedding_neardup",
@@ -57,8 +56,8 @@ GRADED_FIRST = [
     "d10_semantic_dedup",
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
-    # similarity / ANN (5)
-    "s01_cosine_topk",
+    "d13_decontam_spans",
+    # similarity / ANN (4)
     "s02_lsh_ann",
     "s03_ivf_ann",
     "s04_quantization_fidelity",
@@ -80,13 +79,14 @@ GRADED_FIRST = [
     "t14_bpe_token_count",
     "t15_tfidf_topterms",
     "t16_domain_mixture",
-    # streaming (6)
+    # streaming (7)
     "st01_stream_window",
     "st02_stream_dedup",
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
     "st06_stream_rollup",
+    "st07_stream_incremental",
     # multimodal (2)
     "m01_multimodal_features",
     "m02_multimodal_feature_surface",

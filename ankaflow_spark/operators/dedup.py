@@ -1137,3 +1137,54 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_bands(spark, sf_dir)
     return spark.sql(_recall_eval_sql(SPARK_CAND_CTES))
+
+
+# ---------------------------------------------------------------------------
+# d13 — decontamination forensics: d07 tells WHICH training docs share
+# benchmark n-grams; d13 reports WHERE — every (doc, word-position,
+# gram) occurrence that collides with the held-out benchmark gram set,
+# the report an eval-integrity review actually reads. Same scale shape
+# as d07: the benchmark gram table is MBs at any corpus size and
+# broadcasts; the training gram stream joins against it without a
+# shuffle (output ∝ contamination volume, which is the quantity being
+# measured). Docs shorter than the gram width have no full n-gram and
+# produce no spans (d07's whole-text fallback is a membership test,
+# not a span).
+# ---------------------------------------------------------------------------
+def _decontam_spans_sql(spark_dialect: bool) -> str:
+    n = DECONTAM_N
+    if spark_dialect:
+        tw = "SELECT doc_id, split(text, ' ') AS w FROM documents"
+        positions = (
+            f"LATERAL VIEW explode(CASE WHEN size(w) >= {n} THEN "
+            f"sequence(1, size(w) - {n} + 1) ELSE array() END) t AS pos"
+        )
+        gram = f"concat_ws(' ', slice(w, pos, {n}))"
+        hint = "/*+ BROADCAST(bg) */ "
+        tg = f"SELECT doc_id, CAST(pos AS BIGINT) AS pos, {gram} AS gram FROM tw {positions}"
+    else:
+        tw = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        gram = f"array_to_string(w[pos:pos + {n} - 1], ' ')"
+        hint = ""
+        tg = f"""SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, {gram} AS gram
+                 FROM tw CROSS JOIN LATERAL (
+                   SELECT unnest(CASE WHEN len(w) >= {n}
+                          THEN range(1, len(w) - {n} + 2) ELSE [] END) AS pos) p"""
+    return f"""
+    WITH tw AS ({tw}),
+    tg AS ({tg}),
+    bg AS (
+      SELECT DISTINCT gram FROM ({tg}) all_g
+      WHERE doc_id % {DECONTAM_MOD} = 0
+    )
+    SELECT {hint}tg.doc_id, tg.pos, tg.gram
+    FROM tg JOIN bg ON tg.gram = bg.gram
+    WHERE tg.doc_id % {DECONTAM_MOD} <> 0
+    ORDER BY doc_id, pos
+    """
+
+
+@query("d13_decontam_spans", oracle=_decontam_spans_sql(False))
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_decontam_spans_sql(True))

@@ -74,7 +74,9 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
     t = load_tables(spark, sf_dir)
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"ankaflow_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        # "v2": time-range-partitioned staging (8 files) so throttled
+        # readers (st07) genuinely execute multiple micro-batches
+        f"ankaflow_stream_{hashlib.md5(('v2:' + sf_dir).encode()).hexdigest()[:8]}",
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "events.parquet")
@@ -93,7 +95,10 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
         for f in df.schema.fields:
             if f.dataType.typeName() == "timestamp_ntz":
                 df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
-        df.write.mode("overwrite").parquet(staged)
+        # range-partition by event time: ascending part files mimic a
+        # real time-sliced ingest directory, and a throttled reader
+        # (st07) never sees data arrive behind the watermark
+        df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(staged)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -391,3 +396,30 @@ ORACLES["st06_stream_rollup"] = """
     GROUP BY 1, 2
     ORDER BY bucket, event_type
 """
+
+
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-trigger incremental ingestion, ORACLE-CHECKED: same
+    windowed aggregation as st01 but the file source is throttled
+    (maxFilesPerTrigger) so the bounded run executes as a SEQUENCE of
+    micro-batches — the aggregation state must accumulate across
+    triggers instead of seeing all data at once. Complete-mode output
+    after the final trigger must equal the batch aggregation exactly
+    (decimal state is associative, so trigger boundaries cannot change
+    totals). This is the incremental-backfill execution shape a
+    production ingest runs every day."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap, windowed_agg
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=4)
+    agg = windowed_agg(stream, "ts", window_len="5 minutes", group_cols=["event_type"])
+    run_stream_to_memory(agg, "st07_out", output_mode="complete")
+    return (
+        spark.table("st07_out")
+        .select("window_start", "window_end", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+QUERIES["st07_stream_incremental"] = st07
+ORACLES["st07_stream_incremental"] = ORACLES["st01_stream_window"]
