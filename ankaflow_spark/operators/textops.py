@@ -764,11 +764,11 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # terms (tf1*ln(N/df1) == tf2*ln(N/df2)) order by term in both engines
 # instead of by engine-specific ULP noise.
 # ---------------------------------------------------------------------------
-def _tfidf_sql(spark_dialect: bool) -> str:
-    if spark_dialect:
-        tok_src = "SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents"
-    else:
-        tok_src = "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents"
+def _tfidf_oracle() -> str:
+    """DuckDB oracle spelling; the Spark path lives in t15 itself (it
+    materializes the term-frequency table so the corpus tokenizes
+    once)."""
+    tok_src = "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents"
     return f"""
     WITH tok AS (
       SELECT doc_id, term, COUNT(*) AS tf
@@ -800,7 +800,7 @@ def _tfidf_sql(spark_dialect: bool) -> str:
     """
 
 
-@query("t15_tfidf_topterms", oracle=_tfidf_sql(False))
+@query("t15_tfidf_topterms", oracle=_tfidf_oracle())
 def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs: the single-statement spelling re-runs the
     # tokenize+count subtree for both its consumers (tf join docfreq) —
@@ -852,10 +852,10 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are built from exact BIGINTs instead), making the normalizer an
 # integer sum — order-independent and engine-identical.
 # ---------------------------------------------------------------------------
-def _domain_mix_sql(spark_dialect: bool) -> str:
-    ntok = (
-        "size(split(text, ' '))" if spark_dialect else "len(string_split(text, ' '))"
-    )
+def _domain_mix_oracle() -> str:
+    """DuckDB oracle spelling; the Spark path lives in t16 itself (it
+    materializes the per-domain aggregate so the corpus scans once)."""
+    ntok = "len(string_split(text, ' '))"
     return f"""
     WITH per_group AS (
       SELECT lang, source, COUNT(*) AS n_docs,
@@ -882,7 +882,7 @@ def _domain_mix_sql(spark_dialect: bool) -> str:
     """
 
 
-@query("t16_domain_mixture", oracle=_domain_mix_sql(False))
+@query("t16_domain_mixture", oracle=_domain_mix_oracle())
 def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs: the scalar total/normalizer subqueries each
     # re-ran the full per-domain aggregation — FOUR corpus scans

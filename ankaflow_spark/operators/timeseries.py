@@ -337,17 +337,14 @@ def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data already reduced by orders of magnitude, and counts/decimal sums
 # re-merge exactly (no double accumulation across levels).
 # ---------------------------------------------------------------------------
-def _rollup_cascade_sql(spark_dialect: bool) -> str:
-    if spark_dialect:
-        minute_idx = "(unix_micros(ts) div 1000000) div 60"
-        idiv = "div"
-        hour_ts = "timestamp_seconds(hour_idx * 3600)"
-        day_ts = "timestamp_seconds(day_idx * 86400)"
-    else:
-        minute_idx = "(epoch_us(ts) // 1000000) // 60"
-        idiv = "//"
-        hour_ts = "make_timestamp(hour_idx * 3600 * 1000000)"
-        day_ts = "make_timestamp(day_idx * 86400 * 1000000)"
+def _rollup_cascade_oracle() -> str:
+    """DuckDB oracle spelling; the Spark path lives in ts08 itself
+    (it materializes the hourly level, which single-statement SQL
+    cannot express without re-executing the chain per UNION branch)."""
+    minute_idx = "(epoch_us(ts) // 1000000) // 60"
+    idiv = "//"
+    hour_ts = "make_timestamp(hour_idx * 3600 * 1000000)"
+    day_ts = "make_timestamp(day_idx * 86400 * 1000000)"
     return f"""
     WITH minute AS (
       SELECT {minute_idx} AS min_idx, event_type,
@@ -382,7 +379,7 @@ def _rollup_cascade_sql(spark_dialect: bool) -> str:
     """
 
 
-@query("ts08_rollup_cascade", oracle=_rollup_cascade_sql(False))
+@query("ts08_rollup_cascade", oracle=_rollup_cascade_oracle())
 def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs, so the naive single-statement spelling executes
     # the minute->hourly chain once per UNION branch — TWO raw scans
