@@ -35,6 +35,10 @@ class StageKind(str, enum.Enum):
     # beyond-reference: declarative operator stages (dedup, similarity,
     # text analysis, as-of — see ankaflow_spark.operators.registry)
     operator = "operator"
+    # beyond-reference: Structured Streaming stage — a real streaming
+    # query (readStream + watermarked stateful op, availableNow) whose
+    # final result registers as a batch table for downstream stages
+    stream = "stream"
 
 
 class ErrorPolicy(str, enum.Enum):

@@ -16,6 +16,9 @@ documented as a small-result-only option.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 import time
 from typing import Any, Dict, Optional
 
@@ -211,6 +214,85 @@ def handle_operator(flow: Flow, stage: Stage) -> DataFrame:
     return flow.engine.register(stage.name, out, materialize=False)
 
 
+def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
+    """Structured Streaming stage: drives a REAL streaming query
+    (readStream file source -> watermarked stateful operator ->
+    availableNow trigger) to completion and registers the result as a
+    batch table for downstream stages.
+
+    ``op`` selects the streaming operator: ``windowed_agg`` (default;
+    complete mode) or ``dedup`` (append mode). The source schema is
+    probed with a batch read of the same locator (schema inference is
+    disallowed on streaming file sources). In production the same stage
+    runs unbounded by swapping the trigger; semantics are identical
+    because the operators' state is associative (see operators/streamq
+    value-oracle arguments)."""
+    from ..streaming.stream import (
+        run_stream_to_memory,
+        stream_tap,
+        streaming_dedup,
+        windowed_agg,
+    )
+
+    spec = stage.connection
+    if spec is None:
+        raise FlowError(f"stream stage '{stage.name}' needs a connection")
+    rendered = flow._render(spec.model_dump())
+    rendered = flow.conn_config.apply_defaults(rendered)
+    fmt = rendered.get("kind", "parquet")
+    locator = rendered.get("locator")
+    params = flow._render(dict(stage.params or {}))
+    spark = flow.engine.spark
+    if os.path.isfile(locator):
+        # the file stream source requires a DIRECTORY; a single-file
+        # locator is staged as a symlink dir (md5-keyed: stable across
+        # processes, no per-run leak)
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"ankaflow_streamstage_{hashlib.md5(locator.encode()).hexdigest()[:8]}",
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(locator))
+        if not os.path.exists(link):
+            os.symlink(locator, link)
+        locator = d
+    schema = spark.read.format(fmt).load(locator).schema
+    stream = stream_tap(
+        spark, locator, schema, fmt=fmt,
+        max_files_per_trigger=params.get("max_files_per_trigger"),
+    )
+    # watermarks hard-require TIMESTAMP; no-tz parquet columns probe as
+    # NTZ on a default Spark 4 session (same normalization as the
+    # batch loader / streaming staging)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    for f in stream.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+    op = stage.op or "windowed_agg"
+    ts_col = params.get("ts", "ts")
+    watermark = params.get("watermark", "10 minutes")
+    if op == "windowed_agg":
+        out = windowed_agg(
+            stream, ts_col,
+            window_len=params.get("window", "5 minutes"),
+            watermark=watermark,
+            group_cols=list(params.get("keys", [])),
+        )
+        mode = "complete"
+    elif op == "dedup":
+        out = streaming_dedup(stream, keys=list(params["keys"]), ts_col=ts_col)
+        mode = "append"
+    else:
+        raise FlowError(
+            f"stream stage '{stage.name}': unknown op {op!r} (windowed_agg, dedup)"
+        )
+    mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
+    run_stream_to_memory(out, mem, output_mode=mode)
+    return flow.engine.register(stage.name, spark.table(mem), materialize=True)
+
+
 HANDLERS = {
     StageKind.source: handle_tap,
     StageKind.tap: handle_tap,
@@ -220,4 +302,5 @@ HANDLERS = {
     StageKind.internal: handle_internal,
     StageKind.pipeline: handle_pipeline,
     StageKind.operator: handle_operator,
+    StageKind.stream: handle_stream,
 }

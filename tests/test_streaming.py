@@ -117,3 +117,51 @@ def test_st01_stream_equals_ts01_batch(spark):
         sn, stotal = stream_rows[key]
         assert sn == n, key
         assert abs(stotal - total) < 1e-6, key
+
+
+def test_stream_stage_in_yaml_flow(engine, sf_dir):
+    """`kind: stream` runs a real streaming query inside a Flow and its
+    complete-mode result equals the batch windowed aggregation."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: stream
+  name: minutely
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  params: {{ts: ts, window: "5 minutes", keys: [event_type]}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT CAST(SUM(n_events) AS BIGINT) FROM minutely) AS n_streamed,
+           (SELECT COUNT(*) FROM minutely) AS n_windows
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    batch = engine.spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert row["n_streamed"] == batch.count()
+    assert row["n_windows"] > 0
+
+
+def test_stream_stage_dedup_op(engine, sf_dir):
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: stream
+  name: uniq
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  op: dedup
+  params: {{ts: ts, keys: [user_id, event_type]}}
+- kind: transform
+  name: check
+  query: SELECT COUNT(*) AS n FROM uniq
+"""),
+        engine=engine,
+    )
+    n = flow.run().first()["n"]
+    batch = engine.spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n == batch.select("user_id", "event_type").distinct().count()
