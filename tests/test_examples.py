@@ -60,3 +60,15 @@ def test_timeseries_pipeline_example(engine):
     row = flow.run().first()
     assert row["n_rolled"] == row["n_raw"] == row["n_ohlc"]
     assert row["n_bad"] == 0
+
+
+def test_streaming_pipeline_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/streaming_pipeline.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().first()
+    raw = engine.spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert row["n_events"] == raw.count()
+    assert row["n_users"] == raw.select("user_id").distinct().count()
