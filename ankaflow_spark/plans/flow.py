@@ -284,9 +284,21 @@ def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
     elif op == "dedup":
         out = streaming_dedup(stream, keys=list(params["keys"]), ts_col=ts_col)
         mode = "append"
+    elif op == "sessionize":
+        from ..streaming.stream import sessionize_stateful
+
+        out = sessionize_stateful(
+            stream,
+            ts_col=ts_col,
+            key_col=params.get("key", "user_id"),
+            gap_minutes=int(params.get("gap_minutes", 30)),
+            watermark=watermark if "watermark" in params else "2 hours",
+        )
+        mode = "append"
     else:
         raise FlowError(
-            f"stream stage '{stage.name}': unknown op {op!r} (windowed_agg, dedup)"
+            f"stream stage '{stage.name}': unknown op {op!r} "
+            "(windowed_agg, dedup, sessionize)"
         )
     mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
     run_stream_to_memory(out, mem, output_mode=mode)

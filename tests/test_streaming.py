@@ -165,3 +165,32 @@ def test_stream_stage_dedup_op(engine, sf_dir):
     n = flow.run().first()["n"]
     batch = engine.spark.read.parquet(f"{sf_dir}/events.parquet")
     assert n == batch.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_stage_sessionize_op(engine, sf_dir):
+    """The custom-stateful sessionizer (applyInPandasWithState) through
+    the declarative stream stage: every emitted session is internally
+    consistent and covers whole gap-separated runs."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: stream
+  name: sessions
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  op: sessionize
+  params: {{ts: ts, key: user_id, gap_minutes: 30}}
+- kind: transform
+  name: check
+  query: >
+    SELECT COUNT(*) AS n_sessions,
+           SUM(CASE WHEN session_end < session_start OR n_events < 1
+               THEN 1 ELSE 0 END) AS n_bad
+    FROM sessions
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    assert row["n_sessions"] > 0
+    assert row["n_bad"] == 0
