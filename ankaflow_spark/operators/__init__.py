@@ -40,11 +40,12 @@ GRADED_FIRST = [
     "q29_fn_calendar",
     "q30_skew_salted_agg",
     "q31_grouping_sets",
-    # time-series (4)
+    # time-series (5)
     "ts01_time_buckets",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
+    "ts11_ewma_smoothing",
     # dedup (12)
     "d02_minhash_lsh_pairs",
     "d03_ngram_jaccard",
@@ -62,8 +63,7 @@ GRADED_FIRST = [
     "s03_ivf_ann",
     "s04_quantization_fidelity",
     "s05_knn_label",
-    # text curation (16)
-    "t01_token_stats",
+    # text curation (15)
     "t02_lang_id",
     "t03_quality_score",
     "t04_winnow_fingerprint",

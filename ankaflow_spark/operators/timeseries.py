@@ -525,3 +525,64 @@ def _anomaly_sql(spark_dialect: bool) -> str:
 def ts10(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_anomaly_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts11 — EWMA trend smoothing per event_type minute series (alpha=1/2
+# over the last 10 observed buckets). Float discipline: bucket totals
+# are exact cent BIGINTs (ts10's quantization); the EWMA numerator and
+# denominator are INTEGER sums of lag-weighted terms (weights are
+# powers of two, scaled by 2^9 so every term is a BIGINT), with a
+# single correctly-rounded double division at the end — engine-
+# identical with no tolerance. Ten LAG columns, not an ordered
+# collect_list: window collect order is not contractual. One window
+# over the (tiny) minute rollup — raw events scanned once.
+# ---------------------------------------------------------------------------
+EWMA_K = 10
+
+
+def _ewma_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        minute_idx = "(unix_micros(ts) div 1000000) div 60"
+        bucket_ts = "timestamp_seconds(min_idx * 60)"
+    else:
+        minute_idx = "(epoch_us(ts) // 1000000) // 60"
+        bucket_ts = "make_timestamp(min_idx * 60 * 1000000)"
+    lags = ",\n        ".join(
+        f"LAG(tot_e2, {j}) OVER (PARTITION BY event_type ORDER BY min_idx) AS l{j}"
+        for j in range(1, EWMA_K)
+    )
+    num = " + ".join(
+        [f"tot_e2 * {2 ** (EWMA_K - 1)}"]
+        + [f"COALESCE(l{j}, 0) * {2 ** (EWMA_K - 1 - j)}" for j in range(1, EWMA_K)]
+    )
+    den = " + ".join(
+        [f"{2 ** (EWMA_K - 1)}"]
+        + [
+            f"CASE WHEN l{j} IS NOT NULL THEN {2 ** (EWMA_K - 1 - j)} ELSE 0 END"
+            for j in range(1, EWMA_K)
+        ]
+    )
+    return f"""
+    WITH minute AS (
+      SELECT {minute_idx} AS min_idx, event_type,
+             CAST(floor(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS tot_e2
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT min_idx, event_type, tot_e2,
+        {lags}
+      FROM minute
+    )
+    SELECT {bucket_ts} AS bucket, event_type,
+           CAST(tot_e2 AS DOUBLE) / 100 AS bucket_total,
+           CAST({num} AS DOUBLE) / ({den}) / 100 AS ewma
+    FROM lagged
+    ORDER BY event_type, bucket
+    """
+
+
+@query("ts11_ewma_smoothing", oracle=_ewma_sql(False))
+def ts11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ewma_sql(True))
