@@ -58,13 +58,13 @@ GRADED_FIRST = [
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
     "d13_decontam_spans",
-    # similarity / ANN (4)
+    # similarity / ANN (5)
     "s02_lsh_ann",
     "s03_ivf_ann",
     "s04_quantization_fidelity",
     "s05_knn_label",
-    # text curation (15)
-    "t02_lang_id",
+    "s06_label_cohesion",
+    # text curation (14)
     "t03_quality_score",
     "t04_winnow_fingerprint",
     "t05_groupwise_quality_topk",

@@ -546,3 +546,73 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_knn_label_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s06 — label cohesion diagnostics: per-class centroid + each vector's
+# cosine to its class centroid, aggregated to (n_vecs, avg/min/max
+# cohesion) per label — the dataset-quality report run before trusting
+# labels for kNN eval (s05) or stratified sampling. Two shuffles total:
+# dims -> (label, d) centroid sums; dims x centroid -> per-vector dot.
+#
+# Exactness: cosine is scale-invariant, so the centroid is used UN-
+# normalized as its integer component SUMS (never divided by n) —
+# components quantize to e6 BIGINTs, dot/norm accumulate as exact
+# integers (the centroid norm in DECIMAL(37,0) — s_e6^2 can pass 2^63),
+# and each vector's cosine quantizes to e9 before the per-label mean,
+# making every cross-engine comparison integer-exact. Headroom bound:
+# |s_e6| <= n_label * 1e6 * max|v|; the decimal norm path holds to
+# ~1e9 vectors per label.
+# ---------------------------------------------------------------------------
+def _label_cohesion_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, label, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
+    else:
+        dims = f"""
+      SELECT vec_id, label, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+    return f"""
+    WITH dims AS ({dims}),
+    cent AS (
+      SELECT label, d, CAST(SUM(v_e6) AS BIGINT) AS s_e6
+      FROM dims GROUP BY label, d
+    ),
+    cnorm AS (
+      SELECT label,
+             CAST(SUM(CAST(s_e6 AS DECIMAL(18,0)) * CAST(s_e6 AS DECIMAL(18,0)))
+                  AS DOUBLE) AS n2c
+      FROM cent GROUP BY label
+    ),
+    pervec AS (
+      SELECT dims.vec_id, dims.label,
+             CAST(SUM(dims.v_e6 * cent.s_e6) AS BIGINT) AS dot_i,
+             CAST(SUM(dims.v_e6 * dims.v_e6) AS BIGINT) AS n2v
+      FROM dims JOIN cent ON cent.label = dims.label AND cent.d = dims.d
+      GROUP BY dims.vec_id, dims.label
+    ),
+    coh AS (
+      SELECT p.label,
+             CAST(floor(CAST(p.dot_i AS DOUBLE)
+                        / (sqrt(CAST(p.n2v AS DOUBLE)) * sqrt(c.n2c))
+                        * 1000000000) AS BIGINT) AS cos_e9
+      FROM pervec p JOIN cnorm c ON c.label = p.label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(cos_e9) AS DOUBLE) / COUNT(*) / 1000000000 AS avg_cohesion,
+           CAST(MIN(cos_e9) AS DOUBLE) / 1000000000 AS min_cohesion,
+           CAST(MAX(cos_e9) AS DOUBLE) / 1000000000 AS max_cohesion
+    FROM coh GROUP BY label
+    ORDER BY label
+    """
+
+
+@query("s06_label_cohesion", oracle=_label_cohesion_sql(False))
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_label_cohesion_sql(True))
