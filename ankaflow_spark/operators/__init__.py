@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 4: all 26 entries that have never appeared in
-    # a driver artifact lead their family (everything added in r3/r4),
-    # padded to 50 with the flagship prior-green entries; the 10 rotated
-    # to overflow (q03/q04/q05/q09/q14, ts03-ts06, d04) are hash-green
-    # in CORRECTNESS_r01-r03 AND re-checked every round in
-    # CORRECTNESS_FULL_r{N}.json, so no operator loses its evidence.
+    # Re-curated for round 4: every entry that has never appeared in a
+    # driver artifact leads its family (everything added in r3/r4),
+    # padded to 50 with flagship prior-green entries; the rotated-out
+    # overflow (q03/q04/q05/q09/q14, ts02-ts06, d01/d04, s01, t01/t02)
+    # is hash-green in CORRECTNESS_r01-r03 AND re-checked every round
+    # in CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
     # relational / dialect core (6)
     "q01_pricing_summary",
     "q06_versioned_dedup",

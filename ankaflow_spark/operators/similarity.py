@@ -577,12 +577,15 @@ def _label_cohesion_sql(spark_dialect: bool) -> str:
              CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
       FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
         """
+    cent = "SELECT label, d, CAST(SUM(v_e6) AS BIGINT) AS s_e6 FROM dims GROUP BY label, d"
+    if spark_dialect:
+        # the centroid table is materialized by s06 itself (referenced
+        # by cnorm AND the pervec join — inlining would re-run the
+        # dims explode + aggregation per consumer)
+        cent = "SELECT * FROM __s06_cent__"
     return f"""
     WITH dims AS ({dims}),
-    cent AS (
-      SELECT label, d, CAST(SUM(v_e6) AS BIGINT) AS s_e6
-      FROM dims GROUP BY label, d
-    ),
+    cent AS ({cent}),
     cnorm AS (
       SELECT label,
              CAST(SUM(CAST(s_e6 AS DECIMAL(18,0)) * CAST(s_e6 AS DECIMAL(18,0)))
@@ -615,4 +618,13 @@ def _label_cohesion_sql(spark_dialect: bool) -> str:
 @query("s06_label_cohesion", oracle=_label_cohesion_sql(False))
 def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
+    dims = """
+      SELECT vec_id, label, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+    """
+    cent = spark.sql(
+        f"SELECT label, d, CAST(SUM(v_e6) AS BIGINT) AS s_e6 FROM ({dims}) dims GROUP BY label, d"
+    ).localCheckpoint()
+    cent.createOrReplaceTempView("__s06_cent__")
     return spark.sql(_label_cohesion_sql(True))
