@@ -46,7 +46,7 @@ GRADED_FIRST = [
     "ts09_ohlc",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",
-    # dedup (12)
+    # dedup (11)
     "d02_minhash_lsh_pairs",
     "d03_ngram_jaccard",
     "d05_embedding_neardup",
