@@ -33,13 +33,14 @@ GRADED_FIRST = [
     # overflow (q03/q04/q05/q09/q14, ts02-ts06, d01/d04, s01, t01/t02)
     # is hash-green in CORRECTNESS_r01-r03 AND re-checked every round
     # in CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
-    # relational / dialect core (6)
+    # relational / dialect core (7)
     "q01_pricing_summary",
     "q06_versioned_dedup",
     "q20_fn_dt_coercion",
     "q29_fn_calendar",
     "q30_skew_salted_agg",
     "q31_grouping_sets",
+    "q32_exists_subquery",
     # time-series (5)
     "ts01_time_buckets",
     "ts08_rollup_cascade",
@@ -49,7 +50,6 @@ GRADED_FIRST = [
     # dedup (11)
     "d02_minhash_lsh_pairs",
     "d03_ngram_jaccard",
-    "d05_embedding_neardup",
     "d06_dedup_clusters",
     "d07_benchmark_decontam",
     "d08_dedup_survivors",
@@ -58,15 +58,14 @@ GRADED_FIRST = [
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
     "d13_decontam_spans",
+    "d14_containment_pairs",
     # similarity / ANN (5)
     "s02_lsh_ann",
     "s03_ivf_ann",
     "s04_quantization_fidelity",
     "s05_knn_label",
     "s06_label_cohesion",
-    # text curation (14)
-    "t03_quality_score",
-    "t04_winnow_fingerprint",
+    # text curation (13)
     "t05_groupwise_quality_topk",
     "t06_sequence_pack",
     "t07_repetition_signals",
@@ -79,6 +78,7 @@ GRADED_FIRST = [
     "t14_bpe_token_count",
     "t15_tfidf_topterms",
     "t16_domain_mixture",
+    "t17_readability",
     # streaming (7)
     "st01_stream_window",
     "st02_stream_dedup",

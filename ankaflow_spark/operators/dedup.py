@@ -1188,3 +1188,43 @@ def _decontam_spans_sql(spark_dialect: bool) -> str:
 def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_decontam_spans_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d14 — containment similarity over the LSH candidates: C(a,b) =
+# |A∩B| / min(|A|,|B|) catches SUBSET duplication (one doc embedded in
+# a larger one) that symmetric Jaccard dilutes — the near-dup metric
+# for quote/inclusion mining. Same composed scale shape as d03: exact
+# verification bounded by |candidates| x shingles/doc, never a shingle
+# self-join. Ratio divides two BIGINTs (engine-identical).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def _containment_sql(cand_ctes: str) -> str:
+    return f"""
+    WITH {cand_ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / LEAST(za.n, zb.n) AS containment,
+           CASE WHEN za.n <= zb.n THEN doc_a ELSE doc_b END AS contained_doc
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(za.n, zb.n) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("d14_containment_pairs", oracle=_containment_sql(DUCK_CAND_CTES))
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_containment_sql(SPARK_CAND_CTES))

@@ -1068,3 +1068,30 @@ _GROUPING_SETS_SQL = """
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q32 — EXISTS / correlated subquery (TPC-H Q4 shape): orders with at
+# least one late-shipped lineitem, counted per priority. Spark plans
+# the EXISTS as a LeftSemi join on o_orderkey — one shuffle each side,
+# no row multiplication from multi-lineitem orders. Identical SQL in
+# both dialects.
+# ---------------------------------------------------------------------------
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@query("q32_exists_subquery", oracle=_EXISTS_SQL)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

@@ -916,3 +916,41 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared CROSS JOIN z
     ORDER BY lang, source
     """)
+
+
+# ---------------------------------------------------------------------------
+# t17 — readability grade (Flesch-Kincaid shape): syllables approximated
+# as vowel-group runs, sentences as fixed 20-token pseudo-sentences
+# (the synthetic corpus has no punctuation — real corpora would count
+# terminators instead). Pure per-row regex counting + one fixed-order
+# double expression from integer counts — full scan speed, zero
+# shuffles beyond the output sort, engine-identical arithmetic.
+# ---------------------------------------------------------------------------
+def _readability_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        n_words = "size(regexp_extract_all(text, '\\\\S+', 0))"
+        n_syll = "regexp_count(lower(text), '[aeiouy]+')"
+    else:
+        n_words = "len(regexp_extract_all(text, '\\S+'))"
+        n_syll = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    return f"""
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59 AS fk_grade
+    FROM (
+      SELECT doc_id,
+             CAST({n_words} AS BIGINT) AS n_words,
+             CAST({n_syll} AS BIGINT) AS n_syllables,
+             CAST(CAST(ceil(({n_words}) / 20.0) AS BIGINT) AS BIGINT) AS n_sentences
+      FROM documents
+    ) counted
+    WHERE n_words > 0
+    ORDER BY doc_id
+    """
+
+
+@query("t17_readability", oracle=_readability_sql(False))
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_readability_sql(True))
