@@ -33,7 +33,7 @@ GRADED_FIRST = [
     # overflow (q03/q04/q05/q09/q14, ts02-ts06, d01/d04, s01, t01/t02)
     # is hash-green in CORRECTNESS_r01-r03 AND re-checked every round
     # in CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
-    # relational / dialect core (7)
+    # relational / dialect core (9)
     "q01_pricing_summary",
     "q06_versioned_dedup",
     "q20_fn_dt_coercion",
@@ -41,18 +41,18 @@ GRADED_FIRST = [
     "q30_skew_salted_agg",
     "q31_grouping_sets",
     "q32_exists_subquery",
+    "q33_scalar_subquery",
+    "q34_not_exists_antijoin",
     # time-series (5)
     "ts01_time_buckets",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",
-    # dedup (11)
+    # dedup (9)
     "d02_minhash_lsh_pairs",
-    "d03_ngram_jaccard",
     "d06_dedup_clusters",
     "d07_benchmark_decontam",
-    "d08_dedup_survivors",
     "d09_simhash_neardup",
     "d10_semantic_dedup",
     "d11_incremental_dedup",

@@ -1095,3 +1095,58 @@ _EXISTS_SQL = """
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q33 — correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose
+# quantity is below 20% of their part's average. Catalyst de-correlates
+# to an aggregate + join on l_partkey — one shuffle, no per-row
+# re-aggregation. The inner AVG stays DECIMAL (exact, associative);
+# the 0.2 factor applies in DOUBLE to integer-exact inputs.
+# ---------------------------------------------------------------------------
+_SCALAR_SUBQ_SQL = """
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * (
+        -- AVG(decimal) rounds differently across engines (Spark keeps
+        -- decimal division, DuckDB goes double): exact SUM / COUNT is
+        -- correctly-rounded identically in both
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey
+    """
+
+
+@query("q33_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q34 — NOT EXISTS anti-join: customers with no big-ticket order, per
+# nation. Plans as LeftAnti on c_custkey — the dual of q32's semi
+# join; one shuffle each side, no row multiplication, and the price
+# predicate pushes into the orders scan before the join.
+# ---------------------------------------------------------------------------
+_ANTI_SQL = """
+    SELECT n.n_name, COUNT(*) AS n_customers_without_big_orders
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """
+
+
+@query("q34_not_exists_antijoin", oracle=_ANTI_SQL)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ANTI_SQL)
