@@ -79,17 +79,17 @@ GRADED_FIRST = [
     "t15_tfidf_topterms",
     "t16_domain_mixture",
     "t17_readability",
-    # streaming (7)
-    "st01_stream_window",
+    # streaming (6)
     "st02_stream_dedup",
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
     "st06_stream_rollup",
     "st07_stream_incremental",
-    # multimodal (2)
+    # multimodal (3)
     "m01_multimodal_features",
     "m02_multimodal_feature_surface",
+    "m03_frame_sample_keys",
 ]
 
 

@@ -423,3 +423,45 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["st07_stream_incremental"] = st07
 ORACLES["st07_stream_incremental"] = ORACLES["st01_stream_window"]
+
+
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, ORACLE-CHECKED cell-exact: the
+    frame explode (operators/multimodal.frame_sample — every 2nd frame
+    from the metadata frame count) plus a deterministic per-frame key
+    (md5 over media_id-frame_no) DuckDB reproduces from the synthetic
+    metadata rule. Grades the explode contract end-to-end: which
+    frames, per which media, with stable per-frame identities — the
+    row shape a real frame-decoder (stubbed; see multimodal.py) would
+    attach its tensors to. Per-frame rows carry only ids/keys, so the
+    post-explode shuffle moves bytes per frame, not media blobs."""
+    from pyspark.sql import functions as F
+
+    from .multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, 120)
+    frames = frame_sample(media, every_n=2)
+    return (
+        frames.select(
+            "media_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.md5(F.concat_ws("-", "media_id", "frame_no")).alias("frame_key"),
+        )
+        .orderBy("media_id", "frame_no")
+    )
+
+
+QUERIES["m03_frame_sample_keys"] = m03
+ORACLES["m03_frame_sample_keys"] = """
+    WITH vids AS (
+      SELECT i AS media_id, CAST(8 + i % 7 AS INT) AS n_frames
+      FROM range(120) t(i) WHERE i % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_no FROM vids
+    )
+    SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+           md5(CAST(media_id AS VARCHAR) || '-' || CAST(frame_no AS VARCHAR)) AS frame_key
+    FROM frames
+    ORDER BY media_id, frame_no
+"""
