@@ -33,22 +33,22 @@ GRADED_FIRST = [
     # overflow (q03/q04/q05/q09/q14, ts02-ts06, d01/d04, s01, t01/t02)
     # is hash-green in CORRECTNESS_r01-r03 AND re-checked every round
     # in CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
-    # relational / dialect core (9)
+    # relational / dialect core (8)
     "q01_pricing_summary",
     "q06_versioned_dedup",
     "q20_fn_dt_coercion",
-    "q29_fn_calendar",
     "q30_skew_salted_agg",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
     "q34_not_exists_antijoin",
-    # time-series (5)
+    # time-series (6)
     "ts01_time_buckets",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",
+    "ts12_dow_hour_profile",
     # dedup (9)
     "d02_minhash_lsh_pairs",
     "d06_dedup_clusters",
@@ -59,13 +59,12 @@ GRADED_FIRST = [
     "d12_lsh_recall_eval",
     "d13_decontam_spans",
     "d14_containment_pairs",
-    # similarity / ANN (5)
-    "s02_lsh_ann",
+    # similarity / ANN (4)
     "s03_ivf_ann",
     "s04_quantization_fidelity",
     "s05_knn_label",
     "s06_label_cohesion",
-    # text curation (13)
+    # text curation (14)
     "t05_groupwise_quality_topk",
     "t06_sequence_pack",
     "t07_repetition_signals",
@@ -79,6 +78,7 @@ GRADED_FIRST = [
     "t15_tfidf_topterms",
     "t16_domain_mixture",
     "t17_readability",
+    "t18_zipf_fit",
     # streaming (6)
     "st02_stream_dedup",
     "st03_stream_distinct_users",

@@ -954,3 +954,54 @@ def _readability_sql(spark_dialect: bool) -> str:
 def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_readability_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t18 — Zipf exponent of the corpus vocabulary: least-squares slope of
+# log(freq) vs log(rank) over the token frequency table — the corpus-
+# health diagnostic (natural text ~ -1; synthetic/templated corpora
+# deviate). One token shuffle + one rank window over the (vocabulary-
+# sized) frequency table; the regression reduces to five sums.
+# Float discipline: ln values quantize to e4 BIGINTs per term (libm ULP
+# noise collapses under floor), the five Σ accumulate as exact integer
+# sums, and the slope combines them in fixed-order DOUBLE arithmetic —
+# engine-identical.
+# ---------------------------------------------------------------------------
+def _zipf_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        tok = "SELECT explode(split(lower(text), ' ')) AS term FROM documents"
+    else:
+        tok = "SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents"
+    return f"""
+    WITH freq AS (
+      SELECT term, COUNT(*) AS f
+      FROM ({tok}) raw WHERE term <> ''
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank FROM freq
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x_e4,
+             CAST(floor(ln(CAST(f AS DOUBLE)) * 10000) AS BIGINT) AS y_e4
+      FROM ranked
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x_e4) AS BIGINT) AS sx,
+             CAST(SUM(y_e4) AS BIGINT) AS sy,
+             CAST(SUM(x_e4 * y_e4) AS BIGINT) AS sxy,
+             CAST(SUM(x_e4 * x_e4) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS vocab_size,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS zipf_slope
+    FROM sums
+    """
+
+
+@query("t18_zipf_fit", oracle=_zipf_sql(False))
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_zipf_sql(True))

@@ -586,3 +586,33 @@ def _ewma_sql(spark_dialect: bool) -> str:
 def ts11(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_ewma_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts12 — weekly seasonality profile: the (day-of-week x hour) traffic
+# matrix per event_type. One groupBy over integer-derived calendar
+# keys (dayofweek follows ISO Monday=1 in both spellings below);
+# decimal sums emitted as double. Pure single-shuffle aggregation.
+# ---------------------------------------------------------------------------
+def _dow_hour_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        # Spark dayofweek(): Sunday=1 .. Saturday=7 -> remap to ISO Mon=1
+        dow = "CAST(((dayofweek(ts) + 5) % 7) + 1 AS BIGINT)"
+        hour = "CAST(hour(ts) AS BIGINT)"
+    else:
+        dow = "CAST(isodow(ts) AS BIGINT)"
+        hour = "CAST(hour(ts) AS BIGINT)"
+    return f"""
+    SELECT {dow} AS iso_dow, {hour} AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY iso_dow, hour, event_type
+    """
+
+
+@query("ts12_dow_hour_profile", oracle=_dow_hour_sql(False))
+def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_dow_hour_sql(True))
