@@ -1150,3 +1150,214 @@ _ANTI_SQL = """
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_ANTI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q35 — customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+# join with a predicate in the ON clause (NOT pushable below the join —
+# it decides match/no-match, not row survival), then two cascaded
+# aggregations. Plan notes: the ON-clause filter applies to the orders
+# side only, so Catalyst pushes it into the orders scan (legal for the
+# null-producing side); both aggregations reuse the c_custkey
+# partitioning from the join, so the distribution agg is the only extra
+# exchange and it moves |customers| rows, not |orders|.
+# ---------------------------------------------------------------------------
+_CUSTDIST_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+@query("q35_custdist", oracle=_CUSTDIST_SQL)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            on=(F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — large-volume customers (TPC-H Q18 shape): a HAVING-gated
+# aggregation subquery drives the outer join-back. Plan notes: the
+# lineitem aggregation reduces |lineitem| -> few surviving orderkeys
+# BEFORE any join; AQE sees the tiny survivor set at runtime and
+# broadcasts it into orders (then customer), so the big table is
+# touched exactly once. Quantity sums stay DECIMAL until the final cast.
+# ---------------------------------------------------------------------------
+_BIGVOLUME_SQL = """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    """
+
+
+@query("q36_large_volume_customer", oracle=_BIGVOLUME_SQL)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(t["orders"], big.l_orderkey == F.col("o_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — national market share (TPC-H Q8 shape): share-of-total via
+# conditional aggregation — ONE pass computes both numerator and
+# denominator (no self-join, no re-scan). Plan notes: the star arms
+# (supplier/nation/region) broadcast; revenue accumulates in exact
+# DECIMAL and the share divides two identical doubles once, so the
+# ratio is bit-identical across engines and partition counts.
+# ---------------------------------------------------------------------------
+_MKTSHARE_SQL = """
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n.n_name = 'NATION_2'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """
+
+
+@query("q37_market_share", oracle=_MKTSHARE_SQL)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = dec("l_extendedprice", 18, 2) * dec(F.lit(1) - F.col("l_discount"), 18, 2)
+    dim = (
+        t["supplier"]
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["region"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(dim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_2", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — suppliers who kept orders waiting (TPC-H Q21 shape): the
+# hardest decorrelation pattern — EXISTS (another supplier contributed
+# to the order) AND NOT EXISTS (another supplier was ALSO late) over
+# the same fact table. Spark-first: the "late lineitem" relation is
+# built once, then a LeftSemi against all lineitems (other-supplier
+# exists) and a LeftAnti against the late set (no other late supplier)
+# — three shuffles on l_orderkey total, zero row multiplication, vs
+# the naive correlated rewrite that re-scans lineitem per row.
+# "Late" = shipped >60 days after the order date, order already 'F'.
+# ---------------------------------------------------------------------------
+_WAITING_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """
+
+
+@query("q38_waiting_suppliers", oracle=_WAITING_SQL)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    # late lineitems of finished orders, built ONCE and reused by both
+    # the driving relation and the NOT EXISTS side
+    late = (
+        li.join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    only_late = has_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

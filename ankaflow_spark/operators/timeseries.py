@@ -616,3 +616,170 @@ def _dow_hour_sql(spark_dialect: bool) -> str:
 def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_dow_hour_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts13 — cohort retention matrix: the classic product-analytics shape.
+# Each user joins the cohort of their first-activity week (the testdata
+# spans one month, so weekly cohorts exercise a real matrix); the matrix
+# counts distinct active users per (cohort, week-offset) and derives
+# retention against the offset-0 cohort size via a window (no second
+# join, no re-scan). Plan notes: one scan of events feeds BOTH the
+# cohort aggregation and the distinct-activity set; the cohort table is
+# |users| rows so AQE broadcasts it into the activity join; counts are
+# integers and the retention ratio divides two exact BIGINTs once in
+# IEEE doubles — bit-identical across engines and partition counts.
+# At 100 TB the same plan holds: everything partitions by user_id until
+# the final (cohort, offset) rollup, which is |months|^2 rows.
+# ---------------------------------------------------------------------------
+_COHORT_SQL = """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS am FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(am) AS cm FROM ev GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, am FROM ev
+    ),
+    ret AS (
+      SELECT c.cm AS cohort_week,
+             CAST(date_diff('day', c.cm, a.am) / 7 AS BIGINT) AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           MAX(CASE WHEN week_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_week) AS cohort_size,
+           CAST(n_active AS DOUBLE)
+             / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+    FROM ret
+    ORDER BY cohort_week, week_offset
+    """
+
+
+@query("ts13_cohort_retention", oracle=_COHORT_SQL)
+def ts13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", F.date_trunc("week", F.col("ts")).alias("am"))
+    cohort = ev.groupBy("user_id").agg(F.min("am").alias("cm"))
+    active = ev.distinct()
+    offset = (F.datediff(F.col("am"), F.col("cm")) / F.lit(7)).cast("bigint")
+    ret = (
+        active.join(cohort, "user_id")
+        .groupBy(F.col("cm").alias("cohort_week"), offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w = W.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return (
+        ret.withColumn("cohort_size", size)
+        .withColumn(
+            "retention",
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts14 — funnel conversion (view -> click -> purchase): strictly-ordered
+# per-user step times. Step N's timestamp is the MIN event time AFTER
+# the user's step-N-1 time, so each stage is a per-user aggregation
+# joined to the (small) survivor set of the previous stage — work
+# shrinks monotonically down the funnel, and every join is on user_id
+# (broadcast-able survivor side at any scale). Inter-step latency
+# aggregates integer epoch-second diffs (exact BIGINT sums) and divides
+# once, so avg hours is bit-identical across engines.
+# ---------------------------------------------------------------------------
+_FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+      FROM v
+      UNION ALL
+      SELECT 2, 'click', COUNT(*),
+             CAST(SUM(epoch_us(c.t2) - epoch_us(v.t1)) AS DOUBLE)
+               / COUNT(*) / 3600000000.0
+      FROM c JOIN v ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*),
+             CAST(SUM(epoch_us(p.t3) - epoch_us(c.t2)) AS DOUBLE)
+               / COUNT(*) / 3600000000.0
+      FROM p JOIN c ON c.user_id = p.user_id
+    ) f
+    ORDER BY step
+    """
+
+
+@query("ts14_funnel", oracle=_FUNNEL_SQL)
+def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _lat(later, earlier):
+        d = F.unix_micros(later) - F.unix_micros(earlier)
+        return (F.sum(d).cast("double") / F.count("*") / F.lit(3600000000.0)).alias(
+            "avg_hours_from_prev"
+        )
+
+    s1 = v.agg(
+        F.lit(1).cast("int").alias("step"),
+        F.lit("view").alias("step_name"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    )
+    s2 = c.join(v, "user_id").agg(
+        F.lit(2).cast("int").alias("step"),
+        F.lit("click").alias("step_name"),
+        F.count("*").alias("n_users"),
+        _lat(F.col("t2"), F.col("t1")),
+    )
+    s3 = p.join(c, "user_id").agg(
+        F.lit(3).cast("int").alias("step"),
+        F.lit("purchase").alias("step_name"),
+        F.count("*").alias("n_users"),
+        _lat(F.col("t3"), F.col("t2")),
+    )
+    return s1.unionAll(s2).unionAll(s3).orderBy("step")
