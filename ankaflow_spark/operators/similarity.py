@@ -628,3 +628,62 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     cent.createOrReplaceTempView("__s06_cent__")
     return spark.sql(_label_cohesion_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s07 — random-projection (Johnson-Lindenstrauss) dimensionality
+# reduction: 64-dim float embeddings project onto 16 signed sums with a
+# deterministic ±1 matrix (sign = parity of the first md5 hex digit of
+# "k_d", identical in both engines — no RNG, no stored matrix). This is
+# the standard cheap pre-step before LSH/clustering at scale: one
+# posexplode + one broadcast join against the 16x64 sign table + one
+# (vec_id, k) aggregation — components quantize to e6 BIGINTs first, so
+# the signed sums are integer-exact regardless of partitioning. At
+# 100 TB the sign table is constant-size (out_dims x in_dims) and the
+# whole projection is a single map-side-combinable aggregation.
+# ---------------------------------------------------------------------------
+_RP_OUT = 16
+
+
+def _rand_proj_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
+        kser = f"SELECT explode(sequence(0, {_RP_OUT - 1})) AS k"
+        dser = "SELECT explode(sequence(0, 63)) AS d"
+    else:
+        dims = """
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+        kser = f"SELECT unnest(range(0, {_RP_OUT})) AS k"
+        dser = "SELECT unnest(range(0, 64)) AS d"
+    return f"""
+    WITH dims AS ({dims}),
+    sgn AS (
+      SELECT ks.k AS k, ds.d AS d,
+             CASE WHEN ascii(substr(md5(concat(CAST(ks.k AS STRING), '_', CAST(ds.d AS STRING))), 1, 1)) % 2 = 0
+                  THEN 1 ELSE -1 END AS sg
+      FROM ({kser}) ks CROSS JOIN ({dser}) ds
+    ),
+    proj AS (
+      SELECT dims.vec_id AS vec_id, sgn.k AS k,
+             CAST(SUM(dims.v_e6 * sgn.sg) AS BIGINT) AS proj_e6
+      FROM dims JOIN sgn ON sgn.d = dims.d
+      GROUP BY dims.vec_id, sgn.k
+    )
+    SELECT vec_id, CAST(k AS BIGINT) AS k, proj_e6,
+           CAST(proj_e6 AS DOUBLE) / 1000000 AS proj
+    FROM proj
+    ORDER BY vec_id, k
+    """
+
+
+@query("s07_random_projection", oracle=_rand_proj_sql(False))
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_rand_proj_sql(True))

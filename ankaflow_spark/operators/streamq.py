@@ -465,3 +465,74 @@ ORACLES["m03_frame_sample_keys"] = """
     FROM frames
     ORDER BY media_id, frame_no
 """
+
+
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, ORACLE-CHECKED: click-to-view
+    attribution — every click joins the views of the SAME user in the
+    preceding 2 hours. Both sides are real file-source streams with
+    watermarks and a time-range join condition, the one shape where
+    Spark can bound join state (each side's buffer ages out once the
+    other side's watermark passes the interval). On a cluster this is
+    the canonical two-firehose pattern (impressions x conversions);
+    state stays O(users x window), not O(stream).
+
+    Determinism: an availableNow run over the bounded staged source
+    processes every file before the final watermark emission, so the
+    joined SET equals the batch interval join exactly; per-user lag
+    sums are integer microseconds (associative), divided once at emit.
+    """
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    views = (
+        stream_tap(spark, staged, schema)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3 hours")
+    )
+    clicks = (
+        stream_tap(spark, staged, schema)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "3 hours")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    name = "st08_out"
+    run_stream_to_memory(pairs, name, output_mode="append")
+    lag = F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            (F.sum(lag).cast("double") / F.count("*") / F.lit(60000000.0)).alias(
+                "avg_lag_minutes"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["st08_stream_stream_join"] = st08
+# The RESULT is SQL-expressible (bounded availableNow run == batch
+# interval join) even though the execution is a real watermarked
+# stream-stream join.
+ORACLES["st08_stream_stream_join"] = """
+    SELECT v.user_id AS user_id,
+           COUNT(*) AS n_attributed,
+           CAST(SUM(epoch_us(c.ts) - epoch_us(v.ts)) AS DOUBLE) / COUNT(*) / 60000000.0
+             AS avg_lag_minutes
+    FROM events v
+    JOIN events c ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    GROUP BY v.user_id
+    ORDER BY user_id
+"""

@@ -1005,3 +1005,83 @@ def _zipf_sql(spark_dialect: bool) -> str:
 def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_zipf_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t19 — chunk-level duplicate fraction (CCNet/RefinedWeb line-dedup
+# adapted to unstructured text): every doc splits into consecutive
+# 5-word chunks, chunks hash to md5, and a doc's dup_frac is the share
+# of its chunks that also appear in ANOTHER doc. The per-chunk
+# distinct-doc count is one hash-partitioned aggregation over the
+# exploded chunk table; joining it back and re-grouping by doc adds two
+# more shuffles — all on high-cardinality keys, no row multiplication
+# beyond the ~n_words/5 explode. At 100 TB the chunk table is the big
+# intermediate; it partitions by hash and never materializes per-pair
+# state (unlike pairwise dedup). keep = dup_frac < 0.5, the usual
+# boilerplate-removal gate.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 5
+
+_CHUNK_DEDUP_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    inst AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(ws, i*{_CHUNK_W}+1, i*{_CHUNK_W}+{_CHUNK_W}), ' ')) AS h
+      FROM w CROSS JOIN (SELECT unnest(range(0, 2000)) AS i) g
+      WHERE i*{_CHUNK_W}+{_CHUNK_W} <= len(ws)
+    ),
+    cc AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY h
+    )
+    SELECT i.doc_id AS doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN cc.nd > 1 THEN 1 END) AS n_dup_chunks,
+           CAST(COUNT(CASE WHEN cc.nd > 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+           CAST(COUNT(CASE WHEN cc.nd > 1 THEN 1 END) AS DOUBLE) / COUNT(*) < 0.5 AS keep
+    FROM inst i JOIN cc ON cc.h = i.h
+    GROUP BY i.doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("t19_chunk_dedup", oracle=_CHUNK_DEDUP_SQL)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    W_ = _CHUNK_W
+    w = (
+        t["documents"]
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= W_)
+    )
+    inst = (
+        w.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0), (F.floor(F.size("ws") / W_)).cast("int") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice(F.col("ws"), F.col("i") * W_ + 1, W_), " ")
+            ).alias("h"),
+        )
+    )
+    cc = inst.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.count(F.when(F.col("nd") > 1, F.lit(1)))
+    return (
+        inst.join(cc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count("*")).alias("dup_frac"),
+            (dup.cast("double") / F.count("*") < 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
