@@ -27,44 +27,42 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 4: every entry that has never appeared in a
-    # driver artifact leads its family (everything added in r3/r4),
-    # padded to 50 with flagship prior-green entries; the rotated-out
-    # overflow (q03/q04/q05/q09/q14, ts02-ts06, d01/d04, s01, t01/t02)
-    # is hash-green in CORRECTNESS_r01-r03 AND re-checked every round
-    # in CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
-    # relational / dialect core (8)
+    # Re-curated for round 5: the nine r5 additions (q35-q38, ts13/ts14,
+    # t19, s07, st08) enter the graded window; the rotated-out entries
+    # (d02/d06/d07/d09, m01, q06/q20/q30, s03) are all hash-green in
+    # driver artifacts CORRECTNESS_r01-r03 AND re-checked every round in
+    # CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
+    # relational / dialect core (9)
     "q01_pricing_summary",
-    "q06_versioned_dedup",
-    "q20_fn_dt_coercion",
-    "q30_skew_salted_agg",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
     "q34_not_exists_antijoin",
-    # time-series (6)
+    "q35_custdist",
+    "q36_large_volume_customer",
+    "q37_market_share",
+    "q38_waiting_suppliers",
+    # time-series / behavioral (8)
     "ts01_time_buckets",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",
     "ts12_dow_hour_profile",
-    # dedup (9)
-    "d02_minhash_lsh_pairs",
-    "d06_dedup_clusters",
-    "d07_benchmark_decontam",
-    "d09_simhash_neardup",
+    "ts13_cohort_retention",
+    "ts14_funnel",
+    # dedup (5)
     "d10_semantic_dedup",
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
     "d13_decontam_spans",
     "d14_containment_pairs",
     # similarity / ANN (4)
-    "s03_ivf_ann",
     "s04_quantization_fidelity",
     "s05_knn_label",
     "s06_label_cohesion",
-    # text curation (14)
+    "s07_random_projection",
+    # text curation (15)
     "t05_groupwise_quality_topk",
     "t06_sequence_pack",
     "t07_repetition_signals",
@@ -79,15 +77,16 @@ GRADED_FIRST = [
     "t16_domain_mixture",
     "t17_readability",
     "t18_zipf_fit",
-    # streaming (6)
+    "t19_chunk_dedup",
+    # streaming (7)
     "st02_stream_dedup",
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
     "st06_stream_rollup",
     "st07_stream_incremental",
-    # multimodal (3)
-    "m01_multimodal_features",
+    "st08_stream_stream_join",
+    # multimodal (2)
     "m02_multimodal_feature_surface",
     "m03_frame_sample_keys",
 ]

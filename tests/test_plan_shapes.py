@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "d12_lsh_recall_eval",  # three 1-row count relations merged into the metrics row
     "t15_tfidf_topterms",  # 1-row corpus-size scalar broadcast into the idf term
     "t16_domain_mixture",  # 1-row total-tokens / normalizer scalars broadcast
+    "s07_random_projection",  # 16x64 constant sign-matrix cross join
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -36,6 +37,7 @@ BNLJ_ALLOWED = {
 SMJ_ALLOWED = {
     "s03_ivf_ann",  # cell-candidates x embeddings re-rank join
     "d12_lsh_recall_eval",  # exact ground-truth shingle self-join: both sides ARE the corpus by design (d03x's documented cost profile)
+    "q38_waiting_suppliers",  # late-lineitems semi/anti-joined to lineitem: fact x fact on l_orderkey, SMJ is the right call at scale
 }
 
 
