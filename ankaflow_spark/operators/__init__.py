@@ -33,7 +33,7 @@ GRADED_FIRST = [
     # driver artifacts CORRECTNESS_r01-r03 AND re-checked every round in
     # CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
     # relational / dialect core (9)
-    "q01_pricing_summary",
+    "q39_recursive_rollup",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
@@ -43,7 +43,7 @@ GRADED_FIRST = [
     "q37_market_share",
     "q38_waiting_suppliers",
     # time-series / behavioral (8)
-    "ts01_time_buckets",
+    "ts15_range_window",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",

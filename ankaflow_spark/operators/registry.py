@@ -646,3 +646,151 @@ def op_ohlc(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(v.cast("decimal(18,6)")).cast("double").alias("volume"),
     )
+
+
+@operator("cohort_retention")
+def op_cohort_retention(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Cohort retention matrix (ts13 as a reusable stage): users join
+    the cohort of their first-activity period; retention divides each
+    (cohort, offset) distinct-user count by the offset-0 cohort size
+    via a window — integer counts, one division at emit."""
+    from pyspark.sql.window import Window as W
+
+    ts_col = params.get("ts", "ts")
+    user_col = params.get("user", "user_id")
+    gran = params.get("granularity", "week")
+    per_day = {"day": 1, "week": 7, "month": 30}
+    if gran not in per_day:
+        raise ValueError(f"cohort_retention granularity must be one of {sorted(per_day)}")
+    ev = df.select(F.col(user_col).alias("__u__"), F.date_trunc(gran, F.col(ts_col)).alias("__p__"))
+    cohort = ev.groupBy("__u__").agg(F.min("__p__").alias("__c__"))
+    offset = (F.datediff(F.col("__p__"), F.col("__c__")) / F.lit(per_day[gran])).cast("bigint")
+    ret = (
+        ev.distinct()
+        .join(cohort, "__u__")
+        .groupBy(F.col("__c__").alias("cohort"), offset.alias("offset"))
+        .agg(F.countDistinct("__u__").alias("n_active"))
+    )
+    size = F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(W.partitionBy("cohort"))
+    return ret.withColumn("cohort_size", size).withColumn(
+        "retention", F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+    )
+
+
+@operator("funnel")
+def op_funnel(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """N-step strict-order funnel (ts14 generalized): step k's time is
+    the MIN event time after the user's step-k-1 time, so each stage
+    joins only the shrinking survivor set of the previous one. Latency
+    sums integer epoch-micros and divides once at emit."""
+    steps = list(params.get("steps", []))
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    ts_col = params.get("ts", "ts")
+    user_col = params.get("user", "user_id")
+    type_col = params.get("type", "event_type")
+    ev = df.select(
+        F.col(user_col).alias("__u__"), F.col(type_col).alias("__t__"), F.col(ts_col).alias("__ts__")
+    )
+    prev = (
+        ev.filter(F.col("__t__") == steps[0]).groupBy("__u__").agg(F.min("__ts__").alias("__prev__"))
+    )
+    out = prev.agg(
+        F.lit(1).alias("step"),
+        F.lit(steps[0]).alias("step_name"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        cur = (
+            ev.filter(F.col("__t__") == step)
+            .join(prev, "__u__")
+            .filter(F.col("__ts__") > F.col("__prev__"))
+            .groupBy("__u__")
+            .agg(F.min("__ts__").alias("__cur__"))
+        )
+        lag = F.unix_micros(F.col("__cur__")) - F.unix_micros(F.col("__prev__"))
+        out = out.unionAll(
+            cur.join(prev, "__u__").agg(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("step_name"),
+                F.count("*").alias("n_users"),
+                (F.sum(lag).cast("double") / F.count("*") / F.lit(3600000000.0)).alias(
+                    "avg_hours_from_prev"
+                ),
+            )
+        )
+        prev = cur.withColumnRenamed("__cur__", "__prev__")
+    return out
+
+
+@operator("chunk_dedup")
+def op_chunk_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Chunk-level duplicate-fraction gate (t19 as a reusable stage):
+    docs whose share of corpus-duplicated word chunks exceeds the
+    threshold are dropped (keep_all=True annotates instead)."""
+    id_col = params.get("id", "doc_id")
+    text_col = params.get("text", "text")
+    width = int(params.get("width", 5))
+    threshold = float(params.get("threshold", 0.5))
+    w = df.select(
+        F.col(id_col).alias("__id__"), F.split(F.lower(F.col(text_col)), " ").alias("__ws__")
+    ).filter(F.size("__ws__") >= width)
+    inst = w.select(
+        "__id__",
+        F.explode(
+            F.sequence(F.lit(0), (F.floor(F.size("__ws__") / width)).cast("int") - 1)
+        ).alias("__i__"),
+        "__ws__",
+    ).select(
+        "__id__",
+        F.md5(F.array_join(F.slice(F.col("__ws__"), F.col("__i__") * width + 1, width), " ")).alias(
+            "__h__"
+        ),
+    )
+    cc = inst.groupBy("__h__").agg(F.countDistinct("__id__").alias("__nd__"))
+    dup = F.count(F.when(F.col("__nd__") > 1, F.lit(1)))
+    verdict = (
+        inst.join(cc, "__h__")
+        .groupBy("__id__")
+        .agg((dup.cast("double") / F.count("*")).alias("dup_frac"))
+    )
+    joined = df.join(
+        verdict.withColumnRenamed("__id__", id_col), id_col, "left"
+    ).withColumn(
+        "keep",
+        F.coalesce(F.col("dup_frac"), F.lit(0.0)) < threshold,
+    )
+    return joined if params.get("keep_all") else joined.filter("keep").drop("keep", "dup_frac")
+
+
+@operator("random_projection")
+def op_random_projection(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Johnson-Lindenstrauss signed projection (s07 as a reusable
+    stage): deterministic ±1 matrix from md5 parity; components
+    e6-quantized so the signed sums are integer-exact. Output is long
+    format (id, k, proj_e6, proj) for downstream bucketing."""
+    id_col = params.get("id", "vec_id")
+    vec_col = params.get("vector", "embedding")
+    out_dims = int(params.get("out_dims", 16))
+    dims = df.select(
+        F.col(id_col).alias("__id__"), F.posexplode(F.col(vec_col)).alias("__d__", "__v__")
+    ).select(
+        "__id__", "__d__", F.floor(F.col("__v__").cast("double") * 1000000).cast("bigint").alias("__v_e6__")
+    )
+    spark = df.sparkSession
+    sgn = spark.sql(
+        f"""
+        SELECT ks.k AS __k__, ds.d AS __d__,
+               CASE WHEN ascii(substr(md5(concat(CAST(ks.k AS STRING), '_', CAST(ds.d AS STRING))), 1, 1)) % 2 = 0
+                    THEN 1 ELSE -1 END AS __sg__
+        FROM (SELECT explode(sequence(0, {out_dims - 1})) AS k) ks
+        CROSS JOIN (SELECT explode(sequence(0, 4095)) AS d) ds
+        """
+    )
+    return (
+        dims.join(F.broadcast(sgn), "__d__")
+        .groupBy(F.col("__id__").alias(id_col), F.col("__k__").alias("k"))
+        .agg(F.sum(F.col("__v_e6__") * F.col("__sg__")).cast("bigint").alias("proj_e6"))
+        .withColumn("proj", F.col("proj_e6").cast("double") / F.lit(1000000.0))
+    )

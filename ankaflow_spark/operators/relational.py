@@ -1361,3 +1361,37 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — recursive CTE hierarchy rollup (the BOM / category-tree
+# pattern): each part derives its ancestor chain (node -> node DIV 10
+# -> ... -> 0, a 4-5 level tree), then descendant retail value rolls up
+# to every ancestor. WITH RECURSIVE is new in Spark 4 and executes as
+# iterative union steps — depth is O(log10(maxkey)) regardless of data
+# size, and the per-level work is a projection (no joins inside the
+# recursion). The rollup itself is one hash aggregation over the
+# (part, ancestor) closure. Exactness: ancestor ids via
+# floor(x/10.0) (exact for keys < 2^53 in both engines); money sums in
+# DECIMAL, emitted as cent-rounded DOUBLE.
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc(p_partkey, node) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT p_partkey, CAST(floor(node / 10.0) AS BIGINT) FROM anc WHERE node > 0
+    )
+    SELECT a.node AS category,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail
+    FROM anc a JOIN part p ON p.p_partkey = a.p_partkey
+    GROUP BY a.node
+    HAVING COUNT(*) > 1
+    ORDER BY category
+    """
+
+
+@query("q39_recursive_rollup", oracle=_RECURSIVE_SQL)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

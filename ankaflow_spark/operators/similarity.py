@@ -687,3 +687,72 @@ def _rand_proj_sql(spark_dialect: bool) -> str:
 def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_rand_proj_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s08 — product-quantization (PQ) encoding: the memory side of
+# billion-scale ANN (IVF-PQ). Each 64-dim vector splits into 8
+# subvectors of 8 dims; each subvector snaps to the nearest of 16 codebook
+# entries, so a vector stores as 8 bytes instead of 256. The codebook
+# here is a deterministic corpus sample (vec_id = 7c — on a cluster,
+# k-means per subspace; sampling is the standard warm-start and keeps
+# the whole operator engine-exact). Distances are integer sums of
+# squared e6-quantized component diffs — exact in BIGINT (8 dims x
+# (2e6)^2 << 2^63) — and the argmin tie-breaks on code id via
+# row_number, so the encoding is bit-identical in both engines.
+# Plan: dims x codebook is a broadcast join (codebook is 16x64 rows);
+# one (vec_id, sub, c) aggregation + one windowed argmin per
+# (vec_id, sub) — all map-side-combinable, no all-pairs state.
+# ---------------------------------------------------------------------------
+_PQ_SUBS = 8
+_PQ_CODES = 16
+
+
+def _pq_encode_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
+        idiv = "DIV"
+    else:
+        dims = """
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+        idiv = "//"
+    return f"""
+    WITH dims AS ({dims}),
+    sub_dims AS (
+      SELECT vec_id, CAST(d {idiv} 8 AS INT) AS sub, CAST(d % 8 AS INT) AS d_local, v_e6
+      FROM dims
+    ),
+    codebook AS (
+      SELECT CAST(vec_id {idiv} 7 AS INT) AS c, sub, d_local, v_e6 AS cb_e6
+      FROM sub_dims
+      WHERE vec_id % 7 = 0 AND vec_id < {7 * _PQ_CODES}
+    ),
+    dist AS (
+      SELECT s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
+             CAST(SUM((s.v_e6 - cb.cb_e6) * (s.v_e6 - cb.cb_e6)) AS BIGINT) AS dsq
+      FROM sub_dims s JOIN codebook cb
+        ON cb.sub = s.sub AND cb.d_local = s.d_local
+      GROUP BY s.vec_id, s.sub, cb.c
+    ),
+    ranked AS (
+      SELECT vec_id, sub, c, dsq,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY dsq, c) AS rn
+      FROM dist
+    )
+    SELECT vec_id, sub, c AS code, dsq AS dist_sq_e12
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id, sub
+    """
+
+
+@query("s08_pq_encode", oracle=_pq_encode_sql(False))
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pq_encode_sql(True))

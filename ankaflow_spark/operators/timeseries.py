@@ -783,3 +783,32 @@ def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lat(F.col("t3"), F.col("t2")),
     )
     return s1.unionAll(s2).unionAll(s3).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# ts15 — time-RANGE window frame: per-user trailing 1-hour event count
+# and value sum for EVERY event (RANGE BETWEEN <interval> PRECEDING,
+# not ROWS — frame membership is decided by timestamp distance, so
+# bursts and gaps produce different frame sizes row to row). This is
+# the rate-limiter / rolling-exposure shape. Plan: one shuffle on
+# user_id, one sort per partition — the window never re-scans. The
+# frame bound orders by integer epoch seconds (identical in both
+# engines); value sums accumulate in DECIMAL.
+# ---------------------------------------------------------------------------
+def _range_window_sql(spark_dialect: bool) -> str:
+    es = "unix_micros(ts) DIV 1000000" if spark_dialect else "epoch_us(ts) // 1000000"
+    return f"""
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {es}
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts
+    """
+
+
+@query("ts15_range_window", oracle=_range_window_sql(False))
+def ts15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_range_window_sql(True))

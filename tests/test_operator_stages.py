@@ -436,3 +436,76 @@ def test_time_rollup_and_ohlc_stages(engine, sf_dir):
     assert row.n_from_rollup == row.n_raw
     assert row.n_from_ohlc == row.n_raw
     assert row.n_bad == 0
+
+
+def test_cohort_and_funnel_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: retention
+  op: cohort_retention
+  params: {{ts: ts, user: user_id, granularity: week}}
+- kind: operator
+  name: fun
+  op: funnel
+  input: events
+  params: {{steps: [view, click, purchase], ts: ts, user: user_id, type: event_type}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT count(*) FROM retention WHERE retention > 1.0 OR retention <= 0) AS bad_ret,
+           (SELECT max(n_active) FROM retention) AS max_active,
+           (SELECT max(cohort_size) FROM retention) AS max_size,
+           (SELECT count(*) FROM fun) AS n_steps,
+           (SELECT n_users FROM fun WHERE step = 1) AS s1,
+           (SELECT n_users FROM fun WHERE step = 3) AS s3
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    assert row.bad_ret == 0
+    assert row.max_active <= row.max_size
+    assert row.n_steps == 3
+    assert row.s3 <= row.s1  # funnel never grows
+
+
+def test_chunk_dedup_and_random_projection_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: tap
+  name: embeddings
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: gated
+  op: chunk_dedup
+  input: documents
+  params: {{id: doc_id, text: text, width: 5, threshold: 0.5, keep_all: true}}
+- kind: operator
+  name: projected
+  op: random_projection
+  input: embeddings
+  params: {{id: vec_id, vector: embedding, out_dims: 8}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT count(*) FROM gated) AS n_docs,
+           (SELECT count(*) FROM documents) AS n_raw,
+           (SELECT count(*) FROM gated WHERE NOT keep) AS n_dropped,
+           (SELECT count(*) FROM projected) AS n_proj,
+           (SELECT count(DISTINCT vec_id) FROM projected) AS n_vecs,
+           (SELECT count(*) FROM projected
+             WHERE abs(proj - proj_e6 / 1000000.0) > 1e-9) AS bad_proj
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    assert row.n_docs == row.n_raw  # keep_all annotates, drops nothing
+    assert 0 < row.n_dropped < row.n_raw  # the near-dup corpus trips the gate
+    assert row.n_proj == row.n_vecs * 8
+    assert row.bad_proj == 0
