@@ -34,6 +34,7 @@ GRADED_FIRST = [
     # CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
     # relational / dialect core (9)
     "q39_recursive_rollup",
+    "q40_filter_clause",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
@@ -44,6 +45,7 @@ GRADED_FIRST = [
     "q38_waiting_suppliers",
     # time-series / behavioral (8)
     "ts15_range_window",
+    "ts16_period_over_period",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
@@ -62,12 +64,9 @@ GRADED_FIRST = [
     "s05_knn_label",
     "s06_label_cohesion",
     "s07_random_projection",
+    "s08_pq_encode",
+    "s09_pq_adc_search",
     # text curation (15)
-    "t05_groupwise_quality_topk",
-    "t06_sequence_pack",
-    "t07_repetition_signals",
-    "t08_curation_gate",
-    "t09_pii_redaction",
     "t10_stratified_mix",
     "t11_vocab_topk",
     "t12_normalized_dedup",
@@ -86,6 +85,7 @@ GRADED_FIRST = [
     "st06_stream_rollup",
     "st07_stream_incremental",
     "st08_stream_stream_join",
+    "st09_foreachbatch_upsert",
     # multimodal (2)
     "m02_multimodal_feature_surface",
     "m03_frame_sample_keys",

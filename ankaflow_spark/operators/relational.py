@@ -1395,3 +1395,31 @@ _RECURSIVE_SQL = """
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q40 — FILTER-clause aggregates (SQL:2003, supported natively by both
+# engines): several differently-filtered aggregates in ONE grouping
+# pass — the declarative spelling of q09/q37's CASE-WHEN conditional
+# aggregation, and the shape optimizers turn into a single shuffle
+# with per-aggregate predicates evaluated map-side.
+# ---------------------------------------------------------------------------
+_FILTER_CLAUSE_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F')
+                AS DOUBLE) AS finished_revenue,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / COUNT(*)
+             AS finished_share
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@query("q40_filter_clause", oracle=_FILTER_CLAUSE_SQL)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_SQL)

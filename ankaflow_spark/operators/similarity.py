@@ -756,3 +756,89 @@ def _pq_encode_sql(spark_dialect: bool) -> str:
 def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_pq_encode_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s09 — PQ asymmetric-distance search (ADC, the query side of IVF-PQ):
+# each query vector precomputes a distance TABLE to the codebook
+# (out_subs x n_codes = 8x16 integer entries), and every corpus
+# vector's approximate distance is then just 8 table lookups summed —
+# the corpus is touched only through its 1-byte-per-sub codes, never
+# its floats. Composition: reuses s08's encoding CTEs verbatim; the
+# lookup is a broadcast join of the (tiny) per-query table onto the
+# code table, one (query, vec) aggregation, and a windowed top-k.
+# All-integer arithmetic (squared e6 diffs in BIGINT), row_number
+# tie-break on vec_id -> bit-identical in both engines. At 100 TB the
+# code table is ~1/256th the corpus bytes and the scan is
+# embarrassingly parallel; this is how a trillion-vector index answers
+# queries without reading raw vectors.
+# ---------------------------------------------------------------------------
+_ADC_QUERIES = (1, 2, 3)
+_ADC_TOPK = 10
+
+
+def _pq_adc_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
+        idiv = "DIV"
+    else:
+        dims = """
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+        idiv = "//"
+    qids = ", ".join(str(q) for q in _ADC_QUERIES)
+    return f"""
+    WITH dims AS ({dims}),
+    sub_dims AS (
+      SELECT vec_id, CAST(d {idiv} 8 AS INT) AS sub, CAST(d % 8 AS INT) AS d_local, v_e6
+      FROM dims
+    ),
+    codebook AS (
+      SELECT CAST(vec_id {idiv} 7 AS INT) AS c, sub, d_local, v_e6 AS cb_e6
+      FROM sub_dims
+      WHERE vec_id % 7 = 0 AND vec_id < {7 * _PQ_CODES}
+    ),
+    dist AS (
+      SELECT s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
+             CAST(SUM((s.v_e6 - cb.cb_e6) * (s.v_e6 - cb.cb_e6)) AS BIGINT) AS dsq
+      FROM sub_dims s JOIN codebook cb
+        ON cb.sub = s.sub AND cb.d_local = s.d_local
+      GROUP BY s.vec_id, s.sub, cb.c
+    ),
+    codes AS (
+      SELECT vec_id, sub, c AS code FROM (
+        SELECT vec_id, sub, c,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dsq, c) AS rn
+        FROM dist
+      ) r WHERE rn = 1
+    ),
+    qtable AS (
+      -- per-query distance table to every codebook centroid: 8x16
+      -- integer entries per query, broadcast onto the code scan
+      SELECT vec_id AS query_id, sub, c, dsq FROM dist WHERE vec_id IN ({qids})
+    ),
+    approx AS (
+      SELECT qt.query_id AS query_id, cd.vec_id AS vec_id,
+             CAST(SUM(qt.dsq) AS BIGINT) AS adist
+      FROM codes cd JOIN qtable qt ON qt.sub = cd.sub AND qt.c = cd.code
+      GROUP BY qt.query_id, cd.vec_id
+    )
+    SELECT query_id, rn AS rank, vec_id, adist AS adist_sq_e12 FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+      FROM approx
+    ) r WHERE rn <= {_ADC_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("s09_pq_adc_search", oracle=_pq_adc_sql(False))
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pq_adc_sql(True))

@@ -812,3 +812,37 @@ def _range_window_sql(spark_dialect: bool) -> str:
 def ts15(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_range_window_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts16 — period-over-period deltas: daily activity per event type with
+# LAG-based absolute and percent change. The rollup is one shuffle on
+# (event_type, day); the LAG window reuses that partitioning (PARTITION
+# BY event_type ORDER BY day), so no extra exchange. Percent change
+# divides two exact values once in IEEE doubles (counts are BIGINTs,
+# totals are decimal-summed doubles) — bit-identical across engines.
+# ---------------------------------------------------------------------------
+_POP_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    )
+    SELECT event_type, day, n_events, total_value,
+           lag(n_events) OVER w AS prev_n,
+           CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+             / lag(n_events) OVER w AS n_pct_change,
+           (total_value - lag(total_value) OVER w) / lag(total_value) OVER w
+             AS value_pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """
+
+
+@query("ts16_period_over_period", oracle=_POP_SQL)
+def ts16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_POP_SQL)
