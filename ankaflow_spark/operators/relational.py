@@ -1423,3 +1423,33 @@ _FILTER_CLAUSE_SQL = """
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q41 — LATERAL correlated subquery (top-N-per-group spelled the SQL-
+# standard way): each customer pairs with its 2 highest-value orders
+# via a correlated derived table with ORDER BY ... LIMIT. Catalyst
+# decorrelates this into a ranked window over orders partitioned by
+# o_custkey — one shuffle, no per-customer re-execution — the same
+# physical plan q05's explicit window writes by hand; this query
+# guards the decorrelation path itself.
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """
+
+
+@query("q41_lateral_topn", oracle=_LATERAL_SQL)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -735,7 +735,7 @@ def _pq_encode_sql(spark_dialect: bool) -> str:
       WHERE vec_id % 7 = 0 AND vec_id < {7 * _PQ_CODES}
     ),
     dist AS (
-      SELECT s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
+      SELECT /*+ BROADCAST(cb) */ s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
              CAST(SUM((s.v_e6 - cb.cb_e6) * (s.v_e6 - cb.cb_e6)) AS BIGINT) AS dsq
       FROM sub_dims s JOIN codebook cb
         ON cb.sub = s.sub AND cb.d_local = s.d_local
@@ -805,7 +805,7 @@ def _pq_adc_sql(spark_dialect: bool) -> str:
       WHERE vec_id % 7 = 0 AND vec_id < {7 * _PQ_CODES}
     ),
     dist AS (
-      SELECT s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
+      SELECT /*+ BROADCAST(cb) */ s.vec_id AS vec_id, s.sub AS sub, cb.c AS c,
              CAST(SUM((s.v_e6 - cb.cb_e6) * (s.v_e6 - cb.cb_e6)) AS BIGINT) AS dsq
       FROM sub_dims s JOIN codebook cb
         ON cb.sub = s.sub AND cb.d_local = s.d_local
@@ -824,7 +824,7 @@ def _pq_adc_sql(spark_dialect: bool) -> str:
       SELECT vec_id AS query_id, sub, c, dsq FROM dist WHERE vec_id IN ({qids})
     ),
     approx AS (
-      SELECT qt.query_id AS query_id, cd.vec_id AS vec_id,
+      SELECT /*+ BROADCAST(qt) */ qt.query_id AS query_id, cd.vec_id AS vec_id,
              CAST(SUM(qt.dsq) AS BIGINT) AS adist
       FROM codes cd JOIN qtable qt ON qt.sub = cd.sub AND qt.c = cd.code
       GROUP BY qt.query_id, cd.vec_id

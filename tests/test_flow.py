@@ -305,3 +305,27 @@ def test_stage_unknown_key_warns(caplog):
   attribution: someone
 """)
     assert not caplog.records
+
+
+def test_recursive_cte_transform(engine, sf_dir):
+    # WITH RECURSIVE (Spark 4) must pass the dialect rewriter intact,
+    # including the CTE's self-reference in the recursive term
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: part
+  connection: {{kind: parquet, locator: {sf_dir}/part.parquet}}
+- kind: transform
+  name: rolled
+  query: >
+    WITH RECURSIVE anc(p_partkey, node) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT p_partkey, CAST(floor(node / 10.0) AS BIGINT) FROM anc WHERE node > 0
+    )
+    SELECT node, COUNT(*) AS n FROM anc GROUP BY node
+"""),
+        engine=engine,
+    )
+    rows = {r.node: r.n for r in flow.run().collect()}
+    assert rows[0] == engine.spark.read.parquet(f"{sf_dir}/part.parquet").count()
