@@ -167,10 +167,10 @@ def _split_args(s: str) -> List[str]:
         elif ch == "'":
             in_lit = True
             buf.append(ch)
-        elif ch == "(":
+        elif ch in "([{":
             depth += 1
             buf.append(ch)
-        elif ch == ")":
+        elif ch in ")]}":
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
@@ -415,6 +415,8 @@ DIALECT_FN_RENAMES: Dict[str, str] = {
     "list_pack": "array",
     "isodow": "weekday",  # + +1 handled by template below
     "strlen": "length",
+    "approx_unique": "approx_count_distinct",
+    "strpos": "instr",
     "list": "collect_list",
     "string_agg": "listagg",
     "group_concat": "listagg",
@@ -507,6 +509,74 @@ def _table_ref(fmt: str):
 
 
 # name -> {arity: builder(args) -> replacement}; arity -1 = any
+
+
+def _list_sort_2(a):
+    order = a[1].strip().strip("'\"").upper()
+    base = f"array_sort({a[0]})"
+    return f"reverse({base})" if order.startswith("DESC") else base
+
+
+_LIST_AGG_FNS = {
+    "sum": lambda x: f"aggregate(({x}), CAST(0 AS DOUBLE), (acc, v) -> acc + v)",
+    "avg": lambda x: (
+        f"(aggregate(({x}), CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size({x}))"
+    ),
+    "mean": lambda x: (
+        f"(aggregate(({x}), CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size({x}))"
+    ),
+    "min": lambda x: f"array_min({x})",
+    "max": lambda x: f"array_max({x})",
+    "count": lambda x: f"size({x})",
+}
+
+
+def _list_aggregate_2(a):
+    fname = a[1].strip().strip("'\"").lower()
+    fn = _LIST_AGG_FNS.get(fname)
+    if fn is None:
+        raise UnsupportedDialect(
+            f"list_aggregate(list, {a[1].strip()}) has no Spark rewrite; "
+            f"supported function names: {sorted(_LIST_AGG_FNS)} — for other "
+            "aggregates explode the list and aggregate rows"
+        )
+    # numeric results accumulate in DOUBLE (DuckDB preserves the element
+    # type for sum; the divergence is documented and rarely observable
+    # in analytic SQL)
+    return fn(a[0])
+
+
+_ORDER_BY_IN_AGG = re.compile(r"\s+ORDER\s+BY\s+", re.IGNORECASE)
+
+
+def _array_agg_ordered(args):
+    joined = ", ".join(args)
+    m = _ORDER_BY_IN_AGG.search(joined)
+    if not m:
+        return f"collect_list({joined})"
+    value = joined[: m.start()]
+    spec = joined[m.end():].strip()
+    desc = False
+    up = spec.upper()
+    if up.endswith(" DESC"):
+        desc, spec = True, spec[:-5].rstrip()
+    elif up.endswith(" ASC"):
+        spec = spec[:-4].rstrip()
+    if _ORDER_BY_IN_AGG.search(spec) or " DESC" in spec.upper() or " ASC" in spec.upper():
+        raise UnsupportedDialect(
+            "array_agg(x ORDER BY ...) supports a single uniform sort "
+            "direction in the Spark rewrite; for mixed directions sort in "
+            "a subquery and collect_list afterwards"
+        )
+    keys = [k.strip() for k in spec.split(",")]
+    ofields = ", ".join(f"({k}) AS _o{i}" for i, k in enumerate(keys))
+    base = (
+        f"transform(array_sort(collect_list(struct({ofields}, ({value}) AS _v))), "
+        "s -> s._v)"
+    )
+    return f"reverse({base})" if desc else base
+
+
 DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
     "make_timestamp": {1: lambda a: f"timestamp_micros({a[0]})"},
     "make_timestamp_ms": {1: lambda a: f"timestamp_millis({a[0]})"},
@@ -544,14 +614,41 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
     "read_json": {1: _table_ref("json")},
     "read_json_auto": {1: _table_ref("json")},
     "delta_scan": {1: _table_ref("delta")},
+    "list_sort": {2: _list_sort_2},
+    "list_aggregate": {2: _list_aggregate_2},
+    "list_aggr": {2: _list_aggregate_2},
+    "list_sum": {1: lambda a: _LIST_AGG_FNS["sum"](a[0])},
+    "list_avg": {1: lambda a: _LIST_AGG_FNS["avg"](a[0])},
+    "list_min": {1: lambda a: f"array_min({a[0]})"},
+    "list_max": {1: lambda a: f"array_max({a[0]})"},
+    "array_agg": {
+        1: _array_agg_ordered,
+        2: _array_agg_ordered,
+        3: _array_agg_ordered,
+    },
 }
 
 _READ_TABLE_FNS = frozenset(
     ("read_parquet", "read_csv", "read_csv_auto", "read_json", "read_json_auto", "delta_scan")
 )
 
+
+
+# DuckDB functions with NO Spark equivalent: fail with the workaround
+# named instead of Spark's opaque UNRESOLVED_ROUTINE.
+KNOWN_UNSUPPORTED_FNS: Dict[str, str] = {
+    "histogram": "GROUP BY the expression and COUNT(*), or map_from_entries over a grouped subquery",
+    "bar": "compute the ratio numerically; rendering belongs to the client",
+    "generate_subscripts": "posexplode(array) yields (pos, value); sequence(1, size(a)) yields indexes",
+    "jaccard": "use the n-gram Jaccard operator (d03) or levenshtein()",
+    "jaro_winkler_similarity": "no Spark builtin; levenshtein() is available, or register a macro UDF",
+    "jaro_similarity": "no Spark builtin; levenshtein() is available, or register a macro UDF",
+    "damerau_levenshtein": "no Spark builtin; levenshtein() is available, or register a macro UDF",
+    "mismatches": "no Spark builtin (hamming distance); compare with levenshtein() or a macro UDF",
+}
+
 _DIALECT_CALL = re.compile(
-    r"\b(" + "|".join(sorted(set(DIALECT_FN_RENAMES) | set(DIALECT_FN_TEMPLATES), key=len, reverse=True)) + r")\s*\(",
+    r"\b(" + "|".join(sorted(set(DIALECT_FN_RENAMES) | set(DIALECT_FN_TEMPLATES) | set(KNOWN_UNSUPPORTED_FNS), key=len, reverse=True)) + r")\s*\(",
     re.IGNORECASE,
 )
 
@@ -581,6 +678,10 @@ def expand_dialect_functions(sql: str) -> str:
             # recursively expand inside arguments first
             args = [expand_dialect_functions(a) for a in args]
             out = out[: m.start()] + tmpl(args) + out[close + 1 :]
+        elif name in KNOWN_UNSUPPORTED_FNS:
+            raise UnsupportedDialect(
+                f"DuckDB {name}(...) has no Spark equivalent; {KNOWN_UNSUPPORTED_FNS[name]}"
+            )
         elif name in DIALECT_FN_RENAMES:
             out = out[: m.start()] + DIALECT_FN_RENAMES[name] + "(" + out[m.end() :]
         else:
@@ -1295,6 +1396,26 @@ def rewrite_distinct_on(sql: str) -> str:
     return sql
 
 
+
+
+_BRACKET_SLICE = re.compile(r"\[\s*[^,:\[\]]*:\s*[^,:\[\]]*\]")
+_JSON_CAST = re.compile(r"::\s*JSON\b", re.IGNORECASE)
+_JSON_ARROW = re.compile(r"(\b[A-Za-z_][\w.]*)\s*->>\s*'([^']+)'")
+
+
+def rewrite_json_arrows(sql: str) -> str:
+    """DuckDB ``col->>'key'`` (JSON text extraction) ->
+    ``get_json_object(col, '$.key')``. Only the identifier->>literal
+    shape rewrites; plain ``->`` is left alone because it is also
+    Spark's lambda arrow (``x -> 'const'`` is a valid lambda body)."""
+    prev = None
+    out = sql
+    while prev != out:
+        prev = out
+        out = _JSON_ARROW.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", out)
+    return out
+
+
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         _reject_columns_expr(chunk)
@@ -1312,9 +1433,16 @@ def normalize_dialect(sql: str) -> str:
                 "params: {right, on, by, value_column}) — the window-based "
                 "point-in-time join with identical semantics"
             )
+        if _BRACKET_SLICE.search(chunk):
+            raise UnsupportedDialect(
+                "DuckDB list slicing a[i:j] has no Spark spelling; use "
+                "list_slice(list, i, j) (rewritten to Spark slice()) — for "
+                "open-ended slices pass len(list) as j"
+            )
         out = _SAMPLE_ROWS.sub(r"TABLESAMPLE (\1 ROWS)", chunk)
         out = _SAMPLE_PCT.sub(r"TABLESAMPLE (\1 PERCENT)", out)
         out = _INT_DIV.sub(" div ", out)  # DuckDB // integer division
+        out = _JSON_CAST.sub("", out)  # ::JSON — JSON is a string in Spark
         out = _EXCLUDE_PARENS.sub("EXCEPT(", out)  # DuckDB * EXCLUDE(...)
         out = _EXCLUDE_BARE.sub(r"\1EXCEPT(\2)", out)
         return out
@@ -1327,6 +1455,7 @@ def normalize_dialect(sql: str) -> str:
     out = rewrite_struct_literals(out)
     out = rewrite_list_comprehensions(out)
     out = rewrite_bracket_lists(out)
+    out = rewrite_json_arrows(out)
     return expand_dialect_functions(out)
 
 

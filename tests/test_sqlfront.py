@@ -580,3 +580,83 @@ def test_distinct_on_rewrite(engine):
     # with LIMIT
     df3 = engine.sql("SELECT DISTINCT ON (k) k, v FROM __don__ ORDER BY k LIMIT 2")
     assert len(df3.collect()) == 2
+
+
+class TestRound5Dialect:
+    def test_renames(self):
+        from ankaflow_spark.sqlfront.rewrite import expand_dialect_functions as e
+
+        assert e("SELECT approx_unique(x) FROM t") == "SELECT approx_count_distinct(x) FROM t"
+        assert e("SELECT strpos('hello','ll')") == "SELECT instr('hello','ll')"
+
+    def test_list_sort_directions(self):
+        from ankaflow_spark.sqlfront.rewrite import expand_dialect_functions as e
+
+        assert e("SELECT list_sort([3,1,2])") == "SELECT array_sort(array(3,1,2))".replace(
+            "array(3,1,2)", "[3,1,2]"
+        )
+        assert "reverse(array_sort(" in e("SELECT list_sort(x, 'DESC')")
+        assert e("SELECT list_sort(x, 'ASC')") == "SELECT array_sort(x)"
+
+    def test_list_aggregate_names(self):
+        from ankaflow_spark.sqlfront.rewrite import (
+            UnsupportedDialect,
+            expand_dialect_functions as e,
+        )
+
+        assert "aggregate((x), CAST(0 AS DOUBLE)" in e("SELECT list_aggregate(x, 'sum')")
+        assert e("SELECT list_aggregate(x, 'min')") == "SELECT array_min(x)"
+        assert e("SELECT list_sum(x)").startswith("SELECT aggregate((x)")
+        assert e("SELECT list_max(x)") == "SELECT array_max(x)"
+        import pytest
+
+        with pytest.raises(UnsupportedDialect, match="list_aggregate"):
+            e("SELECT list_aggregate(x, 'entropy')")
+
+    def test_array_agg_order_by(self):
+        from ankaflow_spark.sqlfront.rewrite import expand_dialect_functions as e
+
+        out = e("SELECT array_agg(a ORDER BY b) FROM t")
+        assert out == (
+            "SELECT transform(array_sort(collect_list(struct((b) AS _o0, (a) AS _v))), "
+            "s -> s._v) FROM t"
+        )
+        assert e("SELECT array_agg(a ORDER BY b DESC) FROM t").startswith("SELECT reverse(")
+        assert e("SELECT array_agg(a) FROM t") == "SELECT collect_list(a) FROM t"
+
+    def test_known_unsupported_actionable(self):
+        import pytest
+
+        from ankaflow_spark.sqlfront.rewrite import (
+            UnsupportedDialect,
+            expand_dialect_functions as e,
+        )
+
+        for fn, hint in (("histogram(x)", "GROUP BY"), ("jaccard(a,b)", "d03")):
+            with pytest.raises(UnsupportedDialect, match=hint):
+                e(f"SELECT {fn} FROM t")
+
+    def test_json_arrow_and_cast(self):
+        from ankaflow_spark.sqlfront.rewrite import normalize_dialect as n
+
+        assert (
+            n("SELECT props->>'plan' AS plan FROM events")
+            == "SELECT get_json_object(props, '$.plan') AS plan FROM events"
+        )
+        assert "::JSON" not in n("SELECT x::JSON AS j FROM t")
+        # lambda arrows survive untouched
+        assert n("SELECT transform(a, x -> 'y') FROM t") == "SELECT transform(a, x -> 'y') FROM t"
+
+    def test_bracket_slice_rejected(self):
+        import pytest
+
+        from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect, normalize_dialect as n
+
+        with pytest.raises(UnsupportedDialect, match="list_slice"):
+            n("SELECT x[2:] FROM t")
+
+    def test_split_args_bracket_aware(self):
+        from ankaflow_spark.sqlfront.rewrite import _split_args
+
+        assert _split_args("[1,2,3], 'sum'") == ["[1,2,3]", "'sum'"]
+        assert _split_args("{'a': 1, 'b': 2}, y") == ["{'a': 1, 'b': 2}", "y"]
