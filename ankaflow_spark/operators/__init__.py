@@ -35,6 +35,8 @@ GRADED_FIRST = [
     # relational / dialect core (9)
     "q39_recursive_rollup",
     "q40_filter_clause",
+    "q41_lateral_topn",
+    "q42_ranking_family",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
@@ -46,6 +48,7 @@ GRADED_FIRST = [
     # time-series / behavioral (8)
     "ts15_range_window",
     "ts16_period_over_period",
+    "ts17_sliding_windows",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
@@ -67,9 +70,6 @@ GRADED_FIRST = [
     "s08_pq_encode",
     "s09_pq_adc_search",
     # text curation (15)
-    "t10_stratified_mix",
-    "t11_vocab_topk",
-    "t12_normalized_dedup",
     "t13_bigram_surprisal",
     "t14_bpe_token_count",
     "t15_tfidf_topterms",
@@ -87,7 +87,7 @@ GRADED_FIRST = [
     "st08_stream_stream_join",
     "st09_foreachbatch_upsert",
     # multimodal (2)
-    "m02_multimodal_feature_surface",
+    "m04_patch_grid",
     "m03_frame_sample_keys",
 ]
 

@@ -122,3 +122,40 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     # one caps at ~16 rows/partition.
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("patch_no", T.IntegerType(), False),
+        T.StructField("patch_bytes", T.LongType(), False),
+        T.StructField("patch_hex", T.StringType(), False),
+    ]
+)
+
+N_PATCHES = 4
+
+
+def patch_grid(media: DataFrame) -> DataFrame:
+    """Image patch extraction plumbing: every image payload splits into
+    N_PATCHES contiguous byte ranges (the stand-in for a 2x2 pixel-tile
+    grid — a real decoder would tile the decoded array; the byte-range
+    slice exercises the same Arrow binary path, per-patch row explosion
+    and bounded memory). Emits the hex of each slice so the identity is
+    exactly checkable engine-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "patch_no": [], "patch_bytes": [], "patch_hex": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                step = len(b) // N_PATCHES
+                for p in range(N_PATCHES):
+                    chunk = b[p * step : (p + 1) * step]
+                    out["media_id"].append(mid)
+                    out["patch_no"].append(p)
+                    out["patch_bytes"].append(len(chunk))
+                    out["patch_hex"].append(chunk.hex().upper())
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=PATCH_SCHEMA)

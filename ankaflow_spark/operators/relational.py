@@ -1453,3 +1453,32 @@ _LATERAL_SQL = """
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q42 — ranking-function family: rank / dense_rank / ntile / 
+# percent_rank / cume_dist over one window. Determinism note: ntile's
+# assignment of TIED rows to tiles follows physical row order, so the
+# ORDER BY carries a unique tie-break key (o_orderkey); percent_rank
+# and cume_dist are then exact integer ratios divided once in doubles.
+# One exchange on the partition key serves all five functions.
+# ---------------------------------------------------------------------------
+_RANKING_SQL = """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """
+
+
+@query("q42_ranking_family", oracle=_RANKING_SQL)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_RANKING_SQL)

@@ -615,3 +615,36 @@ ORACLES["st09_foreachbatch_upsert"] = """
                                ORDER BY ts DESC, event_id DESC) = 1
     ORDER BY user_id, event_type
 """
+
+
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patch-grid contract, ORACLE-CHECKED cell-exact: byte-range
+    patches cut from real binary payloads inside mapInPandas must equal
+    the oracle's hex-domain slicing of the same deterministically
+    reconstructed payloads — proving the bytes survive the Arrow hop
+    and the slicing arithmetic is position-exact."""
+    from .multimodal import patch_grid, synth_media
+
+    media = synth_media(spark, 120)
+    return patch_grid(media).orderBy("media_id", "patch_no")
+
+
+QUERIES["m04_patch_grid"] = m04
+# payload(i) = md5(str(i)) digest repeated (4 + i%5) times; images are
+# i % 3 == 0. Hex domain: 2 hex chars per byte.
+ORACLES["m04_patch_grid"] = """
+    WITH imgs AS (
+      SELECT i AS media_id,
+             upper(repeat(md5(CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT))) AS hex_payload
+      FROM range(120) t(i) WHERE i % 3 = 0
+    ),
+    p AS (SELECT unnest(range(0, 4)) AS patch_no)
+    SELECT media_id,
+           CAST(p.patch_no AS INT) AS patch_no,
+           CAST((length(hex_payload) / 2) // 4 AS BIGINT) AS patch_bytes,
+           substring(hex_payload,
+                     CAST(p.patch_no * ((length(hex_payload) / 2) // 4) * 2 + 1 AS BIGINT),
+                     CAST(((length(hex_payload) / 2) // 4) * 2 AS BIGINT)) AS patch_hex
+    FROM imgs CROSS JOIN p
+    ORDER BY media_id, patch_no
+"""

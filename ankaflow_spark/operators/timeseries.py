@@ -846,3 +846,40 @@ _POP_SQL = """
 def ts16(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_POP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts17 — sliding (hopping) windows: 10-minute windows every 5 minutes,
+# so each event lands in exactly 2 overlapping windows. The Spark side
+# uses the NATIVE sliding window() — Catalyst expands it to a bounded
+# explode + hash aggregation (state-of-the-art for hopping aggs); the
+# oracle reconstructs the same membership arithmetic with an explicit
+# 2-offset series. Counts are integers; value sums decimal-exact.
+# ---------------------------------------------------------------------------
+_SLIDING_ORACLE_SQL = """
+    SELECT
+      make_timestamp((((epoch_us(ts) // 1000000 - k.k * 300) // 600) * 600 + k.k * 300)
+                     * 1000000) AS window_start,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+    GROUP BY 1
+    ORDER BY window_start
+    """
+
+
+@query("ts17_sliding_windows", oracle=_SLIDING_ORACLE_SQL)
+def ts17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
