@@ -1228,3 +1228,81 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_bands(spark, sf_dir)
     return spark.sql(_containment_sql(SPARK_CAND_CTES))
+
+
+# ---------------------------------------------------------------------------
+# d15 — link-analysis centrality over the near-dup pair graph (PageRank,
+# 3 unrolled iterations): which documents sit at the center of large
+# duplication neighborhoods — the triage signal for template/boilerplate
+# families that pairwise thresholds miss. Exactness: ranks live in e9
+# fixed-point BIGINTs; every iteration is floor divisions and integer
+# multiply-adds (identical in both engines), so a "float" algorithm
+# grades cell-exact. Plan: edges/degrees build once from the shared LSH
+# candidate CTEs; each iteration is one join + one aggregation on
+# doc_id — the GraphFrames/Pregel shape, with iteration count fixed so
+# the oracle unrolls the same three steps. Headroom: 85 * sum(r//deg)
+# <= 85 * 1e9 << 2^63 at any graph size.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def _pagerank_sql(spark_dialect: bool) -> str:
+    idiv = "DIV" if spark_dialect else "//"
+    if spark_dialect:
+        # Spark INLINES CTEs: with edges/deg in the WITH chain, every
+        # iteration would re-execute the LSH candidate join (3x-9x; the
+        # r4 CTE-re-execution finding). d15() materializes them as
+        # checkpointed views instead.
+        head = """WITH nn AS (SELECT COUNT(*) AS n FROM __d15_deg__),
+    edges AS (SELECT * FROM __d15_edges__),
+    deg AS (SELECT * FROM __d15_deg__),"""
+    else:
+        head = f"""WITH {DUCK_CAND_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cands
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),"""
+    parts = [head + """
+    r0 AS (
+      SELECT doc_id, CAST(1000000000 """ + idiv + """ nn.n AS BIGINT) AS r
+      FROM deg CROSS JOIN nn
+    )"""]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    r{k} AS (
+      SELECT d.doc_id,
+             CAST(150000000 {idiv} nn.n
+                  + (85 * COALESCE(SUM(pr.r {idiv} pd.deg), 0)) {idiv} 100
+                  AS BIGINT) AS r
+      FROM deg d
+      CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = d.doc_id
+      LEFT JOIN r{k - 1} pr ON pr.doc_id = e.src
+      LEFT JOIN deg pd ON pd.doc_id = e.src
+      GROUP BY d.doc_id, nn.n
+    )""")
+    parts.append(f"""
+    SELECT d.doc_id AS doc_id, d.deg AS degree, r{_PR_ITERS}.r AS rank_e9
+    FROM deg d JOIN r{_PR_ITERS} ON r{_PR_ITERS}.doc_id = d.doc_id
+    ORDER BY rank_e9 DESC, doc_id
+    """)
+    return "".join(parts)
+
+
+@query("d15_graph_centrality", oracle=_pagerank_sql(False))
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    a = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    b = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = a.unionAll(b).localCheckpoint()
+    edges.createOrReplaceTempView("__d15_edges__")
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(F.count("*").alias("deg")).localCheckpoint()
+    deg.createOrReplaceTempView("__d15_deg__")
+    return spark.sql(_pagerank_sql(True))
