@@ -62,6 +62,7 @@ GRADED_FIRST = [
     "d12_lsh_recall_eval",
     "d13_decontam_spans",
     "d14_containment_pairs",
+    "d15_graph_centrality",
     # similarity / ANN (4)
     "s04_quantization_fidelity",
     "s05_knn_label",
@@ -70,7 +71,6 @@ GRADED_FIRST = [
     "s08_pq_encode",
     "s09_pq_adc_search",
     # text curation (15)
-    "t13_bigram_surprisal",
     "t14_bpe_token_count",
     "t15_tfidf_topterms",
     "t16_domain_mixture",
