@@ -72,3 +72,15 @@ def test_streaming_pipeline_example(engine):
     raw = engine.spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert row["n_events"] == raw.count()
     assert row["n_users"] == raw.select("user_id").distinct().count()
+
+
+def test_behavioral_analytics_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/behavioral_analytics.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().first()
+    assert row["funnel_entrants"] >= row["funnel_completers"] > 0
+    assert 0 < row["best_late_retention"] <= 1.0
+    assert row["burstiest_hour"] >= 1
