@@ -1482,3 +1482,31 @@ _RANKING_SQL = """
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_RANKING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q43 — disjunctive predicate pushdown (TPC-H Q19 shape): an OR of
+# three conjunctive brand/size/quantity groups over a lineitem x part
+# join. The optimizer must (a) extract the common join key, (b) push
+# the OR-of-ANDs into both scans (each side's disjunction of its own
+# columns is implied), and (c) keep the residual as a join filter —
+# the classic CNF-extraction test. Revenue stays DECIMAL until the
+# cent-rounded DOUBLE emit.
+# ---------------------------------------------------------------------------
+_DISJUNCTIVE_SQL = """
+    SELECT COUNT(*) AS n_items,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """
+
+
+@query("q43_disjunctive_pushdown", oracle=_DISJUNCTIVE_SQL)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_SQL)

@@ -1416,6 +1416,35 @@ def rewrite_json_arrows(sql: str) -> str:
     return out
 
 
+
+
+_FROM_FIRST = re.compile(r"^\s*FROM\b", re.IGNORECASE)
+
+
+def rewrite_from_first(sql: str) -> str:
+    """DuckDB's FROM-first syntax: ``FROM t`` (implicit SELECT *) and
+    ``FROM t SELECT cols`` both become standard SELECT statements. Only
+    the top-level statement reorders; subqueries use standard syntax in
+    the reference corpus."""
+    if not _FROM_FIRST.match(sql):
+        return sql
+    pos = _depth0_keyword_pos(sql, ("SELECT",))
+    if pos < 0:
+        return "SELECT * " + sql.strip()
+    from_part = sql[:pos].strip()
+    tail = sql[pos:].strip()
+    # the select LIST ends at the first depth-0 clause keyword; the FROM
+    # segment re-inserts between them so trailing WHERE/GROUP/ORDER keep
+    # standard positions
+    clause = _depth0_keyword_pos(
+        tail, ("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT"),
+        start=6,
+    )
+    if clause < 0:
+        return f"{tail} {from_part}"
+    return f"{tail[:clause].rstrip()} {from_part} {tail[clause:]}"
+
+
 def normalize_dialect(sql: str) -> str:
     def fix(chunk: str) -> str:
         _reject_columns_expr(chunk)
@@ -1447,7 +1476,8 @@ def normalize_dialect(sql: str) -> str:
         out = _EXCLUDE_BARE.sub(r"\1EXCEPT(\2)", out)
         return out
 
-    out = rewrite_unpivot_statement(sql)
+    out = rewrite_from_first(sql)
+    out = rewrite_unpivot_statement(out)
     out = rewrite_star_replace(out)
     out = rewrite_star_rename(out)
     out = rewrite_distinct_on(out)

@@ -660,3 +660,17 @@ class TestRound5Dialect:
 
         assert _split_args("[1,2,3], 'sum'") == ["[1,2,3]", "'sum'"]
         assert _split_args("{'a': 1, 'b': 2}, y") == ["{'a': 1, 'b': 2}", "y"]
+
+    def test_from_first(self):
+        from ankaflow_spark.sqlfront.rewrite import normalize_dialect as n
+
+        assert n("FROM orders") == "SELECT * FROM orders"
+        assert (
+            n("FROM orders SELECT o_orderkey WHERE o_orderkey > 1")
+            == "SELECT o_orderkey FROM orders WHERE o_orderkey > 1"
+        )
+        assert (
+            n("FROM orders SELECT o_orderstatus, count(*) AS c GROUP BY 1")
+            == "SELECT o_orderstatus, count(*) AS c FROM orders GROUP BY 1"
+        )
+        assert n("FROM orders SELECT o_orderkey") == "SELECT o_orderkey FROM orders"
