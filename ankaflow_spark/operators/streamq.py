@@ -541,62 +541,22 @@ ORACLES["st08_stream_stream_join"] = """
 def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert, ORACLE-CHECKED: the stream maintains
     a latest-record-per-(user, event_type) state table on disk across
-    real micro-batches (throttled reader -> multiple triggers), each
-    batch merging into the previous state with versioned-dedup ranking
-    — the jar-free stand-in for the Delta MERGE sink, and the pattern
-    a production pipeline uses to keep a 100 TB keyed mirror fresh.
-    State writes alternate between two directories (write-new then
-    swap), the same atomic-publish contract a cluster job uses.
-
-    Determinism: latest-wins with a total tie-break (ts DESC, event_id
-    DESC) is merge-order independent, so however the triggers split the
-    files, the final state equals the batch ranking over all events."""
-    import shutil
-
-    from ..streaming.stream import stream_tap
+    real micro-batches (throttled reader -> multiple triggers) via the
+    reusable ``foreachbatch_upsert`` streaming operator (also a
+    declarative ``kind: stream`` op). Latest-wins with a total
+    tie-break is merge-order independent, so the final state equals the
+    batch ranking over all events."""
+    from ..streaming.stream import foreachbatch_upsert, stream_tap
 
     staged, schema = _staged_events(spark, sf_dir)
-    base = staged.rstrip("/") + "_st09_state"
-    ckpt = base + "_ckpt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # a stale checkpoint would mark the staged files already-processed
-    # and skip every batch against the freshly-wiped state dirs
-    for d in (base + "_a", base + "_b", ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-    last_dir = []
-
-    def merge_batch(batch_df, batch_id: int):
-        prev = base + ("_b" if batch_id % 2 else "_a")
-        nxt = base + ("_a" if batch_id % 2 else "_b")
-        merged = batch_df
-        if os.path.isdir(prev):
-            merged = batch_df.unionByName(batch_df.sparkSession.read.parquet(prev))
-        from pyspark.sql.window import Window as W
-
-        w = W.partitionBy("user_id", "event_type").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        latest = (
-            merged.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
-        )
-        latest.write.mode("overwrite").parquet(nxt)
-        last_dir.append(nxt)
-
+    base = staged.rstrip("/") + "_st09_state_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stream = stream_tap(spark, staged, schema, max_files_per_trigger=4)
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
+    final = foreachbatch_upsert(
+        stream, keys=["user_id", "event_type"], version="ts", tiebreak="event_id",
+        state_base=base,
     )
-    q.processAllAvailable()
-    q.stop()
-    if not last_dir:
-        raise RuntimeError("st09: no micro-batch executed (stale checkpoint?)")
     return (
-        spark.read.parquet(last_dir[-1])
-        .select(
+        final.select(
             "user_id",
             "event_type",
             F.col("ts").alias("last_ts"),

@@ -295,10 +295,48 @@ def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
             watermark=watermark if "watermark" in params else "2 hours",
         )
         mode = "append"
+    elif op == "static_join":
+        # enrich the stream against an already-materialized stage (the
+        # broadcast stream-static pattern, st05), then window-aggregate
+        right = params.get("right")
+        if not right:
+            raise FlowError(
+                f"stream stage '{stage.name}': op static_join needs params.right "
+                "(the name of a previous stage to broadcast)"
+            )
+        dim = flow.engine.table(right)
+        # "join_on" preferred: a bare `on:` key is YAML-1.1 boolean True
+        join_cols = params.get("join_on") or params.get("on") or params.get(True) or []
+        joined = stream.join(F.broadcast(dim), list(join_cols))
+        out = windowed_agg(
+            joined, ts_col,
+            window_len=params.get("window", "5 minutes"),
+            watermark=watermark,
+            group_cols=list(params.get("keys", [])),
+        )
+        mode = "complete"
+    elif op == "upsert":
+        # foreachBatch latest-wins keyed state (st09); terminal batch
+        # result registers directly — no memory sink involved
+        from ..streaming.stream import foreachbatch_upsert
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "ankaflow_upsert_"
+            + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
+        )
+        final = foreachbatch_upsert(
+            stream,
+            keys=list(params["keys"]),
+            version=params.get("version", ts_col),
+            tiebreak=params.get("tiebreak"),
+            state_base=base,
+        )
+        return flow.engine.register(stage.name, final, materialize=True)
     else:
         raise FlowError(
             f"stream stage '{stage.name}': unknown op {op!r} "
-            "(windowed_agg, dedup, sessionize)"
+            "(windowed_agg, dedup, sessionize, static_join, upsert)"
         )
     mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
     run_stream_to_memory(out, mem, output_mode=mode)

@@ -181,3 +181,60 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def foreachbatch_upsert(
+    stream_df: DataFrame,
+    keys: List[str],
+    version: str,
+    state_base: str,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Maintain a latest-record-per-key state table on disk across
+    micro-batches via foreachBatch merge — the jar-free stand-in for a
+    Delta MERGE sink. Each batch unions the previous state and keeps
+    the top-ranked row per key (version DESC, tiebreak DESC); writes
+    alternate between two directories (write-new-then-swap, the
+    atomic-publish contract). Latest-wins with a total tie-break is
+    merge-order independent, so the final state equals the batch
+    ranking whatever the trigger boundaries.
+
+    Returns the final state as a batch DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ckpt = state_base + "_ckpt"
+    for d in (state_base + "_a", state_base + "_b", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    last_dir: List[str] = []
+    order = [F.desc(version)] + ([F.desc(tiebreak)] if tiebreak else [])
+
+    def merge_batch(batch_df, batch_id: int):
+        prev = state_base + ("_b" if batch_id % 2 else "_a")
+        nxt = state_base + ("_a" if batch_id % 2 else "_b")
+        merged = batch_df
+        if os.path.isdir(prev):
+            merged = batch_df.unionByName(batch_df.sparkSession.read.parquet(prev))
+        w = W.partitionBy(*keys).orderBy(*order)
+        latest = (
+            merged.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        latest.write.mode("overwrite").parquet(nxt)
+        last_dir.append(nxt)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if not last_dir:
+        raise RuntimeError("foreachbatch_upsert: no micro-batch executed")
+    return stream_df.sparkSession.read.parquet(last_dir[-1])

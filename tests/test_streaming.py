@@ -194,3 +194,59 @@ def test_stream_stage_sessionize_op(engine, sf_dir):
     row = flow.run().first()
     assert row["n_sessions"] > 0
     assert row["n_bad"] == 0
+
+
+def test_stream_stage_static_join_op(engine, sf_dir):
+    """`op: static_join` broadcasts a previous batch stage into every
+    micro-batch before the windowed aggregation."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: dims
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  query: SELECT DISTINCT event_type, upper(event_type) AS label FROM dims
+- kind: stream
+  name: enriched
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  op: static_join
+  params: {{ts: ts, window: "15 minutes", right: dims, join_on: [event_type], keys: [label]}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT CAST(SUM(n_events) AS BIGINT) FROM enriched) AS n_streamed,
+           (SELECT COUNT(DISTINCT label) FROM enriched) AS n_labels
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    raw = engine.spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert row.n_streamed == raw  # join against complete dim loses nothing
+    assert row.n_labels == 5
+
+
+def test_stream_stage_upsert_op(engine, sf_dir):
+    """`op: upsert` maintains latest-wins keyed state via foreachBatch
+    and registers the terminal state as the stage relation."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: stream
+  name: latest
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  op: upsert
+  params: {{keys: [user_id, event_type], version: ts, tiebreak: event_id, max_files_per_trigger: 1}}
+- kind: transform
+  name: check
+  query: >
+    SELECT (SELECT COUNT(*) FROM latest) AS n_state,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type FROM latest)) AS n_keys
+"""),
+        engine=engine,
+    )
+    row = flow.run().collect()[0]
+    assert row.n_state == row.n_keys > 0  # exactly one row per key
