@@ -37,6 +37,8 @@ GRADED_FIRST = [
     "q40_filter_clause",
     "q41_lateral_topn",
     "q42_ranking_family",
+    "q43_disjunctive_pushdown",
+    "q44_setops_all",
     "q31_grouping_sets",
     "q32_exists_subquery",
     "q33_scalar_subquery",
@@ -49,6 +51,7 @@ GRADED_FIRST = [
     "ts15_range_window",
     "ts16_period_over_period",
     "ts17_sliding_windows",
+    "ts18_user_features",
     "ts08_rollup_cascade",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
@@ -63,6 +66,7 @@ GRADED_FIRST = [
     "d13_decontam_spans",
     "d14_containment_pairs",
     "d15_graph_centrality",
+    "d16_editdist_verify",
     # similarity / ANN (4)
     "s04_quantization_fidelity",
     "s05_knn_label",
@@ -71,10 +75,6 @@ GRADED_FIRST = [
     "s08_pq_encode",
     "s09_pq_adc_search",
     # text curation (15)
-    "t14_bpe_token_count",
-    "t15_tfidf_topterms",
-    "t16_domain_mixture",
-    "t17_readability",
     "t18_zipf_fit",
     "t19_chunk_dedup",
     # streaming (7)

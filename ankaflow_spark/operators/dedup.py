@@ -1306,3 +1306,38 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(F.count("*").alias("deg")).localCheckpoint()
     deg.createOrReplaceTempView("__d15_deg__")
     return spark.sql(_pagerank_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d16 — edit-distance verification of LSH candidates: the third verify
+# lens beside Jaccard (d03) and containment (d14). Shingle overlap is
+# blind to small in-place edits; levenshtein (built into BOTH engines
+# with identical integer semantics) measures them directly, and running
+# it only over the banded candidates keeps cost |candidates| x O(n*m)
+# instead of corpus^2. The dup verdict compares integers (dist * 5 <=
+# max length ⇔ normalized distance <= 0.2) and the reported ratio is
+# e6-floored — cell-exact everywhere.
+# ---------------------------------------------------------------------------
+def _editdist_sql(spark_dialect: bool) -> str:
+    ctes = SPARK_CAND_CTES if spark_dialect else DUCK_CAND_CTES
+    return f"""
+    WITH {ctes}
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           CAST(floor(CAST(levenshtein(da.text, db.text) AS DOUBLE) * 1000000
+                      / greatest(length(da.text), length(db.text))) AS BIGINT)
+             AS rel_dist_e6,
+           levenshtein(da.text, db.text) * 5
+             <= greatest(length(da.text), length(db.text)) AS is_dup
+    FROM cands c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("d16_editdist_verify", oracle=_editdist_sql(False))
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_editdist_sql(True))

@@ -1510,3 +1510,28 @@ _DISJUNCTIVE_SQL = """
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_DISJUNCTIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q44 — multiset set operations (EXCEPT ALL / INTERSECT ALL): the
+# bag-semantics variants preserve duplicate multiplicity, which the
+# plain forms (q27) collapse. Spark plans them as aggregate+generate
+# (count per row, replicate the surviving multiplicity) — no join
+# explosion. Counted output keeps the compare order-insensitive.
+# ---------------------------------------------------------------------------
+_SETOPS_ALL_SQL = """
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+    ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM ea GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM ia GROUP BY k
+    ORDER BY op, k
+    """
+
+
+@query("q44_setops_all", oracle=_SETOPS_ALL_SQL)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SETOPS_ALL_SQL)

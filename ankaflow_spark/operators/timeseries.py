@@ -883,3 +883,45 @@ def ts17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts18 — per-user behavioral feature vector (the feature-store pattern):
+# one pass over events produces the canonical ML feature table — event-
+# type counts (conditional aggregation, no pivot shuffle), recency
+# bounds, active-day count, total spend and mean inter-event gap. One
+# shuffle on user_id; every feature is an integer count, an exact
+# decimal sum, or a once-divided ratio of exact integers, so the whole
+# vector grades cell-exact. At 100 TB this is the daily feature-build
+# job: map-side combinable, partitioned by the entity key.
+# ---------------------------------------------------------------------------
+def _user_features_sql(spark_dialect: bool) -> str:
+    eus = "unix_micros" if spark_dialect else "epoch_us"
+    day = (
+        "CAST(date_trunc('day', ts) AS TIMESTAMP)"  # identical in both
+    )
+    return f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           COUNT(DISTINCT {day}) AS active_days,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS total_spend,
+           CAST({eus}(MAX(ts)) - {eus}(MIN(ts)) AS DOUBLE)
+             / (COUNT(*) - 1) / 60000000.0 AS avg_gap_minutes
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 1
+    ORDER BY user_id
+    """
+
+
+@query("ts18_user_features", oracle=_user_features_sql(False))
+def ts18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_user_features_sql(True))
