@@ -68,15 +68,15 @@ GRADED_FIRST = [
     "d15_graph_centrality",
     "d16_editdist_verify",
     # similarity / ANN (4)
-    "s04_quantization_fidelity",
     "s05_knn_label",
     "s06_label_cohesion",
     "s07_random_projection",
     "s08_pq_encode",
     "s09_pq_adc_search",
+    "s10_pq_recall_eval",
     # text curation (15)
-    "t18_zipf_fit",
     "t19_chunk_dedup",
+    "t20_leakage_safe_split",
     # streaming (7)
     "st02_stream_dedup",
     "st03_stream_distinct_users",

@@ -842,3 +842,66 @@ def _pq_adc_sql(spark_dialect: bool) -> str:
 def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_pq_adc_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s10 — PQ recall evaluation (the d12 pattern for the PQ path): s09's
+# ADC top-10 per query measured against the EXACT quantized-L2 top-10
+# — the quality gate before trusting 1-byte codes at corpus scale.
+# Both sides are integer arithmetic with (distance, vec_id) tie-breaks;
+# recall is matched-count / k divided once. Cost: the exact side is a
+# |queries| x corpus x dims fold (the expensive truth — run once per
+# codebook build); the ADC side reuses the code table.
+# ---------------------------------------------------------------------------
+def _pq_recall_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        # the ADC chain is materialized once by s10() (Spark inlines
+        # CTEs — the full codebook/dist/codes chain would re-execute
+        # inside this query; 5.5s -> ~2s at sf0.01)
+        adc = "SELECT * FROM __s10_approx__"
+    else:
+        adc = _pq_adc_sql(spark_dialect).replace("ORDER BY query_id, rank", "")
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
+    else:
+        dims = """
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+    qids = ", ".join(str(q) for q in _ADC_QUERIES)
+    return f"""
+    WITH approx AS ({adc}),
+    dims AS ({dims}),
+    qdims AS (SELECT vec_id AS query_id, d, v_e6 FROM dims WHERE vec_id IN ({qids})),
+    exact AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY SUM((q.v_e6 - c.v_e6) * (q.v_e6 - c.v_e6)), c.vec_id
+               ) AS rn
+        FROM qdims q JOIN dims c ON c.d = q.d
+        GROUP BY q.query_id, c.vec_id
+      ) r WHERE rn <= {_ADC_TOPK}
+    )
+    SELECT e.query_id AS query_id,
+           COUNT(a.vec_id) AS n_matched,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {_ADC_TOPK} AS recall_at_{_ADC_TOPK}
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY query_id
+    """
+
+
+@query("s10_pq_recall_eval", oracle=_pq_recall_sql(False))
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    approx = QUERIES["s09_pq_adc_search"](spark, sf_dir).localCheckpoint()
+    approx.createOrReplaceTempView("__s10_approx__")
+    return spark.sql(_pq_recall_sql(True))

@@ -1085,3 +1085,70 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — leakage-safe train/validation split: near-dup documents MUST
+# land in the same split, or validation leaks into training (the
+# classic eval-inflation bug). Assignment therefore hashes the CLUSTER
+# representative (d06's connected components over LSH pairs), not the
+# doc — every member inherits its cluster's split, singletons hash
+# themselves. The 80/20 gate is an md5-prefix integer threshold:
+# deterministic, coordination-free, identical in both engines. The
+# oracle recomputes the closure recursively; the no-cluster-spans-
+# splits invariant is asserted in pytest.
+# ---------------------------------------------------------------------------
+_SPLIT_PCT = 80
+
+
+def _leakage_split_sql() -> str:
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    closure = _DEDUP_ORACLES["d06_dedup_clusters"].replace(
+        "ORDER BY cluster_id, doc_id", ""
+    )
+    return f"""
+    WITH clusters AS ({closure}),
+    assign AS (
+      SELECT d.doc_id AS doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                     % 100 < {_SPLIT_PCT}
+                THEN 'train' ELSE 'val' END AS split
+    FROM assign
+    ORDER BY doc_id
+    """
+
+
+@query("t20_leakage_safe_split")
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .dedup import QUERIES as _DEDUP_QUERIES
+
+    t = load_tables(spark, sf_dir)
+    clusters = _DEDUP_QUERIES["d06_dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    assign = (
+        t["documents"]
+        .select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        assign.withColumn(
+            "split", F.when(bucket < _SPLIT_PCT, "train").otherwise("val")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["t20_leakage_safe_split"] = _leakage_split_sql()
