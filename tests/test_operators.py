@@ -458,3 +458,21 @@ def test_collect_all_graded_order():
     # every registered query resolves; only m02 lacks a strict oracle
     assert set(o) <= set(q)
     assert set(q) - set(o) == {"m02_multimodal_feature_surface"}
+
+
+def test_t20_no_cluster_spans_splits(spark, sf_dir):
+    """Leakage invariant: every near-dup cluster lands wholly in ONE
+    split, and the split sizes are roughly the configured 80/20."""
+    from ankaflow_spark.operators.textops import QUERIES
+
+    out = QUERIES["t20_leakage_safe_split"](spark, sf_dir)
+    spanning = (
+        out.groupBy("cluster_id")
+        .agg({"split": "approx_count_distinct"})
+        .filter("`approx_count_distinct(split)` > 1")
+        .count()
+    )
+    assert spanning == 0
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.6  # 80% target with hash variance
