@@ -39,7 +39,7 @@ GRADED_FIRST = [
     "q42_ranking_family",
     "q43_disjunctive_pushdown",
     "q44_setops_all",
-    "q31_grouping_sets",
+    "q45_nation_pair_volume",
     "q32_exists_subquery",
     "q33_scalar_subquery",
     "q34_not_exists_antijoin",
@@ -52,7 +52,7 @@ GRADED_FIRST = [
     "ts16_period_over_period",
     "ts17_sliding_windows",
     "ts18_user_features",
-    "ts08_rollup_cascade",
+    "ts19_native_session_window",
     "ts09_ohlc",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",

@@ -1535,3 +1535,37 @@ _SETOPS_ALL_SQL = """
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_SETOPS_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q45 — bidirectional nation-pair volume (TPC-H Q7 shape): the join
+# predicate is a DISJUNCTION over attributes of two different broadcast
+# dims ((supp=A and cust=B) or (supp=B and cust=A)) — not pushable to
+# either scan alone, so the optimizer must evaluate it as a post-join
+# residual while still broadcasting both dim arms. Revenue by year and
+# direction stays DECIMAL until the cent-rounded DOUBLE emit.
+# ---------------------------------------------------------------------------
+_NATION_PAIR_SQL = """
+    SELECT supp_nation, cust_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)), 2)
+                AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    CROSS JOIN LATERAL (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation) x
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, o_year
+    ORDER BY supp_nation, cust_nation, o_year
+    """
+
+
+@query("q45_nation_pair_volume", oracle=_NATION_PAIR_SQL)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_NATION_PAIR_SQL)

@@ -925,3 +925,56 @@ def _user_features_sql(spark_dialect: bool) -> str:
 def ts18(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_user_features_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts19 — NATIVE session windows: Spark's session_window(ts, gap)
+# declares gap-based sessionization as a grouping expression — the
+# declarative twin of ts02's lag/cumsum islands (kept as the portable
+# SQL spelling) and st04's stateful streaming sessionizer. One shuffle
+# on (user, session); merge of overlapping windows happens inside the
+# aggregation. The oracle recomputes the same islands with window
+# functions — session bounds are MIN/MAX event times per island, which
+# is exactly what session_window's start/end collapse to for a closed
+# session set.
+# ---------------------------------------------------------------------------
+_SESSION_WINDOW_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+
+
+@query("ts19_native_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def ts19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
