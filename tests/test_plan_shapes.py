@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "t15_tfidf_topterms",  # 1-row corpus-size scalar broadcast into the idf term
     "t16_domain_mixture",  # 1-row total-tokens / normalizer scalars broadcast
     "s07_random_projection",  # 16x64 constant sign-matrix cross join
+    "d15_graph_centrality",  # 1-row node-count scalar cross-joined into every iteration
+    "s10_pq_recall_eval",  # 3-query ADC/truth scalar relations (d12's metrics-row class)
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -38,6 +40,8 @@ SMJ_ALLOWED = {
     "s03_ivf_ann",  # cell-candidates x embeddings re-rank join
     "d12_lsh_recall_eval",  # exact ground-truth shingle self-join: both sides ARE the corpus by design (d03x's documented cost profile)
     "q38_waiting_suppliers",  # late-lineitems semi/anti-joined to lineitem: fact x fact on l_orderkey, SMJ is the right call at scale
+    "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
+    "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
 }
 
 
