@@ -40,8 +40,8 @@ GRADED_FIRST = [
     "q43_disjunctive_pushdown",
     "q44_setops_all",
     "q45_nation_pair_volume",
-    "q32_exists_subquery",
-    "q33_scalar_subquery",
+    "q46_approx_distinct_verdict",
+    "q47_null_aware_not_in",
     "q34_not_exists_antijoin",
     "q35_custdist",
     "q36_large_volume_customer",

@@ -1569,3 +1569,69 @@ _NATION_PAIR_SQL = """
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_NATION_PAIR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q46 — approximate-distinct sketch accuracy: HLL estimates are
+# engine-specific (Spark HLL++ vs DuckDB's sketch), so the ESTIMATE
+# can't be graded — the ACCURACY VERDICT can: each engine compares its
+# own approx_count_distinct against the exact count and must land
+# within 10% (Spark runs at rsd=0.02, 5 sigma inside the band; DuckDB's sketch has no knob but
+# lands well inside the band at these cardinalities). This is
+# also the honest contract for sketches at 100 TB: exact counts for
+# truth, sketches asserted against a tolerance.
+# ---------------------------------------------------------------------------
+def _approx_verdict_sql(spark_dialect: bool) -> str:
+    approx = (
+        "approx_count_distinct(o_custkey, 0.02)"
+        if spark_dialect
+        else "approx_count_distinct(o_custkey)"
+    )
+    return f"""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           abs({approx} - COUNT(DISTINCT o_custkey))
+             <= CAST(0.10 * COUNT(DISTINCT o_custkey) AS BIGINT) AS sketch_within_10pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@query("q46_approx_distinct_verdict", oracle=_approx_verdict_sql(False))
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_approx_verdict_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q47 — null-aware NOT IN: the classic three-valued-logic trap. A NULL
+# in the subquery makes `x NOT IN (...)` UNKNOWN for every row (zero
+# results), while NOT EXISTS keeps its anti-join semantics. Spark plans
+# the former as a null-aware anti join (BroadcastNestedLoopJoin or
+# NAAJ); both engines agree on the standard's semantics, and this query
+# pins them side by side so a regression in either spelling surfaces.
+# ---------------------------------------------------------------------------
+_NULL_NOT_IN_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey NOT IN (
+         SELECT CASE WHEN c.c_acctbal < 0 THEN NULL ELSE c.c_custkey END
+         FROM customer c
+       )) AS n_not_in_with_nulls,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (
+         SELECT 1 FROM customer c
+         WHERE c.c_acctbal >= 0 AND c.c_custkey = o.o_custkey
+       )) AS n_not_exists,
+      (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey NOT IN (
+         SELECT c.c_custkey FROM customer c WHERE c.c_acctbal >= 0
+       )) AS n_not_in_no_nulls
+    """
+
+
+@query("q47_null_aware_not_in", oracle=_NULL_NOT_IN_SQL)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_NULL_NOT_IN_SQL)
