@@ -54,29 +54,92 @@ _DUCK_TO_SPARK = {
 }
 
 
+def _split_struct_fields(body: str) -> List[str]:
+    """Split a STRUCT body on top-level commas (paren/quote aware)."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in body:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def duck_type_to_spark(raw: str) -> T.DataType:
+    """DuckDB type spelling -> Spark type, RECURSIVELY (the reference's
+    duckdb_to_pyarrow_type, reference common/util.py — but its regex is
+    non-recursive; this parser handles the nested LIST(STRUCT(...))[]
+    cases its own TODOs skip). Accepted: the scalar map, DECIMAL(p,s),
+    ``X[]`` / ``LIST(X)`` lists, ``STRUCT("a" T, b T)`` structs,
+    ``MAP(K, V)``, and Spark DDL spellings (ARRAY<...>/STRUCT<...>)."""
+    typ = raw.strip()
+    up = typ.upper()
+    if up.endswith("[]"):
+        return T.ArrayType(duck_type_to_spark(typ[:-2]))
+    if up in _DUCK_TO_SPARK:
+        return _DUCK_TO_SPARK[up]
+    if up in ("DECIMAL", "NUMERIC"):
+        return T.DecimalType(38, 18)  # reference default precision
+    m_dec = re.match(r"^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", up)
+    if m_dec:
+        return T.DecimalType(int(m_dec.group(1)), int(m_dec.group(2)))
+    m_list = re.match(r"^LIST\s*\((.*)\)$", typ, re.IGNORECASE | re.DOTALL)
+    if m_list:
+        return T.ArrayType(duck_type_to_spark(m_list.group(1)))
+    m_map = re.match(r"^MAP\s*\((.*)\)$", typ, re.IGNORECASE | re.DOTALL)
+    if m_map:
+        k, v = _split_struct_fields(m_map.group(1))
+        return T.MapType(duck_type_to_spark(k), duck_type_to_spark(v))
+    m_struct = re.match(r"^STRUCT\s*\((.*)\)$", typ, re.IGNORECASE | re.DOTALL)
+    if m_struct:
+        fields = []
+        for part in _split_struct_fields(m_struct.group(1)):
+            m_f = re.match(r'^(?:"([^"]+)"|(\w+))\s+(.+)$', part.strip(), re.DOTALL)
+            if not m_f:
+                raise ValueError(f"unparseable STRUCT field: {part!r}")
+            fname = m_f.group(1) or m_f.group(2)
+            fields.append(T.StructField(fname, duck_type_to_spark(m_f.group(3)), True))
+        return T.StructType(fields)
+    try:
+        # Spark DDL spellings (ARRAY<...>, STRUCT<...>, MAP<...>)
+        return T.DataType.fromDDL(typ)
+    except Exception:
+        raise ValueError(f"unsupported field type: {raw!r}") from None
+
+
 def fields_to_schema(fields: Optional[List[Dict[str, str]]]) -> Optional[T.StructType]:
     """Explicit ``fields`` -> Spark schema (type names per SURVEY.md §1.2;
-    DECIMAL(p,s) and nested ARRAY/STRUCT accepted via DDL parse)."""
+    DuckDB spellings incl. LIST()/[]/STRUCT()/MAP() parse recursively)."""
     if not fields:
         return None
     cols = []
     for f in fields:
         name = f["name"] if isinstance(f, dict) else f.name
         raw = (f["type"] if isinstance(f, dict) else f.type).strip()
-        typ = raw.upper()
-        m_dec = re.match(r"^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", typ)
-        if typ in _DUCK_TO_SPARK:
-            spark_t: T.DataType = _DUCK_TO_SPARK[typ]
-        elif typ in ("DECIMAL", "NUMERIC"):
-            spark_t = T.DecimalType(38, 18)  # reference default precision
-        elif m_dec:
-            spark_t = T.DecimalType(int(m_dec.group(1)), int(m_dec.group(2)))
-        else:
-            try:
-                # nested ARRAY<...> / STRUCT<...>; needs an active session
-                spark_t = T.DataType.fromDDL(raw)
-            except Exception:
-                spark_t = T.StringType()
+        try:
+            spark_t = duck_type_to_spark(raw)
+        except ValueError:
+            # reference behavior: unknown scalar types fall back to text
+            # only when nothing structured was declared
+            if any(ch in raw for ch in "([<"):
+                raise
+            spark_t = T.StringType()
         cols.append(T.StructField(name, spark_t, True))
     return T.StructType(cols)
 

@@ -369,3 +369,83 @@ def test_parquet_us_ntz_timestamp_reads_as_timestamp(engine, tmp_path):
     # UTC-pinned session: 2024-01-01T12:00:00Z == 1704110400000000 us
     assert rows[1] == (1704110400000000, 1704110400000000)
     assert rows[2] == (1717201815000000, 1717201815000000)
+
+
+class TestDuckTypeToSpark:
+    """Mirrors reference tests/test_common_util.py (duckdb_to_pyarrow_type)
+    including the nested cases the reference's non-recursive regex skips."""
+
+    def test_simple_types(self):
+        from pyspark.sql import types as T
+
+        from ankaflow_spark.sources.file import duck_type_to_spark as d2s
+
+        assert d2s("VARCHAR") == T.StringType()
+        assert d2s("INTEGER") == T.IntegerType()
+        assert d2s("BIGINT") == T.LongType()
+        assert d2s("DOUBLE") == T.DoubleType()
+        assert d2s("BOOLEAN") == T.BooleanType()
+        assert d2s("DATE") == T.DateType()
+        assert d2s("TIMESTAMP") == T.TimestampType()
+        assert d2s("JSON") == T.StringType()
+        assert d2s("UUID") == T.StringType()
+        assert d2s("DECIMAL") == T.DecimalType(38, 18)
+
+    def test_list_types_both_notations(self):
+        from pyspark.sql import types as T
+
+        from ankaflow_spark.sources.file import duck_type_to_spark as d2s
+
+        assert d2s("LIST(INTEGER)") == T.ArrayType(T.IntegerType())
+        assert d2s("VARCHAR[]") == T.ArrayType(T.StringType())
+        # nested — the reference's own TODO cases
+        assert d2s("LIST(LIST(INTEGER))") == T.ArrayType(T.ArrayType(T.IntegerType()))
+        assert d2s("LIST(INTEGER)[]") == T.ArrayType(T.ArrayType(T.IntegerType()))
+
+    def test_struct_types(self):
+        from pyspark.sql import types as T
+
+        from ankaflow_spark.sources.file import duck_type_to_spark as d2s
+
+        expected = T.StructType(
+            [
+                T.StructField("field1", T.IntegerType(), True),
+                T.StructField("field2", T.StringType(), True),
+            ]
+        )
+        assert d2s('STRUCT("field1" INTEGER, "field2" VARCHAR)') == expected
+        assert d2s('STRUCT("field1" INTEGER, "field2" VARCHAR)[]') == T.ArrayType(expected)
+        # nested list-of-struct (reference TODO)
+        assert d2s('LIST(STRUCT("field1" INTEGER, "field2" VARCHAR))') == T.ArrayType(expected)
+
+    def test_map_and_decimal(self):
+        from pyspark.sql import types as T
+
+        from ankaflow_spark.sources.file import duck_type_to_spark as d2s
+
+        assert d2s("MAP(VARCHAR, BIGINT)") == T.MapType(T.StringType(), T.LongType())
+        assert d2s("DECIMAL(12, 4)") == T.DecimalType(12, 4)
+
+    def test_unsupported_structured_type_raises(self):
+        import pytest
+
+        from ankaflow_spark.sources.file import duck_type_to_spark as d2s
+
+        with pytest.raises(ValueError):
+            d2s("UNION(a INTEGER)")
+
+    def test_fields_to_schema_uses_parser(self):
+        from pyspark.sql import types as T
+
+        from ankaflow_spark.sources.file import fields_to_schema
+
+        schema = fields_to_schema(
+            [
+                {"name": "tags", "type": "VARCHAR[]"},
+                {"name": "meta", "type": 'STRUCT("k" VARCHAR, "v" BIGINT)'},
+                {"name": "weird", "type": "SOMETHING"},
+            ]
+        )
+        assert schema["tags"].dataType == T.ArrayType(T.StringType())
+        assert isinstance(schema["meta"].dataType, T.StructType)
+        assert schema["weird"].dataType == T.StringType()  # scalar fallback
