@@ -978,3 +978,55 @@ def ts19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "total_value")
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts20 — behavioral trajectory similarity (the distributed top-k
+# trajectory-search shape, cf. REPOSE ICDE'21 in PAPERS.md): each user's
+# journey is the ordered string of event-type initials; a small query
+# cohort (user_id < 3) ranks all other users by edit distance between
+# journeys. Work = |queries| x |users| levenshtein calls — never
+# all-pairs — and the journey table builds in one pass with an
+# order-deterministic position-sorted fold. levenshtein is built into
+# both engines with identical integer semantics, and ties break on
+# user_id, so the ranking grades cell-exact.
+# ---------------------------------------------------------------------------
+_TRAJ_QUERIES = 3
+_TRAJ_TOPK = 5
+
+
+def _trajectory_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        journey = """
+      SELECT user_id,
+             concat_ws('', transform(
+               array_sort(collect_list(struct(ts, event_id, substring(event_type, 1, 1) AS c))),
+               s -> s.c)) AS journey
+      FROM events GROUP BY user_id
+        """
+    else:
+        journey = """
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+        """
+    return f"""
+    WITH j AS ({journey})
+    SELECT query_user, user_id AS similar_user, edit_dist, rn AS rank FROM (
+      SELECT q.user_id AS query_user, c.user_id,
+             levenshtein(q.journey, c.journey) AS edit_dist,
+             row_number() OVER (
+               PARTITION BY q.user_id
+               ORDER BY levenshtein(q.journey, c.journey), c.user_id
+             ) AS rn
+      FROM j q JOIN j c ON c.user_id <> q.user_id
+      WHERE q.user_id < {_TRAJ_QUERIES}
+    ) r WHERE rn <= {_TRAJ_TOPK}
+    ORDER BY query_user, rank
+    """
+
+
+@query("ts20_trajectory_similarity", oracle=_trajectory_sql(False))
+def ts20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_trajectory_sql(True))
