@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "s07_random_projection",  # 16x64 constant sign-matrix cross join
     "d15_graph_centrality",  # 1-row node-count scalar cross-joined into every iteration
     "s10_pq_recall_eval",  # 3-query ADC/truth scalar relations (d12's metrics-row class)
+    "ts20_trajectory_similarity",  # 3-user query cohort broadcast against the journey table (s01's class)
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
