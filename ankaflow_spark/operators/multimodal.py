@@ -159,3 +159,45 @@ def patch_grid(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=PATCH_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
+    """Image resize plumbing (decode -> resample -> re-encode in a real
+    deployment; the codec stub here deterministically subsamples the
+    payload bytes to the target pixel budget so the Spark-side contract
+    — binary in/binary out through Arrow, bounded batch memory, typed
+    dims metadata — is real and testable). Swapping `_fake_resize` for
+    PIL's `Image.resize` changes one function."""
+
+    def _fake_resize(b: bytes) -> bytes:
+        if not b:
+            return b
+        budget = max(1, out_w * out_h // 8)
+        step = max(1, len(b) // budget)
+        return b[::step][:budget]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"].map(lambda b: _fake_resize(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload": payloads,
+                    "n_bytes": payloads.map(len),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZE_SCHEMA)

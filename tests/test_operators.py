@@ -476,3 +476,19 @@ def test_t20_no_cluster_spans_splits(spark, sf_dir):
     counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
     total = sum(counts.values())
     assert counts["train"] / total > 0.6  # 80% target with hash variance
+
+
+def test_resize_images_contract(spark):
+    """Resize plumbing: deterministic byte-budget output with typed dims
+    metadata; re-running yields identical bytes (Arrow round-trip safe)."""
+    from ankaflow_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 30)
+    out1 = resize_images(media, out_w=32, out_h=24).orderBy("media_id").collect()
+    out2 = resize_images(media, out_w=32, out_h=24).orderBy("media_id").collect()
+    assert len(out1) == 10  # 30 media, every 3rd is an image
+    budget = 32 * 24 // 8
+    for r1, r2 in zip(out1, out2):
+        assert r1.out_w == 32 and r1.out_h == 24
+        assert 0 < r1.n_bytes <= budget
+        assert bytes(r1.payload) == bytes(r2.payload)
