@@ -53,7 +53,7 @@ GRADED_FIRST = [
     "ts17_sliding_windows",
     "ts18_user_features",
     "ts19_native_session_window",
-    "ts09_ohlc",
+    "ts20_trajectory_similarity",
     "ts10_anomaly_zscore",
     "ts11_ewma_smoothing",
     "ts12_dow_hour_profile",
