@@ -32,6 +32,13 @@ GRADED_FIRST = [
     # (d02/d06/d07/d09, m01, q06/q20/q30, s03) are all hash-green in
     # driver artifacts CORRECTNESS_r01-r03 AND re-checked every round in
     # CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
+    # round-6 additions: never driver-graded, so they lead the window
+    "q48_min_cost_supplier",
+    "q49_important_value_share",
+    "q50_top_revenue_supplier",
+    "q51_untapped_segments",
+    "q52_heavy_hitters",
+    "q53_approx_quantile_verdict",
     # relational / dialect core (9)
     "q39_recursive_rollup",
     "q40_filter_clause",

@@ -1635,3 +1635,301 @@ _NULL_NOT_IN_SQL = """
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_NULL_NOT_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q48 — TPC-H Q2 shape: minimum-cost supplier per part. The testdata has
+# no partsupp table, so the supply catalog derives from lineitem
+# (observed unit price per (part, supplier) — MIN over IEEE doubles is
+# order-independent and engine-identical). The classic correlated
+# `cost = (SELECT MIN(..) .. WHERE partkey = p_partkey)` decorrelates to
+# a PARTITION BY partkey window MIN — one pass, one shuffle on partkey,
+# no re-scan of the catalog (reference parity: arbitrary transform SQL,
+# reference core/flow.py:267).
+# ---------------------------------------------------------------------------
+_MIN_COST_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT ps.partkey, ps.suppkey, ps.supplycost,
+             MIN(ps.supplycost) OVER (PARTITION BY ps.partkey) AS min_cost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, p.p_type, p.p_size,
+           s.s_suppkey, s.s_name, e.supplycost
+    FROM eligible e
+    JOIN part p     ON p.p_partkey = e.partkey
+    JOIN supplier s ON s.s_suppkey = e.suppkey
+    WHERE e.supplycost = e.min_cost
+      AND p.p_size BETWEEN 10 AND 30 AND p.p_type = 'STANDARD'
+    ORDER BY p.p_partkey, s.s_suppkey
+    """
+
+
+@query("q48_min_cost_supplier", oracle=_MIN_COST_SQL)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_MIN_COST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q49 — TPC-H Q11 shape: "important stock" — per-part supply value from a
+# nation cohort, kept where the part's share exceeds a fraction of the
+# cohort total. Sums are exact DECIMAL (associative — engine-identical at
+# any parallelism); the global total comes from an empty-frame window
+# over the ALREADY AGGREGATED per-part relation (|parts| rows, not
+# |lineitem|), so the single-partition window input is the small side.
+# ---------------------------------------------------------------------------
+_IMPORTANT_VALUE_SQL = """
+    WITH sv AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * CAST(l.l_quantity AS DECIMAL(14,2))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      GROUP BY l.l_partkey
+    ),
+    shared AS (
+      SELECT partkey, val, SUM(val) OVER () AS total FROM sv
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM shared
+    WHERE val > total * 0.001
+    ORDER BY partkey
+    """
+
+
+@query("q49_important_value_share", oracle=_IMPORTANT_VALUE_SQL)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_IMPORTANT_VALUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q50 — TPC-H Q15 shape: top-revenue supplier(s). The reference view +
+# scalar MAX + join-back triple-scans; here the MAX is an empty-frame
+# window over the per-supplier aggregate (|suppliers| rows) and the
+# join-back is an equality filter on exact DECIMAL revenue — one
+# lineitem scan total, ties kept (the Q15 contract).
+# ---------------------------------------------------------------------------
+_TOP_REVENUE_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    best AS (
+      SELECT suppkey, total_rev, MAX(total_rev) OVER () AS max_rev FROM rev
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(b.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM best b JOIN supplier s ON s.s_suppkey = b.suppkey
+    WHERE b.total_rev = b.max_rev
+    ORDER BY s.s_suppkey
+    """
+
+
+@query("q50_top_revenue_supplier", oracle=_TOP_REVENUE_SQL)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_TOP_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q51 — TPC-H Q22 shape: untapped segments — customers in selected
+# "codes" (nationkey band; the testdata has no phone column) with
+# above-average balance and no RECENT orders (every testdata customer
+# has some order, so the dormancy cutoff keeps the anti join
+# non-trivial). The average is a one-row scalar
+# (broadcast by AQE), the no-orders test is a NOT EXISTS anti join, and
+# the threshold divides an exact DECIMAL sum as the last step (BIGINT-
+# scaled value < 2^53 -> the double quotient is engine-identical).
+# ---------------------------------------------------------------------------
+_UNTAPPED_SQL = """
+    WITH sel AS (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INT) AS code
+      FROM customer
+      WHERE CAST(c_nationkey % 5 AS INT) IN (0, 1, 3)
+    ),
+    thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM sel WHERE c_acctbal > 0.0
+    ),
+    hot AS (
+      SELECT sel.code, sel.c_acctbal
+      FROM sel CROSS JOIN thr
+      WHERE sel.c_acctbal > thr.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = sel.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    )
+    SELECT code, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+    FROM hot GROUP BY code ORDER BY code
+    """
+
+
+@query("q51_untapped_segments", oracle=_UNTAPPED_SQL)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_UNTAPPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q52 — distributed heavy hitters, two-pass candidates + exact recount.
+# The streaming-systems classic (SpaceSaving / Misra-Gries) re-expressed
+# for a shared-nothing engine: pass 1 keeps each shard's local top-M
+# keys (a key missed everywhere has global count <= sum of the shards'
+# M-th counts — pigeonhole over shards), pass 2 recounts ONLY the
+# candidate union exactly (broadcast semi join: no second full shuffle
+# of the fact table). The result carries a PROVABLY-EXACT verdict: the
+# K-th candidate count must exceed the theoretical miss bound. Sharding
+# is by a deterministic column (event_id % SHARDS), so the DuckDB oracle
+# reproduces the whole algorithm including the bound.
+# At 100 TB: pass 1 is one map-side-combinable shuffle on (shard, key);
+# the per-shard window sorts |keys-per-shard| not |events|; pass 2 joins
+# against a <= SHARDS*M-row broadcast set.
+# ---------------------------------------------------------------------------
+_HH_SHARDS, _HH_M, _HH_K = 32, 20, 10
+
+
+def _heavy_hitters_sql() -> str:
+    return f"""
+    WITH shard_counts AS (
+      SELECT CAST(event_id % {_HH_SHARDS} AS INT) AS shard, user_id, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT shard, user_id, c,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, user_id) AS rn
+      FROM shard_counts
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= {_HH_M}),
+    bound AS (
+      SELECT COALESCE(SUM(CASE WHEN rn = {_HH_M} THEN c END), 0) AS miss_bound FROM kept
+    ),
+    cand AS (SELECT DISTINCT user_id FROM kept),
+    exact AS (
+      SELECT e.user_id, COUNT(*) AS n_events
+      FROM events e JOIN cand ON cand.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    topk AS (
+      SELECT user_id, n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rk
+      FROM exact
+    ),
+    fin AS (
+      SELECT rk, user_id, n_events, MIN(n_events) OVER () AS kth_n
+      FROM topk WHERE rk <= {_HH_K}
+    )
+    SELECT rk, user_id, n_events, kth_n > miss_bound AS provably_exact
+    FROM fin CROSS JOIN bound
+    ORDER BY rk
+    """
+
+
+@query("q52_heavy_hitters", oracle=_heavy_hitters_sql())
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    shard_counts = (
+        e.groupBy(
+            (F.col("event_id") % _HH_SHARDS).cast("int").alias("shard"), "user_id"
+        ).agg(F.count("*").alias("c"))
+    )
+    win = W.partitionBy("shard").orderBy(F.col("c").desc(), F.col("user_id"))
+    # the candidate summary is <= SHARDS*M rows; materialize it once so
+    # cand/bound don't each re-run the shard aggregation (Spark inlines
+    # CTE consumers — PERF.md r4 findings)
+    kept = (
+        shard_counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _HH_M)
+        .localCheckpoint(eager=True)
+    )
+    bound = kept.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == _HH_M, F.col("c"))), F.lit(0)
+        ).alias("miss_bound")
+    )
+    cand = kept.select("user_id").distinct()
+    exact = (
+        e.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    topk = exact.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n_events").desc(), F.col("user_id")))
+    ).filter(F.col("rk") <= _HH_K)
+    fin = topk.withColumn("kth_n", F.min("n_events").over(W.partitionBy()))
+    return (
+        fin.crossJoin(F.broadcast(bound))
+        .select(
+            "rk",
+            "user_id",
+            "n_events",
+            (F.col("kth_n") > F.col("miss_bound")).alias("provably_exact"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — approximate-quantile accuracy verdict (q46's sketch contract,
+# extended to quantiles): the ESTIMATES are engine-specific (Spark GK
+# summaries vs DuckDB t-digest) so each engine asserts its own sketch
+# against the EXACT rank band [p45, p55] — exact values come from a
+# row_number over a unique total order. The graded output is the exact
+# lower median (cell-exact) plus the verdict. Truth-side note (same as
+# d12/s10): the exact ranking is the evaluation harness — the thing you
+# run once to qualify the sketch you then use at 100 TB.
+# ---------------------------------------------------------------------------
+def _approx_quantile_sql(spark_dialect: bool) -> str:
+    approx = (
+        "approx_percentile(l_extendedprice, 0.5, 10000)"
+        if spark_dialect
+        else "approx_quantile(l_extendedprice, 0.5)"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    exactvals AS (
+      SELECT flag,
+             MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN v END) AS exact_median,
+             MAX(CASE WHEN rn = CAST(ceil(0.45 * n) AS BIGINT) THEN v END) AS p45,
+             MAX(CASE WHEN rn = CAST(ceil(0.55 * n) AS BIGINT) THEN v END) AS p55
+      FROM ranked GROUP BY flag
+    ),
+    approx AS (
+      SELECT l_returnflag AS flag, {approx} AS est FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.flag AS l_returnflag, e.exact_median,
+           (a.est BETWEEN e.p45 AND e.p55) AS sketch_within_rank_band
+    FROM exactvals e JOIN approx a ON a.flag = e.flag
+    ORDER BY l_returnflag
+    """
+
+
+@query("q53_approx_quantile_verdict", oracle=_approx_quantile_sql(False))
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_approx_quantile_sql(True))

@@ -492,3 +492,97 @@ def test_resize_images_contract(spark):
         assert r1.out_w == 32 and r1.out_h == 24
         assert 0 < r1.n_bytes <= budget
         assert bytes(r1.payload) == bytes(r2.payload)
+
+
+def test_q52_heavy_hitters_matches_naive_topk(spark, sf_dir):
+    """Candidate-based two-pass top-k must equal the naive global top-k
+    (the provable-exactness verdict may be False at uniform tiny SF —
+    the bound is loose without real skew — but the recounted counts are
+    exact either way, and at this scale candidates cover every key)."""
+    from ankaflow_spark.operators.relational import QUERIES, _HH_K
+    from ankaflow_spark.operators.tables import load_tables
+
+    got = QUERIES["q52_heavy_hitters"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    naive = (
+        t["events"]
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(_HH_K)
+        .collect()
+    )
+    assert [(r["user_id"], r["n_events"]) for r in got] == [
+        (r["user_id"], r["count"]) for r in naive
+    ]
+    assert all(isinstance(r["provably_exact"], bool) for r in got)
+
+
+def test_q52_verdict_true_under_skew(spark):
+    """With one dominant key the miss bound drops far below the top
+    counts and the exactness verdict must flip TRUE. Exercises the bound
+    algebra on a constructed table via the same SQL the query grades."""
+    from ankaflow_spark.operators.relational import _heavy_hitters_sql
+
+    rows = [(i, 999 if i % 2 == 0 else i % 40) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id"])
+    df.createOrReplaceTempView("events")
+    try:
+        out = spark.sql(_heavy_hitters_sql()).collect()
+        assert out[0]["user_id"] == 999 and out[0]["n_events"] == 2000
+        assert out[0]["provably_exact"] is True
+    finally:
+        spark.catalog.dropTempView("events")
+
+
+def test_q50_top_revenue_is_true_max(spark, sf_dir):
+    from ankaflow_spark.operators.relational import QUERIES
+    from ankaflow_spark.operators.tables import load_tables
+
+    got = QUERIES["q50_top_revenue_supplier"](spark, sf_dir).collect()
+    assert len(got) >= 1
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+            ).alias("r")
+        )
+    )
+    best = rev.orderBy(F.col("r").desc()).first()
+    assert got[0]["s_suppkey"] == best["l_suppkey"]
+    assert abs(got[0]["total_revenue"] - float(best["r"])) < 0.01
+
+
+def test_q48_min_cost_rows_are_minimal(spark, sf_dir):
+    """Every emitted (part, supplier) must carry the true minimum
+    observed unit cost among EUROPE-region suppliers of that part."""
+    from ankaflow_spark.operators.relational import QUERIES
+    from ankaflow_spark.operators.tables import load_tables
+
+    got = QUERIES["q48_min_cost_supplier"](spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy("l_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+    )
+    bad = (
+        got.join(ps, got["p_partkey"] == ps["l_partkey"])
+        .filter(F.col("supplycost") != F.col("min_cost"))
+        .count()
+    )
+    assert bad == 0
