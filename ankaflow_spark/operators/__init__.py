@@ -39,6 +39,12 @@ GRADED_FIRST = [
     "q51_untapped_segments",
     "q52_heavy_hitters",
     "q53_approx_quantile_verdict",
+    "t21_quality_classifier",
+    "t22_chunk_dedup_rewrite",
+    "s11_kmeans_lloyd",
+    "ts21_growth_accounting",
+    "st10_dedup_within_watermark",
+    "m05_audio_frame_energy",
     # relational / dialect core (9)
     "q39_recursive_rollup",
     "q40_filter_clause",

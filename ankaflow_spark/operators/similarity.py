@@ -905,3 +905,100 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = QUERIES["s09_pq_adc_search"](spark, sf_dir).localCheckpoint()
     approx.createOrReplaceTempView("__s10_approx__")
     return spark.sql(_pq_recall_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s11 — k-means (two unrolled Lloyd rounds), the distributed-ML classic
+# every training-data pipeline ends up running for corpus clustering /
+# IVF codebook training. Spark-first shape: one long-form explode of
+# the corpus (materialized ONCE — both assignment rounds and the
+# centroid update consume it), assignment = dims x centroids broadcast
+# join + argmin window, update = one groupBy(cluster, dim). Arithmetic
+# is the s06 integer discipline: components quantize to e6 BIGINTs so
+# distances are exact integers and the centroid mean (floor of an
+# exact-int quotient over doubles < 2^53) is bit-identical in both
+# engines — Lloyd iterations stay cell-exact cross-engine, no float
+# tolerance anywhere. Ties (equal distance) break to the lower cluster
+# id. ROUNDS is fixed and mirrored in the oracle; production would loop
+# to movement-below-epsilon with the same per-round materialization
+# (d06/d15 pattern: persist per round, real stats, no lineage blowup).
+# ---------------------------------------------------------------------------
+_KM_K = 8
+
+
+def _kmeans_sql() -> str:
+    """DuckDB oracle: the same two unrolled rounds over the long form."""
+    assign = """
+      SELECT vec_id, c, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      FROM (
+        SELECT dims.vec_id, {cent}.c, SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)) AS dist
+        FROM dims JOIN {cent} ON {cent}.d = dims.d
+        GROUP BY dims.vec_id, {cent}.c
+      ) x
+    """
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+    ),
+    c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
+    a1 AS ({assign.format(cent="c0")}),
+    m1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT m1.c, dims.d,
+             CAST(floor(CAST(SUM(dims.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims JOIN m1 ON m1.vec_id = dims.vec_id
+      GROUP BY m1.c, dims.d
+    ),
+    a2 AS ({assign.format(cent="c1")})
+    SELECT vec_id, c AS cluster, dist AS dist_q2
+    FROM a2 WHERE rk = 1
+    ORDER BY vec_id
+    """
+
+
+@query("s11_kmeans_lloyd", oracle=_kmeans_sql())
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("d", "pv"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("pv").cast("double") * 1000000).cast("bigint").alias("q"),
+        )
+        .localCheckpoint(eager=True)  # consumed 4x below; materialize once
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = (
+            dims.join(F.broadcast(cents.withColumnRenamed("q", "cq")), "d")
+            .groupBy("vec_id", "c")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        rk = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "c"))
+        return scored.withColumn("rk", rk).filter(F.col("rk") == 1)
+
+    c0 = dims.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), "d", "q"
+    )
+    m1 = assign(c0).select("vec_id", "c")
+    c1 = (
+        dims.join(m1, "vec_id")
+        .groupBy("c", "d")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*")).cast("bigint").alias("q")
+        )
+        .localCheckpoint(eager=True)  # k x DIM rows; feeds the round-2 broadcast
+    )
+    return (
+        assign(c1)
+        .select("vec_id", F.col("c").alias("cluster"), F.col("dist").alias("dist_q2"))
+        .orderBy("vec_id")
+    )

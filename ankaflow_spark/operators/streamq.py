@@ -608,3 +608,84 @@ ORACLES["m04_patch_grid"] = """
     FROM imgs CROSS JOIN p
     ORDER BY media_id, patch_no
 """
+
+
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy contract, ORACLE-CHECKED cell-exact: the
+    mapInPandas PCM kernel (overlapping 32-byte windows, hop 16,
+    integer energy/peak + e3-quantized RMS) must equal the oracle's
+    hex-domain reconstruction of the same bytes — per-sample arithmetic
+    over real binary payloads across the Arrow hop."""
+    from .multimodal import audio_frame_energy, synth_media
+
+    media = synth_media(spark, 120)
+    return audio_frame_energy(media).orderBy("media_id", "frame_no")
+
+
+QUERIES["m05_audio_frame_energy"] = m05
+# payload(i) = md5(str(i)) digest repeated (4 + i%5) times; audio is
+# i % 3 == 1. Hex domain: byte j = 2 hex chars at position 2j+1;
+# strpos against the hex alphabet converts a nibble without unhex
+# (DuckDB blobs can't do per-byte integer reads directly).
+ORACLES["m05_audio_frame_energy"] = """
+    WITH aud AS (
+      SELECT i AS media_id,
+             repeat(md5(CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS hp
+      FROM range(120) t(i) WHERE i % 3 = 1
+    ),
+    fr AS (
+      SELECT media_id, hp,
+             unnest(range(0, CAST((length(hp) // 2 - 32) // 16 + 1 AS BIGINT))) AS frame_no
+      FROM aud
+    ),
+    samp AS (
+      SELECT media_id, frame_no,
+             (strpos('0123456789abcdef',
+                     substring(hp, CAST((frame_no * 16 + j) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hp, CAST((frame_no * 16 + j) * 2 + 2 AS BIGINT), 1)) - 1)
+               - 128 AS s
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 32)) AS j) w
+    )
+    SELECT media_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           CAST(floor(sqrt(CAST(SUM(s * s) AS DOUBLE) / 32.0) * 1000) AS BIGINT) AS rms_e3
+    FROM samp GROUP BY media_id, frame_no
+    ORDER BY media_id, frame_no
+"""
+
+
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the production dedup operator
+    for at-least-once ingest (Spark 3.5+): unlike plain dropDuplicates,
+    its per-key state EXPIRES once the watermark passes the key's first
+    arrival + horizon, so state is bounded at 100 TB/day instead of
+    growing forever. Graded like st02: with the horizon set beyond the
+    staged data's time span no key can re-emit, so the surviving key
+    SET equals batch DISTINCT exactly — a real watermark-TTL'd state
+    execution with a full value oracle."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    deduped = (
+        stream.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name = "st10_out"
+    run_stream_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+QUERIES["st10_dedup_within_watermark"] = st10
+ORACLES["st10_dedup_within_watermark"] = """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+"""

@@ -1152,3 +1152,120 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["t20_leakage_safe_split"] = _leakage_split_sql()
+
+
+# ---------------------------------------------------------------------------
+# t21 — hashed-feature linear quality classifier (the fastText-style
+# keep/drop filter every web-scale curation pipeline runs; CCNet/DCLM
+# pattern). The hashing trick makes it dictionary-free: token -> md5 ->
+# bucket in [0, 4096), weight = fixed affine map of the bucket — so
+# inference is ONE explode + ONE groupBy per corpus, no vocabulary
+# broadcast, no model join, and adding features never reshuffles a
+# lookup table. Real deployments load trained weights; the affine map
+# stands in deterministically (both engines reproduce it bit-for-bit),
+# and the logit is floor-quantized to e6 so ranking and gating are
+# integer-exact cross-engine (t15/t16 discipline).
+# ---------------------------------------------------------------------------
+_T21_BUCKETS, _T21_BIAS = 4096, 37
+
+
+def _quality_classifier_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        toks = "SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents"
+        bucket = f"CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % {_T21_BUCKETS}"
+    else:
+        toks = "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents"
+        bucket = f"CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % {_T21_BUCKETS}"
+    return f"""
+    WITH toks AS ({toks}),
+    feats AS (
+      SELECT doc_id, {bucket} AS bucket FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(bucket % 1001 - 500) AS score_sum
+      FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_sum,
+           CAST(floor((score_sum + {_T21_BIAS} * n_tokens) * 1000000.0 / n_tokens)
+                AS BIGINT) AS logit_e6,
+           (score_sum + {_T21_BIAS} * n_tokens) > 0 AS keep
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("t21_quality_classifier", oracle=_quality_classifier_sql(False))
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_quality_classifier_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t22 — corpus-wide chunk dedup WITH document reconstruction (CCNet's
+# actual output): where t19 only grades each doc's duplicate fraction,
+# t22 rewrites the corpus — every 5-word chunk keeps exactly its FIRST
+# occurrence (min (doc_id, position) over the whole corpus — a
+# row_number over the chunk-hash partition), and each document is
+# reassembled from its surviving chunks in position order. Graded
+# output carries the md5 of the rebuilt text (compact, cell-exact) plus
+# kept/removed counts; trailing words beyond the last full chunk drop
+# deterministically in both engines. At 100 TB: one explode, one
+# window by chunk hash (high-cardinality key — AQE-splittable), one
+# per-doc regroup bounded by doc size; no pairwise state anywhere.
+# ---------------------------------------------------------------------------
+def _chunk_rewrite_sql(spark_dialect: bool) -> str:
+    W_ = _CHUNK_W
+    if spark_dialect:
+        inst = f"""
+      SELECT doc_id, i AS pos,
+             array_join(slice(ws, i * {W_} + 1, {W_}), ' ') AS chunk
+      FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
+      LATERAL VIEW explode(sequence(0, CAST(floor(size(ws) / {W_}) AS INT) - 1)) s AS i
+      WHERE size(ws) >= {W_}
+        """
+        agg = """
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(concat_ws(' ',
+                 transform(array_sort(collect_list(struct(pos, chunk))),
+                           s -> s.chunk))) AS clean_md5
+      FROM kept GROUP BY doc_id
+        """
+    else:
+        inst = f"""
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ws, i * {W_} + 1, i * {W_} + {W_}), ' ') AS chunk
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) w
+      CROSS JOIN (SELECT unnest(range(0, 2000)) AS i) g
+      WHERE i * {W_} + {W_} <= len(ws)
+        """
+        agg = """
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id
+        """
+    return f"""
+    WITH inst AS ({inst}),
+    owner AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rk
+      FROM inst
+    ),
+    kept AS (SELECT doc_id, pos, chunk FROM owner WHERE rk = 1),
+    rebuilt AS ({agg}),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM inst GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           COALESCE(t.n_chunks, 0) AS n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(t.n_chunks, 0) - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.clean_md5, md5('')) AS clean_md5
+    FROM documents d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("t22_chunk_dedup_rewrite", oracle=_chunk_rewrite_sql(False))
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_chunk_rewrite_sql(True))

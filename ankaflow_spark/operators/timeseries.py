@@ -1030,3 +1030,97 @@ def _trajectory_sql(spark_dialect: bool) -> str:
 def ts20(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_trajectory_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts21 — weekly growth accounting (the product-analytics standard:
+# every active user classifies each week as NEW / RETAINED /
+# RESURRECTED, and CHURNED(w) = active(w-1) - retained(w)). One
+# distinct (user, week) pass, per-user LAG for the previous active
+# week, one weekly rollup, then a tiny weekly self-join for churn
+# (materialized once Spark-side — |weeks| rows, so the join is
+# broadcast and the events table is scanned exactly once). All counts
+# are integers — cell-exact cross-engine by construction.
+# ---------------------------------------------------------------------------
+_GROWTH_WEEKLY_SQL = """
+    WITH au AS (
+      -- CAST: DuckDB's date_trunc('week') yields DATE; Spark yields TIMESTAMP
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+    ),
+    lagd AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM au
+    ),
+    cls AS (
+      SELECT wk, user_id,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM lagd
+    ),
+    weekly AS (
+      SELECT wk, COUNT(*) AS n_active,
+             COUNT(CASE WHEN status = 'new' THEN 1 END) AS n_new,
+             COUNT(CASE WHEN status = 'retained' THEN 1 END) AS n_retained,
+             COUNT(CASE WHEN status = 'resurrected' THEN 1 END) AS n_resurrected
+      FROM cls GROUP BY wk
+    )
+    SELECT w.wk AS week_start, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+           COALESCE(p.n_active, 0) - w.n_retained AS n_churned
+    FROM weekly w LEFT JOIN weekly p ON p.wk = w.wk - INTERVAL 7 DAY
+    ORDER BY week_start
+    """
+
+
+@query("ts21_growth_accounting", oracle=_GROWTH_WEEKLY_SQL)
+def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    au = t["events"].select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    lagd = au.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(W.partitionBy("user_id")).alias("first_wk"),
+        F.lag("wk").over(W.partitionBy("user_id").orderBy("wk")).alias("prev_wk"),
+    )
+    status = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAY"), "retained")
+        .otherwise("resurrected")
+    )
+    weekly = (
+        lagd.withColumn("status", status)
+        .groupBy("wk")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count(F.when(F.col("status") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("status") == "retained", 1)).alias("n_retained"),
+            F.count(F.when(F.col("status") == "resurrected", 1)).alias("n_resurrected"),
+        )
+        .localCheckpoint(eager=True)  # |weeks| rows; the churn self-join below
+        # consumes it twice — one events scan total
+    )
+    prev = weekly.select(
+        (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return (
+        weekly.join(F.broadcast(prev), "wk", "left")
+        .select(
+            F.col("wk").alias("week_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained")).alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("week_start")
+    )
