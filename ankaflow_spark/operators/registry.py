@@ -794,3 +794,209 @@ def op_random_projection(engine, df: DataFrame, params: Dict[str, Any]) -> DataF
         .agg(F.sum(F.col("__v_e6__") * F.col("__sg__")).cast("bigint").alias("proj_e6"))
         .withColumn("proj", F.col("proj_e6").cast("double") / F.lit(1000000.0))
     )
+
+
+@operator("quality_classifier")
+def op_quality_classifier(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Hashed-feature linear quality filter (t21 as a reusable stage):
+    dictionary-free fastText-style inference — token -> md5 bucket ->
+    affine weight, one explode + one groupBy. Docs with logit <= 0 are
+    dropped (keep_all=True annotates instead). Custom weights would
+    replace the affine map; the hashing trick (no vocab broadcast) is
+    the point at 100 TB."""
+    id_col = params.get("id", "doc_id")
+    text_col = params.get("text", "text")
+    buckets = int(params.get("buckets", 4096))
+    bias = int(params.get("bias", 37))
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok__"),
+    )
+    bucket = F.conv(F.substring(F.md5("__tok__"), 1, 6), 16, 10).cast("bigint") % buckets
+    scored = (
+        toks.select("__id__", bucket.alias("__b__"))
+        .groupBy("__id__")
+        .agg(
+            F.count("*").alias("__n__"),
+            F.sum(F.col("__b__") % 1001 - 500).alias("__s__"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            F.floor(
+                (F.col("__s__") + bias * F.col("__n__")) * 1000000.0 / F.col("__n__")
+            )
+            .cast("bigint")
+            .alias("logit_e6"),
+        )
+    )
+    joined = df.join(scored, id_col, "left").withColumn(
+        "keep", F.coalesce(F.col("logit_e6"), F.lit(0)) > 0
+    )
+    return joined if params.get("keep_all") else joined.filter("keep").drop("keep", "logit_e6")
+
+
+@operator("chunk_dedup_rewrite")
+def op_chunk_dedup_rewrite(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Corpus-wide first-occurrence chunk dedup with reconstruction
+    (t22 as a reusable stage): every duplicated chunk survives only at
+    its earliest (id, position); documents are rebuilt from surviving
+    chunks. Output: id, clean_text, n_chunks, n_removed."""
+    id_col = params.get("id", "doc_id")
+    text_col = params.get("text", "text")
+    width = int(params.get("width", 5))
+    w = df.select(
+        F.col(id_col).alias("__id__"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__ws__"),
+    )
+    inst = (
+        w.filter(F.size("__ws__") >= width)
+        .select(
+            "__id__",
+            F.explode(
+                F.sequence(F.lit(0), (F.floor(F.size("__ws__") / width)).cast("int") - 1)
+            ).alias("__pos__"),
+            "__ws__",
+        )
+        .select(
+            "__id__",
+            "__pos__",
+            F.array_join(
+                F.slice(F.col("__ws__"), F.col("__pos__") * width + 1, width), " "
+            ).alias("__chunk__"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    owner = inst.withColumn(
+        "__rk__",
+        F.row_number().over(
+            W.partitionBy(F.md5("__chunk__")).orderBy("__id__", "__pos__")
+        ),
+    )
+    rebuilt = (
+        owner.filter(F.col("__rk__") == 1)
+        .groupBy("__id__")
+        .agg(
+            F.count("*").alias("__kept__"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__chunk__"))),
+                    lambda s: s["__chunk__"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    tot = inst.groupBy("__id__").agg(F.count("*").alias("n_chunks"))
+    return (
+        df.select(F.col(id_col).alias("__id__"))
+        .join(tot, "__id__", "left")
+        .join(rebuilt, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            (
+                F.coalesce(F.col("n_chunks"), F.lit(0))
+                - F.coalesce(F.col("__kept__"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
+@operator("growth_accounting")
+def op_growth_accounting(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Weekly new/retained/resurrected/churned rollup (ts21 as a
+    reusable stage) over any (entity, timestamp) table."""
+    user_col = params.get("user", "user_id")
+    ts_col = params.get("ts", "ts")
+    from pyspark.sql.window import Window as W
+
+    au = df.select(
+        F.col(user_col).alias("__u__"), F.date_trunc("week", ts_col).alias("__wk__")
+    ).distinct()
+    lagd = au.select(
+        "__u__",
+        "__wk__",
+        F.min("__wk__").over(W.partitionBy("__u__")).alias("__first__"),
+        F.lag("__wk__").over(W.partitionBy("__u__").orderBy("__wk__")).alias("__prev__"),
+    )
+    status = (
+        F.when(F.col("__wk__") == F.col("__first__"), "new")
+        .when(
+            F.col("__prev__") == F.col("__wk__") - F.expr("INTERVAL 7 DAY"), "retained"
+        )
+        .otherwise("resurrected")
+    )
+    weekly = (
+        lagd.withColumn("__st__", status)
+        .groupBy(F.col("__wk__").alias("week_start"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count(F.when(F.col("__st__") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("__st__") == "retained", 1)).alias("n_retained"),
+            F.count(F.when(F.col("__st__") == "resurrected", 1)).alias("n_resurrected"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = weekly.select(
+        (F.col("week_start") + F.expr("INTERVAL 7 DAY")).alias("week_start"),
+        F.col("n_active").alias("__prev_active__"),
+    )
+    return weekly.join(F.broadcast(prev), "week_start", "left").withColumn(
+        "n_churned",
+        F.coalesce(F.col("__prev_active__"), F.lit(0)) - F.col("n_retained"),
+    ).drop("__prev_active__")
+
+
+@operator("heavy_hitters")
+def op_heavy_hitters(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Two-pass exact heavy hitters (q52 as a reusable stage): shard-
+    local top-M candidates, exact recount of the candidate union, top-K
+    with a provable-exactness verdict."""
+    key_col = params.get("key", "user_id")
+    shard_col = params.get("shard", "event_id")
+    shards = int(params.get("shards", 32))
+    m = int(params.get("m", 20))
+    k = int(params.get("k", 10))
+    from pyspark.sql.window import Window as W
+
+    shard_counts = df.groupBy(
+        (F.col(shard_col) % shards).cast("int").alias("__shard__"),
+        F.col(key_col).alias("__key__"),
+    ).agg(F.count("*").alias("__c__"))
+    win = W.partitionBy("__shard__").orderBy(F.col("__c__").desc(), F.col("__key__"))
+    kept = (
+        shard_counts.withColumn("__rn__", F.row_number().over(win))
+        .filter(F.col("__rn__") <= m)
+        .localCheckpoint(eager=True)
+    )
+    bound = kept.agg(
+        F.coalesce(F.sum(F.when(F.col("__rn__") == m, F.col("__c__"))), F.lit(0)).alias(
+            "__bound__"
+        )
+    )
+    cand = kept.select("__key__").distinct()
+    exact = (
+        df.join(
+            F.broadcast(cand.withColumnRenamed("__key__", key_col)),
+            key_col,
+            "left_semi",
+        )
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    topk = exact.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n_rows").desc(), F.col(key_col)))
+    ).filter(F.col("rk") <= k)
+    fin = topk.withColumn("__kth__", F.min("n_rows").over(W.partitionBy()))
+    return (
+        fin.crossJoin(F.broadcast(bound))
+        .select(
+            "rk",
+            key_col,
+            "n_rows",
+            (F.col("__kth__") > F.col("__bound__")).alias("provably_exact"),
+        )
+        .orderBy("rk")
+    )

@@ -509,3 +509,60 @@ def test_chunk_dedup_and_random_projection_stages(engine, sf_dir):
     assert 0 < row.n_dropped < row.n_raw  # the near-dup corpus trips the gate
     assert row.n_proj == row.n_vecs * 8
     assert row.bad_proj == 0
+
+
+def test_quality_classifier_and_rewrite_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: kept
+  op: quality_classifier
+  params: {{id: doc_id, text: text}}
+- kind: operator
+  name: cleaned
+  op: chunk_dedup_rewrite
+  input: docs
+  params: {{id: doc_id, text: text, width: 5}}
+- kind: transform
+  name: check
+  query: SELECT count(*) AS n, sum(n_removed) AS removed FROM cleaned
+"""),
+        engine=engine,
+    )
+    out = flow.run().collect()[0]
+    total = engine.table("docs").count()
+    assert out["n"] == total  # every doc survives reconstruction (possibly empty)
+    assert out["removed"] >= 0
+    kept = engine.table("kept").count()
+    assert 0 < kept <= total
+
+
+def test_growth_accounting_and_heavy_hitters_stages(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: growth
+  op: growth_accounting
+  params: {{user: user_id, ts: ts}}
+- kind: operator
+  name: hot
+  op: heavy_hitters
+  input: events
+  params: {{key: user_id, shard: event_id, k: 5}}
+"""),
+        engine=engine,
+    )
+    flow.run()
+    growth = engine.table("growth").collect()
+    assert growth and all(
+        r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        for r in growth
+    )
+    hot = engine.table("hot").collect()
+    assert len(hot) == 5 and hot[0]["rk"] == 1

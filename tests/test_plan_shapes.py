@@ -33,6 +33,8 @@ BNLJ_ALLOWED = {
     "d15_graph_centrality",  # 1-row node-count scalar cross-joined into every iteration
     "s10_pq_recall_eval",  # 3-query ADC/truth scalar relations (d12's metrics-row class)
     "ts20_trajectory_similarity",  # 3-user query cohort broadcast against the journey table (s01's class)
+    "q51_untapped_segments",  # 1-row avg-balance scalar broadcast into the customer filter
+    "q52_heavy_hitters",  # 1-row miss-bound scalar broadcast into the verdict projection
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
