@@ -45,6 +45,11 @@ GRADED_FIRST = [
     "ts21_growth_accounting",
     "st10_dedup_within_watermark",
     "m05_audio_frame_energy",
+    "q54_supplier_diversity",
+    "ts22_rfm_segmentation",
+    "s12_hard_negatives",
+    "d17_dedup_cascade",
+    "m06_scene_cuts",
     # relational / dialect core (9)
     "q39_recursive_rollup",
     "q40_filter_clause",

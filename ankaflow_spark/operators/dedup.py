@@ -1341,3 +1341,81 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_bands(spark, sf_dir)
     return spark.sql(_editdist_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d17 — the dedup CASCADE verdict: one per-doc relation answering the
+# production question "did this doc survive, and if not, which stage
+# dropped it" — exact content dedup (d01), near-dup survivor selection
+# (d08's quality-ranked clusters), then semantic dedup (d10; vec_id ≡
+# doc_id, d05's convention). Stages compose by doc_id joins only — each
+# stage's own plan (bucketed LSH, IVF cells, CC) is reused verbatim, so
+# the cascade adds three hash joins on top of already-audited shapes.
+# Drop attribution is first-stage-wins, mirroring a real pipeline where
+# later stages never see earlier drops.
+# ---------------------------------------------------------------------------
+def _cascade_sql() -> str:
+    exact = ORACLES["d01_exact_dedup"].replace("ORDER BY content_key", "")
+    near = ORACLES["d08_dedup_survivors"].replace("ORDER BY doc_id", "")
+    sem = ORACLES["d10_semantic_dedup"].replace("ORDER BY cluster_id, vec_id", "")
+    return f"""
+    WITH exact_keep AS (SELECT keep_doc_id AS doc_id FROM ({exact}) x),
+    near_keep AS (SELECT doc_id, keep FROM ({near}) x),
+    sem_keep AS (SELECT vec_id AS doc_id, keep FROM ({sem}) x)
+    SELECT d.doc_id AS doc_id,
+           e.doc_id IS NOT NULL AS keep_exact,
+           COALESCE(n.keep, TRUE) AS keep_near,
+           COALESCE(s.keep, TRUE) AS keep_sem,
+           e.doc_id IS NOT NULL AND COALESCE(n.keep, TRUE) AND COALESCE(s.keep, TRUE) AS keep,
+           CASE WHEN e.doc_id IS NULL THEN 'exact'
+                WHEN NOT COALESCE(n.keep, TRUE) THEN 'near_dup'
+                WHEN NOT COALESCE(s.keep, TRUE) THEN 'semantic'
+                ELSE 'kept' END AS drop_stage
+    FROM documents d
+    LEFT JOIN exact_keep e ON e.doc_id = d.doc_id
+    LEFT JOIN near_keep n ON n.doc_id = d.doc_id
+    LEFT JOIN sem_keep s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    exact = QUERIES["d01_exact_dedup"](spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("__e__")
+    )
+    near = QUERIES["d08_dedup_survivors"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("__n__")
+    )
+    sem = QUERIES["d10_semantic_dedup"](spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("__s__")
+    )
+    keep_exact = F.coalesce(F.col("__e__"), F.lit(False))
+    keep_near = F.coalesce(F.col("__n__"), F.lit(True))
+    keep_sem = F.coalesce(F.col("__s__"), F.lit(True))
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            keep_exact.alias("keep_exact"),
+            keep_near.alias("keep_near"),
+            keep_sem.alias("keep_sem"),
+            (keep_exact & keep_near & keep_sem).alias("keep"),
+            F.when(~keep_exact, "exact")
+            .when(~keep_near, "near_dup")
+            .when(~keep_sem, "semantic")
+            .otherwise("kept")
+            .alias("drop_stage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["d17_dedup_cascade"] = d17
+ORACLES["d17_dedup_cascade"] = _cascade_sql()

@@ -247,3 +247,45 @@ def audio_frame_energy(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+VIDEO_FRAME_BYTES = 8
+SCENE_CUT_THRESHOLD = 700
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("delta_energy", T.LongType(), False),
+        T.StructField("is_cut", T.BooleanType(), False),
+    ]
+)
+
+
+def scene_cuts(media: DataFrame) -> DataFrame:
+    """Video scene-cut detection plumbing: payload bytes slice into
+    consecutive VIDEO_FRAME_BYTES-byte 'frames' (the stand-in for
+    decoded frame buffers — a real decoder would emit per-frame pixel
+    arrays; the byte-domain math is identical), and each frame scores
+    the L1 delta against its predecessor — integer-exact, with cuts
+    flagged above a fixed threshold. The per-frame comparison happens
+    entirely inside mapInPandas: payloads never explode through a
+    shuffle, only the fixed-width (media_id, frame_no, delta) rows do."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_no": [], "delta_energy": [], "is_cut": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8).astype(np.int64)
+                n = len(b) // VIDEO_FRAME_BYTES
+                frames = b[: n * VIDEO_FRAME_BYTES].reshape(n, VIDEO_FRAME_BYTES)
+                for f in range(1, n):
+                    delta = int(np.abs(frames[f] - frames[f - 1]).sum())
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["delta_energy"].append(delta)
+                    out["is_cut"].append(delta > SCENE_CUT_THRESHOLD)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=SCENE_SCHEMA)

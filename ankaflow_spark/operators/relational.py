@@ -1933,3 +1933,32 @@ def _approx_quantile_sql(spark_dialect: bool) -> str:
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_approx_quantile_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q54 — TPC-H Q16 shape: supplier diversity per (brand, type, size) with
+# a complaint-supplier exclusion. COUNT(DISTINCT) over the join result,
+# NOT EXISTS as a plain anti join (s_suppkey is non-null, so null-aware
+# semantics — q47's trap — don't apply and Catalyst plans a broadcast
+# anti join instead of a nested loop).
+# ---------------------------------------------------------------------------
+_SUPPLIER_DIVERSITY_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """
+
+
+@query("q54_supplier_diversity", oracle=_SUPPLIER_DIVERSITY_SQL)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SUPPLIER_DIVERSITY_SQL)

@@ -1002,3 +1002,58 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("c").alias("cluster"), F.col("dist").alias("dist_q2"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s12 — contrastive hard-negative mining: for each query vector, the
+# top-3 most-similar vectors with a DIFFERENT label — the standard
+# pipeline for building contrastive/triplet training pairs (similar
+# but wrong = the informative negative). Same broadcast-query + left-
+# fold cosine discipline as s01 (bit-identical doubles); the label
+# inequality prunes inside the join condition, before any scoring. At
+# scale the brute-force arm swaps for the s02/s03 candidate paths, with
+# the label filter unchanged.
+# ---------------------------------------------------------------------------
+_HARDNEG_K = 3
+
+
+def _hard_negatives_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        norm, dot = _SPARK_NORM, _SPARK_DOT
+        hint, src = "/*+ BROADCAST(q) */", f"(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECS}) q CROSS JOIN embeddings c"
+    else:
+        norm, dot = _DUCK_NORM, _DUCK_DOT.format(dim=DIM)
+        hint, src = "", f"embeddings q, embeddings c"
+    where = f"c.vec_id <> q.vec_id AND c.label <> q.label" + (
+        "" if spark_dialect else f" AND q.vec_id < {N_QUERY_VECS}"
+    )
+    return f"""
+    WITH norms AS ({norm}),
+    dots AS (
+      SELECT {hint} q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             {dot} AS dot
+      FROM {src}
+      WHERE {where}
+    ),
+    sims AS (
+      SELECT query_id, query_label, neg_id, neg_label,
+             dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neg_id
+    )
+    SELECT query_id, query_label, neg_id, neg_label, cosine, rn FROM (
+      SELECT query_id, query_label, neg_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rn
+      FROM sims
+    ) t WHERE rn <= {_HARDNEG_K}
+    ORDER BY query_id, rn
+    """
+
+
+@query("s12_hard_negatives", oracle=_hard_negatives_sql(False))
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_hard_negatives_sql(True))

@@ -689,3 +689,53 @@ ORACLES["st10_dedup_within_watermark"] = """
     FROM events
     ORDER BY user_id, event_type
 """
+
+
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut contract, ORACLE-CHECKED cell-exact: consecutive
+    8-byte frame slices compared by integer L1 delta inside mapInPandas
+    must equal the oracle's hex-domain reconstruction — the video twin
+    of m05's audio framing (same Arrow fidelity argument, now with
+    cross-frame state inside the kernel)."""
+    from .multimodal import scene_cuts, synth_media
+
+    media = synth_media(spark, 120)
+    return scene_cuts(media).orderBy("media_id", "frame_no")
+
+
+QUERIES["m06_scene_cuts"] = m06
+# payload(i) = md5(str(i)) digest repeated (4 + i%5) times; video is
+# i % 3 == 2. Frames are 8-byte slices; byte j of frame f sits at hex
+# position (f*8 + j)*2 + 1.
+ORACLES["m06_scene_cuts"] = """
+    WITH vid AS (
+      SELECT i AS media_id,
+             repeat(md5(CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS hp
+      FROM range(120) t(i) WHERE i % 3 = 2
+    ),
+    fr AS (
+      SELECT media_id, hp,
+             unnest(range(1, CAST(length(hp) // 16 AS BIGINT))) AS frame_no
+      FROM vid
+    ),
+    deltas AS (
+      SELECT media_id, frame_no,
+             (strpos('0123456789abcdef',
+                     substring(hp, CAST((frame_no * 8 + j) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hp, CAST((frame_no * 8 + j) * 2 + 2 AS BIGINT), 1)) - 1)
+             - (
+               (strpos('0123456789abcdef',
+                       substring(hp, CAST(((frame_no - 1) * 8 + j) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substring(hp, CAST(((frame_no - 1) * 8 + j) * 2 + 2 AS BIGINT), 1)) - 1)
+             ) AS d
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) w
+    )
+    SELECT media_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(SUM(abs(d)) AS BIGINT) AS delta_energy,
+           CAST(SUM(abs(d)) AS BIGINT) > 700 AS is_cut
+    FROM deltas GROUP BY media_id, frame_no
+    ORDER BY media_id, frame_no
+"""

@@ -1124,3 +1124,48 @@ def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts22 — RFM segmentation (recency / frequency / monetary quintiles),
+# the classic CRM scoring rollup. One events pass builds the per-user
+# profile (monetary as exact DECIMAL); quintiles are ntile(5) windows
+# with UNIQUE tie-breaks (metric, then user_id — q42's determinism
+# rule), so the 1..5 scores are cell-exact cross-engine. The three
+# global ntile windows run over the POST-AGGREGATION per-user relation
+# (q50's class: |users| rows, not |events|).
+# ---------------------------------------------------------------------------
+def _rfm_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        rec = "datediff(a.mx, p.last_ts)"
+    else:
+        rec = "date_diff('day', CAST(p.last_ts AS DATE), CAST(a.mx AS DATE))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             SUM(CAST(value AS DECIMAL(14,4))) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    anchor AS (SELECT MAX(ts) AS mx FROM events),
+    scored AS (
+      SELECT p.user_id,
+             CAST({rec} AS BIGINT) AS recency_days,
+             p.frequency,
+             CAST(p.monetary AS DOUBLE) AS monetary,
+             NTILE(5) OVER (ORDER BY {rec}, p.user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY p.frequency DESC, p.user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY p.monetary DESC, p.user_id) AS m_q
+      FROM per_user p CROSS JOIN anchor a
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           6 - r_q AS r_score, 6 - f_q AS f_score, 6 - m_q AS m_score,
+           CAST(6 - r_q AS STRING) || CAST(6 - f_q AS STRING) || CAST(6 - m_q AS STRING)
+             AS segment
+    FROM scored ORDER BY user_id
+    """
+
+
+@query("ts22_rfm_segmentation", oracle=_rfm_sql(False))
+def ts22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_rfm_sql(True))

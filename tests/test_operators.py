@@ -682,3 +682,68 @@ def test_m05_audio_frame_math(spark):
         assert r["energy"] == e
         assert r["peak"] == max(abs(x) for x in w)
         assert r["rms_e3"] == int(math.floor(math.sqrt(e / 32.0) * 1000))
+
+
+def test_s12_hard_negatives_cross_label_only(spark, sf_dir):
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    rows = QUERIES["s12_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_d17_cascade_attribution(spark, sf_dir):
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    rows = QUERIES["d17_dedup_cascade"](spark, sf_dir).collect()
+    stages = {"exact", "near_dup", "semantic", "kept"}
+    for r in rows:
+        assert r["drop_stage"] in stages
+        assert r["keep"] == (r["keep_exact"] and r["keep_near"] and r["keep_sem"])
+        # first-stage-wins: a doc dropped at 'exact' reports exact even
+        # if later stages would also drop it
+        if not r["keep_exact"]:
+            assert r["drop_stage"] == "exact"
+
+
+def test_m06_scene_cut_math(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ankaflow_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        VIDEO_FRAME_BYTES,
+        scene_cuts,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)  # video ids: 2, 5, 8, 11
+    got = {(r["media_id"], r["frame_no"]): r for r in scene_cuts(media).collect()}
+    payload = hashlib.md5(b"2").digest() * 6  # id 2: 4 + 2 % 5 = 6 repeats
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(b) // VIDEO_FRAME_BYTES
+    frames = b[: n * VIDEO_FRAME_BYTES].reshape(n, VIDEO_FRAME_BYTES)
+    for f in range(1, n):
+        want = int(np.abs(frames[f] - frames[f - 1]).sum())
+        assert got[(2, f)]["delta_energy"] == want
+        assert got[(2, f)]["is_cut"] == (want > SCENE_CUT_THRESHOLD)
+    # digest-period-2 structure: frame 2 == frame 0, so delta(2) == delta(1)
+    assert got[(2, 2)]["delta_energy"] == got[(2, 1)]["delta_energy"]
+
+
+def test_ts22_rfm_quintiles(spark, sf_dir):
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    rows = QUERIES["ts22_rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # quintiles are balanced: score-1 bucket within 1 of score-5 bucket
+    from collections import Counter
+
+    c = Counter(r["f_score"] for r in rows)
+    assert max(c.values()) - min(c.values()) <= 1

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "ts20_trajectory_similarity",  # 3-user query cohort broadcast against the journey table (s01's class)
     "q51_untapped_segments",  # 1-row avg-balance scalar broadcast into the customer filter
     "q52_heavy_hitters",  # 1-row miss-bound scalar broadcast into the verdict projection
+    "s12_hard_negatives",  # 5-query broadcast cross join (s01's class, label-pruned)
+    "ts22_rfm_segmentation",  # 1-row max-ts anchor broadcast into the recency projection
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -45,6 +47,7 @@ SMJ_ALLOWED = {
     "q38_waiting_suppliers",  # late-lineitems semi/anti-joined to lineitem: fact x fact on l_orderkey, SMJ is the right call at scale
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
+    "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
 }
 
 
