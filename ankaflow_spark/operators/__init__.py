@@ -27,75 +27,34 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 5: the nine r5 additions (q35-q38, ts13/ts14,
-    # t19, s07, st08) enter the graded window; the rotated-out entries
-    # (d02/d06/d07/d09, m01, q06/q20/q30, s03) are all hash-green in
-    # driver artifacts CORRECTNESS_r01-r03 AND re-checked every round in
-    # CORRECTNESS_FULL_r{N}.json, so no operator loses evidence.
-    # round-6 additions: never driver-graded, so they lead the window
+    # Re-curated for round 6 (len == 50, the driver's graded window).
+    # This round's 20 new queries lead; the 30 backlog slots go to
+    # entries that have NEVER appeared in a driver artifact
+    # (CORRECTNESS_r01-r03), with every family represented — the whole
+    # streaming family is in that backlog, so it gets all eight slots.
+    # Everything rotated out stays green in CORRECTNESS_FULL_r06.json.
+    # round-6 additions (20)
     "q48_min_cost_supplier",
     "q49_important_value_share",
     "q50_top_revenue_supplier",
     "q51_untapped_segments",
     "q52_heavy_hitters",
     "q53_approx_quantile_verdict",
+    "q54_supplier_diversity",
+    "q55_promo_revenue_share",
+    "ts21_growth_accounting",
+    "ts22_rfm_segmentation",
     "t21_quality_classifier",
     "t22_chunk_dedup_rewrite",
     "s11_kmeans_lloyd",
-    "ts21_growth_accounting",
-    "st10_dedup_within_watermark",
-    "m05_audio_frame_energy",
-    "q54_supplier_diversity",
-    "ts22_rfm_segmentation",
     "s12_hard_negatives",
+    "s13_ivf_recall_eval",
     "d17_dedup_cascade",
+    "st10_dedup_within_watermark",
+    "st11_stream_heavy_hitters",
+    "m05_audio_frame_energy",
     "m06_scene_cuts",
-    # relational / dialect core (9)
-    "q39_recursive_rollup",
-    "q40_filter_clause",
-    "q41_lateral_topn",
-    "q42_ranking_family",
-    "q43_disjunctive_pushdown",
-    "q44_setops_all",
-    "q45_nation_pair_volume",
-    "q46_approx_distinct_verdict",
-    "q47_null_aware_not_in",
-    "q34_not_exists_antijoin",
-    "q35_custdist",
-    "q36_large_volume_customer",
-    "q37_market_share",
-    "q38_waiting_suppliers",
-    # time-series / behavioral (8)
-    "ts15_range_window",
-    "ts16_period_over_period",
-    "ts17_sliding_windows",
-    "ts18_user_features",
-    "ts19_native_session_window",
-    "ts20_trajectory_similarity",
-    "ts10_anomaly_zscore",
-    "ts11_ewma_smoothing",
-    "ts12_dow_hour_profile",
-    "ts13_cohort_retention",
-    "ts14_funnel",
-    # dedup (5)
-    "d10_semantic_dedup",
-    "d11_incremental_dedup",
-    "d12_lsh_recall_eval",
-    "d13_decontam_spans",
-    "d14_containment_pairs",
-    "d15_graph_centrality",
-    "d16_editdist_verify",
-    # similarity / ANN (4)
-    "s05_knn_label",
-    "s06_label_cohesion",
-    "s07_random_projection",
-    "s08_pq_encode",
-    "s09_pq_adc_search",
-    "s10_pq_recall_eval",
-    # text curation (15)
-    "t19_chunk_dedup",
-    "t20_leakage_safe_split",
-    # streaming (7)
+    # never-driver-graded backlog (30)
     "st02_stream_dedup",
     "st03_stream_distinct_users",
     "st04_stream_sessions",
@@ -104,9 +63,28 @@ GRADED_FIRST = [
     "st07_stream_incremental",
     "st08_stream_stream_join",
     "st09_foreachbatch_upsert",
-    # multimodal (2)
-    "m04_patch_grid",
     "m03_frame_sample_keys",
+    "m04_patch_grid",
+    "d10_semantic_dedup",
+    "d12_lsh_recall_eval",
+    "d13_decontam_spans",
+    "d15_graph_centrality",
+    "d16_editdist_verify",
+    "s06_label_cohesion",
+    "s07_random_projection",
+    "s08_pq_encode",
+    "s09_pq_adc_search",
+    "s10_pq_recall_eval",
+    "t13_bigram_surprisal",
+    "t16_domain_mixture",
+    "t19_chunk_dedup",
+    "t20_leakage_safe_split",
+    "ts13_cohort_retention",
+    "ts17_sliding_windows",
+    "ts19_native_session_window",
+    "ts20_trajectory_similarity",
+    "q42_ranking_family",
+    "q43_disjunctive_pushdown",
 ]
 
 

@@ -1962,3 +1962,36 @@ _SUPPLIER_DIVERSITY_SQL = """
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_SUPPLIER_DIVERSITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q55 — TPC-H Q14 shape: promo revenue share. One lineitem-month scan,
+# conditional DECIMAL aggregation (exact, associative), the part dim
+# broadcast; the share divides the two exact sums as the final step
+# (scaled integers < 2^53 -> the double quotient is engine-identical).
+# ---------------------------------------------------------------------------
+_PROMO_SHARE_SQL = """
+    WITH rev AS (
+      SELECT
+        SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(14,2)))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS promo_rev,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS total_rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    )
+    SELECT CAST(promo_rev AS DOUBLE) AS promo_revenue,
+           CAST(total_rev AS DOUBLE) AS total_revenue,
+           100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+             AS promo_share_pct
+    FROM rev
+    """
+
+
+@query("q55_promo_revenue_share", oracle=_PROMO_SHARE_SQL)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_PROMO_SHARE_SQL)

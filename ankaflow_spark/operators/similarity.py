@@ -1057,3 +1057,39 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_hard_negatives_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s13 — IVF recall evaluation: s03's cell-probe ANN graded against
+# s01's exact top-k ground truth — the recall matrix now covers all
+# three approximate paths (d12: LSH bands, s10: PQ codes, s13: IVF
+# cells). One LEFT JOIN per (query, truth-neighbor); ratios are
+# BIGINT-over-constant (cell-exact).
+# ---------------------------------------------------------------------------
+def _ivf_recall_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        exact, approx = "SELECT * FROM __s13_exact__", "SELECT * FROM __s13_approx__"
+    else:
+        exact = ORACLES["s01_cosine_topk"].replace("ORDER BY query_id, rn", "")
+        approx = ORACLES["s03_ivf_ann"].replace("ORDER BY query_id, rn", "")
+    return f"""
+    WITH exact AS ({exact}), approx AS ({approx})
+    SELECT e.query_id AS query_id,
+           COUNT(*) AS n_truth,
+           COUNT(a.cand_id) AS n_matched,
+           CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    ORDER BY query_id
+    """
+
+
+@query("s13_ivf_recall_eval", oracle=_ivf_recall_sql(False))
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    exact = QUERIES["s01_cosine_topk"](spark, sf_dir).localCheckpoint()
+    approx = QUERIES["s03_ivf_ann"](spark, sf_dir).localCheckpoint()
+    exact.createOrReplaceTempView("__s13_exact__")
+    approx.createOrReplaceTempView("__s13_approx__")
+    return spark.sql(_ivf_recall_sql(True))

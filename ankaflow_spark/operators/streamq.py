@@ -739,3 +739,46 @@ ORACLES["m06_scene_cuts"] = """
     FROM deltas GROUP BY media_id, frame_no
     ORDER BY media_id, frame_no
 """
+
+
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental heavy hitters, ORACLE-CHECKED: exact
+    per-user counters maintained across real micro-batches (throttled
+    reader -> multiple triggers) via ``foreachbatch_merge_counts`` —
+    count-merge is associative, so the final counters equal the batch
+    GROUP BY regardless of trigger slicing — then the top-10 ranking
+    with q52's deterministic tie-break. The streaming complement of
+    q52: where q52 bounds a single-pass batch sketch, st11 keeps the
+    running exact counters a production ingest maintains daily."""
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.stream import foreachbatch_merge_counts, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st11_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=3)
+    counts = foreachbatch_merge_counts(stream, keys=["user_id"], state_base=base)
+    return (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("n").desc(), F.col("user_id"))),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("rk", "user_id", F.col("n").alias("n_events"))
+        .orderBy("rk")
+    )
+
+
+QUERIES["st11_stream_heavy_hitters"] = st11
+ORACLES["st11_stream_heavy_hitters"] = """
+    SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk,
+           user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    QUALIFY rk <= 10
+    ORDER BY rk
+"""

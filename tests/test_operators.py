@@ -747,3 +747,22 @@ def test_ts22_rfm_quintiles(spark, sf_dir):
 
     c = Counter(r["f_score"] for r in rows)
     assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_s13_recall_bounds(spark, sf_dir):
+    from ankaflow_spark.operators.similarity import QUERIES, TOP_K
+
+    rows = QUERIES["s13_ivf_recall_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_truth"] == TOP_K
+        assert 0 <= r["n_matched"] <= r["n_truth"]
+        assert abs(r["recall"] - r["n_matched"] / r["n_truth"]) < 1e-12
+
+
+def test_q55_promo_share_bounds(spark, sf_dir):
+    from ankaflow_spark.operators.relational import QUERIES
+
+    r = QUERIES["q55_promo_revenue_share"](spark, sf_dir).collect()[0]
+    assert 0 < r["promo_revenue"] < r["total_revenue"]
+    assert 0 < r["promo_share_pct"] < 100

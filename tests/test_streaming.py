@@ -250,3 +250,33 @@ def test_stream_stage_upsert_op(engine, sf_dir):
     )
     row = flow.run().collect()[0]
     assert row.n_state == row.n_keys > 0  # exactly one row per key
+
+
+def test_st11_counts_merge_across_triggers(spark):
+    """foreachbatch_merge_counts must equal the batch GROUP BY when the
+    stream is sliced into several micro-batches."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ankaflow_spark.streaming.stream import (
+        foreachbatch_merge_counts,
+        stream_tap,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), "st11_unit_src")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+    )
+    df.repartition(6).write.mode("overwrite").parquet(src)
+    stream = stream_tap(spark, src, spark.read.parquet(src).schema,
+                        max_files_per_trigger=2)
+    got = {
+        r["user_id"]: r["n"]
+        for r in foreachbatch_merge_counts(
+            stream, ["user_id"], src + "_state"
+        ).collect()
+    }
+    want = {r["user_id"]: r["count"] for r in df.groupBy("user_id").count().collect()}
+    assert got == want
