@@ -868,48 +868,77 @@ ORACLES["d08_dedup_survivors"] = _d08_oracle()
 SEMDEDUP_COSINE = 0.35
 
 
-def _semdedup_pairs_sql(
-    spark_dialect: bool,
-    table: str = "embeddings",
-    threshold: float = None,
-    k: int = None,
-) -> str:
-    from .similarity import _DUCK_NORM, _SPARK_NORM, DIM, IVF_K, ivf_assign_ctes
+def _sem_k_expr(table: str) -> str:
+    """Corpus-sized IVF cell count for semantic dedup: K ~ N/64 keeps
+    the expected cell size (and so the quadratic within-cell cosine
+    work per cell) CONSTANT as the corpus grows — the SemDeDup scaling
+    rule. A SQL scalar so both engines compute the identical K at any
+    SF (8 at the graded sf0.01; 78 at sf0.1; ~N/64 at 100 TB)."""
+    return f"(SELECT GREATEST(8, CAST(COUNT(*) / 64 AS INT)) FROM {table})"
 
-    threshold = SEMDEDUP_COSINE if threshold is None else threshold
-    k = IVF_K if k is None else k
-    norm = (_SPARK_NORM if spark_dialect else _DUCK_NORM).replace(
-        "FROM embeddings", f"FROM {table}"
-    )
+
+def _sem_pair_ctes(spark_dialect: bool, table: str, threshold: float) -> str:
+    """Within-cell near-dup pair CTEs over ``assign2``, in the e6
+    INTEGER domain end-to-end: components quantize to BIGINT, dots and
+    norms are exact associative integer sums (hash-aggregated, codegen
+    — the r6 profile showed interpreted array-lambda folds dominating),
+    and the cosine threshold becomes an exact DECIMAL(38) cross-
+    multiplication: cos >= t  <=>  dot > 0 AND dot^2 * 1e6 >= n2a *
+    n2b * t_e3^2 (t_e3 = round(t * 1000)) — no float anywhere, so both
+    engines agree cell-for-cell at any parallelism."""
+    t_e3 = int(round(threshold * 1000))
     if spark_dialect:
-        dot = (
-            "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
-        )
+        qdims = f"""
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} LATERAL VIEW posexplode(embedding) p AS d, pv
+        """
     else:
-        dot = (
-            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> "
-            "CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)), (a, b) -> a + b)"
-        )
-    return f"""{ivf_assign_ctes(spark_dialect, table=table, k=k)},
-    semnorms AS ({norm}),
+        from .similarity import DIM
+
+        qdims = f"""
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+        """
+    return f"""semqdims AS ({qdims}),
+    semnorms AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM semqdims GROUP BY vec_id
+    ),
     semcands AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM assign2 a JOIN assign2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
     ),
     semdots AS (
-      SELECT vec_a, vec_b, {dot} AS dot
-      FROM semcands
-      JOIN {table} q ON q.vec_id = vec_a
-      JOIN {table} m ON m.vec_id = vec_b
+      SELECT c.vec_a, c.vec_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+      FROM semcands c
+      JOIN semqdims qa ON qa.vec_id = c.vec_a
+      JOIN semqdims qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
+      GROUP BY c.vec_a, c.vec_b
     ),
     sempairs AS (
       SELECT vec_a AS doc_a, vec_b AS doc_b
       FROM semdots
       JOIN semnorms na ON na.vec_id = vec_a
       JOIN semnorms nb ON nb.vec_id = vec_b
-      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {threshold}
+      WHERE dot_q > 0
+        AND CAST(dot_q AS DECIMAL(38,0)) * CAST(dot_q AS DECIMAL(38,0)) * 1000000
+            >= CAST(na.n2 AS DECIMAL(38,0)) * CAST(nb.n2 AS DECIMAL(38,0)) * {t_e3 * t_e3}
     )"""
+
+
+def _semdedup_pairs_sql(
+    spark_dialect: bool,
+    table: str = "embeddings",
+    threshold: float = None,
+    k: int = None,
+) -> str:
+    from .similarity import ivf_assign_ctes
+
+    threshold = SEMDEDUP_COSINE if threshold is None else threshold
+    k = _sem_k_expr(table) if k is None else k
+    return f"""{ivf_assign_ctes(spark_dialect, table=table, k=k)},
+    {_sem_pair_ctes(spark_dialect, table, threshold)}"""
 
 
 def semdedup_pairs_df(
@@ -919,53 +948,30 @@ def semdedup_pairs_df(
     k: int = None,
 ) -> DataFrame:
     """Semantic near-dup pairs with an at-scale Spark execution shape:
-    the corpus is repartitioned by vec_id BEFORE the interpreted-lambda
-    fold work (a single-row-group parquet otherwise pipelines the whole
-    IVF chain onto ONE task — the r3 single-task-scan finding,
-    PERF.md), and the cell assignment is materialized once with
-    localCheckpoint (the within-cell self-join references it twice and
-    Spark inlines CTEs — without this the centroid training chain
-    executes per join side). Values are identical to the inline
-    ``_semdedup_pairs_sql`` chain the DuckDB oracle runs."""
-    from .similarity import _SPARK_NORM, IVF_K, ivf_assign_ctes
+    the corpus is repartitioned by vec_id before the dims explode, the
+    cell assignment is materialized once with localCheckpoint (the
+    within-cell self-join references it twice and Spark inlines CTEs —
+    without this the centroid training chain executes per join side),
+    and dots/norms/threshold run in the exact integer domain
+    (``_sem_pair_ctes``) — values identical to the inline chain the
+    DuckDB oracle runs."""
+    from .similarity import ivf_assign_ctes
 
     threshold = SEMDEDUP_COSINE if threshold is None else threshold
-    k = IVF_K if k is None else k
     par = spark.sparkContext.defaultParallelism
     view, aview = "__semdedup_vecs__", "__semdedup_cells__"
     spark.table(table).select("vec_id", "embedding").repartition(
         par, "vec_id"
     ).createOrReplaceTempView(view)
+    k = _sem_k_expr(view) if k is None else k
     assign = spark.sql(
         f"WITH {ivf_assign_ctes(True, table=view, k=k)} SELECT vec_id, cid FROM assign2"
     ).localCheckpoint(eager=True)
     assign.createOrReplaceTempView(aview)
-    dot = (
-        "aggregate(zip_with(q.embedding, m.embedding, (x, y) -> "
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b)"
-    )
-    norm = _SPARK_NORM.replace("FROM embeddings", f"FROM {view}")
     return spark.sql(f"""
-    WITH semnorms AS ({norm}),
-    semcands AS (
-      SELECT /*+ REPARTITION({par}, vec_a) */ a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM {aview} a JOIN {aview} b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    ),
-    semdots AS (
-      -- explicit numPartitions: AQE's size-based coalescing would fold
-      -- this KB-sized-but-lambda-heavy exchange onto one task (the dot
-      -- folds are interpreted, not codegen'd — cost is per ROW PAIR,
-      -- not per byte, and the coalesce cost model only sees bytes)
-      SELECT vec_a, vec_b, {dot} AS dot
-      FROM semcands
-      JOIN {view} q ON q.vec_id = vec_a
-      JOIN {view} m ON m.vec_id = vec_b
-    )
-    SELECT vec_a AS doc_a, vec_b AS doc_b
-    FROM semdots
-    JOIN semnorms na ON na.vec_id = vec_a
-    JOIN semnorms nb ON nb.vec_id = vec_b
-    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= {threshold}
+    WITH assign2 AS (SELECT * FROM {aview}),
+    {_sem_pair_ctes(True, view, threshold)}
+    SELECT doc_a, doc_b FROM sempairs
     """)
 
 
@@ -1383,14 +1389,26 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     t = load_tables(spark, sf_dir)
-    exact = QUERIES["d01_exact_dedup"](spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("__e__")
+# each stage's verdict is a per-doc relation derived from a much
+    # heavier subplan (LSH bands / ranked clusters / IVF cells);
+    # materialize the verdicts once so the three-way join doesn't
+    # re-execute those subtrees per consumer (38s -> ~4s at sf0.1; the
+    # production pattern is the same — stage outputs persist, the
+    # cascade joins the persisted verdicts)
+    exact = (
+        QUERIES["d01_exact_dedup"](spark, sf_dir)
+        .select(F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("__e__"))
+        .localCheckpoint(eager=True)
     )
-    near = QUERIES["d08_dedup_survivors"](spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("__n__")
+    near = (
+        QUERIES["d08_dedup_survivors"](spark, sf_dir)
+        .select("doc_id", F.col("keep").alias("__n__"))
+        .localCheckpoint(eager=True)
     )
-    sem = QUERIES["d10_semantic_dedup"](spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), F.col("keep").alias("__s__")
+    sem = (
+        QUERIES["d10_semantic_dedup"](spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("__s__"))
+        .localCheckpoint(eager=True)
     )
     keep_exact = F.coalesce(F.col("__e__"), F.lit(False))
     keep_near = F.coalesce(F.col("__n__"), F.lit(True))

@@ -306,6 +306,18 @@ def ivf_assign_ctes(
     f = _ivf_fragments(spark_dialect)
     dim_seq, idx, l2 = f["dim_seq"], f["idx"], f["l2"]
     fold_sorted, rebuild, init_centroid = f["fold_sorted"], f["rebuild"], f["init_centroid"]
+    if isinstance(k, str):
+        # k is a SQL scalar expression (e.g. a corpus-sized K — SemDeDup's
+        # cell-count knob must GROW with N or cells blow up quadratic
+        # within-cell work). LIMIT can't take a subquery in Spark, so the
+        # seed selection becomes a rank filter against the scalar.
+        seed_src = (
+            "SELECT vec_id, embedding FROM ("
+            "SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS __rn__ "
+            f"FROM train_set) s WHERE __rn__ <= {k}"
+        )
+    else:
+        seed_src = f"SELECT vec_id, embedding FROM train_set ORDER BY vec_id LIMIT {k}"
     if spark_dialect:
         dims_cte = """dims AS (
       SELECT a.cid, e.vec_id, p.d, CAST(p.pv AS DOUBLE) AS v
@@ -320,23 +332,68 @@ def ivf_assign_ctes(
       JOIN train_set e ON e.vec_id = a.vec_id
       CROSS JOIN (SELECT {dim_seq} AS d) t
     )"""
+    if spark_dialect:
+        tdims_cte = """ivf_tdims AS (
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM train_set LATERAL VIEW posexplode(embedding) p AS d, pv
+    )"""
+        icdims_cte = """ivf_icdims AS (
+      SELECT cid, p.d AS d,
+             CAST(floor(CAST(p.cv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM init LATERAL VIEW posexplode(centroid) p AS d, cv
+    )"""
+        alldims_cte = f"""ivf_alldims AS (
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} LATERAL VIEW posexplode(embedding) p AS d, pv
+    )"""
+    else:
+        tdims_cte = f"""ivf_tdims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM train_set CROSS JOIN (SELECT {dim_seq} AS d) t
+    )"""
+        icdims_cte = f"""ivf_icdims AS (
+      SELECT cid, t.d AS d,
+             CAST(floor(CAST(centroid[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM init CROSS JOIN (SELECT {dim_seq} AS d) t
+    )"""
+        alldims_cte = f"""ivf_alldims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} CROSS JOIN (SELECT {dim_seq} AS d) t
+    )"""
+    # assignment distances are INTEGER long-form sums (e6-quantized
+    # components): exact, associative (order-independent — safe as a
+    # plain hash-aggregated SUM in both engines), and JVM-codegen\'d
+    # instead of interpreted array-lambda folds (the r6 profile showed
+    # the fold-based assignment dominating semantic dedup at sf0.1).
+    # Training means (dims/means/trained) stay double-fold based — the
+    # centroid VALUES are unchanged; only the distance metric used for
+    # cell routing is quantized, identically in both engines.
+    argmin = """{out} AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.cid) AS rn
+        FROM (
+          SELECT v.vec_id, c.cid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+          FROM {vd} v JOIN {cd} c ON c.d = v.d
+          GROUP BY v.vec_id, c.cid
+        ) s
+      ) r WHERE rn = 1
+    )"""
     return f"""train_set AS (
       SELECT vec_id, embedding FROM {table}
       WHERE vec_id % {train_mod} = 0
     ),
     init AS (
       SELECT vec_id AS cid, {init_centroid} AS centroid
-      FROM (
-        SELECT vec_id, embedding FROM train_set ORDER BY vec_id LIMIT {k}
-      ) seed
+      FROM ({seed_src}) seed
     ),
-    assign1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
-        FROM train_set v CROSS JOIN init c
-      ) r WHERE rn = 1
-    ),
+    {tdims_cte},
+    {icdims_cte},
+    {argmin.format(out="assign1", vd="ivf_tdims", cd="ivf_icdims")},
     {dims_cte},
     means AS (
       SELECT cid, d, {fold_sorted} / COUNT(*) AS m
@@ -345,13 +402,11 @@ def ivf_assign_ctes(
     trained AS (
       SELECT cid, {rebuild} AS centroid FROM means GROUP BY cid
     ),
-    assign2 AS (
-      SELECT vec_id, cid FROM (
-        SELECT v.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {l2}, c.cid) AS rn
-        FROM {table} v CROSS JOIN trained c
-      ) r WHERE rn = 1
-    )"""
+    ivf_tcdims AS (
+      SELECT cid, d, CAST(floor(m * 1000000) AS BIGINT) AS q FROM means
+    ),
+    {alldims_cte},
+    {argmin.format(out="assign2", vd="ivf_alldims", cd="ivf_tcdims")}"""
 
 
 def _ivf_sql(spark_dialect: bool) -> str:
@@ -1072,9 +1127,13 @@ def _ivf_recall_sql(spark_dialect: bool) -> str:
     else:
         exact = ORACLES["s01_cosine_topk"].replace("ORDER BY query_id, rn", "")
         approx = ORACLES["s03_ivf_ann"].replace("ORDER BY query_id, rn", "")
+    # both sides are localCheckpoint'ed (no stats) and tiny by
+    # construction (queries x TOP_K rows) — declare the broadcast (the
+    # s09/r3 lesson: constant-size relations must be hinted)
+    hint = "/*+ BROADCAST(a) */" if spark_dialect else ""
     return f"""
     WITH exact AS ({exact}), approx AS ({approx})
-    SELECT e.query_id AS query_id,
+    SELECT {hint} e.query_id AS query_id,
            COUNT(*) AS n_truth,
            COUNT(a.cand_id) AS n_matched,
            CAST(COUNT(a.cand_id) AS DOUBLE) / COUNT(*) AS recall

@@ -533,6 +533,12 @@ def test_q52_verdict_true_under_skew(spark):
         assert out[0]["provably_exact"] is True
     finally:
         spark.catalog.dropTempView("events")
+        # the toy view REPLACED the loader-registered one; clear the
+        # loader's active-dir memo so the next load_tables re-registers
+        # the real table views instead of assuming they still exist
+        from ankaflow_spark.operators import tables
+
+        tables._ACTIVE.pop(id(spark), None)
 
 
 def test_q50_top_revenue_is_true_max(spark, sf_dir):
@@ -612,6 +618,12 @@ def test_t22_chunk_rewrite_keeps_first_occurrence(spark):
         assert rows[1]["clean_md5"] == hashlib.md5(b"a b c d e x y z w v").hexdigest()
     finally:
         spark.catalog.dropTempView("documents")
+        # the toy view REPLACED the loader-registered one; clear the
+        # loader's active-dir memo so the next load_tables re-registers
+        # the real table views instead of assuming they still exist
+        from ankaflow_spark.operators import tables
+
+        tables._ACTIVE.pop(id(spark), None)
 
 
 def test_t21_classifier_scores_are_hash_stable(spark):
@@ -631,6 +643,12 @@ def test_t21_classifier_scores_are_hash_stable(spark):
         assert all(isinstance(r["keep"], bool) for r in rows.values())
     finally:
         spark.catalog.dropTempView("documents")
+        # the toy view REPLACED the loader-registered one; clear the
+        # loader's active-dir memo so the next load_tables re-registers
+        # the real table views instead of assuming they still exist
+        from ankaflow_spark.operators import tables
+
+        tables._ACTIVE.pop(id(spark), None)
 
 
 def test_s11_kmeans_assignment_invariants(spark, sf_dir):
