@@ -33,7 +33,7 @@ GRADED_FIRST = [
     # (CORRECTNESS_r01-r03), with every family represented — the whole
     # streaming family is in that backlog, so it gets all eight slots.
     # Everything rotated out stays green in CORRECTNESS_FULL_r06.json.
-    # round-6 additions (20)
+    # round-6 additions (25)
     "q48_min_cost_supplier",
     "q49_important_value_share",
     "q50_top_revenue_supplier",
@@ -54,8 +54,12 @@ GRADED_FIRST = [
     "st11_stream_heavy_hitters",
     "m05_audio_frame_energy",
     "m06_scene_cuts",
-    # never-driver-graded backlog (30)
-    "st02_stream_dedup",
+    "q56_returned_item_reporting",
+    "ts23_twap",
+    "d18_minhash_accuracy",
+    "s14_retrieval_mrr",
+    "st12_stream_session_window",
+    # never-driver-graded backlog (25)
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
@@ -67,10 +71,8 @@ GRADED_FIRST = [
     "m04_patch_grid",
     "d10_semantic_dedup",
     "d12_lsh_recall_eval",
-    "d13_decontam_spans",
     "d15_graph_centrality",
     "d16_editdist_verify",
-    "s06_label_cohesion",
     "s07_random_projection",
     "s08_pq_encode",
     "s09_pq_adc_search",
@@ -79,11 +81,9 @@ GRADED_FIRST = [
     "t16_domain_mixture",
     "t19_chunk_dedup",
     "t20_leakage_safe_split",
-    "ts13_cohort_retention",
     "ts17_sliding_windows",
     "ts19_native_session_window",
     "ts20_trajectory_similarity",
-    "q42_ranking_family",
     "q43_disjunctive_pushdown",
 ]
 

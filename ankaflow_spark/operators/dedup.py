@@ -1437,3 +1437,69 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d17_dedup_cascade"] = d17
 ORACLES["d17_dedup_cascade"] = _cascade_sql()
+
+
+# ---------------------------------------------------------------------------
+# d18 — MinHash ESTIMATE accuracy verdict (q46/q53's sketch contract
+# applied to minhash): for every LSH candidate pair, the Jaccard
+# ESTIMATE (matching signature components / K) is asserted against the
+# EXACT shingle Jaccard within a ±0.35 band — the check a production
+# pipeline runs before trusting signatures instead of shingle joins at
+# 100 TB. The whole comparison is integer/rational: the band test
+# cross-multiplies |m*u - K*nc| * 100 <= 35 * K * u, so both engines
+# agree cell-for-cell. Completes the sketch-verdict trilogy (q46 HLL,
+# q53 quantiles, d18 minhash) plus d12's set-level recall/precision.
+# ---------------------------------------------------------------------------
+_SPARK_PERM_STACK = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
+
+
+def _minhash_verdict_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        ctes = f"""{SPARK_CAND_CTES},
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
+    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
+    perm AS (SELECT doc_id, stack({MINHASH_K}, {_SPARK_PERM_STACK}) AS (seed, mh) FROM sigs)"""
+    else:
+        ctes = DUCK_CAND_CTES
+    return f"""
+    WITH {ctes},
+    matches AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m
+      FROM cands c
+      JOIN perm pa ON pa.doc_id = c.doc_a
+      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.m AS INT) AS mh_matches,
+           CAST(m.m * {1000000 // MINHASH_K} AS BIGINT) AS est_jaccard_e6,
+           CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+             / (za.n + zb.n - COALESCE(cm.nc, 0)) AS exact_jaccard,
+           ABS(m.m * (za.n + zb.n - COALESCE(cm.nc, 0)) - {MINHASH_K} * COALESCE(cm.nc, 0)) * 100
+             <= 35 * {MINHASH_K} * (za.n + zb.n - COALESCE(cm.nc, 0)) AS within_band
+    FROM matches m
+    LEFT JOIN common cm ON cm.doc_a = m.doc_a AND cm.doc_b = m.doc_b
+    JOIN sizes za ON za.doc_id = m.doc_a
+    JOIN sizes zb ON zb.doc_id = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """
+
+
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_minhash_verdict_sql(True))
+
+
+QUERIES["d18_minhash_accuracy"] = d18
+ORACLES["d18_minhash_accuracy"] = _minhash_verdict_sql(False)

@@ -1995,3 +1995,43 @@ _PROMO_SHARE_SQL = """
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_PROMO_SHARE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q10 shape: returned-item reporting — top 20 customers by
+# revenue lost to returns in a quarter. Four-table star: lineitem
+# filters on returnflag, orders on the quarter, customer/nation
+# broadcast; revenue is exact DECIMAL rounded to cents at emit; top-20
+# via deterministic (revenue DESC, custkey) ranking so ties can't flip
+# rows between engines.
+# ---------------------------------------------------------------------------
+_RETURNED_ITEM_SQL = """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS revenue
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    ranked AS (
+      SELECT c_custkey, c_name, nation,
+             CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+      FROM rev
+    )
+    SELECT rk, c_custkey, c_name, nation, revenue
+    FROM ranked WHERE rk <= 20
+    ORDER BY rk
+    """
+
+
+@query("q56_returned_item_reporting", oracle=_RETURNED_ITEM_SQL)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_RETURNED_ITEM_SQL)

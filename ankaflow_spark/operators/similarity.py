@@ -1152,3 +1152,53 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.createOrReplaceTempView("__s13_exact__")
     approx.createOrReplaceTempView("__s13_approx__")
     return spark.sql(_ivf_recall_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s14 — retrieval MRR eval: for each query vector, the rank of its
+# FIRST same-label neighbor in the exact cosine ranking — the mean-
+# reciprocal-rank harness that qualifies an embedding space for
+# retrieval. Rank is an integer over a unique total order (cosine
+# DESC, cand_id) and the reciprocal divides 1.0 by that integer —
+# cell-exact cross-engine.
+# ---------------------------------------------------------------------------
+def _mrr_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        norm, dot = _SPARK_NORM, _SPARK_DOT
+        hint = "/*+ BROADCAST(q) */"
+        src = f"(SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECS}) q CROSS JOIN embeddings c"
+        extra = ""
+    else:
+        norm, dot = _DUCK_NORM, _DUCK_DOT.format(dim=DIM)
+        hint, src = "", "embeddings q, embeddings c"
+        extra = f" AND q.vec_id < {N_QUERY_VECS}"
+    return f"""
+    WITH norms AS ({norm}),
+    ranked AS (
+      SELECT query_id, query_label, cand_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM (
+        SELECT {hint} q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) AS cosine
+        FROM {src}
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE c.vec_id <> q.vec_id{extra}
+      ) s
+    )
+    SELECT query_id, query_label,
+           MIN(CASE WHEN cand_label = query_label THEN rn END) AS first_hit_rank,
+           CAST(CAST(1 AS DOUBLE) / MIN(CASE WHEN cand_label = query_label THEN rn END)
+                AS DOUBLE) AS reciprocal_rank
+    FROM ranked
+    GROUP BY query_id, query_label
+    ORDER BY query_id
+    """
+
+
+@query("s14_retrieval_mrr", oracle=_mrr_sql(False))
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_mrr_sql(True))

@@ -782,3 +782,70 @@ ORACLES["st11_stream_heavy_hitters"] = """
     QUALIFY rk <= 10
     ORDER BY rk
 """
+
+
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows, ORACLE-CHECKED: the Spark 3.2+
+    session_window aggregation maintained by the streaming state store
+    (merging windows as events arrive), run to completion over the
+    staged source. Complete output mode emits every session including
+    those still open at the final trigger, so the result equals ts19's
+    batch gap-islands exactly (window.end = last event + gap). The
+    third streaming sessionization strategy beside st04's custom
+    stateful operator and ts02's batch windows."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "st12_out"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES["st12_stream_session_window"] = st12
+# session_window end = last event + gap; islands re-derive it batch-side
+ORACLES["st12_stream_session_window"] = f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > {30 * 60 * 1000000} THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+"""

@@ -1169,3 +1169,68 @@ def _rfm_sql(spark_dialect: bool) -> str:
 def ts22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_rfm_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts23 — time-weighted average price (TWAP) per (user, 15-min bucket):
+# each observation holds until the next event, capped at the bucket
+# boundary — the market-data standard where plain AVG over-weights
+# bursts. Weights are integer microseconds (LEAD capped to bucket
+# end), the weighted sum is exact DECIMAL x BIGINT, and the division
+# happens once at emit — cell-exact cross-engine. One shuffle on
+# user_id for the LEAD, one for the bucket rollup.
+# ---------------------------------------------------------------------------
+def _twap_sql(spark_dialect: bool) -> str:
+    ep = "unix_micros" if spark_dialect else "epoch_us"
+    div = "div" if spark_dialect else "//"
+    bucket_s = f"(({ep}(ts) {div} 1000000) {div} 900) * 900"
+    if spark_dialect:
+        bucket = f"timestamp_seconds({bucket_s})"
+        bucket_end = f"timestamp_seconds({bucket_s} + 900)"
+        # exact integral division: Spark's `div` on DECIMAL(38,0)
+        # operands returns the exact BIGINT quotient
+        intdiv = "CAST(SUM(v_e6 * w_us) AS DECIMAL(38,0)) div CAST(SUM(w_us) AS DECIMAL(38,0))"
+    else:
+        bucket = f"make_timestamp(({bucket_s}) * 1000000)"
+        bucket_end = f"make_timestamp(({bucket_s} + 900) * 1000000)"
+        # DuckDB's `//` on DECIMALs silently promotes to DOUBLE; HUGEINT
+        # division is exact
+        intdiv = (
+            "CAST(CAST(SUM(v_e6 * w_us) AS HUGEINT) // CAST(SUM(w_us) AS HUGEINT) AS BIGINT)"
+        )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             {bucket} AS bucket,
+             {bucket_end} AS bucket_end,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    weighted AS (
+      -- all-integer domain: the value in exact e6 micro-units
+      -- (DECIMAL(20,0)) and the hold time in microseconds
+      -- (DECIMAL(12,0) — bounded by one bucket, and decimal x decimal
+      -- stays exact where decimal x int64 would overflow 38 digits and
+      -- silently go DOUBLE in DuckDB). The final TWAP is an exact
+      -- integral division of the two DECIMAL(38,0) sums.
+      SELECT user_id, bucket,
+             CAST({ep}(LEAST(COALESCE(next_ts, bucket_end), bucket_end)) - {ep}(ts)
+                  AS DECIMAL(12,0)) AS w_us,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(20,0)) AS v_e6
+      FROM seq
+    )
+    SELECT user_id, bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(w_us) AS BIGINT) AS active_us,
+           CAST({intdiv} AS BIGINT) AS twap_e6
+    FROM weighted
+    GROUP BY user_id, bucket
+    HAVING SUM(w_us) > 0
+    ORDER BY user_id, bucket
+    """
+
+
+@query("ts23_twap", oracle=_twap_sql(False))
+def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_twap_sql(True))

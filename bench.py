@@ -39,6 +39,12 @@ HEADLINE = [
     # the per-query dict; the total now covers 21 queries, not 19)
     "ts08_rollup_cascade",
     "t15_tfidf_topterms",
+    # round-6 additions (total now covers 24 queries): the new
+    # data-pipeline cores — two-pass heavy hitters, hashed classifier
+    # inference, chunk dedup with reconstruction
+    "q52_heavy_hitters",
+    "t21_quality_classifier",
+    "t22_chunk_dedup_rewrite",
 ]
 
 

@@ -784,3 +784,51 @@ def test_q55_promo_share_bounds(spark, sf_dir):
     r = QUERIES["q55_promo_revenue_share"](spark, sf_dir).collect()[0]
     assert 0 < r["promo_revenue"] < r["total_revenue"]
     assert 0 < r["promo_share_pct"] < 100
+
+
+def test_d18_minhash_estimate_consistency(spark, sf_dir):
+    from ankaflow_spark.operators.dedup import MINHASH_K, QUERIES
+
+    rows = QUERIES["d18_minhash_accuracy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mh_matches"] <= MINHASH_K
+        assert r["est_jaccard_e6"] == r["mh_matches"] * (1000000 // MINHASH_K)
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        # the band verdict matches a float recomputation well away from
+        # the boundary (the graded compare is the integer cross-mult)
+        est = r["mh_matches"] / MINHASH_K
+        diff = abs(est - r["exact_jaccard"])
+        if abs(diff - 0.35) > 0.01:
+            assert r["within_band"] == (diff <= 0.35)
+
+
+def test_ts23_twap_constant_value_bucket(spark):
+    """A bucket with one event held to the boundary must have
+    twap == the event's value exactly."""
+    from ankaflow_spark.operators.timeseries import _twap_sql
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:01:00", 386.59)],
+        ["event_id", "user_id", "ts_s", "value"],
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    df.createOrReplaceTempView("events")
+    try:
+        r = spark.sql(_twap_sql(True)).collect()[0]
+        assert r["twap_e6"] == 386_590_000
+        assert r["active_us"] == 14 * 60 * 1_000_000  # held to bucket end
+    finally:
+        spark.catalog.dropTempView("events")
+        from ankaflow_spark.operators import tables
+
+        tables._ACTIVE.pop(id(spark), None)
+
+
+def test_s14_mrr_semantics(spark, sf_dir):
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    rows = QUERIES["s14_retrieval_mrr"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["first_hit_rank"] >= 1
+        assert abs(r["reciprocal_rank"] - 1.0 / r["first_hit_rank"]) < 1e-15

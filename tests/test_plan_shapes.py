@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "q52_heavy_hitters",  # 1-row miss-bound scalar broadcast into the verdict projection
     "s12_hard_negatives",  # 5-query broadcast cross join (s01's class, label-pruned)
     "ts22_rfm_segmentation",  # 1-row max-ts anchor broadcast into the recency projection
+    "s14_retrieval_mrr",  # 5-query broadcast cross join (s01's class)
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -48,6 +49,7 @@ SMJ_ALLOWED = {
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
+    "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
 }
 
 
