@@ -33,7 +33,7 @@ GRADED_FIRST = [
     # (CORRECTNESS_r01-r03), with every family represented — the whole
     # streaming family is in that backlog, so it gets all eight slots.
     # Everything rotated out stays green in CORRECTNESS_FULL_r06.json.
-    # round-6 additions (25)
+    # round-6 additions (27)
     "q48_min_cost_supplier",
     "q49_important_value_share",
     "q50_top_revenue_supplier",
@@ -59,7 +59,9 @@ GRADED_FIRST = [
     "d18_minhash_accuracy",
     "s14_retrieval_mrr",
     "st12_stream_session_window",
-    # never-driver-graded backlog (25)
+    "q57_mergeable_hll_rollup",
+    "q58_theta_sketch_overlap",
+    # never-driver-graded backlog (23)
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
@@ -81,10 +83,8 @@ GRADED_FIRST = [
     "t16_domain_mixture",
     "t19_chunk_dedup",
     "t20_leakage_safe_split",
-    "ts17_sliding_windows",
     "ts19_native_session_window",
     "ts20_trajectory_similarity",
-    "q43_disjunctive_pushdown",
 ]
 
 

@@ -2035,3 +2035,123 @@ _RETURNED_ITEM_SQL = """
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_RETURNED_ITEM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q57 — MERGEABLE distinct sketches (Spark 4 Datasketches HLL): daily
+# per-event-type user sketches union into weekly estimates WITHOUT
+# touching raw data again — the pre-aggregated sketch-table pattern
+# that makes distinct counts re-aggregable at 100 TB (a plain
+# COUNT(DISTINCT) rollup cannot merge across grains). Graded with the
+# q46 contract: exact counts are the truth columns, each engine asserts
+# its own sketch inside the 10% band (sketch binaries are
+# engine-specific). The Spark side REALLY merges daily binary sketches;
+# the oracle computes its own approximation directly.
+# ---------------------------------------------------------------------------
+def _hll_rollup_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        return """
+    WITH daily AS (
+      SELECT date_trunc('week', ts) AS week, event_type,
+             hll_sketch_agg(user_id, 14) AS sk
+      FROM events
+      GROUP BY date_trunc('week', ts), date_trunc('day', ts), event_type
+    ),
+    weekly AS (
+      SELECT week, event_type,
+             hll_sketch_estimate(hll_union_agg(sk)) AS est
+      FROM daily GROUP BY week, event_type
+    ),
+    exact AS (
+      SELECT date_trunc('week', ts) AS week, event_type,
+             COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.week, e.event_type, e.exact_users,
+           abs(w.est - e.exact_users)
+             <= CAST(0.10 * e.exact_users AS BIGINT) AS sketch_within_10pct
+    FROM exact e JOIN weekly w ON w.week = e.week AND w.event_type = e.event_type
+    ORDER BY week, event_type
+    """
+    return """
+    WITH exact AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS est
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, exact_users,
+           abs(est - exact_users) <= CAST(0.10 * exact_users AS BIGINT)
+             AS sketch_within_10pct
+    FROM exact
+    ORDER BY week, event_type
+    """
+
+
+@query("q57_mergeable_hll_rollup", oracle=_hll_rollup_sql(False))
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_hll_rollup_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q58 — sketch set algebra (Theta sketches): distinct users who BOTH
+# clicked AND purchased in a week, from two INDEPENDENT sketch tables
+# intersected binary-to-binary — HLL cannot intersect; Theta is the
+# sketch a warehouse keeps when audience-overlap questions must not
+# re-scan raw events. Same q46 grading contract: exact intersection is
+# the truth, each engine's own estimate asserts a tolerance band
+# (Theta intersections are noisier than unions — 25% band, and the
+# verdict also passes when the absolute error is <= 5 users, the
+# regime where a 25% relative band is meaninglessly tight).
+# ---------------------------------------------------------------------------
+def _theta_overlap_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        est = """
+    sketches AS (
+      SELECT date_trunc('week', ts) AS week,
+             theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END) AS sk_click,
+             theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END) AS sk_buy
+      FROM events GROUP BY 1
+    ),
+    approx AS (
+      SELECT week,
+             theta_sketch_estimate(theta_intersection(sk_click, sk_buy)) AS est
+      FROM sketches
+    )
+        """
+    else:
+        est = """
+    approx AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(approx_count_distinct(CASE WHEN event_type = 'click' THEN user_id END)
+                  + approx_count_distinct(CASE WHEN event_type = 'purchase' THEN user_id END)
+                  - approx_count_distinct(CASE WHEN event_type IN ('click', 'purchase')
+                                               THEN user_id END) AS BIGINT) AS est
+      FROM events GROUP BY 1
+    )
+        """
+    wk = "date_trunc('week', ts)" if spark_dialect else "CAST(date_trunc('week', ts) AS TIMESTAMP)"
+    return f"""
+    WITH {est},
+    exact AS (
+      SELECT week, COUNT(*) AS exact_both FROM (
+        SELECT {wk} AS week, user_id
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, user_id
+        HAVING COUNT(DISTINCT event_type) = 2
+      ) b GROUP BY week
+    )
+    SELECT e.week AS week, e.exact_both,
+           (abs(a.est - e.exact_both) <= CAST(0.25 * e.exact_both AS BIGINT)
+            OR abs(a.est - e.exact_both) <= 5) AS sketch_within_band
+    FROM exact e JOIN approx a ON a.week = e.week
+    ORDER BY e.week
+    """
+
+
+@query("q58_theta_sketch_overlap", oracle=_theta_overlap_sql(False))
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_theta_overlap_sql(True))

