@@ -33,7 +33,7 @@ GRADED_FIRST = [
     # (CORRECTNESS_r01-r03), with every family represented — the whole
     # streaming family is in that backlog, so it gets all eight slots.
     # Everything rotated out stays green in CORRECTNESS_FULL_r06.json.
-    # round-6 additions (27)
+    # round-6 additions (28)
     "q48_min_cost_supplier",
     "q49_important_value_share",
     "q50_top_revenue_supplier",
@@ -61,7 +61,8 @@ GRADED_FIRST = [
     "st12_stream_session_window",
     "q57_mergeable_hll_rollup",
     "q58_theta_sketch_overlap",
-    # never-driver-graded backlog (23)
+    "ts24_pit_features",
+    # never-driver-graded backlog (22)
     "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
@@ -79,7 +80,6 @@ GRADED_FIRST = [
     "s08_pq_encode",
     "s09_pq_adc_search",
     "s10_pq_recall_eval",
-    "t13_bigram_surprisal",
     "t16_domain_mixture",
     "t19_chunk_dedup",
     "t20_leakage_safe_split",

@@ -1234,3 +1234,44 @@ def _twap_sql(spark_dialect: bool) -> str:
 def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_twap_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts24 — point-in-time-correct training features: for every label event
+# (purchase), the user's feature values AS THEY WERE strictly before
+# that event — running windows with a `1 PRECEDING` upper bound, the
+# construction that makes training features reproducible at serving
+# time (no label leakage, no training-serving skew). All counts are
+# integers, the prior spend is an exact DECIMAL, and recency is integer
+# microseconds — cell-exact cross-engine. One shuffle on user_id; every
+# feature extends the same window frame.
+# ---------------------------------------------------------------------------
+def _pit_features_sql(spark_dialect: bool) -> str:
+    ep = "unix_micros" if spark_dialect else "epoch_us"
+    frame = ("PARTITION BY user_id ORDER BY ts, event_id "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+    return f"""
+    WITH labeled AS (
+      SELECT user_id, event_id, ts, event_type,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER ({frame}) AS prior_clicks,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER ({frame}) AS prior_views,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER ({frame}) AS prior_purchases,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(value AS DECIMAL(18,6)) END)
+                           OVER ({frame}), 0) AS DOUBLE) AS prior_spend,
+             MIN(ts) OVER ({frame}) AS first_seen_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           prior_clicks, prior_views, prior_purchases, prior_spend,
+           CAST(COALESCE({ep}(ts) - {ep}(first_seen_ts), 0) AS BIGINT) AS tenure_us
+    FROM labeled
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """
+
+
+@query("ts24_pit_features", oracle=_pit_features_sql(False))
+def ts24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pit_features_sql(True))

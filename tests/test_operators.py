@@ -846,3 +846,20 @@ def test_q57_q58_sketch_contracts(spark, sf_dir):
     r58 = QUERIES["q58_theta_sketch_overlap"](spark, sf_dir).collect()
     assert r58 and all(r["exact_both"] >= 0 for r in r58)
     assert all(isinstance(r["sketch_within_band"], bool) for r in r58)
+
+
+def test_ts24_pit_no_label_leakage(spark, sf_dir):
+    """Point-in-time features must count STRICTLY-prior events: the
+    user's first-ever purchase has zero prior purchases and zero prior
+    spend, and counters are monotone along each user's purchases."""
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    rows = QUERIES["ts24_pit_features"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        assert rs[0]["prior_purchases"] == 0 and rs[0]["prior_spend"] == 0.0
+        seq = [r["prior_purchases"] for r in rs]
+        assert seq == sorted(seq) and seq == list(range(len(rs)))
