@@ -987,7 +987,8 @@ def _kmeans_sql() -> str:
       SELECT vec_id, c, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
       FROM (
-        SELECT dims.vec_id, {cent}.c, SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)) AS dist
+        SELECT dims.vec_id, {cent}.c,
+               CAST(SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)) AS BIGINT) AS dist
         FROM dims JOIN {cent} ON {cent}.d = dims.d
         GROUP BY dims.vec_id, {cent}.c
       ) x

@@ -1183,7 +1183,7 @@ def _quality_classifier_sql(spark_dialect: bool) -> str:
     ),
     scored AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
-             SUM(bucket % 1001 - 500) AS score_sum
+             CAST(SUM(bucket % 1001 - 500) AS BIGINT) AS score_sum
       FROM feats GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, score_sum,

@@ -55,6 +55,67 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def dtype_family(t: str) -> str:
+    """Collapse a Spark/DuckDB type name to its pandas *render* family.
+
+    The driver hashes values after a pandas round-trip, so two engines
+    agree iff each column renders identically — e.g. DuckDB HUGEINT
+    becomes float64 ("-1234.0") while Spark BIGINT stays int64
+    ("-1234").  Families: int, float, decimal.<scale>, bool, str,
+    date, ts, bin, list, struct.
+    """
+    t = str(t).strip().lower()
+    if t.startswith(("decimal", "numeric")):
+        scale = t[t.find(",") + 1 : t.find(")")].strip() if "," in t else "0"
+        return f"decimal.{scale}"
+    if t in ("hugeint", "uhugeint"):
+        return "float"  # pandas has no int128 → float64
+    if t in (
+        "tinyint", "smallint", "int", "integer", "bigint", "long", "short",
+        "byte", "utinyint", "usmallint", "uinteger", "ubigint",
+        "int1", "int2", "int4", "int8",
+    ):
+        return "int"
+    if t in ("float", "double", "real", "float4", "float8"):
+        return "float"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t in ("varchar", "string", "text", "char"):
+        return "str"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("blob", "binary", "bytea", "varbinary"):
+        return "bin"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    if t.startswith(("struct", "map", "row")):
+        return "struct"
+    return t
+
+
+def dtype_problems(s_cols, s_types, d_cols, d_types):
+    """Driver-hash-breaking dtype drift between Spark and oracle output."""
+    problems = []
+    smap = {c: dtype_family(t) for c, t in zip(s_cols, s_types)}
+    for c, t in zip(d_cols, d_types):
+        tl = str(t).strip().lower()
+        if tl in ("hugeint", "uhugeint"):
+            problems.append(
+                f"oracle column `{c}` is {tl} — pandas renders it float64; "
+                f"CAST(... AS BIGINT) in the oracle"
+            )
+            continue
+        fam = dtype_family(t)
+        if c in smap and smap[c] != fam:
+            problems.append(
+                f"dtype family drift on `{c}`: spark={smap[c]} oracle={fam} "
+                f"(raw: {t}) — typed value-hash will diverge"
+            )
+    return problems
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
@@ -65,15 +126,17 @@ def canon_rows(cols, rows):
 def compare(name, spark_df, duck_rel, record=None):
     t0 = time.time()
     s_cols = [f.name for f in spark_df.schema.fields]
+    s_types = [f.dataType.simpleString() for f in spark_df.schema.fields]
     s_rows = [tuple(r) for r in spark_df.collect()]
     t_spark = time.time() - t0
 
     t0 = time.time()
-    d_cols = [d[0] for d in duck_rel.description]
+    d_cols = list(duck_rel.columns)
+    d_types = [str(t) for t in duck_rel.types]
     d_rows = duck_rel.fetchall()
     t_duck = time.time() - t0
 
-    problems = []
+    problems = dtype_problems(s_cols, s_types, d_cols, d_types)
     cols_ok = sorted(s_cols) == sorted(d_cols)
     rows_ok = len(s_rows) == len(d_rows)
     vals_ok = False
