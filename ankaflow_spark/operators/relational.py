@@ -1684,9 +1684,11 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q49 — TPC-H Q11 shape: "important stock" — per-part supply value from a
 # nation cohort, kept where the part's share exceeds a fraction of the
 # cohort total. Sums are exact DECIMAL (associative — engine-identical at
-# any parallelism); the global total comes from an empty-frame window
-# over the ALREADY AGGREGATED per-part relation (|parts| rows, not
-# |lineitem|), so the single-partition window input is the small side.
+# any parallelism); the global total is a ONE-ROW scalar aggregate that
+# AQE broadcasts back over the per-part relation. (An `OVER ()` window
+# here would funnel |parts| rows — ~2x10^8 at 100 TB TPC-H — through a
+# single partition; the scalar-agg + broadcast join spelling keeps every
+# stage parallel. q51/q52 use the same pattern.)
 # ---------------------------------------------------------------------------
 _IMPORTANT_VALUE_SQL = """
     WITH sv AS (
@@ -1699,11 +1701,11 @@ _IMPORTANT_VALUE_SQL = """
       WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
       GROUP BY l.l_partkey
     ),
-    shared AS (
-      SELECT partkey, val, SUM(val) OVER () AS total FROM sv
+    tot AS (
+      SELECT SUM(val) AS total FROM sv
     )
     SELECT partkey, CAST(val AS DOUBLE) AS part_value
-    FROM shared
+    FROM sv CROSS JOIN tot
     WHERE val > total * 0.001
     ORDER BY partkey
     """
@@ -1717,9 +1719,10 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q50 — TPC-H Q15 shape: top-revenue supplier(s). The reference view +
-# scalar MAX + join-back triple-scans; here the MAX is an empty-frame
-# window over the per-supplier aggregate (|suppliers| rows) and the
-# join-back is an equality filter on exact DECIMAL revenue — one
+# scalar MAX + join-back triple-scans; here the MAX is a ONE-ROW scalar
+# aggregate broadcast back over the per-supplier relation (|suppliers|
+# rows stay fully parallel — no single-partition `OVER ()` window), and
+# the join-back is an equality filter on exact DECIMAL revenue — one
 # lineitem scan total, ties kept (the Q15 contract).
 # ---------------------------------------------------------------------------
 _TOP_REVENUE_SQL = """
@@ -1733,12 +1736,13 @@ _TOP_REVENUE_SQL = """
       GROUP BY l_suppkey
     ),
     best AS (
-      SELECT suppkey, total_rev, MAX(total_rev) OVER () AS max_rev FROM rev
+      SELECT MAX(total_rev) AS max_rev FROM rev
     )
     SELECT s.s_suppkey, s.s_name,
-           CAST(ROUND(b.total_rev, 2) AS DOUBLE) AS total_revenue
-    FROM best b JOIN supplier s ON s.s_suppkey = b.suppkey
-    WHERE b.total_rev = b.max_rev
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM rev r CROSS JOIN best b
+    JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = b.max_rev
     ORDER BY s.s_suppkey
     """
 
@@ -2019,14 +2023,14 @@ _RETURNED_ITEM_SQL = """
         AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY c.c_custkey, c.c_name, n.n_name
     ),
-    ranked AS (
-      SELECT c_custkey, c_name, nation,
-             CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
-             ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
-      FROM rev
+    top AS (
+      SELECT c_custkey, c_name, nation, revenue
+      FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
     )
-    SELECT rk, c_custkey, c_name, nation, revenue
-    FROM ranked WHERE rk <= 20
+    SELECT ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk,
+           c_custkey, c_name, nation,
+           CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue
+    FROM top
     ORDER BY rk
     """
 

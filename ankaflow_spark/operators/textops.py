@@ -559,8 +559,10 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t11 — vocabulary construction: global token counts + document
 # frequency, top-K by count (deterministic token tiebreak) — the
 # tokenizer-prep pass of a training pipeline. Plan: explode tokens ->
-# one partial-aggregated shuffle on token -> top-K via rank (never a
-# global sort of the vocabulary; K rows reach the driver).
+# one partial-aggregated shuffle on token -> top-K via ORDER BY+LIMIT
+# (TakeOrderedAndProject: per-partition heaps, K rows to the driver —
+# never a single-partition rank of the whole vocabulary), then rank
+# the K-row result.
 # ---------------------------------------------------------------------------
 _VOCAB_K = 200
 
@@ -575,11 +577,12 @@ def _vocab_sql(spark_dialect: bool) -> str:
     counts AS (
       SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
       FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, n, df FROM counts ORDER BY n DESC, tok LIMIT {_VOCAB_K}
     )
-    SELECT tok, n, df, rk FROM (
-      SELECT tok, n, df, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
-      FROM counts
-    ) ranked WHERE rk <= {_VOCAB_K}
+    SELECT tok, n, df, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+    FROM top
     ORDER BY rk
     """
 
@@ -960,8 +963,12 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t18 — Zipf exponent of the corpus vocabulary: least-squares slope of
 # log(freq) vs log(rank) over the token frequency table — the corpus-
 # health diagnostic (natural text ~ -1; synthetic/templated corpora
-# deviate). One token shuffle + one rank window over the (vocabulary-
-# sized) frequency table; the regression reduces to five sums.
+# deviate). One token shuffle; the global rank decomposes count-of-
+# counts style so no window ever sees the full vocabulary in one
+# partition: rank(term) = (#terms with higher f, a cumulative sum over
+# the DISTINCT-frequency table — O(sqrt(tokens)) rows by Zipf's own
+# count-of-counts law) + row_number PARTITIONED BY f (parallel across
+# frequencies). The regression then reduces to five sums.
 # Float discipline: ln values quantize to e4 BIGINTs per term (libm ULP
 # noise collapses under floor), the five Σ accumulate as exact integer
 # sums, and the slope combines them in fixed-order DOUBLE arithmetic —
@@ -978,8 +985,17 @@ def _zipf_sql(spark_dialect: bool) -> str:
       FROM ({tok}) raw WHERE term <> ''
       GROUP BY term
     ),
+    fcounts AS (
+      SELECT f, COUNT(*) AS cnt FROM freq GROUP BY f
+    ),
+    fbase AS (
+      SELECT f, SUM(cnt) OVER (ORDER BY f DESC) - cnt AS base FROM fcounts
+    ),
     ranked AS (
-      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank FROM freq
+      SELECT freq.f,
+             fbase.base
+               + ROW_NUMBER() OVER (PARTITION BY freq.f ORDER BY term) AS rank
+      FROM freq JOIN fbase ON fbase.f = freq.f
     ),
     pts AS (
       SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x_e4,

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "d15_graph_centrality",  # 1-row node-count scalar cross-joined into every iteration
     "s10_pq_recall_eval",  # 3-query ADC/truth scalar relations (d12's metrics-row class)
     "ts20_trajectory_similarity",  # 3-user query cohort broadcast against the journey table (s01's class)
+    "q49_important_value_share",  # 1-row cohort-total scalar broadcast into the share filter
     "q51_untapped_segments",  # 1-row avg-balance scalar broadcast into the customer filter
     "q52_heavy_hitters",  # 1-row miss-bound scalar broadcast into the verdict projection
     "s12_hard_negatives",  # 5-query broadcast cross join (s01's class, label-pruned)
@@ -127,6 +128,58 @@ def test_d07_benchmark_grams_broadcast(plans):
 def test_d08_label_join_broadcast(plans):
     nodes, _ = plans["d08_dedup_survivors"]
     assert "SortMergeJoin" not in nodes
+
+
+# A window with an empty PARTITION BY funnels its whole input through
+# ONE partition (Spark's "No Partition Defined" warning). Acceptable
+# only where the window input is a constant-size relation by design —
+# documented per query. Growing-with-data relations must use the
+# scalar-aggregate + broadcast-join spelling instead (q49/q50/q51).
+GLOBAL_WINDOW_ALLOWED = {
+    "q52_heavy_hitters",  # top-k rank + kth-count windows over the <= SHARDS*M candidate summary
+    "q05_rank_in_group",  # final dense_rank over the 3-row grouped output
+    "q07_topk_orders",  # row_number bounded by TakeOrderedAndProject's K
+    "q16_running_total",  # running total over <= |dates in one quarter| grouped rows
+    "q42_value_deciles",  # ntile over the 150-row per-segment aggregate
+    "q53_approx_quantile_verdict",  # exact-rank window over the 3-metric relation
+    "d12_lsh_recall_eval",  # metrics-row assembly: windows over tiny verdict relations
+    "s03_ivf_ann",  # per-query rank: 5 queries x probe candidates, query-count-bounded
+    "s10_pq_recall_eval",  # rank over 3-query truth/ADC candidate slices
+    "s13_ivf_recall_eval",  # rank over 5-query eval slices
+    "s05_knn_label",  # rank over broadcast test-slice neighbors (query-count-bounded)
+    "s12_hard_negatives",  # rank over 5-query candidate slices
+    "s14_retrieval_mrr",  # rank over 5-query candidate slices
+    "ts22_rfm_segmentation",  # ntile over the 150-customer RFM aggregate
+    "q56_returned_item_reporting",  # re-rank over TakeOrderedAndProject's 20-row output
+    "t11_vocab_topk",  # re-rank over TakeOrderedAndProject's K-row output
+    "t18_zipf_fit",  # cumsum over the DISTINCT-frequency table (O(sqrt tokens) rows, count-of-counts law)
+}
+
+_WSPEC = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    for m in _WSPEC.finditer(plan):
+        head = m.group(1)
+        parts = [p.strip() for p in head.split(",") if p.strip()]
+        # partition columns appear as bare `col#id`; order columns carry
+        # ASC/DESC. No bare column before the frame => empty PARTITION BY.
+        if not any(" ASC" not in p and " DESC" not in p for p in parts):
+            return True
+    return False
+
+
+def test_no_unpartitioned_windows_over_growing_relations(plans):
+    offenders = [
+        n
+        for n, (_, plan) in plans.items()
+        if _has_unpartitioned_window(plan) and n not in GLOBAL_WINDOW_ALLOWED
+    ]
+    assert offenders == [], (
+        f"{offenders}: global (empty PARTITION BY) window over a relation "
+        f"that grows with data — respell as scalar aggregate + broadcast "
+        f"join (see q49/q50), or allowlist with a constant-size justification"
+    )
 
 
 def test_scan_heavy_queries_bounded_shuffles(plans):
