@@ -210,9 +210,13 @@ ORACLES["m01_multimodal_features"] = """
 
 def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal feature surface (sha256 + fixed-width features
-    via mapInPandas). Rows-only check: byte-level sha256/feature math
-    is not SQL-expressible in the DuckDB oracle; determinism is
-    asserted in tests/test_operators.py."""
+    via mapInPandas), ORACLE-CHECKED cell-exact: DuckDB 1.0's sha256()
+    only accepts VARCHAR so the blob hash isn't SQL-computable, but the
+    synthetic payload is a pure function of media_id — so the oracle is
+    a golden VALUES relation computed once in plain Python (hashlib +
+    struct, no Spark anywhere) from the same spec. The comparison then
+    proves the whole Spark path — Arrow binary transfer, mapInPandas
+    kernel, %.6f formatting — reproduces the spec byte-for-byte."""
     from .multimodal import extract_features, synth_media
 
     media = synth_media(spark, 120)
@@ -230,6 +234,51 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["m02_multimodal_feature_surface"] = m02
+
+
+def _m02_golden_sql(n: int = 120) -> str:
+    """Expected m02 output as a DuckDB VALUES relation, derived from the
+    synth_media spec (payload = md5(str(i)) * (4 + i % 5)) with stdlib
+    hashlib/struct only — an independent reference implementation of the
+    kernel math, evaluated at import time (120 sha256s, microseconds)."""
+    import hashlib as _h
+    import struct as _s
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .multimodal import FEATURE_DIM
+
+    def _fmt6(v: float) -> str:
+        # the pipeline stores features as float32 and Java's %.6f rounds
+        # HALF_UP on the exact binary value — mirror both precisely
+        f32 = _s.unpack(">f", _s.pack(">f", v))[0]
+        return str(Decimal(f32).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        payload = _h.md5(str(i).encode()).digest() * (4 + i % 5)
+        digest = _h.sha256(payload).digest()
+        feats = [
+            _s.unpack(">I", digest[j * 4 : j * 4 + 4])[0] / 2**32
+            for j in range(FEATURE_DIM)
+        ]
+        csv = ",".join(_fmt6(v) for v in feats)
+        rows.append(
+            f"({i}, '{kinds[i % 3]}', {len(payload)}, "
+            f"'{_h.sha256(payload).hexdigest()}', '{csv}')"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(n_bytes AS BIGINT) AS n_bytes, sha256, feature_csv
+    FROM (VALUES
+      {values}
+    ) AS t(media_id, kind, n_bytes, sha256, feature_csv)
+    ORDER BY media_id
+    """
+
+
+ORACLES["m02_multimodal_feature_surface"] = _m02_golden_sql()
 
 
 def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
