@@ -63,6 +63,75 @@ def asof_join_window(
     return out.filter(F.col("__side__") == 1).drop("__side__", "__val__")
 
 
+def asof_join_full(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str,
+    on_right: str,
+    eq_keys: List[tuple],
+    direction: str = "backward",
+    strict: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join carrying ALL right columns — the execution plan behind
+    the SQL ``ASOF JOIN`` surface (sqlfront parses the statement, this
+    runs it). Window-based: union both sides tagged, one window pass per
+    key partition carries the right row (as a struct) onto left rows;
+    one shuffle on the equality keys, no range join, no pairwise blowup.
+
+    ``eq_keys``: [(left_col, right_col), ...] equality conditions.
+    ``direction``: 'backward' (right.on <= left.on — DuckDB's
+    ``l.ts >= r.ts``) or 'forward' (right.on >= left.on).
+    ``strict``: exclusive comparison (``>`` / ``<``) — equal timestamps
+    do not match.
+    ``how``: 'inner' drops unmatched left rows (DuckDB ASOF JOIN);
+    'left' keeps them with NULL right columns (ASOF LEFT JOIN).
+    """
+    lkeys = [lk for lk, _ in eq_keys]
+    ren = dict(zip([rk for _, rk in eq_keys], lkeys))
+    ren[on_right] = on_left
+    rsel = [F.col(c).alias(ren.get(c, c)) for c in right.columns]
+    rt = right.select(*rsel)
+    carry_cols = [c for c in rt.columns if c not in lkeys and c != on_left]
+    clash = set(carry_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"ASOF JOIN: right-side columns {sorted(clash)} collide with the "
+            "left side; project distinct names in a subquery on either side"
+        )
+    # side tag orders equal timestamps: inclusive -> right first (its
+    # value is visible to same-ts left rows), strict -> right last.
+    r_tag, l_tag = (1, 0) if strict else (0, 1)
+    rt = rt.select(
+        *[F.col(k) for k in lkeys],
+        F.col(on_left),
+        F.lit(r_tag).alias("__side__"),
+        F.struct(*[F.col(c) for c in carry_cols]).alias("__carry__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in lkeys and c != on_left],
+    )
+    lt = left.select(
+        *left.columns,
+        F.lit(l_tag).alias("__side__"),
+        F.lit(None).cast(rt.schema["__carry__"].dataType).alias("__carry__"),
+    )
+    merged = lt.unionByName(rt)
+    order = F.col(on_left).asc() if direction == "backward" else F.col(on_left).desc()
+    w = (
+        W.partitionBy(*lkeys)
+        .orderBy(order, F.col("__side__").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = merged.withColumn("__m__", F.last("__carry__", ignorenulls=True).over(w))
+    out = out.filter(F.col("__side__") == l_tag)
+    if how == "inner":
+        out = out.filter(F.col("__m__").isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"__m__.{c}").alias(c) for c in carry_cols],
+    )
+
+
 def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,

@@ -184,6 +184,15 @@ class SparkEngine:
         piv = parse_pivot_statement(query)
         if piv is not None:
             return self._run_pivot(piv)
+        from .sqlfront.statements import parse_asof_statement, parse_by_name_setop
+
+        query = self._expand_optioned_readers(query)
+        by_name = parse_by_name_setop(query)
+        if by_name is not None:
+            return self._run_setop_by_name(by_name)
+        asof = parse_asof_statement(query)
+        if asof is not None:
+            return self._run_asof(asof)
 
         def schema_lookup(name):
             try:
@@ -192,6 +201,110 @@ class SparkEngine:
                 return None
 
         return self.spark.sql(rewrite_sql(query, self._views, schema_lookup))
+
+    def _expand_optioned_readers(self, query: str) -> str:
+        """DuckDB ``read_*('path', option=value, ...)`` table functions:
+        materialize each as a Spark reader call (options mapped — see
+        sqlfront/statements.py) registered under a temp view, then
+        substitute the view name into the SQL text. Single-argument
+        calls keep the pure-text ``format.`path``` rewrite (no session
+        needed). Reference parity: util.py make_selectable_func builds
+        the same optioned calls programmatically."""
+        from pyspark.sql import functions as F
+
+        from .sqlfront.statements import parse_reader_calls
+
+        calls = parse_reader_calls(query)
+        if not calls:
+            return query
+        out = query
+        for spec in reversed(calls):  # reverse span order keeps offsets valid
+            reader = self.spark.read.format(spec["fmt"]).options(**spec["options"])
+            if spec["schema_ddl"]:
+                reader = reader.schema(spec["schema_ddl"])
+            df = reader.load(spec["path"])
+            if spec["with_filename"]:
+                df = df.withColumn("filename", F.input_file_name())
+            self._gen_view_n = getattr(self, "_gen_view_n", 0) + 1
+            view = f"__readopt{self._gen_view_n}__"
+            df.createOrReplaceTempView(view)
+            s, e = spec["span"]
+            out = out[:s] + view + out[e:]
+        return out
+
+    def _run_setop_by_name(self, spec: dict) -> DataFrame:
+        """DuckDB set operations BY NAME: match columns by name instead
+        of position. UNION [ALL] BY NAME fills missing columns with
+        NULL (Spark unionByName allowMissingColumns); INTERSECT/EXCEPT
+        BY NAME require equal column sets and reorder the right side.
+        Both operands re-enter the full SQL pipeline (chains work)."""
+        from .sqlfront.rewrite import UnsupportedDialect
+
+        left = self.sql(spec["left"])
+        right = self.sql(spec["right"])
+        op = spec["op"]
+        if op == "UNION":
+            out = left.unionByName(right, allowMissingColumns=True)
+            if not spec["all"]:
+                out = out.distinct()
+        else:
+            if set(left.columns) != set(right.columns):
+                raise UnsupportedDialect(
+                    f"{op} BY NAME requires the same column set on both "
+                    f"sides; left has {sorted(left.columns)}, right has "
+                    f"{sorted(right.columns)}"
+                )
+            right = right.select(*left.columns)
+            if op == "INTERSECT":
+                out = left.intersectAll(right) if spec["all"] else left.intersect(right)
+            else:
+                out = left.exceptAll(right) if spec["all"] else left.subtract(right)
+        if spec["tail"]:
+            self._gen_view_n = getattr(self, "_gen_view_n", 0) + 1
+            view = f"__setop{self._gen_view_n}__"
+            out.createOrReplaceTempView(view)
+            out = self.sql(f"SELECT * FROM {view} {spec['tail']}")
+        return out
+
+    def _run_asof(self, spec: dict) -> DataFrame:
+        """DuckDB ``ASOF JOIN`` executed via the window-based plan in
+        operators/asof.py (one shuffle on the equality keys — never a
+        range join). The joined relation exposes left columns plus the
+        matched right row's carried (non-key, non-timestamp) columns
+        under their own names; the statement's projection/tail then run
+        over it with alias qualifiers stripped. ``l.*`` expands to the
+        left columns, ``r.*`` to the carried right columns."""
+        import re as _re
+
+        from .operators.asof import asof_join_full
+
+        def side(term):
+            src, is_sub = term
+            return self.sql(src) if is_sub else self.table(src.strip('`"'))
+
+        left, right = side(spec["left"]), side(spec["right"])
+        joined = asof_join_full(
+            left,
+            right,
+            spec["on_left"],
+            spec["on_right"],
+            spec["eq_keys"],
+            direction=spec["direction"],
+            strict=spec["strict"],
+            how=spec["how"],
+        )
+        self._gen_view_n = getattr(self, "_gen_view_n", 0) + 1
+        view = f"__asof{self._gen_view_n}__"
+        joined.createOrReplaceTempView(view)
+        carried = [c for c in joined.columns if c not in left.columns]
+        proj, tail = spec["proj"], spec["tail"]
+        for alias, cols in ((spec["la"], left.columns), (spec["ra"], carried)):
+            star = _re.compile(rf"\b{_re.escape(alias)}\s*\.\s*\*")
+            proj = star.sub(", ".join(cols) if cols else "*", proj)
+            qual = _re.compile(rf"\b{_re.escape(alias)}\s*\.\s*")
+            proj = qual.sub("", proj)
+            tail = qual.sub("", tail)
+        return self.sql(f"SELECT {proj} FROM {view} {tail}")
 
     def _run_pivot(self, piv) -> DataFrame:
         """DuckDB ``PIVOT`` statement, executed Spark-first: like DuckDB

@@ -1450,17 +1450,18 @@ def normalize_dialect(sql: str) -> str:
         _reject_columns_expr(chunk)
         if _UNION_BY_NAME.search(chunk):
             raise UnsupportedDialect(
-                "DuckDB's set operations BY NAME have no Spark SQL spelling; "
-                "list matching columns explicitly on both sides (SELECT a, b "
-                "... UNION ALL SELECT a, b ...), or use the DataFrame API's "
-                "unionByName through a custom operator stage"
+                "set operations BY NAME run only as a TOP-LEVEL statement "
+                "(executed via DataFrame unionByName/intersect/except — "
+                "session._run_setop_by_name); inside a subquery, list "
+                "matching columns explicitly on both sides"
             )
         if _ASOF_JOIN.search(chunk):
             raise UnsupportedDialect(
-                "DuckDB ASOF JOIN has no Spark SQL spelling; use the "
-                "`asof_join` operator stage (kind: operator, op: asof_join, "
-                "params: {right, on, by, value_column}) — the window-based "
-                "point-in-time join with identical semantics"
+                "ASOF JOIN runs only as a TOP-LEVEL statement of the form "
+                "SELECT ... FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND "
+                "l.ts >= r.ts (executed via the window-based plan in "
+                "operators/asof.py); inside a subquery, use the `asof_join` "
+                "operator stage instead"
             )
         if _BRACKET_SLICE.search(chunk):
             raise UnsupportedDialect(

@@ -521,23 +521,34 @@ def test_copy_statement_parquet_and_csv(engine, tmp_path):
         engine.sql("COPY copysrc TO 's3://bucket/out.parquet'")
 
 
-def test_read_table_fn_with_options_actionable_error(engine):
-    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
+def test_read_table_fn_with_options_sessionless_error(engine):
+    """Optioned read_* executes through the session (tested e2e in
+    test_dialect_statements.py); the pure-text rewrite path — no
+    SparkSession to materialize the reader — still rejects actionably."""
+    from ankaflow_spark.sqlfront.rewrite import (
+        UnsupportedDialect,
+        expand_dialect_functions,
+    )
 
     import pytest as _pytest
 
     with _pytest.raises(UnsupportedDialect, match="tap stage"):
-        engine.sql("SELECT * FROM read_csv('data.csv', header=true)")
+        expand_dialect_functions("SELECT * FROM read_csv('data.csv', header=true)")
 
 
-def test_asof_join_actionable_error(engine):
+def test_asof_join_nested_actionable_error(engine):
+    """Top-level ASOF JOIN executes (test_dialect_statements.py); a
+    nested one still rejects with the supported-form message."""
     from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
 
     import pytest as _pytest
 
-    with _pytest.raises(UnsupportedDialect, match="asof_join"):
-        engine.sql("SELECT * FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts")
-    # the word inside a string literal is untouched
+    with _pytest.raises(UnsupportedDialect, match="TOP-LEVEL"):
+        engine.sql(
+            "SELECT * FROM (SELECT 1 FROM a ASOF JOIN b ON a.k = b.k "
+            "AND a.ts >= b.ts) x"
+        )
+    # the phrase inside a string literal is untouched
     assert engine.sql("SELECT 'ASOF JOIN' AS s").collect()[0]["s"] == "ASOF JOIN"
 
 
@@ -550,13 +561,9 @@ def test_star_rename_rewrite(engine):
     assert sorted(df.columns) == ["c", "x", "y"]
 
 
-def test_union_by_name_rejected(engine):
-    import pytest as _pytest
-
-    from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect
-
-    with _pytest.raises(UnsupportedDialect, match="BY NAME"):
-        engine.sql("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a")
+def test_union_by_name_executes(engine):
+    got = engine.sql("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a").collect()
+    assert sorted(r["a"] for r in got) == [1, 2]
 
 
 def test_distinct_on_rewrite(engine):
