@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
     # Re-curated for round 6 (len == 50, the driver's graded window).
-    # This round's 20 new queries lead; the 30 backlog slots go to
+    # The newest-wave queries lead; the remaining backlog slots go to
     # entries that have NEVER appeared in a driver artifact
     # (CORRECTNESS_r01-r03), with every family represented — the whole
     # streaming family is in that backlog, so it gets all eight slots.

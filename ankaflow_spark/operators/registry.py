@@ -827,10 +827,16 @@ def op_quality_classifier(engine, df: DataFrame, params: Dict[str, Any]) -> Data
             )
             .cast("bigint")
             .alias("logit_e6"),
+            # gate on the RAW affine sum (t21's exact predicate): the
+            # e6-floored per-token logit collapses to 0 for docs longer
+            # than 1e6 tokens even when the sum is positive
+            ((F.col("__s__") + bias * F.col("__n__")) > 0).alias("__keep__"),
         )
     )
-    joined = df.join(scored, id_col, "left").withColumn(
-        "keep", F.coalesce(F.col("logit_e6"), F.lit(0)) > 0
+    joined = (
+        df.join(scored, id_col, "left")
+        .withColumn("keep", F.coalesce(F.col("__keep__"), F.lit(False)))
+        .drop("__keep__")
     )
     return joined if params.get("keep_all") else joined.filter("keep").drop("keep", "logit_e6")
 

@@ -847,6 +847,10 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged, schema = _staged_events(spark, sf_dir)
     stream = stream_tap(spark, staged, schema)
     agg = (
+        # NOTE: complete output mode retains ALL session state — the
+        # watermark is inert here (kept for spelling parity with the
+        # append-mode variant, which is the bounded-state production
+        # form: append emits only sessions closed by the watermark).
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
         .agg(

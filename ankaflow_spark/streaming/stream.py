@@ -286,4 +286,6 @@ def foreachbatch_merge_counts(
     q.stop()
     if not last_dir:
         raise RuntimeError("foreachbatch_merge_counts: no micro-batch executed")
-    return stream_df.sparkSession.read.parquet(last_dir[-1])
+    # pin the result: a subsequent call with the same state_base rmtree's
+    # these dirs, which would silently break a still-held lazy reader
+    return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(eager=True)
