@@ -3,11 +3,20 @@ ankaflow/connections/bigquery.py — query tap with ranking, load-job
 dispositions WRITE_APPEND / WRITE_TRUNCATE / WRITE_EMPTY, field-addition
 allowance; behavior studied, fresh implementation).
 
-Spark-native path: the spark-bigquery connector
-(``format("bigquery")``). The jar is not in this container, so reads and
-writes raise a clear error at use time; the disposition/mode mapping and
-remote query synthesis (ranking pushed into BigQuery SQL, exactly as the
-reference pushes it) are plain functions, unit-tested without the jar.
+Two execution paths, chosen automatically:
+
+* **spark-bigquery connector** (``format("bigquery")``) when its jar is
+  on the classpath — the cluster-scale path (parallel storage-API
+  reads, distributed writes).
+* **REST fallback** (sources/bigquery_rest.py) when the spec carries an
+  ``endpoint`` — the same client-library contract the reference uses
+  (query -> driver dataframe, load job with write dispositions), spoken
+  directly on the v2 wire protocol with stdlib urllib. Driver-bounded
+  like the reference; e2e-tested against a local protocol emulator
+  (tests/test_bigquery_rest.py) including the full disposition matrix.
+
+With neither jar nor endpoint, connection construction raises the
+actionable ``BigQueryUnavailable``.
 """
 
 from __future__ import annotations
@@ -61,18 +70,47 @@ class BigQueryConnection:
         self.engine = engine
         self.spec = spec
         self.variables = variables
-        if not _bq_available(engine.spark):
-            raise BigQueryUnavailable(
-                "spark-bigquery connector jar is not on the classpath; add "
-                "com.google.cloud.spark:spark-bigquery-with-dependencies to spark.jars.packages"
+        self._jar = _bq_available(engine.spark)
+        self._rest = None
+        if not self._jar:
+            endpoint = spec.get("endpoint") or (spec.get("options") or {}).get(
+                "endpoint"
             )
+            if endpoint:
+                from .bigquery_rest import BigQueryRestClient
+
+                self._rest = BigQueryRestClient(
+                    endpoint,
+                    spec.get("project") or "default",
+                    token=spec.get("token"),
+                )
+            else:
+                raise BigQueryUnavailable(
+                    "spark-bigquery connector jar is not on the classpath and "
+                    "no REST `endpoint` is configured; add com.google.cloud."
+                    "spark:spark-bigquery-with-dependencies to spark.jars."
+                    "packages, or set endpoint: for the jar-free REST path"
+                )
 
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
         spec = self.spec
+        if query:
+            remote = build_remote_query(
+                query, version=spec.get("version"), keys=spec.get("key")
+            )
+        else:
+            table = spec.get("table") or spec.get("locator")
+            remote = None if self._jar else f"SELECT * FROM `{table}`"
+        if self._rest is not None:
+            from ..sqlfront.ranking import RANK_COL
+
+            fields, rows = self._rest.query(remote)
+            schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+            out = self.engine.spark.createDataFrame(rows, schema=schema)
+            return out.drop(RANK_COL) if RANK_COL in out.columns else out
         reader = self.engine.spark.read.format("bigquery")
         opts = dict(spec.get("options") or {})
-        if query:
-            remote = build_remote_query(query, version=spec.get("version"), keys=spec.get("key"))
+        if remote:
             reader = reader.option("query", remote).option("viewsEnabled", "true")
         else:
             reader = reader.option("table", spec.get("table") or spec.get("locator"))
@@ -80,12 +118,41 @@ class BigQueryConnection:
 
     def sink(self, df: DataFrame, stage: Stage) -> None:
         spec = self.spec
-        mode = disposition_mode(spec.get("mode") or spec.get("disposition"))
-        writer = df.write.format("bigquery").mode(mode)
+        disposition = (spec.get("mode") or spec.get("disposition") or "WRITE_APPEND").upper()
+        mode = disposition_mode(disposition)
         opts = dict(spec.get("options") or {})
-        if opts.pop("allow_field_addition", False):
+        allow_add = bool(opts.pop("allow_field_addition", False))
+        table = spec.get("table") or spec.get("locator")
+        if self._rest is not None:
+            import io
+
+            fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            buf = io.StringIO()
+            # bounded, reference-parity materialization (the reference
+            # likewise collects the relation into a client-side frame
+            # before the load job — bigquery.py:240-260)
+            for row in df.toJSON().toLocalIterator():
+                buf.write(row)
+                buf.write("\n")
+            self._rest.load_ndjson(
+                table,
+                buf.getvalue().encode(),
+                fields,
+                write_disposition=disposition,
+                allow_field_addition=allow_add,
+            )
+            return
+        writer = df.write.format("bigquery").mode(mode)
+        if allow_add:
             writer = writer.option("allowFieldAddition", "true")
-        writer.options(**opts).save(spec.get("table") or spec.get("locator"))
+        writer.options(**opts).save(table)
 
     def execute(self, query: str, stage: Stage) -> None:
-        raise NotImplementedError("BigQuery DDL requires the BigQuery client; not in this environment")
+        """SQL (remote/admin) stage: DDL/DML executed on BigQuery."""
+        if self._rest is not None:
+            self._rest.query(query)
+            return
+        raise NotImplementedError(
+            "BigQuery DDL via the spark-bigquery jar is read/write only; "
+            "configure a REST `endpoint` to run DDL through jobs.query"
+        )
