@@ -77,6 +77,58 @@ def resolve_warehouse_table(locator: str, database: Optional[str] = None) -> str
     return f'"{db}"."{table}"'
 
 
+_CLICKHOUSE_TYPES = {
+    "bigint": "Int64",
+    "int": "Int32",
+    "smallint": "Int16",
+    "tinyint": "Int8",
+    "double": "Float64",
+    "float": "Float32",
+    "string": "String",
+    "boolean": "Bool",
+    "binary": "String",
+    "date": "Date32",
+    "timestamp": "DateTime64(6)",
+    "timestamp_ntz": "DateTime64(6)",
+}
+
+
+def clickhouse_type(spark_type: str, nullable: bool = False) -> str:
+    """Spark SQL type -> ClickHouse column type (the DDL dialect the
+    reference's warehouse leaves to the server; Spark's JDBC writer needs
+    it spelled via createTableColumnTypes). DECIMAL(p,s) passes through
+    (ClickHouse spells it identically); unknowns fail actionably."""
+    t = spark_type.strip().lower()
+    if t.startswith("decimal"):
+        ch = t.replace("decimal", "Decimal")
+    elif t in _CLICKHOUSE_TYPES:
+        ch = _CLICKHOUSE_TYPES[t]
+    else:
+        raise ValueError(
+            f"no ClickHouse type mapping for Spark type {spark_type!r}; "
+            "add an explicit options.createTableColumnTypes"
+        )
+    return f"Nullable({ch})" if nullable else ch
+
+
+def clickhouse_ddl_options(df, spec: Dict[str, Any]) -> Dict[str, str]:
+    """The two writer options that make Spark's generic JDBC CREATE
+    TABLE valid ClickHouse DDL: a full column-type list (ClickHouse
+    rejects Spark's default TEXT/TIMESTAMP spellings) and the mandatory
+    ENGINE clause. ``spec.engine`` / ``spec.order_by`` override the
+    MergeTree default; explicit user options always win."""
+    cols = ", ".join(
+        f"{f.name} {clickhouse_type(f.dataType.simpleString(), f.nullable)}"
+        for f in df.schema.fields
+    )
+    engine = spec.get("engine") or "MergeTree()"
+    order_by = spec.get("order_by") or "tuple()"
+    return {
+        "createTableColumnTypes": cols,
+        "createTableOptions": f"ENGINE = {engine} ORDER BY {order_by}",
+    }
+
+
 class JDBCConnection:
     def __init__(self, engine: SparkEngine, spec: Dict[str, Any], variables: Dict[str, Any]):
         self.engine = engine
@@ -131,7 +183,14 @@ class JDBCConnection:
         if not table:
             raise ValueError("jdbc sink needs `table` (or a table-name locator)")
         mode = self.spec.get("mode") or "append"
-        df.write.format("jdbc").options(**self._options({"dbtable": table})).mode(mode).save()
+        options = self._options({"dbtable": table})
+        if str(self.spec.get("kind") or "").lower() == "clickhouse":
+            # ClickHouse rejects Spark's generic DDL (TEXT columns, no
+            # ENGINE clause); synthesize the dialect-correct CREATE
+            # TABLE options. Explicit user options still win.
+            for k, v in clickhouse_ddl_options(df, self.spec).items():
+                options.setdefault(k, v)
+        df.write.format("jdbc").options(**options).mode(mode).save()
 
     def execute(self, query: str, stage: Stage) -> None:
         """Remote DDL/DML statement on the external system (reference

@@ -353,3 +353,30 @@ def test_clickhouse_kind_qualifies_sink_table(engine):
     # a jdbc: url locator is not a table
     conn = JDBCConnection(engine, {"kind": "jdbc", "locator": "jdbc:derby:x"}, {})
     assert conn._qualified_table() is None
+
+
+def test_clickhouse_type_mapping():
+    from ankaflow_spark.sources.jdbc import clickhouse_type
+
+    assert clickhouse_type("bigint") == "Int64"
+    assert clickhouse_type("string", nullable=True) == "Nullable(String)"
+    assert clickhouse_type("timestamp") == "DateTime64(6)"
+    assert clickhouse_type("decimal(12,2)") == "Decimal(12,2)"
+    assert clickhouse_type("boolean") == "Bool"
+    with pytest.raises(ValueError, match="ClickHouse type mapping"):
+        clickhouse_type("array<int>")
+
+
+def test_clickhouse_ddl_options(engine):
+    from ankaflow_spark.sources.jdbc import clickhouse_ddl_options
+
+    df = engine.spark.createDataFrame(
+        [(1, "a", 2.5)], "id bigint, name string, score double"
+    )
+    opts = clickhouse_ddl_options(df, {"order_by": "id"})
+    assert opts["createTableOptions"] == "ENGINE = MergeTree() ORDER BY id"
+    assert "id Nullable(Int64)" in opts["createTableColumnTypes"]
+    assert "name Nullable(String)" in opts["createTableColumnTypes"]
+    # engine override
+    opts2 = clickhouse_ddl_options(df, {"engine": "ReplacingMergeTree(v)"})
+    assert opts2["createTableOptions"].startswith("ENGINE = ReplacingMergeTree(v)")
