@@ -27,64 +27,72 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 6 (len == 50, the driver's graded window).
-    # The newest-wave queries lead; the remaining backlog slots go to
-    # entries that have NEVER appeared in a driver artifact
-    # (CORRECTNESS_r01-r03), with every family represented — the whole
-    # streaming family is in that backlog, so it gets all eight slots.
-    # Everything rotated out stays green in CORRECTNESS_FULL_r06.json.
-    # round-6 additions (28)
-    "q48_min_cost_supplier",
+    # Re-curated for round 5 (len == 50, the driver's graded window).
+    # Priority order: (1) the two r4 reds, now fixed (oracle HUGEINT
+    # typing) — their driver-green proof is this round's top goal;
+    # (2) m02, which gained a full value oracle (was the last
+    # rows-only entry); (3) queries whose implementation changed this
+    # round (q49/q50 scalar-agg respelling, q56/t11/t18 window
+    # elimination, q01/q04 narrow decimals) so the official artifact
+    # re-confirms them; (4) everything that has NEVER appeared in a
+    # driver artifact (CORRECTNESS_r01-r04). Six low-risk never-graded
+    # entries defer to next round for space (q35, q44, ts12, ts17,
+    # t13, t17) — they and all rotated-out entries stay cell-exact in
+    # CORRECTNESS_FULL_r05.json.
+    # (1) r4 reds, fixed
+    "t21_quality_classifier",
+    "s11_kmeans_lloyd",
+    # (2) new value oracle
+    "m02_multimodal_feature_surface",
+    # (3) changed this round
     "q49_important_value_share",
     "q50_top_revenue_supplier",
-    "q51_untapped_segments",
-    "q52_heavy_hitters",
-    "q53_approx_quantile_verdict",
-    "q54_supplier_diversity",
-    "q55_promo_revenue_share",
-    "ts21_growth_accounting",
-    "ts22_rfm_segmentation",
-    "t21_quality_classifier",
-    "t22_chunk_dedup_rewrite",
-    "s11_kmeans_lloyd",
-    "s12_hard_negatives",
-    "s13_ivf_recall_eval",
-    "d17_dedup_cascade",
-    "st10_dedup_within_watermark",
-    "st11_stream_heavy_hitters",
-    "m05_audio_frame_energy",
-    "m06_scene_cuts",
     "q56_returned_item_reporting",
-    "ts23_twap",
-    "d18_minhash_accuracy",
-    "s14_retrieval_mrr",
-    "st12_stream_session_window",
-    "q57_mergeable_hll_rollup",
-    "q58_theta_sketch_overlap",
-    "ts24_pit_features",
-    # never-driver-graded backlog (22)
-    "st03_stream_distinct_users",
-    "st04_stream_sessions",
-    "st05_stream_static_join",
-    "st06_stream_rollup",
-    "st07_stream_incremental",
-    "st08_stream_stream_join",
-    "st09_foreachbatch_upsert",
-    "m03_frame_sample_keys",
-    "m04_patch_grid",
-    "d10_semantic_dedup",
-    "d12_lsh_recall_eval",
-    "d15_graph_centrality",
-    "d16_editdist_verify",
-    "s07_random_projection",
-    "s08_pq_encode",
-    "s09_pq_adc_search",
-    "s10_pq_recall_eval",
-    "t16_domain_mixture",
-    "t19_chunk_dedup",
-    "t20_leakage_safe_split",
-    "ts19_native_session_window",
-    "ts20_trajectory_similarity",
+    "q01_pricing_summary",
+    "q04_local_supplier_volume",
+    "t11_vocab_topk",
+    "t18_zipf_fit",
+    # (4) never driver-graded (40 of 46; remainder next round)
+    "q31_grouping_sets",
+    "q32_exists_subquery",
+    "q33_scalar_subquery",
+    "q34_not_exists_antijoin",
+    "q36_large_volume_customer",
+    "q37_market_share",
+    "q38_waiting_suppliers",
+    "q39_recursive_rollup",
+    "q40_filter_clause",
+    "q41_lateral_topn",
+    "q42_ranking_family",
+    "q43_disjunctive_pushdown",
+    "q45_nation_pair_volume",
+    "q46_approx_distinct_verdict",
+    "q47_null_aware_not_in",
+    "ts08_rollup_cascade",
+    "ts09_ohlc",
+    "ts10_anomaly_zscore",
+    "ts11_ewma_smoothing",
+    "ts13_cohort_retention",
+    "ts14_funnel",
+    "ts15_range_window",
+    "ts16_period_over_period",
+    "ts18_user_features",
+    "d11_incremental_dedup",
+    "d13_decontam_spans",
+    "d14_containment_pairs",
+    "s04_quantization_fidelity",
+    "s05_knn_label",
+    "s06_label_cohesion",
+    "t05_groupwise_quality_topk",
+    "t06_sequence_pack",
+    "t07_repetition_signals",
+    "t08_curation_gate",
+    "t09_pii_redaction",
+    "t10_stratified_mix",
+    "t12_normalized_dedup",
+    "t14_bpe_token_count",
+    "t15_tfidf_topterms",
+    "st02_stream_dedup",
 ]
 
 

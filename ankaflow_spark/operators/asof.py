@@ -91,6 +91,11 @@ def asof_join_full(
     ren = dict(zip([rk for _, rk in eq_keys], lkeys))
     ren[on_right] = on_left
     rsel = [F.col(c).alias(ren.get(c, c)) for c in right.columns]
+    if on_right != on_left:
+        # the matched right timestamp is frequently projected (DuckDB's
+        # c.click_ts); expose it under its right-side name when that
+        # name is distinct from the left ordering column
+        rsel.append(F.col(on_right).alias(on_right))
     rt = right.select(*rsel)
     carry_cols = [c for c in rt.columns if c not in lkeys and c != on_left]
     clash = set(carry_cols) & set(left.columns)

@@ -2167,3 +2167,91 @@ def _theta_overlap_sql(spark_dialect: bool) -> str:
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_theta_overlap_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q59 — join-key skew diagnostics: the operational pre-check every
+# 100 TB join should run — per-key frequency of the proposed key, the
+# top keys' exact traffic share (ppm, floor-quantized over exact
+# integer products), and a hot-key verdict (key draws > 2x its fair
+# share). One groupBy shuffle + TakeOrderedAndProject top-10 + 1-row
+# scalar broadcast; rank re-applied over the 10-row result (q56's
+# pattern). Feeds the salting decision (q30's salted_agg).
+# ---------------------------------------------------------------------------
+_SKEW_DIAG_SQL = """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts
+    ),
+    top AS (
+      SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk,
+           user_id, cnt,
+           CAST(floor(cnt * 1000000.0 / total) AS BIGINT) AS share_ppm,
+           cnt * n_keys > 2 * total AS is_hot
+    FROM top CROSS JOIN tot
+    ORDER BY rk
+    """
+
+
+@query("q59_skew_diagnostics", oracle=_SKEW_DIAG_SQL)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SKEW_DIAG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q60 — one-pass column profiling (the SUMMARIZE-style data-quality
+# sweep, graded): row count, null count, distinct count, min/max for
+# each profiled column, computed in a SINGLE aggregate over one scan —
+# the Spark side stacks the one result row into the per-column layout
+# (no CTE re-execution: Spark inlines CTE consumers, so a UNION-ALL-
+# of-aggregates spelling would scan once per column). min/max emit as
+# strings so one schema carries every column type.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    stats = ", ".join(
+        f"COUNT({c}) AS nn_{i}, COUNT(DISTINCT {c}) AS nd_{i}, "
+        f"CAST(MIN({c}) AS VARCHAR) AS mn_{i}, CAST(MAX({c}) AS VARCHAR) AS mx_{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, n, n - nn_{i} AS n_null, nd_{i} AS n_distinct, "
+        f"mn_{i} AS min_val, mx_{i} AS max_val FROM s"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return f"""
+    WITH s AS (SELECT COUNT(*) AS n, {stats} FROM orders)
+    SELECT * FROM ({rows}) x ORDER BY col
+    """
+
+
+@query("q60_column_profile", oracle=_profile_oracle())
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            F.count(c).alias(f"nn_{i}"),
+            F.countDistinct(c).alias(f"nd_{i}"),
+            F.min(c).cast("string").alias(f"mn_{i}"),
+            F.max(c).cast("string").alias(f"mx_{i}"),
+        ]
+    one = t["orders"].agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n - nn_{i}, nd_{i}, mn_{i}, mx_{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return (
+        one.selectExpr(
+            "n",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct, min_val, max_val)",
+        )
+        .select("col", "n", "n_null", "n_distinct", "min_val", "max_val")
+        .orderBy("col")
+    )

@@ -1285,3 +1285,54 @@ def _chunk_rewrite_sql(spark_dialect: bool) -> str:
 def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_chunk_rewrite_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t23 — WOE (weight-of-evidence) feature binning: the classic tabular
+# feature-prep step for quality-filter training — documents bin by
+# length (fixed-width 10-token bins, capped at 15), the binary label is
+# lang='en', and each bin scores ln(P(bin|pos)/P(bin|neg)) with +1
+# Laplace smoothing. Integer discipline throughout: counts are exact,
+# the WOE quantizes to e4 BIGINT via floor(ln(...)*1e4) — the t18
+# pattern where the ratio is a quotient of exact integers, so libm ULP
+# noise collapses under the floor. One explode-free pass: token count
+# is size(split(...)), one groupBy(bin) shuffle, scalar totals
+# broadcast back.
+# ---------------------------------------------------------------------------
+def _woe_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        ntok = "size(split(text, ' '))"
+    else:
+        ntok = "len(string_split(text, ' '))"
+    return f"""
+    WITH feats AS (
+      SELECT CAST(least(floor({ntok} / 10.0), 15) AS BIGINT) AS bin,
+             CAST(lang = 'en' AS INT) AS pos
+      FROM documents
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+      FROM feats GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
+             COUNT(*) AS n_bins
+      FROM bins
+    )
+    SELECT bin, n_pos, n_neg,
+           CAST(floor(ln(
+             ((n_pos + 1) * CAST(tot_neg + n_bins AS DOUBLE)) /
+             ((n_neg + 1) * CAST(tot_pos + n_bins AS DOUBLE))
+           ) * 10000) AS BIGINT) AS woe_e4
+    FROM bins CROSS JOIN tot
+    ORDER BY bin
+    """
+
+
+@query("t23_woe_binning", oracle=_woe_sql(False))
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_woe_sql(True))

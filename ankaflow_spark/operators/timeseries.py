@@ -1275,3 +1275,128 @@ def _pit_features_sql(spark_dialect: bool) -> str:
 def ts24(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_pit_features_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts25 — the ASOF JOIN *SQL surface* graded end-to-end: the identical
+# statement executes on both engines — DuckDB runs its native ASOF
+# LEFT JOIN, the engine parses it (sqlfront/statements.py) into the
+# window-based plan in operators/asof.py (one shuffle on user_id, no
+# range join — plan-gated like every graded query). The right side
+# dedups to one row per (user, ts) so tie-picking can't differ between
+# engines; the left keeps its duplicates (LEFT semantics graded too:
+# purchases with no prior click carry NULLs).
+# ---------------------------------------------------------------------------
+_ASOF_SQL_STMT = """
+    SELECT p.user_id, p.ts, p.value AS purchase_value,
+           c.click_ts, c.click_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
+    ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY p.user_id, p.ts
+    """
+
+
+@query("ts25_asof_sql_surface", oracle=_ASOF_SQL_STMT)
+def ts25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    return SparkEngine(spark).sql(_ASOF_SQL_STMT)
+
+
+# ---------------------------------------------------------------------------
+# ts26 — interval (range) join, re-expressed for scale: events land in
+# promo windows `[start, end)`. The naive spelling is a range join —
+# quadratic risk and a BNLJ in Spark. The scale spelling EXPANDS each
+# interval to day grain (a tiny constant blowup: interval_days rows
+# per promo) and equi-joins on the event's day, then applies the exact
+# range residual — an equi-shuffle plan that survives any event count.
+# The DuckDB oracle runs the naive range join, proving the expansion
+# is semantics-identical. Money quantizes to exact cents via
+# DECIMAL(10,2) before summing.
+# ---------------------------------------------------------------------------
+_N_PROMOS = 30
+
+
+def _interval_join_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        promos = f"""
+      SELECT id AS promo_id,
+             TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0, CAST(id*36 AS INT),0,0) AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0, CAST(id*36+24 AS INT),0,0) AS end_ts
+      FROM range(0, {_N_PROMOS})
+        """
+        join = """
+      SELECT p.promo_id, e.value
+      FROM events e
+      JOIN (SELECT promo_id, start_ts, end_ts,
+                   explode(sequence(to_date(start_ts), to_date(end_ts))) AS d
+            FROM promos) p
+        ON to_date(e.ts) = p.d
+       AND e.ts >= p.start_ts AND e.ts < p.end_ts
+        """
+    else:
+        promos = f"""
+      SELECT i AS promo_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 36 HOUR + INTERVAL 24 HOUR AS end_ts
+      FROM range(0, {_N_PROMOS}) t(i)
+        """
+        join = """
+      SELECT p.promo_id, e.value
+      FROM events e JOIN promos p
+        ON e.ts >= p.start_ts AND e.ts < p.end_ts
+        """
+    return f"""
+    WITH promos AS ({promos}),
+    hits AS ({join})
+    SELECT promo_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+    FROM hits GROUP BY promo_id ORDER BY promo_id
+    """
+
+
+@query("ts26_interval_join", oracle=_interval_join_sql(False))
+def ts26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_interval_join_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts27 — SCD2 (slowly-changing-dimension type 2) history build: each
+# customer's order-priority timeline collapses to effective-dated
+# versions — the warehouse pattern every dimension pipeline runs.
+# One window per customer (change detection via LAG, effective-to via
+# LEAD over the change rows), deterministic tie-break (date, orderkey);
+# the final NULL eff_to marks the current version. Identical SQL both
+# engines.
+# ---------------------------------------------------------------------------
+_SCD2_SQL = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_p
+      FROM orders
+    ),
+    changes AS (
+      SELECT * FROM seq WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS eff_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS eff_to,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS version
+    FROM changes
+    ORDER BY custkey, version
+    """
+
+
+@query("ts27_scd2_history", oracle=_SCD2_SQL)
+def ts27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SCD2_SQL)

@@ -455,9 +455,10 @@ def test_collect_all_graded_order():
     assert len(GRADED_FIRST) == 50
     fams = {re.match(r"([a-z]+)", n).group(1) for n in GRADED_FIRST}
     assert fams == {"q", "ts", "d", "s", "t", "st", "m"}
-    # every registered query resolves; only m02 lacks a strict oracle
+    # every registered query resolves and EVERY query has a strict
+    # oracle (m02 gained its golden VALUES oracle in round 5)
     assert set(o) <= set(q)
-    assert set(q) - set(o) == {"m02_multimodal_feature_surface"}
+    assert set(q) == set(o)
 
 
 def test_t20_no_cluster_spans_splits(spark, sf_dir):

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "s12_hard_negatives",  # 5-query broadcast cross join (s01's class, label-pruned)
     "ts22_rfm_segmentation",  # 1-row max-ts anchor broadcast into the recency projection
     "s14_retrieval_mrr",  # 5-query broadcast cross join (s01's class)
+    "q59_skew_diagnostics",  # 1-row total/n_keys scalar broadcast into the share projection
+    "t23_woe_binning",  # 1-row class-total scalar broadcast into the WOE projection
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -153,6 +155,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "q56_returned_item_reporting",  # re-rank over TakeOrderedAndProject's 20-row output
     "t11_vocab_topk",  # re-rank over TakeOrderedAndProject's K-row output
     "t18_zipf_fit",  # cumsum over the DISTINCT-frequency table (O(sqrt tokens) rows, count-of-counts law)
+    "q59_skew_diagnostics",  # re-rank over TakeOrderedAndProject's 10-row output
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
