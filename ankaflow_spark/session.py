@@ -63,6 +63,14 @@ def get_spark(
         # count follows data volume, not a fixed parallelism target
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime (semi-join) bloom filters: for shuffle joins with a
+        # selective build side, push a bloom of the build keys into the
+        # probe-side scan — a large-fact x filtered-dim staple at
+        # 100 TB. Off by default in Spark; thresholds stay at their
+        # production defaults (>=10 GB probe scans), so test-scale
+        # plans are unaffected (tests/test_scale_features.py lowers
+        # them to prove the injection machinery).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
         # testdata parquet uses TIMESTAMP(NANOS); Spark reads them as

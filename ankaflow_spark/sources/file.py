@@ -318,6 +318,14 @@ class ParquetConnection(BaseFileConnection):
 class CSVConnection(BaseFileConnection):
     format = "csv"
 
+    def _do_write(self, writer, path: str) -> None:
+        # header by default, matching the read side and the reference's
+        # COPY TO csv contract; an explicit options.header always wins
+        # (the default is only applied when the user didn't set one)
+        if "header" not in {k.lower() for k in (self.spec.get("options") or {})}:
+            writer = writer.option("header", "true")
+        writer.csv(path)
+
     def _do_read(self, reader, path, opts):
         # map the reference's CSV option spelling onto Spark's
         mapped = {

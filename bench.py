@@ -45,6 +45,15 @@ HEADLINE = [
     "q52_heavy_hitters",
     "t21_quality_classifier",
     "t22_chunk_dedup_rewrite",
+    # round-7 additions (total now covers 30 queries): the ASOF SQL
+    # surface, the day-grain interval-join expansion, SCD2 history,
+    # skew diagnostics, one-pass profiling, WOE binning
+    "ts25_asof_sql_surface",
+    "ts26_interval_join",
+    "ts27_scd2_history",
+    "q59_skew_diagnostics",
+    "q60_column_profile",
+    "t23_woe_binning",
 ]
 
 

@@ -84,3 +84,26 @@ def test_behavioral_analytics_example(engine):
     assert row["funnel_entrants"] >= row["funnel_completers"] > 0
     assert 0 < row["best_late_retention"] <= 1.0
     assert row["burstiest_hour"] >= 1
+
+
+def test_dialect_statements_example(engine, tmp_path):
+    """ASOF JOIN, UNION ALL BY NAME, and optioned read_csv running as
+    plain transform-stage SQL in a YAML pipeline (the paste-parity
+    contract: reference core/flow.py:267 accepts any DuckDB SQL)."""
+    flow = Flow(
+        Stages.load("/root/repo/examples/dialect_statements.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001", "out_dir": str(tmp_path)},
+    )
+    flow.run()
+    att = engine.table("Attributed")
+    assert {"user_id", "ts", "purchase_value", "click_ts", "click_value"} <= set(
+        att.columns
+    )
+    # LEFT semantics: purchases exist, some without a prior click
+    assert att.count() > 0
+    allt = engine.table("AllTouchpoints")
+    # BY NAME union: view rows carry NULL click_value
+    assert allt.filter("click_value IS NULL").count() > 0
+    got = engine.table("Reloaded").collect()[0]
+    assert got["n_rows"] == allt.count()

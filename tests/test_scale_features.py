@@ -57,3 +57,51 @@ def test_salted_sum(engine, sf_dir):
     got = {r["l_returnflag"]: r["total"] for r in salted.collect()}
     want = {r["l_returnflag"]: r["total"] for r in plain.collect()}
     assert got == want
+
+
+def test_runtime_bloom_filter_injected(engine, sf_dir):
+    """Runtime semi-join bloom filters are ON (session default) — with
+    thresholds lowered to test scale, a shuffle join of a big fact to a
+    selectively-filtered dim injects bloom_filter_agg on the build side
+    and a might_contain probe into the fact scan. At 100 TB the
+    production thresholds (>= 10 GB probe scan) activate this
+    automatically; this test proves the machinery end-to-end."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    spark = engine.spark
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert re.search(r"bloom_filter_agg", plan), "no bloom filter built"
+        assert re.search(r"(?i)might_contain", plan), "no bloom probe on the fact side"
+        # and the result is unaffected by the filter
+        expected = (
+            fact.join(dim.hint("broadcast"), fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
