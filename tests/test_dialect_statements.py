@@ -215,3 +215,42 @@ def test_read_parquet_with_options(engine):
 def test_read_csv_skip_rejected_actionably(engine, csv_file):
     with pytest.raises(UnsupportedDialect, match="skip"):
         engine.sql(f"SELECT * FROM read_csv('{csv_file}', skip=2)")
+
+
+# ---------------------------------------------------------------------------
+# Randomized equivalence: engine ASOF vs DuckDB native ASOF
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_asof_join_randomized_equivalence(engine, duck, seed):
+    """Random key/timestamp layouts (duplicate left timestamps, ties at
+    equal ts, keys with no right rows at all) — the engine's window
+    plan must match DuckDB's native ASOF JOIN row-for-row."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c", "d"]
+    lrows = [
+        (rng.choice(keys), rng.randrange(0, 50), i) for i in range(60)
+    ]
+    # right side unique per (key, ts): tie-picking is well-defined
+    seen = set()
+    rrows = []
+    for _ in range(40):
+        k, ts = rng.choice(keys + ["only_left"]), rng.randrange(0, 50)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rrows.append((k, ts, rng.randrange(1000)))
+    engine.spark.createDataFrame(lrows, "k string, ts int, lid int").createOrReplaceTempView("rl")
+    engine.spark.createDataFrame(rrows, "k string, rts int, rv int").createOrReplaceTempView("rr")
+    sql = (
+        "SELECT l.k, l.ts, l.lid, r.rts, r.rv FROM rl l "
+        "ASOF LEFT JOIN rr r ON l.k = r.k AND l.ts >= r.rts "
+        "ORDER BY l.k, l.ts, l.lid"
+    )
+    got = [tuple(r) for r in engine.sql(sql).collect()]
+    duck.sql("CREATE OR REPLACE TABLE rl(k VARCHAR, ts INT, lid INT)")
+    duck.sql("CREATE OR REPLACE TABLE rr(k VARCHAR, rts INT, rv INT)")
+    duck.executemany("INSERT INTO rl VALUES (?, ?, ?)", lrows)
+    duck.executemany("INSERT INTO rr VALUES (?, ?, ?)", rrows)
+    assert got == duck.sql(sql).fetchall()
