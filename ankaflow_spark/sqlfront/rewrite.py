@@ -1399,6 +1399,34 @@ def rewrite_distinct_on(sql: str) -> str:
 
 
 _BRACKET_SLICE = re.compile(r"\[\s*[^,:\[\]]*:\s*[^,:\[\]]*\]")
+
+# conservative rewritable subset of DuckDB list slicing: a bare
+# (possibly dotted) identifier sliced with positive literal or
+# identifier bounds — `ident[i:j]`, `ident[i:]`, `ident[:j]`.
+# DuckDB slices are 1-based and inclusive on both ends; Spark's
+# slice(col, start, length) is 1-based with a length. Anything more
+# complex (expressions, negatives, chained slices) keeps the
+# actionable rejection below.
+_BRACKET_SLICE_SIMPLE = re.compile(
+    r"\b([A-Za-z_][\w]*(?:\.[A-Za-z_]\w*)?)\s*"
+    r"\[\s*([A-Za-z_]\w*|\d+)?\s*:\s*([A-Za-z_]\w*|\d+)?\s*\]"
+)
+
+
+def rewrite_bracket_slices(sql: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        if _in_literal(sql, m.start()):
+            return m.group(0)
+        arr, lo, hi = m.group(1), m.group(2), m.group(3)
+        if lo and hi:
+            return f"slice({arr}, {lo}, ({hi}) - ({lo}) + 1)"
+        if lo:
+            return f"slice({arr}, {lo}, size({arr}) - ({lo}) + 1)"
+        if hi:
+            return f"slice({arr}, 1, {hi})"
+        return arr  # a[:] is the identity
+
+    return _BRACKET_SLICE_SIMPLE.sub(repl, sql)
 _JSON_CAST = re.compile(r"::\s*JSON\b", re.IGNORECASE)
 _JSON_ARROW = re.compile(r"(\b[A-Za-z_][\w.]*)\s*->>\s*'([^']+)'")
 
@@ -1463,11 +1491,14 @@ def normalize_dialect(sql: str) -> str:
                 "operators/asof.py); inside a subquery, use the `asof_join` "
                 "operator stage instead"
             )
+        chunk = rewrite_bracket_slices(chunk)
         if _BRACKET_SLICE.search(chunk):
             raise UnsupportedDialect(
-                "DuckDB list slicing a[i:j] has no Spark spelling; use "
-                "list_slice(list, i, j) (rewritten to Spark slice()) — for "
-                "open-ended slices pass len(list) as j"
+                "DuckDB list slice with a non-trivial subject or bounds — "
+                "only `ident[i:j]` / `ident[i:]` / `ident[:j]` with "
+                "positive literal/identifier bounds rewrite automatically; "
+                "use list_slice(list, i, j) (rewritten to Spark slice()) "
+                "for expressions, negatives, or chained slices"
             )
         out = _SAMPLE_ROWS.sub(r"TABLESAMPLE (\1 ROWS)", chunk)
         out = _SAMPLE_PCT.sub(r"TABLESAMPLE (\1 PERCENT)", out)

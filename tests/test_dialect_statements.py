@@ -254,3 +254,19 @@ def test_asof_join_randomized_equivalence(engine, duck, seed):
     duck.executemany("INSERT INTO rl VALUES (?, ?, ?)", lrows)
     duck.executemany("INSERT INTO rr VALUES (?, ?, ?)", rrows)
     assert got == duck.sql(sql).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# Bracket list slicing (DuckDB 1-based inclusive) -> Spark slice()
+# ---------------------------------------------------------------------------
+
+def test_bracket_slice_rewrites(engine, duck):
+    sql = "SELECT l[2:4] AS mid, l[3:] AS tail, l[:2] AS head FROM (SELECT [10, 20, 30, 40, 50] AS l) t"
+    got = engine.sql(sql).collect()[0]
+    dk = duck.sql(sql).fetchone()
+    assert (got["mid"], got["tail"], got["head"]) == tuple(dk)
+
+
+def test_bracket_slice_nontrivial_still_rejected(engine):
+    with pytest.raises(UnsupportedDialect, match="list_slice"):
+        engine.sql("SELECT l[a+1:b] FROM t")
