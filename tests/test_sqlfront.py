@@ -654,13 +654,15 @@ class TestRound5Dialect:
         # lambda arrows survive untouched
         assert n("SELECT transform(a, x -> 'y') FROM t") == "SELECT transform(a, x -> 'y') FROM t"
 
-    def test_bracket_slice_rejected(self):
+    def test_bracket_slice_simple_rewrites_complex_rejected(self):
         import pytest
 
         from ankaflow_spark.sqlfront.rewrite import UnsupportedDialect, normalize_dialect as n
 
+        # simple identifier slices rewrite (r7); expression bounds reject
+        assert "slice(x, 2, size(x) - (2) + 1)" in n("SELECT x[2:] FROM t")
         with pytest.raises(UnsupportedDialect, match="list_slice"):
-            n("SELECT x[2:] FROM t")
+            n("SELECT x[a+1:b*2] FROM t")
 
     def test_split_args_bracket_aware(self):
         from ankaflow_spark.sqlfront.rewrite import _split_args
