@@ -1203,3 +1203,73 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_mrr_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s16 — truncated-embedding (Matryoshka) recall eval: how much ANN
+# recall survives when vectors truncate to a prefix of their dims —
+# the storage/quality tradeoff modern embedding pipelines tune
+# (shorter prefixes = smaller index, faster scan). For each prefix
+# length L in {8, 16, 32, 64}, exact top-5 by prefix dot product vs
+# the full-dim truth, hits counted per query. s06's integer
+# discipline: components quantize to e6 BIGINTs so dots are exact
+# integers and ranking ties break to the lower vec_id — cell-exact
+# cross-engine. Plan: long-form dims materialized once; the 5-query
+# slice and the 4-row length table broadcast; one groupBy over
+# (L, query, candidate) — bounded by queries x corpus x lengths,
+# never corpus x corpus.
+# ---------------------------------------------------------------------------
+_S16_LENS = (8, 16, 32, 64)
+_S16_NQ, _S16_K = 5, 5
+
+
+def _matryoshka_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dims = """
+      SELECT vec_id, d, CAST(floor(CAST(pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id, posexplode(embedding) AS (d, pv) FROM embeddings)
+        """
+    else:
+        dims = f"""
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) t
+        """
+    lens = ", ".join(f"({L})" for L in _S16_LENS)
+    # broadcast the (constant-size) query slice and length table: the
+    # corpus-long dims relation must never shuffle on d (64 distinct
+    # keys — a 64-partition ceiling at any cluster size)
+    hint = "/*+ BROADCAST(qv), BROADCAST(l) */" if spark_dialect else ""
+    # truth is <= queries x K rows (constant) but window-derived, so
+    # Spark has no stats for it — pin the broadcast
+    hint2 = "/*+ BROADCAST(tr) */" if spark_dialect else ""
+    return f"""
+    WITH dims AS ({dims}),
+    lens AS (SELECT * FROM (VALUES {lens}) t(L)),
+    qv AS (SELECT * FROM dims WHERE vec_id < {_S16_NQ}),
+    scores AS (
+      SELECT {hint} l.L, qv.vec_id AS qid, dims.vec_id AS cid,
+             CAST(SUM(qv.q * dims.q) AS BIGINT) AS dot
+      FROM lens l
+      JOIN qv ON qv.d < l.L
+      JOIN dims ON dims.d = qv.d AND dims.vec_id <> qv.vec_id
+      GROUP BY l.L, qv.vec_id, dims.vec_id
+    ),
+    ranked AS (
+      SELECT L, qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY L, qid ORDER BY dot DESC, cid) AS rk
+      FROM scores
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {_S16_K}),
+    truth AS (SELECT qid, cid FROM topk WHERE L = 64)
+    SELECT {hint2} t.L, t.qid, CAST(COUNT(tr.cid) AS BIGINT) AS hits_at_{_S16_K}
+    FROM topk t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.cid = t.cid
+    GROUP BY t.L, t.qid
+    ORDER BY t.L, t.qid
+    """
+
+
+@query("s16_matryoshka_recall", oracle=_matryoshka_sql(False))
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_matryoshka_sql(True))

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "s14_retrieval_mrr",  # 5-query broadcast cross join (s01's class)
     "q59_skew_diagnostics",  # 1-row total/n_keys scalar broadcast into the share projection
     "t23_woe_binning",  # 1-row class-total scalar broadcast into the WOE projection
+    "s16_matryoshka_recall",  # 4-row length table inequality-joined to the broadcast query slice
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
