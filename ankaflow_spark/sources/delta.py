@@ -117,11 +117,22 @@ class DeltaConnection:
         return _delta_available(self.engine.spark)
 
     def _read(self) -> DataFrame:
+        # time travel: options.version_as_of / versionAsOf (NOT the
+        # spec-level `version` key — that is the ranking column)
+        opts = dict(self.spec.get("options") or {})
+        as_of = opts.get("version_as_of", opts.get("versionAsOf"))
         if self._use_jars():
-            return self.engine.spark.read.format("delta").load(self.spec["locator"])
+            reader = self.engine.spark.read.format("delta")
+            if as_of is not None:
+                reader = reader.option("versionAsOf", int(as_of))
+            return reader.load(self.spec["locator"])
         from . import delta_log
 
-        return delta_log.read_delta_table(self.engine.spark, self.spec["locator"])
+        return delta_log.read_delta_table(
+            self.engine.spark,
+            self.spec["locator"],
+            version_as_of=None if as_of is None else int(as_of),
+        )
 
     def tap(self, query: Optional[str], stage: Stage) -> DataFrame:
         df = self._read()

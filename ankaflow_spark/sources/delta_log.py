@@ -112,16 +112,41 @@ def _check_protocol(protocol: Dict[str, Any]) -> None:
 
 
 def snapshot(
-    spark: SparkSession, table_path: str
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: Optional[int] = None,
 ) -> Tuple[Dict[str, Dict[str, Any]], Optional[Dict[str, Any]], int]:
-    """Replay the log -> (active adds by relative path, metaData, version)."""
+    """Replay the log -> (active adds by relative path, metaData,
+    version). ``version_as_of`` stops the replay at that commit (time
+    travel). When the requested version predates the checkpoint, the
+    replay restarts from commit 0 — possible only while the JSON
+    commits survive; a cleaned log raises with the retention
+    explanation, exactly as delta-spark does."""
     if not os.path.isdir(_log_dir(table_path)):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
     ckpt_version, adds, meta = _read_checkpoint(spark, table_path)
+    if version_as_of is not None:
+        latest = latest_version(table_path)
+        if version_as_of > latest or version_as_of < 0:
+            raise ValueError(
+                f"cannot time travel to version {version_as_of}: table "
+                f"{table_path} is at version {latest}"
+            )
+        if ckpt_version > version_as_of:
+            commits = dict(_commit_files(table_path))
+            if 0 not in commits:
+                raise ValueError(
+                    f"cannot time travel to version {version_as_of}: the "
+                    f"checkpoint is at {ckpt_version} and earlier JSON "
+                    "commits were cleaned up (log retention)"
+                )
+            ckpt_version, adds, meta = -1, {}, None
     version = ckpt_version
     for v, f in _commit_files(table_path):
         if v <= ckpt_version:
             continue
+        if version_as_of is not None and v > version_as_of:
+            break
         version = v
         with open(f) as fh:
             for line in fh:
@@ -148,8 +173,10 @@ def table_schema(meta: Optional[Dict[str, Any]]) -> Optional[T.StructType]:
     return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def read_delta_table(spark: SparkSession, table_path: str) -> DataFrame:
-    adds, meta, _ = snapshot(spark, table_path)
+def read_delta_table(
+    spark: SparkSession, table_path: str, version_as_of: Optional[int] = None
+) -> DataFrame:
+    adds, meta, _ = snapshot(spark, table_path, version_as_of=version_as_of)
     schema = table_schema(meta)
     if not adds:
         if schema is None:

@@ -181,3 +181,42 @@ def test_protocol_gate(engine, tmp_path):
         fh.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}) + "\n")
     with pytest.raises(delta_log.DeltaProtocolError, match="reader protocol 3"):
         delta_log.read_delta_table(engine.spark, root)
+
+
+def test_time_travel_version_as_of(engine, tmp_path):
+    """Delta time travel through the jar-free log replay: each commit
+    is a readable version; a pre-checkpoint version replays from
+    commit 0; out-of-range versions and cleaned logs raise with the
+    delta-spark-parity explanation."""
+    loc = str(tmp_path / "tt")
+    conn = _connector(engine, {"locator": loc, "mode": "append"})
+    conn.sink(engine.spark.range(3), None)        # v0: 3 rows
+    conn.sink(engine.spark.range(2), None)        # v1: +2 -> 5
+    over = _connector(engine, {"locator": loc, "mode": "overwrite"})
+    over.sink(engine.spark.range(7), None)        # v2: overwrite -> 7
+
+    def read_as_of(v):
+        c = _connector(
+            engine, {"locator": loc, "options": {"version_as_of": v}}
+        )
+        return c.tap(None, None).count()
+
+    assert read_as_of(0) == 3
+    assert read_as_of(1) == 5
+    assert read_as_of(2) == 7
+    assert _connector(engine, {"locator": loc}).tap(None, None).count() == 7
+    with pytest.raises(ValueError, match="is at version 2"):
+        read_as_of(9)
+
+    # checkpoint at the head, then travel BEFORE it (replays from 0)
+    delta_log.write_checkpoint(engine.spark, loc)
+    assert read_as_of(1) == 5
+
+    # cleaned-up early commits make pre-checkpoint travel impossible
+    for v, f in delta_log._commit_files(loc):
+        if v < 2:
+            os.remove(f)
+    with pytest.raises(ValueError, match="log retention"):
+        read_as_of(1)
+    # but the checkpointed head still reads fine
+    assert _connector(engine, {"locator": loc}).tap(None, None).count() == 7
