@@ -179,7 +179,12 @@ def parse_by_name_setop(sql: str) -> Optional[dict]:
     left-associative, so the left operand recursively re-enters the SQL
     pipeline and may itself chain further BY NAME ops). A trailing
     depth-0 ORDER BY / LIMIT after the right operand applies to the
-    combined result, as in SQL."""
+    combined result, as in SQL.
+
+    Known limit: a PLAIN (positional) set op AFTER the last BY NAME —
+    ``A UNION ALL BY NAME B UNION ALL C`` — groups as
+    A BY-NAME (B UNION ALL C) instead of left-associatively; spell the
+    intent with parentheses/subqueries when mixing both kinds."""
     s = sql.strip().rstrip(";")
     last = None
     for m in _BY_NAME.finditer(s):
