@@ -1006,3 +1006,95 @@ def op_heavy_hitters(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame
         )
         .orderBy("rk")
     )
+
+
+@operator("scd2_history")
+def op_scd2_history(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """SCD2 effective-dated history (ts27 as a reusable stage): collapse
+    an (entity, attribute, timestamp) event table to change rows with
+    effective_from/effective_to and a per-entity version. Params:
+    key (entity column), attr (tracked attribute), ts (ordering
+    timestamp), tiebreak (deterministic intra-timestamp order)."""
+    from pyspark.sql.window import Window as W
+
+    key, attr = params.get("key", "o_custkey"), params.get("attr", "o_orderpriority")
+    ts = params.get("ts", "o_orderdate")
+    tb = params.get("tiebreak", ts)
+    w = W.partitionBy(key).orderBy(ts, tb)
+    changes = (
+        df.withColumn("__prev__", F.lag(attr).over(w))
+        .filter(F.col("__prev__").isNull() | (F.col("__prev__") != F.col(attr)))
+    )
+    w2 = W.partitionBy(key).orderBy(ts, tb)
+    return (
+        changes.select(
+            F.col(key).alias("key"),
+            F.col(attr).alias("value"),
+            F.col(ts).alias("eff_from"),
+            F.lead(ts).over(w2).alias("eff_to"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .orderBy("key", "version")
+    )
+
+
+@operator("column_profile")
+def op_column_profile(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """One-pass data-quality profile (q60 as a reusable stage): row
+    count, nulls, exact distincts, min/max (as strings) per column.
+    Params: columns (list; default = all columns)."""
+    cols = params.get("columns") or df.columns
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).alias(f"__nn_{i}"),
+            F.countDistinct(c).alias(f"__nd_{i}"),
+            F.min(c).cast("string").alias(f"__mn_{i}"),
+            F.max(c).cast("string").alias(f"__mx_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n - __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}" for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        "n",
+        f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct, min_val, max_val)",
+    ).select("col", "n", "n_null", "n_distinct", "min_val", "max_val").orderBy("col")
+
+
+@operator("skew_diagnostics")
+def op_skew_diagnostics(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Join-key skew pre-check (q59 as a reusable stage): top-K key
+    shares in exact ppm plus a fair-share hot-key verdict — run it on a
+    proposed join key BEFORE the join; hot keys route to salted_agg /
+    skew hints. Params: key, k (top-K, default 10), hot_factor
+    (default 2)."""
+    key = params.get("key", "user_id")
+    k = int(params.get("k", 10))
+    hot = int(params.get("hot_factor", 2))
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("__total__"),
+        F.count("*").alias("__nkeys__"),
+    )
+    top = counts.orderBy(F.desc("cnt"), key).limit(k)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("cnt"), key))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            F.col(key).alias("key"),
+            "cnt",
+            F.floor(F.col("cnt") * 1000000.0 / F.col("__total__"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            (F.col("cnt") * F.col("__nkeys__") > hot * F.col("__total__")).alias(
+                "is_hot"
+            ),
+        )
+        .orderBy("rk")
+    )

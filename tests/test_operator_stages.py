@@ -566,3 +566,72 @@ def test_growth_accounting_and_heavy_hitters_stages(engine, sf_dir):
     )
     hot = engine.table("hot").collect()
     assert len(hot) == 5 and hot[0]["rk"] == 1
+
+
+def test_scd2_history_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: history
+  op: scd2_history
+  params: {{key: o_custkey, attr: o_orderpriority, ts: o_orderdate, tiebreak: o_orderkey}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    assert set(df.columns) == {"key", "value", "eff_from", "eff_to", "version"}
+    # exactly one open (eff_to IS NULL) version per entity
+    open_per_key = df.filter("eff_to IS NULL").groupBy("key").count()
+    assert open_per_key.filter("count != 1").count() == 0
+    # no adjacent version repeats the attribute value
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    lagged = df.withColumn(
+        "prev", F.lag("value").over(W.partitionBy("key").orderBy("version"))
+    )
+    assert lagged.filter("prev = value").count() == 0
+
+
+def test_column_profile_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: profile
+  op: column_profile
+  params: {{columns: [o_orderkey, o_orderstatus]}}
+"""),
+        engine=engine,
+    )
+    rows = {r["col"]: r for r in flow.run().collect()}
+    n = engine.table("orders").count()
+    assert rows["o_orderkey"]["n"] == n
+    assert rows["o_orderkey"]["n_null"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert set(rows) == {"o_orderkey", "o_orderstatus"}
+
+
+def test_skew_diagnostics_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: skew
+  op: skew_diagnostics
+  params: {{key: user_id, k: 5}}
+"""),
+        engine=engine,
+    )
+    out = flow.run().collect()
+    assert len(out) == 5 and [r["rk"] for r in out] == [1, 2, 3, 4, 5]
+    # uniform synthetic keys: nothing should flag hot
+    assert not any(r["is_hot"] for r in out)
+    assert all(0 < r["share_ppm"] < 1000000 for r in out)
