@@ -39,6 +39,19 @@ def get_connector(kind: str):
     if kind.lower() in ("jdbc", "clickhouse", "postgres", "mysql"):
         from .jdbc import JDBCConnection
 
+        if kind.lower() == "clickhouse":
+            # two public protocols: jdbc: urls -> generic JDBC (jar),
+            # http(s) endpoints -> the jar-free HTTP interface
+            def _pick_clickhouse(engine, spec, variables):
+                opts = spec.get("options") or {}
+                url = spec.get("endpoint") or opts.get("url") or spec.get("locator") or ""
+                if str(url).startswith(("http://", "https://")):
+                    from .clickhouse_http import ClickHouseHttpConnection
+
+                    return ClickHouseHttpConnection(engine, spec, variables)
+                return JDBCConnection(engine, spec, variables)
+
+            return _pick_clickhouse
         return JDBCConnection
     if kind.lower() == "sqlgen":
         from .sqlgen import SQLGenConnection
