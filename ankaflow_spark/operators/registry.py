@@ -1098,3 +1098,49 @@ def op_skew_diagnostics(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
         )
         .orderBy("rk")
     )
+
+
+@operator("woe_binning")
+def op_woe_binning(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """WOE feature binning (t23 as a reusable stage): fixed-width bins
+    of a numeric expression scored with Laplace-smoothed
+    ln(P(bin|pos)/P(bin|neg)), e4-quantized (integer-exact). Params:
+    feature (SQL expression), label (boolean SQL expression),
+    width (bin width), max_bin (cap)."""
+    feature = params.get("feature", "n_chars")
+    label = params.get("label", "lang = 'en'")
+    width = float(params.get("width", 10))
+    max_bin = int(params.get("max_bin", 15))
+    feats = df.select(
+        F.least(F.floor(F.expr(feature) / width), F.lit(max_bin))
+        .cast("bigint")
+        .alias("bin"),
+        F.expr(label).cast("int").alias("__pos__"),
+    )
+    bins = feats.groupBy("bin").agg(
+        F.sum("__pos__").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("__pos__")).cast("bigint").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").cast("bigint").alias("__tp__"),
+        F.sum("n_neg").cast("bigint").alias("__tn__"),
+        F.count("*").alias("__nb__"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.floor(
+                F.log(
+                    ((F.col("n_pos") + 1) * (F.col("__tn__") + F.col("__nb__")).cast("double"))
+                    / ((F.col("n_neg") + 1) * (F.col("__tp__") + F.col("__nb__")).cast("double"))
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("woe_e4"),
+        )
+        .orderBy("bin")
+    )

@@ -635,3 +635,29 @@ def test_skew_diagnostics_stage(engine, sf_dir):
     # uniform synthetic keys: nothing should flag hot
     assert not any(r["is_hot"] for r in out)
     assert all(0 < r["share_ppm"] < 1000000 for r in out)
+
+
+def test_woe_binning_stage(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: woe
+  op: woe_binning
+  params: {{feature: "size(split(text, ' '))", label: "lang = 'en'", width: 10, max_bin: 15}}
+"""),
+        engine=engine,
+    )
+    out = flow.run()
+    assert set(out.columns) == {"bin", "n_pos", "n_neg", "woe_e4"}
+    rows = out.collect()
+    assert len(rows) > 0
+    # the stage must agree with the graded t23 on the same inputs
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = {r["bin"]: (r["n_pos"], r["n_neg"], r["woe_e4"])
+              for r in QUERIES["t23_woe_binning"](engine.spark, sf_dir).collect()}
+    stage = {r["bin"]: (r["n_pos"], r["n_neg"], r["woe_e4"]) for r in rows}
+    assert stage == graded
