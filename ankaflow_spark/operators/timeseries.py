@@ -1129,17 +1129,84 @@ def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ts22 — RFM segmentation (recency / frequency / monetary quintiles),
 # the classic CRM scoring rollup. One events pass builds the per-user
-# profile (monetary as exact DECIMAL); quintiles are ntile(5) windows
-# with UNIQUE tie-breaks (metric, then user_id — q42's determinism
-# rule), so the 1..5 scores are cell-exact cross-engine. The three
-# global ntile windows run over the POST-AGGREGATION per-user relation
-# (q50's class: |users| rows, not |events|).
+# profile (monetary as exact DECIMAL); quintiles are QUANTIZED
+# equal-count bins — the scale-safe spelling. A global NTILE window
+# (the r5 spelling) funnels the entire per-user relation (billions of
+# rows at 100 TB) through one partition; instead each metric maps to an
+# integer cell on a fixed {_RFM_G}-cell grid (pure arithmetic against a
+# broadcast 1-row min/max scalar), the CONSTANT-size cell histogram
+# yields the four 20/40/60/80% boundary cells (Spark: one
+# collect_list+aggregate() fold over the <= {_RFM_G}-row histogram —
+# no window at all; the DuckDB oracle mirrors the identical boundary
+# rule with a tiny window, correctness-only), and the 1..5 score is a
+# comparison against the broadcast boundary row. All-integer end to
+# end (monetary in e4 fixed point), so both engines agree cell-exactly
+# at any parallelism. Ties share a bin (pandas-qcut semantics — the
+# deterministic tie rule).
 # ---------------------------------------------------------------------------
+_RFM_G = 4096  # quantization grid: histogram size is constant, not corpus-scaled
+
+
 def _rfm_sql(spark_dialect: bool) -> str:
     if spark_dialect:
         rec = "datediff(a.mx, p.last_ts)"
+        idiv = "DIV"
     else:
         rec = "date_diff('day', CAST(p.last_ts AS DATE), CAST(a.mx AS DATE))"
+        idiv = "//"
+    G = _RFM_G
+    # per-metric cell: ascending for recency (small = recent = best),
+    # descending (mx - v) for frequency/monetary. (v - mn) * G DIV
+    # (mx - mn + 1) is in [0, G) and degenerates safely to 0 when all
+    # values are equal.
+    cells = f"""cells AS (
+      SELECT b.user_id, b.rec, b.freq, b.monetary,
+             ((b.rec - s.mn_r) * {G}) {idiv} (s.mx_r - s.mn_r + 1) AS r_cell,
+             ((s.mx_f - b.freq) * {G}) {idiv} (s.mx_f - s.mn_f + 1) AS f_cell,
+             ((s.mx_m - b.mon_e4) * {G}) {idiv} (s.mx_m - s.mn_m + 1) AS m_cell
+      FROM base b CROSS JOIN stats s
+    )"""
+    hists = ",\n    ".join(
+        f"h_{m} AS (SELECT {m}_cell AS cell, COUNT(*) AS cnt FROM cells GROUP BY {m}_cell)"
+        for m in ("r", "f", "m")
+    )
+    if spark_dialect:
+        null_b = "CAST(NULL AS BIGINT)"
+        merge_b = ", ".join(
+            f"'b{t}', coalesce(acc.b{t}, IF(acc.cum + x.cnt >= k.k{t}, x.cell, {null_b}))"
+            for t in (1, 2, 3, 4)
+        )
+        bounds = ",\n    ".join(
+            f"""arr_{m} AS (
+      SELECT sort_array(collect_list(named_struct('cell', cell, 'cnt', cnt))) AS arr FROM h_{m}
+    ),
+    b_{m} AS (
+      SELECT acc.b1 AS b1, acc.b2 AS b2, acc.b3 AS b3, acc.b4 AS b4 FROM (
+        SELECT aggregate(a.arr,
+          named_struct('cum', CAST(0 AS BIGINT), 'b1', {null_b}, 'b2', {null_b}, 'b3', {null_b}, 'b4', {null_b}),
+          (acc, x) -> named_struct('cum', acc.cum + x.cnt, {merge_b})) AS acc
+        FROM arr_{m} a CROSS JOIN ks k
+      ) f
+    )"""
+            for m in ("r", "f", "m")
+        )
+    else:
+        minb = ", ".join(
+            f"MIN(CASE WHEN cum >= k.k{t} THEN cell END) AS b{t}" for t in (1, 2, 3, 4)
+        )
+        bounds = ",\n    ".join(
+            f"""cum_{m} AS (
+      SELECT cell, SUM(cnt) OVER (ORDER BY cell) AS cum FROM h_{m}
+    ),
+    b_{m} AS (SELECT {minb} FROM cum_{m} CROSS JOIN ks k)"""
+            for m in ("r", "f", "m")
+        )
+    tile = lambda m, b: (  # noqa: E731
+        f"1 + (CASE WHEN c.{m}_cell > {b}.b1 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN c.{m}_cell > {b}.b2 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN c.{m}_cell > {b}.b3 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN c.{m}_cell > {b}.b4 THEN 1 ELSE 0 END)"
+    )
     return f"""
     WITH per_user AS (
       SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
@@ -1147,15 +1214,36 @@ def _rfm_sql(spark_dialect: bool) -> str:
       FROM events GROUP BY user_id
     ),
     anchor AS (SELECT MAX(ts) AS mx FROM events),
-    scored AS (
+    base AS (
       SELECT p.user_id,
-             CAST({rec} AS BIGINT) AS recency_days,
-             p.frequency,
-             CAST(p.monetary AS DOUBLE) AS monetary,
-             NTILE(5) OVER (ORDER BY {rec}, p.user_id) AS r_q,
-             NTILE(5) OVER (ORDER BY p.frequency DESC, p.user_id) AS f_q,
-             NTILE(5) OVER (ORDER BY p.monetary DESC, p.user_id) AS m_q
+             CAST({rec} AS BIGINT) AS rec,
+             CAST(p.frequency AS BIGINT) AS freq,
+             p.monetary,
+             CAST(p.monetary * 10000 AS BIGINT) AS mon_e4
       FROM per_user p CROSS JOIN anchor a
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             MIN(rec) AS mn_r, MAX(rec) AS mx_r,
+             MIN(freq) AS mn_f, MAX(freq) AS mx_f,
+             MIN(mon_e4) AS mn_m, MAX(mon_e4) AS mx_m
+      FROM base
+    ),
+    ks AS (
+      SELECT (1 * n + 4) {idiv} 5 AS k1, (2 * n + 4) {idiv} 5 AS k2,
+             (3 * n + 4) {idiv} 5 AS k3, (4 * n + 4) {idiv} 5 AS k4
+      FROM stats
+    ),
+    {cells},
+    {hists},
+    {bounds},
+    scored AS (
+      SELECT c.user_id, c.rec AS recency_days, c.freq AS frequency,
+             CAST(c.monetary AS DOUBLE) AS monetary,
+             {tile("r", "br")} AS r_q,
+             {tile("f", "bf")} AS f_q,
+             {tile("m", "bm")} AS m_q
+      FROM cells c CROSS JOIN b_r br CROSS JOIN b_f bf CROSS JOIN b_m bm
     )
     SELECT user_id, recency_days, frequency, monetary,
            6 - r_q AS r_score, 6 - f_q AS f_score, 6 - m_q AS m_score,

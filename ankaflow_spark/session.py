@@ -281,10 +281,24 @@ class SparkEngine:
         matched right row's carried (non-key, non-timestamp) columns
         under their own names; the statement's projection/tail then run
         over it with alias qualifiers stripped. ``l.*`` expands to the
-        left columns, ``r.*`` to the carried right columns."""
+        left columns, ``r.*`` to the carried right columns. Qualifier
+        stripping is literal-aware: an ``l.`` inside a string literal
+        (e.g. ``SELECT 'l.x' AS tag``) is data, not a qualifier."""
         import re as _re
 
         from .operators.asof import asof_join_full
+        from .sqlfront.rewrite import _in_literal
+
+        def sub_outside_literals(pattern, repl: str, s: str) -> str:
+            out, last = [], 0
+            for m in pattern.finditer(s):
+                if _in_literal(s, m.start()):
+                    continue
+                out.append(s[last : m.start()])
+                out.append(repl)
+                last = m.end()
+            out.append(s[last:])
+            return "".join(out)
 
         def side(term):
             src, is_sub = term
@@ -308,10 +322,10 @@ class SparkEngine:
         proj, tail = spec["proj"], spec["tail"]
         for alias, cols in ((spec["la"], left.columns), (spec["ra"], carried)):
             star = _re.compile(rf"\b{_re.escape(alias)}\s*\.\s*\*")
-            proj = star.sub(", ".join(cols) if cols else "*", proj)
+            proj = sub_outside_literals(star, ", ".join(cols) if cols else "*", proj)
             qual = _re.compile(rf"\b{_re.escape(alias)}\s*\.\s*")
-            proj = qual.sub("", proj)
-            tail = qual.sub("", tail)
+            proj = sub_outside_literals(qual, "", proj)
+            tail = sub_outside_literals(qual, "", tail)
         return self.sql(f"SELECT {proj} FROM {view} {tail}")
 
     def _run_pivot(self, piv) -> DataFrame:

@@ -25,6 +25,9 @@ classpath (sources/bigquery.py prefers it automatically).
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import urllib.error
 import urllib.request
@@ -120,6 +123,12 @@ class BigQueryRestClient:
 
     @staticmethod
     def _decode_row(row: dict, fields: List[Tuple[str, str]]) -> list:
+        """BigQuery's REST JSON encodes every cell as a string:
+        TIMESTAMP as fractional epoch seconds, DATE as ISO, NUMERIC as
+        a decimal string, BYTES as base64. createDataFrame rejects str
+        for the timestamp/date/decimal/binary Spark types the schema
+        declares, so each family decodes to its Python object here
+        (mirroring clickhouse_http._to_df's conv())."""
         out = []
         for (name, typ), cell in zip(fields, row.get("f", [])):
             v = cell.get("v")
@@ -131,6 +140,18 @@ class BigQueryRestClient:
                 out.append(float(v))
             elif typ == "boolean":
                 out.append(v in (True, "true", "TRUE", "1"))
+            elif typ == "timestamp":
+                out.append(
+                    datetime.datetime.fromtimestamp(
+                        float(v), tz=datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                )
+            elif typ == "date":
+                out.append(datetime.date.fromisoformat(v))
+            elif typ.startswith("decimal"):
+                out.append(decimal.Decimal(v))
+            elif typ == "binary":
+                out.append(base64.b64decode(v))
             else:
                 out.append(v)
         return out

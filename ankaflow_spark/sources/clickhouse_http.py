@@ -38,7 +38,8 @@ _CH_TO_SPARK = {
     "uint8": "smallint",
     "uint16": "int",
     "uint32": "bigint",
-    "uint64": "bigint",
+    # UInt64's full range exceeds BIGINT (2^63-1); decimal(20,0) holds it
+    "uint64": "decimal(20,0)",
     "float32": "float",
     "float64": "double",
     "string": "string",
@@ -162,6 +163,7 @@ class ClickHouseHttpConnection:
 
     def _to_df(self, fields, rows):
         import datetime as _dt
+        import decimal as _decimal
 
         def conv(v, typ):
             if v is None:
@@ -176,6 +178,10 @@ class ClickHouseHttpConnection:
                 return float(v)
             if typ == "boolean":
                 return bool(v) if not isinstance(v, str) else v.lower() in ("1", "true")
+            if typ.startswith("decimal"):
+                # ClickHouse JSON formats quote Decimal (and UInt64)
+                # cells as strings; createDataFrame needs Decimal objects
+                return _decimal.Decimal(str(v))
             return v
 
         typed = [

@@ -121,6 +121,31 @@ def _in_literal(sql: str, pos: int) -> bool:
     return in_lit
 
 
+def _paren_depth_at(sql: str, pos: int) -> int:
+    """Paren nesting depth at ``pos``, literal-aware: parens inside
+    string literals don't count (a raw ``count("(")`` miscounts e.g.
+    ``SELECT '(' AS tag``)."""
+    depth = 0
+    in_lit = False
+    i = 0
+    while i < pos:
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
 def _find_matching_paren(sql: str, open_idx: int) -> int:
     depth = 0
     in_lit = False

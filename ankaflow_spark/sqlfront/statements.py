@@ -19,6 +19,7 @@ from .rewrite import (
     _depth0_keyword_pos,
     _find_matching_paren,
     _in_literal,
+    _paren_depth_at,
     _split_args,
 )
 
@@ -78,7 +79,7 @@ def parse_asof_statement(sql: str) -> Optional[dict]:
     for cand in _ASOF_KW.finditer(s):
         if _in_literal(s, cand.start()):
             continue
-        if s[: cand.start()].count("(") - s[: cand.start()].count(")") == 0:
+        if _paren_depth_at(s, cand.start()) == 0:
             m = cand
             break
     if m is None:
@@ -190,13 +191,8 @@ def parse_by_name_setop(sql: str) -> Optional[dict]:
     for m in _BY_NAME.finditer(s):
         if not _in_literal(s, m.start()):
             # depth check: BY NAME inside parens belongs to a subquery
-            depth = 0
-            for ch in s[: m.start()]:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-            if depth == 0:
+            # (literal-aware — parens inside string literals don't nest)
+            if _paren_depth_at(s, m.start()) == 0:
                 last = m
     if last is None:
         return None

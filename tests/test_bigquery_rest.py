@@ -8,6 +8,9 @@ gating), so the full disposition matrix and the remote-ranking push run
 end-to-end without the spark-bigquery jar.
 """
 
+import base64
+import datetime
+import decimal
 import json
 import re
 import threading
@@ -40,13 +43,37 @@ STATE = _State()
 
 def _bq_type(duck_type: str) -> str:
     t = duck_type.upper()
+    if "DECIMAL" in t:
+        return "NUMERIC"
     if any(k in t for k in ("INT", "HUGEINT")):
         return "INTEGER"
-    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL")):
         return "FLOAT"
     if "BOOL" in t:
         return "BOOLEAN"
+    if "TIMESTAMP" in t:
+        return "TIMESTAMP"
+    if t == "DATE":
+        return "DATE"
+    if t in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
+        return "BYTES"
     return "STRING"
+
+
+def _bq_cell(v, typ: str):
+    """Encode a cell the way BigQuery's REST JSON does: everything is a
+    string — TIMESTAMP as fractional epoch seconds, DATE as ISO,
+    NUMERIC as a decimal string, BYTES as base64, BOOL as true/false."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return str(v).lower()
+    if typ == "TIMESTAMP":
+        epoch = v.replace(tzinfo=datetime.timezone.utc).timestamp()
+        return repr(epoch)
+    if typ == "BYTES":
+        return base64.b64encode(v if isinstance(v, bytes) else bytes(v)).decode()
+    return str(v)
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -92,8 +119,7 @@ class Handler(BaseHTTPRequestHandler):
             "jobComplete": True,
             "schema": {"fields": [{"name": c, "type": t} for c, t in zip(cols, types)]},
             "rows": [
-                {"f": [{"v": None if v is None else str(v).lower()
-                        if isinstance(v, bool) else str(v)} for v in r]}
+                {"f": [{"v": _bq_cell(v, t)} for v, t in zip(r, types)]}
                 for r in rows
             ],
             "totalRows": str(len(rows)),
@@ -259,3 +285,26 @@ def test_execute_runs_remote_ddl(engine, bq_endpoint):
     conn.execute("CREATE TABLE ddl_probe AS SELECT 42 AS answer", STAGE)
     out = conn.tap("SELECT answer FROM ddl_probe", STAGE)
     assert out.collect()[0]["answer"] == 42
+
+
+def test_tap_decodes_typed_families(engine, bq_endpoint):
+    """BigQuery's REST JSON is stringly typed: TIMESTAMP arrives as
+    fractional epoch seconds, DATE as ISO, NUMERIC as a decimal string,
+    BYTES as base64 — but the declared Spark schema is
+    timestamp/date/decimal(38,9)/binary, so _decode_row must produce
+    the typed Python objects or createDataFrame raises TypeError."""
+    out = _conn(engine, bq_endpoint).tap(
+        "SELECT TIMESTAMP '2024-03-01 12:30:45.5' AS ts,"
+        " DATE '2024-03-01' AS d,"
+        " CAST('12345.678901234' AS DECIMAL(38,9)) AS num,"
+        " CAST('abc' AS BLOB) AS raw",
+        STAGE,
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "timestamp", "date", "decimal(38,9)", "binary",
+    ]
+    row = out.collect()[0]
+    assert row["ts"] == datetime.datetime(2024, 3, 1, 12, 30, 45, 500000)
+    assert row["d"] == datetime.date(2024, 3, 1)
+    assert row["num"] == decimal.Decimal("12345.678901234")
+    assert bytes(row["raw"]) == b"abc"

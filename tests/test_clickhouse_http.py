@@ -26,7 +26,9 @@ from ankaflow_spark.sources.clickhouse_http import ClickHouseHttpError, ch_to_sp
 
 _CH_TO_DUCK = [
     (r"Nullable\(([^)]+)\)", r"\1"),
-    (r"Int64|UInt64", "BIGINT"),
+    (r"Decimal\(", "DECIMAL("),
+    (r"UInt64", "UBIGINT"),
+    (r"Int64", "BIGINT"),
     (r"Int32|UInt32", "INTEGER"),
     (r"Int16|UInt16", "SMALLINT"),
     (r"Int8|UInt8", "TINYINT"),
@@ -50,6 +52,7 @@ _DUCK_TO_CH = {
     "DATE": "Date32",
     "BOOLEAN": "Bool",
     "HUGEINT": "Int64",
+    "UBIGINT": "UInt64",
 }
 
 
@@ -126,7 +129,12 @@ class Handler(BaseHTTPRequestHandler):
         if rel is None:
             return b""
         cols = list(rel.columns)
-        types = [_DUCK_TO_CH.get(str(t).split("(")[0].upper(), "String") for t in rel.types]
+        types = [
+            "Decimal" + str(t).upper().split("DECIMAL", 1)[1]
+            if "DECIMAL" in str(t).upper()
+            else _DUCK_TO_CH.get(str(t).split("(")[0].upper(), "String")
+            for t in rel.types
+        ]
         rows = rel.fetchall()
         lines = [json.dumps(cols), json.dumps(types)]
         for r in rows:
@@ -223,3 +231,32 @@ def test_type_mapping_unit():
     assert ch_to_spark_type("DateTime64(3)") == "timestamp"
     assert ch_to_spark_type("UInt8") == "smallint"
     assert ch_to_spark_type("LowCardinality(String)") == "string"  # fallback
+    assert ch_to_spark_type("Decimal(18, 4)") == "decimal(18, 4)"
+    # UInt64's full range exceeds BIGINT — decimal(20,0) holds it
+    assert ch_to_spark_type("UInt64") == "decimal(20,0)"
+
+
+def test_decimal_and_uint64_roundtrip(engine, ch_endpoint):
+    """ClickHouse's JSON formats quote Decimal cells as strings, and
+    UInt64 exceeds BIGINT above 2^63 — both must land typed: Decimal
+    objects for createDataFrame, decimal(20,0) for the uint64 range."""
+    import decimal
+
+    conn = _conn(engine, ch_endpoint)
+    conn.execute(
+        "CREATE TABLE t_dec (id UInt64, amt Decimal(18,4)) "
+        "ENGINE = MergeTree() ORDER BY id",
+        None,
+    )
+    conn.execute(
+        "INSERT INTO t_dec SELECT 18446744073709551615, "
+        "CAST('12345.6789' AS DECIMAL(18,4))",
+        None,
+    )
+    out = _conn(engine, ch_endpoint, table="t_dec").tap(None, None)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "decimal(20,0)", "decimal(18,4)",
+    ]
+    r = out.collect()[0]
+    assert r["id"] == decimal.Decimal(2**64 - 1)  # > BIGINT max
+    assert r["amt"] == decimal.Decimal("12345.6789")

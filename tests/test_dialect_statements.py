@@ -124,6 +124,43 @@ def test_asof_join_nested_is_rejected_actionably(asof_tables):
         )
 
 
+def test_asof_join_paren_inside_string_literal(asof_tables, duck):
+    # a '(' inside a projection literal must not make the depth-0 check
+    # think the ASOF keyword is inside a subquery
+    sql = (
+        "SELECT t.sym, '(' AS tag, q.px FROM trades t "
+        "ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts ORDER BY t.ts"
+    )
+    got = [tuple(r) for r in asof_tables.sql(sql).collect()]
+    dk = _duck_asof(duck, sql)
+    assert got == dk
+
+
+def test_asof_join_alias_inside_string_literal_untouched(asof_tables):
+    # 'q.px' as a literal value is data, not a qualifier — the alias
+    # stripping must not rewrite it to 'px'
+    sql = (
+        "SELECT t.sym, 'q.px' AS tag, q.px FROM trades t "
+        "ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts LIMIT 1"
+    )
+    row = asof_tables.sql(sql).collect()[0]
+    assert row["tag"] == "q.px"
+
+
+def test_asof_join_right_internal_clash_rejected(asof_tables):
+    from ankaflow_spark.operators.asof import asof_join_full
+
+    spark = asof_tables.spark
+    left = spark.createDataFrame([("a", 5, 1)], "sym string, ts int, qty int")
+    # right has BOTH its own `ts` column and the distinct ordering
+    # column `qts`: renaming qts -> ts would silently duplicate names
+    right = spark.createDataFrame(
+        [("a", 99, 4, 1.5)], "sym string, ts int, qts int, px double"
+    )
+    with pytest.raises(ValueError, match="renamed key/timestamp"):
+        asof_join_full(left, right, "ts", "qts", [("sym", "sym")])
+
+
 # ---------------------------------------------------------------------------
 # Set operations BY NAME
 # ---------------------------------------------------------------------------
@@ -157,6 +194,15 @@ def test_except_by_name(engine):
         "SELECT 1 AS a, 2 AS b EXCEPT BY NAME SELECT 2 AS b, 1 AS a"
     ).collect()
     assert got == []
+
+
+def test_by_name_paren_inside_string_literal(engine):
+    # a ')' inside a selected literal must not unbalance the depth-0
+    # BY NAME detection
+    got = engine.sql(
+        "SELECT 1 AS a, ')' AS b UNION ALL BY NAME SELECT '(' AS b, 2 AS a"
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in got) == [(1, ")"), (2, "(")]
 
 
 def test_intersect_by_name_column_mismatch_actionable(engine):

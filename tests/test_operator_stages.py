@@ -617,6 +617,54 @@ def test_column_profile_stage(engine, sf_dir):
     assert set(rows) == {"o_orderkey", "o_orderstatus"}
 
 
+def test_column_profile_approx_mode_within_sketch_band(engine, sf_dir):
+    """distinct_mode: approx (the 100 TB default — HyperLogLog++, no
+    Expand multiplier) must agree with exact within the sketch's
+    relative-error band; everything else stays identical."""
+    def profile(mode):
+        flow = Flow(
+            Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: profile
+  op: column_profile
+  params: {{columns: [o_orderkey, o_orderstatus], distinct_mode: {mode}}}
+"""),
+            engine=engine,
+        )
+        return {r["col"]: r for r in flow.run().collect()}
+
+    exact, approx = profile("exact"), profile("approx")
+    for col in exact:
+        e, a = exact[col], approx[col]
+        assert (e["n"], e["n_null"], e["min_val"], e["max_val"]) == (
+            a["n"], a["n_null"], a["min_val"], a["max_val"],
+        )
+        # rsd default 0.05; allow 4 sigma plus small-count slack
+        band = max(4, int(0.2 * e["n_distinct"]))
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= band, col
+    # the approx plan must NOT pay the Expand row multiplier
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: profile
+  op: column_profile
+  params: {{columns: [o_orderkey, o_orderstatus], distinct_mode: approx}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Expand" not in plan
+
+
 def test_skew_diagnostics_stage(engine, sf_dir):
     flow = Flow(
         Stages.loads(f"""

@@ -1,0 +1,99 @@
+"""Volume stress harness — the reproducible source for PERF.md's 10x
+scale rows.
+
+Replicates one table N times with shifted primary keys (entity keys —
+o_custkey, user_id — stay, so per-entity history deepens with volume,
+the realistic growth axis) into a temp sf-shaped dir, then times
+selected operators warm at 1x and Nx. A scale-safe plan grows
+~linearly in wall time; a hidden single-partition stage grows
+super-linearly.
+
+Usage: python tools/stress_volume.py [n_copies] [table] [op ...]
+Defaults: 10 copies of orders; ts27_scd2_history q60_column_profile.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+# per-table primary key to shift per clone wave (entity/attr columns untouched)
+SHIFT_KEY = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+DEFAULT_OPS = ["ts27_scd2_history", "q60_column_profile"]
+
+
+def build_corpus(spark, n_copies: int, table: str) -> str:
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"ankaflow_volume_{table}_{n_copies}x"
+    )
+    target = os.path.join(out, f"{table}.parquet")
+    if not os.path.exists(target):
+        os.makedirs(out, exist_ok=True)
+        for t in ALL_TABLES:
+            if t == table:
+                continue
+            src = os.path.join(BASE, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+        key = SHIFT_KEY[table]
+        n_base = base.count()
+        copies = base
+        for i in range(1, n_copies):
+            copies = copies.unionAll(
+                base.withColumn(key, F.col(key) + i * n_base * 10)
+            )
+        copies.write.mode("overwrite").parquet(target)
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    from ankaflow_spark.session import get_spark
+
+    args = sys.argv[1:]
+    n_copies = int(args[0]) if args else 10
+    table = args[1] if len(args) > 1 else "orders"
+    ops = args[2:] or DEFAULT_OPS
+    spark = get_spark("volume-stress")
+    corpus = build_corpus(spark, n_copies, table)
+    qs = entry.queries()
+    for name in ops:
+        fn = qs[name]
+        fn(spark, corpus).count()  # warm (JIT/codegen + table registration)
+        t0 = time.time()
+        n = fn(spark, corpus).count()
+        big = time.time() - t0
+        fn(spark, BASE).count()  # warm base
+        t0 = time.time()
+        fn(spark, BASE).count()
+        one = time.time() - t0
+        growth = big / one if one > 0 else float("inf")
+        print(
+            f"{name}  {n_copies}x={big:.2f}s  1x={one:.2f}s  "
+            f"growth={growth:.1f}x  rows={n}"
+        )
+
+
+if __name__ == "__main__":
+    main()
