@@ -219,7 +219,8 @@ _SPARK_CANDS_JOIN = f"""
 
 def cached_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the banded LSH candidate PAIRS once per (session,
-    sf). Six battery queries (d03, d11, d12, d14, d17, d18) consume the
+    sf). Seven battery queries (d03, d11, d12, d14, d16, d18 directly;
+    d17 transitively through its stage inputs) consume the
     identical cands relation and were each re-running the band
     self-join (~40% of d03's wall at sf0.1); at cluster scale this is
     the persisted candidate-pair table a production near-dup pipeline
@@ -278,8 +279,9 @@ DUCK_CAND_CTES = f"""
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d02 is the PRODUCER of the candidate-pair table: it materializes
-    # the banded self-join once (cached_cands) and returns it — the six
-    # downstream consumers (d03/d11/d12/d14/d16/d18) read the same
+    # the banded self-join once (cached_cands) and returns it — the
+    # downstream consumers (d03/d11/d12/d14/d16/d18, plus d17 through
+    # its stage inputs) read the same
     # persisted relation, exactly how a production near-dup pipeline
     # stages signatures -> bands -> pairs.
     load_tables(spark, sf_dir)

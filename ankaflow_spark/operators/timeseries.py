@@ -1133,18 +1133,46 @@ def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal-count bins — the scale-safe spelling. A global NTILE window
 # (the r5 spelling) funnels the entire per-user relation (billions of
 # rows at 100 TB) through one partition; instead each metric maps to an
-# integer cell on a fixed {_RFM_G}-cell grid (pure arithmetic against a
-# broadcast 1-row min/max scalar), the CONSTANT-size cell histogram
-# yields the four 20/40/60/80% boundary cells (Spark: one
-# collect_list+aggregate() fold over the <= {_RFM_G}-row histogram —
-# no window at all; the DuckDB oracle mirrors the identical boundary
-# rule with a tiny window, correctness-only), and the 1..5 score is a
-# comparison against the broadcast boundary row. All-integer end to
-# end (monetary in e4 fixed point), so both engines agree cell-exactly
-# at any parallelism. Ties share a bin (pandas-qcut semantics — the
-# deterministic tie rule).
+# integer cell on a LOG2-OCTAVE grid (floor(log2(u+1)) picks the
+# octave, 64 linear sub-cells inside it — a comparison ladder of
+# BIGINT literals, no floats, so both engines agree bit-exactly and a
+# heavy-tailed metric (monetary/frequency classically are) compresses
+# logarithmically instead of collapsing the bulk into one cell the way
+# an equal-width grid does under one extreme outlier). The
+# CONSTANT-size cell histogram (<= 64*63 cells) yields the four
+# 20/40/60/80% boundary cells (Spark: one collect_list+aggregate()
+# fold — no window at all; the DuckDB oracle mirrors the identical
+# boundary rule with a tiny window, correctness-only), and the 1..5
+# score is a comparison against the broadcast boundary row.
+# All-integer end to end (monetary in e4 fixed point), so both engines
+# agree cell-exactly at any parallelism. Ties share a bin (pandas-qcut
+# semantics — the deterministic tie rule).
 # ---------------------------------------------------------------------------
-_RFM_G = 4096  # quantization grid: histogram size is constant, not corpus-scaled
+_RFM_SUB = 64  # linear sub-cells per log2 octave (<= 63 octaves -> < 4096 cells)
+
+
+def _log_cell(u: str, idiv: str) -> str:
+    """Exact integer log-grid cell for a non-negative BIGINT expression.
+
+    cell = k * 64 + sub where k = floor(log2(u+1)) and sub linearly
+    subdivides the octave [2^k, 2^(k+1)) into <= 64 sub-cells. Emitted
+    as a CASE comparison ladder over power-of-two literals: pure BIGINT
+    compares + one subtract/shift per branch — deterministic and
+    identical in Spark and DuckDB (no libm log, no ULP drift), and
+    monotone in u so quantile boundaries derived from the cell
+    histogram respect value order.
+    """
+    S = _RFM_SUB
+    u1 = f"({u} + 1)"
+    branches = []
+    for k in range(63):
+        base = k * S
+        if k < 6:
+            sub = f"({u1} - {1 << k})"  # octave narrower than S: identity sub
+        else:
+            sub = f"(({u1} - {1 << k}) {idiv} {1 << (k - 6)})"
+        branches.append(f"WHEN {u1} < {1 << (k + 1)} THEN {base} + {sub}")
+    return "CASE " + " ".join(branches) + f" ELSE {63 * S} END"
 
 
 def _rfm_sql(spark_dialect: bool) -> str:
@@ -1154,16 +1182,15 @@ def _rfm_sql(spark_dialect: bool) -> str:
     else:
         rec = "date_diff('day', CAST(p.last_ts AS DATE), CAST(a.mx AS DATE))"
         idiv = "//"
-    G = _RFM_G
     # per-metric cell: ascending for recency (small = recent = best),
-    # descending (mx - v) for frequency/monetary. (v - mn) * G DIV
-    # (mx - mn + 1) is in [0, G) and degenerates safely to 0 when all
-    # values are equal.
+    # descending (mx - v) for frequency/monetary. The shifted value
+    # (v - mn, resp. mx - v) is >= 0 and maps onto the log2-octave grid;
+    # all-equal metrics degenerate safely to cell 0.
     cells = f"""cells AS (
       SELECT b.user_id, b.rec, b.freq, b.monetary,
-             ((b.rec - s.mn_r) * {G}) {idiv} (s.mx_r - s.mn_r + 1) AS r_cell,
-             ((s.mx_f - b.freq) * {G}) {idiv} (s.mx_f - s.mn_f + 1) AS f_cell,
-             ((s.mx_m - b.mon_e4) * {G}) {idiv} (s.mx_m - s.mn_m + 1) AS m_cell
+             ({_log_cell("b.rec - s.mn_r", idiv)}) AS r_cell,
+             ({_log_cell("s.mx_f - b.freq", idiv)}) AS f_cell,
+             ({_log_cell("s.mx_m - b.mon_e4", idiv)}) AS m_cell
       FROM base b CROSS JOIN stats s
     )"""
     hists = ",\n    ".join(

@@ -141,11 +141,18 @@ class BigQueryRestClient:
             elif typ == "boolean":
                 out.append(v in (True, "true", "TRUE", "1"))
             elif typ == "timestamp":
-                out.append(
-                    datetime.datetime.fromtimestamp(
-                        float(v), tz=datetime.timezone.utc
-                    ).replace(tzinfo=None)
-                )
+                # TIMESTAMP arrives as fractional epoch seconds; DATETIME
+                # (mapped to the same Spark type) arrives as an ISO civil
+                # string ('2024-03-01T12:30:45.5') — try epoch first, fall
+                # back to ISO parse for the DATETIME wire form.
+                try:
+                    out.append(
+                        datetime.datetime.fromtimestamp(
+                            float(v), tz=datetime.timezone.utc
+                        ).replace(tzinfo=None)
+                    )
+                except ValueError:
+                    out.append(datetime.datetime.fromisoformat(v))
             elif typ == "date":
                 out.append(datetime.date.fromisoformat(v))
             elif typ.startswith("decimal"):

@@ -571,6 +571,37 @@ def _list_aggregate_2(a):
     return fn(a[0])
 
 
+def _histogram_1(a):
+    """DuckDB histogram(x) aggregate -> MAP<x, count> keyed ascending.
+
+    Spark spelling: collect the group once, then map each distinct key
+    to its occurrence count with higher-order functions — one aggregate
+    buffer (Catalyst dedups the identical collect_list), no join, no
+    extra shuffle. Matches DuckDB's semantics: NULLs are dropped
+    (collect_list skips them) and keys are sorted ascending."""
+    x = a[0]
+    return (
+        f"map_from_entries(transform(array_sort(array_distinct(collect_list({x}))), "
+        f"__hk -> struct(__hk, size(filter(collect_list({x}), __hv -> __hv = __hk)))))"
+    )
+
+
+def _bar_template(a):
+    """DuckDB bar(x, min, max[, width=80]) -> a '█'-bar string.
+
+    Full-block rendering (DuckDB additionally draws one partial eighth
+    block — sub-character detail with no analytic meaning); the bar
+    length is clamped to [0, width] exactly like DuckDB."""
+    x, mn, mx = a[0], a[1], a[2]
+    w = a[3] if len(a) > 3 else "80"
+    frac = (
+        f"greatest(CAST(0 AS DOUBLE), least(CAST(({w}) AS DOUBLE), "
+        f"(CAST(({x}) AS DOUBLE) - CAST(({mn}) AS DOUBLE)) * CAST(({w}) AS DOUBLE) "
+        f"/ (CAST(({mx}) AS DOUBLE) - CAST(({mn}) AS DOUBLE))))"
+    )
+    return f"repeat('█', CAST(floor({frac}) AS INT))"
+
+
 _ORDER_BY_IN_AGG = re.compile(r"\s+ORDER\s+BY\s+", re.IGNORECASE)
 
 
@@ -651,6 +682,8 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
         2: _array_agg_ordered,
         3: _array_agg_ordered,
     },
+    "histogram": {1: _histogram_1},
+    "bar": {3: _bar_template, 4: _bar_template},
 }
 
 _READ_TABLE_FNS = frozenset(
@@ -662,8 +695,8 @@ _READ_TABLE_FNS = frozenset(
 # DuckDB functions with NO Spark equivalent: fail with the workaround
 # named instead of Spark's opaque UNRESOLVED_ROUTINE.
 KNOWN_UNSUPPORTED_FNS: Dict[str, str] = {
-    "histogram": "GROUP BY the expression and COUNT(*), or map_from_entries over a grouped subquery",
-    "bar": "compute the ratio numerically; rendering belongs to the client",
+    "histogram": "histogram(x) rewrites (MAP<x,count>); the binned 2-arg form does not — GROUP BY width_bucket(x, lo, hi, n) and COUNT(*)",
+    "bar": "bar(x, min, max[, width]) rewrites (full-block bars); other arities do not",
     "generate_subscripts": "posexplode(array) yields (pos, value); sequence(1, size(a)) yields indexes",
     "jaccard": "use the n-gram Jaccard operator (d03) or levenshtein()",
     "jaro_winkler_similarity": "no Spark builtin; levenshtein() is available, or register a macro UDF",

@@ -52,7 +52,9 @@ def _bq_type(duck_type: str) -> str:
     if "BOOL" in t:
         return "BOOLEAN"
     if "TIMESTAMP" in t:
-        return "TIMESTAMP"
+        # faithful to BigQuery's split: instants (tz-aware) are TIMESTAMP
+        # (epoch-seconds wire), civil timestamps are DATETIME (ISO wire)
+        return "TIMESTAMP" if "TIME ZONE" in t or "TZ" in t else "DATETIME"
     if t == "DATE":
         return "DATE"
     if t in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
@@ -71,6 +73,9 @@ def _bq_cell(v, typ: str):
     if typ == "TIMESTAMP":
         epoch = v.replace(tzinfo=datetime.timezone.utc).timestamp()
         return repr(epoch)
+    if typ == "DATETIME":
+        # BigQuery encodes DATETIME as an ISO civil string, NOT epoch
+        return v.isoformat()
     if typ == "BYTES":
         return base64.b64encode(v if isinstance(v, bytes) else bytes(v)).decode()
     return str(v)
@@ -292,19 +297,24 @@ def test_tap_decodes_typed_families(engine, bq_endpoint):
     fractional epoch seconds, DATE as ISO, NUMERIC as a decimal string,
     BYTES as base64 — but the declared Spark schema is
     timestamp/date/decimal(38,9)/binary, so _decode_row must produce
-    the typed Python objects or createDataFrame raises TypeError."""
+    the typed Python objects or createDataFrame raises TypeError.
+    DATETIME (civil) arrives as an ISO string, not epoch seconds — the
+    plain-TIMESTAMP column here rides the DATETIME wire, the TIMESTAMPTZ
+    column the epoch wire; both must decode to the same Spark type."""
     out = _conn(engine, bq_endpoint).tap(
         "SELECT TIMESTAMP '2024-03-01 12:30:45.5' AS ts,"
+        " TIMESTAMPTZ '2024-03-01 12:30:45.5+00' AS tstz,"
         " DATE '2024-03-01' AS d,"
         " CAST('12345.678901234' AS DECIMAL(38,9)) AS num,"
         " CAST('abc' AS BLOB) AS raw",
         STAGE,
     )
     assert [f.dataType.simpleString() for f in out.schema.fields] == [
-        "timestamp", "date", "decimal(38,9)", "binary",
+        "timestamp", "timestamp", "date", "decimal(38,9)", "binary",
     ]
     row = out.collect()[0]
     assert row["ts"] == datetime.datetime(2024, 3, 1, 12, 30, 45, 500000)
+    assert row["tstz"] == datetime.datetime(2024, 3, 1, 12, 30, 45, 500000)
     assert row["d"] == datetime.date(2024, 3, 1)
     assert row["num"] == decimal.Decimal("12345.678901234")
     assert bytes(row["raw"]) == b"abc"

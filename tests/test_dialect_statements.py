@@ -316,3 +316,45 @@ def test_bracket_slice_rewrites(engine, duck):
 def test_bracket_slice_nontrivial_still_rejected(engine):
     with pytest.raises(UnsupportedDialect, match="list_slice"):
         engine.sql("SELECT l[a+1:b] FROM t")
+
+
+# ---------------------------------------------------------------------------
+# histogram() aggregate -> MAP<key, count>; bar() -> block-bar string
+# ---------------------------------------------------------------------------
+
+def _duck_map(m):
+    # duckdb's Python client renders MAP as {'key': [...], 'value': [...]}
+    return dict(zip(m["key"], m["value"])) if isinstance(m, dict) and set(m) == {"key", "value"} else dict(m)
+
+
+def test_histogram_matches_duckdb(engine, duck):
+    sql = (
+        "SELECT g, histogram(v) AS h FROM (SELECT x % 2 AS g, x % 3 AS v "
+        "FROM (SELECT unnest([0,1,2,3,4,5,6,7,8]) AS x) u) t GROUP BY g ORDER BY g"
+    )
+    got = {r["g"]: dict(r["h"]) for r in engine.sql(sql).collect()}
+    want = {g: _duck_map(h) for g, h in duck.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_histogram_drops_nulls_like_duckdb(engine, duck):
+    sql = (
+        "SELECT histogram(v) AS h FROM (SELECT CASE WHEN x = 1 THEN NULL "
+        "ELSE x END AS v FROM (SELECT unnest([0,1,2,2]) AS x) u) t"
+    )
+    assert dict(engine.sql(sql).collect()[0]["h"]) == _duck_map(duck.sql(sql).fetchone()[0])
+
+
+def test_histogram_binned_form_rejected_actionably(engine):
+    with pytest.raises(UnsupportedDialect, match="width_bucket"):
+        engine.sql("SELECT histogram(v, [10, 20]) FROM t")
+
+
+def test_bar_renders_clamped_blocks(engine):
+    rows = engine.sql(
+        "SELECT bar(x, 0, 10, 10) AS b, bar(x, 0, 10) AS b80 FROM "
+        "(SELECT unnest([-5, 0, 5, 10, 15]) AS x) t ORDER BY x"
+    ).collect()
+    assert [r["b"] for r in rows] == ["", "", "█" * 5, "█" * 10, "█" * 10]
+    # default width is 80, clamped at both ends
+    assert [len(r["b80"]) for r in rows] == [0, 0, 40, 80, 80]

@@ -63,18 +63,12 @@ def _explain(jvm, df):
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
-@pytest.fixture(scope="module")
-def plans(spark):
-    """name -> list of physical node names, for every batch query —
-    INCLUDING every pre-localCheckpoint fragment. localCheckpoint
-    truncates lineage, so the final plan hides everything upstream of
-    the checkpoint (exactly how the r5 d10 seed-selection
-    single-partition window escaped this gate); the capturing wrapper
-    records each checkpoint input's physical plan as ``name::ckpt{i}``
-    before delegating to the real checkpoint."""
-    # patch the CLASSIC DataFrame (what spark.sql returns on PySpark 4):
-    # its own localCheckpoint shadows the pyspark.sql.DataFrame base, so
-    # patching only the base silently captures nothing
+def _collect_plans(spark, keep):
+    """name -> (node names, plan text) for every queries() entry whose
+    name satisfies ``keep`` — INCLUDING every pre-localCheckpoint
+    fragment (``name::ckpt{i}``). The capturing wrapper passes through
+    *args/**kwargs so any localCheckpoint signature (eager,
+    storageLevel, positional) still delegates instead of raising."""
     from pyspark.sql.classic.dataframe import DataFrame
 
     jvm = spark.sparkContext._jvm
@@ -82,15 +76,15 @@ def plans(spark):
     orig = DataFrame.localCheckpoint
     fragments = []
 
-    def capturing(self, eager=True):
+    def capturing(self, *args, **kwargs):
         fragments.append(_explain(jvm, self))
-        return orig(self, eager=eager)
+        return orig(self, *args, **kwargs)
 
     DataFrame.localCheckpoint = capturing
     try:
         for name, fn in entry.queries().items():
-            if name.startswith("st") or name.startswith("m0"):
-                continue  # covered by the executed_plans fixture below
+            if not keep(name):
+                continue
             fragments.clear()
             plan = _explain(jvm, fn(spark, SF))
             for i, frag in enumerate(list(fragments)):
@@ -102,6 +96,24 @@ def plans(spark):
     finally:
         DataFrame.localCheckpoint = orig
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """name -> list of physical node names, for every batch query —
+    INCLUDING every pre-localCheckpoint fragment. localCheckpoint
+    truncates lineage, so the final plan hides everything upstream of
+    the checkpoint (exactly how the r5 d10 seed-selection
+    single-partition window escaped this gate); the capturing wrapper
+    records each checkpoint input's physical plan as ``name::ckpt{i}``
+    before delegating to the real checkpoint. NOTE _collect_plans
+    patches the CLASSIC DataFrame (what spark.sql returns on PySpark
+    4): its own localCheckpoint shadows the pyspark.sql.DataFrame base,
+    so patching only the base silently captures nothing."""
+    # st*/m0* are covered by the executed_plans fixture below
+    return _collect_plans(
+        spark, lambda name: not (name.startswith("st") or name.startswith("m0"))
+    )
 
 
 def _base(name: str) -> str:
@@ -247,32 +259,9 @@ EXEC_GLOBAL_WINDOW_ALLOWED = {
 
 @pytest.fixture(scope="module")
 def executed_plans(spark):
-    from pyspark.sql.classic.dataframe import DataFrame
-
-    jvm = spark.sparkContext._jvm
-    out = {}
-    orig = DataFrame.localCheckpoint
-    fragments = []
-
-    def capturing(self, eager=True):
-        fragments.append(_explain(jvm, self))
-        return orig(self, eager=eager)
-
-    DataFrame.localCheckpoint = capturing
-    try:
-        for name, fn in entry.queries().items():
-            if not (name.startswith("st") or name.startswith("m0")):
-                continue
-            fragments.clear()
-            plan = _explain(jvm, fn(spark, SF))
-            for i, frag in enumerate(list(fragments)):
-                out[f"{name}::ckpt{i}"] = (
-                    re.findall(r"\(\d+\) ([A-Za-z]+)", frag),
-                    frag,
-                )
-            out[name] = (re.findall(r"\(\d+\) ([A-Za-z]+)", plan), plan)
-    finally:
-        DataFrame.localCheckpoint = orig
+    out = _collect_plans(
+        spark, lambda name: name.startswith("st") or name.startswith("m0")
+    )
     return out
 
 
