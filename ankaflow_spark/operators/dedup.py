@@ -616,17 +616,31 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     corpus). Lineage is truncated every round and superseded
     checkpoints release their blocks immediately.
     """
-    # File round-trips (not localCheckpoint) truncate BOTH lineage and
-    # Catalyst's ESTIMATED statistics. A checkpoint keeps the origin
-    # plan's estimated sizeInBytes, and in an iterative join loop that
-    # estimate compounds geometrically round over round — measured: by
-    # round ~8 jobs with constant plans/rows/tasks slowed ~6x per round
-    # while a driver thread spun in BigInteger.multiplyToomCook3 under
-    # stats estimation (IterableOnceOps.product), multiplying
-    # million-digit size estimates. The parquet re-read yields real
-    # file-size stats every round — the same reliable-checkpoint
-    # pattern GraphFrames uses for its CC iteration; at cluster scale
-    # these are the persisted per-round label tables.
+    # The per-round materialization must truncate BOTH lineage and
+    # Catalyst's ESTIMATED statistics. A plain localCheckpoint keeps the
+    # origin plan's estimated sizeInBytes, and in an iterative join loop
+    # that estimate compounds geometrically round over round — measured:
+    # by round ~8 jobs with constant plans/rows/tasks slowed ~6x per
+    # round while a driver thread spun in BigInteger.multiplyToomCook3
+    # under stats estimation (IterableOnceOps.product), multiplying
+    # million-digit size estimates. The LOOP rounds therefore checkpoint
+    # in RAM (ckpt_reset: through the public localCheckpoint, so plan
+    # audits that wrap it still see every pre-checkpoint fragment, then
+    # the DataFrame is rebuilt from the checkpointed InternalRow RDD —
+    # the fresh LogicalRDD carries NO origin stats, so nothing
+    # compounds; within the loop every join pairs it against the
+    # real-stats edge table, which broadcasts correctly). This replaced
+    # an r4-r6 parquet write+read per round: same stats-reset effect,
+    # ~4x less per-round latency locally (no file commit protocol), and
+    # at cluster scale an executor-RAM checkpoint instead of a DFS
+    # round-trip per iteration. The ENTRY (pairs) and EXIT (final
+    # labels) stay parquet round-trips: those relations are consumed by
+    # arbitrary downstream plans (survivor joins against the corpus),
+    # where real file-size stats — not a no-stats default — let
+    # Catalyst pick broadcast sides statically (measured: returning
+    # no-stats labels regressed d10 by ~4s at sf0.1 through
+    # SMJ-planned survivor joins). If the InternalRow rebuild API is
+    # unavailable, every round falls back to the parquet path.
     import atexit
     import os
     import shutil
@@ -640,6 +654,17 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def ckpt_reset(df: DataFrame, name: str) -> DataFrame:
+        ck = df.localCheckpoint(eager=True)
+        try:
+            jdf = ck._jdf
+            new_jdf = spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            return DataFrame(new_jdf, spark)
+        except Exception:
+            return persist_reset(df, name)
+
     pairs = persist_reset(pairs.select("doc_a", "doc_b"), "pairs")
     edges = (
         pairs.selectExpr("doc_a AS doc_id", "doc_b AS nbr")
@@ -648,7 +673,7 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_b AS nbr"))
         .localCheckpoint()
     )
-    labels = persist_reset(
+    labels = ckpt_reset(
         edges.groupBy("doc_id").agg(F.min("nbr").alias("lbl")), "labels_init"
     )
     for rnd in range(CC_MAX_ROUNDS):
@@ -687,10 +712,7 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 F.least(F.col("lbl"), F.col("j_lbl")).alias("lbl"),
                 "old_lbl",
             )
-        # alternate two round dirs: the write fully materializes before
-        # the next round overwrites the other one, and the final labels
-        # keep reading their own files (workdir lives until exit)
-        new_labels = persist_reset(new_labels, f"labels_r{rnd % 2}")
+        new_labels = ckpt_reset(new_labels, f"labels_r{rnd % 2}")
         changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
@@ -699,10 +721,15 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         edges.rdd.unpersist()
     except Exception:
         pass
-    return labels.select(
-        F.col("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
+    # exit through parquet: downstream survivor joins plan against real
+    # file-size stats (see the persist strategy note above)
+    return persist_reset(
+        labels.select(
+            F.col("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
+        ),
+        "labels_final",
     ).orderBy("cluster_id", "doc_id")
 
 

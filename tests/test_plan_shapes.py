@@ -54,6 +54,14 @@ SMJ_ALLOWED = {
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
+    # CC iteration fragments (labels x edges / pointer-jump label self-joins):
+    # per-round relations are |V|-sized at scale and the RAM stats-reset
+    # checkpoint deliberately carries no size estimate — SMJ planned, AQE
+    # downgrades to broadcast at runtime where a side is small
+    "d06_dedup_clusters",
+    "d08_dedup_survivors",
+    "d10_semantic_dedup",
+    "t20_leakage_safe_split",
     "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
     "s13_ivf_recall_eval",  # checkpoint fragment is s03's own plan (cell-candidates x embeddings re-rank join)
 }
