@@ -1029,6 +1029,67 @@ _CLAUSE_AFTER_FROM = (
 )
 
 
+def _sql_like_to_re(pat: str) -> str:
+    """SQL LIKE pattern -> anchored Python regex (% -> .*, _ -> .)."""
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _eval_columns_lambda(var: str, body: str, name: str) -> bool:
+    """Evaluate a DuckDB COLUMNS name-predicate lambda against one
+    column name, for the finite set of predicate shapes that cover
+    real-world use (the lambda's argument is the column NAME, a
+    VARCHAR): [NOT] LIKE / ILIKE, SIMILAR TO, regexp_matches,
+    starts_with / prefix, ends_with / suffix, contains. Anything else
+    raises the actionable rejection (reference contract: any DuckDB
+    SQL, core/flow.py:267 — unsupported forms must name themselves)."""
+    body = body.strip()
+    lit = r"'((?:[^']|'')*)'"
+
+    def unq(s: str) -> str:
+        return s.replace("''", "'")
+
+    m = re.fullmatch(
+        rf"{re.escape(var)}\s+(NOT\s+)?(I?LIKE)\s+{lit}", body, re.IGNORECASE
+    )
+    if m:
+        flags = re.IGNORECASE if m.group(2).upper() == "ILIKE" else 0
+        hit = re.match(_sql_like_to_re(unq(m.group(3))), name, flags) is not None
+        return hit != bool(m.group(1))
+    m = re.fullmatch(
+        rf"{re.escape(var)}\s+SIMILAR\s+TO\s+{lit}", body, re.IGNORECASE
+    )
+    if m:
+        return re.fullmatch(unq(m.group(2)), name) is not None
+    m = re.fullmatch(
+        rf"(regexp_matches|starts_with|prefix|ends_with|suffix|contains)\s*\(\s*"
+        rf"{re.escape(var)}\s*,\s*{lit}\s*\)",
+        body,
+        re.IGNORECASE,
+    )
+    if m:
+        fn, s = m.group(1).lower(), unq(m.group(2))
+        if fn == "regexp_matches":
+            return re.search(s, name) is not None
+        if fn in ("starts_with", "prefix"):
+            return name.startswith(s)
+        if fn in ("ends_with", "suffix"):
+            return name.endswith(s)
+        return s in name
+    raise UnsupportedDialect(
+        "COLUMNS lambda predicates support [NOT] LIKE/ILIKE, SIMILAR TO, "
+        "regexp_matches, starts_with/prefix, ends_with/suffix, contains "
+        f"over the column name — got: {var} -> {body}"
+    )
+
+
 def expand_columns_expr(sql: str, schema_lookup) -> str:
     """DuckDB ``COLUMNS(*)`` / ``COLUMNS('regex')`` star expressions,
     expanded against the schema of the containing SELECT's single FROM
@@ -1108,6 +1169,7 @@ def expand_columns_expr(sql: str, schema_lookup) -> str:
                 "is it a registered stage or table?"
             )
         names = [c[0] if isinstance(c, (tuple, list)) else c for c in cols]
+        lam = re.fullmatch(r"([A-Za-z_]\w*)\s*->\s*(.+)", arg, re.DOTALL)
         if arg == "*":
             selected = names
         elif re.fullmatch(r"'(?:[^']|'')*'", arg):
@@ -1118,10 +1180,20 @@ def expand_columns_expr(sql: str, schema_lookup) -> str:
                     f"COLUMNS({arg}) matched no columns of {relname!r} "
                     f"(columns: {', '.join(names)})"
                 )
+        elif lam is not None:
+            selected = [
+                c for c in names if _eval_columns_lambda(lam.group(1), lam.group(2), c)
+            ]
+            if not selected:
+                raise UnsupportedDialect(
+                    f"COLUMNS({arg}) matched no columns of {relname!r} "
+                    f"(columns: {', '.join(names)})"
+                )
         else:
             raise UnsupportedDialect(
-                "COLUMNS argument must be * or a 'regex' string literal "
-                "(EXCLUDE/lambda forms are not supported) — got: " + arg
+                "COLUMNS argument must be *, a 'regex' string literal, or a "
+                "name-predicate lambda (c -> c LIKE ..., regexp_matches, "
+                "starts_with/ends_with/contains) — got: " + arg
             )
         if wrapper is None:
             repl = ", ".join(f"`{c}`" for c in selected)

@@ -353,8 +353,56 @@ def test_columns_expr_multi_relation_rejected(engine):
     engine.sql("SELECT 2 AS b").createOrReplaceTempView("__c2__")
     with _pytest.raises(UnsupportedDialect, match="multi-relation"):
         engine.sql("SELECT COLUMNS(*) FROM __c1__ JOIN __c2__ ON 1=1")
-    with _pytest.raises(UnsupportedDialect, match="regex"):
-        engine.sql("SELECT COLUMNS(c -> c LIKE 'a%') FROM __c1__")
+    # lambda predicates outside the finite shape table still reject
+    with _pytest.raises(UnsupportedDialect, match="lambda predicates"):
+        engine.sql("SELECT COLUMNS(c -> length(c) > 3) FROM __c1__")
+
+
+def test_columns_lambda_predicates(engine):
+    engine.sql(
+        "SELECT 1 AS id, 10 AS amt_a, 20 AS amt_b, 'x' AS tag"
+    ).createOrReplaceTempView("__collam__")
+    # LIKE over the column NAME (DuckDB lambda form)
+    df = engine.sql("SELECT COLUMNS(c -> c LIKE 'amt%') FROM __collam__")
+    assert df.columns == ["amt_a", "amt_b"]
+    # NOT LIKE
+    df = engine.sql("SELECT COLUMNS(c -> c NOT LIKE 'amt%') FROM __collam__")
+    assert df.columns == ["id", "tag"]
+    # ILIKE is case-insensitive; _ is a single-char wildcard
+    df = engine.sql("SELECT COLUMNS(c -> c ILIKE 'AMT__') FROM __collam__")
+    assert df.columns == ["amt_a", "amt_b"]
+    # regexp_matches / starts_with / ends_with / contains
+    df = engine.sql("SELECT COLUMNS(c -> regexp_matches(c, '_[ab]$')) FROM __collam__")
+    assert df.columns == ["amt_a", "amt_b"]
+    df = engine.sql("SELECT COLUMNS(c -> starts_with(c, 'ta')) FROM __collam__")
+    assert df.columns == ["tag"]
+    df = engine.sql("SELECT COLUMNS(c -> ends_with(c, 'd')) FROM __collam__")
+    assert df.columns == ["id"]
+    # wrapped aggregate applies per selected column
+    df = engine.sql("SELECT max(COLUMNS(c -> contains(c, 'amt'))) FROM __collam__")
+    assert df.columns == ["max(amt_a)", "max(amt_b)"]
+    assert [tuple(r) for r in df.collect()] == [(10, 20)]
+
+
+def test_columns_lambda_matches_duckdb(engine):
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.sql("CREATE TABLE __collam__(id INT, amt_a INT, amt_b INT, tag VARCHAR)")
+    con.sql("INSERT INTO __collam__ VALUES (1, 10, 20, 'x')")
+    engine.sql(
+        "SELECT 1 AS id, 10 AS amt_a, 20 AS amt_b, 'x' AS tag"
+    ).createOrReplaceTempView("__collam__")
+    for sql in (
+        "SELECT COLUMNS(c -> c LIKE 'amt%') FROM __collam__",
+        "SELECT COLUMNS(c -> c NOT LIKE 'amt%') FROM __collam__",
+        "SELECT COLUMNS(c -> regexp_matches(c, '_[ab]$')) FROM __collam__",
+    ):
+        got = engine.sql(sql)
+        want = con.sql(sql)
+        assert got.columns == list(want.columns)
+        assert [tuple(r) for r in got.collect()] == want.fetchall()
+    con.close()
 
 
 def test_unpivot_statement(engine):
