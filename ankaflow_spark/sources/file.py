@@ -364,7 +364,8 @@ class JSONConnection(BaseFileConnection):
 class FileConnection(BaseFileConnection):
     """Pandas-format files (XLSX/XML/HTML/TXT): driver-side pandas read,
     then distribute. Same small-file path as the reference (file.py:121-169).
-    The xlsx engine is not in this container — gated behind import."""
+    XLSX prefers the pandas engine (openpyxl) and falls back to the
+    bundled stdlib codec (xlsx_lite) when it is not installed."""
 
     format = "file"
 
@@ -379,7 +380,12 @@ class FileConnection(BaseFileConnection):
         elif ext == ".csv":
             pdf = pd.read_csv(path)
         elif ext in (".xlsx", ".xls"):
-            pdf = pd.read_excel(path)  # requires openpyxl; raises if absent
+            try:
+                pdf = pd.read_excel(path)
+            except ImportError:
+                from . import xlsx_lite
+
+                pdf = pd.DataFrame(xlsx_lite.read_xlsx(path))
         elif ext == ".xml":
             pdf = pd.read_xml(path)
         elif ext in (".html", ".htm"):
@@ -399,7 +405,14 @@ class FileConnection(BaseFileConnection):
         ext = os.path.splitext(path)[1].lower()
         pdf = df.toPandas()  # driver-side by design: pandas-format sinks are small
         if ext in (".xlsx", ".xls"):
-            pdf.to_excel(path, index=False)
+            try:
+                pdf.to_excel(path, index=False)
+            except ImportError:
+                from . import xlsx_lite
+
+                xlsx_lite.write_xlsx(
+                    path, pdf.to_dict("records"), columns=list(pdf.columns)
+                )
         elif ext == ".csv":
             pdf.to_csv(path, index=False)
         elif ext in (".json",):

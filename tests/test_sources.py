@@ -139,6 +139,76 @@ def test_file_txt_tap(engine, tmp_path):
     assert [r["line"] for r in df.collect()] == ["alpha", "beta", "gamma"]
 
 
+def test_file_xlsx_sink_tap_roundtrip(engine, tmp_path):
+    """XLSX tap/sink e2e (reference file.py:121-169). The container has
+    no openpyxl, so this exercises the stdlib xlsx_lite fallback; with
+    openpyxl present the same pipeline rides the pandas engine."""
+    path = tmp_path / "out.xlsx"
+    flow = Flow(
+        Stages.loads(f"""
+- kind: internal
+  name: rows
+  query: >
+    SELECT * FROM (VALUES (1, 'a & <b>', 1.5, TRUE), (2, 'ünïcødé', 2.25, FALSE))
+    AS t(id, name, price, ok)
+- kind: sink
+  name: save
+  connection:
+    kind: file
+    locator: {path}
+"""),
+        engine=engine,
+    )
+    flow.run()
+    assert path.exists()
+    back = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: xl
+  connection:
+    kind: file
+    locator: {path}
+"""),
+        engine=engine,
+    ).run()
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "a & <b>" and rows[1]["price"] == 1.5 and rows[1]["ok"]
+    assert rows[2]["name"] == "ünïcødé" and rows[2]["price"] == 2.25 and not rows[2]["ok"]
+
+
+def test_xlsx_lite_shared_strings_reader(tmp_path):
+    """Files written by other producers use sharedStrings + 's' cells
+    (our writer emits inline strings); the reader must decode both,
+    including rich-text runs split across <r> elements."""
+    import zipfile
+
+    from ankaflow_spark.sources import xlsx_lite
+
+    p = tmp_path / "shared.xlsx"
+    xlsx_lite.write_xlsx(str(p), [{"h1": "seed"}])
+    p2 = tmp_path / "shared2.xlsx"
+    NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(p) as zin, zipfile.ZipFile(p2, "w") as zout:
+        for n in zin.namelist():
+            if n != "xl/worksheets/sheet1.xml":
+                zout.writestr(n, zin.read(n))
+        zout.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{NS}"><si><t>h1</t></si><si><t>hello</t></si>'
+            "<si><r><t>wor</t></r><r><t>ld</t></r></si></sst>",
+        )
+        zout.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{NS}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            '<row r="3"><c r="A3" t="s"><v>2</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    back = xlsx_lite.read_xlsx(str(p2))
+    assert [r["h1"] for r in back] == ["hello", "world"]
+
+
 def test_fields_to_schema_nested(spark):
     schema = fields_to_schema(
         [
