@@ -957,8 +957,17 @@ def _sem_pair_ctes(spark_dialect: bool, table: str, threshold: float) -> str:
              CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM {table} CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
         """
-    return f"""semqdims AS ({qdims}),
-    semnorms AS (
+    # MATERIALIZED markers are DuckDB-only (the duck text never runs on
+    # Spark): inside a WITH RECURSIVE statement DuckDB INLINES every
+    # multi-referenced CTE instead of sharing it, so the closure-bearing
+    # oracles (d10/d17/t20 embed this chain) would re-evaluate the whole
+    # IVF+pair pipeline per reference — measured: the sf0.01 oracle went
+    # from seconds to >2 minutes once the two-level assignment multiplied
+    # the internal reference counts. Materializing the chokepoints
+    # restores single evaluation; plain WITH statements are unaffected.
+    mat = "" if spark_dialect else "MATERIALIZED "
+    return f"""semqdims AS {mat}({qdims}),
+    semnorms AS {mat}(
       SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM semqdims GROUP BY vec_id
     ),
     semcands AS (
@@ -972,7 +981,7 @@ def _sem_pair_ctes(spark_dialect: bool, table: str, threshold: float) -> str:
       JOIN semqdims qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
       GROUP BY c.vec_a, c.vec_b
     ),
-    sempairs AS (
+    sempairs AS {mat}(
       SELECT vec_a AS doc_a, vec_b AS doc_b
       FROM semdots
       JOIN semnorms na ON na.vec_id = vec_a
@@ -1005,23 +1014,54 @@ def semdedup_pairs_df(
 ) -> DataFrame:
     """Semantic near-dup pairs with an at-scale Spark execution shape:
     the corpus is repartitioned by vec_id before the dims explode, the
-    cell assignment is materialized once with localCheckpoint (the
-    within-cell self-join references it twice and Spark inlines CTEs —
-    without this the centroid training chain executes per join side),
-    and dots/norms/threshold run in the exact integer domain
+    TRAINED CENTROID DIMS and the cell assignment are each materialized
+    once with localCheckpoint (Spark inlines CTEs, so the multi-ref
+    two-level routing and the within-cell self-join would otherwise
+    re-execute the Lloyd-training chain per reference — measured at 10x
+    volume: 177s of a 196s wall was training re-execution), and
+    dots/norms/threshold run in the exact integer domain
     (``_sem_pair_ctes``) — values identical to the inline chain the
     DuckDB oracle runs."""
-    from .similarity import ivf_assign_ctes
+    from .similarity import (
+        IVF_TRAIN_MOD,
+        ivf_assign_ctes,
+        ivf_routing_ctes,
+        ivf_train_tail_ctes,
+    )
 
     threshold = SEMDEDUP_COSINE if threshold is None else threshold
     par = spark.sparkContext.defaultParallelism
     view, aview = "__semdedup_vecs__", "__semdedup_cells__"
+    tview = "__semdedup_tcdims__"
     spark.table(table).select("vec_id", "embedding").repartition(
         par, "vec_id"
     ).createOrReplaceTempView(view)
     k = _sem_k_expr(view) if k is None else k
+    two_level = isinstance(k, str)
+    init_sql = ivf_assign_ctes(True, table=view, k=k, init_only=True)
+    tdims = spark.sql(
+        f"WITH {init_sql} SELECT vec_id, d, q FROM ivf_tdims"
+    ).localCheckpoint(eager=True)
+    tdims.createOrReplaceTempView("__semdedup_tdims__")
+    icdims = spark.sql(
+        f"WITH {init_sql} SELECT cid, d, q FROM ivf_icdims"
+    ).localCheckpoint(eager=True)
+    icdims.createOrReplaceTempView("__semdedup_icdims__")
+    tcdims = spark.sql(
+        f"WITH train_set AS (SELECT vec_id, embedding FROM {view}"
+        f" WHERE vec_id % {IVF_TRAIN_MOD} = 0),\n"
+        + ivf_train_tail_ctes(
+            True,
+            two_level=two_level,
+            tdims="__semdedup_tdims__",
+            icdims="__semdedup_icdims__",
+        )
+        + " SELECT cid, d, q FROM ivf_tcdims"
+    ).localCheckpoint(eager=True)
+    tcdims.createOrReplaceTempView(tview)
     assign = spark.sql(
-        f"WITH {ivf_assign_ctes(True, table=view, k=k)} SELECT vec_id, cid FROM assign2"
+        f"WITH {ivf_routing_ctes(True, table=view, two_level=two_level, tcdims=tview)} "
+        "SELECT vec_id, cid FROM assign2"
     ).localCheckpoint(eager=True)
     assign.createOrReplaceTempView(aview)
     return spark.sql(f"""
@@ -1054,7 +1094,12 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["d10_semantic_dedup"] = f"""
     WITH RECURSIVE {_semdedup_pairs_sql(False)},
-    semedges AS (
+    -- MATERIALIZED (DuckDB-only hint; this text never runs on Spark):
+    -- the recursive closure references semedges per iteration, and an
+    -- inlined semedges re-executes the ENTIRE IVF+pair chain each
+    -- round — the two-level assignment made that chain heavy enough to
+    -- turn the oracle from seconds into minutes.
+    semedges AS MATERIALIZED (
       SELECT doc_a AS doc_id, doc_b AS nbr FROM sempairs
       UNION ALL SELECT doc_b, doc_a FROM sempairs
       UNION ALL SELECT doc_a, doc_a FROM sempairs

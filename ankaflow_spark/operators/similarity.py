@@ -293,6 +293,8 @@ def ivf_assign_ctes(
     table: str = "embeddings",
     k: int = IVF_K,
     train_mod: int = IVF_TRAIN_MOD,
+    training_only: bool = False,
+    init_only: bool = False,
 ) -> str:
     """The IVF coarse-quantizer CTE chain (shared by s03 ANN, d10
     semantic dedup, and the ``semantic_dedup`` YAML operator):
@@ -338,6 +340,7 @@ def ivf_assign_ctes(
         )
     else:
         seed_src = f"SELECT vec_id, embedding FROM train_set ORDER BY vec_id LIMIT {k}"
+    mat = "" if spark_dialect else "MATERIALIZED "
     if spark_dialect:
         dims_cte = """dims AS (
       SELECT a.cid, e.vec_id, p.d, CAST(p.pv AS DOUBLE) AS v
@@ -353,36 +356,26 @@ def ivf_assign_ctes(
       CROSS JOIN (SELECT {dim_seq} AS d) t
     )"""
     if spark_dialect:
-        tdims_cte = """ivf_tdims AS (
+        tdims_cte = f"""ivf_tdims AS {mat}(
       SELECT vec_id, p.d AS d,
              CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM train_set LATERAL VIEW posexplode(embedding) p AS d, pv
     )"""
-        icdims_cte = """ivf_icdims AS (
+        icdims_cte = f"""ivf_icdims AS {mat}(
       SELECT cid, p.d AS d,
              CAST(floor(CAST(p.cv AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM init LATERAL VIEW posexplode(centroid) p AS d, cv
     )"""
-        alldims_cte = f"""ivf_alldims AS (
-      SELECT vec_id, p.d AS d,
-             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
-      FROM {table} LATERAL VIEW posexplode(embedding) p AS d, pv
-    )"""
     else:
-        tdims_cte = f"""ivf_tdims AS (
+        tdims_cte = f"""ivf_tdims AS {mat}(
       SELECT vec_id, t.d AS d,
              CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM train_set CROSS JOIN (SELECT {dim_seq} AS d) t
     )"""
-        icdims_cte = f"""ivf_icdims AS (
+        icdims_cte = f"""ivf_icdims AS {mat}(
       SELECT cid, t.d AS d,
              CAST(floor(CAST(centroid[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
       FROM init CROSS JOIN (SELECT {dim_seq} AS d) t
-    )"""
-        alldims_cte = f"""ivf_alldims AS (
-      SELECT vec_id, t.d AS d,
-             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
-      FROM {table} CROSS JOIN (SELECT {dim_seq} AS d) t
     )"""
     # assignment distances are INTEGER long-form sums (e6-quantized
     # components): exact, associative (order-independent — safe as a
@@ -392,7 +385,92 @@ def ivf_assign_ctes(
     # Training means (dims/means/trained) stay double-fold based — the
     # centroid VALUES are unchanged; only the distance metric used for
     # cell routing is quantized, identically in both engines.
-    argmin = """{out} AS (
+    # MATERIALIZED markers are DuckDB-only (the duck text backs the
+    # oracles; it never runs on Spark): inside a WITH RECURSIVE
+    # statement DuckDB INLINES multi-referenced CTEs instead of sharing
+    # them, so closure-bearing oracles (d10/d17/t20) would re-evaluate
+    # the training/routing chain combinatorially — measured: the
+    # sf0.01 d10 oracle went from seconds to minutes once two-level
+    # assignment multiplied the internal reference counts.
+    init_ctes = f"""train_set AS {mat}(
+      SELECT vec_id, embedding FROM {table}
+      WHERE vec_id % {train_mod} = 0
+    ),
+    init AS (
+      SELECT vec_id AS cid, {init_centroid} AS centroid
+      FROM ({seed_src}) seed
+    ),
+    {tdims_cte},
+    {icdims_cte}"""
+    if init_only:
+        return init_ctes
+    tail = ivf_train_tail_ctes(
+        spark_dialect, two_level=isinstance(k, str), mat=mat
+    )
+    training = f"""{init_ctes},
+    {tail}"""
+    if training_only:
+        return training
+    routing = ivf_routing_ctes(
+        spark_dialect, table=table, two_level=isinstance(k, str), mat=mat
+    )
+    return f"""{training},
+    {routing}"""
+
+
+def ivf_train_tail_ctes(
+    spark_dialect: bool,
+    two_level: bool = False,
+    tdims: str = "ivf_tdims",
+    icdims: str = "ivf_icdims",
+    train_table: str = "train_set",
+    mat: str = "",
+) -> str:
+    """The Lloyd-step tail of the training chain: ``assign1`` (train
+    vectors -> nearest INITIAL centroid), per-cell dim means, and the
+    e6-quantized trained-centroid dims ``ivf_tcdims``. Split out so the
+    Spark runtime path can materialize ``tdims``/``icdims`` first:
+    two-level assign1 references the init-centroid dims several times
+    and Spark inlines CTEs (re-executing the seed chain per reference).
+    ``two_level=True`` applies the same hierarchical routing as the
+    final assignment — flat assign1 is train x K ~ (N/4)(N/64) work at
+    a corpus-scaled K, the last quadratic stage in the chain."""
+    f = _ivf_fragments(spark_dialect)
+    dim_seq, idx = f["dim_seq"], f["idx"]
+    fold_sorted, rebuild = f["fold_sorted"], f["rebuild"]
+    if spark_dialect:
+        dims_cte = f"""dims AS (
+      SELECT a.cid, e.vec_id, p.d, CAST(p.pv AS DOUBLE) AS v
+      FROM assign1 a
+      JOIN {train_table} e ON e.vec_id = a.vec_id
+      LATERAL VIEW posexplode(e.embedding) p AS d, pv
+    )"""
+    else:
+        dims_cte = f"""dims AS (
+      SELECT a.cid, e.vec_id, t.d, CAST({idx("e.embedding", "t.d")} AS DOUBLE) AS v
+      FROM assign1 a
+      JOIN {train_table} e ON e.vec_id = a.vec_id
+      CROSS JOIN (SELECT {dim_seq} AS d) t
+    )"""
+    if two_level:
+        assign1 = _two_level_assign("assign1", tdims, icdims, "ivf_t1_", mat=mat)
+    else:
+        assign1 = _IVF_ARGMIN.format(out="assign1", vd=tdims, cd=icdims, mat=mat)
+    return f"""{assign1},
+    {dims_cte},
+    means AS (
+      SELECT cid, d, {fold_sorted} / COUNT(*) AS m
+      FROM dims GROUP BY cid, d
+    ),
+    trained AS (
+      SELECT cid, {rebuild} AS centroid FROM means GROUP BY cid
+    ),
+    ivf_tcdims AS {mat}(
+      SELECT cid, d, CAST(floor(m * 1000000) AS BIGINT) AS q FROM means
+    )"""
+
+
+_IVF_ARGMIN = """{out} AS {mat}(
       SELECT vec_id, cid FROM (
         SELECT s.vec_id, s.cid,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.cid) AS rn
@@ -403,30 +481,114 @@ def ivf_assign_ctes(
         ) s
       ) r WHERE rn = 1
     )"""
-    return f"""train_set AS (
-      SELECT vec_id, embedding FROM {table}
-      WHERE vec_id % {train_mod} = 0
+
+
+def ivf_routing_ctes(
+    spark_dialect: bool,
+    table: str = "embeddings",
+    two_level: bool = False,
+    tcdims: str = "ivf_tcdims",
+    mat: str = "",
+) -> str:
+    """The cell-ROUTING tail of the IVF chain: corpus dims expansion +
+    the final ``assign2`` assignment against the trained centroid dims
+    relation ``tcdims``. Split from the training chain so the Spark
+    runtime path can MATERIALIZE the trained centroids once and route
+    against the view: Spark inlines CTEs, and the two-level routing
+    references ``tcdims`` several times — inlined, every reference
+    re-executes the whole Lloyd-training subtree (measured at 10x
+    volume: 177s of a 196s wall was training re-execution). The DuckDB
+    oracle keeps the single inline text (DuckDB evaluates multi-ref
+    CTEs once).
+
+    ``two_level=False``: flat argmin over all K centroids — right for a
+    LITERAL small K (s03's ANN contract). ``two_level=True`` (the
+    corpus-scaled-K path): flat routing is O(N * K) = O(N^2 / 64) when
+    K ~ N/64 — the 10x volume stress measured d10 at 18.7x with
+    decorrelated clones. Instead draw ~sqrt(K) of the trained centroids
+    as super-centroids (same deterministic hash-bucket rule as the seed
+    draw, floor of the 4 smallest cids), assign every centroid to its
+    nearest super (K x sqrt(K) — tiny), then route each vector
+    nearest-super first (N x sqrt(K)) and only score the children of
+    that super-cell (N x K/sqrt(K) expected) — O(N * sqrt(K)) total,
+    the standard hierarchical coarse-quantizer shape (FAISS IVF-in-IVF).
+    All-integer distances, ROW_NUMBER tie-broken by cid, and the oracle
+    runs the identical SQL, so both engines agree cell-for-cell.
+    CEIL(SQRT(...)) is integral before the INT cast (Spark truncates,
+    DuckDB rounds — casting an integral double is the only form both
+    treat identically)."""
+    if spark_dialect:
+        alldims_cte = f"""ivf_alldims AS {mat}(
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} LATERAL VIEW posexplode(embedding) p AS d, pv
+    )"""
+    else:
+        alldims_cte = f"""ivf_alldims AS {mat}(
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table} CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+    )"""
+    if not two_level:
+        return f"""{alldims_cte},
+    {_IVF_ARGMIN.format(out="assign2", vd="ivf_alldims", cd=tcdims, mat=mat)}"""
+    return f"""{alldims_cte},
+    {_two_level_assign("assign2", "ivf_alldims", tcdims, "ivf_", mat=mat)}"""
+
+
+def _two_level_assign(out: str, vd: str, cd: str, prefix: str, mat: str = "") -> str:
+    """Hierarchical nearest-centroid assignment of the dim-exploded
+    vector relation ``vd`` against the centroid-dims relation ``cd``:
+    draw ~sqrt(K) super-centroids from ``cd``'s cids, map every
+    centroid to its nearest super, route each vector nearest-super
+    first, then argmin only over that super's children. CTE names are
+    ``{prefix}``-scoped so the block can appear for both assign1 (init
+    centroids) and assign2 (trained centroids) in one statement.
+
+    The super draw's floor is OR'd into one WHERE, NOT a top-level
+    UNION: inside the oracle's WITH RECURSIVE block DuckDB applies
+    recursive-union handling to any CTE whose BODY is a top-level set
+    op (measured: a cid satisfying both branches came out duplicated,
+    doubling its dims rows and so its routing distance). The floor is
+    the 4th-smallest-cid scalar (literal LIMIT -> per-partition top-k).
+    Multiplier 1566083941 (Borosh-Niederreiter), NOT the seed draw's
+    2654435761: centroid cids ALREADY satisfy the seed draw's hash
+    bucket (they were selected by it), so reusing the same hash here
+    selects nearly ALL of them (measured: 286 of 319 at 10x volume,
+    collapsing two-level routing back to flat); an independent
+    multiplier restores the expected sqrt(K) draw."""
+    return f"""{prefix}supk AS (
+      SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*))) AS INT)) AS k1, COUNT(*) AS kk
+      FROM (SELECT DISTINCT cid FROM {cd}) c
     ),
-    init AS (
-      SELECT vec_id AS cid, {init_centroid} AS centroid
-      FROM ({seed_src}) seed
+    {prefix}supers AS {mat}(
+      SELECT c.cid FROM (SELECT DISTINCT cid FROM {cd}) c CROSS JOIN {prefix}supk s
+      WHERE CAST(MOD(MOD(c.cid, 2147483647) * 1566083941, 2147483647) AS DOUBLE)
+            * CAST(s.kk AS DOUBLE) < CAST(s.k1 AS DOUBLE) * 2147483647.0
+         OR c.cid <= (SELECT MAX(cid) FROM (
+              SELECT cid FROM (SELECT DISTINCT cid FROM {cd}) t
+              ORDER BY cid LIMIT 4) fl)
     ),
-    {tdims_cte},
-    {icdims_cte},
-    {argmin.format(out="assign1", vd="ivf_tdims", cd="ivf_icdims")},
-    {dims_cte},
-    means AS (
-      SELECT cid, d, {fold_sorted} / COUNT(*) AS m
-      FROM dims GROUP BY cid, d
+    {prefix}supdims AS {mat}(
+      SELECT t.cid, t.d, t.q FROM {cd} t JOIN {prefix}supers s ON s.cid = t.cid
     ),
-    trained AS (
-      SELECT cid, {rebuild} AS centroid FROM means GROUP BY cid
-    ),
-    ivf_tcdims AS (
-      SELECT cid, d, CAST(floor(m * 1000000) AS BIGINT) AS q FROM means
-    ),
-    {alldims_cte},
-    {argmin.format(out="assign2", vd="ivf_alldims", cd="ivf_tcdims")}"""
+    {prefix}c2s_in AS (SELECT cid AS vec_id, d, q FROM {cd}),
+    {_IVF_ARGMIN.format(out=prefix + "cent_sup", vd=prefix + "c2s_in", cd=prefix + "supdims", mat=mat)},
+    {_IVF_ARGMIN.format(out=prefix + "vec_sup", vd=vd, cd=prefix + "supdims", mat=mat)},
+    {out} AS {mat}(
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.cid) AS rn
+        FROM (
+          SELECT v.vec_id, c.cid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+          FROM {vd} v
+          JOIN {prefix}vec_sup vs ON vs.vec_id = v.vec_id
+          JOIN {prefix}cent_sup cs ON cs.cid = vs.cid
+          JOIN {cd} c ON c.cid = cs.vec_id AND c.d = v.d
+          GROUP BY v.vec_id, c.cid
+        ) s
+      ) r WHERE rn = 1
+    )"""
 
 
 def _ivf_sql(spark_dialect: bool) -> str:

@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "t23_woe_binning",  # 1-row class-total scalar broadcast into the WOE projection
     "s16_matryoshka_recall",  # 4-row length table inequality-joined to the broadcast query slice
     "s13_ivf_recall_eval",  # checkpoint fragments ARE s01/s03's plans (exact + IVF sides materialized for the recall join) — justified by their own entries
+    "d10_semantic_dedup",  # two-level IVF super-centroid draw: 1-row (k1, kk) scalar CROSS JOINed into the constant-size centroid-id filter
+    "d17_dedup_cascade",  # same fragments via its d10 stage input
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely

@@ -8,8 +8,16 @@ selected operators warm at 1x and Nx. A scale-safe plan grows
 ~linearly in wall time; a hidden single-partition stage grows
 super-linearly.
 
-Usage: python tools/stress_volume.py [n_copies] [table] [op ...]
+Usage: python tools/stress_volume.py [n_copies] [table[:perturb]] [op ...]
 Defaults: 10 copies of orders; ts27_scd2_history q60_column_profile.
+
+``table:perturb`` (embeddings only) circular-shifts each clone wave's
+embedding vector by the wave index — norm-preserving but decorrelated,
+so clones are NOT near-duplicates of their source. Without it, cloning
+embeddings creates n_copies exact copies of every vector, which makes
+the TRUE near-dup pair set itself grow quadratically (each clone group
+of k contributes k(k-1)/2 pairs) — the dup-dense regime, useful for
+worst-case stress but not for measuring organic volume growth.
 """
 
 from __future__ import annotations
@@ -36,11 +44,12 @@ SHIFT_KEY = {
 DEFAULT_OPS = ["ts27_scd2_history", "q60_column_profile"]
 
 
-def build_corpus(spark, n_copies: int, table: str) -> str:
+def build_corpus(spark, n_copies: int, table: str, perturb: bool = False) -> str:
     import tempfile
 
+    tag = "rot" if perturb else "x"
     out = os.path.join(
-        tempfile.gettempdir(), f"ankaflow_volume_{table}_{n_copies}x"
+        tempfile.gettempdir(), f"ankaflow_volume_{table}_{n_copies}{tag}"
     )
     target = os.path.join(out, f"{table}.parquet")
     if not os.path.exists(target):
@@ -59,9 +68,20 @@ def build_corpus(spark, n_copies: int, table: str) -> str:
         n_base = base.count()
         copies = base
         for i in range(1, n_copies):
-            copies = copies.unionAll(
-                base.withColumn(key, F.col(key) + i * n_base * 10)
-            )
+            wave = base.withColumn(key, F.col(key) + i * n_base * 10)
+            if perturb and "embedding" in base.columns:
+                # circular-shift by the wave index: same norm, same value
+                # histogram, but decorrelated from the source vector —
+                # clones are new points, not exact duplicates
+                d = i  # shift distance
+                wave = wave.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {d + 1}, size(embedding) - {d}), "
+                        f"slice(embedding, 1, {d}))"
+                    ),
+                )
+            copies = copies.unionAll(wave)
         copies.write.mode("overwrite").parquet(target)
     return out
 
@@ -74,9 +94,12 @@ def main() -> None:
     args = sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     table = args[1] if len(args) > 1 else "orders"
+    perturb = table.endswith(":perturb")
+    if perturb:
+        table = table[: -len(":perturb")]
     ops = args[2:] or DEFAULT_OPS
     spark = get_spark("volume-stress")
-    corpus = build_corpus(spark, n_copies, table)
+    corpus = build_corpus(spark, n_copies, table, perturb)
     qs = entry.queries()
     for name in ops:
         fn = qs[name]
