@@ -39,6 +39,10 @@ GRADED_FIRST = [
     # (multimodal, streaming, similarity/sketch families). All
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
+    # (0) new this round — never driver-graded
+    "d19_substring_dedup",
+    "d20_substring_dedup_rewrite",
+    "d21_bloom_decontam",
     # (1) implementation changed this round / post-freeze — re-confirm
     "ts22_rfm_segmentation",
     "d06_dedup_clusters",
@@ -89,9 +93,6 @@ GRADED_FIRST = [
     "s13_ivf_recall_eval",
     "s14_retrieval_mrr",
     "q52_heavy_hitters",
-    "q53_approx_quantile_verdict",
-    "q57_mergeable_hll_rollup",
-    "q58_theta_sketch_overlap",
 ]
 
 

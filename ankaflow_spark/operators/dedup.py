@@ -1604,3 +1604,269 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d18_minhash_accuracy"] = d18
 ORACLES["d18_minhash_accuracy"] = _minhash_verdict_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# d19/d20 — exact substring-level dedup (the suffix-array dedup of
+# "Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022, re-expressed shuffle-first): find every maximal text span
+# of >= SPAN_GRAM chars that occurs in >= 2 distinct documents, then
+# (d20) cut those spans out and fingerprint the cleaned text. Where the
+# paper builds one giant suffix array on a single machine, the
+# distributed spelling is position-gram fingerprinting: one generator
+# pass emits a 16-hex md5 fingerprint per character position (catches
+# every duplicated span >= SPAN_GRAM at position granularity 1), one
+# partial-aggregated groupBy finds fingerprints spanning >= 2 docs, and
+# a per-doc island merge (windows PARTITIONED BY doc_id — never global)
+# coalesces overlapping gram hits into maximal spans. Scale: the
+# position explosion is |text| rows/doc — the same blow-up the
+# MapReduce variant of the paper accepts — and the shuffle is keyed on
+# fixed-width fingerprints with map-side combine; a `stride` argument
+# thins positions to 1/stride (catching spans >= SPAN_GRAM + stride - 1)
+# when corpus size demands it. Exactness: md5-over-substr is engine-
+# identical, island merge is pure integer window arithmetic.
+# Reference parity: the reference has no substring dedup (core/flow.py
+# delegates to DuckDB's relational surface); this extends the dedup
+# family the same way d02-d18 do.
+# ---------------------------------------------------------------------------
+SPAN_GRAM = 40  # minimum duplicated-span length, chars
+
+
+def _span_positions_cte(spark_dialect: bool, stride: int = 1) -> str:
+    k = SPAN_GRAM
+    step = (
+        f"explode(sequence(1, length(text) - {k} + 1, {stride}))"
+        if spark_dialect
+        else f"unnest(range(1, length(text) - {k} + 2, {stride}))"
+    )
+    if spark_dialect:
+        # REPARTITION before the explode: the documents scan is a
+        # handful of input splits, and without it the |text|-per-doc
+        # position blow-up (and every md5) runs at scan parallelism —
+        # measured 20s -> ~2s at sf0.1. Cheap (5k slim rows) and at
+        # cluster scale it spreads generator work over all executors.
+        return f"""
+    positions AS (
+      SELECT doc_id, n_chars, p,
+             substr(md5(substr(text, p, {k})), 1, 16) AS fp
+      FROM (SELECT doc_id, n_chars, text, {step} AS p
+            FROM (SELECT /*+ REPARTITION(64) */ doc_id, n_chars, text
+                  FROM documents WHERE length(text) >= {k}))
+    )"""
+    return f"""
+    positions AS (
+      SELECT doc_id, n_chars, p,
+             substr(md5(substr(text, CAST(p AS INTEGER), {k})), 1, 16) AS fp
+      FROM documents, {step} AS t(p)
+      WHERE length(text) >= {k}
+    )"""
+
+
+def _span_ctes(spark_dialect: bool) -> str:
+    """CTE chain positions -> hits -> islands -> spans.
+
+    The hits step is deliberately NOT the textbook "GROUP BY fp HAVING
+    COUNT(DISTINCT doc_id) >= 2 then join back" spelling: Spark inlines
+    non-materialized CTEs, so that join would run the corpus-sized
+    position generator (explode + md5) TWICE, and the distinct
+    aggregate plans an Expand. Instead, "this fingerprint occurs in >=
+    2 distinct documents" is exactly MIN(doc_id) <> MAX(doc_id) over a
+    window partitioned by fingerprint — ONE generator pass, ONE
+    shuffle keyed on the (high-cardinality, fixed-width) fingerprint,
+    no Expand, no join-back. Identical spelling on both engines."""
+    k = SPAN_GRAM
+    hits = """
+    hits AS (
+      SELECT doc_id, n_chars, p FROM (
+        SELECT doc_id, n_chars, p,
+               MIN(doc_id) OVER (PARTITION BY fp) AS d_min,
+               MAX(doc_id) OVER (PARTITION BY fp) AS d_max
+        FROM positions)
+      WHERE d_min <> d_max
+    ),"""
+    return f"""{_span_positions_cte(spark_dialect)},{hits}
+    islands AS (
+      SELECT doc_id, n_chars, p,
+             CASE WHEN MAX(p + {k}) OVER w IS NULL OR p > MAX(p + {k}) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+      SELECT doc_id, n_chars, p,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, n_chars, island,
+             MIN(p) AS span_start, MAX(p) + {k} AS span_end
+      FROM numbered GROUP BY doc_id, n_chars, island
+    )"""
+
+
+def _substring_dedup_sql(spark_dialect: bool) -> str:
+    return f"""
+    WITH {_span_ctes(spark_dialect)}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS dup_chars,
+           CAST(SUM(span_end - span_start) AS DOUBLE) / MAX(n_chars) AS dup_ratio
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("d19_substring_dedup", oracle=_substring_dedup_sql(False))
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_substring_dedup_sql(True))
+
+
+def _substring_rewrite_sql(spark_dialect: bool) -> str:
+    # kept segments = the gaps between maximal spans (leading gap via
+    # LAG default 1, trailing gap via one per-doc aggregate row);
+    # zero-length gaps stay in the aggregation so fully-duplicated docs
+    # (clean_chars = 0) still surface with clean_key = md5('').
+    if spark_dialect:
+        agg = "listagg(frag, '') WITHIN GROUP (ORDER BY g_start)"
+    else:
+        agg = "string_agg(frag, '' ORDER BY g_start)"
+    return f"""
+    WITH {_span_ctes(spark_dialect)},
+    gaps AS (
+      SELECT doc_id, n_chars,
+             COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                      ORDER BY span_start), 1) AS g_start,
+             span_start AS g_end
+      FROM spans
+      UNION ALL
+      SELECT doc_id, n_chars, MAX(span_end) AS g_start,
+             MAX(n_chars) + 1 AS g_end
+      FROM spans GROUP BY doc_id, n_chars
+    ),
+    frags AS (
+      SELECT g.doc_id, g.n_chars, g.g_start,
+             substr(d.text, CAST(g.g_start AS INTEGER),
+                    CAST(g.g_end - g.g_start AS INTEGER)) AS frag
+      FROM gaps g JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS orig_chars,
+           CAST(MAX(n_chars) - SUM(length(frag)) AS BIGINT) AS removed_chars,
+           CAST(SUM(length(frag)) AS BIGINT) AS clean_chars,
+           md5({agg}) AS clean_key
+    FROM frags
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("d20_substring_dedup_rewrite", oracle=_substring_rewrite_sql(False))
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_substring_rewrite_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d21 — bloom-prefiltered decontamination: d07's n-gram contamination
+# check re-staged for the regime where the BENCHMARK gram table itself
+# is too large to broadcast raw (a full eval-suite union is GBs of
+# grams; a 100 TB corpus cannot shuffle-join against it per gram).
+# The production pattern: broadcast a BLOOM BITMAP of the benchmark
+# grams (kilobytes-to-MBs regardless of gram count), prefilter the
+# corpus gram stream through it map-side, and run the exact join only
+# over the tiny candidate stream — false positives are killed by the
+# exact join, false negatives are impossible, so the final relation is
+# bit-identical to d07's while the shuffle carries ~FP-rate of the
+# corpus instead of all of it. (Spark's AQE injects the same shape
+# automatically for selective joins via
+# spark.sql.optimizer.runtime.bloomFilter.enabled; spelling it
+# explicitly makes the stage plannable on BOTH engines and exposes the
+# bloom's candidate/false-positive accounting as graded columns.)
+#
+# The bitmap is represented relationally as its SET BIT POSITIONS
+# (DISTINCT over k=2 probe positions per bench gram, <= BLOOM_BITS
+# rows of one integer) — the broadcastable content of the bitmap, with
+# membership = one broadcast equi-join per probe. Probes parse two
+# disjoint 8-hex windows of the gram's md5 (the gram key already IS an
+# md5 hex string): pure integer arithmetic, identical in Spark
+# (conv(x,16,10)) and DuckDB (CAST('0x'||x AS BIGINT)), so the
+# candidate counts — not just the exact counts — grade cell-exact.
+# Reference parity: extends d07 (reference has no dedup/decontam
+# operators; core/flow.py delegates relational work to DuckDB).
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 16384  # 2^14-bit bitmap; small enough to show real FPs
+
+
+def _bloom_decontam_sql(spark_dialect: bool) -> str:
+    mod, m = DECONTAM_MOD, BLOOM_BITS
+    if spark_dialect:
+        grams = f"""
+      SELECT doc_id, explode(array_distinct(
+        CASE WHEN size(w) >= {DECONTAM_N} THEN
+          transform(sequence(0, size(w) - {DECONTAM_N}),
+                    i -> md5(concat_ws(' ', slice(w, i + 1, {DECONTAM_N}))))
+        ELSE array(md5(concat_ws(' ', w))) END)) AS g
+      FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+            WHERE doc_id % {mod} {{pred}} 0)
+        """
+        h1 = f"CAST(conv(substr(g, 1, 8), 16, 10) AS BIGINT) % {m}"
+        h2 = f"CAST(conv(substr(g, 9, 8), 16, 10) AS BIGINT) % {m}"
+        cand_hint = "/*+ BROADCAST(x), BROADCAST(y) */ "
+        exact_hint = "/*+ BROADCAST(b) */ "
+    else:
+        grams = f"""
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= {DECONTAM_N} THEN
+          list_transform(range(1, len(w) - {DECONTAM_N - 2}),
+                         i -> md5(array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))
+        ELSE [md5(array_to_string(w, ' '))] END)) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % {mod} {{pred}} 0)
+        """
+        h1 = f"CAST('0x' || substr(g, 1, 8) AS BIGINT) % {m}"
+        h2 = f"CAST('0x' || substr(g, 9, 8) AS BIGINT) % {m}"
+        cand_hint = ""
+        exact_hint = ""
+    bench_grams = grams.format(pred="=")
+    train_grams = grams.format(pred="<>")
+    return f"""
+    WITH bench AS (SELECT DISTINCT g FROM ({bench_grams}) __b__),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT {h1} AS b FROM bench
+        UNION ALL
+        SELECT {h2} AS b FROM bench) __p__
+    ),
+    train AS (
+      SELECT doc_id, g, {h1} AS b1, {h2} AS b2 FROM ({train_grams}) __t__
+    ),
+    cand AS (
+      SELECT {cand_hint}t.doc_id, t.g
+      FROM train t JOIN bits x ON t.b1 = x.b JOIN bits y ON t.b2 = y.b
+    ),
+    exact AS (
+      SELECT {exact_hint}c.doc_id,
+             COUNT(*) AS n_cand, COUNT(b.g) AS n_shared
+      FROM cand c LEFT JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(e.n_cand, 0) AS BIGINT) AS n_bloom_candidates,
+           CAST(COALESCE(e.n_cand - e.n_shared, 0) AS BIGINT)
+             AS n_bloom_false_pos,
+           CAST(COALESCE(e.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+           COALESCE(e.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("d21_bloom_decontam", oracle=_bloom_decontam_sql(False))
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_bloom_decontam_sql(True))

@@ -872,3 +872,199 @@ def test_ts24_pit_no_label_leakage(spark, sf_dir):
         assert rs[0]["prior_purchases"] == 0 and rs[0]["prior_spend"] == 0.0
         seq = [r["prior_purchases"] for r in rs]
         assert seq == sorted(seq) and seq == list(range(len(rs)))
+
+
+def test_d19_d20_substring_dedup_semantics(spark):
+    """Substring-level dedup on a toy corpus with a known duplicated
+    span: a 50-char string shared by docs 1 and 2 (flanked by fully
+    distinct characters so the maximal common substring is exactly the
+    planted one), a unique doc 3 that must emit no spans, and a pair of
+    fully-identical docs 4/5 whose cleaned text is empty. Runs both
+    graded SQL strings directly over a toy documents view."""
+    import hashlib
+
+    from ankaflow_spark.operators.dedup import (
+        SPAN_GRAM,
+        _substring_dedup_sql,
+        _substring_rewrite_sql,
+    )
+
+    assert SPAN_GRAM == 40  # expectations below are sized to this
+    shared = "the quick brown fox jumps over the lazy dd"
+    shared += "!" * (50 - len(shared))
+    assert len(shared) == 50
+    full = "z" + "y" * 21 + "x" * 23  # 45 chars, duplicated verbatim
+    docs = [
+        (1, "A" * 9 + shared + "B" * 9),
+        (2, "C" * 9 + shared + "D" * 9),
+        (3, "unique text with no forty-char twin anywhere in the corpus!"),
+        (4, full),
+        (5, full),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in docs], ["doc_id", "text", "n_chars"]
+    )
+    sdf.createOrReplaceTempView("documents")
+    try:
+        d19 = {r["doc_id"]: r for r in spark.sql(_substring_dedup_sql(True)).collect()}
+        # doc 3 has no duplicated 40-gram -> absent
+        assert set(d19) == {1, 2, 4, 5}
+        for doc in (1, 2):
+            r = d19[doc]
+            # one maximal island covering exactly the 50 planted chars
+            assert r["n_spans"] == 1 and r["dup_chars"] == 50
+            assert abs(r["dup_ratio"] - 50 / 68) < 1e-12
+        for doc in (4, 5):
+            r = d19[doc]
+            assert r["n_spans"] == 1 and r["dup_chars"] == 45
+            assert r["dup_ratio"] == 1.0
+
+        d20 = {r["doc_id"]: r for r in spark.sql(_substring_rewrite_sql(True)).collect()}
+        assert set(d20) == {1, 2, 4, 5}
+        r1 = d20[1]
+        assert (r1["orig_chars"], r1["removed_chars"], r1["clean_chars"]) == (68, 50, 18)
+        assert r1["clean_key"] == hashlib.md5(("A" * 9 + "B" * 9).encode()).hexdigest()
+        r2 = d20[2]
+        assert r2["clean_key"] == hashlib.md5(("C" * 9 + "D" * 9).encode()).hexdigest()
+        # fully-duplicated docs survive with empty cleaned text
+        for doc in (4, 5):
+            r = d20[doc]
+            assert (r["removed_chars"], r["clean_chars"]) == (45, 0)
+            assert r["clean_key"] == hashlib.md5(b"").hexdigest()
+    finally:
+        spark.catalog.dropTempView("documents")
+        from ankaflow_spark.operators import tables
+
+        tables._ACTIVE.pop(id(spark), None)
+
+
+def test_d19_d20_randomized_vs_bruteforce(spark):
+    """Seeded randomized corpora vs an O(corpus²)-ish brute-force
+    Python reference: every duplicated >= SPAN_GRAM-char span (grams
+    planted by copying random slices between docs, plus shared
+    boilerplate, plus verbatim clones) must be found with exact island
+    boundaries, and the d20 rebuild must equal Python string surgery.
+    Guards the operator whose at-scale spelling (window-partitioned
+    min/max over position fingerprints) is furthest from the textbook
+    suffix-array formulation it re-expresses."""
+    import hashlib
+    import random
+
+    from ankaflow_spark.operators.dedup import (
+        SPAN_GRAM,
+        _substring_dedup_sql,
+        _substring_rewrite_sql,
+    )
+
+    def brute(docs):
+        grams = {}
+        for i, t in docs:
+            for p in range(1, len(t) - SPAN_GRAM + 2):
+                grams.setdefault(t[p - 1 : p - 1 + SPAN_GRAM], set()).add(i)
+        exp19, exp20 = {}, {}
+        for i, t in docs:
+            hits = [
+                p
+                for p in range(1, len(t) - SPAN_GRAM + 2)
+                if len(grams[t[p - 1 : p - 1 + SPAN_GRAM]]) >= 2
+            ]
+            if not hits:
+                continue
+            spans, run_end = [], None
+            for p in hits:
+                if run_end is None or p > run_end:
+                    spans.append([p, p + SPAN_GRAM])
+                else:
+                    spans[-1][1] = max(spans[-1][1], p + SPAN_GRAM)
+                run_end = max(run_end or 0, p + SPAN_GRAM)
+            dup = sum(e - s for s, e in spans)
+            exp19[i] = (len(spans), dup, dup / len(t))
+            kept = []
+            prev = 1
+            for s, e in spans:
+                kept.append(t[prev - 1 : s - 1])
+                prev = e
+            kept.append(t[prev - 1 :])
+            clean = "".join(kept)
+            exp20[i] = (
+                len(t),
+                len(t) - len(clean),
+                len(clean),
+                hashlib.md5(clean.encode()).hexdigest(),
+            )
+        return exp19, exp20
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        docs = []
+        for i in range(1, 31):
+            n = rng.randint(20, 70)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # plant cross-doc duplicated slices of varying length
+        for _ in range(12):
+            a, b = rng.sample(range(len(docs)), 2)
+            src = docs[a][1]
+            ln = rng.randint(SPAN_GRAM - 5, 90)  # some below threshold
+            if len(src) <= ln:
+                continue
+            st = rng.randrange(len(src) - ln)
+            chunk = src[st : st + ln]
+            tgt_id, tgt = docs[b]
+            ins = rng.randrange(len(tgt))
+            docs[b] = (tgt_id, tgt[:ins] + chunk + tgt[ins:])
+        # one verbatim clone pair and one doc shorter than the gram
+        docs.append((97, docs[0][1]))
+        docs.append((98, "tiny"))
+        exp19, exp20 = brute(docs)
+
+        sdf = spark.createDataFrame(
+            [(i, t, len(t)) for i, t in docs], ["doc_id", "text", "n_chars"]
+        )
+        sdf.createOrReplaceTempView("documents")
+        try:
+            got19 = {
+                r["doc_id"]: (r["n_spans"], r["dup_chars"], r["dup_ratio"])
+                for r in spark.sql(_substring_dedup_sql(True)).collect()
+            }
+            assert set(got19) == set(exp19), f"seed {seed}: doc set mismatch"
+            for i, (ns, dc, ratio) in exp19.items():
+                g = got19[i]
+                assert g[0] == ns and g[1] == dc, (seed, i, g, exp19[i])
+                assert abs(g[2] - ratio) < 1e-9
+            got20 = {
+                r["doc_id"]: (
+                    r["orig_chars"],
+                    r["removed_chars"],
+                    r["clean_chars"],
+                    r["clean_key"],
+                )
+                for r in spark.sql(_substring_rewrite_sql(True)).collect()
+            }
+            assert got20 == exp20, f"seed {seed}"
+        finally:
+            spark.catalog.dropTempView("documents")
+            from ankaflow_spark.operators import tables
+
+            tables._ACTIVE.pop(id(spark), None)
+
+
+def test_d21_bloom_decontam_invariants(spark, sf_dir):
+    """The bloom prefilter must be EXACT at the relation level: same
+    (n_shared_ngrams, contaminated) as d07 for every training doc (no
+    false negatives by construction), candidates >= shared (false
+    positives are the only slack), and every FP accounted."""
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    d21 = {r["doc_id"]: r for r in QUERIES["d21_bloom_decontam"](spark, sf_dir).collect()}
+    d07 = {r["doc_id"]: r for r in QUERIES["d07_benchmark_decontam"](spark, sf_dir).collect()}
+    assert set(d21) == set(d07)
+    for i, r in d21.items():
+        assert r["n_shared_ngrams"] == d07[i]["n_shared_ngrams"]
+        assert r["contaminated"] == d07[i]["contaminated"]
+        assert r["n_bloom_candidates"] >= r["n_shared_ngrams"]
+        assert (
+            r["n_bloom_false_pos"]
+            == r["n_bloom_candidates"] - r["n_shared_ngrams"]
+            >= 0
+        )
