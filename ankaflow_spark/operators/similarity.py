@@ -1455,3 +1455,154 @@ def _matryoshka_sql(spark_dialect: bool) -> str:
 def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_matryoshka_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s17 — simplified-silhouette clustering quality over the s11 k-means
+# assignment: per vector, a = distance to its OWN (round-2) centroid,
+# b = distance to the NEAREST OTHER centroid, s = (b - a) / max(a, b).
+# This is the centroid-based silhouette (Hruschka et al.) every
+# corpus-clustering pipeline reports instead of the classic
+# member-pairwise silhouette, because it is O(n*k) — the full
+# silhouette's O(n^2) pairwise matrix is exactly what cannot exist at
+# 100 TB. Both distances come from the SAME n x k broadcast-join
+# scoring relation s11 already plans (ranks 1 and 2 of the round-2
+# assignment; rk orders by distance so b >= a and max(a, b) = b).
+# Exactness discipline: squared distances are exact e6-quantized
+# integers (s11), sqrt of an exact integer is correctly rounded IEEE
+# in both engines, the per-vector score quantizes to an e6 BIGINT, and
+# per-cluster means divide exact integer sums — cell-exact cross-
+# engine with no float tolerance. Zero-distance guard: a vector
+# coincident with two centroids (a = b = 0) scores 0.
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_sql() -> str:
+    """DuckDB oracle: s11's two Lloyd rounds, keeping assignment ranks
+    1-2 of round 2 and folding them into per-cluster silhouettes."""
+    assign = """
+      SELECT vec_id, c, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      FROM (
+        SELECT dims.vec_id, {cent}.c,
+               CAST(SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)) AS BIGINT) AS dist
+        FROM dims JOIN {cent} ON {cent}.d = dims.d
+        GROUP BY dims.vec_id, {cent}.c
+      ) x
+    """
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+    ),
+    c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
+    a1 AS ({assign.format(cent="c0")}),
+    m1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT m1.c, dims.d,
+             CAST(floor(CAST(SUM(dims.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims JOIN m1 ON m1.vec_id = dims.vec_id
+      GROUP BY m1.c, dims.d
+    ),
+    a2 AS ({assign.format(cent="c1")}),
+    pairs AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN c END) AS cluster,
+             MAX(CASE WHEN rk = 1 THEN dist END) AS d1,
+             MAX(CASE WHEN rk = 2 THEN dist END) AS d2
+      FROM a2 WHERE rk <= 2 GROUP BY vec_id
+    ),
+    sil AS (
+      SELECT cluster,
+             CASE WHEN d2 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(
+                    (sqrt(CAST(d2 AS DOUBLE)) - sqrt(CAST(d1 AS DOUBLE)))
+                    / sqrt(CAST(d2 AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS s_e6
+      FROM pairs
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(s_e6) AS BIGINT) AS sil_e6_sum,
+           CAST(SUM(s_e6) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS mean_silhouette
+    FROM sil
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@query("s17_silhouette_eval", oracle=_silhouette_sql())
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("d", "pv"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("pv").cast("double") * 1000000).cast("bigint").alias("q"),
+        )
+        .localCheckpoint(eager=True)  # consumed 3x: round-1/2 scoring + update
+    )
+
+    def scores(cents: DataFrame) -> DataFrame:
+        scored = (
+            dims.join(F.broadcast(cents.withColumnRenamed("q", "cq")), "d")
+            .groupBy("vec_id", "c")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        rk = F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "c"))
+        return scored.withColumn("rk", rk)
+
+    c0 = dims.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), "d", "q"
+    )
+    m1 = scores(c0).filter(F.col("rk") == 1).select("vec_id", "c")
+    c1 = (
+        dims.join(m1, "vec_id")
+        .groupBy("c", "d")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*")).cast("bigint").alias("q")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        scores(c1)
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("cluster"),
+            F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("d1"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("d2"),
+        )
+    )
+    s_e6 = F.when(F.col("d2") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            (F.sqrt(F.col("d2").cast("double")) - F.sqrt(F.col("d1").cast("double")))
+            / F.sqrt(F.col("d2").cast("double"))
+            * 1000000
+        ).cast("bigint")
+    )
+    return (
+        pairs.select(F.col("cluster"), s_e6.alias("s_e6"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("s_e6").cast("bigint").alias("sil_e6_sum"),
+            (F.sum("s_e6").cast("double") / (F.count("*") * 1000000.0)).alias(
+                "mean_silhouette"
+            ),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "sil_e6_sum",
+            "mean_silhouette",
+        )
+        .orderBy("cluster")
+    )

@@ -1068,3 +1068,27 @@ def test_d21_bloom_decontam_invariants(spark, sf_dir):
             == r["n_bloom_candidates"] - r["n_shared_ngrams"]
             >= 0
         )
+
+
+def test_s17_silhouette_semantics(spark, sf_dir):
+    """Simplified silhouette over the s11 assignment: membership counts
+    must match s11's clusters exactly, every per-cluster mean must lie
+    in [-1, 1], and the e6 sums must be consistent with the means."""
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    sil = QUERIES["s17_silhouette_eval"](spark, sf_dir).collect()
+    km = QUERIES["s11_kmeans_lloyd"](spark, sf_dir).collect()
+    counts = {}
+    for r in km:
+        counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
+    assert {r["cluster"]: r["n_members"] for r in sil} == counts
+    assert sum(r["n_members"] for r in sil) == len(km)
+    for r in sil:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert (
+            abs(
+                r["mean_silhouette"]
+                - r["sil_e6_sum"] / (r["n_members"] * 1_000_000)
+            )
+            < 1e-12
+        )
