@@ -44,6 +44,7 @@ GRADED_FIRST = [
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
     "s17_silhouette_eval",
+    "st13_stream_bloom_decontam",
     # (1) implementation changed this round / post-freeze — re-confirm
     "ts22_rfm_segmentation",
     "d06_dedup_clusters",
@@ -92,7 +93,6 @@ GRADED_FIRST = [
     "s09_pq_adc_search",
     "s10_pq_recall_eval",
     "s13_ivf_recall_eval",
-    "s14_retrieval_mrr",
 ]
 
 

@@ -906,3 +906,130 @@ ORACLES["st12_stream_session_window"] = f"""
     GROUP BY user_id, seq
     ORDER BY user_id, session_start
 """
+
+
+def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stage the documents corpus as an 8-file directory for the
+    streaming file source, so a throttled reader executes multiple
+    REAL micro-batches with whole documents per file (decontamination
+    is per-doc, so file boundaries are safe batch boundaries)."""
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_streamdocs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    success = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fresh = os.path.exists(success) and (
+        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
+    )
+    if not fresh:
+        (
+            t["documents"]
+            .repartitionByRange(8, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+    return staged, spark.read.parquet(staged).schema
+
+
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom-prefiltered decontamination, ORACLE-CHECKED
+    against d21's batch SQL: the training corpus arrives as a throttled
+    file stream (multiple real micro-batches); each micro-batch
+    explodes its word 5-grams, probes the STATIC benchmark bloom bitmap
+    (d21's set-bit-position relation, built once in batch and
+    broadcast into every trigger), exact-verifies the survivors, and
+    APPENDS per-doc verdicts via foreachBatch. Decontamination is
+    per-document, so there is NO cross-batch streaming state — the
+    sink is append-only and the state store is empty, which is what
+    makes this the screening pattern for a 100 TB/day ingest stream.
+    Every doc lands in exactly one batch (whole-doc files), so the
+    union of batch outputs equals the batch relation cell-exactly."""
+    from ..streaming.stream import foreachbatch_append, stream_tap
+    from .dedup import BLOOM_BITS, DECONTAM_MOD, DECONTAM_N
+
+    staged, schema = _staged_documents(spark, sf_dir)
+    m = BLOOM_BITS
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        g = F.when(
+            F.size(w) >= DECONTAM_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - DECONTAM_N),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, DECONTAM_N))),
+            ),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+        return df.select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
+
+    def probe(col: str, lo: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.col(col), lo, 8), 16, 10).cast("bigint") % m
+        )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = (
+        grams_of(docs.filter(F.col("doc_id") % DECONTAM_MOD == 0))
+        .select("g").distinct().localCheckpoint()
+    )
+    bits = (
+        bench.select(probe("g", 1).alias("b"))
+        .union(bench.select(probe("g", 9).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def screen(batch_df: DataFrame) -> DataFrame:
+        train = grams_of(
+            batch_df.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+        ).select("doc_id", "g", probe("g", 1).alias("b1"), probe("g", 9).alias("b2"))
+        cand = (
+            train.join(F.broadcast(bits.withColumnRenamed("b", "x")), F.col("b1") == F.col("x"))
+            .drop("x")
+            .join(F.broadcast(bits.withColumnRenamed("b", "y")), F.col("b2") == F.col("y"))
+            .drop("y")
+        )
+        exact = (
+            cand.join(
+                F.broadcast(bench.withColumnRenamed("g", "bg")),
+                F.col("g") == F.col("bg"),
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.count("bg").alias("n_shared"),
+            )
+        )
+        return (
+            batch_df.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+            .select("doc_id")
+            .join(exact, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_bloom_candidates"),
+                F.coalesce(F.col("n_cand") - F.col("n_shared"), F.lit(0))
+                .cast("bigint")
+                .alias("n_bloom_false_pos"),
+                F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+                (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+
+    base = staged.rstrip("/") + "_st13_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=3)
+    out = foreachbatch_append(stream, screen, base)
+    return out.orderBy("doc_id")
+
+
+QUERIES["st13_stream_bloom_decontam"] = st13
+
+
+def _st13_oracle() -> str:
+    from .dedup import _bloom_decontam_sql
+
+    return _bloom_decontam_sql(False)
+
+
+ORACLES["st13_stream_bloom_decontam"] = _st13_oracle()

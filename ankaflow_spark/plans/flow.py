@@ -333,10 +333,36 @@ def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
             state_base=base,
         )
         return flow.engine.register(stage.name, final, materialize=True)
+    elif op == "batch_sql":
+        # stateless per-micro-batch SQL screen with an append-only sink
+        # (st13's shape): each batch registers as `__batch__`, the
+        # stage SQL may join it against any previously-materialized
+        # stage (broadcast statics), and outputs append — no streaming
+        # state, so the stage scales with output volume only
+        from ..streaming.stream import foreachbatch_append
+
+        sql = params.get("sql")
+        if not sql:
+            raise FlowError(
+                f"stream stage '{stage.name}': op batch_sql needs params.sql "
+                "(SELECT over the per-micro-batch view __batch__)"
+            )
+
+        def _screen(batch_df):
+            batch_df.createOrReplaceTempView("__batch__")
+            return batch_df.sparkSession.sql(sql)
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "ankaflow_batchsql_"
+            + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
+        )
+        final = foreachbatch_append(stream, _screen, base)
+        return flow.engine.register(stage.name, final, materialize=True)
     else:
         raise FlowError(
             f"stream stage '{stage.name}': unknown op {op!r} "
-            "(windowed_agg, dedup, sessionize, static_join, upsert)"
+            "(windowed_agg, dedup, sessionize, static_join, upsert, batch_sql)"
         )
     mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
     run_stream_to_memory(out, mem, output_mode=mode)

@@ -289,3 +289,43 @@ def foreachbatch_merge_counts(
     # pin the result: a subsequent call with the same state_base rmtree's
     # these dirs, which would silently break a still-held lazy reader
     return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(eager=True)
+
+
+def foreachbatch_append(
+    stream_df: DataFrame,
+    transform,
+    state_base: str,
+) -> DataFrame:
+    """Apply ``transform(batch_df) -> DataFrame`` to every micro-batch
+    and APPEND the result to a parquet state dir — the sink shape for
+    per-record/per-group work with NO cross-batch state (each input
+    row's verdict depends only on its own batch plus broadcast
+    statics). Unlike foreachbatch_upsert there is nothing to merge, so
+    the sink scales with output volume only; exactly-once comes from
+    the checkpointed source offsets plus append idempotence per batch
+    id (each batch writes its own subdirectory, pre-cleaned on retry).
+
+    Returns the union of all batch outputs as a batch DataFrame."""
+    import shutil
+
+    ckpt = state_base + "_ckpt"
+    out = state_base + "_out"
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def run_batch(batch_df, batch_id: int):
+        transform(batch_df).write.mode("overwrite").parquet(
+            f"{out}/batch={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # `batch=N` subdirs surface as a partition column on read-back —
+    # an implementation detail of the idempotent layout, not output
+    return stream_df.sparkSession.read.parquet(out).drop("batch")

@@ -54,6 +54,14 @@ HEADLINE = [
     "q59_skew_diagnostics",
     "q60_column_profile",
     "t23_woe_binning",
+    # round-8 additions (total now covers 34 queries): substring-level
+    # dedup + rewrite (d19's number includes the shared cold
+    # __spans__ build; d20 consumes it, same accounting as d02/d03),
+    # bloom-prefiltered decontamination, simplified silhouette
+    "d19_substring_dedup",
+    "d20_substring_dedup_rewrite",
+    "d21_bloom_decontam",
+    "s17_silhouette_eval",
 ]
 
 

@@ -320,3 +320,78 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     run_query()  # no new data -> no new output
     assert spark.read.parquet(str(out)).count() == 150
+
+
+def test_st13_streaming_equals_batch_bloom(spark):
+    """st13's append-only foreachBatch screening over real micro-batches
+    must equal the d21 batch relation row-for-row, and must actually
+    execute MULTIPLE micro-batches (3-file trigger over 8 staged
+    files) — the no-cross-batch-state claim is only proven if batch
+    boundaries genuinely cut the corpus."""
+    import glob
+    import os
+    import tempfile
+
+    from ankaflow_spark.operators.dedup import QUERIES as DQ
+    from ankaflow_spark.operators.streamq import QUERIES as SQ
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in SQ["st13_stream_bloom_decontam"](spark, sf_dir).collect()}
+    want = {r["doc_id"]: r for r in DQ["d21_bloom_decontam"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        for col in (
+            "n_bloom_candidates",
+            "n_bloom_false_pos",
+            "n_shared_ngrams",
+            "contaminated",
+        ):
+            assert got[i][col] == want[i][col], (i, col)
+    out_dirs = glob.glob(
+        os.path.join(tempfile.gettempdir(), "ankaflow_streamdocs_*_st13_*_out", "batch=*")
+    )
+    assert len(out_dirs) >= 2, out_dirs
+
+
+def test_stream_stage_batch_sql_op(engine, sf_dir):
+    """`op: batch_sql` screens each micro-batch with SQL over the
+    `__batch__` view and appends — the union over all batches must
+    equal the same SQL run over the whole table in batch (stateless
+    per-row work is batch-boundary invariant)."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: stream
+  name: flagged
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  op: batch_sql
+  params:
+    max_files_per_trigger: 1
+    sql: >
+      SELECT event_id, user_id,
+             CAST(value AS DOUBLE) * 2 AS doubled
+      FROM __batch__ WHERE user_id % 7 = 0
+- kind: transform
+  name: check
+  query: >
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doubled) AS DOUBLE) AS s
+    FROM flagged
+"""),
+        engine=engine,
+    )
+    row = flow.run().first()
+    batch = (
+        engine.spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id % 7 = 0")
+    )
+    from pyspark.sql import functions as F
+
+    want = batch.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("double") * 2).alias("s"),
+    ).first()
+    assert row["n"] == want["n"]
+    assert abs(row["s"] - want["s"]) < 1e-6
