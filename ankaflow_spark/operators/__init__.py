@@ -45,6 +45,7 @@ GRADED_FIRST = [
     "d21_bloom_decontam",
     "s17_silhouette_eval",
     "st13_stream_bloom_decontam",
+    "q62_idle_rich_customers",
     # (1) implementation changed this round / post-freeze — re-confirm
     "ts22_rfm_segmentation",
     "d06_dedup_clusters",
@@ -91,7 +92,6 @@ GRADED_FIRST = [
     "s07_random_projection",
     "s08_pq_encode",
     "s09_pq_adc_search",
-    "s10_pq_recall_eval",
     "s13_ivf_recall_eval",
 ]
 

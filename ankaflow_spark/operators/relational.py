@@ -2255,3 +2255,52 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n", "n_null", "n_distinct", "min_val", "max_val")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — TPC-H Q22 shape (global-customer sales opportunity): customers
+# in selected "country" buckets (nationkey here stands in for the
+# phone country code) whose account balance beats the GLOBAL average
+# of positive balances in those buckets, and who have placed no RECENT
+# orders (none since 2000-01-01 — this synthetic corpus gives every
+# customer at least one lifetime order, so Q22's literal "no orders"
+# anti join would be empty by construction; the recency predicate
+# keeps the identical plan shape with real selectivity) — the classic
+# 1-row broadcast scalar + anti join. Spark: the scalar
+# subquery materializes once and broadcasts into the filter; the NOT
+# EXISTS plans as a LeftAnti shuffled on custkey. Identical SQL both
+# engines; DECIMAL sums keep the average exact before one final
+# double division.
+# ---------------------------------------------------------------------------
+_IDLE_RICH_CUSTOMERS_SQL = """
+    WITH pool AS (
+      SELECT c_custkey, c_acctbal,
+             c_nationkey % 5 AS cntrycode
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2)
+    ),
+    cutoff AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM pool WHERE c_acctbal > 0
+    )
+    SELECT CAST(p.cntrycode AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(p.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM pool p
+    WHERE p.c_acctbal > (SELECT avg_bal FROM cutoff)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY p.cntrycode
+    ORDER BY cntrycode
+    """
+
+
+@query("q62_idle_rich_customers", oracle=_IDLE_RICH_CUSTOMERS_SQL)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_IDLE_RICH_CUSTOMERS_SQL)

@@ -1092,3 +1092,35 @@ def test_s17_silhouette_semantics(spark, sf_dir):
             )
             < 1e-12
         )
+
+
+def test_q62_vs_pandas_bruteforce(spark, sf_dir):
+    """TPC-H Q22-shape query vs a literal pandas recomputation of its
+    English spec (idle-rich = above-global-average positive balance in
+    the selected nation buckets, no orders since 2000)."""
+    import pandas as pd
+
+    from ankaflow_spark.operators import collect_all
+    from ankaflow_spark.operators.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].toPandas()
+    cust = t["customer"].toPandas()
+
+    q, _ = collect_all()
+
+    # --- q62 brute force ---
+    pool = cust[cust["c_nationkey"] % 5 <= 2].copy()
+    pool["cntrycode"] = pool["c_nationkey"] % 5
+    avg_bal = pool.loc[pool["c_acctbal"] > 0, "c_acctbal"].astype(float).mean()
+    recent = set(orders.loc[orders["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"])
+    sel = pool[(pool["c_acctbal"].astype(float) > avg_bal) & (~pool["c_custkey"].isin(recent))]
+    want62 = {
+        int(k): (len(g), round(float(g["c_acctbal"].astype(float).sum()), 2))
+        for k, g in sel.groupby("cntrycode")
+    }
+    got62 = {
+        r["cntrycode"]: (r["numcust"], round(r["totacctbal"], 2))
+        for r in q["q62_idle_rich_customers"](spark, sf_dir).collect()
+    }
+    assert got62 == want62
