@@ -46,6 +46,7 @@ GRADED_FIRST = [
     "s17_silhouette_eval",
     "st13_stream_bloom_decontam",
     "q62_idle_rich_customers",
+    "ts28_cohort_retention",
     # (1) implementation changed this round / post-freeze — re-confirm
     "ts22_rfm_segmentation",
     "d06_dedup_clusters",
@@ -83,7 +84,6 @@ GRADED_FIRST = [
     "m04_patch_grid",
     "m05_audio_frame_energy",
     "m06_scene_cuts",
-    "st03_stream_distinct_users",
     "st04_stream_sessions",
     "st05_stream_static_join",
     "st08_stream_stream_join",

@@ -1515,3 +1515,65 @@ _SCD2_SQL = """
 def ts27(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_SCD2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts28 — cohort retention triangle (the product-analytics companion to
+# ts21's growth accounting): users cohorted by FIRST-active day; for
+# each (cohort, days-since-cohort age) cell, how many cohort members
+# were active and what fraction of the cohort that is. (Day grain, not
+# ts21's week: this corpus onboards every user inside its first weeks,
+# so week-cohorts degenerate to one row.) Spark-first: one DISTINCT
+# (user, day) pass (the same map-side-combined shuffle ts21 plans),
+# cohort via a per-user MIN window over it, then one groupBy (cohort,
+# age) — no self-join of the activity table against itself (the naive
+# spelling), no row multiplication. Exactness: counts are integers;
+# retention divides two exact BIGINTs in doubles once at emit. Age is
+# an integer day delta over epoch seconds (both stamps are
+# date_trunc'd, so the difference is an exact multiple of 86400); only
+# the epoch-extraction spelling differs per engine (Spark
+# unix_timestamp, DuckDB epoch). Cells cap at cohorts x horizon,
+# whatever the event volume — a bounded triangle at any scale.
+# ---------------------------------------------------------------------------
+def _cohort_retention_sql(spark_dialect: bool) -> str:
+    age = (
+        "CAST((unix_timestamp(wk) - unix_timestamp(cohort_wk)) DIV 86400 AS BIGINT)"
+        if spark_dialect
+        else "CAST((epoch(wk) - epoch(cohort_wk)) // 86400 AS BIGINT)"
+    )
+    return f"""
+    WITH au AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ),
+    cohorted AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM au
+    ),
+    cells AS (
+      SELECT cohort_wk,
+             {age} AS age_weeks,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM cohorted
+      GROUP BY cohort_wk, 2
+    ),
+    sizes AS (
+      SELECT cohort_wk, n_active AS cohort_size
+      FROM cells WHERE age_weeks = 0
+    )
+    SELECT c.cohort_wk AS cohort_day,
+           c.age_weeks AS age_days,
+           c.n_active AS n_active,
+           s.cohort_size AS cohort_size,
+           CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM cells c JOIN sizes s ON s.cohort_wk = c.cohort_wk
+    ORDER BY cohort_day, age_days
+    """
+
+
+@query("ts28_cohort_retention", oracle=_cohort_retention_sql(False))
+def ts28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_cohort_retention_sql(True))

@@ -1124,3 +1124,33 @@ def test_q62_vs_pandas_bruteforce(spark, sf_dir):
         for r in q["q62_idle_rich_customers"](spark, sf_dir).collect()
     }
     assert got62 == want62
+
+
+def test_ts28_cohort_retention_vs_pandas(spark, sf_dir):
+    """Cohort triangle vs a pandas recomputation over distinct
+    (user, day) activity; age-0 retention is exactly 1.0 by
+    construction (every user is active on their cohort day)."""
+    from ankaflow_spark.operators import collect_all
+    from ankaflow_spark.operators.tables import load_tables
+
+    q, _ = collect_all()
+    rows = q["ts28_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    ev = load_tables(spark, sf_dir)["events"].toPandas()
+    au = (
+        ev.assign(day=ev["ts"].dt.floor("D"))[["user_id", "day"]]
+        .drop_duplicates()
+    )
+    first = au.groupby("user_id")["day"].min().rename("cohort")
+    j = au.join(first, on="user_id")
+    j["age"] = (j["day"] - j["cohort"]).dt.days
+    want = j.groupby(["cohort", "age"]).size()
+    sizes = {c: n for (c, a), n in want.items() if a == 0}
+    for r in rows:
+        key = (r["cohort_day"], r["age_days"])
+        assert want[key] == r["n_active"], key
+        assert r["cohort_size"] == sizes[r["cohort_day"]]
+        assert abs(r["retention"] - r["n_active"] / r["cohort_size"]) < 1e-12
+        if r["age_days"] == 0:
+            assert r["retention"] == 1.0
+    assert len(rows) == len(want)
