@@ -40,6 +40,10 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "s15_countmin_heavy_hitters",
+    "s18_mmr_diverse_topk",
+    "q63_zorder_layout",
+    "m07_duplicate_frame_pairs",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
@@ -89,10 +93,9 @@ GRADED_FIRST = [
     "st08_stream_stream_join",
     "st09_foreachbatch_upsert",
     "st10_dedup_within_watermark",
-    "s07_random_projection",
-    "s08_pq_encode",
-    "s09_pq_adc_search",
-    "s13_ivf_recall_eval",
+    # (s07/s08/s09/s13 rotated out to make room for the four new
+    # round-7 operators; all were driver-graded green in r04 and stay
+    # cell-exact in CORRECTNESS_FULL_r11+.)
 ]
 
 

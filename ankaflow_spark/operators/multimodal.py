@@ -289,3 +289,108 @@ def scene_cuts(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=SCENE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m07 — cross-video duplicate-frame detection (video near-dup dedup).
+# ---------------------------------------------------------------------------
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("phash", T.StringType(), False),
+    ]
+)
+
+_FRAME_STRIDE = 4  # bytes between frame starts in the synthetic payload
+_FRAME_BYTES = 8  # bytes hashed per frame
+
+
+def synth_video_series(spark, n: int = 48) -> DataFrame:
+    """Synthetic re-encode corpus: every 4th video is a re-upload of the
+    same source, so videos in a series share payload BYTES (not just
+    ids) — the regime frame-level dedup exists for. Payload is a
+    non-repeating 96-byte strip (six chained md5 blocks keyed by
+    series+block, so no slice of it ever repeats at another offset);
+    frame counts vary per video (8-10) the way re-encodes truncate."""
+    rows = []
+    for i in range(n):
+        series = i % 4
+        payload = b"".join(
+            hashlib.md5(f"{series}-{blk}".encode()).digest() for blk in range(6)
+        )
+        meta = {"n_frames": str(8 + i % 3), "series": str(series)}
+        rows.append((i, "video", bytearray(payload), meta))
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+def frame_hashes(media: DataFrame) -> DataFrame:
+    """One mapInPandas pass per media row: decode-stub each sampled
+    frame (a byte slice of the payload stands in for the decoded
+    frame; production swaps in a real decoder + dct-based pHash) and
+    emit only (media_id, frame_no, phash) rows. The explode happens
+    INSIDE the kernel, so payload bytes are read once in-executor and
+    never duplicated per frame nor shuffled — the post-kernel relation
+    is KB per video regardless of media size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_no, out_h = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                n_frames = int((meta or {}).get("n_frames", "0"))
+                buf = bytes(payload or b"")
+                for f in range(n_frames):
+                    chunk = buf[f * _FRAME_STRIDE : f * _FRAME_STRIDE + _FRAME_BYTES]
+                    out_id.append(mid)
+                    out_no.append(f)
+                    out_h.append(chunk.hex())
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_no": out_no, "phash": out_h}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def duplicate_video_pairs(frames: DataFrame) -> DataFrame:
+    """Content-hash equi-join dedup: videos sharing >= 1 frame hash,
+    scored by shared-frame count and frame-set Jaccard. The join key is
+    the HASH (position-independent — a shared intro matches wherever it
+    sits), so the shuffle partitions by content, the same shape as
+    d01/d02; per-video frame counts broadcast back over the pair list."""
+    per_video = frames.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames")
+    )
+    a = frames.select(F.col("media_id").alias("media_a"), "phash")
+    b = frames.select(F.col("media_id").alias("media_b"), "phash")
+    pairs = (
+        a.join(b, "phash")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").cast("bigint").alias("shared_frames"))
+    )
+    na = per_video.select(
+        F.col("media_id").alias("media_a"), F.col("n_frames").alias("na")
+    )
+    nb = per_video.select(
+        F.col("media_id").alias("media_b"), F.col("n_frames").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "media_a")
+        .join(F.broadcast(nb), "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared_frames",
+            (
+                F.col("shared_frames").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_frames"))
+            ).alias("frame_jaccard"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -2304,3 +2304,83 @@ _IDLE_RICH_CUSTOMERS_SQL = """
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_IDLE_RICH_CUSTOMERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q63 — Z-order clustering layout: the multi-dimensional sort a
+# lakehouse runs (Delta OPTIMIZE ZORDER BY, Iceberg sort orders) so
+# min/max file statistics prune scans on BOTH filter columns, not
+# just the first sort key. The z-value interleaves the bits of
+# (o_custkey mod 1024) and the order date's day index — a pure inline
+# integer expression (10 unrolled bit terms), so computing it adds NO
+# shuffle and NO join to the scan. Rows then land in 16 equal z-range
+# "files"; the verdict compares, per layout, the summed per-file
+# min/max span of each dimension: the natural (insertion-order) layout
+# covers the full custkey range in every file (custkey filters prune
+# nothing), the z-order layout shrinks both spans at once — the
+# data-skipping win, measured rather than asserted. All integer
+# arithmetic; one groupBy on (layout, file) of 2*16 groups.
+# ---------------------------------------------------------------------------
+_Z_BITS = 10  # 1024 cells per dimension
+_Z_FILES = 16
+
+
+def _zorder_sql(spark_dialect: bool) -> str:
+    idiv = "DIV" if spark_dialect else "//"
+    day = (
+        "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+        if spark_dialect
+        else "(CAST(o_orderdate AS DATE) - DATE '1992-01-01')"
+    )
+    # z = interleave(bits of x -> even positions, bits of y -> odd)
+    terms = []
+    for i in range(_Z_BITS):
+        p = 1 << i
+        terms.append(f"MOD(x {idiv} {p}, 2) * {1 << (2 * i)}")
+        terms.append(f"MOD(y {idiv} {p}, 2) * {1 << (2 * i + 1)}")
+    z_expr = "\n             + ".join(terms)
+    zspace = 1 << (2 * _Z_BITS)
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey, MOD(o_custkey, {1 << _Z_BITS}) AS x,
+             MOD({day}, {1 << _Z_BITS}) AS y
+      FROM orders
+    ),
+    zed AS (
+      SELECT o_orderkey, x, y,
+             ({z_expr}) AS z
+      FROM pts
+    ),
+    maxkey AS (SELECT MAX(o_orderkey) + 1 AS mk FROM orders),
+    files AS (
+      SELECT 'zorder' AS layout,
+             CAST(z * {_Z_FILES} {idiv} {zspace} AS BIGINT) AS file_id, x, y
+      FROM zed
+      UNION ALL
+      SELECT 'natural' AS layout,
+             CAST(o_orderkey * {_Z_FILES} {idiv} mk AS BIGINT) AS file_id, x, y
+      FROM zed CROSS JOIN maxkey
+    ),
+    spans AS (
+      SELECT layout, file_id,
+             MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y,
+             COUNT(*) AS rows_in_file
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(span_x) AS BIGINT) AS sum_custkey_span,
+           CAST(SUM(span_y) AS BIGINT) AS sum_day_span,
+           CAST(SUM(rows_in_file) AS BIGINT) AS n_rows,
+           CAST(SUM(span_x) AS DOUBLE) / COUNT(*) AS avg_custkey_span,
+           CAST(SUM(span_y) AS DOUBLE) / COUNT(*) AS avg_day_span
+    FROM spans
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@query("q63_zorder_layout", oracle=_zorder_sql(False))
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_zorder_sql(True))

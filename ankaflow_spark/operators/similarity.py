@@ -1606,3 +1606,206 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# s15 — Count-Min sketch heavy hitters: the MERGEABLE frequency sketch
+# a 100 TB pipeline keeps when exact per-key counts cannot be stored
+# (q52 is the exact two-pass twin; st11 the streaming one). The sketch
+# is a D x W integer grid: every partition folds its rows into a local
+# grid (map-side combine — the groupBy below carries only D*W = 256
+# cells per partition into the shuffle regardless of corpus size), and
+# grids merge by cell-wise addition, which is exactly how sketches
+# from 1000 executors (or 1000 days of history) combine without
+# re-scanning raw events. Estimate for a key = MIN over the D rows of
+# its hashed cell (classic CM overcount-only bound). Hashing is pure
+# integer arithmetic (per-row Knuth/Borosh multipliers mod P=2^31-1)
+# so every cell count — and therefore every estimate — is cell-exact
+# across engines; the verdict joins the sketch estimate against the
+# exact top-10 and reports the overcount, which is provably >= 0.
+# Plan: one scan builds the sketch (events x 4 hash-row table), the
+# 256-cell sketch and 10-row candidate list broadcast everywhere.
+# ---------------------------------------------------------------------------
+_CM_W = 64  # cells per hash row
+_CM_P = 2147483647
+_CM_ROWS = ((0, 2654435761), (1, 1566083941), (2, 1103515245), (3, 22695477))
+
+
+def _cm_sql(spark_dialect: bool) -> str:
+    rows = ", ".join(f"({j}, {m})" for j, m in _CM_ROWS)
+    # cell_j(u): ((u mod P) * mult_j + j) mod P mod W — BIGINT-safe
+    # (2^31 * 2.7e9 < 2^63) and identical arithmetic in both engines.
+    cell = (
+        f"MOD(MOD(MOD(e.user_id, {_CM_P}) * r.mult + r.j, {_CM_P}), {_CM_W})"
+    )
+    ccell = (
+        f"MOD(MOD(MOD(c.user_id, {_CM_P}) * r.mult + r.j, {_CM_P}), {_CM_W})"
+    )
+    hint = "/*+ BROADCAST(sk) */ " if spark_dialect else ""
+    return f"""
+    WITH hrows AS (SELECT * FROM (VALUES {rows}) t(j, mult)),
+    sketch AS (
+      SELECT r.j AS j, {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events e CROSS JOIN hrows r
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    est AS (
+      SELECT {hint}c.user_id, c.exact_cnt, MIN(sk.cnt) AS cm_est
+      FROM cand c
+      CROSS JOIN hrows r
+      JOIN sketch sk ON sk.j = r.j AND sk.cell = {ccell}
+      GROUP BY c.user_id, c.exact_cnt
+    )
+    SELECT user_id, exact_cnt, cm_est,
+           CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    """
+
+
+@query("s15_countmin_heavy_hitters", oracle=_cm_sql(False))
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_cm_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s18 — MMR (Maximal Marginal Relevance) diversified retrieval: the
+# re-ranker data-selection pipelines run so the k examples fed to a
+# model (or a rater) aren't k near-copies of the same document. Greedy
+# contract: pick argmax rel first, then k-1 times pick
+# argmax_c [ lambda*rel(c) - (1-lambda)*max_{s in S} sim(c, s) ]
+# (lambda = 1/2, folded to integer 2*rel - maxsim so scores stay exact
+# BIGINTs). Scale shape: ONE distributed pass computes query-candidate
+# dots over the whole corpus (the expensive part — same plan as s01);
+# the greedy loop then runs entirely on a 30-row shortlist whose
+# pairwise-dot table is bounded (30 x 30), exactly how production MMR
+# re-ranks an ANN shortlist rather than the corpus. The 5-step greedy
+# unrolls to constant-size CTEs — no iteration state, no driver loop.
+# Spark materializes the shortlist and its pair-dot table ONCE
+# (localCheckpoint) before the greedy SQL: each greedy step references
+# both several times, and CTE inlining would re-expand the whole
+# corpus chain per reference (a ~25k-node physical plan observed when
+# fully inlined — compile time, not data, becomes the cost).
+# Integer discipline: e6-quantized components, sequential-fold-free
+# (dots are exact integer SUMs), ties break to the smaller vec_id —
+# cell-exact cross-engine.
+# ---------------------------------------------------------------------------
+_MMR_SHORTLIST = 30
+_MMR_K = 5
+
+
+def _mmr_greedy_sql(sl: str, pd: str, hint: str = "") -> str:
+    """Greedy MMR tail over a materialized shortlist relation ``sl``
+    (cid, rel) and pair-dot relation ``pd`` (a, b, dot) — shared
+    verbatim by both engines; only the table names (and Spark's
+    broadcast hint for the stats-less checkpointed pair table) differ."""
+    parts = [f"""
+    WITH sel1 AS (SELECT cid, rel, 1 AS pick FROM {sl} ORDER BY rel DESC, cid LIMIT 1)"""]
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        parts.append(f""",
+    step{k} AS (
+      SELECT {hint}c.cid, c.rel, {k} AS pick
+      FROM {sl} c JOIN {prev} s ON s.cid <> c.cid
+      JOIN {pd} p ON p.a = c.cid AND p.b = s.cid
+      WHERE c.cid NOT IN (SELECT cid FROM {prev})
+      GROUP BY c.cid, c.rel
+      ORDER BY 2 * c.rel - MAX(p.dot) DESC, c.cid LIMIT 1
+    ),
+    sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{k})""")
+    last = f"sel{_MMR_K}"
+    parts.append(f"""
+    SELECT {hint}s.pick AS pick, s.cid AS cid, s.rel AS rel,
+           CAST(COALESCE(MAX(p.dot), 0) AS BIGINT) AS max_sim_prev
+    FROM {last} s
+    LEFT JOIN {last} s2 ON s2.pick < s.pick
+    LEFT JOIN {pd} p ON p.a = s.cid AND p.b = s2.cid
+    GROUP BY s.pick, s.cid, s.rel
+    ORDER BY s.pick
+    """)
+    return "".join(parts)
+
+
+def _mmr_oracle_sql() -> str:
+    dims = f"""
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+    """
+    greedy = _mmr_greedy_sql("sl", "pd").strip()
+    assert greedy.startswith("WITH ")
+    return f"""
+    WITH dims AS MATERIALIZED ({dims}),
+    qd AS (SELECT d, q FROM dims WHERE vec_id = 0),
+    rel AS (
+      SELECT dims.vec_id AS cid, CAST(SUM(dims.q * qd.q) AS BIGINT) AS rel
+      FROM dims JOIN qd ON qd.d = dims.d
+      WHERE dims.vec_id <> 0
+      GROUP BY dims.vec_id
+    ),
+    sl AS MATERIALIZED (SELECT cid, rel FROM rel ORDER BY rel DESC, cid LIMIT {_MMR_SHORTLIST}),
+    sdims AS (
+      SELECT dims.vec_id, dims.d, dims.q FROM dims
+      JOIN sl ON sl.cid = dims.vec_id
+    ),
+    pd AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      FROM sdims a JOIN sdims b ON b.d = a.d AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    {greedy[len("WITH "):]}
+    """
+
+
+@query("s18_mmr_diverse_topk", oracle=_mmr_oracle_sql())
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    dims = (
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("d", "pv"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("pv").cast("double") * 1000000).cast("bigint").alias("q"),
+        )
+    )
+    qd = F.broadcast(
+        dims.filter(F.col("vec_id") == 0).select("d", F.col("q").alias("qq"))
+    )
+    rel = (
+        dims.filter(F.col("vec_id") != 0)
+        .join(qd, "d")
+        .groupBy(F.col("vec_id").alias("cid"))
+        .agg(F.sum(F.col("q") * F.col("qq")).cast("bigint").alias("rel"))
+    )
+    sl = (
+        rel.orderBy(F.col("rel").desc(), "cid")
+        .limit(_MMR_SHORTLIST)
+        .localCheckpoint(eager=True)  # referenced by every greedy step
+    )
+    sdims = dims.join(
+        F.broadcast(sl.select(F.col("cid").alias("vec_id"))), "vec_id"
+    )
+    a = sdims.select(F.col("vec_id").alias("a"), "d", F.col("q").alias("qa"))
+    b = sdims.select(F.col("vec_id").alias("b"), "d", F.col("q").alias("qb"))
+    pd_df = (
+        a.join(b, ["d"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"))
+        .localCheckpoint(eager=True)  # <= shortlist^2 rows
+    )
+    sl.createOrReplaceTempView("s18_sl")
+    pd_df.createOrReplaceTempView("s18_pd")
+    return spark.sql(
+        _mmr_greedy_sql("s18_sl", "s18_pd", hint="/*+ BROADCAST(p) */ ")
+    )

@@ -1033,3 +1033,65 @@ def _st13_oracle() -> str:
 
 
 ORACLES["st13_stream_bloom_decontam"] = _st13_oracle()
+
+
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection, ORACLE-CHECKED cell-exact:
+    the video-level near-dup operator (re-uploads / re-encodes of the
+    same source footage) every multimodal training-data pipeline runs
+    before sampling clips. One mapInPandas pass per video emits
+    (media_id, frame_no, phash) with the explode INSIDE the kernel —
+    payload bytes are read once in-executor and never shuffled — then a
+    position-independent content-hash equi-join scores video pairs by
+    shared frames and frame-set Jaccard (multimodal.frame_hashes /
+    duplicate_video_pairs). The oracle reconstructs the frame hashes in
+    the hex domain from the synthetic payload rule (m06's argument) and
+    replays the same join — grading the Arrow binary fidelity AND the
+    dedup algebra."""
+    from .multimodal import duplicate_video_pairs, frame_hashes, synth_video_series
+
+    media = synth_video_series(spark, 48)
+    return duplicate_video_pairs(frame_hashes(media))
+
+
+QUERIES["m07_duplicate_frame_pairs"] = m07
+# payload(series) = md5("s-0")..md5("s-5") digests concatenated (96
+# bytes, non-repeating); series = media_id % 4; n_frames = 8 + i % 3.
+# Frame f hashes bytes [f*4, f*4+8) -> hex chars [f*8+1, f*8+16].
+ORACLES["m07_duplicate_frame_pairs"] = """
+    WITH vids AS (
+      SELECT i AS media_id, CAST(i % 4 AS INT) AS series,
+             CAST(8 + i % 3 AS INT) AS n_frames
+      FROM range(48) t(i)
+    ),
+    pay AS (
+      SELECT series,
+             md5(CAST(series AS VARCHAR) || '-0')
+               || md5(CAST(series AS VARCHAR) || '-1')
+               || md5(CAST(series AS VARCHAR) || '-2')
+               || md5(CAST(series AS VARCHAR) || '-3')
+               || md5(CAST(series AS VARCHAR) || '-4')
+               || md5(CAST(series AS VARCHAR) || '-5') AS payhex
+      FROM (SELECT DISTINCT series FROM vids)
+    ),
+    fh AS (
+      SELECT v.media_id, v.n_frames,
+             substr(p.payhex, CAST(t.f * 8 + 1 AS INT), 16) AS phash
+      FROM vids v
+      JOIN pay p ON p.series = v.series
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS f) t
+      WHERE t.f < v.n_frames
+    ),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_frames,
+             MAX(a.n_frames) AS na, MAX(b.n_frames) AS nb
+      FROM fh a JOIN fh b ON b.phash = a.phash AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id
+    )
+    SELECT media_a, media_b, shared_frames,
+           CAST(shared_frames AS DOUBLE) / (na + nb - shared_frames)
+             AS frame_jaccard
+    FROM pairs
+    ORDER BY media_a, media_b
+"""

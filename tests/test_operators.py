@@ -1154,3 +1154,181 @@ def test_ts28_cohort_retention_vs_pandas(spark, sf_dir):
         if r["age_days"] == 0:
             assert r["retention"] == 1.0
     assert len(rows) == len(want)
+
+
+def test_s15_countmin_vs_python_recompute(spark, sf_dir):
+    """Count-Min estimates must equal a literal Python re-build of the
+    same D x W sketch from the raw events (same hash family), and every
+    estimate must dominate the exact count (CM never undercounts)."""
+    from ankaflow_spark.operators.similarity import (
+        QUERIES,
+        _CM_P,
+        _CM_ROWS,
+        _CM_W,
+    )
+
+    out = QUERIES["s15_countmin_heavy_hitters"](spark, sf_dir).collect()
+    users = [
+        r["user_id"]
+        for r in spark.table("events").select("user_id").collect()
+    ]
+    sketch = {}
+    for u in users:
+        for j, mult in _CM_ROWS:
+            cell = ((u % _CM_P) * mult + j) % _CM_P % _CM_W
+            sketch[(j, cell)] = sketch.get((j, cell), 0) + 1
+    exact = {}
+    for u in users:
+        exact[u] = exact.get(u, 0) + 1
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["user_id"], r["exact_cnt"]) for r in out] == top10
+    for r in out:
+        est = min(
+            sketch[((j, ((r["user_id"] % _CM_P) * mult + j) % _CM_P % _CM_W))]
+            for j, mult in _CM_ROWS
+        )
+        assert r["cm_est"] == est >= r["exact_cnt"]
+        assert r["overcount"] == r["cm_est"] - r["exact_cnt"]
+
+
+def test_s18_mmr_vs_python_greedy(spark, sf_dir):
+    """The distributed MMR must reproduce a literal in-memory greedy:
+    same picks in the same order, same relevance and same
+    max-similarity-to-previous numbers (exact integers)."""
+    import math
+
+    from ankaflow_spark.operators.similarity import (
+        QUERIES,
+        _MMR_K,
+        _MMR_SHORTLIST,
+    )
+
+    out = QUERIES["s18_mmr_diverse_topk"](spark, sf_dir).collect()
+    vecs = {
+        r["vec_id"]: [int(math.floor(float(v) * 1_000_000)) for v in r["embedding"]]
+        for r in spark.table("embeddings").collect()
+    }
+    q = vecs[0]
+    rel = {
+        cid: sum(a * b for a, b in zip(q, v))
+        for cid, v in vecs.items()
+        if cid != 0
+    }
+    sl = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_SHORTLIST]
+    picks = [min(sl, key=lambda c: (-rel[c], c))]
+    while len(picks) < _MMR_K:
+        best = None
+        for c in sl:
+            if c in picks:
+                continue
+            maxsim = max(
+                sum(a * b for a, b in zip(vecs[c], vecs[s])) for s in picks
+            )
+            key = (-(2 * rel[c] - maxsim), c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        picks.append(best[1])
+    assert [r["cid"] for r in out] == picks
+    for i, r in enumerate(out):
+        assert r["pick"] == i + 1
+        assert r["rel"] == rel[r["cid"]]
+        expect_sim = (
+            0
+            if i == 0
+            else max(
+                sum(a * b for a, b in zip(vecs[r["cid"]], vecs[s]))
+                for s in picks[:i]
+            )
+        )
+        assert r["max_sim_prev"] == expect_sim
+
+
+def test_q63_zorder_improves_both_dims(spark, sf_dir):
+    """The z-order layout must beat the natural layout on BOTH
+    dimensions' summed per-file spans (that is the entire point of the
+    interleave), partition the same row count, and agree with a pandas
+    bit-interleave recomputation of the file spans."""
+    from ankaflow_spark.operators.relational import QUERIES
+
+    rows = {r["layout"]: r for r in QUERIES["q63_zorder_layout"](spark, sf_dir).collect()}
+    z, nat = rows["zorder"], rows["natural"]
+    assert z["n_rows"] == nat["n_rows"] > 0
+    assert z["sum_custkey_span"] < nat["sum_custkey_span"]
+    assert z["sum_day_span"] < nat["sum_day_span"]
+
+    pdf = spark.table("orders").select("o_orderkey", "o_custkey", "o_orderdate").toPandas()
+    x = (pdf["o_custkey"] % 1024).astype(int)
+    base = pdf["o_orderdate"].dt.normalize()
+    y = ((base - pd_ts("1992-01-01")).dt.days % 1024).astype(int)
+
+    def interleave(xv, yv):
+        zv = 0
+        for i in range(10):
+            zv |= ((xv >> i) & 1) << (2 * i)
+            zv |= ((yv >> i) & 1) << (2 * i + 1)
+        return zv
+
+    zs = [interleave(a, b) for a, b in zip(x, y)]
+    files = {}
+    for zv, xv, yv in zip(zs, x, y):
+        fid = zv * 16 // (1 << 20)
+        lo = files.setdefault(fid, [xv, xv, yv, yv])
+        lo[0] = min(lo[0], xv); lo[1] = max(lo[1], xv)
+        lo[2] = min(lo[2], yv); lo[3] = max(lo[3], yv)
+    assert z["n_files"] == len(files)
+    assert z["sum_custkey_span"] == sum(v[1] - v[0] for v in files.values())
+    assert z["sum_day_span"] == sum(v[3] - v[2] for v in files.values())
+
+
+def pd_ts(s):
+    import pandas as pd
+
+    return pd.Timestamp(s)
+
+
+def test_m07_duplicate_frame_semantics(spark):
+    """Every video pair in the same re-encode series must be reported
+    with shared_frames == min(n_frames) of the two (same source bytes,
+    positional slices), no cross-series pair may appear, and the kernel
+    hashes must equal direct byte-slice recomputation."""
+    from ankaflow_spark.operators.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+        frame_hashes,
+        synth_video_series,
+    )
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    media = synth_video_series(spark, 48)
+    fh = frame_hashes(media).collect()
+    raw = {r["media_id"]: (bytes(r["payload"]), r["meta"]) for r in media.collect()}
+    n_frames = {}
+    for r in fh:
+        buf, meta = raw[r["media_id"]]
+        f = r["frame_no"]
+        assert r["phash"] == buf[f * _FRAME_STRIDE : f * _FRAME_STRIDE + _FRAME_BYTES].hex()
+        n_frames[r["media_id"]] = max(n_frames.get(r["media_id"], 0), f + 1)
+    for mid, (_, meta) in raw.items():
+        assert n_frames[mid] == int(meta["n_frames"])
+
+    pairs = QUERIES["m07_duplicate_frame_pairs"](spark, "unused").collect()
+    series = {mid: mid % 4 for mid in raw}
+    seen = set()
+    for r in pairs:
+        a, b = r["media_a"], r["media_b"]
+        assert series[a] == series[b]
+        expect = min(n_frames[a], n_frames[b])
+        assert r["shared_frames"] == expect
+        assert abs(
+            r["frame_jaccard"]
+            - expect / (n_frames[a] + n_frames[b] - expect)
+        ) < 1e-12
+        seen.add((a, b))
+    import itertools
+
+    expect_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(raw), 2)
+        if series[a] == series[b]
+    }
+    assert seen == expect_pairs

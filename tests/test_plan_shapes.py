@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     "s13_ivf_recall_eval",  # checkpoint fragments ARE s01/s03's plans (exact + IVF sides materialized for the recall join) — justified by their own entries
     "d10_semantic_dedup",  # two-level IVF super-centroid draw: 1-row (k1, kk) scalar CROSS JOINed into the constant-size centroid-id filter
     "d17_dedup_cascade",  # same fragments via its d10 stage input
+    "s15_countmin_heavy_hitters",  # 10-row candidate list x 4-row hash-row table (sketch probe)
+    "s18_mmr_diverse_topk",  # greedy picks over the <=30-row shortlist: inequality joins among <=5-row selection sets
+    "q63_zorder_layout",  # 1-row max-orderkey scalar broadcast into the natural-layout file id
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
