@@ -44,6 +44,7 @@ GRADED_FIRST = [
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
     "m07_duplicate_frame_pairs",
+    "t24_ngram_novelty",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
@@ -89,11 +90,10 @@ GRADED_FIRST = [
     "m05_audio_frame_energy",
     "m06_scene_cuts",
     "st04_stream_sessions",
-    "st05_stream_static_join",
     "st08_stream_stream_join",
     "st09_foreachbatch_upsert",
     "st10_dedup_within_watermark",
-    # (s07/s08/s09/s13 rotated out to make room for the four new
+    # (s07/s08/s09/s13/st05 rotated out to make room for the five new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

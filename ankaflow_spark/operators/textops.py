@@ -1336,3 +1336,67 @@ def _woe_sql(spark_dialect: bool) -> str:
 def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_woe_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t24 — n-gram novelty scoring: per document, the fraction of its
+# DISTINCT word 5-grams that occur for the FIRST time in this document
+# (first occurrence = minimum doc_id over the whole corpus — the
+# ingestion-order novelty every redundancy audit sorts by: a corpus
+# whose late documents score near zero is re-crawling itself, and a
+# curation pipeline caps collection there). Distinct from t04
+# (winnowing picks a per-doc fingerprint subset) and d07 (overlap vs a
+# fixed benchmark set): novelty compares every document against ALL
+# lower-numbered documents at once via one grams->MIN(doc_id) groupBy —
+# no pairwise anything. Scale shape: grams are md5'd fixed-width keys;
+# one groupBy(g) shuffle sized by distinct grams, one groupBy(doc)
+# re-aggregation; both partial-aggregate map-side. The ratio is a
+# single exact integer division per doc (cell-exact cross-engine).
+# ---------------------------------------------------------------------------
+_NOVELTY_N = 5  # words per gram
+
+
+def _novelty_sql(spark_dialect: bool) -> str:
+    n = _NOVELTY_N
+    if spark_dialect:
+        grams = f"""
+      SELECT doc_id, explode(array_distinct(
+        CASE WHEN size(w) >= {n} THEN
+          transform(sequence(0, size(w) - {n}),
+                    i -> md5(concat_ws(' ', slice(w, i + 1, {n}))))
+        ELSE array(md5(concat_ws(' ', w))) END)) AS g
+      FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        """
+    else:
+        grams = f"""
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) >= {n} THEN
+          list_transform(range(1, len(w) - {n - 2}),
+                         i -> md5(array_to_string(w[i:i+{n - 1}], ' ')))
+        ELSE [md5(array_to_string(w, ' '))] END)) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        """
+    return f"""
+    WITH grams AS ({grams}),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_grams AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+@query("t24_ngram_novelty", oracle=_novelty_sql(False))
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_novelty_sql(True))

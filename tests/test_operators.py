@@ -1332,3 +1332,33 @@ def test_m07_duplicate_frame_semantics(spark):
         if series[a] == series[b]
     }
     assert seen == expect_pairs
+
+
+def test_t24_novelty_vs_python_recompute(spark, sf_dir):
+    """Novelty must equal a literal Python first-occurrence scan in
+    doc_id order: a gram is novel in the lowest-numbered doc containing
+    it, and nowhere after."""
+    from ankaflow_spark.operators.textops import QUERIES, _NOVELTY_N
+
+    out = QUERIES["t24_ngram_novelty"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    seen = set()
+    expect = {}
+    for doc_id in sorted(docs):
+        w = docs[doc_id].split(" ")
+        grams = (
+            {tuple(w[i : i + _NOVELTY_N]) for i in range(len(w) - _NOVELTY_N + 1)}
+            if len(w) >= _NOVELTY_N
+            else {tuple(w)}
+        )
+        novel = {g for g in grams if g not in seen}
+        seen |= grams
+        expect[doc_id] = (len(grams), len(novel))
+    assert len(out) == len(docs)
+    for r in out:
+        n_grams, n_novel = expect[r["doc_id"]]
+        assert (r["n_grams"], r["n_novel"]) == (n_grams, n_novel)
+        assert abs(r["novelty"] - n_novel / n_grams) < 1e-12
