@@ -45,6 +45,9 @@ GRADED_FIRST = [
     "q63_zorder_layout",
     "m07_duplicate_frame_pairs",
     "t24_ngram_novelty",
+    "q64_profit_by_nation",
+    "q65_small_qty_revenue",
+    "q66_excess_suppliers",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
@@ -86,14 +89,11 @@ GRADED_FIRST = [
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     "m03_frame_sample_keys",
-    "m04_patch_grid",
-    "m05_audio_frame_energy",
     "m06_scene_cuts",
     "st04_stream_sessions",
     "st08_stream_stream_join",
-    "st09_foreachbatch_upsert",
     "st10_dedup_within_watermark",
-    # (s07/s08/s09/s13/st05 rotated out to make room for the five new
+    # (s07/s08/s09/s13/st05/m04/m05/st09 rotated out to make room for the eight new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

@@ -2384,3 +2384,119 @@ def _zorder_sql(spark_dialect: bool) -> str:
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_zorder_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q64 — TPC-H Q9 shape (product-type profit by nation and year): the
+# widest star in the TPC-H suite — lineitem joins part (filtered),
+# supplier, nation, and orders in one pass. (The testdata schema has
+# no partsupp, so profit omits Q9's ps_supplycost term — the JOIN
+# GRAPH and agg shape are Q9's.) Plan: part filter broadcasts into
+# the lineitem scan first (the selective edge), supplier/nation
+# broadcast, and the only shuffle-worthy edge is lineitem x orders on
+# orderkey — at scale both fact sides shuffle on the SAME key they're
+# naturally keyed by. Decimal discipline: q01's — exact DECIMAL
+# accumulation, one cast to DOUBLE at the end.
+# ---------------------------------------------------------------------------
+_PROFIT_BY_NATION_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,4)))
+                AS DOUBLE) AS sum_profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type LIKE 'STANDARD%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """
+
+
+@query("q64_profit_by_nation", oracle=_PROFIT_BY_NATION_SQL)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_PROFIT_BY_NATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q65 — TPC-H Q17 shape (small-quantity-order revenue): average yearly
+# revenue lost if small orders stop — lineitems with quantity below
+# 20% of their PART'S average quantity, for one brand. The correlated
+# scalar subquery (per-part average) decorrelates to a groupBy(
+# l_partkey) relation joined back to the filtered fact — at scale the
+# per-part aggregate is orders of magnitude smaller than lineitem, so
+# it broadcasts; the brand filter pushes into both scans of lineitem.
+# avg is SUM/COUNT with one final double division (exact integer/
+# decimal internals, q01's discipline).
+# ---------------------------------------------------------------------------
+_SMALL_QTY_REVENUE_SQL = """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)))
+                           AS DECIMAL(38,4)) / 7, 2) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * pa.avg_qty
+    """
+
+
+@query("q65_small_qty_revenue", oracle=_SMALL_QTY_REVENUE_SQL)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_REVENUE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q20 shape (excess-supply suppliers): suppliers of a
+# part family whose shipped volume of a part exceeds 150% of that
+# part's average per-supplier volume — the nested semi-join chain
+# (DISTINCT supplier keys from an aggregated subquery, joined back to
+# supplier/nation) that Q20 runs against partsupp availability (absent
+# from the testdata schema; lineitem volume stands in, same shape).
+# Plan: per-(supp, part) agg is one shuffle on the composite key; the
+# per-part average re-aggregates THAT relation (not the fact); the
+# surviving supplier-key set is tiny and broadcasts into supplier.
+# ---------------------------------------------------------------------------
+_EXCESS_SUPPLIERS_SQL = """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_type LIKE 'ECONOMY%'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_bar AS (
+      SELECT l_partkey,
+             CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_supp_qty
+      FROM shipped
+      GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+      JOIN part_bar pb ON pb.l_partkey = sh.l_partkey
+      WHERE CAST(sh.qty AS DOUBLE) > 1.5 * pb.avg_supp_qty
+    )
+    SELECT s.s_suppkey, s.s_name AS s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_suppkey
+    """
+
+
+@query("q66_excess_suppliers", oracle=_EXCESS_SUPPLIERS_SQL)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_EXCESS_SUPPLIERS_SQL)

@@ -62,6 +62,12 @@ HEADLINE = [
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
     "s17_silhouette_eval",
+    # round-9 additions (total now covers 38 queries): count-min
+    # sketch, MMR diversified re-rank, z-order layout, n-gram novelty
+    "s15_countmin_heavy_hitters",
+    "s18_mmr_diverse_topk",
+    "q63_zorder_layout",
+    "t24_ngram_novelty",
 ]
 
 

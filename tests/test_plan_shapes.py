@@ -69,6 +69,7 @@ SMJ_ALLOWED = {
     "t20_leakage_safe_split",
     "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
     "s13_ivf_recall_eval",  # checkpoint fragment is s03's own plan (cell-candidates x embeddings re-rank join)
+    "q66_excess_suppliers",  # per-(supp,part) volumes x per-part averages: both are partsupp-scale derived aggregates (Q20's availability relation class) — SMJ correct at scale, AQE downgrades where small
 }
 
 
