@@ -48,6 +48,7 @@ GRADED_FIRST = [
     "q64_profit_by_nation",
     "q65_small_qty_revenue",
     "q66_excess_suppliers",
+    "st14_stream_scd2",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
@@ -89,11 +90,10 @@ GRADED_FIRST = [
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     "m03_frame_sample_keys",
-    "m06_scene_cuts",
     "st04_stream_sessions",
     "st08_stream_stream_join",
     "st10_dedup_within_watermark",
-    # (s07/s08/s09/s13/st05/m04/m05/st09 rotated out to make room for the eight new
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06 rotated out to make room for the nine new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

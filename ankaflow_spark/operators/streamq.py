@@ -1095,3 +1095,124 @@ ORACLES["m07_duplicate_frame_pairs"] = """
     FROM pairs
     ORDER BY media_a, media_b
 """
+
+
+def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) -> tuple:
+    """Stage events as N time-sliced files with STRICTLY INCREASING
+    mtimes — a faithful CDC/ingest log: the file source lists by
+    (modification time, path), so triggers consume slices in event-time
+    order, which st14's SCD2 apply contractually requires. (_staged_
+    events' range-partitioned single write gives ascending part NAMES
+    but arbitrary finish-order mtimes — fine for commutative merges
+    like st07/st09, wrong for order-sensitive CDC.)"""
+    import time as _time
+
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_cdc_{hashlib.md5(('v1:' + sf_dir).encode()).hexdigest()[:8]}",
+    )
+    success = os.path.join(staged, "_DONE")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
+        return staged, spark.read.parquet(staged).schema
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged, exist_ok=True)
+    from pyspark.sql.types import TimestampType
+
+    df = t["events"]
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+    bounds = df.selectExpr(
+        "min(ts) AS lo", "max(ts) AS hi", "count(*) AS n"
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / n_slices
+    for i in range(n_slices):
+        s_lo = lo + span * i
+        s_hi = hi if i == n_slices - 1 else lo + span * (i + 1)
+        cond = (F.col("ts") >= F.lit(s_lo)) & (
+            (F.col("ts") <= F.lit(s_hi)) if i == n_slices - 1 else (F.col("ts") < F.lit(s_hi))
+        )
+        tmp = os.path.join(staged, f"__tmp_{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"slice-{i:02d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # strictly increasing mtimes = deterministic source order
+        ts_i = _time.time() - (n_slices - i) * 10
+        os.utime(dst, (ts_i, ts_i))
+    with open(success, "w") as fh:
+        fh.write("ok")
+    return staged, spark.read.parquet(staged).schema
+
+
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (CDC apply), ORACLE-CHECKED cell-
+    exact: the event-type timeline of every user collapses to
+    effective-dated versions maintained INCREMENTALLY across real
+    micro-batches (throttled reader -> multiple triggers) via
+    foreachbatch_scd2 — each batch seeds change detection with the
+    stored current row per key, closes superseded versions, and
+    continues version numbering; the state table IS the dimension
+    history a warehouse serves. Because the time-range staging feeds
+    batches in event-time order (the CDC-apply ordering contract), the
+    final history equals the batch SCD2 build (ts27's shape) over all
+    events — graded against exactly that SQL."""
+    from ..streaming.stream import foreachbatch_scd2, stream_tap
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st14_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    hist = foreachbatch_scd2(
+        stream,
+        key="user_id",
+        attr="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+        state_base=base,
+    )
+    return (
+        hist.select(
+            F.col("k").alias("user_id"),
+            F.col("a").alias("event_type"),
+            F.col("eff_from"),
+            F.col("eff_to"),
+            F.col("version").cast("bigint").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+QUERIES["st14_stream_scd2"] = st14
+# The incrementally-maintained history after ALL triggers == the batch
+# SCD2 build over the full event set (ts27's change-row shape).
+ORACLES["st14_stream_scd2"] = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ),
+    changes AS (
+      SELECT * FROM seq WHERE prev_t IS NULL OR prev_t <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS eff_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS eff_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS version
+    FROM changes
+    ORDER BY user_id, version
+"""

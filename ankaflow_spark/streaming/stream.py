@@ -329,3 +329,115 @@ def foreachbatch_append(
     # `batch=N` subdirs surface as a partition column on read-back —
     # an implementation detail of the idempotent layout, not output
     return stream_df.sparkSession.read.parquet(out).drop("batch")
+
+
+def foreachbatch_scd2(
+    stream_df: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+    state_base: str,
+) -> DataFrame:
+    """Incrementally maintain an SCD2 (type-2 slowly-changing-dimension)
+    history across micro-batches — the streaming CDC-apply twin of the
+    batch ts27 build. State is the history table itself (closed rows +
+    one current row per key); each batch seeds the change-detection LAG
+    with the key's CURRENT attribute, so only genuinely-changed values
+    open a new version, the superseded current row closes at the new
+    version's effective-from, and version numbers continue from the
+    stored maximum. Per batch the work is one window over (key) across
+    batch rows + current rows of touched keys — never a re-sort of
+    history.
+
+    Ordering contract (the CDC-apply contract): batches must arrive in
+    event-time order per key, which the time-range-partitioned staging
+    guarantees here and a log-compacted CDC feed (Kafka per-key
+    ordering, Debezium) guarantees in production. Out-of-order feeds
+    need a reconciliation pass instead — this operator asserts nothing
+    and would interleave wrongly, exactly like any CDC applier.
+
+    Returns the final history as a batch DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ckpt = state_base + "_ckpt"
+    for d in (state_base + "_a", state_base + "_b", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    last_dir: List[str] = []
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        prev = state_base + ("_b" if batch_id % 2 else "_a")
+        nxt = state_base + ("_a" if batch_id % 2 else "_b")
+        evs = batch_df.select(
+            F.col(key).alias("k"),
+            F.col(attr).alias("a"),
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak).alias("tb"),
+            F.lit(False).alias("is_seed"),
+            F.lit(0).cast("bigint").alias("seed_version"),
+        )
+        if os.path.isdir(prev):
+            hist = spark.read.parquet(prev)
+            closed = hist.filter(F.col("eff_to").isNotNull())
+            cur = hist.filter(F.col("eff_to").isNull())
+            seeds = cur.select(
+                F.col("k"),
+                F.col("a"),
+                F.col("eff_from").alias("t"),
+                F.col("eff_tb").alias("tb"),
+                F.lit(True).alias("is_seed"),
+                F.col("version").alias("seed_version"),
+            )
+            seq = evs.unionByName(seeds)
+        else:
+            closed = None
+            seq = evs
+        w = W.partitionBy("k").orderBy("t", "tb")
+        changes = (
+            seq.withColumn("prev_a", F.lag("a").over(w))
+            .filter(F.col("prev_a").isNull() | (F.col("prev_a") != F.col("a")))
+            .drop("prev_a")
+        )
+        wc = W.partitionBy("k").orderBy("t", "tb")
+        versioned = changes.select(
+            "k",
+            "a",
+            F.col("t").alias("eff_from"),
+            F.col("tb").alias("eff_tb"),
+            F.lead("t").over(wc).alias("eff_to"),
+            # Under the ordering contract the seed (stored current row)
+            # sorts FIRST among a key's change rows, so with
+            # rn = ROW_NUMBER over them: the seed gets back its stored
+            # version (rn == 1), new rows continue from it, and a key
+            # never seen before (no seed) numbers from 1:
+            #   version = max_seed_version + rn - has_seed
+            (
+                F.max("seed_version").over(W.partitionBy("k"))
+                + F.row_number().over(wc)
+                - F.max(F.col("is_seed").cast("bigint")).over(W.partitionBy("k"))
+            ).alias("version"),
+        )
+        out = versioned
+        if closed is not None:
+            out = closed.unionByName(versioned)
+        out.write.mode("overwrite").parquet(nxt)
+        last_dir.append(nxt)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if not last_dir:
+        raise RuntimeError("foreachbatch_scd2: no micro-batch executed")
+    return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(
+        eager=True
+    )

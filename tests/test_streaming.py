@@ -395,3 +395,53 @@ def test_stream_stage_batch_sql_op(engine, sf_dir):
     ).first()
     assert row["n"] == want["n"]
     assert abs(row["s"] - want["s"]) < 1e-6
+
+
+def test_st14_scd2_incremental_equals_batch(spark):
+    """The incrementally-maintained SCD2 history must equal the batch
+    change-row build over all events, and must have been produced by
+    MULTIPLE micro-batches (else the incremental path wasn't
+    exercised). Invariants: per-user versions are 1..n with seamless
+    eff_from/eff_to chaining and exactly one open (current) row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_events_ordered
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    hist = QUERIES["st14_stream_scd2"](spark, sf_dir).collect()
+
+    staged, _ = _staged_events_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev_t", F.lag("event_type").over(w))
+        .filter(F.col("prev_t").isNull() | (F.col("prev_t") != F.col("event_type")))
+        .withColumn("eff_to", F.lead("ts").over(w))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("eff_from"),
+            "eff_to",
+            F.col("version").cast("bigint").alias("version"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["version"])
+    assert sorted(map(tuple, hist), key=lambda t: (t[0], t[4])) == sorted(
+        map(tuple, batch), key=lambda t: (t[0], t[4])
+    )
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r["eff_to"] is None) == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a["eff_to"] == b["eff_from"]
