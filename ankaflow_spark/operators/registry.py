@@ -1163,3 +1163,157 @@ def op_woe_binning(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+@operator("countmin_heavy_hitters")
+def op_countmin(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Count-Min sketch heavy hitters (s15 as a reusable stage): build
+    the mergeable D x W sketch in one map-side-combinable pass, then
+    estimate the exact top-k candidates against it, reporting the
+    CM overcount. ``key`` must be integral (hashing is pure integer
+    arithmetic so the stage is engine-exact)."""
+    key_col = params.get("key", "user_id")
+    width = int(params.get("width", 64))
+    k = int(params.get("k", 10))
+    rows = ((0, 2654435761), (1, 1566083941), (2, 1103515245), (3, 22695477))
+    p = 2147483647
+    spark = df.sparkSession
+    hrows = spark.createDataFrame(list(rows), "j INT, mult LONG")
+    key = F.col(key_col).cast("long")
+    cell = lambda kc: ((kc % p) * F.col("mult") + F.col("j")) % p % width
+    sketch = (
+        df.select(key.alias("__k__"))
+        .crossJoin(F.broadcast(hrows))
+        .groupBy("j", cell(F.col("__k__")).alias("cell"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cand = (
+        df.groupBy(key.alias("__k__"))
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "__k__")
+        .limit(k)
+    )
+    est = (
+        cand.crossJoin(F.broadcast(hrows))
+        .withColumn("cell", cell(F.col("__k__")))
+        .join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("__k__", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return est.select(
+        F.col("__k__").alias(key_col),
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), key_col)
+
+
+# ---------------------------------------------------------------------------
+@operator("zorder_layout")
+def op_zorder(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Z-order layout audit (q63 as a reusable stage): interleave two
+    integer dimension expressions into a z-value (inline arithmetic,
+    no shuffle added to the scan) and report per-z-range-file min/max
+    spans of both dimensions vs the natural layout of ``order_key``."""
+    xs = params["x"]
+    ys = params["y"]
+    order_key = params.get("order_key")
+    bits = int(params.get("bits", 10))
+    files = int(params.get("files", 16))
+    side = 1 << bits
+    x = (F.expr(xs).cast("long") % side + side) % side
+    y = (F.expr(ys).cast("long") % side + side) % side
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + ((F.col("__x__").cast("long") / (1 << i)).cast("long") % 2)
+            * (1 << (2 * i))
+            + ((F.col("__y__").cast("long") / (1 << i)).cast("long") % 2)
+            * (1 << (2 * i + 1))
+        )
+    pts = df.select(
+        x.alias("__x__"),
+        y.alias("__y__"),
+        *( [F.expr(order_key).cast("long").alias("__ok__")] if order_key else [] ),
+    ).withColumn("__z__", z)
+    zspace = 1 << (2 * bits)
+    layouts = pts.select(
+        F.lit("zorder").alias("layout"),
+        (F.col("__z__") * files / zspace).cast("long").alias("file_id"),
+        "__x__",
+        "__y__",
+    )
+    if order_key:
+        mk = pts.agg((F.max("__ok__") + 1).alias("__mk__"))
+        nat = (
+            pts.crossJoin(F.broadcast(mk))
+            .select(
+                F.lit("natural").alias("layout"),
+                (F.col("__ok__") * files / F.col("__mk__"))
+                .cast("long")
+                .alias("file_id"),
+                "__x__",
+                "__y__",
+            )
+        )
+        layouts = layouts.unionByName(nat)
+    spans = layouts.groupBy("layout", "file_id").agg(
+        (F.max("__x__") - F.min("__x__")).alias("span_x"),
+        (F.max("__y__") - F.min("__y__")).alias("span_y"),
+        F.count("*").alias("rows_in_file"),
+    )
+    return spans.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("span_x").cast("bigint").alias("sum_x_span"),
+        F.sum("span_y").cast("bigint").alias("sum_y_span"),
+        F.sum("rows_in_file").cast("bigint").alias("n_rows"),
+    ).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+@operator("ngram_novelty")
+def op_ngram_novelty(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Per-document n-gram novelty (t24 as a reusable stage): fraction
+    of each doc's distinct word n-grams whose corpus-wide first
+    occurrence (MIN of ``id``) is this doc."""
+    id_col = params.get("id", "doc_id")
+    text_col = params.get("text", "text")
+    n = int(params.get("n", 5))
+    w = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - n),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
+                    ),
+                ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("__id__").alias("first_id"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("__id__")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("__id__"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id__").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+    ).orderBy(id_col)

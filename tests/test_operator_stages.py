@@ -709,3 +709,73 @@ def test_woe_binning_stage(engine, sf_dir):
               for r in QUERIES["t23_woe_binning"](engine.spark, sf_dir).collect()}
     stage = {r["bin"]: (r["n_pos"], r["n_neg"], r["woe_e4"]) for r in rows}
     assert stage == graded
+
+
+def test_countmin_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: cm
+  op: countmin_heavy_hitters
+  params: {{key: user_id, k: 10}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    graded = QUERIES["s15_countmin_heavy_hitters"](engine.spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, graded))
+
+
+def test_zorder_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: zo
+  op: zorder_layout
+  params:
+    x: "o_custkey"
+    y: "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+    order_key: "o_orderkey"
+"""),
+        engine=engine,
+    )
+    rows = {r["layout"]: r for r in flow.run().collect()}
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = {
+        r["layout"]: r
+        for r in QUERIES["q63_zorder_layout"](engine.spark, sf_dir).collect()
+    }
+    for layout in ("zorder", "natural"):
+        assert rows[layout]["n_files"] == graded[layout]["n_files"]
+        assert rows[layout]["sum_x_span"] == graded[layout]["sum_custkey_span"]
+        assert rows[layout]["sum_y_span"] == graded[layout]["sum_day_span"]
+        assert rows[layout]["n_rows"] == graded[layout]["n_rows"]
+
+
+def test_ngram_novelty_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: nv
+  op: ngram_novelty
+  params: {{id: doc_id, text: text, n: 5}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t24_ngram_novelty"](engine.spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, graded))
