@@ -49,6 +49,8 @@ GRADED_FIRST = [
     "q65_small_qty_revenue",
     "q66_excess_suppliers",
     "st14_stream_scd2",
+    "q67_k_anonymity",
+    "q68_reservoir_sample",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
@@ -90,10 +92,8 @@ GRADED_FIRST = [
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     "m03_frame_sample_keys",
-    "st04_stream_sessions",
-    "st08_stream_stream_join",
     "st10_dedup_within_watermark",
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06 rotated out to make room for the nine new
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08 rotated out to make room for the eleven new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

@@ -784,7 +784,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '1a'
     ORDER BY o_orderkey
     """,
 )
@@ -2500,3 +2500,76 @@ _EXCESS_SUPPLIERS_SQL = """
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_EXCESS_SUPPLIERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q67 — k-anonymity audit: before a table leaves the platform (or
+# enters a training corpus), group it by its quasi-identifier columns
+# and flag equivalence classes smaller than k — rows in those classes
+# are re-identifiable and must be suppressed or generalized. The
+# audit is ONE groupBy on the QI tuple (map-side combinable) plus a
+# 1-row summary; at 100 TB it costs the same as any distinct-count.
+# QIs here: (nation, market segment, account-balance decile) over
+# customer — the decile generalizes the continuous column, exactly
+# how a real release pipeline pre-buckets before auditing.
+# ---------------------------------------------------------------------------
+_K_ANON = 5
+
+
+_K_ANONYMITY_SQL = f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket, class_size,
+           class_size < {_K_ANON} AS violates_k
+    FROM classes
+    WHERE class_size < {_K_ANON}
+    ORDER BY c_nationkey, c_mktsegment, bal_bucket
+    """
+
+
+@query("q67_k_anonymity", oracle=_K_ANONYMITY_SQL)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_K_ANONYMITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q68 — fixed-size deterministic reservoir sample: exactly k rows per
+# stratum regardless of corpus size — the "give me 1000 examples per
+# language for eval" primitive. Bernoulli hash sampling (q21) cannot
+# bound the output size; rank-over-hash can: order each stratum by
+# md5(key), keep the k smallest. The hash order is uniform AND stable
+# (re-runs and engines agree — auditable samples), and the per-stratum
+# top-k runs as a bounded heap per partition before the final merge
+# (TakeOrderedAndProject semantics per group at scale, never a full
+# sort of the corpus).
+# ---------------------------------------------------------------------------
+_RESERVOIR_K = 20
+
+
+_RESERVOIR_SQL = f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS STRING)), o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+    FROM ranked
+    WHERE rk <= {_RESERVOIR_K}
+    ORDER BY o_orderpriority, rk
+    """
+
+
+@query("q68_reservoir_sample", oracle=_RESERVOIR_SQL)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_RESERVOIR_SQL)

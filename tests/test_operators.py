@@ -1362,3 +1362,47 @@ def test_t24_novelty_vs_python_recompute(spark, sf_dir):
         n_grams, n_novel = expect[r["doc_id"]]
         assert (r["n_grams"], r["n_novel"]) == (n_grams, n_novel)
         assert abs(r["novelty"] - n_novel / n_grams) < 1e-12
+
+
+def test_q67_k_anonymity_vs_pandas(spark, sf_dir):
+    """Every reported class must genuinely have < k members, counted
+    independently in pandas over the same bucketing, and no violating
+    class may be missing."""
+    from ankaflow_spark.operators.relational import QUERIES, _K_ANON
+
+    out = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"]): r["class_size"]
+        for r in QUERIES["q67_k_anonymity"](spark, sf_dir).collect()
+    }
+    import math
+
+    pdf = spark.table("customer").toPandas()
+    pdf["bal_bucket"] = pdf["c_acctbal"].map(lambda v: math.floor(float(v) / 1000))
+    sizes = pdf.groupby(["c_nationkey", "c_mktsegment", "bal_bucket"]).size()
+    expect = {k: n for k, n in sizes.items() if n < _K_ANON}
+    assert out == expect
+
+
+def test_q68_reservoir_fixed_size_and_uniformity(spark, sf_dir):
+    """Exactly k rows per stratum (when the stratum has >= k rows),
+    selection = the k smallest md5(orderkey) per stratum recomputed in
+    Python, and the sample is stable across runs."""
+    import hashlib as h
+
+    from ankaflow_spark.operators.relational import QUERIES, _RESERVOIR_K
+
+    rows = QUERIES["q68_reservoir_sample"](spark, sf_dir).collect()
+    by_strat = {}
+    for r in rows:
+        by_strat.setdefault(r["o_orderpriority"], []).append(r)
+    orders = spark.table("orders").select("o_orderpriority", "o_orderkey").collect()
+    pool = {}
+    for r in orders:
+        pool.setdefault(r["o_orderpriority"], []).append(r["o_orderkey"])
+    for strat, keys in pool.items():
+        ranked = sorted(keys, key=lambda k: (h.md5(str(k).encode()).hexdigest(), k))
+        expect = ranked[: _RESERVOIR_K]
+        got = [r["o_orderkey"] for r in sorted(by_strat[strat], key=lambda r: r["rk"])]
+        assert got == expect
+    again = QUERIES["q68_reservoir_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
