@@ -50,6 +50,7 @@ GRADED_FIRST = [
     "q66_excess_suppliers",
     "st14_stream_scd2",
     "q67_k_anonymity",
+    "t25_bpe_merge_training",
     "q68_reservoir_sample",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
@@ -92,8 +93,7 @@ GRADED_FIRST = [
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     "m03_frame_sample_keys",
-    "st10_dedup_within_watermark",
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08 rotated out to make room for the eleven new
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10 rotated out to make room for the twelve new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

@@ -1400,3 +1400,92 @@ def _novelty_sql(spark_dialect: bool) -> str:
 def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_novelty_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t25 — BPE merge training (two unrolled rounds): learn the first two
+# byte-pair-encoding merges from the corpus word-frequency table —
+# the distributed heart of tokenizer training (Sennrich et al. 2016;
+# GPT-2's trainer is this loop run ~50k times). The input is the
+# (word, freq) vocabulary — NOT the raw corpus — exactly how real BPE
+# trainers run (count once, then iterate on the compact vocab). Each
+# round: (1) adjacent-pair counts weighted by word frequency — one
+# groupBy(pair), map-side combinable; (2) global argmax = a 1-row
+# ORDER BY/LIMIT relation broadcast everywhere (q62's scalar-cutoff
+# class); (3) merge applied to every spelling with ONE string replace.
+# The replace trick makes greedy leftmost non-overlapping BPE merging
+# a plain engine primitive in BOTH engines: symbols are separated by
+# TWO spaces with single-space sentinels, so the pattern
+# ' a  b ' consumes one space from each neighboring gap and adjacent
+# occurrences still match (verified: ' a  a  a  b ' -> ' aa  a  b ',
+# the greedy BPE result) — no UDF, no per-row Python in the loop.
+# ---------------------------------------------------------------------------
+_BPE_VOCAB = 200
+
+
+def _bpe_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        spell = "regexp_replace(word, '(.)', '$1  ')"
+        toks = "split(trim(__SP__), '  ')"
+
+        def pairs(sy):
+            return (
+                f"explode(CASE WHEN size({sy}) >= 2 THEN "
+                f"transform(sequence(1, size({sy}) - 1), "
+                f"i -> concat(element_at({sy}, i), '|', element_at({sy}, i + 1))) "
+                f"ELSE array() END)"
+            )
+    else:
+        spell = r"regexp_replace(word, '(.)', '\1  ', 'g')"
+        toks = "string_split(trim(__SP__), '  ')"
+
+        def pairs(sy):
+            return (
+                f"unnest(list_transform(range(1, len({sy})), "
+                f"i -> {sy}[i] || '|' || {sy}[i + 1]))"
+            )
+
+    def count_block(n):
+        return f"""
+    p{n} AS (
+      SELECT freq, {pairs("sy")} AS pair
+      FROM (SELECT freq, {toks.replace('__SP__', f'sp{n}')} AS sy FROM v{n})
+    ),
+    c{n} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p{n} GROUP BY pair),
+    b{n + 1} AS (
+      SELECT split_part(pair, '|', 1) AS a, split_part(pair, '|', 2) AS b, cnt
+      FROM c{n} ORDER BY cnt DESC, pair LIMIT 1
+    )"""
+
+    hint = "/*+ BROADCAST(b1) */ " if spark_dialect else ""
+    return f"""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT {"explode(split(text, ' '))" if spark_dialect else "unnest(string_split(text, ' '))"} AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w ORDER BY freq DESC, word LIMIT {_BPE_VOCAB}
+    ),
+    v0 AS (
+      SELECT freq,
+             ' ' || left({spell}, length({spell}) - 1) AS sp0
+      FROM words
+    ),{count_block(0)},
+    v1 AS (
+      SELECT {hint}freq,
+             replace(sp0, ' ' || b1.a || '  ' || b1.b || ' ',
+                     ' ' || b1.a || b1.b || ' ') AS sp1
+      FROM v0 CROSS JOIN b1
+    ),{count_block(1)}
+    SELECT CAST(1 AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+           a || b AS merged, cnt AS pair_count
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM b2
+    ORDER BY round
+    """
+
+
+@query("t25_bpe_merge_training", oracle=_bpe_sql(False))
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_bpe_sql(True))

@@ -1406,3 +1406,47 @@ def test_q68_reservoir_fixed_size_and_uniformity(spark, sf_dir):
         assert got == expect
     again = QUERIES["q68_reservoir_sample"](spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_t25_bpe_merges_vs_python_trainer(spark, sf_dir):
+    """The two learned merges must equal a literal Python BPE trainer
+    (Sennrich-style) over the same top-200 word-frequency vocabulary:
+    same pair, same weighted count, greedy leftmost merge application."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.textops import QUERIES, _BPE_VOCAB
+
+    out = QUERIES["t25_bpe_merge_training"](spark, sf_dir).collect()
+
+    wc = Counter()
+    for r in spark.table("documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] += 1
+    vocab = dict(
+        sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB]
+    )
+    spellings = {w: list(w) for w in vocab}
+
+    def best_pair():
+        pc = Counter()
+        for w, syms in spellings.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        return min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1]))
+
+    for rnd in (1, 2):
+        (a, b), cnt = best_pair()
+        row = next(r for r in out if r["round"] == rnd)
+        assert (row["left_sym"], row["right_sym"], row["pair_count"]) == (a, b, cnt)
+        assert row["merged"] == a + b
+        for w, syms in spellings.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            spellings[w] = merged

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "s15_countmin_heavy_hitters",  # 10-row candidate list x 4-row hash-row table (sketch probe)
     "s18_mmr_diverse_topk",  # greedy picks over the <=30-row shortlist: inequality joins among <=5-row selection sets
     "q63_zorder_layout",  # 1-row max-orderkey scalar broadcast into the natural-layout file id
+    "t25_bpe_merge_training",  # 1-row best-pair argmax relations (b1/b2) cross-joined into the vocab spellings — q62's scalar class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
