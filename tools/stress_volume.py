@@ -40,6 +40,7 @@ SHIFT_KEY = {
     "events": "event_id",
     "documents": "doc_id",
     "embeddings": "vec_id",
+    "customer": "c_custkey",
 }
 DEFAULT_OPS = ["ts27_scd2_history", "q60_column_profile"]
 
