@@ -1317,3 +1317,47 @@ def op_ngram_novelty(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame
         "n_novel",
         (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
     ).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+@operator("k_anonymity")
+def op_k_anonymity(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """k-anonymity audit (q67 as a reusable stage): group by the
+    quasi-identifier expressions and flag equivalence classes smaller
+    than k. ``quasi`` is a list of SQL expressions (pre-bucket
+    continuous columns in the expression, e.g. "floor(bal / 1000)")."""
+    quasi = params["quasi"]
+    k = int(params.get("k", 5))
+    cols = [F.expr(q).alias(f"qi_{i}") for i, q in enumerate(quasi)]
+    classes = df.groupBy(*cols).agg(F.count("*").cast("bigint").alias("class_size"))
+    return (
+        classes.filter(F.col("class_size") < k)
+        .withColumn("violates_k", F.lit(True))
+        .orderBy(*[f"qi_{i}" for i in range(len(quasi))])
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("reservoir_sample")
+def op_reservoir_sample(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Fixed-size deterministic per-stratum sample (q68 as a reusable
+    stage): the k rows with the smallest md5(key) per stratum — stable
+    across runs and engines, bounded output at any input volume. The
+    rank filter compiles to WindowGroupLimit, so each partition keeps
+    only k candidates before the shuffle."""
+    from pyspark.sql.window import Window as W
+
+    key_col = params.get("key")
+    stratum = params.get("stratum")
+    k = int(params.get("k", 20))
+    h = F.md5(F.col(key_col).cast("string"))
+    w = (
+        W.partitionBy(stratum).orderBy(h, key_col)
+        if stratum
+        else W.orderBy(h, key_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .orderBy(*([stratum, "rk"] if stratum else ["rk"]))
+    )

@@ -779,3 +779,47 @@ def test_ngram_novelty_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["t24_ngram_novelty"](engine.spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, graded))
+
+
+def test_k_anonymity_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: customer
+  connection: {{kind: parquet, locator: {sf_dir}/customer.parquet}}
+- kind: operator
+  name: ka
+  op: k_anonymity
+  params:
+    quasi: ["c_nationkey", "c_mktsegment", "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)"]
+    k: 5
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q67_k_anonymity"](engine.spark, sf_dir).collect()
+    assert sorted((r[0], r[1], r[2], r[3]) for r in rows) == sorted(
+        (r[0], r[1], r[2], r[3]) for r in graded
+    )
+
+
+def test_reservoir_sample_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: rs
+  op: reservoir_sample
+  params: {{key: o_orderkey, stratum: o_orderpriority, k: 20}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().select("o_orderpriority", "rk", "o_orderkey", "o_totalprice").collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q68_reservoir_sample"](engine.spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, graded))
