@@ -51,6 +51,7 @@ GRADED_FIRST = [
     "st14_stream_scd2",
     "q67_k_anonymity",
     "t25_bpe_merge_training",
+    "st15_stream_novelty",
     "q68_reservoir_sample",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
@@ -74,7 +75,6 @@ GRADED_FIRST = [
     # (2) stalest: last graded r03
     "d05_embedding_neardup",
     "d09_simhash_neardup",
-    "q08_union_all",
     "q10_calendar",
     "q11_having",
     "q12_semi_join",
@@ -93,7 +93,7 @@ GRADED_FIRST = [
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     "m03_frame_sample_keys",
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10 rotated out to make room for the twelve new
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10 and q08 rotated out to make room for the thirteen new
     # round-7 operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]

@@ -1216,3 +1216,98 @@ ORACLES["st14_stream_scd2"] = """
     FROM changes
     ORDER BY user_id, version
 """
+
+
+def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) -> tuple:
+    """Stage documents as N doc_id-ranged files with strictly increasing
+    mtimes (the snapshot-ingest twin of _staged_events_ordered): st15's
+    first-seen registry contract requires batches in ascending doc_id."""
+    import time as _time
+
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_docs_{hashlib.md5(('v1:' + sf_dir).encode()).hexdigest()[:8]}",
+    )
+    success = os.path.join(staged, "_DONE")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
+        return staged, spark.read.parquet(staged).schema
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged, exist_ok=True)
+    df = t["documents"]
+    hi = df.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = max(1, hi // n_slices + 1)
+    for i in range(n_slices):
+        part = df.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        tmp = os.path.join(staged, f"__tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"slice-{i:02d}.parquet")
+        os.replace(os.path.join(tmp, pf), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        ts_i = _time.time() - (n_slices - i) * 10
+        os.utime(dst, (ts_i, ts_i))
+    with open(success, "w") as fh:
+        fh.write("ok")
+    return staged, spark.read.parquet(staged).schema
+
+
+def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental n-gram novelty, ORACLE-CHECKED cell-exact
+    against the batch t24: the first-seen gram registry (gram ->
+    smallest doc_id) is maintained as cross-batch state, each batch's
+    docs are scored against the merged registry, and the appended
+    verdicts over all triggers equal the batch novelty computation —
+    the incremental-snapshot curation pattern (d11's) applied to
+    corpus-redundancy scoring. Batches arrive in ascending doc_id
+    (mtime-ordered staging), so no later doc can steal a first
+    occurrence."""
+    from ..streaming.stream import foreachbatch_first_seen, stream_tap
+    from .textops import _NOVELTY_N as n
+
+    staged, schema = _staged_docs_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st15_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+
+    def make_grams(batch_df):
+        w = F.split(F.col("text"), " ")
+        return batch_df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size(w) >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(w) - n),
+                            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))),
+                        ),
+                    ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+                )
+            ).alias("g"),
+        )
+
+    verdicts = foreachbatch_first_seen(stream, make_grams, "doc_id", base)
+    return (
+        verdicts.select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["st15_stream_novelty"] = st15
+from .textops import _novelty_sql as _t24_sql  # noqa: E402
+
+ORACLES["st15_stream_novelty"] = _t24_sql(False)

@@ -441,3 +441,72 @@ def foreachbatch_scd2(
     return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(
         eager=True
     )
+
+
+def foreachbatch_first_seen(
+    stream_df: DataFrame,
+    make_grams,
+    id_col: str,
+    state_base: str,
+) -> DataFrame:
+    """Incremental first-occurrence novelty across micro-batches:
+    state is the FIRST-SEEN REGISTRY (gram -> smallest id that contains
+    it) — the relation an incremental curation pipeline persists so new
+    snapshots never re-scan old corpora (d11's argument, applied to
+    t24's novelty). Per batch: the batch's grams merge into the
+    registry with a MIN re-aggregation, and each batch doc's novelty
+    verdict (n_grams, n_novel) is computed against the MERGED registry,
+    then appended. Ordering contract: batches must arrive in ascending
+    ``id_col`` (the staged ingest guarantees it); then no later doc can
+    steal a first occurrence from an earlier one, and the appended
+    verdicts equal the batch computation over the full corpus.
+
+    ``make_grams(batch_df) -> DataFrame[(id, g)]`` distinct grams/doc.
+    Returns the union of all batch verdicts as a batch DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ckpt = state_base + "_ckpt"
+    out = state_base + "_out"
+    for d in (state_base + "_a", state_base + "_b", ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        prev = state_base + ("_b" if batch_id % 2 else "_a")
+        nxt = state_base + ("_a" if batch_id % 2 else "_b")
+        grams = make_grams(batch_df)
+        batch_first = grams.groupBy("g").agg(F.min("id").alias("first_id"))
+        if os.path.isdir(prev):
+            merged = (
+                batch_first.unionByName(spark.read.parquet(prev))
+                .groupBy("g")
+                .agg(F.min("first_id").alias("first_id"))
+            )
+        else:
+            merged = batch_first
+        merged.write.mode("overwrite").parquet(nxt)
+        registry = spark.read.parquet(nxt)
+        verdicts = (
+            grams.join(registry, "g")
+            .groupBy("id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_grams"),
+                F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_novel"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.read.parquet(out).drop("batch")

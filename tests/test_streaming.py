@@ -445,3 +445,21 @@ def test_st14_scd2_incremental_equals_batch(spark):
         assert sum(1 for r in rows if r["eff_to"] is None) == 1
         for a, b in zip(rows, rows[1:]):
             assert a["eff_to"] == b["eff_from"]
+
+
+def test_st15_incremental_novelty_equals_batch(spark):
+    """The appended per-batch novelty verdicts over all triggers must
+    equal the batch t24 computation, and must have been produced by
+    multiple micro-batches."""
+    import os
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_docs_ordered
+    from ankaflow_spark.operators.textops import QUERIES as TQ
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream_rows = QUERIES["st15_stream_novelty"](spark, sf_dir).collect()
+    staged, _ = _staged_docs_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+    batch_rows = TQ["t24_ngram_novelty"](spark, sf_dir).collect()
+    assert sorted(map(tuple, stream_rows)) == sorted(map(tuple, batch_rows))
