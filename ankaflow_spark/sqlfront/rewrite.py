@@ -586,6 +586,40 @@ def _histogram_1(a):
     )
 
 
+def _jaccard_2(a):
+    """DuckDB jaccard(s1, s2) -> character-SET Jaccard similarity
+    (case-sensitive, multiset-insensitive: jaccard('aab','ab') = 1.0 —
+    verified against DuckDB). Spark spelling: distinct char arrays via
+    a between-chars lookahead split, then set intersect/union sizes.
+    DuckDB errors on empty inputs; the Spark form returns NULL there
+    (division by a 0-size union of two empties cannot occur since any
+    non-empty side makes the union non-empty)."""
+
+    def chars(x):
+        # the between-chars split emits one trailing '' (the end-of-
+        # string position also satisfies the lookahead) — drop it
+        return (
+            f"array_distinct(filter(split(({x}), '(?!^)'), __hc -> __hc <> ''))"
+        )
+
+    x, y = a[0], a[1]
+    return (
+        f"(CAST(size(array_intersect({chars(x)}, {chars(y)})) AS DOUBLE)"
+        f" / size(array_union({chars(x)}, {chars(y)})))"
+    )
+
+
+def _mismatches_2(a):
+    """DuckDB mismatches/hamming(s1, s2) -> position-wise differing
+    character count (inputs must be equal length, as in DuckDB)."""
+    x, y = a[0], a[1]
+    return (
+        f"aggregate(zip_with(split(({x}), '(?!^)'), split(({y}), '(?!^)'), "
+        f"(__hx, __hy) -> CASE WHEN __hx <=> __hy THEN 0 ELSE 1 END), "
+        f"CAST(0 AS BIGINT), (__ha, __hv) -> __ha + __hv)"
+    )
+
+
 def _bar_template(a):
     """DuckDB bar(x, min, max[, width=80]) -> a '█'-bar string.
 
@@ -684,6 +718,9 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
     },
     "histogram": {1: _histogram_1},
     "bar": {3: _bar_template, 4: _bar_template},
+    "jaccard": {2: _jaccard_2},
+    "mismatches": {2: _mismatches_2},
+    "hamming": {2: _mismatches_2},
 }
 
 _READ_TABLE_FNS = frozenset(
@@ -698,11 +735,11 @@ KNOWN_UNSUPPORTED_FNS: Dict[str, str] = {
     "histogram": "histogram(x) rewrites (MAP<x,count>); the binned 2-arg form does not — GROUP BY width_bucket(x, lo, hi, n) and COUNT(*)",
     "bar": "bar(x, min, max[, width]) rewrites (full-block bars); other arities do not",
     "generate_subscripts": "posexplode(array) yields (pos, value); sequence(1, size(a)) yields indexes",
-    "jaccard": "use the n-gram Jaccard operator (d03) or levenshtein()",
+    "jaccard": "jaccard(s1, s2) rewrites (character-set Jaccard); other arities do not",
     "jaro_winkler_similarity": "no Spark builtin; levenshtein() is available, or register a macro UDF",
     "jaro_similarity": "no Spark builtin; levenshtein() is available, or register a macro UDF",
     "damerau_levenshtein": "no Spark builtin; levenshtein() is available, or register a macro UDF",
-    "mismatches": "no Spark builtin (hamming distance); compare with levenshtein() or a macro UDF",
+    "mismatches": "mismatches(s1, s2) rewrites (position-wise count); other arities do not",
 }
 
 _DIALECT_CALL = re.compile(

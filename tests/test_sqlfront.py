@@ -734,3 +734,40 @@ class TestRound5Dialect:
             == "SELECT o_orderstatus, count(*) AS c FROM orders GROUP BY 1"
         )
         assert n("FROM orders SELECT o_orderkey") == "SELECT o_orderkey FROM orders"
+
+
+class TestStringSimilarityRewrites:
+    def test_jaccard_and_mismatches_match_duckdb(self, spark):
+        """jaccard()/mismatches()/hamming() rewrites must reproduce
+        DuckDB's values exactly on a golden case set (character-SET
+        jaccard, case-sensitive, multiset-insensitive)."""
+        import duckdb
+
+        from ankaflow_spark.sqlfront.rewrite import rewrite_sql
+
+        cases = [
+            ("duck", "luck"),
+            ("ABC", "abc"),
+            ("aab", "ab"),  # unequal length: jaccard only (mismatches errors in DuckDB too)
+            ("spark", "spork"),
+            ("same", "same"),
+        ]
+        sel = ", ".join(
+            f"jaccard('{a}', '{b}') AS j{i}"
+            + (f", mismatches('{a}', '{b}') AS m{i}" if len(a) == len(b) else "")
+            for i, (a, b) in enumerate(cases)
+        )
+        want = duckdb.connect().execute(f"SELECT {sel}").fetchall()[0]
+        got = spark.sql(rewrite_sql(f"SELECT {sel}", {})).collect()[0]
+        assert tuple(got) == tuple(want)
+
+    def test_other_similarity_fns_reject_actionably(self):
+        import pytest as _pytest
+
+        from ankaflow_spark.sqlfront.rewrite import (
+            UnsupportedDialect,
+            rewrite_sql,
+        )
+
+        with _pytest.raises(UnsupportedDialect):
+            rewrite_sql("SELECT jaro_similarity('a', 'b')", {})
