@@ -687,12 +687,17 @@ class TestRound5Dialect:
             expand_dialect_functions as e,
         )
 
-        # histogram(x) / bar(x, lo, hi) rewrite since round 7; the binned
-        # 2-arg histogram and other arities still reject actionably
-        for fn, hint in (("histogram(x, [1,2])", "width_bucket"), ("jaccard(a,b)", "d03")):
+        # histogram(x) / bar(x, lo, hi) / jaccard(a, b) rewrite since
+        # round 7; the binned 2-arg histogram, other arities, and the
+        # jaro family still reject actionably
+        for fn, hint in (
+            ("histogram(x, [1,2])", "width_bucket"),
+            ("jaro_similarity(a,b)", "levenshtein"),
+        ):
             with pytest.raises(UnsupportedDialect, match=hint):
                 e(f"SELECT {fn} FROM t")
         assert "map_from_entries" in e("SELECT histogram(x) FROM t")
+        assert "array_intersect" in e("SELECT jaccard(a, b) FROM t")
 
     def test_json_arrow_and_cast(self):
         from ankaflow_spark.sqlfront.rewrite import normalize_dialect as n
