@@ -1685,13 +1685,16 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dots over the whole corpus (the expensive part — same plan as s01);
 # the greedy loop then runs entirely on a 30-row shortlist whose
 # pairwise-dot table is bounded (30 x 30), exactly how production MMR
-# re-ranks an ANN shortlist rather than the corpus. The 5-step greedy
-# unrolls to constant-size CTEs — no iteration state, no driver loop.
-# Spark materializes the shortlist and its pair-dot table ONCE
-# (localCheckpoint) before the greedy SQL: each greedy step references
-# both several times, and CTE inlining would re-expand the whole
-# corpus chain per reference (a ~25k-node physical plan observed when
-# fully inlined — compile time, not data, becomes the cost).
+# re-ranks an ANN shortlist rather than the corpus. Spark-side the
+# corpus pass is ONE zip_with/aggregate integer fold per candidate row
+# (s01's plan class — no posexplode, no per-dimension shuffle); the
+# shortlist and its pair-dot table are materialized once
+# (localCheckpoint), and each greedy step is materialized too: the
+# step CTEs reference their predecessor 2-3 times, so leaving them to
+# Catalyst's CTE inlining re-expands the chain ~3^k-fold (a ~25k-node
+# physical plan and multi-second compile observed when fully inlined).
+# Each step is a <=30-row job; DuckDB runs the identical step SQL as a
+# plain CTE chain (it materializes multiply-referenced CTEs itself).
 # Integer discipline: e6-quantized components, sequential-fold-free
 # (dots are exact integer SUMs), ties break to the smaller vec_id —
 # cell-exact cross-engine.
@@ -1699,28 +1702,36 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_SHORTLIST = 30
 _MMR_K = 5
 
+# e6-quantized exact-integer dot product folded over the embedding
+# arrays — the Spark fast path (stays in whole-stage codegen; no
+# explode, no shuffle). The oracle quantizes identically via its
+# unnested dims CTE; both sides SUM exact BIGINTs.
+def _mmr_fold(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
+        "CAST(floor(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
 
-def _mmr_greedy_sql(sl: str, pd: str, hint: str = "") -> str:
-    """Greedy MMR tail over a materialized shortlist relation ``sl``
-    (cid, rel) and pair-dot relation ``pd`` (a, b, dot) — shared
-    verbatim by both engines; only the table names (and Spark's
-    broadcast hint for the stats-less checkpointed pair table) differ."""
-    parts = [f"""
-    WITH sel1 AS (SELECT cid, rel, 1 AS pick FROM {sl} ORDER BY rel DESC, cid LIMIT 1)"""]
-    for k in range(2, _MMR_K + 1):
-        prev = f"sel{k - 1}"
-        parts.append(f""",
-    step{k} AS (
+
+def _mmr_step_sql(k: int, sl: str, pd: str, prev: str, hint: str = "") -> str:
+    """One greedy MMR step: among unpicked shortlist candidates, take
+    argmax of 2*rel - max(dot to any previous pick). Shared verbatim by
+    both engines; only table names (and Spark's broadcast hint for the
+    stats-less checkpointed pair table) differ."""
+    return f"""
       SELECT {hint}c.cid, c.rel, {k} AS pick
       FROM {sl} c JOIN {prev} s ON s.cid <> c.cid
       JOIN {pd} p ON p.a = c.cid AND p.b = s.cid
       WHERE c.cid NOT IN (SELECT cid FROM {prev})
       GROUP BY c.cid, c.rel
-      ORDER BY 2 * c.rel - MAX(p.dot) DESC, c.cid LIMIT 1
-    ),
-    sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{k})""")
-    last = f"sel{_MMR_K}"
-    parts.append(f"""
+      ORDER BY 2 * c.rel - MAX(p.dot) DESC, c.cid LIMIT 1"""
+
+
+def _mmr_final_sql(last: str, pd: str, hint: str = "") -> str:
+    """Annotate the picked set with max similarity to earlier picks."""
+    return f"""
     SELECT {hint}s.pick AS pick, s.cid AS cid, s.rel AS rel,
            CAST(COALESCE(MAX(p.dot), 0) AS BIGINT) AS max_sim_prev
     FROM {last} s
@@ -1728,7 +1739,22 @@ def _mmr_greedy_sql(sl: str, pd: str, hint: str = "") -> str:
     LEFT JOIN {pd} p ON p.a = s.cid AND p.b = s2.cid
     GROUP BY s.pick, s.cid, s.rel
     ORDER BY s.pick
-    """)
+    """
+
+
+def _mmr_greedy_sql(sl: str, pd: str) -> str:
+    """Full greedy chain as one CTE statement (oracle side — DuckDB
+    materializes multiply-referenced CTEs, so the chain stays linear).
+    Built from the same per-step SQL Spark executes."""
+    parts = [f"""
+    WITH sel1 AS (SELECT cid, rel, 1 AS pick FROM {sl} ORDER BY rel DESC, cid LIMIT 1)"""]
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        parts.append(f""",
+    step{k} AS ({_mmr_step_sql(k, sl, pd, prev)}
+    ),
+    sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{k})""")
+    parts.append(_mmr_final_sql(f"sel{_MMR_K}", pd))
     return "".join(parts)
 
 
@@ -1765,47 +1791,37 @@ def _mmr_oracle_sql() -> str:
 
 @query("s18_mmr_diverse_topk", oracle=_mmr_oracle_sql())
 def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    t = load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir)
     cached_embeddings(spark)
-    dims = (
-        t["embeddings"]
-        .select("vec_id", F.posexplode("embedding").alias("d", "pv"))
-        .select(
-            "vec_id",
-            "d",
-            F.floor(F.col("pv").cast("double") * 1000000).cast("bigint").alias("q"),
-        )
-    )
-    qd = F.broadcast(
-        dims.filter(F.col("vec_id") == 0).select("d", F.col("q").alias("qq"))
-    )
-    rel = (
-        dims.filter(F.col("vec_id") != 0)
-        .join(qd, "d")
-        .groupBy(F.col("vec_id").alias("cid"))
-        .agg(F.sum(F.col("q") * F.col("qq")).cast("bigint").alias("rel"))
-    )
-    sl = (
-        rel.orderBy(F.col("rel").desc(), "cid")
-        .limit(_MMR_SHORTLIST)
-        .localCheckpoint(eager=True)  # referenced by every greedy step
-    )
-    sdims = dims.join(
-        F.broadcast(sl.select(F.col("cid").alias("vec_id"))), "vec_id"
-    )
-    a = sdims.select(F.col("vec_id").alias("a"), "d", F.col("q").alias("qa"))
-    b = sdims.select(F.col("vec_id").alias("b"), "d", F.col("q").alias("qb"))
-    pd_df = (
-        a.join(b, ["d"])
-        .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"))
-        .localCheckpoint(eager=True)  # <= shortlist^2 rows
-    )
-    sl.createOrReplaceTempView("s18_sl")
-    pd_df.createOrReplaceTempView("s18_pd")
-    return spark.sql(
-        _mmr_greedy_sql("s18_sl", "s18_pd", hint="/*+ BROADCAST(p) */ ")
-    )
+    # Corpus pass: one broadcast of the query vector, one zip_with
+    # integer fold per candidate row, top-30 via TakeOrderedAndProject.
+    # Embeddings ride along so the pair-dot table needs no second
+    # corpus scan.
+    sl_full = spark.sql(f"""
+      SELECT /*+ BROADCAST(q) */ c.vec_id AS cid,
+             {_mmr_fold('c.embedding', 'q.qe')} AS rel,
+             c.embedding AS e
+      FROM embeddings c
+      CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0
+      ORDER BY 2 DESC, 1 LIMIT {_MMR_SHORTLIST}
+    """).localCheckpoint(eager=True)
+    sl_full.createOrReplaceTempView("s18_slf")
+    sl_full.select("cid", "rel").createOrReplaceTempView("s18_sl")
+    spark.sql(f"""
+      SELECT a.cid AS a, b.cid AS b, {_mmr_fold('a.e', 'b.e')} AS dot
+      FROM s18_slf a JOIN s18_slf b ON a.cid <> b.cid
+    """).localCheckpoint(eager=True).createOrReplaceTempView("s18_pd")
+    hint = "/*+ BROADCAST(p) */ "
+    sel = spark.sql(
+        "SELECT cid, rel, 1 AS pick FROM s18_sl ORDER BY rel DESC, cid LIMIT 1"
+    ).localCheckpoint(eager=True)
+    for k in range(2, _MMR_K + 1):
+        sel.createOrReplaceTempView("s18_sel")
+        step = spark.sql(_mmr_step_sql(k, "s18_sl", "s18_pd", "s18_sel", hint))
+        # Materialize each <=k-row selection set: the step SQL
+        # references its predecessor 2-3x, and inlined CTEs re-expand
+        # the chain ~3^k-fold (plan compile dominates wall time).
+        sel = sel.union(step).localCheckpoint(eager=True)
+    sel.createOrReplaceTempView("s18_last")
+    return spark.sql(_mmr_final_sql("s18_last", "s18_pd", hint))
