@@ -453,13 +453,17 @@ def foreachbatch_first_seen(
     state is the FIRST-SEEN REGISTRY (gram -> smallest id that contains
     it) — the relation an incremental curation pipeline persists so new
     snapshots never re-scan old corpora (d11's argument, applied to
-    t24's novelty). Per batch: the batch's grams merge into the
-    registry with a MIN re-aggregation, and each batch doc's novelty
-    verdict (n_grams, n_novel) is computed against the MERGED registry,
-    then appended. Ordering contract: batches must arrive in ascending
-    ``id_col`` (the staged ingest guarantees it); then no later doc can
-    steal a first occurrence from an earlier one, and the appended
-    verdicts equal the batch computation over the full corpus.
+    t24's novelty). The registry is APPEND-ONLY: because batches arrive
+    in ascending ``id_col`` (the staged ingest guarantees it), a gram
+    already present can never change owner, so each batch anti-joins
+    its gram set against the registry and appends ONLY its genuinely
+    new grams (one ``gen={batch_id}`` parquet subdir per trigger).
+    Per-batch write cost is O(new grams) — total writes across the run
+    are linear in distinct grams, where a merge-rewrite registry would
+    re-write O(registry) every batch (super-linear total, the r12
+    stress finding). Verdicts need no merged-registry re-read either: a
+    batch doc's gram is novel iff it is absent from the prior registry
+    AND this doc is the batch-minimum id for it.
 
     ``make_grams(batch_df) -> DataFrame[(id, g)]`` distinct grams/doc.
     Returns the union of all batch verdicts as a batch DataFrame."""
@@ -470,27 +474,29 @@ def foreachbatch_first_seen(
 
     ckpt = state_base + "_ckpt"
     out = state_base + "_out"
-    for d in (state_base + "_a", state_base + "_b", ckpt, out):
+    reg = state_base + "_reg"
+    for d in (reg, ckpt, out):
         shutil.rmtree(d, ignore_errors=True)
 
     def merge_batch(batch_df, batch_id: int):
         spark = batch_df.sparkSession
-        prev = state_base + ("_b" if batch_id % 2 else "_a")
-        nxt = state_base + ("_a" if batch_id % 2 else "_b")
         grams = make_grams(batch_df)
         batch_first = grams.groupBy("g").agg(F.min("id").alias("first_id"))
-        if os.path.isdir(prev):
-            merged = (
-                batch_first.unionByName(spark.read.parquet(prev))
-                .groupBy("g")
-                .agg(F.min("first_id").alias("first_id"))
+        gens = os.path.isdir(reg) and any(
+            e.startswith("gen=") for e in os.listdir(reg)
+        )
+        if gens:
+            # One read-only scan of the registry; only the batch's NEW
+            # grams survive (and get appended below).
+            new = batch_first.join(
+                spark.read.parquet(reg).select("g"), "g", "left_anti"
             )
         else:
-            merged = batch_first
-        merged.write.mode("overwrite").parquet(nxt)
-        registry = spark.read.parquet(nxt)
+            new = batch_first
+        new.write.mode("overwrite").parquet(f"{reg}/gen={batch_id}")
+        new_back = spark.read.parquet(f"{reg}/gen={batch_id}")
         verdicts = (
-            grams.join(registry, "g")
+            grams.join(new_back, "g", "left")
             .groupBy("id")
             .agg(
                 F.count("*").cast("bigint").alias("n_grams"),
