@@ -40,6 +40,7 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "t26_pmi_collocations",
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
@@ -92,9 +93,9 @@ GRADED_FIRST = [
     "ts04_json_props",
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
-    "m03_frame_sample_keys",
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10 and q08 rotated out to make room for the thirteen new
-    # round-7 operators; all were driver-graded green in r04 and stay
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08 and
+    # m03 rotated out to make room for the fourteen new round-7
+    # operators; all were driver-graded green in r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]
 

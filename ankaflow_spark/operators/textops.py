@@ -1489,3 +1489,83 @@ def _bpe_sql(spark_dialect: bool) -> str:
 def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_bpe_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t26 — PMI collocation mining: corpus-level top-K word pairs by
+# pointwise mutual information, the classic collocation/phrase-table
+# builder (Church & Hanks 1990) a tokenizer- or phrase-aware curation
+# pipeline runs to decide which adjacent pairs deserve a merged token.
+# PMI = ln(c12 * N / (cl * cr)) with cl/cr the bigram-position
+# marginals; pairs under _PMI_MIN_COUNT occurrences are noise and are
+# dropped before ranking. Scale shape: everything derives from the
+# DISTINCT-BIGRAM count table `big` — one generator pass over the
+# corpus (t13's materialized bigram table on the Spark side), one
+# groupBy, then the marginals/total are aggregations over `big`
+# itself (vocab^2-bounded, far smaller than the corpus), so no second
+# corpus scan. Spark materializes `big` once (localCheckpoint): the
+# tail references it four times and CTE inlining would re-run the
+# bigram groupBy per reference. Cross-engine: counts are exact
+# BIGINTs, the PMI double is ROUND(...,6) (t13's ln convention), ties
+# break on (w1, w2).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the text-curation family like t11-t25.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+def _pmi_tail_sql(big: str) -> str:
+    """Ranking tail over a bigram-count relation ``big`` (w1, w2, c2)
+    — shared verbatim by both engines."""
+    return f"""
+    WITH uni_l AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl FROM {big} GROUP BY w1),
+    uni_r AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cr FROM {big} GROUP BY w2),
+    tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM {big})
+    SELECT b.w1 AS w1, b.w2 AS w2, b.c2 AS pair_count,
+           ROUND(ln((CAST(b.c2 AS DOUBLE) * CAST(t.n AS DOUBLE)) /
+                    (CAST(l.cl AS DOUBLE) * CAST(r.cr AS DOUBLE))), 6) AS pmi
+    FROM {big} b
+    JOIN uni_l l ON l.w1 = b.w1
+    JOIN uni_r r ON r.w2 = b.w2
+    CROSS JOIN tot t
+    WHERE b.c2 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """
+
+
+def _pmi_oracle_sql() -> str:
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    tail = _pmi_tail_sql("big").strip()
+    assert tail.startswith("WITH ")
+    return f"""
+    WITH bigrams AS (
+      SELECT w[pos] AS w1, w[pos + 1] AS w2
+      FROM (
+        SELECT w, unnest(range(1, greatest(len(w), 1))) AS pos
+        FROM (SELECT {toks} AS w FROM documents)
+      )
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bigrams GROUP BY w1, w2),
+    {tail[len("WITH "):]}
+    """
+
+
+@query("t26_pmi_collocations", oracle=_pmi_oracle_sql())
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    load_tables(spark, sf_dir)
+    key = (id(spark), _os.path.abspath(sf_dir))
+    df = _T13_MATERIALIZED.get(key)
+    if df is None:
+        df = spark.sql(_T13_SPARK_BIGRAMS).localCheckpoint(eager=True)
+        _T13_MATERIALIZED[key] = df
+    df.createOrReplaceTempView("t13_bigrams")
+    spark.sql(
+        "SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 "
+        "FROM t13_bigrams GROUP BY w1, w2"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("t26_big")
+    return spark.sql(_pmi_tail_sql("t26_big"))

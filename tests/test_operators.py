@@ -1450,3 +1450,41 @@ def test_t25_bpe_merges_vs_python_trainer(spark, sf_dir):
                     merged.append(syms[i])
                     i += 1
             spellings[w] = merged
+
+
+def test_t26_pmi_vs_python(spark, sf_dir):
+    """The distributed PMI collocation ranking must reproduce a literal
+    in-memory computation: same pairs, same exact counts, same
+    6dp-rounded PMI, same order."""
+    import math
+    from collections import Counter
+
+    from ankaflow_spark.operators.textops import (
+        _PMI_MIN_COUNT,
+        _PMI_TOP,
+        QUERIES,
+    )
+
+    out = QUERIES["t26_pmi_collocations"](spark, sf_dir).collect()
+    big: Counter = Counter()
+    for r in spark.table("documents").select("text").collect():
+        w = [x for x in r["text"].lower().split(" ") if x != ""]
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] += 1
+    cl: Counter = Counter()
+    cr: Counter = Counter()
+    for (a, b), c in big.items():
+        cl[a] += c
+        cr[b] += c
+    n = sum(big.values())
+    scored = [
+        (round(math.log(c * n / (cl[a] * cr[b])), 6), a, b, c)
+        for (a, b), c in big.items()
+        if c >= _PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = scored[:_PMI_TOP]
+    assert len(out) == len(expect)
+    for r, (pmi, a, b, c) in zip(out, expect):
+        assert (r["w1"], r["w2"], r["pair_count"]) == (a, b, c)
+        assert r["pmi"] == pmi

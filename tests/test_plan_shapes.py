@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "s18_mmr_diverse_topk",  # greedy picks over the <=30-row shortlist: inequality joins among <=5-row selection sets
     "q63_zorder_layout",  # 1-row max-orderkey scalar broadcast into the natural-layout file id
     "t25_bpe_merge_training",  # 1-row best-pair argmax relations (b1/b2) cross-joined into the vocab spellings — q62's scalar class
+    "t26_pmi_collocations",  # 1-row corpus-total scalar (tot) cross-joined into the PMI projection — t15's idf class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
