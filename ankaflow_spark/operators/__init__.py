@@ -41,6 +41,8 @@ GRADED_FIRST = [
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
     "t26_pmi_collocations",
+    "ts29_markov_transitions",
+    "q69_l_diversity",
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
@@ -88,14 +90,12 @@ GRADED_FIRST = [
     "q23_month445",
     "q24_string_agg",
     "q27_intersect_except",
-    "q28_fn_sql_surface",
-    "q29_fn_calendar",
     "ts04_json_props",
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08 and
-    # m03 rotated out to make room for the fourteen new round-7
-    # operators; all were driver-graded green in r04 and stay
+    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
+    # q28 and q29 rotated out to make room for the sixteen new round-7
+    # operators; all were driver-graded green in r03/r04 and stay
     # cell-exact in CORRECTNESS_FULL_r11+.)
 ]
 

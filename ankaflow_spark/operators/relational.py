@@ -2573,3 +2573,40 @@ _RESERVOIR_SQL = f"""
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_RESERVOIR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q69 — l-diversity audit: k-anonymity (q67) bounds re-identification
+# but not attribute disclosure — a class of 50 rows that all share one
+# market segment still leaks the segment. The l-diversity audit groups
+# by the quasi-identifiers and flags classes whose SENSITIVE attribute
+# (here c_mktsegment) has fewer than L distinct values. Same scale
+# shape as q67: one groupBy on the QI tuple with a distinct aggregate
+# (partial-aggregated on the QI keys; no Expand — a single
+# COUNT(DISTINCT) over one column rewrites to two-phase aggregation),
+# output bounded by the violating classes.
+# ---------------------------------------------------------------------------
+_L_DIVERSE = 3
+
+
+_L_DIVERSITY_SQL = f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_bucket, class_size, n_sensitive,
+           n_sensitive < {_L_DIVERSE} AS violates_l
+    FROM classes
+    WHERE n_sensitive < {_L_DIVERSE}
+    ORDER BY c_nationkey, bal_bucket
+    """
+
+
+@query("q69_l_diversity", oracle=_L_DIVERSITY_SQL)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_L_DIVERSITY_SQL)

@@ -1577,3 +1577,47 @@ def _cohort_retention_sql(spark_dialect: bool) -> str:
 def ts28(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_cohort_retention_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts29 — Markov transition matrix over user journeys: for every
+# (current event_type -> next event_type) pair, the transition count,
+# the row-normalized probability, and the rank of each destination
+# within its source state — the first-order behavior model a
+# recommendation or simulation pipeline estimates from the event log.
+# Scale shape: ONE corpus pass (LEAD window PARTITIONED BY user_id —
+# never global, the per-entity class every ts operator here uses),
+# one map-side-combinable groupBy onto the transition table, and the
+# normalizing sums/ranks are windows over THAT table, which is
+# |event_type|^2-bounded (constant-size) — no second corpus scan, no
+# join back. Probabilities are exact-integer counts divided once
+# (IEEE-exact, engine-identical); ranks tie-break on destination.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the journey family (ts02/ts14/ts21/ts28).
+# ---------------------------------------------------------------------------
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, n_trans,
+           CAST(n_trans AS DOUBLE) /
+             CAST(SUM(n_trans) OVER (PARTITION BY src) AS DOUBLE) AS p,
+           CAST(RANK() OVER (PARTITION BY src
+                             ORDER BY n_trans DESC, dst) AS BIGINT) AS rnk
+    FROM trans
+    ORDER BY src, rnk, dst
+    """
+
+
+@query("ts29_markov_transitions", oracle=_MARKOV_SQL)
+def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_MARKOV_SQL)

@@ -1488,3 +1488,41 @@ def test_t26_pmi_vs_python(spark, sf_dir):
     for r, (pmi, a, b, c) in zip(out, expect):
         assert (r["w1"], r["w2"], r["pair_count"]) == (a, b, c)
         assert r["pmi"] == pmi
+
+
+def test_ts29_markov_vs_python(spark, sf_dir):
+    """The transition matrix must reproduce a literal in-memory
+    first-order Markov estimate: exact counts, IEEE-exact shares,
+    destination-tiebroken ranks."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts29_markov_transitions"](spark, sf_dir).collect()
+    rows = spark.table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    expect = []
+    for src in sorted({a for a, _ in trans}):
+        dsts = sorted(
+            ((d, n) for (a, d), n in trans.items() if a == src),
+            key=lambda t: (-t[1], t[0]),
+        )
+        for i, (d, n) in enumerate(dsts):
+            # RANK's ORDER BY (n DESC, dst) is a total order -> position
+            expect.append((src, d, n, n / row_tot[src], i + 1))
+    assert len(out) == len(expect)
+    for r, (s, d, n, p, rnk) in zip(out, expect):
+        assert (r["src"], r["dst"], r["n_trans"], r["rnk"]) == (s, d, n, rnk)
+        assert r["p"] == p
