@@ -68,6 +68,11 @@ HEADLINE = [
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
     "t24_ngram_novelty",
+    # round-10 additions (total now covers 41 queries): PMI
+    # collocations, Markov transitions, l-diversity
+    "t26_pmi_collocations",
+    "ts29_markov_transitions",
+    "q69_l_diversity",
 ]
 
 
