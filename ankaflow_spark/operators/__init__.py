@@ -43,6 +43,7 @@ GRADED_FIRST = [
     "t26_pmi_collocations",
     "ts29_markov_transitions",
     "q69_l_diversity",
+    "m08_phash_near_dup",
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
@@ -88,15 +89,14 @@ GRADED_FIRST = [
     "q20_fn_dt_coercion",
     "q22_collection_aggs",
     "q23_month445",
-    "q24_string_agg",
     "q27_intersect_except",
     "ts04_json_props",
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
-    # q28 and q29 rotated out to make room for the sixteen new round-7
-    # operators; all were driver-graded green in r03/r04 and stay
-    # cell-exact in CORRECTNESS_FULL_r11+.)
+    # q24, q28 and q29 rotated out to make room for the seventeen new
+    # round-7 operators; all were driver-graded green in r03/r04 and
+    # stay cell-exact in CORRECTNESS_FULL_r11+.)
 ]
 
 

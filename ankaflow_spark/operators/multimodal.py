@@ -394,3 +394,128 @@ def duplicate_video_pairs(frames: DataFrame) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# m08 — perceptual-hash near-duplicate image detection: the image-side
+# analog of d04/d09's SimHash pigeonhole. Re-encodes/resizes of the
+# same picture produce pHashes within a small Hamming distance, never
+# (in general) the identical hash — so near-dup needs banded candidate
+# generation plus a distance verify, not m07's exact equi-join.
+# Corpus: series = media_id % 5 shares a base 64-bit hash; variant
+# v = media_id // 5 perturbs exactly TWO nibbles at v-dependent
+# positions (v=0 is the original) — controlled distances: original vs
+# variant = 2 nibbles, variant vs variant = 4. Banding: 4 bands x 4
+# nibbles; a pair is a candidate iff some band matches exactly
+# (pigeonhole: any pair differing in <= 3 nibbles MUST share a band;
+# 4-nibble pairs may legitimately escape — the standard LSH recall
+# trade, and deterministic on both engines). Verify: position-wise
+# nibble Hamming (DuckDB `mismatches`; Spark the zip_with fold the
+# dialect layer uses for the same function). Scale shape: the kernel
+# emits 16 hex chars per image (payload never shuffled), candidates
+# come from a band equi-join keyed on (band_no, band_val) — d02's
+# plan class — and the verify runs only on candidates.
+# ---------------------------------------------------------------------------
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), False),
+    ]
+)
+
+_PHASH_BANDS = 4
+_PHASH_NEAR_T = 4  # nibble-Hamming near-dup threshold
+
+
+def synth_image_variants(spark, n: int = 40) -> DataFrame:
+    """Synthetic re-encode corpus in the pHash domain: the payload IS
+    the 8-byte hash a DCT pHash would output (the decode+DCT stub),
+    perturbed per variant with exact nibble edits so pair distances
+    are controlled and engine-reproducible."""
+    rows = []
+    for i in range(n):
+        series, v = i % 5, i // 5
+        h = list(hashlib.md5(f"img-{series}".encode()).hexdigest()[:16])
+        if v:
+            for p in ((5 * v) % 16, (5 * v + 8) % 16):
+                h[p] = format((int(h[p], 16) + v) % 16, "x")
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(bytes.fromhex("".join(h))),
+                {"series": str(series), "variant": str(v)},
+            )
+        )
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """One mapInPandas pass per image: the decode+DCT stub reads the
+    payload bytes once in-executor and emits only (media_id, 16-hex
+    phash) — KB per image regardless of media size (m07's contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                hs.append(bytes(payload or b"").hex()[:16])
+            yield pd.DataFrame({"media_id": ids, "phash": hs})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def near_dup_image_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded pigeonhole candidates + nibble-Hamming verify."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.substring("phash", b * 4 + 1, 4).alias("band_val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("media_id", "phash", "bd.band_no", "bd.band_val")
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("phash").alias("ph_a"),
+        "band_no",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("phash").alias("ph_b"),
+        "band_no",
+        "band_val",
+    )
+    cands = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "ph_a", "media_b", "ph_b")
+        .distinct()
+    )
+    ham = (
+        "aggregate(zip_with(split(ph_a, '(?!^)'), split(ph_b, '(?!^)'), "
+        "(x, y) -> CASE WHEN x <=> y THEN 0 ELSE 1 END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        cands.withColumn("hamming", F.expr(ham))
+        .select(
+            "media_a",
+            "media_b",
+            "hamming",
+            (F.col("hamming") <= _PHASH_NEAR_T).alias("is_near"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -1311,3 +1311,68 @@ QUERIES["st15_stream_novelty"] = st15
 from .textops import _novelty_sql as _t24_sql  # noqa: E402
 
 ORACLES["st15_stream_novelty"] = _t24_sql(False)
+
+
+def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate images, ORACLE-CHECKED cell-exact:
+    banded pigeonhole candidates over the 16-hex pHash (4 bands x 4
+    nibbles, d02's equi-join plan class) verified by position-wise
+    nibble Hamming (multimodal.near_dup_image_pairs). The oracle
+    reconstructs the perturbed hashes in the hex domain from the
+    synthetic corpus rule and replays the same band condition +
+    `mismatches` distance — grading the Arrow binary fidelity, the
+    banding algebra, and the distance fold."""
+    from .multimodal import image_phashes, near_dup_image_pairs, synth_image_variants
+
+    media = synth_image_variants(spark, 40)
+    return near_dup_image_pairs(image_phashes(media))
+
+
+QUERIES["m08_phash_near_dup"] = m08
+# phash(series, v): base = md5('img-' || series)[:16]; v > 0 replaces
+# nibbles at 0-based positions p1 = (5v) % 16 and p2 = (5v + 8) % 16
+# with hexdigit((old + v) % 16). Candidates: any of the 4 bands equal.
+ORACLES["m08_phash_near_dup"] = """
+    WITH imgs AS (
+      SELECT i AS media_id, CAST(i % 5 AS INT) AS series,
+             CAST(i // 5 AS INT) AS v
+      FROM range(40) t(i)
+    ),
+    base AS (
+      SELECT series,
+             substr(md5('img-' || CAST(series AS VARCHAR)), 1, 16) AS h
+      FROM (SELECT DISTINCT series FROM imgs)
+    ),
+    ph0 AS (
+      SELECT media_id, v, h,
+             (5 * v) % 16 AS p1, (5 * v + 8) % 16 AS p2
+      FROM imgs JOIN base USING (series)
+    ),
+    ph1 AS (
+      SELECT media_id, v, p2,
+        CASE WHEN v = 0 THEN h ELSE
+          substr(h, 1, p1) ||
+          substr('0123456789abcdef',
+                 ((strpos('0123456789abcdef', substr(h, p1 + 1, 1)) - 1 + v) % 16) + 1, 1) ||
+          substr(h, p1 + 2) END AS h1
+      FROM ph0
+    ),
+    ph AS (
+      SELECT media_id,
+        CASE WHEN v = 0 THEN h1 ELSE
+          substr(h1, 1, p2) ||
+          substr('0123456789abcdef',
+                 ((strpos('0123456789abcdef', substr(h1, p2 + 1, 1)) - 1 + v) % 16) + 1, 1) ||
+          substr(h1, p2 + 2) END AS phash
+      FROM ph1
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(mismatches(a.phash, b.phash) AS BIGINT) AS hamming,
+           mismatches(a.phash, b.phash) <= 4 AS is_near
+    FROM ph a JOIN ph b ON b.media_id > a.media_id
+    WHERE substr(a.phash, 1, 4) = substr(b.phash, 1, 4)
+       OR substr(a.phash, 5, 4) = substr(b.phash, 5, 4)
+       OR substr(a.phash, 9, 4) = substr(b.phash, 9, 4)
+       OR substr(a.phash, 13, 4) = substr(b.phash, 13, 4)
+    ORDER BY media_a, media_b
+    """

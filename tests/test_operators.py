@@ -1526,3 +1526,37 @@ def test_ts29_markov_vs_python(spark, sf_dir):
     for r, (s, d, n, p, rnk) in zip(out, expect):
         assert (r["src"], r["dst"], r["n_trans"], r["rnk"]) == (s, d, n, rnk)
         assert r["p"] == p
+
+
+def test_m08_phash_near_dup_vs_python(spark, sf_dir):
+    """The banded near-dup must reproduce a literal in-memory replay of
+    the corpus rule: same candidate pairs (pigeonhole on 4 bands), same
+    nibble-Hamming distances, same near verdicts."""
+    import hashlib
+
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    out = QUERIES["m08_phash_near_dup"](spark, sf_dir).collect()
+    hashes = {}
+    for i in range(40):
+        series, v = i % 5, i // 5
+        h = list(hashlib.md5(f"img-{series}".encode()).hexdigest()[:16])
+        if v:
+            for p in ((5 * v) % 16, (5 * v + 8) % 16):
+                h[p] = format((int(h[p], 16) + v) % 16, "x")
+        hashes[i] = "".join(h)
+    expect = []
+    for a in range(40):
+        for b in range(a + 1, 40):
+            ha, hb = hashes[a], hashes[b]
+            if any(ha[j * 4 : j * 4 + 4] == hb[j * 4 : j * 4 + 4] for j in range(4)):
+                ham = sum(1 for x, y in zip(ha, hb) if x != y)
+                expect.append((a, b, ham, ham <= 4))
+    assert [
+        (r["media_a"], r["media_b"], r["hamming"], r["is_near"]) for r in out
+    ] == expect
+    # the corpus must exercise both distance classes and the LSH miss:
+    hams = {r["hamming"] for r in out}
+    assert 2 in hams  # original vs 2-nibble variant
+    same_series_found = sum(1 for r in out if r["media_a"] % 5 == r["media_b"] % 5)
+    assert 0 < same_series_found < 7 * 8 * 5 // 2  # some 4-nibble pairs escape
