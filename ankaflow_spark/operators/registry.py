@@ -1361,3 +1361,93 @@ def op_reservoir_sample(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
         .filter(F.col("rk") <= k)
         .orderBy(*([stratum, "rk"] if stratum else ["rk"]))
     )
+
+
+# ---------------------------------------------------------------------------
+@operator("l_diversity")
+def op_l_diversity(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """l-diversity audit (q69 as a reusable stage): group by the
+    quasi-identifier expressions and flag classes whose ``sensitive``
+    column has fewer than l distinct values — the attribute-disclosure
+    complement to the ``k_anonymity`` stage. One groupBy with a
+    single-column distinct aggregate (two-phase, no Expand)."""
+    quasi = params["quasi"]
+    sensitive = params["sensitive"]
+    ell = int(params.get("l", 3))
+    cols = [F.expr(q).alias(f"qi_{i}") for i, q in enumerate(quasi)]
+    classes = df.groupBy(*cols).agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct(sensitive).cast("bigint").alias("n_sensitive"),
+    )
+    return (
+        classes.filter(F.col("n_sensitive") < ell)
+        .withColumn("violates_l", F.lit(True))
+        .orderBy(*[f"qi_{i}" for i in range(len(quasi))])
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("markov_transitions")
+def op_markov_transitions(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """First-order Markov transition matrix (ts29 as a reusable stage):
+    per-entity LEAD over the ordered ``state`` column, transition
+    counts, row-normalized probabilities, in-state destination ranks.
+    The only corpus-sized term is the per-entity window; normalizing
+    windows run over the |state|^2-bounded transition table."""
+    from pyspark.sql.window import Window as W
+
+    entity = params["entity"]
+    state = params["state"]
+    order = params["order_by"]
+    order_cols = order if isinstance(order, list) else [order]
+    seq = df.select(
+        F.col(state).alias("src"),
+        F.lead(state)
+        .over(W.partitionBy(entity).orderBy(*order_cols))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n_trans")
+    )
+    return trans.select(
+        "src",
+        "dst",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(W.partitionBy("src")).cast("double")
+        ).alias("p"),
+        F.rank()
+        .over(W.partitionBy("src").orderBy(F.col("n_trans").desc(), "dst"))
+        .cast("bigint")
+        .alias("rnk"),
+    ).orderBy("src", "rnk", "dst")
+
+
+# ---------------------------------------------------------------------------
+@operator("pmi_collocations")
+def op_pmi_collocations(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """PMI collocation mining (t26 as a reusable stage): top-K adjacent
+    token pairs by pointwise mutual information over the ``text``
+    column. Everything derives from the vocab^2-bounded bigram-count
+    table (materialized once) — one corpus pass."""
+    text = params.get("text", "text")
+    min_count = int(params.get("min_count", 5))
+    top = int(params.get("top", 50))
+    df.createOrReplaceTempView("__pmi_in__")
+    big = engine.spark.sql(
+        f"""
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+          SELECT w[pos - 1] AS w1, w[pos] AS w2
+          FROM (SELECT filter(split(lower({text}), ' '), x -> x <> '') AS w
+                FROM __pmi_in__)
+          LATERAL VIEW explode(
+            CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1) ELSE array() END
+          ) t AS pos
+        ) GROUP BY w1, w2
+        """
+    ).localCheckpoint(eager=True)
+    big.createOrReplaceTempView("__pmi_big__")
+    from .textops import _pmi_tail_sql
+
+    return engine.spark.sql(_pmi_tail_sql("__pmi_big__", min_count, top))

@@ -1515,9 +1515,12 @@ _PMI_MIN_COUNT = 5
 _PMI_TOP = 50
 
 
-def _pmi_tail_sql(big: str) -> str:
+def _pmi_tail_sql(
+    big: str, _PMI_MIN_COUNT: int = _PMI_MIN_COUNT, _PMI_TOP: int = _PMI_TOP
+) -> str:
     """Ranking tail over a bigram-count relation ``big`` (w1, w2, c2)
-    — shared verbatim by both engines."""
+    — shared verbatim by both engines. The threshold/top-k default to
+    the graded battery constants; the YAML stage passes its params."""
     return f"""
     WITH uni_l AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl FROM {big} GROUP BY w1),
     uni_r AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cr FROM {big} GROUP BY w2),

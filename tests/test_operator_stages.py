@@ -823,3 +823,69 @@ def test_reservoir_sample_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["q68_reservoir_sample"](engine.spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, graded))
+
+
+def test_l_diversity_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: customer
+  connection: {{kind: parquet, locator: {sf_dir}/customer.parquet}}
+- kind: operator
+  name: ld
+  op: l_diversity
+  params:
+    quasi: ["c_nationkey", "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)"]
+    sensitive: c_mktsegment
+    l: 3
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q69_l_diversity"](engine.spark, sf_dir).collect()
+    assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in graded)
+
+
+def test_markov_transitions_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: mk
+  op: markov_transitions
+  params:
+    entity: user_id
+    state: event_type
+    order_by: [ts, event_id]
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts29_markov_transitions"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_pmi_collocations_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: pmi
+  op: pmi_collocations
+  params: {{text: text, min_count: 5, top: 50}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t26_pmi_collocations"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
