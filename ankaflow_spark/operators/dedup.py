@@ -1904,3 +1904,57 @@ def _bloom_decontam_sql(spark_dialect: bool) -> str:
 def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_bloom_decontam_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d22 — triangle counting over the near-dup candidate graph: the graph
+# primitive that turns a pair list into CLUSTER DENSITY evidence — a
+# doc participating in many triangles sits inside a tight clique of
+# near-copies (boilerplate/template families), while isolated edges
+# are often banding accidents; curation pipelines use triangle
+# participation to pick which clusters deserve aggressive collapsing.
+# Algorithm: the edge-iterator join with a total order on vertices —
+# edges carry doc_a < doc_b (cands' contract), so each triangle
+# x < y < z is found exactly once as e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z):
+# two equi-joins keyed on vertex ids, no direction flips, no dedup
+# pass. Scale: this is the MapReduce triangle enumeration of
+# Suri & Vassilvitskii (2011) with the id-order playing the degree-
+# order role; joins shuffle on vertex keys and output is bounded by
+# the true triangle count. Membership rows come from ONE pass over
+# the triangle relation (explode/unnest of the 3 corners).
+# Reference parity: no counterpart (reference delegates to DuckDB);
+# extends the d06/d15 dedup-graph family.
+# ---------------------------------------------------------------------------
+def _triangle_tail_sql(e: str, spark_dialect: bool) -> str:
+    corners = (
+        "LATERAL VIEW explode(array(x, y, z)) t AS doc_id"
+        if spark_dialect
+        else ", unnest([x, y, z]) AS t(doc_id)"
+    )
+    return f"""
+    WITH tri AS (
+      SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+      FROM {e} e1
+      JOIN {e} e2 ON e2.doc_a = e1.doc_b
+      JOIN {e} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    members AS (SELECT doc_id FROM tri {corners})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members
+    GROUP BY doc_id
+    ORDER BY n_triangles DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query(
+    "d22_triangle_count",
+    oracle=f"""
+    WITH {DUCK_CAND_CTES},
+    {_triangle_tail_sql("cands", False).strip()[len("WITH "):]}
+    """,
+)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    return spark.sql(_triangle_tail_sql("__cands__", True))

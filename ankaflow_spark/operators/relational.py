@@ -2610,3 +2610,90 @@ _L_DIVERSITY_SQL = f"""
 def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_L_DIVERSITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q70 — data-quality expectation audit (the Deequ/Great-Expectations
+# pattern): one verdict row per declared constraint — primary-key
+# uniqueness, domain membership, value ranges, date ordering,
+# referential integrity — the gate a production pipeline runs before
+# promoting a snapshot. Scale shape: ONE aggregation pass per audited
+# table computes all of that table's checks as columns of a 1-row
+# relation (map-side combinable; the single COUNT(DISTINCT) is
+# two-phase, no Expand), the FK check is one NOT-EXISTS anti join, and
+# the verdict table is assembled by UNION ALL over the 1-row
+# relations. Spark materializes the three 1-row relations once
+# (localCheckpoint) because the assembly references each up to 3x and
+# CTE inlining would re-run the table scans per reference; DuckDB
+# runs the identical SQL as plain CTEs.
+# ---------------------------------------------------------------------------
+def _dq_checks_sql(o: str, l: str, fk: str) -> str:
+    """Verdict assembly over the three 1-row check relations — shared
+    verbatim by both engines."""
+    return f"""
+    SELECT 'lineitem_shipdate_complete' AS check_name, 'lineitem' AS table_name,
+           n AS n_checked, null_ship AS n_violations, null_ship = 0 AS pass
+    FROM {l}
+    UNION ALL
+    SELECT 'lineitem_discount_range', 'lineitem', n, bad_disc, bad_disc = 0 FROM {l}
+    UNION ALL
+    SELECT 'lineitem_qty_range', 'lineitem', n, bad_qty, bad_qty = 0 FROM {l}
+    UNION ALL
+    SELECT 'orders_custkey_fk', 'orders', (SELECT n FROM {o}), orphans,
+           orphans = 0 FROM {fk}
+    UNION ALL
+    SELECT 'orders_pk_unique', 'orders', n, dup_keys, dup_keys = 0 FROM {o}
+    UNION ALL
+    SELECT 'orders_price_positive', 'orders', n, bad_price, bad_price = 0 FROM {o}
+    UNION ALL
+    SELECT 'orders_status_domain', 'orders', n, bad_status, bad_status = 0 FROM {o}
+    ORDER BY check_name
+    """
+
+
+_DQ_O_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+    FROM orders
+    """
+
+_DQ_L_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DOUBLE) < 0
+                          OR CAST(l_discount AS DOUBLE) > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS null_ship
+    FROM lineitem
+    """
+
+_DQ_FK_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """
+
+
+@query(
+    "q70_data_quality_audit",
+    oracle=f"""
+    WITH dq_o AS ({_DQ_O_SQL}), dq_l AS ({_DQ_L_SQL}), dq_fk AS ({_DQ_FK_SQL})
+    {_dq_checks_sql("dq_o", "dq_l", "dq_fk")}
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    for name, sql in (
+        ("__dq_o__", _DQ_O_SQL),
+        ("__dq_l__", _DQ_L_SQL),
+        ("__dq_fk__", _DQ_FK_SQL),
+    ):
+        spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(name)
+    return spark.sql(_dq_checks_sql("__dq_o__", "__dq_l__", "__dq_fk__"))

@@ -1560,3 +1560,56 @@ def test_m08_phash_near_dup_vs_python(spark, sf_dir):
     assert 2 in hams  # original vs 2-nibble variant
     same_series_found = sum(1 for r in out if r["media_a"] % 5 == r["media_b"] % 5)
     assert 0 < same_series_found < 7 * 8 * 5 // 2  # some 4-nibble pairs escape
+
+
+def test_d22_triangles_vs_python(spark, sf_dir):
+    """Triangle counts must equal a literal enumeration over the same
+    candidate edge list."""
+    from collections import Counter
+    from itertools import combinations
+
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d22_triangle_count"](spark, sf_dir).collect()
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    tri: Counter = Counter()
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for x in nodes:
+        for y, z in combinations(sorted(n for n in adj[x] if n > x), 2):
+            if z in adj[y]:
+                tri[x] += 1
+                tri[y] += 1
+                tri[z] += 1
+    expect = sorted(tri.items(), key=lambda t: (-t[1], t[0]))[:20]
+    assert [(r["doc_id"], r["n_triangles"]) for r in out] == expect
+
+
+def test_q70_data_quality_vs_python(spark, sf_dir):
+    """Every audit verdict must match a literal pandas recomputation of
+    the declared constraints."""
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = {r["check_name"]: r for r in QUERIES["q70_data_quality_audit"](spark, sf_dir).collect()}
+    o = spark.table("orders").toPandas()
+    l = spark.table("lineitem").toPandas()
+    c = spark.table("customer").toPandas()
+    checks = {
+        "orders_pk_unique": (len(o), len(o) - o["o_orderkey"].nunique()),
+        "orders_status_domain": (len(o), int((~o["o_orderstatus"].isin(["O", "F", "P"])).sum())),
+        "orders_price_positive": (len(o), int((o["o_totalprice"].astype(float) <= 0).sum())),
+        "lineitem_qty_range": (len(l), int(((l["l_quantity"] < 1) | (l["l_quantity"] > 50)).sum())),
+        "lineitem_discount_range": (len(l), int(((l["l_discount"].astype(float) < 0) | (l["l_discount"].astype(float) > 0.1)).sum())),
+        "lineitem_shipdate_complete": (len(l), int(l["l_shipdate"].isna().sum())),
+        "orders_custkey_fk": (len(o), int((~o["o_custkey"].isin(set(c["c_custkey"]))).sum())),
+    }
+    assert set(out) == set(checks)
+    for name, (n, bad) in checks.items():
+        r = out[name]
+        assert (r["n_checked"], r["n_violations"], r["pass"]) == (n, bad, bad == 0), name

@@ -59,6 +59,7 @@ SMJ_ALLOWED = {
     "d12_lsh_recall_eval",  # exact ground-truth shingle self-join: both sides ARE the corpus by design (d03x's documented cost profile)
     "q38_waiting_suppliers",  # late-lineitems semi/anti-joined to lineitem: fact x fact on l_orderkey, SMJ is the right call at scale
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
+    "d22_triangle_count",  # edge-iterator triangle join: every side IS the candidate edge list — SMJ correct at scale (stats-less checkpointed __cands__)
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
     # CC iteration fragments (labels x edges / pointer-jump label self-joins):
