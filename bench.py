@@ -68,11 +68,14 @@ HEADLINE = [
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
     "t24_ngram_novelty",
-    # round-10 additions (total now covers 41 queries): PMI
-    # collocations, Markov transitions, l-diversity
+    # round-10 additions (total now covers 43 queries): PMI
+    # collocations, Markov transitions, l-diversity, triangle
+    # counting, the data-quality audit
     "t26_pmi_collocations",
     "ts29_markov_transitions",
     "q69_l_diversity",
+    "d22_triangle_count",
+    "q70_data_quality_audit",
 ]
 
 
