@@ -1451,3 +1451,35 @@ def op_pmi_collocations(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     from .textops import _pmi_tail_sql
 
     return engine.spark.sql(_pmi_tail_sql("__pmi_big__", min_count, top))
+
+
+# ---------------------------------------------------------------------------
+@operator("expect")
+def op_expect(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Declarative data-quality expectations (q70's audit as a generic
+    stage): ``checks`` is a list of ``{name, violation}`` where
+    ``violation`` is a SQL boolean marking a BAD row. ONE aggregation
+    pass computes every check as a column of a 1-row relation
+    (map-side combinable at any volume); stack() unpivots it to the
+    verdict table (check_name, n_checked, n_violations, pass)."""
+    checks = params["checks"]
+    aggs = [
+        F.sum(F.when(F.expr(c["violation"]), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__v{i}")
+        for i, c in enumerate(checks)
+    ]
+    row = df.agg(F.count("*").cast("bigint").alias("__n"), *aggs)
+    names = ", ".join(
+        "'" + c["name"].replace("'", "''") + f"', __v{i}"
+        for i, c in enumerate(checks)
+    )
+    return row.select(
+        F.col("__n").alias("n_checked"),
+        F.expr(f"stack({len(checks)}, {names}) AS (check_name, n_violations)"),
+    ).select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    ).orderBy("check_name")

@@ -107,3 +107,16 @@ def test_dialect_statements_example(engine, tmp_path):
     assert allt.filter("click_value IS NULL").count() > 0
     got = engine.table("Reloaded").collect()[0]
     assert got["n_rows"] == allt.count()
+
+
+def test_governance_audit_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/governance_audit.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    assert row["failed_expectations"] == 0 and row["quality_ok"]
+    # the sf0.001 release has sparse QI classes: both audits must fire
+    assert row["k_anonymity_violations"] > 0
+    assert row["l_diversity_violations"] > 0
