@@ -1621,3 +1621,68 @@ _MARKOV_SQL = """
 def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_MARKOV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts30 — robust outlier detection via MAD (median absolute deviation):
+# ts10's rolling z-score breaks when the baseline itself contains the
+# anomalies (mean and stddev are both dragged); the robust variant
+# scores each day against the MEDIAN daily volume and the MAD, using
+# the Iglewicz-Hoaglin modified z (0.6745*(x-med)/MAD, spelled as
+# (x-med)/(1.4826*MAD), cutoff 3.5). Scale shape: ONE corpus pass
+# builds the (event_type x day) daily-count relation (map-side
+# combinable groupBy); both medians are aggregates over THAT bounded
+# relation, never the corpus — the per-type daily series is what a
+# production monitor persists anyway. Spark materializes the daily
+# relation once (localCheckpoint): the chain references it three times
+# and CTE inlining would re-run the corpus groupBy per reference.
+# Exactness: daily counts are exact BIGINTs; median over integers is
+# the same (a+b)/2 interpolation in both engines (exactly
+# representable); the final score is one double expression.
+# ---------------------------------------------------------------------------
+_MAD_CUTOFF = 3.5
+
+
+def _mad_tail_sql(daily: str) -> str:
+    """Scoring tail over a daily-count relation (event_type, day, n) —
+    shared verbatim by both engines."""
+    return f"""
+    WITH med AS (
+      SELECT event_type, median(n) AS med FROM {daily} GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type, MAX(m.med) AS med,
+             median(abs(CAST(d.n AS DOUBLE) - m.med)) AS mad
+      FROM {daily} d JOIN med m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type AS event_type, d.day AS day, d.n AS n_events,
+           a.med AS med_daily,
+           (CAST(d.n AS DOUBLE) - a.med) / (1.4826 * a.mad) AS robust_z,
+           abs((CAST(d.n AS DOUBLE) - a.med) / (1.4826 * a.mad))
+             > {_MAD_CUTOFF} AS is_outlier
+    FROM {daily} d JOIN mad a ON a.event_type = d.event_type
+    WHERE a.mad > 0
+    ORDER BY abs((CAST(d.n AS DOUBLE) - a.med) / (1.4826 * a.mad)) DESC,
+             event_type, day
+    LIMIT 15
+    """
+
+
+_MAD_DAILY_SQL = """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """
+
+
+@query(
+    "ts30_mad_outliers",
+    oracle=f"WITH daily AS ({_MAD_DAILY_SQL}), {_mad_tail_sql('daily').strip()[len('WITH '):]}",
+)
+def ts30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_MAD_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts30_daily__"
+    )
+    return spark.sql(_mad_tail_sql("__ts30_daily__"))

@@ -1613,3 +1613,38 @@ def test_q70_data_quality_vs_python(spark, sf_dir):
     for name, (n, bad) in checks.items():
         r = out[name]
         assert (r["n_checked"], r["n_violations"], r["pass"]) == (n, bad, bad == 0), name
+
+
+def test_ts30_mad_vs_python(spark, sf_dir):
+    """Robust-z scores must match a literal statistics recomputation:
+    exact daily counts, interpolated medians, Iglewicz-Hoaglin scaling,
+    |z|-descending selection."""
+    import statistics
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import _MAD_CUTOFF, QUERIES
+
+    out = QUERIES["ts30_mad_outliers"](spark, sf_dir).collect()
+    daily: Counter = Counter()
+    for r in spark.table("events").select("event_type", "ts").collect():
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = defaultdict(dict)
+    for (t, d), n in daily.items():
+        by_type[t][d] = n
+    scored = []
+    for t, days in by_type.items():
+        med = statistics.median(days.values())
+        mad = statistics.median(abs(float(n) - med) for n in days.values())
+        if mad <= 0:
+            continue
+        for d, n in days.items():
+            z = (float(n) - med) / (1.4826 * mad)
+            scored.append((t, d, n, float(med), z, abs(z) > _MAD_CUTOFF))
+    scored.sort(key=lambda r: (-abs(r[4]), r[0], r[1]))
+    expect = scored[:15]
+    assert len(out) == len(expect)
+    for r, (t, d, n, med, z, flag) in zip(out, expect):
+        assert (r["event_type"], r["day"], r["n_events"], r["is_outlier"]) == (
+            t, d, n, flag,
+        )
+        assert r["med_daily"] == med and r["robust_z"] == z
