@@ -47,6 +47,7 @@ GRADED_FIRST = [
     "d22_triangle_count",
     "q70_data_quality_audit",
     "ts30_mad_outliers",
+    "st16_stream_markov",
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
@@ -90,13 +91,12 @@ GRADED_FIRST = [
     "q18_safe_math",
     "q19_above_avg_items",
     "q20_fn_dt_coercion",
-    "ts04_json_props",
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
-    # q22, q23, q24, q27, q28 and q29 rotated out to make room for the
-    # twenty new round-7 operators; all were driver-graded green in
-    # r03/r04 and stay cell-exact in CORRECTNESS_FULL_r11+.)
+    # q22, q23, q24, q27, q28, q29 and ts04 rotated out to make room
+    # for the twenty-one new round-7 operators; all were driver-graded
+    # green in r03/r04 and stay cell-exact in CORRECTNESS_FULL_r11+.)
 ]
 
 

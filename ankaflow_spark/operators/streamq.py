@@ -1376,3 +1376,51 @@ ORACLES["m08_phash_near_dup"] = """
        OR substr(a.phash, 13, 4) = substr(b.phash, 13, 4)
     ORDER BY media_a, media_b
     """
+
+
+def st16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition maintenance, ORACLE-CHECKED cell-
+    exact: the first-order journey model maintained INCREMENTALLY
+    across real micro-batches via foreachbatch_markov — per batch, a
+    LEAD window over batch rows + the stored last event of touched
+    users counts every edge exactly once (the cross-batch edge comes
+    from the seed; a seed's outgoing edge was by definition uncounted
+    when stored), and the |event_type|^2-bounded count table merges in
+    constant size. Because the time-range staging feeds batches in
+    event-time order (st14's CDC-apply contract), the final counts
+    equal the batch LEAD pass — graded against ts29's exact SQL
+    (probabilities and ranks recomputed over the final count table,
+    where they are pure arithmetic)."""
+    from ..streaming.stream import foreachbatch_markov, stream_tap
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st16_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    trans = foreachbatch_markov(
+        stream,
+        entity="user_id",
+        state="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+        state_base=base,
+    )
+    trans.createOrReplaceTempView("st16_trans")
+    return spark.sql("""
+    SELECT src, dst, n_trans,
+           CAST(n_trans AS DOUBLE) /
+             CAST(SUM(n_trans) OVER (PARTITION BY src) AS DOUBLE) AS p,
+           CAST(RANK() OVER (PARTITION BY src
+                             ORDER BY n_trans DESC, dst) AS BIGINT) AS rnk
+    FROM st16_trans
+    ORDER BY src, rnk, dst
+    """)
+
+
+QUERIES["st16_stream_markov"] = st16
+from .timeseries import _MARKOV_SQL as _ts29_sql  # noqa: E402
+
+ORACLES["st16_stream_markov"] = _ts29_sql

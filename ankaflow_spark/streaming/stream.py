@@ -516,3 +516,101 @@ def foreachbatch_first_seen(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.read.parquet(out).drop("batch")
+
+
+def foreachbatch_markov(
+    stream_df: DataFrame,
+    entity: str,
+    state: str,
+    ts_col: str,
+    tiebreak: str,
+    state_base: str,
+) -> DataFrame:
+    """Incrementally maintain a first-order Markov transition-count
+    table across micro-batches — the streaming twin of the batch ts29
+    build. State is (a) the transition-count table itself (src, dst,
+    n — |state|^2-bounded, so the per-batch merge rewrite is
+    constant-size) and (b) one LAST-EVENT row per entity, which seeds
+    each batch's LEAD window so the cross-batch edge (stored last event
+    -> first batch event) is counted exactly once: a seed's OUTGOING
+    edge was by definition uncounted when it was stored, and its
+    incoming edge was counted by the batch that stored it. Per batch
+    the window runs over batch rows + seeds of touched entities —
+    never a re-sort of history (st14's CDC-apply shape, same
+    event-time ordering contract).
+
+    Returns the final transition table (src, dst, n_trans) as a batch
+    DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ckpt = state_base + "_ckpt"
+    for d in (
+        state_base + "_ca", state_base + "_cb",
+        state_base + "_la", state_base + "_lb", ckpt,
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        cprev = state_base + ("_cb" if batch_id % 2 else "_ca")
+        cnxt = state_base + ("_ca" if batch_id % 2 else "_cb")
+        lprev = state_base + ("_lb" if batch_id % 2 else "_la")
+        lnxt = state_base + ("_la" if batch_id % 2 else "_lb")
+        evs = batch_df.select(
+            F.col(entity).alias("k"),
+            F.col(state).alias("s"),
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak).alias("tb"),
+        )
+        untouched = None
+        if os.path.isdir(lprev):
+            prev_last = spark.read.parquet(lprev)
+            touched = evs.select("k").distinct()
+            seq = evs.unionByName(prev_last.join(touched, "k", "left_semi"))
+            untouched = prev_last.join(touched, "k", "left_anti")
+        else:
+            seq = evs
+        w = W.partitionBy("k").orderBy("t", "tb")
+        edges = (
+            seq.withColumn("dst", F.lead("s").over(w))
+            .filter(F.col("dst").isNotNull())
+            .groupBy(F.col("s").alias("src"), "dst")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        if os.path.isdir(cprev):
+            edges = (
+                edges.unionByName(spark.read.parquet(cprev))
+                .groupBy("src", "dst")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        edges.write.mode("overwrite").parquet(cnxt)
+        # one surviving row per touched entity: the (t, tb)-max event;
+        # untouched entities carry their stored row forward
+        wl = W.partitionBy("k").orderBy(F.col("t").desc(), F.col("tb").desc())
+        last = (
+            seq.withColumn("__r", F.row_number().over(wl))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+        )
+        if untouched is not None:
+            last = last.unionByName(untouched)
+        last.write.mode("overwrite").parquet(lnxt)
+        last_dir[0] = cnxt
+
+    last_dir = [state_base + "_ca"]
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        stream_df.sparkSession.read.parquet(last_dir[0])
+        .select("src", "dst", F.col("n").alias("n_trans"))
+    )

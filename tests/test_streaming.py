@@ -463,3 +463,24 @@ def test_st15_incremental_novelty_equals_batch(spark):
     assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
     batch_rows = TQ["t24_ngram_novelty"](spark, sf_dir).collect()
     assert sorted(map(tuple, stream_rows)) == sorted(map(tuple, batch_rows))
+
+
+def test_st16_markov_incremental_equals_batch(spark):
+    """The incrementally-maintained transition table must equal the
+    batch ts29 build over all events, and must have been produced by
+    MULTIPLE micro-batches (else the incremental path wasn't
+    exercised)."""
+    import os
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_events_ordered
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st16_stream_markov"](spark, sf_dir).collect()
+
+    staged, _ = _staged_events_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    batch = TS_QUERIES["ts29_markov_transitions"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
