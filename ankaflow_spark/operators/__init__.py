@@ -48,6 +48,8 @@ GRADED_FIRST = [
     "q70_data_quality_audit",
     "ts30_mad_outliers",
     "st16_stream_markov",
+    "d23_dedup_impact_report",
+    "q71_snapshot_diff",
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
@@ -87,16 +89,15 @@ GRADED_FIRST = [
     "q11_having",
     "q12_semi_join",
     "q13_anti_join",
-    "q17_scalar_functions",
-    "q18_safe_math",
     "q19_above_avg_items",
     "q20_fn_dt_coercion",
     "ts06_interpolate",
     # (3) family-balanced refresh of r04-last entries
     # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
-    # q22, q23, q24, q27, q28, q29 and ts04 rotated out to make room
-    # for the twenty-one new round-7 operators; all were driver-graded
-    # green in r03/r04 and stay cell-exact in CORRECTNESS_FULL_r11+.)
+    # q17, q18, q22, q23, q24, q27, q28, q29 and ts04 rotated out to
+    # make room for the twenty-three new round-7 operators; all were
+    # driver-graded green in r03/r04 and stay cell-exact in
+    # CORRECTNESS_FULL_r11+.)
 ]
 
 

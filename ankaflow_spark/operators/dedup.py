@@ -1958,3 +1958,72 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_cands(spark, sf_dir)
     return spark.sql(_triangle_tail_sql("__cands__", True))
+
+
+# ---------------------------------------------------------------------------
+# d23 — dedup impact report: the ops artifact a curation run publishes
+# — per cluster-size bucket, how many near-dup clusters exist, how
+# many docs a survivor-per-cluster policy removes, and how many chars
+# of redundant text that frees. Consumes d06's cluster table (itself
+# the materialized CC fixpoint over the banded candidate graph) joined
+# to documents for sizes; everything downstream of the cluster table
+# is two bounded groupBys. The size histogram is the standard evidence
+# for tuning LSH bands (too many giant clusters = bands too loose).
+# ---------------------------------------------------------------------------
+def _dedup_report_tail_sql(clusters: str) -> str:
+    """Report tail over a cluster relation (doc_id, cluster_id,
+    is_representative) — shared verbatim by both engines."""
+    return f"""
+    WITH sized AS (
+      SELECT c.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(SUM(CASE WHEN c.is_representative THEN 0
+                           ELSE d.n_chars END) AS BIGINT) AS chars_removed
+      FROM {clusters} c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY c.cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_docs_removed,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM sized
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+@query(
+    "d23_dedup_impact_report",
+    oracle=None,  # set below: d06's recursive closure feeds the shared tail
+)
+def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)  # noqa: F841 — registers `documents`
+    QUERIES["d06_dedup_clusters"](spark, sf_dir).createOrReplaceTempView(
+        "__d23_clusters__"
+    )
+    return spark.sql(_dedup_report_tail_sql("__d23_clusters__"))
+
+
+ORACLES["d23_dedup_impact_report"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_a AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_b AS nbr FROM pairs
+    ),
+    reach(doc_id, nbr) AS (
+      SELECT doc_id, nbr FROM edges
+      UNION
+      SELECT r.doc_id, e.nbr FROM reach r JOIN edges e ON e.doc_id = r.nbr
+    ),
+    clusters AS (
+      SELECT doc_id, MIN(nbr) AS cluster_id,
+             CASE WHEN doc_id = MIN(nbr) THEN TRUE ELSE FALSE END AS is_representative
+      FROM reach GROUP BY doc_id
+    ),
+    {_dedup_report_tail_sql("clusters").strip()[len("WITH "):]}
+    """

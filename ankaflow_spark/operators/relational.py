@@ -2697,3 +2697,58 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(name)
     return spark.sql(_dq_checks_sql("__dq_o__", "__dq_l__", "__dq_fk__"))
+
+
+# ---------------------------------------------------------------------------
+# q71 — snapshot diff (data-diff / CDC validation): given two versions
+# of a table, classify every key as added / removed / changed — the
+# check a pipeline runs to validate an incremental load against a full
+# rebuild, or to bound the blast radius of an upstream change before
+# promoting. V2 is synthesized deterministically from orders (keys
+# divisible by 97 dropped, prices of keys divisible by 89 scaled,
+# negated keys divisible by 101 added) so the diff exercises all three
+# classes with engine-identical arithmetic. Scale shape: ONE
+# FULL OUTER equi-join on the snapshot key (sort-merge — Spark's only
+# full-outer strategy, and the right one: both sides are table
+# versions) + a constant-size per-class summary. No row-level output:
+# the graded relation is the 3-row class summary with deterministic
+# min/max key evidence.
+# ---------------------------------------------------------------------------
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.price <> b.price OR a.status <> b.status
+                    THEN 'changed' END AS change
+      FROM v1 a FULL OUTER JOIN v2 b ON b.k = a.k
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM diff
+    WHERE change IS NOT NULL
+    GROUP BY change
+    ORDER BY change
+    """
+
+
+@query("q71_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SNAPSHOT_DIFF_SQL)

@@ -1648,3 +1648,63 @@ def test_ts30_mad_vs_python(spark, sf_dir):
             t, d, n, flag,
         )
         assert r["med_daily"] == med and r["robust_z"] == z
+
+
+def test_d23_impact_report_vs_python(spark, sf_dir):
+    """The impact report must equal a literal recomputation over the
+    d06 cluster table and document lengths."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d23_dedup_impact_report"](spark, sf_dir).collect()
+    clusters = QUERIES["d06_dedup_clusters"](spark, sf_dir).collect()
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.table("documents").select("doc_id", "n_chars").collect()
+    }
+    size = Counter()
+    removed_chars = Counter()
+    for r in clusters:
+        size[r["cluster_id"]] += 1
+        if not r["is_representative"]:
+            removed_chars[r["cluster_id"]] += n_chars[r["doc_id"]]
+    by_size = defaultdict(lambda: [0, 0, 0])
+    for cid, sz in size.items():
+        b = by_size[sz]
+        b[0] += 1
+        b[1] += sz - 1
+        b[2] += removed_chars[cid]
+    expect = sorted((sz, *v) for sz, v in by_size.items())
+    assert [
+        (r["cluster_size"], r["n_clusters"], r["n_docs_removed"], r["chars_removed"])
+        for r in out
+    ] == expect
+
+
+def test_q71_snapshot_diff_vs_python(spark, sf_dir):
+    """The diff summary must equal a literal recomputation of the
+    synthesized v2 against v1."""
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = {r["change"]: r for r in QUERIES["q71_snapshot_diff"](spark, sf_dir).collect()}
+    v1 = {}
+    for r in spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).collect():
+        v1[r["o_orderkey"]] = (float(r["o_totalprice"]), r["o_orderstatus"])
+    v2 = {}
+    for k, (p, s) in v1.items():
+        if k % 97 != 0:
+            v2[k] = (p * 1.1 if k % 89 == 0 else p, s)
+        if k % 101 == 0:
+            v2[-k] = (p, s)
+    added = sorted(set(v2) - set(v1))
+    removed = sorted(set(v1) - set(v2))
+    changed = sorted(k for k in set(v1) & set(v2) if v1[k] != v2[k])
+    for name, keys in (("added", added), ("removed", removed), ("changed", changed)):
+        r = out[name]
+        assert (r["n_rows"], r["min_key"], r["max_key"]) == (
+            len(keys), keys[0], keys[-1],
+        ), name
+    assert set(out) == {"added", "removed", "changed"}

@@ -60,6 +60,7 @@ SMJ_ALLOWED = {
     "q38_waiting_suppliers",  # late-lineitems semi/anti-joined to lineitem: fact x fact on l_orderkey, SMJ is the right call at scale
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "d22_triangle_count",  # edge-iterator triangle join: every side IS the candidate edge list — SMJ correct at scale (stats-less checkpointed __cands__)
+    "q71_snapshot_diff",  # FULL OUTER on the snapshot key: both sides are table versions; SMJ is Spark's only full-outer strategy and the right one
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
     # CC iteration fragments (labels x edges / pointer-jump label self-joins):
@@ -70,6 +71,7 @@ SMJ_ALLOWED = {
     "d08_dedup_survivors",
     "d10_semantic_dedup",
     "t20_leakage_safe_split",
+    "d23_dedup_impact_report",  # consumes d06's cluster build — same CC iteration fragments
     "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
     "s13_ivf_recall_eval",  # checkpoint fragment is s03's own plan (cell-candidates x embeddings re-rank join)
     "q66_excess_suppliers",  # per-(supp,part) volumes x per-part averages: both are partsupp-scale derived aggregates (Q20's availability relation class) — SMJ correct at scale, AQE downgrades where small
