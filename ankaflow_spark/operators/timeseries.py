@@ -1686,3 +1686,60 @@ def ts30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts30_daily__"
     )
     return spark.sql(_mad_tail_sql("__ts30_daily__"))
+
+
+# ---------------------------------------------------------------------------
+# ts31 — changepoint detection via CUSUM: for each event type, the day
+# where the cumulative sum of deviations from the series mean peaks in
+# magnitude — the classic single-changepoint estimator (Page 1954) a
+# pipeline runs to locate when a metric's level shifted (deploy,
+# data-drift, instrumentation change). Exactness: the deviation is
+# scaled by the day count so it stays an exact BIGINT
+# ((n - mu)*nd == n*nd - total), making the running window sum
+# ASSOCIATIVE-exact — immune to the engines' different windowed-double
+# summation orders (the t13 collect-sort-fold concern, solved in the
+# integer domain instead); the reported cusum divides once at the end.
+# Scale shape: ts30's daily-count relation (one corpus groupBy,
+# materialized once) and everything downstream runs over the
+# (type x day)-bounded series.
+# ---------------------------------------------------------------------------
+def _cusum_tail_sql(daily: str) -> str:
+    """Changepoint tail over a daily-count relation (event_type, day,
+    n) — shared verbatim by both engines."""
+    return f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM {daily} GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.day, d.n, s.nd,
+             SUM(d.n * s.nd - s.tot)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS c_scaled
+      FROM {daily} d JOIN stats s ON s.event_type = d.event_type
+    )
+    SELECT event_type, day AS changepoint_day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(c_scaled AS BIGINT) AS cusum_scaled,
+           CAST(c_scaled AS DOUBLE) / nd AS cusum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(c_scaled) DESC, day) AS r
+      FROM cusum
+    )
+    WHERE r = 1
+    ORDER BY event_type
+    """
+
+
+@query(
+    "ts31_cusum_changepoint",
+    oracle=f"WITH daily AS ({_MAD_DAILY_SQL}), {_cusum_tail_sql('daily').strip()[len('WITH '):]}",
+)
+def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_MAD_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts31_daily__"
+    )
+    return spark.sql(_cusum_tail_sql("__ts31_daily__"))

@@ -1708,3 +1708,37 @@ def test_q71_snapshot_diff_vs_python(spark, sf_dir):
             len(keys), keys[0], keys[-1],
         ), name
     assert set(out) == {"added", "removed", "changed"}
+
+
+def test_ts31_cusum_vs_python(spark, sf_dir):
+    """The changepoint must equal a literal CUSUM recomputation in the
+    exact-integer scaled domain."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts31_cusum_changepoint"](spark, sf_dir).collect()
+    daily: Counter = Counter()
+    for r in spark.table("events").select("event_type", "ts").collect():
+        daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = defaultdict(dict)
+    for (t, d), n in daily.items():
+        by_type[t][d] = n
+    expect = []
+    for t in sorted(by_type):
+        days = by_type[t]
+        nd, tot = len(days), sum(days.values())
+        c = 0
+        best = None
+        for d in sorted(days):
+            c += days[d] * nd - tot
+            key = (-abs(c), d)
+            if best is None or key < best[0]:
+                best = (key, d, days[d], c)
+        expect.append((t, best[1], best[2], best[3], best[3] / nd))
+    assert len(out) == len(expect)
+    for r, (t, d, n, cs, cu) in zip(out, expect):
+        assert (
+            r["event_type"], r["changepoint_day"], r["n_events"],
+            r["cusum_scaled"], r["cusum"],
+        ) == (t, d, n, cs, cu)
