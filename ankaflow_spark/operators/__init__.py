@@ -40,6 +40,11 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "ts32_funnel_conversion",
+    "ts33_dow_seasonality",
+    "q72_t_closeness",
+    "t27_gopher_rules",
+    "st17_stream_cusum",
     "t26_pmi_collocations",
     "ts29_markov_transitions",
     "q69_l_diversity",
@@ -87,11 +92,8 @@ GRADED_FIRST = [
     "d05_embedding_neardup",
     "d09_simhash_neardup",
     "q10_calendar",
-    "q11_having",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q20_fn_dt_coercion",
-    "ts06_interpolate",
+    # (q11/q12/q13/q20/ts06 rotated out for the five session-4
+    # operators; all r03-green and cell-exact in CORRECTNESS_FULL_r17+)
     # (3) family-balanced refresh of r04-last entries
     # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
     # q17, q18, q19, q22, q23, q24, q27, q28, q29 and ts04 rotated out

@@ -2752,3 +2752,75 @@ _SNAPSHOT_DIFF_SQL = """
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_SNAPSHOT_DIFF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q72 — t-closeness audit: the distribution-level privacy check that
+# k-anonymity (q67) and l-diversity (q69) both miss — a class whose
+# sensitive attribute is DIVERSE but skewed (90% one segment vs 20%
+# globally) still leaks belief. For each quasi-identifier class the
+# audit computes the total-variation distance between the class's
+# sensitive-value distribution and the global one and flags classes
+# with TVD > t. Scale shape: ONE corpus groupBy on
+# (QI tuple, sensitive value) — map-side combinable — and everything
+# downstream is bounded by |QI classes| x |sensitive domain| (the
+# crossed relation exists so ABSENT values contribute |0 - q_a|; the
+# global marginal and grand total broadcast). Exactness: TVD is kept
+# as the exact BIGINT  sum_a |cnt_a*N - n_seg_a*n_class|  (common
+# denominator 2*n_class*N factored out), the t-threshold compares
+# integer cross-products (t = 1/5), and the reported double divides
+# ONCE at the end.
+# ---------------------------------------------------------------------------
+_T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5  # t = 0.2
+
+
+_T_CLOSENESS_SQL = f"""
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
+             c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_bucket, CAST(SUM(cnt) AS BIGINT) AS n_class
+      FROM cell GROUP BY 1, 2
+    ),
+    gseg AS (
+      SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS n_seg FROM cell GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cell
+    ),
+    crossed AS (
+      SELECT c.c_nationkey, c.bal_bucket, c.n_class,
+             g.c_mktsegment, g.n_seg, t.n_total,
+             COALESCE(l.cnt, 0) AS cnt
+      FROM cls c CROSS JOIN gseg g CROSS JOIN tot t
+      LEFT JOIN cell l
+        ON l.c_nationkey = c.c_nationkey AND l.bal_bucket = c.bal_bucket
+       AND l.c_mktsegment = g.c_mktsegment
+    ),
+    tvd AS (
+      SELECT c_nationkey, bal_bucket,
+             MAX(n_class) AS class_size,
+             MAX(n_total) AS n_total,
+             CAST(SUM(abs(cnt * n_total - n_seg * n_class)) AS BIGINT) AS tvd_scaled
+      FROM crossed GROUP BY c_nationkey, bal_bucket
+    )
+    SELECT c_nationkey, bal_bucket, class_size, tvd_scaled,
+           CAST(tvd_scaled AS DOUBLE) / (2 * class_size * n_total) AS tvd,
+           {_T_CLOSE_DEN} * tvd_scaled
+             > 2 * {_T_CLOSE_NUM} * class_size * n_total AS violates_t
+    FROM tvd
+    ORDER BY CAST(tvd_scaled AS DOUBLE) / (2 * class_size * n_total) DESC,
+             c_nationkey, bal_bucket
+    LIMIT 20
+    """
+
+
+@query("q72_t_closeness", oracle=_T_CLOSENESS_SQL)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_T_CLOSENESS_SQL)

@@ -1424,3 +1424,40 @@ QUERIES["st16_stream_markov"] = st16
 from .timeseries import _MARKOV_SQL as _ts29_sql  # noqa: E402
 
 ORACLES["st16_stream_markov"] = _ts29_sql
+
+
+def st17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint maintenance, ORACLE-CHECKED cell-
+    exact: the per-(event_type, day) count table — the ONLY corpus-
+    sized term in ts31's changepoint estimator — is maintained
+    INCREMENTALLY across real micro-batches via
+    foreachbatch_merge_counts (each batch pre-aggregates its slice and
+    sum-merges with the prior state; integer addition is associative,
+    so the final counts equal the batch GROUP BY regardless of trigger
+    boundaries). The CUSUM tail (scaled-BIGINT running sums, peak-|c|
+    pick) is pure arithmetic over the bounded daily table, graded
+    against ts31's exact SQL. State is O(types x days), not O(stream) —
+    the shape a production drift monitor persists."""
+    from ..streaming.stream import foreachbatch_merge_counts, stream_tap
+    from .timeseries import _cusum_tail_sql
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st17_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    daily = foreachbatch_merge_counts(
+        stream.select("event_type", F.col("ts").cast("date").alias("day")),
+        ["event_type", "day"],
+        base,
+    )
+    daily.createOrReplaceTempView("st17_daily")
+    return spark.sql(_cusum_tail_sql("st17_daily"))
+
+
+QUERIES["st17_stream_cusum"] = st17
+from .timeseries import ORACLES as _ts_oracles  # noqa: E402
+
+ORACLES["st17_stream_cusum"] = _ts_oracles["ts31_cusum_changepoint"]

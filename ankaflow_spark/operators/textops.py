@@ -1572,3 +1572,84 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM t13_bigrams GROUP BY w1, w2"
     ).localCheckpoint(eager=True).createOrReplaceTempView("t26_big")
     return spark.sql(_pmi_tail_sql("t26_big"))
+
+
+# ---------------------------------------------------------------------------
+# t27 — Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1): the PUBLIC rule-set production curation
+# pipelines apply before training — document length bounds, mean word
+# length bounds, symbol-to-word ratio, alphabetic-word fraction,
+# stop-word presence, and a repetition (type-token) bound — each as an
+# explicit pass/fail verdict so the filter is auditable per rule
+# (unlike t03's blended score). Scale shape: ONE scan, all signals are
+# per-row regexp/length expressions (whole-stage codegen, no UDFs, no
+# shuffle beyond the final sort), embarrassingly parallel at 100 TB.
+# Exactness: every rule compares integer cross-products (e.g. mean
+# word length in [3,10] is  3*n_words <= n_word_chars AND
+# n_word_chars <= 10*n_words) — no ratio is ever materialized as a
+# float, so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100000
+
+
+def _gopher_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        n_words = "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)"
+        n_alpha = "CAST(regexp_count(lower(text), '(^| )[^ ]*[a-z]') AS BIGINT)"
+        n_sym = "CAST(regexp_count(text, '#|\\\\.\\\\.\\\\.') AS BIGINT)"
+        n_unique = "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)"
+        stop_hits = " + ".join(
+            f"CAST(regexp_count(lower(text), '(^| ){w}( |$)') > 0 AS INT)"
+            for w in _GOPHER_STOPWORDS
+        )
+    else:
+        n_words = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+        n_alpha = "CAST(len(regexp_extract_all(lower(text), '(^| )[^ ]*[a-z]')) AS BIGINT)"
+        n_sym = "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)"
+        n_unique = "CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)"
+        stop_hits = " + ".join(
+            f"CAST(len(regexp_extract_all(lower(text), '(^| ){w}( |$)')) > 0 AS INT)"
+            for w in _GOPHER_STOPWORDS
+        )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {n_words} AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+             {n_alpha} AS n_alpha_words,
+             {n_sym} AS n_symbols,
+             {n_unique} AS n_unique,
+             CAST({stop_hits} AS BIGINT) AS n_stopword_kinds
+      FROM documents
+    ),
+    rules AS (
+      SELECT doc_id, n_words,
+             n_words >= {_GOPHER_MIN_WORDS}
+               AND n_words <= {_GOPHER_MAX_WORDS} AS r_word_count,
+             3 * n_words <= n_word_chars
+               AND n_word_chars <= 10 * n_words AS r_mean_word_len,
+             5 * n_alpha_words >= 4 * n_words AS r_alpha_words,
+             10 * n_symbols <= n_words AS r_symbol_ratio,
+             n_stopword_kinds >= 2 AS r_stopwords,
+             5 * n_unique >= n_words AS r_repetition
+      FROM sig
+    )
+    SELECT doc_id, n_words,
+           r_word_count, r_mean_word_len, r_alpha_words,
+           r_symbol_ratio, r_stopwords, r_repetition,
+           CAST(CAST(NOT r_word_count AS INT) + CAST(NOT r_mean_word_len AS INT)
+              + CAST(NOT r_alpha_words AS INT) + CAST(NOT r_symbol_ratio AS INT)
+              + CAST(NOT r_stopwords AS INT) + CAST(NOT r_repetition AS INT)
+              AS BIGINT) AS n_rules_failed,
+           r_word_count AND r_mean_word_len AND r_alpha_words
+             AND r_symbol_ratio AND r_stopwords AND r_repetition AS passes_gopher
+    FROM rules
+    ORDER BY doc_id
+    """
+
+
+@query("t27_gopher_rules", oracle=_gopher_sql(False))
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_gopher_sql(True))

@@ -1743,3 +1743,122 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts31_daily__"
     )
     return spark.sql(_cusum_tail_sql("__ts31_daily__"))
+
+
+# ---------------------------------------------------------------------------
+# ts32 — funnel conversion: the ordered view → click → purchase journey
+# (each step must happen strictly AFTER the user's first completion of
+# the previous step), reported as per-step user counts with step-over-
+# step and from-first conversion rates — the product-analytics query
+# every event pipeline ships. Scale shape: each step is ONE type-
+# filtered corpus pass pre-aggregated to per-user MIN(ts) (map-side
+# combinable; the type filter is pushed to the parquet scan), chained
+# by equi-joins on user_id (AQE picks broadcast/SMJ by step
+# cardinality — funnels shrink monotonically, so later joins broadcast
+# the prior step). No windows, no corpus-sized state. Exactness: step
+# counts are exact BIGINTs from timestamp comparisons in the integer
+# epoch domain; each rate is ONE integer->double division (no float
+# accumulation), NULL-guarded identically in both engines.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+_FUNNEL_SQL = f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT step, step_name, users,
+           CASE WHEN prev = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(users AS DOUBLE) / prev END AS conv_from_prev,
+           CASE WHEN first = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(users AS DOUBLE) / first END AS conv_from_first
+    FROM (
+      SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+             n1 AS users, n1 AS prev, n1 AS first FROM counts
+      UNION ALL
+      SELECT 2, '{_FUNNEL_STEPS[1]}', n2, n1, n1 FROM counts
+      UNION ALL
+      SELECT 3, '{_FUNNEL_STEPS[2]}', n3, n2, n1 FROM counts
+    ) steps
+    ORDER BY step
+    """
+
+
+@query("ts32_funnel_conversion", oracle=_FUNNEL_SQL)
+def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts33 — day-of-week seasonality profile: per (event_type, ISO
+# weekday), the observed daily event volume versus the type's overall
+# daily average, as a seasonality index — the drift-monitor companion
+# to ts30/ts31 (a Tuesday dip is seasonality; the same dip on a Friday
+# is an incident). Scale shape: ts30's daily-count relation (ONE
+# corpus groupBy) and every downstream step runs over that
+# (type x day)-bounded series; output is |types| x 7 rows. Exactness:
+# the index compares exact BIGINT cross-products
+# (n_events * tot_days vs n_days * tot_events) and divides ONCE into a
+# double; the ISO weekday is isodow() in DuckDB and weekday()+1 in
+# Spark (both Monday=1..Sunday=7).
+# ---------------------------------------------------------------------------
+def _dow_tail_sql(daily: str, spark_dialect: bool) -> str:
+    """Seasonality tail over a daily-count relation (event_type, day,
+    n); only the ISO-weekday projection differs per engine."""
+    isodow = "weekday(day) + 1" if spark_dialect else "isodow(day)"
+    return f"""
+    WITH d2 AS (
+      SELECT event_type, day, n, CAST({isodow} AS BIGINT) AS iso_dow
+      FROM {daily}
+    ),
+    per AS (
+      SELECT event_type, iso_dow,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM d2 GROUP BY event_type, iso_dow
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS tot_events,
+             CAST(SUM(n_days) AS BIGINT) AS tot_days
+      FROM per GROUP BY event_type
+    )
+    SELECT p.event_type AS event_type, p.iso_dow AS iso_dow,
+           p.n_events AS n_events, p.n_days AS n_days,
+           CAST(p.n_events * t.tot_days AS DOUBLE)
+             / (p.n_days * t.tot_events) AS seasonality_idx,
+           p.n_events * t.tot_days > p.n_days * t.tot_events AS above_avg
+    FROM per p JOIN tot t ON t.event_type = p.event_type
+    ORDER BY event_type, iso_dow
+    """
+
+
+@query(
+    "ts33_dow_seasonality",
+    oracle=f"WITH daily AS ({_MAD_DAILY_SQL}), {_dow_tail_sql('daily', False).strip()[len('WITH '):]}",
+)
+def ts33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_MAD_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts33_daily__"
+    )
+    return spark.sql(_dow_tail_sql("__ts33_daily__", True))

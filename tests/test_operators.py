@@ -1742,3 +1742,146 @@ def test_ts31_cusum_vs_python(spark, sf_dir):
             r["event_type"], r["changepoint_day"], r["n_events"],
             r["cusum_scaled"], r["cusum"],
         ) == (t, d, n, cs, cu)
+
+
+def test_ts32_funnel_vs_python(spark, sf_dir):
+    """Funnel step counts must equal a literal per-user first-completion
+    chain walk."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts32_funnel_conversion"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in spark.table("events").select("user_id", "event_type", "ts").collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, k in evs if k == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(k == "purchase" and t > t2 for t, k in evs):
+            n3 += 1
+    assert [(r["step"], r["step_name"], r["users"]) for r in out] == [
+        (1, "view", n1), (2, "click", n2), (3, "purchase", n3),
+    ]
+    assert out[0]["conv_from_prev"] == 1.0 and out[0]["conv_from_first"] == 1.0
+    assert out[1]["conv_from_prev"] == (n2 / n1 if n1 else None)
+    assert out[2]["conv_from_prev"] == (n3 / n2 if n2 else None)
+    assert out[2]["conv_from_first"] == (n3 / n1 if n1 else None)
+
+
+def test_ts33_dow_seasonality_vs_python(spark, sf_dir):
+    """Seasonality indices must equal the literal observed-daily-rate
+    ratio recomputed in exact integers."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts33_dow_seasonality"](spark, sf_dir).collect()
+    daily: Counter = Counter()
+    for r in spark.table("events").select("event_type", "ts").collect():
+        daily[(r["event_type"], r["ts"].date())] += 1
+    per = defaultdict(lambda: [0, 0])  # (type, isodow) -> [events, days]
+    tot = defaultdict(lambda: [0, 0])  # type -> [events, days]
+    for (t, d), n in daily.items():
+        dow = d.isoweekday()
+        per[(t, dow)][0] += n
+        per[(t, dow)][1] += 1
+        tot[t][0] += n
+        tot[t][1] += 1
+    expect = {}
+    for (t, dow), (ne, nd) in per.items():
+        te, td = tot[t]
+        expect[(t, dow)] = (ne, nd, (ne * td) / (nd * te), ne * td > nd * te)
+    assert len(out) == len(expect)
+    for r in out:
+        e = expect[(r["event_type"], r["iso_dow"])]
+        assert (r["n_events"], r["n_days"], r["seasonality_idx"], r["above_avg"]) == e
+
+
+def test_q72_t_closeness_vs_python(spark, sf_dir):
+    """Per-class scaled TVD must equal the literal sum over the full
+    sensitive domain (absent values included)."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q72_t_closeness"](spark, sf_dir).collect()
+    import math
+
+    cell: Counter = Counter()
+    for r in spark.table("customer").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect():
+        bucket = math.floor(r["c_acctbal"] / 1000)
+        cell[(r["c_nationkey"], bucket, r["c_mktsegment"])] += 1
+    segs = Counter()
+    cls = Counter()
+    for (nk, b, s), n in cell.items():
+        segs[s] += n
+        cls[(nk, b)] += n
+    n_total = sum(segs.values())
+    tvd = {}
+    for (nk, b), n_class in cls.items():
+        s_sum = sum(
+            abs(cell.get((nk, b, s), 0) * n_total - segs[s] * n_class)
+            for s in segs
+        )
+        tvd[(nk, b)] = (n_class, s_sum)
+    ranked = sorted(
+        ((v[1] / (2 * v[0] * n_total), nk, b) for (nk, b), v in tvd.items()),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:20]
+    assert len(out) == len(ranked)
+    for r, (t, nk, b) in zip(out, ranked):
+        n_class, s_sum = tvd[(nk, b)]
+        assert (r["c_nationkey"], r["bal_bucket"]) == (nk, b)
+        assert (r["class_size"], r["tvd_scaled"], r["tvd"]) == (n_class, s_sum, t)
+        assert r["violates_t"] == (5 * s_sum > 2 * n_class * n_total)
+
+
+def test_t27_gopher_rules_vs_python(spark, sf_dir):
+    """Every rule verdict must equal a literal Python recompute of the
+    integer cross-product comparisons."""
+    import re
+
+    from ankaflow_spark.operators.textops import QUERIES
+
+    out = QUERIES["t27_gopher_rules"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    assert len(out) == len(docs)
+    for r in out:
+        text = docs[r["doc_id"]]
+        low = text.lower()
+        words = re.findall(r"\S+", text)
+        nw = len(words)
+        nchars = len(text.replace(" ", ""))
+        nalpha = len(re.findall(r"(^| )[^ ]*[a-z]", low))
+        nsym = len(re.findall(r"#|\.\.\.", text))
+        nuniq = len(set(low.split(" ")))
+        nstop = sum(
+            1 for w in stop if re.search(f"(^| ){w}( |$)", low)
+        )
+        rules = dict(
+            r_word_count=50 <= nw <= 100000,
+            r_mean_word_len=3 * nw <= nchars <= 10 * nw,
+            r_alpha_words=5 * nalpha >= 4 * nw,
+            r_symbol_ratio=10 * nsym <= nw,
+            r_stopwords=nstop >= 2,
+            r_repetition=5 * nuniq >= nw,
+        )
+        assert r["n_words"] == nw
+        for k, v in rules.items():
+            assert r[k] == v, (r["doc_id"], k)
+        assert r["n_rules_failed"] == sum(not v for v in rules.values())
+        assert r["passes_gopher"] == all(rules.values())

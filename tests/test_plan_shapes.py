@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q63_zorder_layout",  # 1-row max-orderkey scalar broadcast into the natural-layout file id
     "t25_bpe_merge_training",  # 1-row best-pair argmax relations (b1/b2) cross-joined into the vocab spellings — q62's scalar class
     "t26_pmi_collocations",  # 1-row corpus-total scalar (tot) cross-joined into the PMI projection — t15's idf class
+    "q72_t_closeness",  # 1-row grand-total scalar + 5-row sensitive-marginal table cross-joined into the bounded QI-class relation — t26's scalar class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely

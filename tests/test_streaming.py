@@ -484,3 +484,24 @@ def test_st16_markov_incremental_equals_batch(spark):
 
     batch = TS_QUERIES["ts29_markov_transitions"](spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+
+
+def test_st17_cusum_incremental_equals_batch(spark):
+    """The incrementally-maintained daily-count state must yield the
+    same changepoints as the batch ts31 build, and must have been
+    produced by MULTIPLE micro-batches (else the merge path wasn't
+    exercised)."""
+    import os
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_events_ordered
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st17_stream_cusum"](spark, sf_dir).collect()
+
+    staged, _ = _staged_events_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    batch = TS_QUERIES["ts31_cusum_changepoint"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
