@@ -40,6 +40,8 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "t28_domain_caps",
+    "st18_stream_funnel",
     "ts32_funnel_conversion",
     "ts33_dow_seasonality",
     "q72_t_closeness",
@@ -89,9 +91,8 @@ GRADED_FIRST = [
     "d16_editdist_verify",
     "d18_minhash_accuracy",
     # (2) stalest: last graded r03
-    "d05_embedding_neardup",
-    "d09_simhash_neardup",
     "q10_calendar",
+    # (d05/d09 rotated out for t28/st18; r03-green, cell-exact in FULL_r17+)
     # (q11/q12/q13/q20/ts06 rotated out for the five session-4
     # operators; all r03-green and cell-exact in CORRECTNESS_FULL_r17+)
     # (3) family-balanced refresh of r04-last entries

@@ -1461,3 +1461,42 @@ QUERIES["st17_stream_cusum"] = st17
 from .timeseries import ORACLES as _ts_oracles  # noqa: E402
 
 ORACLES["st17_stream_cusum"] = _ts_oracles["ts31_cusum_changepoint"]
+
+
+def st18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel maintenance, ORACLE-CHECKED cell-exact: the
+    per-user first-completion chain (view -> click -> purchase, each
+    strictly after the previous step's first completion) maintained
+    INCREMENTALLY across real micro-batches via foreachbatch_funnel —
+    one row of monotone state per user, each step one type-filtered
+    per-entity MIN against the prior state, leaning on the event-time-
+    ordered ingest contract (a later batch can never lower a stored
+    timestamp). The report tail is ts32's shared _funnel_tail_sql over
+    the 1-row count relation, graded against ts32's batch SQL."""
+    from ..streaming.stream import foreachbatch_funnel, stream_tap
+    from .timeseries import _FUNNEL_STEPS, _funnel_tail_sql
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st18_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    state = foreachbatch_funnel(
+        stream, "user_id", "event_type", "ts", list(_FUNNEL_STEPS), base
+    )
+    state.createOrReplaceTempView("st18_state")
+    spark.sql("""
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+           CAST(COUNT(t2) AS BIGINT) AS n2,
+           CAST(COUNT(t3) AS BIGINT) AS n3
+    FROM st18_state
+    """).createOrReplaceTempView("st18_counts")
+    return spark.sql(_funnel_tail_sql("st18_counts"))
+
+
+QUERIES["st18_stream_funnel"] = st18
+from .timeseries import ORACLES as _ts_oracles2  # noqa: E402
+
+ORACLES["st18_stream_funnel"] = _ts_oracles2["ts32_funnel_conversion"]

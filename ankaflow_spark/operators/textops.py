@@ -1653,3 +1653,64 @@ def _gopher_sql(spark_dialect: bool) -> str:
 def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_gopher_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t28 — per-domain quality quota (domain capping): Common-Crawl-style
+# curation caps how many documents any single domain may contribute,
+# keeping each domain's BEST K by quality score — the selection
+# complement to t16's soft mix WEIGHTS (capping changes membership,
+# weighting changes sampling). Output is the per-source audit row a
+# curation run publishes: totals, kept, dropped, the kept-score range,
+# and a kept-set digest (SUM of kept doc_ids) that pins WHICH documents
+# survived, not just how many. Scale shape: the quality score is t03's
+# single-scan expression; the per-source ROW_NUMBER window ships each
+# row once to its source partition, and the rank<=K filter is Spark's
+# WindowGroupLimit class (per-partition top-K pre-filter before the
+# final sort — q68's plan shape); the audit is a groupBy over the
+# capped relation, output bounded by |sources|. A pathologically hot
+# domain is the documented straggler class (ts23/ts29's note): the
+# production mitigation is a two-level top-K (per (source, hash-bucket)
+# pre-rank, then re-rank the K*B survivors), which preserves exact
+# semantics because top-K distributes over partitions of the same key.
+# Exactness: the score is t03's deterministic double; ties break on
+# doc_id; MIN/MAX over doubles and BIGINT sums are order-independent.
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 15
+
+
+def _domain_caps_sql(spark_dialect: bool) -> str:
+    return f"""
+    WITH scored AS ({_quality_scored(spark_dialect)}),
+    ranked AS (
+      SELECT d.source, s.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY s.score DESC, s.doc_id) AS rk
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    kept AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MIN(score) AS min_kept_score,
+             MAX(score) AS max_kept_score,
+             CAST(SUM(doc_id) AS BIGINT) AS kept_id_digest
+      FROM ranked WHERE rk <= {_DOMAIN_CAP} GROUP BY source
+    ),
+    totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT t.source AS source, t.n_docs AS n_docs, k.n_kept AS n_kept,
+           t.n_docs - k.n_kept AS n_dropped,
+           k.min_kept_score AS min_kept_score,
+           k.max_kept_score AS max_kept_score,
+           k.kept_id_digest AS kept_id_digest
+    FROM totals t JOIN kept k ON k.source = t.source
+    ORDER BY source
+    """
+
+
+@query("t28_domain_caps", oracle=_domain_caps_sql(False))
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_domain_caps_sql(True))

@@ -1763,6 +1763,27 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+def _funnel_tail_sql(counts: str) -> str:
+    """Report tail over a 1-row step-count relation (n1, n2, n3) —
+    shared verbatim by ts32 and the streaming st18 twin."""
+    return f"""
+    SELECT step, step_name, users,
+           CASE WHEN prev = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(users AS DOUBLE) / prev END AS conv_from_prev,
+           CASE WHEN first = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(users AS DOUBLE) / first END AS conv_from_first
+    FROM (
+      SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+             n1 AS users, n1 AS prev, n1 AS first FROM {counts}
+      UNION ALL
+      SELECT 2, '{_FUNNEL_STEPS[1]}', n2, n1, n1 FROM {counts}
+      UNION ALL
+      SELECT 3, '{_FUNNEL_STEPS[2]}', n3, n2, n1 FROM {counts}
+    ) steps
+    ORDER BY step
+    """
+
+
 _FUNNEL_SQL = f"""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
@@ -1785,20 +1806,7 @@ _FUNNEL_SQL = f"""
              (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
     )
-    SELECT step, step_name, users,
-           CASE WHEN prev = 0 THEN CAST(NULL AS DOUBLE)
-                ELSE CAST(users AS DOUBLE) / prev END AS conv_from_prev,
-           CASE WHEN first = 0 THEN CAST(NULL AS DOUBLE)
-                ELSE CAST(users AS DOUBLE) / first END AS conv_from_first
-    FROM (
-      SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
-             n1 AS users, n1 AS prev, n1 AS first FROM counts
-      UNION ALL
-      SELECT 2, '{_FUNNEL_STEPS[1]}', n2, n1, n1 FROM counts
-      UNION ALL
-      SELECT 3, '{_FUNNEL_STEPS[2]}', n3, n2, n1 FROM counts
-    ) steps
-    ORDER BY step
+    {_funnel_tail_sql('counts').strip()}
     """
 
 

@@ -614,3 +614,87 @@ def foreachbatch_markov(
         stream_df.sparkSession.read.parquet(last_dir[0])
         .select("src", "dst", F.col("n").alias("n_trans"))
     )
+
+
+def foreachbatch_funnel(
+    stream_df: DataFrame,
+    entity: str,
+    type_col: str,
+    ts_col: str,
+    steps: List[str],
+    state_base: str,
+) -> DataFrame:
+    """Incrementally maintain per-entity funnel state — the first
+    completion timestamp of each ordered step (step k must happen
+    strictly AFTER the entity's first completion of step k-1) — across
+    micro-batches: the streaming twin of the batch ts32 build. State is
+    ONE row per entity (t1..tn, monotone: each is set at most once and
+    never changes). Correctness leans on the event-time-ordered ingest
+    contract (st14/st16's staging): every event in batch k+1 is >= every
+    event in batch k, so a stored t_{k-1} can never be lowered by a
+    later batch, and the first QUALIFYING step-k event is found by the
+    batch that carries it — a candidate in an earlier batch would have
+    timestamp <= t_{k-1} and fails the strict inequality in both
+    engines. Per batch each step is one type-filtered per-entity MIN
+    joined to the prior state; the state rewrite is one row per entity
+    (st14's compaction shape). Returns the final state as a batch
+    DataFrame (columns: entity, t1..tn)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ckpt = state_base + "_ckpt"
+    for d in (state_base + "_a", state_base + "_b", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    tcols = [f"t{i + 1}" for i in range(len(steps))]
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        prev = state_base + ("_b" if batch_id % 2 else "_a")
+        nxt = state_base + ("_a" if batch_id % 2 else "_b")
+        evs = batch_df.select(
+            F.col(entity).alias("k"),
+            F.col(type_col).alias("s"),
+            F.col(ts_col).alias("t"),
+        )
+        if os.path.isdir(prev):
+            st = spark.read.parquet(prev)
+        else:
+            st = evs.select("k").limit(0)
+            for c in tcols:
+                st = st.withColumn(c, F.col("k").cast("timestamp"))
+        for i, step in enumerate(steps):
+            tc = tcols[i]
+            cand = evs.filter(F.col("s") == step)
+            if i == 0:
+                got = cand.groupBy("k").agg(F.min("t").alias("__new"))
+                st = st.join(got, "k", "full_outer")
+            else:
+                # only events strictly after the (possibly batch-new)
+                # previous-step timestamp qualify
+                got = (
+                    cand.join(st.select("k", tcols[i - 1]), "k")
+                    .filter(F.col("t") > F.col(tcols[i - 1]))
+                    .groupBy("k")
+                    .agg(F.min("t").alias("__new"))
+                )
+                st = st.join(got, "k", "left")
+            st = st.withColumn(tc, F.coalesce(F.col(tc), F.col("__new"))).drop(
+                "__new"
+            )
+        st.select("k", *tcols).write.mode("overwrite").parquet(nxt)
+        last_dir[0] = nxt
+
+    last_dir = [state_base + "_a"]
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.read.parquet(last_dir[0]).localCheckpoint(
+        eager=True
+    )

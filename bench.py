@@ -76,6 +76,14 @@ HEADLINE = [
     "q69_l_diversity",
     "d22_triangle_count",
     "q70_data_quality_audit",
+    # round-11 additions (total now covers 48 queries): funnel
+    # conversion, DOW seasonality, t-closeness, Gopher rules, and the
+    # MAD/CUSUM drift monitors
+    "ts32_funnel_conversion",
+    "ts33_dow_seasonality",
+    "q72_t_closeness",
+    "t27_gopher_rules",
+    "ts30_mad_outliers",
 ]
 
 

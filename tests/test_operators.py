@@ -1885,3 +1885,30 @@ def test_t27_gopher_rules_vs_python(spark, sf_dir):
             assert r[k] == v, (r["doc_id"], k)
         assert r["n_rules_failed"] == sum(not v for v in rules.values())
         assert r["passes_gopher"] == all(rules.values())
+
+
+def test_t28_domain_caps_vs_python(spark, sf_dir):
+    """Per-source audit must equal a literal quality-ranked top-K
+    selection (score desc, doc_id tiebreak)."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.textops import QUERIES, _DOMAIN_CAP
+
+    out = QUERIES["t28_domain_caps"](spark, sf_dir).collect()
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in QUERIES["t03_quality_score"](spark, sf_dir).collect()
+    }
+    by_src = defaultdict(list)
+    for r in spark.table("documents").select("doc_id", "source").collect():
+        by_src[r["source"]].append(r["doc_id"])
+    assert len(out) == len(by_src)
+    for r in out:
+        docs = by_src[r["source"]]
+        kept = sorted(docs, key=lambda d: (-scored[d], d))[:_DOMAIN_CAP]
+        assert r["n_docs"] == len(docs)
+        assert r["n_kept"] == len(kept)
+        assert r["n_dropped"] == len(docs) - len(kept)
+        assert r["kept_id_digest"] == sum(kept)
+        assert r["min_kept_score"] == min(scored[d] for d in kept)
+        assert r["max_kept_score"] == max(scored[d] for d in kept)
