@@ -1483,3 +1483,142 @@ def op_expect(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("pass"),
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+@operator("funnel_conversion")
+def op_funnel_conversion(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Funnel conversion RATES (ts32 as a reusable stage; the `funnel`
+    op reports the same chain's inter-step latency): per-step
+    user counts where each step must happen strictly AFTER the entity's
+    first completion of the previous step, with step-over-step and
+    from-first rates. Each step is one type-filtered per-entity MIN
+    (map-side combinable) chained by equi-joins; no windows."""
+    from .timeseries import _funnel_sql
+
+    entity = params.get("entity", "user_id")
+    type_col = params.get("type_col", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    steps = params["steps"]
+    if len(steps) != 3:
+        raise ValueError(
+            "funnel_conversion: exactly 3 steps supported (got %d)" % len(steps)
+        )
+    df.createOrReplaceTempView("__funnel_in__")
+    return engine.spark.sql(
+        _funnel_sql("__funnel_in__", entity, type_col, ts_col, tuple(steps))
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("t_closeness")
+def op_t_closeness(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """t-closeness audit (q72 as a reusable stage): per-QI-class
+    total-variation distance vs the global sensitive distribution,
+    kept as exact scaled BIGINTs; ``t`` is given as the fraction
+    ``[num, den]`` so the violation test stays integer-exact."""
+    from .relational import _t_closeness_sql
+
+    quasi = params["quasi"]
+    names = params.get(
+        "quasi_names", [f"qi_{i}" for i in range(len(quasi))]
+    )
+    tn, td = params.get("t", [1, 5])
+    df.createOrReplaceTempView("__tclose_in__")
+    return engine.spark.sql(
+        _t_closeness_sql(
+            "__tclose_in__",
+            tuple(quasi),
+            tuple(names),
+            params["sensitive"],
+            int(tn),
+            int(td),
+            int(params.get("limit", 20)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("domain_caps")
+def op_domain_caps(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Per-domain quota audit (t28 as a reusable stage): keep each
+    domain's best-K rows by ``score`` (ties break on ``id``), report
+    totals/kept/dropped, the kept-score range, and the kept-id digest.
+    The rank<=K filter takes Spark's WindowGroupLimit pre-filter."""
+    from pyspark.sql.window import Window as W
+
+    domain = params["domain"]
+    score = params.get("score", "score")
+    id_col = params.get("id", "doc_id")
+    cap = int(params["cap"])
+    scored = df.select(
+        F.col(domain).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.expr(score).alias("score"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    kept = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.min("score").alias("min_kept_score"),
+            F.max("score").alias("max_kept_score"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_digest"),
+        )
+    )
+    totals = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source", "n_docs", "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "min_kept_score", "max_kept_score", "kept_id_digest",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("gopher_rules")
+def op_gopher_rules(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Gopher-style quality rules (t27 as a reusable stage): the public
+    Rae-et-al rule-set as per-rule pass/fail verdicts over any text
+    column — all integer cross-product comparisons, one codegen scan."""
+    from .textops import _gopher_sql
+
+    df.createOrReplaceTempView("__gopher_in__")
+    return engine.spark.sql(
+        _gopher_sql(
+            True,
+            "__gopher_in__",
+            params.get("text", "text"),
+            params.get("id", "doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@operator("dow_seasonality")
+def op_dow_seasonality(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Day-of-week seasonality (ts33 as a reusable stage): per
+    (group, ISO weekday) observed daily volume vs the group's overall
+    daily average as exact integer cross-products; everything after
+    the one corpus groupBy runs over the (group x 7)-bounded series."""
+    from .timeseries import _dow_tail_sql
+
+    group = params.get("group", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    daily = (
+        df.groupBy(
+            F.col(group).alias("event_type"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    daily.createOrReplaceTempView("__dowseas_daily__")
+    return engine.spark.sql(_dow_tail_sql("__dowseas_daily__", True))

@@ -2774,50 +2774,71 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5  # t = 0.2
 
 
-_T_CLOSENESS_SQL = f"""
+def _t_closeness_sql(
+    table: str = "customer",
+    quasi=(
+        "c_nationkey",
+        "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)",
+    ),
+    quasi_names=("c_nationkey", "bal_bucket"),
+    sensitive: str = "c_mktsegment",
+    tn: int = _T_CLOSE_NUM,
+    td: int = _T_CLOSE_DEN,
+    limit: int = 20,
+) -> str:
+    """Full t-closeness audit over any relation — shared by the graded
+    q72 (defaults) and the ``t_closeness`` YAML stage op (its params).
+    The violation test compares exact integer cross-products
+    (td * tvd_scaled > 2 * tn * n_class * n_total, i.e. t = tn/td)."""
+    qi_sel = ", ".join(f"{q} AS {n}" for q, n in zip(quasi, quasi_names))
+    qi = ", ".join(quasi_names)
+    qi_eq = " AND ".join(f"l.{n} = c.{n}" for n in quasi_names)
+    qi_c = ", ".join(f"c.{n}" for n in quasi_names)
+    return f"""
     WITH cell AS (
-      SELECT c_nationkey,
-             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
-             c_mktsegment,
+      SELECT {qi_sel}, {sensitive} AS sens,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM customer
-      GROUP BY 1, 2, 3
+      FROM {table}
+      GROUP BY {", ".join(str(i + 1) for i in range(len(quasi_names) + 1))}
     ),
     cls AS (
-      SELECT c_nationkey, bal_bucket, CAST(SUM(cnt) AS BIGINT) AS n_class
-      FROM cell GROUP BY 1, 2
+      SELECT {qi}, CAST(SUM(cnt) AS BIGINT) AS n_class
+      FROM cell GROUP BY {qi}
     ),
     gseg AS (
-      SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS n_seg FROM cell GROUP BY 1
+      SELECT sens, CAST(SUM(cnt) AS BIGINT) AS n_seg FROM cell GROUP BY sens
     ),
     tot AS (
       SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cell
     ),
     crossed AS (
-      SELECT c.c_nationkey, c.bal_bucket, c.n_class,
-             g.c_mktsegment, g.n_seg, t.n_total,
+      SELECT {qi_c}, c.n_class,
+             g.sens, g.n_seg, t.n_total,
              COALESCE(l.cnt, 0) AS cnt
       FROM cls c CROSS JOIN gseg g CROSS JOIN tot t
       LEFT JOIN cell l
-        ON l.c_nationkey = c.c_nationkey AND l.bal_bucket = c.bal_bucket
-       AND l.c_mktsegment = g.c_mktsegment
+        ON {qi_eq}
+       AND l.sens = g.sens
     ),
     tvd AS (
-      SELECT c_nationkey, bal_bucket,
+      SELECT {qi},
              MAX(n_class) AS class_size,
              MAX(n_total) AS n_total,
              CAST(SUM(abs(cnt * n_total - n_seg * n_class)) AS BIGINT) AS tvd_scaled
-      FROM crossed GROUP BY c_nationkey, bal_bucket
+      FROM crossed GROUP BY {qi}
     )
-    SELECT c_nationkey, bal_bucket, class_size, tvd_scaled,
+    SELECT {qi}, class_size, tvd_scaled,
            CAST(tvd_scaled AS DOUBLE) / (2 * class_size * n_total) AS tvd,
-           {_T_CLOSE_DEN} * tvd_scaled
-             > 2 * {_T_CLOSE_NUM} * class_size * n_total AS violates_t
+           {td} * tvd_scaled
+             > 2 * {tn} * class_size * n_total AS violates_t
     FROM tvd
     ORDER BY CAST(tvd_scaled AS DOUBLE) / (2 * class_size * n_total) DESC,
-             c_nationkey, bal_bucket
-    LIMIT 20
+             {qi}
+    LIMIT {limit}
     """
+
+
+_T_CLOSENESS_SQL = _t_closeness_sql()
 
 
 @query("q72_t_closeness", oracle=_T_CLOSENESS_SQL)

@@ -1593,35 +1593,45 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100000
 
 
-def _gopher_sql(spark_dialect: bool) -> str:
+def _gopher_sql(
+    spark_dialect: bool,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
     if spark_dialect:
-        n_words = "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)"
-        n_alpha = "CAST(regexp_count(lower(text), '(^| )[^ ]*[a-z]') AS BIGINT)"
-        n_sym = "CAST(regexp_count(text, '#|\\\\.\\\\.\\\\.') AS BIGINT)"
-        n_unique = "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)"
+        n_words = "CAST(size(regexp_extract_all({text}, '\\\\S+', 0)) AS BIGINT)"
+        n_alpha = "CAST(regexp_count(lower({text}), '(^| )[^ ]*[a-z]') AS BIGINT)"
+        n_sym = "CAST(regexp_count({text}, '#|\\\\.\\\\.\\\\.') AS BIGINT)"
+        n_unique = "CAST(size(array_distinct(split(lower({text}), ' '))) AS BIGINT)"
         stop_hits = " + ".join(
-            f"CAST(regexp_count(lower(text), '(^| ){w}( |$)') > 0 AS INT)"
+            f"CAST(regexp_count(lower({text}), '(^| ){w}( |$)') > 0 AS INT)"
             for w in _GOPHER_STOPWORDS
         )
     else:
-        n_words = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
-        n_alpha = "CAST(len(regexp_extract_all(lower(text), '(^| )[^ ]*[a-z]')) AS BIGINT)"
-        n_sym = "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)"
-        n_unique = "CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)"
+        n_words = "CAST(len(regexp_extract_all({text}, '\\S+')) AS BIGINT)"
+        n_alpha = "CAST(len(regexp_extract_all(lower({text}), '(^| )[^ ]*[a-z]')) AS BIGINT)"
+        n_sym = "CAST(len(regexp_extract_all({text}, '#|\\.\\.\\.')) AS BIGINT)"
+        n_unique = "CAST(len(list_distinct(string_split(lower({text}), ' '))) AS BIGINT)"
         stop_hits = " + ".join(
-            f"CAST(len(regexp_extract_all(lower(text), '(^| ){w}( |$)')) > 0 AS INT)"
+            f"CAST(len(regexp_extract_all(lower({text}), '(^| ){w}( |$)')) > 0 AS INT)"
             for w in _GOPHER_STOPWORDS
         )
+    n_words = n_words.format(text=text)
+    n_alpha = n_alpha.format(text=text)
+    n_sym = n_sym.format(text=text)
+    n_unique = n_unique.format(text=text)
+    stop_hits = stop_hits.format(text=text)
     return f"""
     WITH sig AS (
-      SELECT doc_id,
+      SELECT {id_col} AS doc_id,
              {n_words} AS n_words,
-             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+             CAST(length(replace({text}, ' ', '')) AS BIGINT) AS n_word_chars,
              {n_alpha} AS n_alpha_words,
              {n_sym} AS n_symbols,
              {n_unique} AS n_unique,
              CAST({stop_hits} AS BIGINT) AS n_stopword_kinds
-      FROM documents
+      FROM {table}
     ),
     rules AS (
       SELECT doc_id, n_words,

@@ -1746,7 +1746,9 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts32 — funnel conversion: the ordered view → click → purchase journey
+# ts32 — funnel CONVERSION RATES (complements ts14, which reports the
+# same strict-order funnel's inter-step LATENCY): the ordered view →
+# click → purchase journey
 # (each step must happen strictly AFTER the user's first completion of
 # the previous step), reported as per-step user counts with step-over-
 # step and from-first conversion rates — the product-analytics query
@@ -1763,9 +1765,10 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def _funnel_tail_sql(counts: str) -> str:
+def _funnel_tail_sql(counts: str, steps=_FUNNEL_STEPS) -> str:
     """Report tail over a 1-row step-count relation (n1, n2, n3) —
-    shared verbatim by ts32 and the streaming st18 twin."""
+    shared verbatim by ts32, the streaming st18 twin, and the funnel
+    stage op."""
     return f"""
     SELECT step, step_name, users,
            CASE WHEN prev = 0 THEN CAST(NULL AS DOUBLE)
@@ -1773,47 +1776,89 @@ def _funnel_tail_sql(counts: str) -> str:
            CASE WHEN first = 0 THEN CAST(NULL AS DOUBLE)
                 ELSE CAST(users AS DOUBLE) / first END AS conv_from_first
     FROM (
-      SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+      SELECT 1 AS step, '{steps[0]}' AS step_name,
              n1 AS users, n1 AS prev, n1 AS first FROM {counts}
       UNION ALL
-      SELECT 2, '{_FUNNEL_STEPS[1]}', n2, n1, n1 FROM {counts}
+      SELECT 2, '{steps[1]}', n2, n1, n1 FROM {counts}
       UNION ALL
-      SELECT 3, '{_FUNNEL_STEPS[2]}', n3, n2, n1 FROM {counts}
+      SELECT 3, '{steps[2]}', n3, n2, n1 FROM {counts}
     ) steps
     ORDER BY step
     """
 
 
-_FUNNEL_SQL = f"""
+def _funnel_sql(
+    table: str = "events",
+    entity: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    steps=_FUNNEL_STEPS,
+) -> str:
+    """Full funnel query over any event relation — shared by the graded
+    ts32 (defaults) and the ``funnel`` YAML stage op (its params)."""
+    return f"""
     WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+      SELECT {entity} AS user_id, MIN({ts_col}) AS t1 FROM {table}
+      WHERE {type_col} = '{steps[0]}' GROUP BY {entity}
     ),
     s2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN s1 ON s1.user_id = e.user_id
-      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
-      GROUP BY e.user_id
+      SELECT e.{entity} AS user_id, MIN(e.{ts_col}) AS t2
+      FROM {table} e JOIN s1 ON s1.user_id = e.{entity}
+      WHERE e.{type_col} = '{steps[1]}' AND e.{ts_col} > s1.t1
+      GROUP BY e.{entity}
     ),
     s3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN s2 ON s2.user_id = e.user_id
-      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
-      GROUP BY e.user_id
+      SELECT e.{entity} AS user_id, MIN(e.{ts_col}) AS t3
+      FROM {table} e JOIN s2 ON s2.user_id = e.{entity}
+      WHERE e.{type_col} = '{steps[2]}' AND e.{ts_col} > s2.t2
+      GROUP BY e.{entity}
     ),
     counts AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
     )
-    {_funnel_tail_sql('counts').strip()}
+    {_funnel_tail_sql('counts', steps).strip()}
     """
 
 
-@query("ts32_funnel_conversion", oracle=_FUNNEL_SQL)
+_FUNNEL32_SQL = _funnel_sql()
+
+
+@query("ts32_funnel_conversion", oracle=_FUNNEL32_SQL)
 def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side materializes each per-user step table once
+    # (localCheckpoint): the counts CTE references every step relation
+    # a second time, and uncorrelated scalar subqueries re-execute
+    # their whole input plan — without this the corpus is scanned
+    # ~12x (s3's count re-runs s2 which re-runs s1). The DuckDB oracle
+    # runs the identical SQL as plain CTEs (it materializes CTEs
+    # referenced more than once).
     load_tables(spark, sf_dir)
-    return spark.sql(_FUNNEL_SQL)
+    prev = "events"
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        if i == 1:
+            sql = f"""
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = '{step}' GROUP BY user_id
+            """
+        else:
+            sql = f"""
+            SELECT e.user_id, MIN(e.ts) AS t{i}
+            FROM events e JOIN {prev} p ON p.user_id = e.user_id
+            WHERE e.event_type = '{step}' AND e.ts > p.t{i - 1}
+            GROUP BY e.user_id
+            """
+        spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(
+            f"__ts32_s{i}__"
+        )
+        prev = f"__ts32_s{i}__"
+    spark.sql("""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM __ts32_s1__) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM __ts32_s2__) AS n2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM __ts32_s3__) AS n3
+    """).createOrReplaceTempView("__ts32_counts__")
+    return spark.sql(_funnel_tail_sql("__ts32_counts__"))
 
 
 # ---------------------------------------------------------------------------

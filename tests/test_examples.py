@@ -120,3 +120,27 @@ def test_governance_audit_example(engine):
     # the sf0.001 release has sparse QI classes: both audits must fire
     assert row["k_anonymity_violations"] > 0
     assert row["l_diversity_violations"] > 0
+
+
+def test_curation_quality_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/curation_quality.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    assert row["n_docs"] == 500
+    assert 0 < row["n_after_caps"] <= row["n_docs"]
+    assert row["n_after_caps"] + row["n_capped_out"] == row["n_docs"]
+
+
+def test_product_analytics_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/product_analytics.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    assert row["n_viewers"] >= row["n_purchasers"] >= 0
+    assert row["end_to_end_conv"] is None or 0 <= row["end_to_end_conv"] <= 1
+    assert row["above_avg_cells"] > 0 and row["peak_seasonality"] > 1.0

@@ -889,3 +889,122 @@ def test_pmi_collocations_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["t26_pmi_collocations"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_funnel_conversion_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: fn
+  op: funnel_conversion
+  params:
+    entity: user_id
+    type_col: event_type
+    ts_col: ts
+    steps: [view, click, purchase]
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts32_funnel_conversion"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_t_closeness_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: customer
+  connection: {{kind: parquet, locator: {sf_dir}/customer.parquet}}
+- kind: operator
+  name: tc
+  op: t_closeness
+  params:
+    quasi: ["c_nationkey", "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)"]
+    quasi_names: [c_nationkey, bal_bucket]
+    sensitive: c_mktsegment
+    t: [1, 5]
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q72_t_closeness"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_domain_caps_stage_matches_graded(engine, sf_dir):
+    from ankaflow_spark.operators.textops import _quality_scored
+
+    scored_sql = (
+        "SELECT s.doc_id, d.source, s.score FROM ("
+        + _quality_scored(True)
+        + ") s JOIN documents d ON d.doc_id = s.doc_id"
+    ).replace("\n", " ")
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: scored
+  query: >
+    {scored_sql}
+- kind: operator
+  name: caps
+  op: domain_caps
+  params: {{domain: source, score: score, id: doc_id, cap: 15}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t28_domain_caps"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_gopher_rules_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs_in
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: gq
+  op: gopher_rules
+  params: {{text: text, id: doc_id}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t27_gopher_rules"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_dow_seasonality_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: seas
+  op: dow_seasonality
+  params: {{group: event_type, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts33_dow_seasonality"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
