@@ -2770,6 +2770,8 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 # denominator 2*n_class*N factored out), the t-threshold compares
 # integer cross-products (t = 1/5), and the reported double divides
 # ONCE at the end.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the q67/q69 privacy-audit triad.
 # ---------------------------------------------------------------------------
 _T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5  # t = 0.2
 

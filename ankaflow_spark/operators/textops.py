@@ -1588,6 +1588,8 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word length in [3,10] is  3*n_words <= n_word_chars AND
 # n_word_chars <= 10*n_words) — no ratio is ever materialized as a
 # float, so the DuckDB oracle matches bit-for-bit.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the text-curation family like t03/t07.
 # ---------------------------------------------------------------------------
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100000
@@ -1685,6 +1687,8 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics because top-K distributes over partitions of the same key.
 # Exactness: the score is t03's deterministic double; ties break on
 # doc_id; MIN/MAX over doubles and BIGINT sums are order-independent.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the selection complement to t16's mix weights.
 # ---------------------------------------------------------------------------
 _DOMAIN_CAP = 15
 

@@ -1761,6 +1761,8 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts are exact BIGINTs from timestamp comparisons in the integer
 # epoch domain; each rate is ONE integer->double division (no float
 # accumulation), NULL-guarded identically in both engines.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the behavioral family like ts14/ts28.
 # ---------------------------------------------------------------------------
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -1862,9 +1864,11 @@ def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts33 — day-of-week seasonality profile: per (event_type, ISO
-# weekday), the observed daily event volume versus the type's overall
-# daily average, as a seasonality index — the drift-monitor companion
+# ts33 — day-of-week seasonality INDEX (complements ts12, which emits
+# the raw (dow x hour) traffic matrix): per (event_type, ISO weekday),
+# the observed daily event volume versus the type's overall
+# daily average, as a normalized seasonality index with above-average
+# verdicts — the drift-monitor companion
 # to ts30/ts31 (a Tuesday dip is seasonality; the same dip on a Friday
 # is an incident). Scale shape: ts30's daily-count relation (ONE
 # corpus groupBy) and every downstream step runs over that
@@ -1873,6 +1877,8 @@ def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (n_events * tot_days vs n_days * tot_events) and divides ONCE into a
 # double; the ISO weekday is isodow() in DuckDB and weekday()+1 in
 # Spark (both Monday=1..Sunday=7).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the drift-monitor family like ts30/ts31.
 # ---------------------------------------------------------------------------
 def _dow_tail_sql(daily: str, spark_dialect: bool) -> str:
     """Seasonality tail over a daily-count relation (event_type, day,
