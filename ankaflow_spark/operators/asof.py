@@ -158,12 +158,22 @@ def asof_join_pandas(
     tolerance: Optional[pd.Timedelta] = None,
     direction: str = "backward",
     carry_on: Optional[str] = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """merge_asof per key group (cogrouped Pandas path). Right columns
-    (except keys) are appended with pandas' merge_asof semantics.
-    ``carry_on`` additionally emits the matched right ``on`` value under
-    that name — duplicated pandas-side because a Spark-side alias of the
-    same attribute is pruned to one column on the Arrow cogroup hop."""
+    """merge_asof over HASH BUCKETS of the key columns (cogrouped
+    Pandas path). Cogrouping directly on ``by`` spawns one Python/Arrow
+    round-trip per distinct key — at sf0.1 that is thousands of
+    few-row pandas calls and interpreter overhead dominates (25.8s for
+    ts07). Bucketing on ``hash(by) % n_buckets`` keeps the shuffle
+    co-partitioned on the same keys but amortizes the Arrow hop over
+    ~|keys|/n_buckets keys per call, with ``pd.merge_asof(by=...)``
+    doing the per-key as-of inside the batch — semantically identical
+    (merge_asof with ``by`` equals the per-key merge on each group).
+    Right columns (except keys) are appended with pandas' merge_asof
+    semantics. ``carry_on`` additionally emits the matched right
+    ``on`` value under that name — duplicated pandas-side because a
+    Spark-side alias of the same attribute is pruned to one column on
+    the Arrow cogroup hop."""
     right_cols = [c for c in right.columns if c not in by and c != on]
     out_schema = left.schema
     from pyspark.sql import types as T
@@ -174,21 +184,33 @@ def asof_join_pandas(
     if carry_on:
         fields.append(T.StructField(carry_on, right.schema[on].dataType, True))
     schema = T.StructType(fields)
+    out_cols = [f.name for f in fields]
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        l = l.sort_values(on)
-        r = r.sort_values(on)[[on] + right_cols].rename(
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        l = l.drop(columns=["__bucket__"]).sort_values(on, kind="mergesort")
+        if r.empty or on not in r.columns:
+            # a bucket whose keys never appear on the right: every left
+            # row is unmatched (merge_asof rejects an empty right frame)
+            for c in out_cols:
+                if c not in l.columns:
+                    l[c] = None
+            return l[out_cols]
+        r = r.sort_values(on, kind="mergesort")[list(by) + [on] + right_cols].rename(
             columns={c: f"{c}_asof" for c in right_cols}
         )
         if carry_on:
             r[carry_on] = r[on]
-        if l.empty:
-            return pd.DataFrame(columns=[f.name for f in fields])
-        merged = pd.merge_asof(l, r, on=on, tolerance=tolerance, direction=direction)
-        return merged
+        merged = pd.merge_asof(
+            l, r, on=on, by=list(by), tolerance=tolerance, direction=direction
+        )
+        return merged[out_cols]
 
+    bucket = F.pmod(F.hash(*[F.col(k) for k in by]), F.lit(n_buckets))
     return (
-        left.groupBy(*by)
-        .cogroup(right.groupBy(*by))
+        left.withColumn("__bucket__", bucket)
+        .groupBy("__bucket__")
+        .cogroup(right.withColumn("__bucket__", bucket).groupBy("__bucket__"))
         .applyInPandas(lambda key, l, r: merge(l, r), schema=schema)
     )
