@@ -40,6 +40,8 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "d24_lsh_threshold_sweep",
+    "q73_psi_drift",
     "t28_domain_caps",
     "st18_stream_funnel",
     "ts32_funnel_conversion",
@@ -84,15 +86,17 @@ GRADED_FIRST = [
     "d08_dedup_survivors",
     "d10_semantic_dedup",
     "d17_dedup_cascade",
-    "t20_leakage_safe_split",
+    # (t20 rotated out for the session-5 operators: its change is
+    # transitive through the same CC stages d10/d17 re-confirm, and it
+    # stays cell-exact in FULL_r19)
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
     "d14_containment_pairs",
     "d16_editdist_verify",
     "d18_minhash_accuracy",
     # (2) stalest: last graded r03
-    "q10_calendar",
-    # (d05/d09 rotated out for t28/st18; r03-green, cell-exact in FULL_r17+)
+    # (q10/d05/d09 rotated out for the session-4/5 operators; r03-green,
+    # cell-exact in FULL_r19)
     # (q11/q12/q13/q20/ts06 rotated out for the five session-4
     # operators; all r03-green and cell-exact in CORRECTNESS_FULL_r17+)
     # (3) family-balanced refresh of r04-last entries

@@ -2027,3 +2027,63 @@ ORACLES["d23_dedup_impact_report"] = f"""
     ),
     {_dedup_report_tail_sql("clusters").strip()[len("WITH "):]}
     """
+
+
+# ---------------------------------------------------------------------------
+# d24 — LSH threshold sweep (banding-calibration evidence): for each
+# candidate Jaccard threshold, how many verified candidate pairs
+# survive — the empirical S-curve table an engineer reads before
+# committing a (bands, rows) configuration, next to d23's impact
+# report. Scale shape: ONE verification pass over the shared
+# materialized candidate-pair relation (cached_cands; the same
+# intersect-join as d03, never a shingle self-join), then the sweep is
+# a constant-size threshold spine CROSS JOINed against the bounded
+# verified-pair table. Exactness: every threshold test is the integer
+# cross-product  100*n_common >= th*n_union  (no float Jaccard is
+# compared), counts are exact BIGINTs, and the share divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the dedup-forensics family like d12/d23.
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def _threshold_sweep_sql(cand_ctes: str) -> str:
+    spine = " UNION ALL ".join(
+        f"SELECT {t} AS th" for t in _SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH {cand_ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT n_common, za.n + zb.n - n_common AS n_union
+      FROM common
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+    ),
+    spine AS ({spine}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM cands)
+    SELECT CAST(s.th AS BIGINT) AS threshold_pct,
+           CAST(SUM(CASE WHEN 100 * v.n_common >= s.th * v.n_union
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           MAX(t.n_cands) AS n_cands,
+           CAST(SUM(CASE WHEN 100 * v.n_common >= s.th * v.n_union
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(t.n_cands) AS pair_share
+    FROM spine s CROSS JOIN verified v CROSS JOIN tot t
+    GROUP BY s.th
+    ORDER BY threshold_pct
+    """
+
+
+@query("d24_lsh_threshold_sweep", oracle=_threshold_sweep_sql(DUCK_CAND_CTES))
+def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    return spark.sql(_threshold_sweep_sql(SPARK_CAND_CTES))

@@ -2847,3 +2847,64 @@ _T_CLOSENESS_SQL = _t_closeness_sql()
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_T_CLOSENESS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q73 — PSI distribution drift (population stability index): per value
+# bin, the contribution  (p - q) * ln(p / q)  between a baseline
+# snapshot and the current one — the standard ML-monitoring statistic
+# for "did this feature's distribution move since training". Split
+# here: order value distribution before vs since 1998-01-01. Scale
+# shape: ONE corpus groupBy onto (snapshot, bin) — map-side
+# combinable — then everything runs over the |bins|-bounded spine
+# (missing cells materialized with +1 smoothing so ln() is defined,
+# the documented PSI convention). Exactness: counts are exact BIGINTs;
+# each per-bin PSI is ONE compound double expression from exact
+# integers, ROUND(...,6) (t26's ln convention); NO corpus-wide float
+# sum exists — per-bin rows are the output, ranked by contribution via
+# the rounded value with bin tie-break.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the drift complement to q71's row-level diff.
+# ---------------------------------------------------------------------------
+_PSI_SPLIT = "1998-01-01"
+_PSI_BIN_WIDTH = 50000
+
+
+_PSI_SQL = f"""
+    WITH cells AS (
+      SELECT CAST(o_orderdate >= '{_PSI_SPLIT}' AS INT) AS snap,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) / {_PSI_BIN_WIDTH}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    bins AS (SELECT DISTINCT bin FROM cells),
+    smoothed AS (
+      SELECT b.bin,
+             CAST(GREATEST(COALESCE(MAX(CASE WHEN c.snap = 0 THEN c.n END), 0), 1) AS BIGINT) AS n_base,
+             CAST(GREATEST(COALESCE(MAX(CASE WHEN c.snap = 1 THEN c.n END), 0), 1) AS BIGINT) AS n_cur
+      FROM bins b LEFT JOIN cells c ON c.bin = b.bin
+      GROUP BY b.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM smoothed
+    )
+    SELECT s.bin AS bin,
+           s.bin * {_PSI_BIN_WIDTH} AS bin_lo,
+           s.n_base AS n_base, s.n_cur AS n_cur,
+           ROUND((CAST(s.n_base AS DOUBLE) / t.tb - CAST(s.n_cur AS DOUBLE) / t.tc)
+                 * ln((CAST(s.n_base AS DOUBLE) / t.tb)
+                      / (CAST(s.n_cur AS DOUBLE) / t.tc)), 6) AS psi_bin,
+           ROUND((CAST(s.n_base AS DOUBLE) / t.tb - CAST(s.n_cur AS DOUBLE) / t.tc)
+                 * ln((CAST(s.n_base AS DOUBLE) / t.tb)
+                      / (CAST(s.n_cur AS DOUBLE) / t.tc)), 6) > 0.02 AS major_shift
+    FROM smoothed s CROSS JOIN tot t
+    ORDER BY bin
+    """
+
+
+@query("q73_psi_drift", oracle=_PSI_SQL)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_PSI_SQL)

@@ -1912,3 +1912,69 @@ def test_t28_domain_caps_vs_python(spark, sf_dir):
         assert r["kept_id_digest"] == sum(kept)
         assert r["min_kept_score"] == min(scored[d] for d in kept)
         assert r["max_kept_score"] == max(scored[d] for d in kept)
+
+
+def test_d24_threshold_sweep_vs_python(spark, sf_dir):
+    """The sweep must be monotone non-increasing in the threshold and
+    equal an integer-exact recount from the verified pair relation."""
+    from ankaflow_spark.operators.dedup import (
+        QUERIES, SPARK_CAND_CTES, _SWEEP_THRESHOLDS,
+    )
+
+    out = QUERIES["d24_lsh_threshold_sweep"](spark, sf_dir).collect()
+    pairs = spark.sql(f"""
+    WITH {SPARK_CAND_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT n_common, za.n + zb.n - n_common AS n_union
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    """).collect()
+    n_cands = spark.sql(
+        f"WITH {SPARK_CAND_CTES} SELECT COUNT(*) AS n FROM cands"
+    ).collect()[0]["n"]
+    assert [r["threshold_pct"] for r in out] == list(_SWEEP_THRESHOLDS)
+    prev = None
+    for r in out:
+        expect = sum(
+            1 for p in pairs if 100 * p["n_common"] >= r["threshold_pct"] * p["n_union"]
+        )
+        assert r["n_pairs"] == expect
+        assert r["n_cands"] == n_cands
+        assert r["pair_share"] == expect / n_cands
+        if prev is not None:
+            assert r["n_pairs"] <= prev
+        prev = r["n_pairs"]
+
+
+def test_q73_psi_vs_python(spark, sf_dir):
+    """Per-bin PSI must equal a literal smoothed recompute."""
+    import math
+    from collections import Counter
+
+    from ankaflow_spark.operators.relational import QUERIES, _PSI_BIN_WIDTH
+
+    out = QUERIES["q73_psi_drift"](spark, sf_dir).collect()
+    cells = Counter()
+    for r in spark.table("orders").select("o_orderdate", "o_totalprice").collect():
+        snap = 1 if r["o_orderdate"].year >= 1998 else 0
+        cells[(snap, math.floor(r["o_totalprice"] / _PSI_BIN_WIDTH))] += 1
+    bins = sorted({b for _, b in cells})
+    tb = sum(max(cells.get((0, b), 0), 1) for b in bins)
+    tc = sum(max(cells.get((1, b), 0), 1) for b in bins)
+    assert [r["bin"] for r in out] == bins
+    for r in out:
+        nb = max(cells.get((0, r["bin"]), 0), 1)
+        nc = max(cells.get((1, r["bin"]), 0), 1)
+        p, q = nb / tb, nc / tc
+        psi = round((p - q) * math.log(p / q), 6)
+        assert (r["n_base"], r["n_cur"]) == (nb, nc)
+        assert r["psi_bin"] == psi
+        assert r["major_shift"] == (psi > 0.02)

@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "t25_bpe_merge_training",  # 1-row best-pair argmax relations (b1/b2) cross-joined into the vocab spellings — q62's scalar class
     "t26_pmi_collocations",  # 1-row corpus-total scalar (tot) cross-joined into the PMI projection — t15's idf class
     "q72_t_closeness",  # 1-row grand-total scalar + 5-row sensitive-marginal table cross-joined into the bounded QI-class relation — t26's scalar class
+    "d24_lsh_threshold_sweep",  # 8-row threshold spine + 1-row candidate-total scalar cross-joined into the bounded verified-pair table
+    "q73_psi_drift",  # 1-row snapshot-total scalar cross-joined into the |bins|-bounded smoothed relation — t15's idf class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
