@@ -84,6 +84,10 @@ HEADLINE = [
     "q72_t_closeness",
     "t27_gopher_rules",
     "ts30_mad_outliers",
+    # round-12 additions (total now covers 50 queries): the LSH
+    # calibration sweep and PSI drift monitor
+    "d24_lsh_threshold_sweep",
+    "q73_psi_drift",
 ]
 
 
