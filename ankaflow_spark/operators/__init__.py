@@ -40,6 +40,9 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "ts34_repeat_purchase_gaps",
+    "s19_embedding_stats",
+    "t29_tokenizer_fertility",
     "d24_lsh_threshold_sweep",
     "q73_psi_drift",
     "t28_domain_caps",
@@ -77,9 +80,9 @@ GRADED_FIRST = [
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
     "s17_silhouette_eval",
-    "st13_stream_bloom_decontam",
-    "q62_idle_rich_customers",
-    "ts28_cohort_retention",
+    # (st13/q62/ts28 rotated out for the session-6 trio; cell-exact at
+    # both SFs in CORRECTNESS_FULL_r19/SF01_r19, queued for the next
+    # window rotation)
     # (1) implementation changed this round / post-freeze — re-confirm
     "ts22_rfm_segmentation",
     "d06_dedup_clusters",

@@ -1825,3 +1825,64 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sel.union(step).localCheckpoint(eager=True)
     sel.createOrReplaceTempView("s18_last")
     return spark.sql(_mmr_final_sql("s18_last", "s18_pd", hint))
+
+
+# ---------------------------------------------------------------------------
+# s19 — embedding collapse diagnostics: per-dimension mean/variance/
+# range of the corpus embedding matrix — the representation-health
+# check run before an embedding table enters an ANN index or training
+# mix (a dimension whose variance has collapsed carries no signal;
+# systematic mean offsets betray a broken normalization step).
+# Scale shape: ONE explode pass (corpus x 64 dims) feeding a map-side
+# combinable per-dim aggregate; output is exactly DIM rows. Exactness:
+# values quantize to e4 integers via floor (the s03/s04 convention —
+# floor of a scaled double is the only form both engines compute
+# identically), so n/sum/sum-of-squares are exact BIGINTs, the
+# variance numerator n*sum_q2 - sum_q^2 is exact integer algebra, and
+# each reported double divides once. The low-variance verdict compares
+# integers: var < 1e-4  <=>  n*sum_q2 - sum_q^2 < n^2 * 1e4.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the corpus-side complement to s04's per-vector
+# quantization fidelity.
+# ---------------------------------------------------------------------------
+def _embed_stats_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        exploded = """
+          SELECT vec_id, pos + 1 AS dim,
+                 CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        """
+    else:
+        exploded = """
+          SELECT e.vec_id, t.d AS dim,
+                 CAST(floor(CAST(e.embedding[t.d] AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings e CROSS JOIN (SELECT CAST(i + 1 AS INT) AS d FROM range({DIM}) r(i)) t
+        """
+    exploded = exploded.format(DIM=DIM)
+    return f"""
+    WITH vals AS ({exploded}),
+    agg AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+             CAST(MIN(q) AS BIGINT) AS min_q,
+             CAST(MAX(q) AS BIGINT) AS max_q
+      FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(sum_q AS DOUBLE) / (n * 10000.0) AS mean,
+           CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * 100000000.0) AS variance,
+           CAST(min_q AS DOUBLE) / 10000.0 AS min_val,
+           CAST(max_q AS DOUBLE) / 10000.0 AS max_val,
+           n * sum_q2 - sum_q * sum_q < n * n * 10000 AS low_variance
+    FROM agg
+    ORDER BY dim
+    """
+
+
+@query("s19_embedding_stats", oracle=_embed_stats_sql(False))
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_embed_stats_sql(True))

@@ -1728,3 +1728,51 @@ def _domain_caps_sql(spark_dialect: bool) -> str:
 def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_domain_caps_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t29 — tokenizer fertility per language: corpus-level BPE-tokens-per-
+# word and chars-per-token by lang — the multilingual budgeting metric
+# (high-fertility languages consume disproportionate context window;
+# the mix designer reads this table next to t16's domain weights).
+# Scale shape: t14's per-row token counting (pure codegen regexes) in
+# ONE scan, aggregated onto the |langs|-bounded relation; no second
+# corpus pass. Exactness: per-lang sums of exact BIGINT counts; each
+# reported ratio is one integer->double division.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the corpus rollup of t14's per-document counts.
+# ---------------------------------------------------------------------------
+def _fertility_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        pat = _BPE_REGEX.replace("'", "\\'")
+        n = f"size(regexp_extract_all(text, '{pat}', 0))"
+        ws = r"size(regexp_extract_all(text, '\\S+', 0))"
+    else:
+        pat = _BPE_REGEX.replace("'", "''")
+        n = f"len(regexp_extract_all(text, '{pat}'))"
+        ws = r"len(regexp_extract_all(text, '\S+'))"
+    return f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST({n} AS BIGINT) AS n_bpe,
+             CAST({ws} AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("t29_tokenizer_fertility", oracle=_fertility_sql(False))
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_fertility_sql(True))

@@ -1921,3 +1921,59 @@ def ts33(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts33_daily__"
     )
     return spark.sql(_dow_tail_sql("__ts33_daily__", True))
+
+
+# ---------------------------------------------------------------------------
+# ts34 — repeat-purchase interval distribution: the gap (whole days)
+# between each user's consecutive purchases, aggregated into the
+# retention-curve input every commerce pipeline maintains (how long
+# until customers come back). Scale shape: ONE type-pruned corpus pass
+# with a per-user LAG window (the ts29 Markov shape — partitioned by
+# the entity key, map-side prunable), then everything runs over the
+# |distinct gaps|-bounded relation; the 1-row total broadcasts into
+# the share projection. Exactness: gaps are integer epoch-microsecond
+# differences floor-divided to days (BIGINT); counts exact; the share
+# divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the behavioral family like ts14/ts28/ts32.
+# ---------------------------------------------------------------------------
+def _repeat_gap_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    return f"""
+    SELECT user_id,
+           CAST(floor(CAST({epoch}(ts) - {epoch}(prev_ts) AS DOUBLE)
+                      / 86400000000.0) AS BIGINT) AS gap_days
+    FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    WHERE prev_ts IS NOT NULL
+    """
+
+
+def _repeat_tail_sql(gaps: str) -> str:
+    """Distribution tail over a (user_id, gap_days) relation — shared
+    verbatim by both engines."""
+    return f"""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {gaps})
+    SELECT g.gap_days AS gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS gap_share
+    FROM {gaps} g CROSS JOIN tot t
+    GROUP BY g.gap_days
+    ORDER BY gap_days
+    """
+
+
+@query(
+    "ts34_repeat_purchase_gaps",
+    oracle=f"WITH gaps AS ({_repeat_gap_sql(False)}), {_repeat_tail_sql('gaps').strip()[len('WITH '):]}",
+)
+def ts34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_repeat_gap_sql(True)).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts34_gaps__"
+    )
+    return spark.sql(_repeat_tail_sql("__ts34_gaps__"))

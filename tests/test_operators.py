@@ -1978,3 +1978,77 @@ def test_q73_psi_vs_python(spark, sf_dir):
         assert (r["n_base"], r["n_cur"]) == (nb, nc)
         assert r["psi_bin"] == psi
         assert r["major_shift"] == (psi > 0.02)
+
+
+def test_ts34_repeat_gaps_vs_python(spark, sf_dir):
+    """Gap histogram must equal a literal per-user consecutive-purchase
+    walk in whole days."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts34_repeat_purchase_gaps"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in spark.table("events").filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    ).collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = Counter()
+    users = defaultdict(set)
+    total = 0
+    for u, evs in by_user.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            d = int((b - a).total_seconds() * 1e6 // 86400000000)
+            gaps[d] += 1
+            users[d].add(u)
+            total += 1
+    assert [r["gap_days"] for r in out] == sorted(gaps)
+    for r in out:
+        assert r["n_gaps"] == gaps[r["gap_days"]]
+        assert r["n_users"] == len(users[r["gap_days"]])
+        assert r["gap_share"] == gaps[r["gap_days"]] / total
+
+
+def test_s19_embedding_stats_vs_python(spark, sf_dir):
+    """Per-dim stats must equal an exact quantized recompute."""
+    import math
+
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    out = QUERIES["s19_embedding_stats"](spark, sf_dir).collect()
+    vecs = [r["embedding"] for r in spark.table("embeddings").collect()]
+    dim = len(vecs[0])
+    assert len(out) == dim
+    for r in out:
+        qs = [math.floor(float(v[r["dim"] - 1]) * 10000) for v in vecs]
+        n, s1, s2 = len(qs), sum(qs), sum(q * q for q in qs)
+        assert r["n"] == n
+        assert r["mean"] == s1 / (n * 10000.0)
+        assert r["variance"] == (n * s2 - s1 * s1) / (float(n) * n * 1e8)
+        assert r["min_val"] == min(qs) / 10000.0
+        assert r["max_val"] == max(qs) / 10000.0
+        assert r["low_variance"] == (n * s2 - s1 * s1 < n * n * 10000)
+
+
+def test_t29_fertility_vs_python(spark, sf_dir):
+    """Per-lang fertility must equal a literal regex recount."""
+    import re
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.textops import QUERIES, _BPE_REGEX
+
+    out = QUERIES["t29_tokenizer_fertility"](spark, sf_dir).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, bpe, words, chars
+    for r in spark.table("documents").select("lang", "text").collect():
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(re.findall(_BPE_REGEX, r["text"]))
+        a[2] += len(re.findall(r"\S+", r["text"]))
+        a[3] += len(r["text"])
+    assert [r["lang"] for r in out] == sorted(agg)
+    for r in out:
+        d, b, w, c = agg[r["lang"]]
+        assert (r["n_docs"], r["n_bpe_tokens"], r["n_words"], r["n_chars"]) == (d, b, w, c)
+        assert r["fertility"] == b / w
+        assert r["chars_per_token"] == c / b

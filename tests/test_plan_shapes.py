@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "q72_t_closeness",  # 1-row grand-total scalar + 5-row sensitive-marginal table cross-joined into the bounded QI-class relation — t26's scalar class
     "d24_lsh_threshold_sweep",  # 8-row threshold spine + 1-row candidate-total scalar cross-joined into the bounded verified-pair table
     "q73_psi_drift",  # 1-row snapshot-total scalar cross-joined into the |bins|-bounded smoothed relation — t15's idf class
+    "ts34_repeat_purchase_gaps",  # 1-row gap-total scalar cross-joined into the |distinct gaps|-bounded share projection — q59's scalar class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
