@@ -40,6 +40,10 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "ts35_activity_streaks",
+    "q74_referential_integrity",
+    "t30_langid_confusion",
+    "s20_ivf_probe_sweep",
     "ts34_repeat_purchase_gaps",
     "s19_embedding_stats",
     "t29_tokenizer_fertility",

@@ -1622,3 +1622,203 @@ def op_dow_seasonality(engine, df: DataFrame, params: Dict[str, Any]) -> DataFra
     )
     daily.createOrReplaceTempView("__dowseas_daily__")
     return engine.spark.sql(_dow_tail_sql("__dowseas_daily__", True))
+
+
+@operator("repeat_gaps")
+def op_repeat_gaps(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Repeat-event interval distribution (ts34 as a reusable stage):
+    whole-day gaps between each entity's consecutive events, rolled
+    into the retention-curve histogram. Per-entity LAG window (map-side
+    prunable); everything after runs over the |distinct gaps|-bounded
+    relation; the 1-row total broadcasts into the share."""
+    from pyspark.sql import Window
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    tiebreak = params.get("tiebreak")
+    if params.get("where"):
+        df = df.filter(params["where"])
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    gaps = (
+        df.withColumn("__prev__", F.lag(F.unix_micros(F.col(ts_col))).over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .select(
+            F.col(user).alias("__u__"),
+            F.floor(
+                (F.unix_micros(F.col(ts_col)) - F.col("__prev__")).cast("double")
+                / 86400000000.0
+            ).cast("bigint").alias("gap_days"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hist = gaps.groupBy("gap_days").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.countDistinct("__u__").cast("bigint").alias("n_users"),
+    )
+    tot = gaps.agg(F.count("*").cast("bigint").alias("__n__"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("gap_share", F.col("n_gaps").cast("double") / F.col("__n__"))
+        .drop("__n__")
+        .orderBy("gap_days")
+    )
+
+
+@operator("activity_streaks")
+def op_activity_streaks(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Longest consecutive-active-day streak per entity (ts35 as a
+    reusable stage), rolled into the engagement histogram. Both windows
+    PARTITION BY the entity key; the tail runs over |users|- then
+    |streak-lengths|-bounded relations."""
+    from pyspark.sql import Window
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    daily = df.select(
+        F.col(user).alias("__u__"),
+        F.floor(F.unix_micros(F.col(ts_col)).cast("double") / 86400000000.0)
+        .cast("bigint")
+        .alias("__day__"),
+    ).distinct()
+    w = Window.partitionBy("__u__").orderBy("__day__")
+    islands = daily.withColumn("__prev__", F.lag("__day__").over(w)).withColumn(
+        "__isl__",
+        F.sum(
+            F.when(
+                F.col("__prev__").isNull() | (F.col("__day__") - F.col("__prev__") > 1), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    best = (
+        islands.groupBy("__u__", "__isl__")
+        .agg(F.count("*").cast("bigint").alias("__len__"))
+        .groupBy("__u__")
+        .agg(F.max("__len__").alias("streak_days"))
+        .localCheckpoint(eager=True)
+    )
+    tot = best.agg(F.count("*").cast("bigint").alias("__n__"))
+    return (
+        best.groupBy("streak_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("user_share", F.col("n_users").cast("double") / F.col("__n__"))
+        .drop("__n__")
+        .orderBy("streak_days")
+    )
+
+
+@operator("embedding_stats")
+def op_embedding_stats(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Per-dimension embedding health check (s19 as a reusable stage):
+    mean/variance/range over e4-quantized components with an
+    integer-exact low-variance verdict. ONE explode pass feeding a
+    map-side combinable aggregate; output is DIM rows."""
+    vec_col = params.get("vector", "embedding")
+    var_e8 = float(params.get("low_variance_below", 1e-4)) * 1e8
+    dims = df.select(F.posexplode(F.col(vec_col)).alias("__d__", "__v__")).select(
+        (F.col("__d__") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("__v__").cast("double") * 10000).cast("bigint").alias("__q__"),
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__q__").cast("bigint").alias("__s1__"),
+        F.sum(F.col("__q__") * F.col("__q__")).cast("bigint").alias("__s2__"),
+        F.min("__q__").cast("bigint").alias("__mn__"),
+        F.max("__q__").cast("bigint").alias("__mx__"),
+    )
+    num = F.col("n") * F.col("__s2__") - F.col("__s1__") * F.col("__s1__")
+    return (
+        agg.select(
+            "dim",
+            "n",
+            (F.col("__s1__").cast("double") / (F.col("n") * 10000.0)).alias("mean"),
+            (num.cast("double") / (F.col("n").cast("double") * F.col("n") * 1e8)).alias(
+                "variance"
+            ),
+            (F.col("__mn__").cast("double") / 10000.0).alias("min_val"),
+            (F.col("__mx__").cast("double") / 10000.0).alias("max_val"),
+            # var < thr  <=>  num < n^2 * thr * 1e8 (integer compare)
+            (num < F.col("n") * F.col("n") * F.lit(int(var_e8))).alias("low_variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+@operator("tokenizer_fertility")
+def op_tokenizer_fertility(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Tokens-per-word and chars-per-token by group (t29 as a reusable
+    stage): t14's pure-codegen BPE regex counting in ONE scan,
+    aggregated onto the |groups|-bounded relation."""
+    from .textops import _BPE_REGEX
+
+    text = params.get("text", "text")
+    group = params.get("group", "lang")
+    pat = _BPE_REGEX
+    per = df.select(
+        F.col(group).alias("lang"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias("__bpe__"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(r"\S+"), F.lit(0)))
+        .cast("bigint")
+        .alias("__w__"),
+        F.length(F.col(text)).cast("bigint").alias("__c__"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__bpe__").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("__w__").cast("bigint").alias("n_words"),
+            F.sum("__c__").cast("bigint").alias("n_chars"),
+        )
+        .withColumn("fertility", F.col("n_bpe_tokens").cast("double") / F.col("n_words"))
+        .withColumn(
+            "chars_per_token", F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+        )
+        .orderBy("lang")
+    )
+
+
+@operator("langid_confusion")
+def op_langid_confusion(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Lang-ID confusion matrix (t30 as a reusable stage): t02's
+    function-word argmax graded against the labeled language; one scan,
+    then |langs|^2-bounded aggregation."""
+    from .textops import _langid_confusion_sql
+
+    text = params.get("text", "text")
+    label = params.get("label", "lang")
+    view = "__langid_conf_in__"
+    df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col(label).alias("lang"),
+        F.col(text).alias("text"),
+    ).createOrReplaceTempView(view)
+    return engine.spark.sql(
+        _langid_confusion_sql(True).replace("FROM documents", f"FROM {view}")
+    )
+
+
+@operator("ri_audit")
+def op_ri_audit(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Referential-integrity audit of ONE foreign-key edge (q74 as a
+    reusable stage): the input is the child relation; ``parent`` names
+    the parent stage/table. One LEFT JOIN + conditional counts in a
+    single child pass."""
+    fk, pk = params["fk"], params["pk"]
+    parent = engine.table(params["parent"]).select(F.col(pk).alias("__pk__")).distinct()
+    joined = df.select(F.col(fk).alias("__fk__")).join(
+        parent, F.col("__fk__") == F.col("__pk__"), "left"
+    )
+    orphan = (F.col("__pk__").isNull() & F.col("__fk__").isNotNull()).cast("long")
+    nullfk = F.col("__fk__").isNull().cast("long")
+    return joined.agg(
+        F.lit(f"{fk} -> {params['parent']}.{pk}").alias("relation"),
+        F.count("*").cast("bigint").alias("n_child"),
+        F.sum(orphan).cast("bigint").alias("n_orphans"),
+        F.sum(nullfk).cast("bigint").alias("n_null_fk"),
+        (F.sum(orphan).cast("double") / F.count("*")).alias("orphan_share"),
+        (F.sum(orphan) == 0).alias("ri_ok"),
+    )

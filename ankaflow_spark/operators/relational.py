@@ -2908,3 +2908,50 @@ _PSI_SQL = f"""
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_PSI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q74 — referential-integrity audit: orphan counts for every foreign
+# key in the star (lineitem->orders/part/supplier, orders->customer,
+# customer->nation) — the cross-table complement to q70's single-table
+# quality audit, and the first gate a 100 TB ingest runs before
+# downstream joins silently drop rows. Scale shape: each relation is
+# ONE LEFT JOIN + conditional count in a single pass over the child
+# (no separate anti-join pass); dimension parents broadcast, the
+# lineitem->orders fact-fact edge shuffles on the join key exactly as
+# the downstream joins it guards would. Output is one row per FK edge.
+# Exactness: counts are BIGINTs; the orphan share divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); q70's data-quality family.
+# ---------------------------------------------------------------------------
+_RI_EDGES = [
+    # (relation label, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_audit_sql() -> str:
+    arms = []
+    for label, child, fk, parent, pk in _RI_EDGES:
+        arms.append(f"""
+    SELECT '{label}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS orphan_share,
+           SUM(CASE WHEN p.{pk} IS NULL AND c.{fk} IS NOT NULL
+                    THEN 1 ELSE 0 END) = 0 AS ri_ok
+    FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{fk}""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY relation"
+
+
+@query("q74_referential_integrity", oracle=_ri_audit_sql())
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ri_audit_sql())

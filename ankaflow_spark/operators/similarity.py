@@ -1886,3 +1886,143 @@ def _embed_stats_sql(spark_dialect: bool) -> str:
 def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_embed_stats_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s20 — IVF probe-count sweep: recall@5 and candidate volume as a
+# function of nprobe (1/2/4/8 cells probed) against s01's exact
+# ground truth — the tuning table an ANN deployment reads to pick its
+# latency/recall operating point (d24 is the same harness for LSH
+# thresholds; s13 grades only s03's fixed nprobe=1). Scale shape: the
+# IVF training + corpus assignment run ONCE (materialized views on the
+# Spark side — Spark inlines CTEs, so an un-materialized chain would
+# re-train per probe arm); the query->centroid distance table is
+# |queries| x K (40 rows) ranked within each query; each probe arm
+# scores only the vectors routed to the probed cells (candidate volume
+# IS the measured column); the 4-row probe spine and all query-side
+# relations broadcast. The sweep is an eval harness over a sampled
+# query slice by contract — the corpus-sized work is the one
+# assignment pass it shares with s03. Exactness: routing distances are
+# e6-quantized integer sums; cosine is the s01 left-fold; counts are
+# BIGINTs; recall divides once by the literal truth size.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the d12/s10/s13/d24 recall-matrix family.
+# ---------------------------------------------------------------------------
+_SWEEP_PROBES = (1, 2, 4, 8)
+_SWEEP_K = 5  # recall@K against s01's exact ranking
+
+
+def _probe_sweep_sql(spark_dialect: bool) -> str:
+    f = _ivf_fragments(spark_dialect)
+    dot = f["dot"].replace("q.embedding", "qe.embedding").replace("m.embedding", "me.embedding")
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    if spark_dialect:
+        chain = ""  # training/assignment pre-materialized as views
+        assign_src = "__s20_assign__"
+        cdims_src = "__s20_cdims__"
+        exact_src = f"SELECT * FROM __s20_exact__ WHERE rn <= {_SWEEP_K}"
+        qdims = """
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+      WHERE vec_id < {nq}
+        """.format(nq=N_QUERY_VECS)
+        probe_spine = "SELECT explode(array({ps})) AS probe".format(
+            ps=", ".join(f"CAST({p} AS BIGINT)" for p in _SWEEP_PROBES)
+        )
+        hint = "/*+ BROADCAST(cd, p) */"
+        mhint = "/*+ BROADCAST(e) */"
+    else:
+        chain = "WITH " + ivf_assign_ctes(False) + ","
+        assign_src = "assign2"
+        cdims_src = "ivf_tcdims"
+        exact_src = (
+            "SELECT * FROM ("
+            + ORACLES["s01_cosine_topk"].replace("ORDER BY query_id, rn", "")
+            + f") x WHERE rn <= {_SWEEP_K}"
+        )
+        qdims = f"""
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+      WHERE vec_id < {N_QUERY_VECS}
+        """
+        probe_spine = "SELECT unnest([{ps}]) AS probe".format(
+            ps=", ".join(f"CAST({p} AS BIGINT)" for p in _SWEEP_PROBES)
+        )
+        hint = ""
+        mhint = ""
+    if spark_dialect:
+        chain = "WITH "
+    truth_n = N_QUERY_VECS * _SWEEP_K
+    return f"""
+    {chain}
+    s20_qdims AS ({qdims}),
+    s20_cdists AS (
+      SELECT query_id, cid, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY dist, cid) AS crank
+      FROM (
+        SELECT v.vec_id AS query_id, c.cid,
+               SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        FROM s20_qdims v JOIN {cdims_src} c ON c.d = v.d
+        GROUP BY v.vec_id, c.cid
+      ) s
+    ),
+    s20_probes AS ({probe_spine}),
+    s20_cand AS (
+      SELECT {hint} p.probe, cd.query_id, a.vec_id AS cand_id
+      FROM s20_probes p
+      JOIN s20_cdists cd ON cd.crank <= p.probe
+      JOIN {assign_src} a ON a.cid = cd.cid AND a.vec_id <> cd.query_id
+    ),
+    s20_norms AS ({norm}),
+    s20_scored AS (
+      SELECT c.probe, c.query_id, c.cand_id,
+             {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) AS cosine
+      FROM s20_cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings me ON me.vec_id = c.cand_id
+      JOIN s20_norms nq ON nq.vec_id = c.query_id
+      JOIN s20_norms nc ON nc.vec_id = c.cand_id
+    ),
+    s20_approx AS (
+      SELECT probe, query_id, cand_id FROM (
+        SELECT probe, query_id, cand_id, ROW_NUMBER() OVER (
+                 PARTITION BY probe, query_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM s20_scored
+      ) r WHERE rn <= {_SWEEP_K}
+    ),
+    s20_exact AS ({exact_src}),
+    s20_counts AS (
+      SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM s20_cand GROUP BY probe
+    ),
+    s20_matched AS (
+      SELECT {mhint} a.probe, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM s20_approx a
+      JOIN s20_exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+      GROUP BY a.probe
+    )
+    SELECT c.probe AS probe, c.n_candidates AS n_candidates,
+           COALESCE(m.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+           CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / {truth_n}.0 AS recall_at_{_SWEEP_K}
+    FROM s20_counts c LEFT JOIN s20_matched m ON m.probe = c.probe
+    ORDER BY probe
+    """
+
+
+@query("s20_ivf_probe_sweep", oracle=_probe_sweep_sql(False))
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    spark.sql(
+        "WITH " + ivf_assign_ctes(True, training_only=True)
+        + " SELECT cid, d, q FROM ivf_tcdims"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__s20_cdims__")
+    spark.sql(
+        "WITH " + ivf_assign_ctes(True) + " SELECT vec_id, cid FROM assign2"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__s20_assign__")
+    QUERIES["s01_cosine_topk"](spark, sf_dir).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__s20_exact__")
+    return spark.sql(_probe_sweep_sql(True))

@@ -1776,3 +1776,60 @@ def _fertility_sql(spark_dialect: bool) -> str:
 def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_fertility_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t30 — lang-ID confusion matrix: t02's heuristic classifier graded
+# against the corpus's labeled lang — the per-language QA table a
+# curation pipeline reads before trusting automatic language routing
+# (off-diagonal mass = mislabeled or misrouted documents; zh's
+# romanized function words classically bleed into en/de). Scale shape:
+# ONE corpus scan computes the per-doc scores + argmax (pure codegen
+# regex counting, t02's shape), then everything aggregates onto the
+# |langs|^2-bounded confusion relation; the per-label totals join is a
+# 5-row broadcast. Exactness: counts are BIGINTs; the row share
+# divides once; the diagonal flag is a string compare.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the corpus rollup of t02's per-document verdicts.
+# ---------------------------------------------------------------------------
+def _langid_confusion_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        count = lambda p: f"CAST(regexp_count(lower(text), '{p}') AS BIGINT)"
+    else:
+        count = lambda p: f"CAST(len(regexp_extract_all(lower(text), '{p}')) AS BIGINT)"
+    score_cols = ", ".join(
+        f"{_lang_score(lg, count)} AS score_{lg}" for lg in _LANG_WORDS
+    )
+    return f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang, {score_cols}
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT labeled_lang,
+        CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+          WHEN score_en THEN 'en' WHEN score_de THEN 'de' WHEN score_fr THEN 'fr'
+          WHEN score_es THEN 'es' ELSE 'zh' END AS predicted_lang
+      FROM scores
+    ),
+    conf AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM verdicts GROUP BY labeled_lang, predicted_lang
+    ),
+    totals AS (
+      SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS n_label
+      FROM conf GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang AS labeled_lang, c.predicted_lang AS predicted_lang,
+           c.n_docs AS n_docs,
+           CAST(c.n_docs AS DOUBLE) / t.n_label AS label_share,
+           c.labeled_lang = c.predicted_lang AS is_correct
+    FROM conf c JOIN totals t ON t.labeled_lang = c.labeled_lang
+    ORDER BY labeled_lang, predicted_lang
+    """
+
+
+@query("t30_langid_confusion", oracle=_langid_confusion_sql(False))
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_langid_confusion_sql(True))

@@ -1977,3 +1977,63 @@ def ts34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts34_gaps__"
     )
     return spark.sql(_repeat_tail_sql("__ts34_gaps__"))
+
+
+# ---------------------------------------------------------------------------
+# ts35 — activity-streak distribution: each user's LONGEST run of
+# consecutive active days, rolled into the engagement histogram the
+# retention dashboard plots next to ts34's repeat-gap curve. The
+# classic gaps-and-islands shape: distinct active days per user, a
+# per-user LAG to flag run breaks, a running SUM of the flags to
+# number the islands, then two bounded aggregations. Scale shape: both
+# windows are PARTITIONED BY the entity key (map-side prunable, no
+# global ordering anywhere); everything after the per-user island
+# grouping runs over |users|- then |distinct streak-lengths|-bounded
+# relations, and the 1-row user-total scalar broadcasts into the share
+# projection (q59's class). Exactness: days are integer epoch-micro
+# floor-divisions; counts exact; the share divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts13/ts21/ts28/ts34 behavioral set.
+# ---------------------------------------------------------------------------
+def _streak_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    return f"""
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(CAST({epoch}(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM daily
+    ),
+    islands AS (
+      SELECT user_id, day,
+             SUM(CASE WHEN prev_day IS NULL OR day - prev_day > 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM lagged
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, MAX(streak_days) AS best_streak
+      FROM streaks GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM best)
+    SELECT b.best_streak AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS user_share
+    FROM best b CROSS JOIN tot t
+    GROUP BY b.best_streak
+    ORDER BY streak_days
+    """
+
+
+@query("ts35_activity_streaks", oracle=_streak_sql(False))
+def ts35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_streak_sql(True))

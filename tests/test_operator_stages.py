@@ -1008,3 +1008,131 @@ def test_dow_seasonality_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["ts33_dow_seasonality"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_repeat_gaps_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: gaps
+  op: repeat_gaps
+  params: {{user: user_id, ts_col: ts, tiebreak: event_id, where: "event_type = 'purchase'"}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts34_repeat_purchase_gaps"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_activity_streaks_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: streaks
+  op: activity_streaks
+  params: {{user: user_id, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts35_activity_streaks"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_embedding_stats_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: vecs
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: stats
+  op: embedding_stats
+  params: {{vector: embedding}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    graded = QUERIES["s19_embedding_stats"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_tokenizer_fertility_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: fert
+  op: tokenizer_fertility
+  params: {{text: text, group: lang}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t29_tokenizer_fertility"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_langid_confusion_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: conf
+  op: langid_confusion
+  params: {{text: text, label: lang}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t30_langid_confusion"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_ri_audit_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: customer
+  connection: {{kind: parquet, locator: {sf_dir}/customer.parquet}}
+- kind: tap
+  name: orders
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: operator
+  name: audit
+  op: ri_audit
+  params: {{fk: o_custkey, parent: customer, pk: c_custkey}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    assert len(rows) == 1
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = {
+        r["relation"]: r
+        for r in QUERIES["q74_referential_integrity"](engine.spark, sf_dir).collect()
+    }["orders.o_custkey -> customer"]
+    # relation label format differs by design; the measured columns match
+    assert tuple(rows[0])[1:] == tuple(graded)[1:]

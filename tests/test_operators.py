@@ -2052,3 +2052,92 @@ def test_t29_fertility_vs_python(spark, sf_dir):
         assert (r["n_docs"], r["n_bpe_tokens"], r["n_words"], r["n_chars"]) == (d, b, w, c)
         assert r["fertility"] == b / w
         assert r["chars_per_token"] == c / b
+
+
+def test_ts35_streaks_vs_python(spark, sf_dir):
+    """Streak histogram must equal a literal gaps-and-islands walk."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts35_activity_streaks"](spark, sf_dir).collect()
+    days = defaultdict(set)
+    for r in spark.table("events").select("user_id", "ts").collect():
+        days[r["user_id"]].add(int(r["ts"].timestamp() * 1e6 // 86400000000))
+    hist = Counter()
+    for u, ds in days.items():
+        best = run = 0
+        prev = None
+        for d in sorted(ds):
+            run = run + 1 if prev is not None and d - prev == 1 else 1
+            best = max(best, run)
+            prev = d
+        hist[best] += 1
+    total = len(days)
+    assert [r["streak_days"] for r in out] == sorted(hist)
+    for r in out:
+        assert r["n_users"] == hist[r["streak_days"]]
+        assert r["user_share"] == hist[r["streak_days"]] / total
+
+
+def test_q74_ri_audit_vs_python(spark, sf_dir):
+    """Orphan counts must equal literal key-set membership checks."""
+    from ankaflow_spark.operators.relational import QUERIES, _RI_EDGES
+
+    out = {r["relation"]: r for r in QUERIES["q74_referential_integrity"](spark, sf_dir).collect()}
+    assert sorted(out) == sorted(label for label, *_ in _RI_EDGES)
+    for label, child, fk, parent, pk in _RI_EDGES:
+        pks = {r[0] for r in spark.table(parent).select(pk).collect()}
+        fks = [r[0] for r in spark.table(child).select(fk).collect()]
+        orphans = sum(1 for v in fks if v is not None and v not in pks)
+        nulls = sum(1 for v in fks if v is None)
+        r = out[label]
+        assert (r["n_child"], r["n_orphans"], r["n_null_fk"]) == (len(fks), orphans, nulls)
+        assert r["orphan_share"] == orphans / len(fks)
+        assert r["ri_ok"] == (orphans == 0)
+
+
+def test_t30_langid_confusion_vs_python(spark, sf_dir):
+    """Confusion cells must equal a literal regex-argmax recount."""
+    import re
+    from collections import Counter
+
+    from ankaflow_spark.operators.textops import QUERIES, _LANG_WORDS, _lang_score
+
+    out = QUERIES["t30_langid_confusion"](spark, sf_dir).collect()
+    pats = {lg: re.compile(_lang_score(lg, lambda p: p)) for lg in _LANG_WORDS}
+    conf = Counter()
+    for r in spark.table("documents").select("lang", "text").collect():
+        scores = {lg: len(pats[lg].findall(r["text"].lower())) for lg in _LANG_WORDS}
+        best = max(scores.values())
+        # CASE GREATEST(...) WHEN ... picks the FIRST list-order max
+        pred = next(lg for lg in _LANG_WORDS if scores[lg] == best)
+        conf[(r["lang"], pred)] += 1
+    totals = Counter()
+    for (lab, _), n in conf.items():
+        totals[lab] += n
+    assert [(r["labeled_lang"], r["predicted_lang"]) for r in out] == sorted(conf)
+    for r in out:
+        k = (r["labeled_lang"], r["predicted_lang"])
+        assert r["n_docs"] == conf[k]
+        assert r["label_share"] == conf[k] / totals[k[0]]
+        assert r["is_correct"] == (k[0] == k[1])
+
+
+def test_s20_probe_sweep_invariants(spark, sf_dir):
+    """The sweep must be monotone in probes and exact at full probing."""
+    from ankaflow_spark.operators.similarity import QUERIES, _SWEEP_PROBES, IVF_K
+
+    out = QUERIES["s20_ivf_probe_sweep"](spark, sf_dir).collect()
+    assert [r["probe"] for r in out] == list(_SWEEP_PROBES)
+    n_vecs = spark.table("embeddings").count()
+    for a, b in zip(out, out[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["recall_at_5"] <= b["recall_at_5"]
+    full = out[-1]
+    # probing all K cells IS brute force: candidates = corpus minus self
+    assert _SWEEP_PROBES[-1] == IVF_K
+    assert full["n_candidates"] == 5 * (n_vecs - 1)
+    assert full["recall_at_5"] == 1.0
+    for r in out:
+        assert r["recall_at_5"] == r["n_matched"] / 25.0

@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     "d24_lsh_threshold_sweep",  # 8-row threshold spine + 1-row candidate-total scalar cross-joined into the bounded verified-pair table
     "q73_psi_drift",  # 1-row snapshot-total scalar cross-joined into the |bins|-bounded smoothed relation — t15's idf class
     "ts34_repeat_purchase_gaps",  # 1-row gap-total scalar cross-joined into the |distinct gaps|-bounded share projection — q59's scalar class
+    "ts35_activity_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram — q59's scalar class
+    "s20_ivf_probe_sweep",  # 4-row probe spine inequality-joined (crank <= probe) to the 40-row query x centroid rank table — d24's sweep-spine class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -65,6 +67,7 @@ SMJ_ALLOWED = {
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "d22_triangle_count",  # edge-iterator triangle join: every side IS the candidate edge list — SMJ correct at scale (stats-less checkpointed __cands__)
     "q71_snapshot_diff",  # FULL OUTER on the snapshot key: both sides are table versions; SMJ is Spark's only full-outer strategy and the right one
+    "s20_ivf_probe_sweep",  # probe-arm candidates x embeddings re-rank join: the candidate side is probe-multiplied corpus cells (stats-less checkpointed assign) — s03's re-rank class, correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
     # CC iteration fragments (labels x edges / pointer-jump label self-joins):
