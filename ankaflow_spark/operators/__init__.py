@@ -40,6 +40,9 @@ GRADED_FIRST = [
     # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py.
     # (0) new this round — never driver-graded
+    "ts36_forecast_backtest",
+    "s21_sq_bits_sweep",
+    "st19_stream_streaks",
     "ts35_activity_streaks",
     "q74_referential_integrity",
     "t30_langid_confusion",
@@ -72,34 +75,28 @@ GRADED_FIRST = [
     "q63_zorder_layout",
     "m07_duplicate_frame_pairs",
     "t24_ngram_novelty",
-    "q64_profit_by_nation",
-    "q65_small_qty_revenue",
-    "q66_excess_suppliers",
     "st14_stream_scd2",
     "q67_k_anonymity",
-    "t25_bpe_merge_training",
-    "st15_stream_novelty",
-    "q68_reservoir_sample",
     "d19_substring_dedup",
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
     "s17_silhouette_eval",
-    # (st13/q62/ts28 rotated out for the session-6 trio; cell-exact at
-    # both SFs in CORRECTNESS_FULL_r19/SF01_r19, queued for the next
-    # window rotation)
-    # (1) implementation changed this round / post-freeze — re-confirm
-    "ts22_rfm_segmentation",
-    "d06_dedup_clusters",
-    "d08_dedup_survivors",
-    "d10_semantic_dedup",
-    "d17_dedup_cascade",
-    # (t20 rotated out for the session-5 operators: its change is
-    # transitive through the same CC stages d10/d17 re-confirm, and it
-    # stays cell-exact in FULL_r19)
+    "st13_stream_bloom_decontam",
+    "q62_idle_rich_customers",
+    "ts28_cohort_retention",
+    # (q64/q65/q66/q68/t25/st15/m07 queued for the next window rotation:
+    # never driver-graded but cell-exact at both SFs in
+    # CORRECTNESS_FULL_r22; their families stay represented above.
+    # ts22/d06/d08/d10 rotated out: officially re-graded green in r06
+    # after their post-freeze changes.)
+    # (1) the six __cands__ consumers the r6 judge named for an
+    # official re-grade (implementation moved onto the materialized
+    # cached_cands relation after the r6 rotation froze)
     "d11_incremental_dedup",
     "d12_lsh_recall_eval",
     "d14_containment_pairs",
     "d16_editdist_verify",
+    "d17_dedup_cascade",
     "d18_minhash_accuracy",
     # (2) stalest: last graded r03
     # (q10/d05/d09 rotated out for the session-4/5 operators; r03-green,

@@ -2026,3 +2026,97 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("__s20_exact__")
     return spark.sql(_probe_sweep_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s21 — scalar-quantization bit-width sweep: s04's symmetric per-vector
+# quantizer swept over 2/4/6/8 bits, reported as corpus-level
+# reconstruction MSE and cosine fidelity per width — the storage-
+# budget calibration table (pick the narrowest width whose fidelity
+# clears the retrieval bar; 8->4 bits halves a 100 TB embedding
+# store). Completes the calibration-sweep family: d24 sweeps LSH
+# thresholds, s20 sweeps IVF probes, s21 sweeps quantizer widths.
+# Scale shape: the 4-row bits spine cross-joins the corpus (one scan,
+# 4x per-row array math, embarrassingly parallel — no shuffle before
+# the 4-group aggregate). Exactness: per-vector metrics quantize to e9
+# integers via floor and accumulate in DECIMAL(38,0) (exact,
+# order-independent at any parallelism — a double SUM would be
+# summation-order dependent across engines); each reported mean
+# divides once. floor(x + 0.5) rounding, levels = 2^(bits-1) - 1.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); the sweep over s04's fixed-width gate.
+# ---------------------------------------------------------------------------
+_SQ_BITS = (2, 4, 6, 8)
+
+
+def _sq_sweep_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        spine = "SELECT explode(array({bs})) AS bits".format(
+            bs=", ".join(f"CAST({b} AS BIGINT)" for b in _SQ_BITS)
+        )
+        tx = "transform"
+        amax = "array_max(transform(e, x -> abs(x)))"
+        mse = (
+            "aggregate(zip_with(e, r, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS DOUBLE), (a, b) -> a + b) / {DIM}"
+        )
+        dot_er = "aggregate(zip_with(e, r, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        n2 = "aggregate(transform({v}, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    else:
+        spine = "SELECT unnest([{bs}]) AS bits".format(
+            bs=", ".join(f"CAST({b} AS BIGINT)" for b in _SQ_BITS)
+        )
+        tx = "list_transform"
+        amax = "CAST(list_max(list_transform(e, x -> abs(x))) AS DOUBLE)"
+        mse = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> (e[i] - r[i]) * (e[i] - r[i])), "
+            f"(a, b) -> a + b) / {DIM}"
+        )
+        dot_er = (
+            f"list_reduce(list_transform(range(1, {DIM} + 1), i -> e[i] * r[i]), (a, b) -> a + b)"
+        )
+        n2 = "list_reduce({t}({v}, x -> x * x), (a, b) -> a + b)".replace("{t}", tx)
+    norm2_e = n2.format(v="e")
+    norm2_r = n2.format(v="r")
+    return f"""
+    WITH spine AS ({spine}),
+    base AS (
+      SELECT vec_id, {tx}(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT s.bits, b.vec_id, b.e,
+             (power(CAST(2 AS DOUBLE), CAST(s.bits - 1 AS DOUBLE)) - 1.0)
+               / greatest({amax}, 1e-30) AS scale
+      FROM base b CROSS JOIN spine s
+    ),
+    dq AS (
+      SELECT bits, vec_id, e,
+             {tx}(e, x -> floor(x * scale + 0.5) / scale) AS r
+      FROM scaled
+    ),
+    per_vec AS (
+      SELECT bits, vec_id,
+             CAST(floor(({mse}) * 1000000000) AS DECIMAL(38,0)) AS mse_e9,
+             CAST(floor(({dot_er}) / (sqrt({norm2_e}) * sqrt({norm2_r}))
+                        * 1000000000) AS DECIMAL(38,0)) AS cos_e9
+      FROM dq
+    )
+    SELECT bits,
+           CAST(power(CAST(2 AS DOUBLE), CAST(bits - 1 AS DOUBLE)) - 1.0 AS BIGINT) AS levels,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(mse_e9) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS mean_mse,
+           CAST(SUM(cos_e9) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS mean_cos_fidelity,
+           CAST(MIN(cos_e9) AS DOUBLE) / 1000000000.0 AS min_cos_fidelity,
+           CAST(32.0 / bits AS DOUBLE) AS compression_x
+    FROM per_vec
+    GROUP BY bits
+    ORDER BY bits
+    """
+
+
+@query("s21_sq_bits_sweep", oracle=_sq_sweep_sql(False))
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_sq_sweep_sql(True))

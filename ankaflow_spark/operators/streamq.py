@@ -1500,3 +1500,44 @@ QUERIES["st18_stream_funnel"] = st18
 from .timeseries import ORACLES as _ts_oracles2  # noqa: E402
 
 ORACLES["st18_stream_funnel"] = _ts_oracles2["ts32_funnel_conversion"]
+
+
+def st19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming activity-streak maintenance, ORACLE-CHECKED cell-
+    exact against ts35's batch SQL: each entity's consecutive-active-
+    day state — ONE (last_day, cur_run, best_run) row per user, not
+    the day log — maintained INCREMENTALLY across real micro-batches
+    via foreachbatch_streaks. Each batch reduces to its distinct
+    (user, day) pairs, seeds touched users with the stored last_day,
+    numbers the batch-local islands (entity-partitioned windows only),
+    and credits the seed island with the stored run length — leaning
+    on the event-time-ordered ingest contract (st14/st16/st18's), so
+    the cross-batch stitch is always head-of-batch to tail-of-state.
+    The report tail is ts35's histogram over the |users|-bounded state
+    (streak_days, n_users, user_share)."""
+    from ..streaming.stream import foreachbatch_streaks, stream_tap
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st19_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    state = foreachbatch_streaks(stream, "user_id", "ts", base)
+    state.localCheckpoint(eager=True).createOrReplaceTempView("st19_state")
+    return spark.sql("""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM st19_state)
+    SELECT s.best_run AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS user_share
+    FROM st19_state s CROSS JOIN tot t
+    GROUP BY s.best_run
+    ORDER BY streak_days
+    """)
+
+
+QUERIES["st19_stream_streaks"] = st19
+from .timeseries import ORACLES as _ts_oracles3  # noqa: E402
+
+ORACLES["st19_stream_streaks"] = _ts_oracles3["ts35_activity_streaks"]

@@ -2037,3 +2037,62 @@ def _streak_sql(spark_dialect: bool) -> str:
 def ts35(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_streak_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts36 — forecast backtest (naive vs seasonal-naive): per event type,
+# the mean absolute error of the two standard baseline forecasters
+# over the observed daily series — the sanity harness every metric
+# pipeline runs before trusting a fancier model (if seasonal-naive
+# doesn't beat naive, there is no weekly seasonality worth modeling).
+# Forecasts are row-lags over the OBSERVED series (LAG 1 = last
+# observed day, LAG 7 = same weekday last week on a dense series) —
+# the standard walk-forward backtest on observed points. Scale shape:
+# ts30's daily-count relation (ONE corpus groupBy, materialized once);
+# both LAG windows PARTITION BY event_type over the (type x day)-
+# bounded series; scoring is a |types|-bounded aggregate. Exactness:
+# errors are BIGINT absolute differences of counts; each MAE divides
+# once; the verdict compares integer error sums directly (same
+# denominator, so no float compare).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts30/ts31/q73 monitoring family.
+# ---------------------------------------------------------------------------
+def _backtest_tail_sql(daily: str) -> str:
+    """Backtest tail over a daily-count relation (event_type, day, n)
+    — shared verbatim by both engines."""
+    return f"""
+    WITH lagged AS (
+      SELECT event_type, day, n,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_seasonal
+      FROM {daily}
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(abs(n - f_naive) AS BIGINT) AS e_naive,
+             CAST(abs(n - f_seasonal) AS BIGINT) AS e_seasonal
+      FROM lagged WHERE f_seasonal IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(e_naive) AS BIGINT) AS sae_naive,
+           CAST(SUM(e_seasonal) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(e_naive) AS DOUBLE) / COUNT(*) AS mae_naive,
+           CAST(SUM(e_seasonal) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+           SUM(e_seasonal) < SUM(e_naive) AS seasonal_wins
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@query(
+    "ts36_forecast_backtest",
+    oracle=f"WITH daily AS ({_MAD_DAILY_SQL}), {_backtest_tail_sql('daily').strip()[len('WITH '):]}",
+)
+def ts36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_MAD_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts36_daily__"
+    )
+    return spark.sql(_backtest_tail_sql("__ts36_daily__"))

@@ -698,3 +698,131 @@ def foreachbatch_funnel(
     return stream_df.sparkSession.read.parquet(last_dir[0]).localCheckpoint(
         eager=True
     )
+
+
+def foreachbatch_streaks(
+    stream_df: DataFrame,
+    entity: str,
+    ts_col: str,
+    state_base: str,
+) -> DataFrame:
+    """Incrementally maintain each entity's consecutive-active-day
+    streak state across micro-batches — the streaming twin of the
+    batch ts35 gaps-and-islands build. State is ONE row per entity:
+    (last_day, cur_run, best_run). Each batch reduces to its distinct
+    (entity, day) pairs, seeds every touched entity's walk with the
+    stored last_day (flagged, deduped by MAX so a same-day re-arrival
+    never double-counts), numbers the batch-local islands with
+    entity-partitioned windows, and credits the island containing the
+    seed with the stored run's prior length (cur_run - 1; the seed day
+    itself is counted once by the island). The event-time-ordered
+    ingest contract (st14/st16's) guarantees batch days never precede
+    the stored last_day, so the cross-batch join of two runs is always
+    head-of-batch against tail-of-state. Per batch the windows run
+    over batch rows + one seed row per touched entity — never a
+    re-sort of history.
+
+    Returns the final per-entity state (entity, last_day, cur_run,
+    best_run) as a batch DataFrame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ckpt = state_base + "_ckpt"
+    for d in (state_base + "_sa", state_base + "_sb", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        sprev = state_base + ("_sb" if batch_id % 2 else "_sa")
+        snxt = state_base + ("_sa" if batch_id % 2 else "_sb")
+        days = (
+            batch_df.select(
+                F.col(entity).alias("k"),
+                F.floor(F.unix_micros(F.col(ts_col)).cast("double") / 86400000000.0)
+                .cast("bigint")
+                .alias("day"),
+            )
+            .distinct()
+            .withColumn("is_seed", F.lit(0))
+        )
+        untouched = None
+        carried = None
+        if os.path.isdir(sprev):
+            prev = spark.read.parquet(sprev)
+            touched = days.select("k").distinct()
+            carried = prev.join(touched, "k", "left_semi")
+            untouched = prev.join(touched, "k", "left_anti")
+            seeds = carried.select(
+                "k", F.col("last_day").alias("day"), F.lit(1).alias("is_seed")
+            )
+            days = days.unionByName(seeds)
+        merged = days.groupBy("k", "day").agg(F.max("is_seed").alias("is_seed"))
+        w = W.partitionBy("k").orderBy("day")
+        isl = merged.withColumn("__prev__", F.lag("day").over(w)).withColumn(
+            "__isl__",
+            F.sum(
+                F.when(
+                    F.col("__prev__").isNull() | (F.col("day") - F.col("__prev__") > 1),
+                    1,
+                ).otherwise(0)
+            ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        islands = isl.groupBy("k", "__isl__").agg(
+            F.count("*").cast("bigint").alias("len"),
+            F.max("day").cast("bigint").alias("max_day"),
+            F.max("is_seed").alias("has_seed"),
+        )
+        if carried is not None:
+            islands = islands.join(
+                carried.select("k", "cur_run", "best_run"), "k", "left"
+            )
+        else:
+            islands = islands.withColumn("cur_run", F.lit(None).cast("bigint")).withColumn(
+                "best_run", F.lit(None).cast("bigint")
+            )
+        eff = islands.withColumn(
+            "eff_len",
+            F.col("len")
+            + F.when(
+                (F.col("has_seed") == 1) & F.col("cur_run").isNotNull(),
+                F.col("cur_run") - 1,
+            ).otherwise(0),
+        )
+        wl = W.partitionBy("k").orderBy(F.col("__isl__").desc())
+        state = (
+            eff.withColumn("__r__", F.row_number().over(wl))
+            .groupBy("k")
+            .agg(
+                F.max("max_day").cast("bigint").alias("last_day"),
+                F.max(F.when(F.col("__r__") == 1, F.col("eff_len")))
+                .cast("bigint")
+                .alias("cur_run"),
+                F.greatest(
+                    F.max("eff_len"), F.coalesce(F.max("best_run"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("best_run"),
+            )
+        )
+        if untouched is not None:
+            state = state.unionByName(
+                untouched.select("k", "last_day", "cur_run", "best_run")
+            )
+        state.write.mode("overwrite").parquet(snxt)
+        last_dir[0] = snxt
+
+    last_dir = [state_base + "_sa"]
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.read.parquet(last_dir[0]).select(
+        F.col("k").alias(entity), "last_day", "cur_run", "best_run"
+    )

@@ -88,6 +88,18 @@ HEADLINE = [
     # calibration sweep and PSI drift monitor
     "d24_lsh_threshold_sweep",
     "q73_psi_drift",
+    # round-13 additions (total now covers 57 queries): the session-6/7
+    # corpus-health wave — repeat-gap and streak histograms, embedding
+    # collapse stats, tokenizer fertility, lang-ID confusion, the
+    # cross-table RI audit, and the IVF probe sweep (whose wall
+    # includes its own training + assignment materialization)
+    "ts34_repeat_purchase_gaps",
+    "ts35_activity_streaks",
+    "s19_embedding_stats",
+    "t29_tokenizer_fertility",
+    "t30_langid_confusion",
+    "q74_referential_integrity",
+    "s20_ivf_probe_sweep",
 ]
 
 

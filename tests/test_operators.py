@@ -2141,3 +2141,71 @@ def test_s20_probe_sweep_invariants(spark, sf_dir):
     assert full["recall_at_5"] == 1.0
     for r in out:
         assert r["recall_at_5"] == r["n_matched"] / 25.0
+
+
+def test_ts36_backtest_vs_python(spark, sf_dir):
+    """Backtest errors must equal a literal per-type lag walk."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts36_forecast_backtest"](spark, sf_dir).collect()
+    daily = defaultdict(dict)
+    for r in (
+        spark.table("events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    ):
+        daily[r["event_type"]][r["day"]] = r["count"]
+    for row in out:
+        series = [n for _, n in sorted(daily[row["event_type"]].items())]
+        scored = [
+            (abs(series[i] - series[i - 1]), abs(series[i] - series[i - 7]))
+            for i in range(7, len(series))
+        ]
+        sae_n = sum(a for a, _ in scored)
+        sae_s = sum(b for _, b in scored)
+        assert row["n_days_scored"] == len(scored)
+        assert (row["sae_naive"], row["sae_seasonal"]) == (sae_n, sae_s)
+        assert row["mae_naive"] == sae_n / len(scored)
+        assert row["mae_seasonal"] == sae_s / len(scored)
+        assert row["seasonal_wins"] == (sae_s < sae_n)
+
+
+def test_s21_sq_sweep_vs_numpy(spark, sf_dir):
+    """Corpus means must equal a literal numpy quantize-dequantize at
+    every bit width, and fidelity must be monotone in bits."""
+    import math
+
+    import numpy as np
+
+    from ankaflow_spark.operators.similarity import QUERIES, _SQ_BITS
+
+    out = QUERIES["s21_sq_bits_sweep"](spark, sf_dir).collect()
+    assert [r["bits"] for r in out] == list(_SQ_BITS)
+    vecs = np.array(
+        [r["embedding"] for r in spark.table("embeddings").collect()], dtype=np.float64
+    )
+    dim = vecs.shape[1]
+    for row in out:
+        levels = 2 ** (row["bits"] - 1) - 1
+        assert row["levels"] == levels
+        scale = levels / np.maximum(np.abs(vecs).max(axis=1), 1e-30)
+        rec = np.floor(vecs * scale[:, None] + 0.5) / scale[:, None]
+        mse = ((vecs - rec) ** 2).sum(axis=1) / dim
+        cos = (vecs * rec).sum(axis=1) / (
+            np.sqrt((vecs**2).sum(axis=1)) * np.sqrt((rec**2).sum(axis=1))
+        )
+        # mirror the engine's e9 floor-quantized integer accumulation
+        mse_e9 = sum(math.floor(v * 1e9) for v in mse.tolist())
+        cos_e9 = sum(math.floor(v * 1e9) for v in cos.tolist())
+        n = len(vecs)
+        assert row["n_vecs"] == n
+        assert abs(row["mean_mse"] - mse_e9 / (n * 1e9)) < 1e-12
+        assert abs(row["mean_cos_fidelity"] - cos_e9 / (n * 1e9)) < 1e-12
+        assert row["compression_x"] == 32.0 / row["bits"]
+    for a, b in zip(out, out[1:]):
+        assert a["mean_cos_fidelity"] <= b["mean_cos_fidelity"]
+        assert a["mean_mse"] >= b["mean_mse"]

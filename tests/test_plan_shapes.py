@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "ts34_repeat_purchase_gaps",  # 1-row gap-total scalar cross-joined into the |distinct gaps|-bounded share projection — q59's scalar class
     "ts35_activity_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram — q59's scalar class
     "s20_ivf_probe_sweep",  # 4-row probe spine inequality-joined (crank <= probe) to the 40-row query x centroid rank table — d24's sweep-spine class
+    "st19_stream_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram tail — ts35's scalar class over the maintained state
+    "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -277,7 +279,9 @@ def test_no_unpartitioned_windows_over_growing_relations(plans):
 # ---------------------------------------------------------------------------
 
 # Same classes as the batch allowlists, keyed by query name.
-EXEC_BNLJ_ALLOWED = set()
+EXEC_BNLJ_ALLOWED = {
+    "st19_stream_streaks",  # 1-row user-total scalar in the report tail (ts35's scalar class); the per-batch merge plans join only on the entity key
+}
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
 }

@@ -525,3 +525,24 @@ def test_st18_funnel_incremental_equals_batch(spark):
     batch = TS_QUERIES["ts32_funnel_conversion"](spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
     assert out[0]["users"] > 0
+
+
+def test_st19_streaks_incremental_equals_batch(spark):
+    """The incrementally-maintained streak state must yield the same
+    histogram as the batch ts35 build, across MULTIPLE micro-batches
+    (the seed-island credit path is exercised whenever a user's run
+    crosses a slice boundary)."""
+    import os
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_events_ordered
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st19_stream_streaks"](spark, sf_dir).collect()
+
+    staged, _ = _staged_events_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    batch = TS_QUERIES["ts35_activity_streaks"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
