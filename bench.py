@@ -88,7 +88,7 @@ HEADLINE = [
     # calibration sweep and PSI drift monitor
     "d24_lsh_threshold_sweep",
     "q73_psi_drift",
-    # round-13 additions (total now covers 57 queries): the session-6/7
+    # round-13 additions (total now covers 59 queries): the session-6/7
     # corpus-health wave — repeat-gap and streak histograms, embedding
     # collapse stats, tokenizer fertility, lang-ID confusion, the
     # cross-table RI audit, and the IVF probe sweep (whose wall
@@ -100,6 +100,8 @@ HEADLINE = [
     "t30_langid_confusion",
     "q74_referential_integrity",
     "s20_ivf_probe_sweep",
+    "ts36_forecast_backtest",
+    "s21_sq_bits_sweep",
 ]
 
 
