@@ -2120,3 +2120,53 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_sq_sweep_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s22 — IVF cell-balance diagnostics: per-cell member counts, share,
+# and hot-cell verdicts for the trained coarse quantizer — the index-
+# health table an ANN deployment reads next to s20's probe sweep (a
+# hot cell is the latency tail: every query routed there scans its
+# whole membership; at 100 TB a 10x-mean cell dominates p99).
+# Scale shape: the training + corpus assignment run ONCE (the same
+# chain s03/s20 pay), then ONE groupBy onto the K-bounded cell
+# relation; the 1-row corpus-total scalar broadcasts into the share
+# projection. Exactness: counts are BIGINTs; share divides once; the
+# hot verdict is the integer compare n_vecs * K > 2 * total.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ANN ops family (s03 search, s13/s20
+# recall, s22 index health).
+# ---------------------------------------------------------------------------
+def _cell_balance_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        chain = ""
+        assign_src = "__s22_assign__"
+    else:
+        chain = "WITH " + ivf_assign_ctes(False) + ","
+        assign_src = "assign2"
+    if spark_dialect:
+        chain = "WITH "
+    return f"""
+    {chain}
+    cells AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM {assign_src} GROUP BY cid
+    ),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cells)
+    SELECT c.cid AS cell_id, c.n_vecs AS n_vecs,
+           CAST(c.n_vecs AS DOUBLE) / t.total AS cell_share,
+           c.n_vecs * {IVF_K} > 2 * t.total AS hot_cell,
+           c.n_vecs * {IVF_K} * 2 < t.total AS cold_cell
+    FROM cells c CROSS JOIN tot t
+    ORDER BY cell_id
+    """
+
+
+@query("s22_ivf_cell_balance", oracle=_cell_balance_sql(False))
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    spark.sql(
+        "WITH " + ivf_assign_ctes(True) + " SELECT vec_id, cid FROM assign2"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__s22_assign__")
+    return spark.sql(_cell_balance_sql(True))

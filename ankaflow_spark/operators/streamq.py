@@ -1541,3 +1541,87 @@ QUERIES["st19_stream_streaks"] = st19
 from .timeseries import ORACLES as _ts_oracles3  # noqa: E402
 
 ORACLES["st19_stream_streaks"] = _ts_oracles3["ts35_activity_streaks"]
+
+
+_M09_ENERGY_T = 150000  # integer energy threshold: frames below are "silent"
+
+
+def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence-trim audit, ORACLE-CHECKED cell-exact: per clip,
+    how many leading/trailing frames fall below the integer energy
+    threshold and what active span survives — the trim pass an audio
+    curation pipeline runs before paying for transcription or feature
+    extraction. Consumes m05's mapInPandas frame-energy kernel (the
+    payload never re-shuffles per frame); the trim arithmetic is pure
+    per-clip MIN/MAX/COUNT aggregates over integer energies — no
+    window anywhere, map-side combinable, |clips| output rows.
+    Exactness: all counts/offsets are BIGINT comparisons of exact
+    integer energies; the active share divides once."""
+    from .multimodal import audio_frame_energy, synth_media
+
+    media = synth_media(spark, 120)
+    audio_frame_energy(media).createOrReplaceTempView("__m09_frames__")
+    return spark.sql(f"""
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COALESCE(MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END),
+                         COUNT(*)) AS BIGINT) AS lead_trim,
+           CAST(COUNT(*) - 1
+                - COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END),
+                           COUNT(*) - 1) AS BIGINT) AS tail_trim,
+           CAST(COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END)
+                         - MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END) + 1,
+                         0) AS BIGINT) AS kept_frames,
+           CAST(COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END)
+                         - MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END) + 1,
+                         0) AS DOUBLE) / COUNT(*) AS active_share
+    FROM __m09_frames__
+    GROUP BY media_id
+    ORDER BY media_id
+    """)
+
+
+QUERIES["m09_silence_trim"] = m09
+# The oracle reconstructs m05's frame energies in the hex domain and
+# applies the identical MIN/MAX/COUNT trim arithmetic.
+ORACLES["m09_silence_trim"] = f"""
+    WITH aud AS (
+      SELECT i AS media_id,
+             repeat(md5(CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS hp
+      FROM range(120) t(i) WHERE i % 3 = 1
+    ),
+    fr AS (
+      SELECT media_id, hp,
+             unnest(range(0, CAST((length(hp) // 2 - 32) // 16 + 1 AS BIGINT))) AS frame_no
+      FROM aud
+    ),
+    samp AS (
+      SELECT media_id, frame_no,
+             (strpos('0123456789abcdef',
+                     substring(hp, CAST((frame_no * 16 + j) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substring(hp, CAST((frame_no * 16 + j) * 2 + 2 AS BIGINT), 1)) - 1)
+               - 128 AS s
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 32)) AS j) w
+    ),
+    en AS (
+      SELECT media_id, frame_no, CAST(SUM(s * s) AS BIGINT) AS energy
+      FROM samp GROUP BY media_id, frame_no
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COALESCE(MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END),
+                         COUNT(*)) AS BIGINT) AS lead_trim,
+           CAST(COUNT(*) - 1
+                - COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END),
+                           COUNT(*) - 1) AS BIGINT) AS tail_trim,
+           CAST(COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END)
+                         - MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END) + 1,
+                         0) AS BIGINT) AS kept_frames,
+           CAST(COALESCE(MAX(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END)
+                         - MIN(CASE WHEN energy >= {_M09_ENERGY_T} THEN frame_no END) + 1,
+                         0) AS DOUBLE) / COUNT(*) AS active_share
+    FROM en
+    GROUP BY media_id
+    ORDER BY media_id
+"""

@@ -2209,3 +2209,56 @@ def test_s21_sq_sweep_vs_numpy(spark, sf_dir):
     for a, b in zip(out, out[1:]):
         assert a["mean_cos_fidelity"] <= b["mean_cos_fidelity"]
         assert a["mean_mse"] >= b["mean_mse"]
+
+
+def test_m09_silence_trim_vs_python(spark):
+    """Trim offsets must equal a literal byte-domain energy walk."""
+    import hashlib
+
+    from ankaflow_spark.operators.streamq import QUERIES, _M09_ENERGY_T
+
+    out = QUERIES["m09_silence_trim"](spark, "/root/testdata/sf0.001").collect()
+    rows = {}
+    for i in range(120):
+        if i % 3 != 1:
+            continue
+        payload = hashlib.md5(str(i).encode()).digest() * (4 + i % 5)
+        n_frames = (len(payload) - 32) // 16 + 1
+        energies = []
+        for f in range(n_frames):
+            win = payload[f * 16 : f * 16 + 32]
+            energies.append(sum((b - 128) ** 2 for b in win))
+        active = [f for f, e in enumerate(energies) if e >= _M09_ENERGY_T]
+        if active:
+            lead, tail = active[0], n_frames - 1 - active[-1]
+            kept = active[-1] - active[0] + 1
+        else:
+            lead, tail, kept = n_frames, 0, 0
+        rows[i] = (n_frames, lead, tail, kept, kept / n_frames)
+    assert sorted(rows) == [r["media_id"] for r in out]
+    for r in out:
+        exp = rows[r["media_id"]]
+        got = (r["n_frames"], r["lead_trim"], r["tail_trim"], r["kept_frames"], r["active_share"])
+        assert got == exp
+
+
+def test_s22_cell_balance_vs_assignment(spark, sf_dir):
+    """Cell counts must equal a recount of the materialized assignment
+    and the share/verdict algebra must hold exactly."""
+    from ankaflow_spark.operators.similarity import IVF_K, QUERIES
+
+    out = QUERIES["s22_ivf_cell_balance"](spark, sf_dir).collect()
+    assign = {
+        r["cid"]: r["n"]
+        for r in spark.table("__s22_assign__").groupBy("cid").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    total = sum(assign.values())
+    assert total == spark.table("embeddings").count()
+    assert [r["cell_id"] for r in out] == sorted(assign)
+    for r in out:
+        n = assign[r["cell_id"]]
+        assert r["n_vecs"] == n
+        assert r["cell_share"] == n / total
+        assert r["hot_cell"] == (n * IVF_K > 2 * total)
+        assert r["cold_cell"] == (n * IVF_K * 2 < total)
