@@ -144,3 +144,18 @@ def test_product_analytics_example(engine):
     assert row["n_viewers"] >= row["n_purchasers"] >= 0
     assert row["end_to_end_conv"] is None or 0 <= row["end_to_end_conv"] <= 1
     assert row["above_avg_cells"] > 0 and row["peak_seasonality"] > 1.0
+
+
+def test_corpus_health_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/corpus_health.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    assert row["n_dims"] == 64
+    assert 0 <= row["n_collapsed_dims"] <= row["n_dims"]
+    # synthetic word-stream docs tokenize ~1 BPE token per word
+    assert row["worst_fertility"] >= 1.0
+    assert 0 <= row["n_lang_agree"] <= row["n_docs"]
+    assert row["ri_ok"] is True
