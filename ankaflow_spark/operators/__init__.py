@@ -84,8 +84,8 @@ GRADED_FIRST = [
     "st13_stream_bloom_decontam",
     "q62_idle_rich_customers",
     "ts28_cohort_retention",
-    # (q64/q65/q66/q68/t25/st15/m07 — plus the post-freeze m09/s22 —
-    # queued for the next window rotation:
+    # (q64/q65/q66/q68/t25/st15/m07 — plus the post-freeze m09/s22/
+    # d25/q75 — queued for the next window rotation:
     # never driver-graded but cell-exact at both SFs in
     # CORRECTNESS_FULL_r22; their families stay represented above.
     # ts22/d06/d08/d10 rotated out: officially re-graded green in r06

@@ -2087,3 +2087,63 @@ def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_cands(spark, sf_dir)
     return spark.sql(_threshold_sweep_sql(SPARK_CAND_CTES))
+
+
+# ---------------------------------------------------------------------------
+# d25 — dedup survivorship-bias audit: how d01's exact dedup shifts the
+# corpus's source composition — per source, the share of documents
+# before vs after survivor selection and an integer-exact over-pruned
+# verdict. Dedup is never neutral (boilerplate-heavy sources collapse
+# harder), and a training-mix designer must see the composition drift
+# before re-weighting (the dedup-side complement to q73's PSI drift).
+# Scale shape: ONE scan computes the content keys, one groupBy picks
+# survivors (d01's MIN rule), the after-counts join is survivor-side
+# pruned, and everything downstream runs over the |sources|-bounded
+# relation; the 1-row totals broadcast. Exactness: counts are BIGINTs;
+# each share divides once; the verdict cross-multiplies integers
+# (100 * n_after * tot_before < 99 * n_before * tot_after  <=>
+#  after_share < 0.99 * before_share).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); composes d01's rule with q73's drift framing.
+# ---------------------------------------------------------------------------
+def _dedup_bias_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        key = "md5(concat_ws(' ', array_sort(array_distinct(split(lower(text), ' ')))))"
+    else:
+        key = "md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))"
+    return f"""
+    WITH keys AS (
+      SELECT doc_id, source, {key} AS k FROM documents
+    ),
+    surv AS (SELECT k, MIN(doc_id) AS keep FROM keys GROUP BY k),
+    before AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM keys GROUP BY source
+    ),
+    after AS (
+      SELECT kk.source, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM keys kk JOIN surv s ON s.keep = kk.doc_id
+      GROUP BY kk.source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+             (SELECT CAST(SUM(n_after) AS BIGINT) FROM after) AS ta
+      FROM before
+    )
+    SELECT b.source AS source, b.n_before AS n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           CAST(b.n_before AS DOUBLE) / t.tb AS share_before,
+           CAST(COALESCE(a.n_after, 0) AS DOUBLE) / t.ta AS share_after,
+           CAST(COALESCE(a.n_after, 0) AS DOUBLE) / t.ta
+             - CAST(b.n_before AS DOUBLE) / t.tb AS share_drift,
+           100 * COALESCE(a.n_after, 0) * t.tb < 99 * b.n_before * t.ta AS over_pruned
+    FROM before b
+    LEFT JOIN after a ON a.source = b.source
+    CROSS JOIN tot t
+    ORDER BY source
+    """
+
+
+@query("d25_dedup_bias_audit", oracle=_dedup_bias_sql(False))
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_dedup_bias_sql(True))

@@ -2955,3 +2955,41 @@ def _ri_audit_sql() -> str:
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_ri_audit_sql())
+
+
+# ---------------------------------------------------------------------------
+# q75 — small-cell suppression: the release-side privacy step that
+# publishes an aggregate table with every cell under the k threshold
+# suppressed (value nulled, flag kept) — primary suppression, the step
+# a data-release pipeline runs AFTER the k-anonymity/l-diversity/
+# t-closeness audits (q67/q69/q72) pass: those grade the microdata,
+# this redacts the published aggregate. Scale shape: ONE corpus
+# groupBy onto the (segment x nation)-bounded cell relation; the
+# suppression is a per-cell CASE. Exactness: counts are BIGINTs; the
+# suppressed cells are typed NULLs (same render in both engines).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the q67/q69/q72 privacy family.
+# ---------------------------------------------------------------------------
+_SUPPRESS_K = 12
+
+
+def _cell_suppression_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_mktsegment, n.n_name
+    )
+    SELECT segment, nation,
+           CASE WHEN n >= {_SUPPRESS_K} THEN n END AS n_customers,
+           n < {_SUPPRESS_K} AS suppressed
+    FROM cells
+    ORDER BY segment, nation
+    """
+
+
+@query("q75_cell_suppression", oracle=_cell_suppression_sql())
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_cell_suppression_sql())

@@ -2262,3 +2262,59 @@ def test_s22_cell_balance_vs_assignment(spark, sf_dir):
         assert r["cell_share"] == n / total
         assert r["hot_cell"] == (n * IVF_K > 2 * total)
         assert r["cold_cell"] == (n * IVF_K * 2 < total)
+
+
+def test_d25_dedup_bias_vs_python(spark, sf_dir):
+    """Source-composition drift must equal a literal survivor walk
+    under d01's content-key rule."""
+    import hashlib
+    from collections import Counter
+
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d25_dedup_bias_audit"](spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "source", "text").collect()
+    keep = {}
+    for r in docs:
+        k = hashlib.md5(
+            " ".join(sorted(set(r["text"].lower().split(" ")))).encode()
+        ).hexdigest()
+        if k not in keep or r["doc_id"] < keep[k]:
+            keep[k] = r["doc_id"]
+    survivors = set(keep.values())
+    before = Counter(r["source"] for r in docs)
+    after = Counter(r["source"] for r in docs if r["doc_id"] in survivors)
+    tb, ta = sum(before.values()), sum(after.values())
+    assert [r["source"] for r in out] == sorted(before)
+    for r in out:
+        nb, na = before[r["source"]], after.get(r["source"], 0)
+        assert (r["n_before"], r["n_after"]) == (nb, na)
+        assert r["share_before"] == nb / tb
+        assert r["share_after"] == na / ta
+        assert r["share_drift"] == na / ta - nb / tb
+        assert r["over_pruned"] == (100 * na * tb < 99 * nb * ta)
+
+
+def test_q75_cell_suppression_vs_python(spark, sf_dir):
+    """Suppression must null exactly the cells under k and keep the
+    rest verbatim."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.relational import QUERIES, _SUPPRESS_K
+
+    out = QUERIES["q75_cell_suppression"](spark, sf_dir).collect()
+    nations = {
+        r["n_nationkey"]: r["n_name"] for r in spark.table("nation").collect()
+    }
+    cells = Counter(
+        (r["c_mktsegment"], nations[r["c_nationkey"]])
+        for r in spark.table("customer").collect()
+    )
+    assert [(r["segment"], r["nation"]) for r in out] == sorted(cells)
+    any_suppressed = False
+    for r in out:
+        n = cells[(r["segment"], r["nation"])]
+        assert r["suppressed"] == (n < _SUPPRESS_K)
+        assert r["n_customers"] == (n if n >= _SUPPRESS_K else None)
+        any_suppressed |= r["suppressed"]
+    assert any_suppressed  # the threshold must bite at this SF

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "st19_stream_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram tail — ts35's scalar class over the maintained state
     "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
     "s22_ivf_cell_balance",  # 1-row corpus-total scalar cross-joined into the K-bounded cell relation — q59's scalar class
+    "d25_dedup_bias_audit",  # 1-row before/after-totals scalar cross-joined into the |sources|-bounded drift relation — q73's class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -70,6 +71,7 @@ SMJ_ALLOWED = {
     "d15_graph_centrality",  # PageRank iterations: edges x labels, both ARE the graph — SMJ correct at scale
     "d22_triangle_count",  # edge-iterator triangle join: every side IS the candidate edge list — SMJ correct at scale (stats-less checkpointed __cands__)
     "q71_snapshot_diff",  # FULL OUTER on the snapshot key: both sides are table versions; SMJ is Spark's only full-outer strategy and the right one
+    "d25_dedup_bias_audit",  # survivor-selection join (keys x surv on keep=doc_id): both sides ARE the corpus — d17's class, SMJ correct at scale
     "s20_ivf_probe_sweep",  # probe-arm candidates x embeddings re-rank join: the candidate side is probe-multiplied corpus cells (stats-less checkpointed assign) — s03's re-rank class, correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
