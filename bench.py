@@ -102,6 +102,10 @@ HEADLINE = [
     "s20_ivf_probe_sweep",
     "ts36_forecast_backtest",
     "s21_sq_bits_sweep",
+    # round-14 additions (total now covers 61 queries): the dedup
+    # survivorship-bias audit and the small-cell suppression release
+    "d25_dedup_bias_audit",
+    "q75_cell_suppression",
 ]
 
 
