@@ -85,9 +85,11 @@ GRADED_FIRST = [
     "q62_idle_rich_customers",
     "ts28_cohort_retention",
     # (q64/q65/q66/q68/t25/st15/m07 — plus the post-freeze m09/s22/
-    # d25/q75 — queued for the next window rotation:
+    # d25/q75 and the session-8 wave ts37/ts38/q76/d26/s23/t31/st20 —
+    # queued for the next window rotation:
     # never driver-graded but cell-exact at both SFs in
-    # CORRECTNESS_FULL_r22; their families stay represented above.
+    # CORRECTNESS_FULL_r22+ (session-8 wave in FULL_r25+); their
+    # families stay represented above.
     # ts22/d06/d08/d10 rotated out: officially re-graded green in r06
     # after their post-freeze changes.)
     # (1) the six __cands__ consumers the r6 judge named for an

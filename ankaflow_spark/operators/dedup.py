@@ -2147,3 +2147,95 @@ def _dedup_bias_sql(spark_dialect: bool) -> str:
 def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_dedup_bias_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d26 — b-bit MinHash accuracy study (Li & Koenig, "b-Bit Minwise
+# Hashing", WWW 2010): for every LSH candidate pair, the Jaccard
+# estimates from FULL 64-bit signature components, from their lowest
+# 2 bits, and from their lowest single bit — each with the published
+# unbiased correction est_b = (match_share - 2^-b) / (1 - 2^-b) — are
+# compared against the exact shingle Jaccard. This is the storage-
+# budget study a 100 TB near-dup pipeline runs before shrinking its
+# signature table 32-64x: b-bit signatures trade variance for memory,
+# and the audit shows per-pair which budget would have sufficed.
+# Scale shape: d18's exact machinery — the shared cached __cands__ /
+# __shingles__ relations, per-doc signature unpivot, candidate-keyed
+# equi-joins; the bit-truncated matches ride the SAME aggregation
+# pass as the full-signature matches (zero extra shuffles).
+# Exactness: match counts are integers; each estimate divides once
+# (denominators K, K, 3K); the best-estimator verdict cross-
+# multiplies to integers (errors share denominator 48u), so both
+# engines agree cell-for-cell.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); extends the d18/d12/d24 sketch-verdict family.
+# ---------------------------------------------------------------------------
+def _bbit_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        ctes = f"""{SPARK_CAND_CTES},
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
+    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
+    perm AS (SELECT doc_id, stack({MINHASH_K}, {_SPARK_PERM_STACK}) AS (seed, mh) FROM sigs)"""
+    else:
+        ctes = DUCK_CAND_CTES
+    k = MINHASH_K
+    # scaled errors share denominator 48u: full -> 3|mu - Knc|,
+    # 1-bit -> 3|(2m1 - K)u - Knc|, 2-bit -> |(4m2 - K)u - 3Knc|
+    e_full = f"3 * ABS(m.m * u.u - {k} * u.nc)"
+    e_b1 = f"3 * ABS((2 * m.m1 - {k}) * u.u - {k} * u.nc)"
+    e_b2 = f"ABS((4 * m.m2 - {k}) * u.u - 3 * {k} * u.nc)"
+    return f"""
+    WITH {ctes},
+    matches AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m,
+             SUM(CASE WHEN pa.mh % 4 = pb.mh % 4 THEN 1 ELSE 0 END) AS m2,
+             SUM(CASE WHEN pa.mh % 2 = pb.mh % 2 THEN 1 ELSE 0 END) AS m1
+      FROM cands c
+      JOIN perm pa ON pa.doc_id = c.doc_a
+      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    u AS (
+      SELECT m.doc_a, m.doc_b,
+             za.n + zb.n - COALESCE(cm.nc, 0) AS u,
+             COALESCE(cm.nc, 0) AS nc
+      FROM matches m
+      LEFT JOIN common cm ON cm.doc_a = m.doc_a AND cm.doc_b = m.doc_b
+      JOIN sizes za ON za.doc_id = m.doc_a
+      JOIN sizes zb ON zb.doc_id = m.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.m AS INT) AS full_matches,
+           CAST(m.m2 AS INT) AS b2_matches,
+           CAST(m.m1 AS INT) AS b1_matches,
+           CAST(u.nc AS DOUBLE) / u.u AS exact_jaccard,
+           CAST(m.m AS DOUBLE) / {k} AS est_full,
+           CAST(4 * m.m2 - {k} AS DOUBLE) / {3 * k} AS est_b2,
+           CAST(2 * m.m1 - {k} AS DOUBLE) / {k} AS est_b1,
+           CASE WHEN {e_full} <= {e_b2} AND {e_full} <= {e_b1} THEN 'full'
+                WHEN {e_b2} <= {e_b1} THEN '2bit'
+                ELSE '1bit' END AS best_estimator
+    FROM matches m
+    JOIN u ON u.doc_a = m.doc_a AND u.doc_b = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """
+
+
+def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    return spark.sql(_bbit_sql(True))
+
+
+QUERIES["d26_bbit_minhash"] = d26
+ORACLES["d26_bbit_minhash"] = _bbit_sql(False)

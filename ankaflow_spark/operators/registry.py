@@ -1822,3 +1822,131 @@ def op_ri_audit(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         (F.sum(orphan).cast("double") / F.count("*")).alias("orphan_share"),
         (F.sum(orphan) == 0).alias("ri_ok"),
     )
+
+
+@operator("survival_curve")
+def op_survival_curve(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Session-duration survival table (ts37 as a reusable stage):
+    gap-island sessions per entity, right-censored at the corpus edge,
+    rolled into the Kaplan-Meier counting table (at-risk, events,
+    censored, hazard, surviving share). Sessionizer windows PARTITION
+    BY the entity key; the cumulative walk orders the |distinct
+    durations|-bounded relation only; the 1-row edge/total scalars
+    broadcast."""
+    from pyspark.sql import Window
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    tiebreak = params.get("tiebreak")
+    gap_us = int(params.get("gap_min", 30)) * 60 * 1000000
+    us = F.unix_micros(F.col(ts_col))
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    sessions = (
+        df.withColumn("__us__", us)
+        .withColumn("__prev__", F.lag("__us__").over(w))
+        .withColumn(
+            "__new__",
+            F.when(
+                F.col("__prev__").isNull() | (F.col("__us__") - F.col("__prev__") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("__seq__", F.sum("__new__").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(F.col(user).alias("__u__"), "__seq__")
+        .agg(
+            F.floor((F.max("__us__") - F.min("__us__")).cast("double") / 60000000.0)
+            .cast("bigint")
+            .alias("__dur__"),
+            F.max("__us__").alias("__end__"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edge = sessions.agg(F.max("__end__").alias("__edge__"))
+    labeled = sessions.crossJoin(F.broadcast(edge)).select(
+        "__dur__", (F.col("__edge__") - F.col("__end__") > gap_us).alias("__ended__")
+    )
+    times = labeled.groupBy(F.col("__dur__").alias("t_min")).agg(
+        F.sum(F.col("__ended__").cast("long")).cast("bigint").alias("n_ended_at"),
+        F.sum((~F.col("__ended__")).cast("long")).cast("bigint").alias("n_censored_at"),
+    )
+    tot = labeled.agg(
+        F.count("*").cast("bigint").alias("__n_sessions__"),
+        F.sum(F.col("__ended__").cast("long")).cast("bigint").alias("__n_ended__"),
+    )
+    ww = Window.orderBy("t_min")
+    walk = (
+        times.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__gone__",
+            F.coalesce(
+                F.sum(F.col("n_ended_at") + F.col("n_censored_at")).over(
+                    ww.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__cum__",
+            F.sum("n_ended_at").over(ww.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return walk.select(
+        "t_min",
+        (F.col("__n_sessions__") - F.col("__gone__")).cast("bigint").alias("n_at_risk"),
+        "n_ended_at",
+        "n_censored_at",
+        (F.col("n_ended_at").cast("double") / (F.col("__n_sessions__") - F.col("__gone__"))).alias(
+            "hazard"
+        ),
+        (
+            (F.col("__n_ended__") - F.col("__cum__")).cast("double") / F.col("__n_ended__")
+        ).alias("ended_surv_share"),
+    ).orderBy("t_min")
+
+
+@operator("decayed_leaderboard")
+def op_decayed_leaderboard(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Exponentially-decayed activity leaderboard (ts38 as a reusable
+    stage): half-life-weighted event counts per entity, integer-exact
+    (counts scaled by 2^(week - min_week) sum as BIGINT; ONE final
+    division by 2^span). Top-N via ORDER BY + LIMIT
+    (TakeOrderedAndProject), rank window over the N survivors."""
+    from pyspark.sql import Window
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    top_n = int(params.get("top_n", 10))
+    week_us = int(params.get("period_us", 7 * 86400 * 1000000))
+    weekly = df.groupBy(
+        F.col(user).alias("__u__"),
+        F.floor(F.unix_micros(F.col(ts_col)).cast("double") / float(week_us))
+        .cast("bigint")
+        .alias("__w__"),
+    ).agg(F.count("*").cast("bigint").alias("__n__"))
+    span = weekly.agg(F.min("__w__").alias("__w0__"), F.max("__w__").alias("__w1__"))
+    scaled = (
+        weekly.crossJoin(F.broadcast(span))
+        .groupBy("__u__")
+        .agg(
+            F.sum("__n__").cast("bigint").alias("raw_n"),
+            F.sum(
+                F.col("__n__")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__w__ - __w0__ AS INT))")
+            )
+            .cast("bigint")
+            .alias("__scaled__"),
+            F.max(F.col("__w1__") - F.col("__w0__")).alias("__span__"),
+        )
+    )
+    top = scaled.orderBy(F.col("__scaled__").desc(), "__u__").limit(top_n).select(
+        F.col("__u__").alias("user_id"),
+        "raw_n",
+        (
+            F.col("__scaled__").cast("double")
+            / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__span__ AS INT))")
+        ).alias("decayed_n"),
+    )
+    return top.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("decayed_n").desc(), "user_id")),
+    ).orderBy("rn")

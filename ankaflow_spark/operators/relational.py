@@ -2993,3 +2993,76 @@ def _cell_suppression_sql() -> str:
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_cell_suppression_sql())
+
+
+# ---------------------------------------------------------------------------
+# q76 — incremental materialized-view maintenance: the (month x
+# priority) revenue rollup maintained as BASE partials (orders before
+# the split date) merged with DELTA partials (orders on/after it),
+# audited group-by-group against a full recompute — the
+# partial-aggregate merge contract every incremental pipeline relies
+# on instead of nightly full rebuilds (q57 proves the same contract
+# for mergeable HLL sketches; q76 proves it for exact SUM/COUNT).
+# Scale shape: base and delta are each ONE map-side-combinable
+# type-pruned aggregation (at scale the base partials are a persisted
+# MV table, not a recompute — the delta scan is the only per-refresh
+# cost); the merge re-aggregates the |groups|-bounded partial union;
+# the audit join is |groups| x |groups|. Exactness: counts BIGINT;
+# revenue summed as DECIMAL(38,6) (associative, order-free) and cast
+# to DOUBLE once; the match verdict compares BIGINT/DECIMAL directly.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q57/q71 snapshot-maintenance family.
+# ---------------------------------------------------------------------------
+_MV_SPLIT = "2000-01-01"
+
+
+def _mv_partial_sql(pred: str) -> str:
+    return f"""
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      FROM orders WHERE o_orderdate {pred} TIMESTAMP '{_MV_SPLIT}'
+      GROUP BY 1, 2
+    """
+
+
+def _mv_maintenance_sql() -> str:
+    return f"""
+    WITH base AS ({_mv_partial_sql("<")}),
+    delta AS ({_mv_partial_sql(">=")}),
+    merged AS (
+      SELECT mon, priority,
+             CAST(SUM(CASE WHEN src = 'base' THEN n_orders ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN src = 'delta' THEN n_orders ELSE 0 END) AS BIGINT) AS n_delta,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+             CAST(SUM(revenue) AS DECIMAL(38,6)) AS revenue
+      FROM (
+        SELECT 'base' AS src, * FROM base
+        UNION ALL
+        SELECT 'delta' AS src, * FROM delta
+      )
+      GROUP BY mon, priority
+    ),
+    recomputed AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT m.mon AS mon, m.priority AS priority,
+           m.n_base AS n_base, m.n_delta AS n_delta,
+           m.n_orders AS n_orders,
+           CAST(m.revenue AS DOUBLE) AS revenue,
+           m.n_orders = f.n_orders AND m.revenue = f.revenue AS matches_full
+    FROM merged m JOIN recomputed f
+      ON f.mon = m.mon AND f.priority = m.priority
+    ORDER BY mon, priority
+    """
+
+
+@query("q76_mv_maintenance", oracle=_mv_maintenance_sql())
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_mv_maintenance_sql())

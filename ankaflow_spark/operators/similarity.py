@@ -2170,3 +2170,81 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH " + ivf_assign_ctes(True) + " SELECT vec_id, cid FROM assign2"
     ).localCheckpoint(eager=True).createOrReplaceTempView("__s22_assign__")
     return spark.sql(_cell_balance_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s23 — kNN-graph hubness audit (Radovanovic et al., "Hubs in Space",
+# JMLR 2010): the in-degree distribution of the corpus's top-5
+# neighbor graph — how often each vector is someone ELSE's nearest
+# neighbor. High-dimensional embedding spaces concentrate: a few
+# "hub" points appear in thousands of neighbor lists (they poison
+# kNN labels and dedup verdicts) while "anti-hubs" (in-degree 0)
+# are unreachable by similarity search. Every serious embedding-QA
+# pipeline plots this histogram next to s19's norm stats before
+# trusting an ANN index. Scale shape: the graph is built on s02's
+# LSH-bucket candidate path (equi-join on the 8-bit hyperplane
+# bucket — NOT the quadratic all-pairs scan), the per-query rank
+# window is PARTITIONED BY query_id, the in-degree is one groupBy
+# over the |edges| <= 5|V| relation, and the histogram is bounded by
+# the max in-degree. Exactness: degrees/counts are integers; the
+# share divides once; cosine ranking uses the shared sequential-fold
+# doubles (bit-identical both engines, ties broken by cand_id).
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); extends the s19/s22 embedding-health family.
+# ---------------------------------------------------------------------------
+HUB_K = 5  # neighbors per query in the audit graph
+
+
+def _hubness_sql(spark_dialect: bool) -> str:
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
+    return f"""
+    WITH buckets AS ({_bucket_sql(spark_dialect)}),
+    norms AS ({norm}),
+    cands AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, {dot} AS dot
+      FROM cands
+      JOIN embeddings q ON q.vec_id = query_id
+      JOIN embeddings c ON c.vec_id = cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, cand_id
+             ) AS rn
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = cand_id
+    ),
+    edges AS (SELECT query_id, cand_id FROM ranked WHERE rn <= {HUB_K}),
+    indeg AS (
+      SELECT e.vec_id, CAST(COUNT(g.query_id) AS BIGINT) AS in_degree
+      FROM embeddings e
+      LEFT JOIN edges g ON g.cand_id = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM indeg)
+    SELECT i.in_degree AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS vec_share,
+           i.in_degree >= {2 * HUB_K} AS is_hub_degree,
+           i.in_degree = 0 AS is_antihub
+    FROM indeg i CROSS JOIN tot t
+    GROUP BY i.in_degree
+    ORDER BY in_degree
+    """
+
+
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_hubness_sql(True))
+
+
+QUERIES["s23_hubness_audit"] = s23
+ORACLES["s23_hubness_audit"] = _hubness_sql(False)

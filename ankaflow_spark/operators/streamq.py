@@ -1625,3 +1625,46 @@ ORACLES["m09_silence_trim"] = f"""
     GROUP BY media_id
     ORDER BY media_id
 """
+
+
+def st20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decayed-leaderboard maintenance, ORACLE-CHECKED cell-
+    exact against ts38's batch SQL: exact per-(user, week) counters
+    maintained INCREMENTALLY across real micro-batches via
+    foreachbatch_merge_counts — the state a production trending-
+    entities surface persists (counts by entity x period; the
+    half-life weighting is a REPORT-TIME transform, so the decay
+    constant can change without a state rebuild). The report tail is
+    ts38's integer-exact weekly-halving leaderboard over the
+    |users x weeks|-bounded state: scores scaled by 2^(week - w0) sum
+    as BIGINT, ORDER BY + LIMIT 10 (TakeOrderedAndProject), rank
+    window over the 10 survivors (st11's rank-after-LIMIT
+    spelling)."""
+    from ..streaming.stream import foreachbatch_merge_counts, stream_tap
+    from .timeseries import _WEEK_US, _decay_tail_sql
+
+    staged, schema = _staged_events_ordered(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st20_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    weekly = foreachbatch_merge_counts(
+        stream.select(
+            "user_id",
+            F.expr(
+                f"CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / {_WEEK_US}.0) AS BIGINT)"
+            ).alias("week"),
+        ),
+        ["user_id", "week"],
+        base,
+    )
+    weekly.localCheckpoint(eager=True).createOrReplaceTempView("st20_weekly")
+    return spark.sql(_decay_tail_sql("st20_weekly", True))
+
+
+QUERIES["st20_stream_decay_topk"] = st20
+from .timeseries import ORACLES as _ts_oracles4  # noqa: E402
+
+ORACLES["st20_stream_decay_topk"] = _ts_oracles4["ts38_decayed_leaderboard"]

@@ -1833,3 +1833,73 @@ def _langid_confusion_sql(spark_dialect: bool) -> str:
 def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_langid_confusion_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t31 — cross-source shingle containment matrix: for every ordered
+# source pair (a, b), the share of a's distinct 3-word shingles that
+# also occur in b — the corpus-level contamination/overlap audit run
+# before mixing crawl sources into a training mix (d07 checks docs
+# against a benchmark set; t31 checks the sources against EACH
+# OTHER, the asymmetric containment C(a,b) = |A n B| / |A| that
+# flags "source a is mostly a subset of source b" mirror
+# relationships). Scale shape: the shared cached __shingles__
+# relation joined once to the doc->source map, ONE distinct per
+# (source, shingle), an equi-join on the shingle key for the
+# intersection (same class as d07's gram join — never all-pairs on
+# docs), and a |sources|^2-bounded assembly (the sizes x sizes cross
+# join is 20x20 by design). Exactness: all counts are integers over
+# distinct sets; the containment share divides once.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); extends the d07/t16/t28 corpus-mix audit family.
+# ---------------------------------------------------------------------------
+def _source_overlap_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        shingles = "SELECT doc_id, sh FROM __shingles__"
+        # the sizes x sizes pair assembly is |sources|^2 by design;
+        # without the hint Spark plans a CartesianProduct (sizes is a
+        # stats-less aggregate), with it a broadcast loop over 20 rows
+        hint = "/*+ BROADCAST(zb) */ "
+    else:
+        from .dedup import DUCK_SHINGLES
+
+        shingles = DUCK_SHINGLES
+        hint = ""
+    return f"""
+    WITH shingles AS ({shingles}),
+    src_sh AS (
+      SELECT DISTINCT d.source AS source, s.sh AS sh
+      FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM src_sh GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM src_sh a JOIN src_sh b ON b.sh = a.sh AND b.source <> a.source
+      GROUP BY a.source, b.source
+    )
+    SELECT {hint}za.source AS src_a, zb.source AS src_b,
+           za.n_shingles AS n_a, zb.n_shingles AS n_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE) / za.n_shingles AS containment_a_in_b,
+           COALESCE(i.n_common, 0) * 10 >= za.n_shingles * 9 AS near_subset
+    FROM sizes za
+    JOIN sizes zb ON zb.source <> za.source
+    LEFT JOIN inter i ON i.src_a = za.source AND i.src_b = zb.source
+    ORDER BY src_a, src_b
+    """
+
+
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import cached_shingles
+
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    return spark.sql(_source_overlap_sql(True))
+
+
+QUERIES["t31_source_overlap"] = t31
+ORACLES["t31_source_overlap"] = _source_overlap_sql(False)

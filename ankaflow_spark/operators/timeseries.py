@@ -2096,3 +2096,173 @@ def ts36(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts36_daily__"
     )
     return spark.sql(_backtest_tail_sql("__ts36_daily__"))
+
+
+# ---------------------------------------------------------------------------
+# ts37 — session-duration survival curve (Kaplan-Meier counting
+# table): per observed session length (whole minutes), the at-risk
+# count, ended-session events, right-censored exits, the discrete
+# hazard d/n, and the surviving share among completed sessions — the
+# actuarial table behind "how long do sessions last" engagement
+# analysis. Conventions (documented, exact): sessions are ts02's
+# 30-minute-gap islands; a session whose last event falls within one
+# session gap of the corpus's final timestamp is CENSORED (it may
+# have continued past the observation edge — genuine right-
+# censoring), all others ENDED at their observed duration. Scale
+# shape: ts02's entity-partitioned sessionizer (one shuffle on
+# user_id), ONE per-session aggregation, a 1-row corpus-edge scalar
+# cross-joined in (q59's scalar class), then everything runs over the
+# |distinct durations|-bounded relation — the cumulative windows
+# order <= |distinct minutes| rows (ts34/ts35's bounded-walk class).
+# Exactness: durations are BIGINT microsecond floor-divisions; counts
+# exact; hazard and surviving share each divide once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts02/ts13/ts19/ts34/ts35 behavioral
+# engagement family.
+# ---------------------------------------------------------------------------
+def _survival_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_seq,
+             CAST(floor(CAST({epoch}(MAX(ts)) - {epoch}(MIN(ts)) AS DOUBLE) / 60000000.0) AS BIGINT) AS dur_min,
+             MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_seq
+    ),
+    cut AS (SELECT MAX(session_end) AS edge FROM per_session),
+    labeled AS (
+      SELECT p.dur_min,
+             {epoch}(c.edge) - {epoch}(p.session_end) > {gap_us} AS ended
+      FROM per_session p CROSS JOIN cut c
+    ),
+    times AS (
+      SELECT dur_min AS t_min,
+             CAST(SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT) AS n_ended_at,
+             CAST(SUM(CASE WHEN ended THEN 0 ELSE 1 END) AS BIGINT) AS n_censored_at
+      FROM labeled GROUP BY dur_min
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT) AS n_ended
+      FROM labeled
+    ),
+    walk AS (
+      SELECT t.t_min, t.n_ended_at, t.n_censored_at, o.n_sessions, o.n_ended,
+             COALESCE(SUM(t.n_ended_at + t.n_censored_at)
+               OVER (ORDER BY t.t_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_gone,
+             SUM(t.n_ended_at)
+               OVER (ORDER BY t.t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_ended
+      FROM times t CROSS JOIN tot o
+    )
+    SELECT t_min,
+           CAST(n_sessions - n_gone AS BIGINT) AS n_at_risk,
+           n_ended_at,
+           n_censored_at,
+           CAST(n_ended_at AS DOUBLE) / (n_sessions - n_gone) AS hazard,
+           CAST(n_ended - cum_ended AS DOUBLE) / n_ended AS ended_surv_share
+    FROM walk
+    ORDER BY t_min
+    """
+
+
+@query("ts37_survival_curve", oracle=_survival_sql(False))
+def ts37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_survival_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts38 — exponentially-decayed activity leaderboard: the top-10 users
+# by half-life-weighted event count (half-life = one week), the
+# standard "trending entities" primitive behind every leaderboard /
+# hot-keys surface. Decay math is INTEGER-EXACT: per-user weekly
+# counts are scaled by 2^(week - corpus_min_week) and summed as
+# BIGINT (a 30-day corpus spans <= 5 weeks, so the scale factor is
+# <= 2^4; at a longer horizon the same spelling re-anchors per
+# retention window), and the decayed score divides ONCE by
+# 2^(max_week - min_week) — powers of two are exact in doubles, so
+# both engines agree bit-for-bit. Scale shape: ONE map-side-
+# combinable (user x week) count, a 1-row week-span scalar
+# cross-joined in, a second |users|-bounded re-aggregation, then
+# ORDER BY + LIMIT 10 (TakeOrderedAndProject — no global sort) with
+# the rank window over the 10 surviving rows (st11's
+# rank-after-LIMIT spelling).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); batch twin of st20's incrementally-maintained
+# state.
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86400 * 1000000
+DECAY_TOP_N = 10
+
+
+def _weekly_counts_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    return f"""
+    SELECT user_id,
+           CAST(floor(CAST({epoch}(ts) AS DOUBLE) / {_WEEK_US}.0) AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, 2
+    """
+
+
+def _decay_tail_sql(weekly: str, spark_dialect: bool) -> str:
+    """Decayed-leaderboard tail over a (user_id, week, n) relation —
+    shared by ts38 (batch weekly counts) and st20 (the incrementally
+    maintained state table)."""
+    shift = (
+        "shiftleft(CAST(1 AS BIGINT), CAST({x} AS INT))"
+        if spark_dialect
+        else "(CAST(1 AS BIGINT) << CAST({x} AS INT))"
+    )
+    return f"""
+    WITH span AS (SELECT MIN(week) AS w0, MAX(week) AS w1 FROM {weekly}),
+    scaled AS (
+      SELECT w.user_id,
+             CAST(SUM(w.n) AS BIGINT) AS raw_n,
+             CAST(SUM(w.n * {shift.format(x="w.week - s.w0")}) AS BIGINT) AS scaled,
+             MAX(s.w1 - s.w0) AS span_weeks
+      FROM {weekly} w CROSS JOIN span s
+      GROUP BY w.user_id
+    ),
+    top AS (
+      SELECT user_id, raw_n,
+             CAST(scaled AS DOUBLE) / {shift.format(x="span_weeks")} AS decayed_n
+      FROM scaled
+      ORDER BY scaled DESC, user_id
+      LIMIT {DECAY_TOP_N}
+    )
+    SELECT user_id, raw_n, decayed_n,
+           ROW_NUMBER() OVER (ORDER BY decayed_n DESC, user_id) AS rn
+    FROM top
+    ORDER BY rn
+    """
+
+
+@query(
+    "ts38_decayed_leaderboard",
+    oracle=f"WITH weekly AS ({_weekly_counts_sql(False)}), {_decay_tail_sql('weekly', False).strip()[len('WITH '):]}",
+)
+def ts38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_weekly_counts_sql(True)).createOrReplaceTempView("__ts38_weekly__")
+    return spark.sql(_decay_tail_sql("__ts38_weekly__", True))

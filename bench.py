@@ -106,6 +106,17 @@ HEADLINE = [
     # survivorship-bias audit and the small-cell suppression release
     "d25_dedup_bias_audit",
     "q75_cell_suppression",
+    # round-15 additions (total now covers 67 queries): the session-8
+    # wave — session-duration survival, the decayed leaderboard,
+    # incremental-MV merge audit, b-bit minhash study (rides the
+    # shared __cands__/__shingles__ relations), kNN hubness, and the
+    # cross-source containment matrix
+    "ts37_survival_curve",
+    "ts38_decayed_leaderboard",
+    "q76_mv_maintenance",
+    "d26_bbit_minhash",
+    "s23_hubness_audit",
+    "t31_source_overlap",
 ]
 
 

@@ -1136,3 +1136,43 @@ def test_ri_audit_stage_matches_graded(engine, sf_dir):
     }["orders.o_custkey -> customer"]
     # relation label format differs by design; the measured columns match
     assert tuple(rows[0])[1:] == tuple(graded)[1:]
+
+
+def test_survival_curve_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: surv
+  op: survival_curve
+  params: {{user: user_id, ts_col: ts, gap_min: 30}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts37_survival_curve"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_decayed_leaderboard_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: decay
+  op: decayed_leaderboard
+  params: {{user: user_id, ts_col: ts, top_n: 10}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts38_decayed_leaderboard"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]

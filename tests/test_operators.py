@@ -2318,3 +2318,232 @@ def test_q75_cell_suppression_vs_python(spark, sf_dir):
         assert r["n_customers"] == (n if n >= _SUPPRESS_K else None)
         any_suppressed |= r["suppressed"]
     assert any_suppressed  # the threshold must bite at this SF
+
+
+def test_ts37_survival_vs_python(spark, sf_dir):
+    """The actuarial table must equal a literal sessionize-and-count
+    walk (30-min gap islands, right-censored at the corpus edge)."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES, SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    out = QUERIES["ts37_survival_curve"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in spark.table("events").select("user_id", "ts").collect():
+        by_user[r["user_id"]].append(int(r["ts"].timestamp() * 1e6))
+    sessions = []  # (dur_min, end_us)
+    for times in by_user.values():
+        times.sort()
+        start = prev = times[0]
+        for t in times[1:]:
+            if t - prev > gap_us:
+                sessions.append(((prev - start) // 60000000, prev))
+                start = t
+            prev = t
+        sessions.append(((prev - start) // 60000000, prev))
+    edge = max(e for _, e in sessions)
+    ended = [(d, edge - e > gap_us) for d, e in sessions]
+    times_tbl = defaultdict(lambda: [0, 0])
+    for d, is_ended in ended:
+        times_tbl[d][0 if is_ended else 1] += 1
+    n_sessions, n_ended = len(ended), sum(1 for _, x in ended if x)
+    assert [r["t_min"] for r in out] == sorted(times_tbl)
+    gone = cum = 0
+    for r in out:
+        e, c = times_tbl[r["t_min"]]
+        assert (r["n_ended_at"], r["n_censored_at"]) == (e, c)
+        assert r["n_at_risk"] == n_sessions - gone
+        assert r["hazard"] == e / (n_sessions - gone)
+        cum += e
+        assert r["ended_surv_share"] == (n_ended - cum) / n_ended
+        gone += e + c
+
+
+def test_ts38_decay_vs_python(spark, sf_dir):
+    """The decayed leaderboard must equal a literal weekly-halving
+    recount (integer-scaled, one final division)."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.timeseries import _WEEK_US, QUERIES
+
+    out = QUERIES["ts38_decayed_leaderboard"](spark, sf_dir).collect()
+    weekly = Counter()
+    for r in spark.table("events").select("user_id", "ts").collect():
+        weekly[(r["user_id"], int(r["ts"].timestamp() * 1e6) // _WEEK_US)] += 1
+    w0 = min(w for _, w in weekly)
+    w1 = max(w for _, w in weekly)
+    scaled = Counter()
+    raw = Counter()
+    for (u, w), n in weekly.items():
+        scaled[u] += n << (w - w0)
+        raw[u] += n
+    top = sorted(scaled, key=lambda u: (-scaled[u], u))[:10]
+    assert [r["user_id"] for r in out] == top
+    for rn, r in enumerate(out, 1):
+        assert r["raw_n"] == raw[r["user_id"]]
+        assert r["decayed_n"] == scaled[r["user_id"]] / (1 << (w1 - w0))
+        assert r["rn"] == rn
+
+
+def test_q76_mv_merge_vs_python(spark, sf_dir):
+    """Merged base+delta partials must equal the full recompute for
+    every group, and the split accounting must add up."""
+    from collections import defaultdict
+    from datetime import datetime
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import _MV_SPLIT, QUERIES
+
+    out = QUERIES["q76_mv_maintenance"](spark, sf_dir).collect()
+    split = datetime.fromisoformat(_MV_SPLIT)
+    groups = defaultdict(lambda: [0, 0, Decimal(0)])  # n_base, n_delta, revenue
+    for r in spark.table("orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).collect():
+        d = r["o_orderdate"]
+        g = groups[(datetime(d.year, d.month, 1).date(), r["o_orderpriority"])]
+        g[0 if d < split else 1] += 1
+        g[2] += Decimal(repr(r["o_totalprice"])).quantize(Decimal("0.000001"))
+    assert len(out) == len(groups)
+    for r in out:
+        nb, nd, rev = groups[(r["mon"], r["priority"])]
+        assert (r["n_base"], r["n_delta"], r["n_orders"]) == (nb, nd, nb + nd)
+        assert r["revenue"] == float(rev)
+        assert r["matches_full"] is True
+
+
+def test_d26_bbit_estimates_vs_python(spark, sf_dir):
+    """b-bit estimates must equal a literal md5-window minhash recount
+    with the Li-Koenig correction at b=1 and b=2."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.dedup import MINHASH_K, QUERIES
+
+    out = QUERIES["d26_bbit_minhash"](spark, sf_dir).collect()
+    assert out, "candidate pairs expected"
+    shingles = defaultdict(set)
+    for r in spark.table("documents").select("doc_id", "text").collect():
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        shingles[r["doc_id"]] = shs
+    sigs = {
+        doc: [
+            min(int(hl.md5(s.encode()).hexdigest()[k : k + 14], 16) for s in shs)
+            for k in range(MINHASH_K)
+        ]
+        for doc, shs in shingles.items()
+    }
+    for r in out:
+        sa, sb = sigs[r["doc_a"]], sigs[r["doc_b"]]
+        m = sum(1 for x, y in zip(sa, sb) if x == y)
+        m2 = sum(1 for x, y in zip(sa, sb) if x % 4 == y % 4)
+        m1 = sum(1 for x, y in zip(sa, sb) if x % 2 == y % 2)
+        assert (r["full_matches"], r["b2_matches"], r["b1_matches"]) == (m, m2, m1)
+        A, B = shingles[r["doc_a"]], shingles[r["doc_b"]]
+        true_j = len(A & B) / len(A | B)
+        assert r["exact_jaccard"] == true_j
+        assert r["est_full"] == m / MINHASH_K
+        assert r["est_b2"] == (4 * m2 - MINHASH_K) / (3 * MINHASH_K)
+        assert r["est_b1"] == (2 * m1 - MINHASH_K) / MINHASH_K
+        errs = {
+            "full": abs(r["est_full"] - true_j),
+            "2bit": abs(r["est_b2"] - true_j),
+            "1bit": abs(r["est_b1"] - true_j),
+        }
+        # verdict order-of-preference on ties: full, then 2bit
+        best = min(("full", "2bit", "1bit"), key=lambda k: (errs[k]))
+        assert errs[r["best_estimator"]] <= errs[best] + 1e-12
+
+
+def test_s23_hubness_vs_python(spark, sf_dir):
+    """The in-degree histogram must equal a literal bucket + sequential-
+    fold cosine kNN recount over every vector."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from ankaflow_spark.operators.similarity import DIM, HUB_K, N_PLANES, QUERIES
+
+    out = QUERIES["s23_hubness_audit"](spark, sf_dir).collect()
+    rows = spark.table("embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def bucket(vid):
+        b = 0
+        for pl in range(N_PLANES):
+            s = 0.0
+            for i in range(DIM):
+                s += vecs[vid][i] * (((pl * 37 + i * 17) % 13) - 6)
+            if s >= 0:
+                b |= 1 << pl
+        return b
+
+    buckets = defaultdict(list)
+    for vid in vecs:
+        buckets[bucket(vid)].append(vid)
+
+    def fold_dot(a, b):
+        s = 0.0
+        for i in range(DIM):
+            s += a[i] * b[i]
+        return s
+
+    norms = {vid: fold_dot(v, v) for vid, v in vecs.items()}
+    indeg = Counter({vid: 0 for vid in vecs})
+    for members in buckets.values():
+        for q in members:
+            cands = [c for c in members if c != q]
+            sims = sorted(
+                (
+                    (
+                        -(fold_dot(vecs[q], vecs[c]) / (norms[q] ** 0.5 * norms[c] ** 0.5)),
+                        c,
+                    )
+                    for c in cands
+                ),
+            )[:HUB_K]
+            for _, c in sims:
+                indeg[c] += 1
+    hist = Counter(indeg.values())
+    total = len(vecs)
+    assert [r["in_degree"] for r in out] == sorted(hist)
+    for r in out:
+        assert r["n_vecs"] == hist[r["in_degree"]]
+        assert r["vec_share"] == hist[r["in_degree"]] / total
+        assert r["is_hub_degree"] == (r["in_degree"] >= 2 * HUB_K)
+        assert r["is_antihub"] == (r["in_degree"] == 0)
+
+
+def test_t31_source_overlap_vs_python(spark, sf_dir):
+    """Containment cells must equal literal per-source shingle-set
+    intersections."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.textops import QUERIES
+
+    out = QUERIES["t31_source_overlap"](spark, sf_dir).collect()
+    src_sh = defaultdict(set)
+    for r in spark.table("documents").select("source", "text").collect():
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        src_sh[r["source"]] |= shs
+    srcs = sorted(src_sh)
+    assert [(r["src_a"], r["src_b"]) for r in out] == [
+        (a, b) for a in srcs for b in srcs if a != b
+    ]
+    for r in out:
+        A, B = src_sh[r["src_a"]], src_sh[r["src_b"]]
+        common = len(A & B)
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (len(A), len(B), common)
+        assert r["containment_a_in_b"] == common / len(A)
+        assert r["near_subset"] == (common * 10 >= len(A) * 9)

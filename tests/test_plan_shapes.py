@@ -60,6 +60,10 @@ BNLJ_ALLOWED = {
     "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
     "s22_ivf_cell_balance",  # 1-row corpus-total scalar cross-joined into the K-bounded cell relation — q59's scalar class
     "d25_dedup_bias_audit",  # 1-row before/after-totals scalar cross-joined into the |sources|-bounded drift relation — q73's class
+    "ts37_survival_curve",  # 1-row corpus-edge + totals scalars cross-joined into the |distinct durations|-bounded actuarial walk — q59's scalar class
+    "ts38_decayed_leaderboard",  # 1-row week-span scalar cross-joined into the weekly-count relation — q59's scalar class
+    "s23_hubness_audit",  # hyperplane table x corpus buckets (s02's class) + 1-row vec-total scalar into the degree histogram
+    "t31_source_overlap",  # sizes x sizes pair assembly: both sides are the 20-row |sources| relation by design (broadcast-hinted)
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -87,6 +91,9 @@ SMJ_ALLOWED = {
     "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
     "s13_ivf_recall_eval",  # checkpoint fragment is s03's own plan (cell-candidates x embeddings re-rank join)
     "q66_excess_suppliers",  # per-(supp,part) volumes x per-part averages: both are partsupp-scale derived aggregates (Q20's availability relation class) — SMJ correct at scale, AQE downgrades where small
+    "d26_bbit_minhash",  # candidates x per-doc signature/shingle tables: both sides corpus-sized — d18's documented class
+    "s23_hubness_audit",  # bucket-candidate edges x embeddings/norms re-rank joins: both sides ARE the corpus — s03's re-rank class
+    "t31_source_overlap",  # (source, shingle) distinct-set self-join on the shingle key: both sides ARE the corpus — d07/d12's gram-join class
 }
 
 
@@ -244,6 +251,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "t11_vocab_topk",  # re-rank over TakeOrderedAndProject's K-row output
     "t18_zipf_fit",  # cumsum over the DISTINCT-frequency table (O(sqrt tokens) rows, count-of-counts law)
     "q59_skew_diagnostics",  # re-rank over TakeOrderedAndProject's 10-row output
+    "ts37_survival_curve",  # cumulative walk over the |distinct session durations|-bounded times relation (ts34/ts35's bounded-walk class)
+    "ts38_decayed_leaderboard",  # re-rank over TakeOrderedAndProject's 10-row output (st11's rank-after-LIMIT spelling)
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
@@ -284,9 +293,11 @@ def test_no_unpartitioned_windows_over_growing_relations(plans):
 # Same classes as the batch allowlists, keyed by query name.
 EXEC_BNLJ_ALLOWED = {
     "st19_stream_streaks",  # 1-row user-total scalar in the report tail (ts35's scalar class); the per-batch merge plans join only on the entity key
+    "st20_stream_decay_topk",  # 1-row week-span scalar in the report tail (ts38's scalar class); per-batch merge plans join only on the counter key
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
+    "st20_stream_decay_topk",  # re-rank over TakeOrderedAndProject's 10-row output (st11's pattern, ts38's tail)
 }
 
 

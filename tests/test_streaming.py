@@ -546,3 +546,25 @@ def test_st19_streaks_incremental_equals_batch(spark):
 
     batch = TS_QUERIES["ts35_activity_streaks"](spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+
+
+def test_st20_decay_topk_incremental_equals_batch(spark):
+    """The incrementally-maintained (user, week) counters must yield
+    the same decayed leaderboard as the batch ts38 build, across
+    MULTIPLE micro-batches (counter merges are exercised whenever a
+    user's activity spans a slice boundary)."""
+    import os
+
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_events_ordered
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st20_stream_decay_topk"](spark, sf_dir).collect()
+
+    staged, _ = _staged_events_ordered(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    batch = TS_QUERIES["ts38_decayed_leaderboard"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+    assert len(out) == 10
