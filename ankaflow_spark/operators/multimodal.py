@@ -519,3 +519,17 @@ def near_dup_image_pairs(hashes: DataFrame) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+def synth_sized_images(spark, n: int = 120) -> DataFrame:
+    """Deterministic synthetic image table with VARIED dimensions in
+    the typed metadata map (payload bytes stay a function of media_id)
+    — the input for aspect-ratio bucketing (m10). Dims are exact
+    integer functions of media_id so a SQL oracle reproduces them."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.md5(str(i).encode()).digest()
+        meta = {"w": str(160 + (i * 37) % 480), "h": str(120 + (i * 53) % 600)}
+        rows.append((i, "image", bytearray(payload), meta))
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)

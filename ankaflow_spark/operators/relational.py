@@ -3066,3 +3066,60 @@ def _mv_maintenance_sql() -> str:
 def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_mv_maintenance_sql())
+
+
+# ---------------------------------------------------------------------------
+# q77 — partition-layout planner: per month-partition of the fact
+# table, exact row counts and a deterministic byte estimate (fixed
+# physical widths for BIGINT/DOUBLE/TIMESTAMP + octet_length of the
+# varchars — the arithmetic every table-format compactor runs over
+# column stats), then the 128 MB-target file plan: recommended file
+# count, small-file flag (< 16 MB partitions want coalescing with
+# neighbors), and each partition's share of the table. This is the
+# small-files/compaction audit a 100 TB lakehouse runs before a
+# rewrite job — OPTIMIZE/compaction decisions are exactly this query
+# over the transaction-log stats. Scale shape: ONE map-side-
+# combinable scan+aggregate onto the |months|-bounded partition
+# relation; the 1-row table-total scalar broadcasts into the share
+# projection (q59's scalar class). Exactness: widths and counts are
+# BIGINT; the file count is integer ceiling arithmetic; the share
+# divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q63 (z-order layout) physical-design
+# family.
+# ---------------------------------------------------------------------------
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+_SMALL_FILE_BYTES = 16 * 1024 * 1024
+#: fixed-width physical bytes per orders row: o_orderkey + o_custkey
+#: (BIGINT) + o_totalprice (DOUBLE) + o_orderdate (TIMESTAMP) = 4 x 8
+_ORDERS_FIXED_ROW_BYTES = 32
+
+
+def _partition_planner_sql(spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    # byte length of a VARCHAR: Spark octet_length; DuckDB strlen
+    blen = "octet_length" if spark_dialect else "strlen"
+    return f"""
+    WITH parts AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({_ORDERS_FIXED_ROW_BYTES}
+                      + {blen}(o_orderstatus)
+                      + {blen}(o_orderpriority)) AS BIGINT) AS est_bytes
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(est_bytes) AS BIGINT) AS table_bytes FROM parts)
+    SELECT p.mon AS mon, p.n_rows AS n_rows, p.est_bytes AS est_bytes,
+           CAST((p.est_bytes + {_TARGET_FILE_BYTES - 1}) {intdiv} {_TARGET_FILE_BYTES}
+                AS BIGINT) AS target_files,
+           p.est_bytes < {_SMALL_FILE_BYTES} AS small_file,
+           CAST(p.est_bytes AS DOUBLE) / t.table_bytes AS bytes_share
+    FROM parts p CROSS JOIN tot t
+    ORDER BY mon
+    """
+
+
+@query("q77_partition_planner", oracle=_partition_planner_sql(False))
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_partition_planner_sql(True))

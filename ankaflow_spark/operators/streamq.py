@@ -1668,3 +1668,75 @@ QUERIES["st20_stream_decay_topk"] = st20
 from .timeseries import ORACLES as _ts_oracles4  # noqa: E402
 
 ORACLES["st20_stream_decay_topk"] = _ts_oracles4["ts38_decayed_leaderboard"]
+
+
+#: aspect anchors with fixed resize targets (bucket, aw, ah, tw, th).
+#: 144 = lcm of the ah values, so dist * (144/ah) is the exact common-
+#: denominator scaling for the cross-multiplied ratio distance.
+_M10_ANCHORS = (
+    "('1:1', 1, 1, 512, 512), ('4:3', 4, 3, 512, 384), ('3:4', 3, 4, 384, 512), "
+    "('16:9', 16, 9, 512, 288), ('9:16', 9, 16, 288, 512)"
+)
+
+
+def _aspect_plan_sql(imgs: str, spark_dialect: bool) -> str:
+    """Aspect-bucket + resize-plan tail over an (media_id, w, h)
+    relation — shared verbatim by both engines (argmin via a
+    per-image rank against the 5-row anchor table; the ratio distance
+    |w*ah - aw*h| * (144/ah) is all-integer, ties break on bucket)."""
+    intdiv = "div" if spark_dialect else "//"
+    return f"""
+    WITH anchors AS (
+      SELECT * FROM (VALUES {_M10_ANCHORS}) AS t(bucket, aw, ah, tw, th)
+    ),
+    ranked AS (
+      SELECT i.media_id, a.bucket, a.tw, a.th,
+             ROW_NUMBER() OVER (
+               PARTITION BY i.media_id
+               ORDER BY ABS(i.w * a.ah - a.aw * i.h) * (144 {intdiv} a.ah), a.bucket
+             ) AS rn
+      FROM {imgs} i CROSS JOIN anchors a
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {imgs})
+    SELECT r.bucket AS bucket,
+           CAST(r.tw AS INT) AS target_w, CAST(r.th AS INT) AS target_h,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS img_share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rn = 1
+    GROUP BY r.bucket, r.tw, r.th
+    ORDER BY bucket
+    """
+
+
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + resize plan, ORACLE-CHECKED cell-exact:
+    every image's (w, h) metadata snaps to the nearest of five anchor
+    ratios (1:1, 4:3, 3:4, 16:9, 9:16) by exact cross-multiplied
+    integer distance, and each bucket carries its fixed resize target —
+    the batching plan every vision training pipeline builds so GPU
+    batches share a shape (images resize to their bucket's target, not
+    a single square). The dims ride the typed metadata MAP column
+    (multimodal.MEDIA_SCHEMA) — payload bytes are never shuffled. Scale
+    shape: the anchor table is a 5-row literal broadcast against the
+    metadata projection; the per-image rank window PARTITIONs BY
+    media_id; the report is |anchors|-bounded with a 1-row total scalar
+    (q59's class). Exactness: distances/counts are integers; the share
+    divides once."""
+    from .multimodal import synth_sized_images
+
+    media = synth_sized_images(spark, 120)
+    media.where(F.col("kind") == "image").select(
+        "media_id",
+        F.element_at("meta", "w").cast("bigint").alias("w"),
+        F.element_at("meta", "h").cast("bigint").alias("h"),
+    ).createOrReplaceTempView("__m10_imgs__")
+    return spark.sql(_aspect_plan_sql("__m10_imgs__", True))
+
+
+QUERIES["m10_aspect_buckets"] = m10
+ORACLES["m10_aspect_buckets"] = (
+    "WITH imgs AS (SELECT i AS media_id, 160 + (i * 37) % 480 AS w, "
+    "120 + (i * 53) % 600 AS h FROM range(120) t(i)), "
+    + _aspect_plan_sql("imgs", False).strip()[len("WITH "):]
+)

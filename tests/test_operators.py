@@ -2547,3 +2547,67 @@ def test_t31_source_overlap_vs_python(spark, sf_dir):
         assert (r["n_a"], r["n_b"], r["n_common"]) == (len(A), len(B), common)
         assert r["containment_a_in_b"] == common / len(A)
         assert r["near_subset"] == (common * 10 >= len(A) * 9)
+
+
+def test_q77_partition_planner_vs_python(spark, sf_dir):
+    """Partition stats and the file plan must equal a literal
+    fixed-width + strlen recount."""
+    from collections import defaultdict
+    from datetime import date
+
+    from ankaflow_spark.operators.relational import (
+        _ORDERS_FIXED_ROW_BYTES,
+        _SMALL_FILE_BYTES,
+        _TARGET_FILE_BYTES,
+        QUERIES,
+    )
+
+    out = QUERIES["q77_partition_planner"](spark, sf_dir).collect()
+    parts = defaultdict(lambda: [0, 0])
+    for r in spark.table("orders").select(
+        "o_orderdate", "o_orderstatus", "o_orderpriority"
+    ).collect():
+        d = r["o_orderdate"]
+        g = parts[date(d.year, d.month, 1)]
+        g[0] += 1
+        g[1] += (
+            _ORDERS_FIXED_ROW_BYTES
+            + len(r["o_orderstatus"].encode())
+            + len(r["o_orderpriority"].encode())
+        )
+    total = sum(b for _, b in parts.values())
+    assert [r["mon"] for r in out] == sorted(parts)
+    for r in out:
+        n, b = parts[r["mon"]]
+        assert (r["n_rows"], r["est_bytes"]) == (n, b)
+        assert r["target_files"] == (b + _TARGET_FILE_BYTES - 1) // _TARGET_FILE_BYTES
+        assert r["small_file"] == (b < _SMALL_FILE_BYTES)
+        assert r["bytes_share"] == b / total
+
+
+def test_m10_aspect_buckets_vs_python(spark, sf_dir):
+    """Bucket counts must equal a literal nearest-anchor argmin over
+    the synthesized dims (exact cross-multiplied distances)."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    out = QUERIES["m10_aspect_buckets"](spark, sf_dir).collect()
+    anchors = [
+        ("1:1", 1, 1, 512, 512),
+        ("4:3", 4, 3, 512, 384),
+        ("3:4", 3, 4, 384, 512),
+        ("16:9", 16, 9, 512, 288),
+        ("9:16", 9, 16, 288, 512),
+    ]
+    hist = Counter()
+    for i in range(120):
+        w, h = 160 + (i * 37) % 480, 120 + (i * 53) % 600
+        best = min(anchors, key=lambda a: (abs(w * a[2] - a[1] * h) * (144 // a[2]), a[0]))
+        hist[best[0]] += 1
+    targets = {a[0]: (a[3], a[4]) for a in anchors}
+    assert [r["bucket"] for r in out] == sorted(b for b in hist if hist[b] > 0)
+    for r in out:
+        assert (r["target_w"], r["target_h"]) == targets[r["bucket"]]
+        assert r["n_images"] == hist[r["bucket"]]
+        assert r["img_share"] == hist[r["bucket"]] / 120

@@ -294,6 +294,7 @@ def test_no_unpartitioned_windows_over_growing_relations(plans):
 EXEC_BNLJ_ALLOWED = {
     "st19_stream_streaks",  # 1-row user-total scalar in the report tail (ts35's scalar class); the per-batch merge plans join only on the entity key
     "st20_stream_decay_topk",  # 1-row week-span scalar in the report tail (ts38's scalar class); per-batch merge plans join only on the counter key
+    "m10_aspect_buckets",  # 5-row literal anchor table x image metadata + 1-row image-total scalar (q59's class)
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
