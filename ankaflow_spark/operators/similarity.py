@@ -2248,3 +2248,140 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s23_hubness_audit"] = s23
 ORACLES["s23_hubness_audit"] = _hubness_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# s24 — LSH plane-count sweep: for b in {4, 6, 8, 10} hyperplanes, the
+# bucket-space cost/quality frontier — bucket count, max occupancy,
+# mean candidates per query (the join volume that s23's stress note
+# shows grows quadratically with occupancy), and recall@5 for the
+# probe vectors. This is the tuning table that operationalizes
+# "planes scale with log2(N)": at 100 TB you pick b where mean
+# candidates per query stays flat as the corpus grows, and this sweep
+# is the evidence. ONE 10-plane signature pass serves every arm: the
+# b-plane bucket is the low-b-bit MASK of the 10-plane signature
+# (bit i is plane i's sign), so the sweep adds a 4-row spine cross
+# join and masked groupBys — no per-arm corpus rescans. Scale shape:
+# signature pass is one map-side fold per row; occupancy/cost are
+# |buckets|-bounded; the recall arms rank PARTITIONed BY (b, query)
+# over the 5 probe vectors (s02's class). Exactness: occupancies and
+# pair counts are integers; mean-candidates and recall each divide
+# once; cosine ranking uses the shared sequential folds.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the d24/s20/s21 calibration-sweep family and
+# the s23 hubness audit's capacity story.
+# ---------------------------------------------------------------------------
+_SWEEP_PLANES = (4, 6, 8, 10)
+_S24_MAXP = 10
+
+
+def _bucket_sql_n(spark_dialect: bool, n_planes: int) -> str:
+    """The s02 hyperplane signature generalized to ``n_planes`` bits
+    (same integer plane expression, same fold)."""
+    if spark_dialect:
+        fold = (
+            f"aggregate(transform(sequence(0, {DIM - 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({_PLANE_EXPR})), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        shift = "shiftleft(CAST(1 AS BIGINT), CAST(pl AS INT))"
+        planes = f"SELECT explode(sequence(0, {n_planes - 1})) AS pl"
+    else:
+        fold = (
+            f"list_reduce(list_transform(range(0, {DIM}), "
+            f"i -> CAST(embedding[i + 1] AS DOUBLE) * ({_PLANE_EXPR})), "
+            "(a, b) -> a + b)"
+        )
+        shift = "CAST(1 AS BIGINT) << CAST(pl AS INT)"
+        planes = f"SELECT unnest(range(0, {n_planes})) AS pl"
+    return f"""
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN s >= 0 THEN shift ELSE 0 END) AS BIGINT) AS bucket
+      FROM (
+        SELECT vec_id, pl.pl AS pl, {fold} AS s, {shift} AS shift
+        FROM embeddings
+        CROSS JOIN ({planes}) pl
+      ) y GROUP BY vec_id
+    """
+
+
+def _plane_sweep_sql(spark_dialect: bool) -> str:
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
+    shift_p = (
+        "shiftleft(CAST(1 AS BIGINT), CAST(p.p AS INT))"
+        if spark_dialect
+        else "(CAST(1 AS BIGINT) << CAST(p.p AS INT))"
+    )
+    spine = ", ".join(f"({p})" for p in _SWEEP_PLANES)
+    return f"""
+    WITH sig AS ({_bucket_sql_n(spark_dialect, _S24_MAXP)}),
+    spine AS (SELECT * FROM (VALUES {spine}) AS t(p)),
+    masked AS (
+      SELECT p.p AS p, s.vec_id, s.bucket % {shift_p} AS b
+      FROM sig s CROSS JOIN spine p
+    ),
+    occ AS (SELECT p, b, CAST(COUNT(*) AS BIGINT) AS c FROM masked GROUP BY p, b),
+    cost AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(c) AS BIGINT) AS max_occupancy,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS cand_total
+      FROM occ GROUP BY p
+    ),
+    norms AS ({norm}),
+    truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, c.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        CROSS JOIN embeddings c
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+      ) WHERE rn <= 5
+    ),
+    approx AS (
+      SELECT p, query_id, cand_id FROM (
+        SELECT mq.p AS p, mq.vec_id AS query_id, mc.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY mq.p, mq.vec_id
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, mc.vec_id
+               ) AS rn
+        FROM masked mq
+        JOIN masked mc ON mc.p = mq.p AND mc.b = mq.b AND mc.vec_id <> mq.vec_id
+        JOIN embeddings q ON q.vec_id = mq.vec_id
+        JOIN embeddings c ON c.vec_id = mc.vec_id
+        JOIN norms nq ON nq.vec_id = mq.vec_id
+        JOIN norms nc ON nc.vec_id = mc.vec_id
+        WHERE mq.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT a.p, CAST(COUNT(*) AS BIGINT) AS matched
+      FROM approx a
+      JOIN truth t ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+      GROUP BY a.p
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT c.p AS n_planes, c.n_buckets, c.max_occupancy,
+           CAST(c.cand_total AS DOUBLE) / t.n AS mean_cands_per_query,
+           CAST(COALESCE(h.matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(h.matched, 0) AS DOUBLE) / {5 * N_QUERY_VECS} AS recall_at_5
+    FROM cost c
+    LEFT JOIN hits h ON h.p = c.p
+    CROSS JOIN tot t
+    ORDER BY n_planes
+    """
+
+
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_plane_sweep_sql(True))
+
+
+QUERIES["s24_lsh_plane_sweep"] = s24
+ORACLES["s24_lsh_plane_sweep"] = _plane_sweep_sql(False)

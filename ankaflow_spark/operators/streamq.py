@@ -1740,3 +1740,54 @@ ORACLES["m10_aspect_buckets"] = (
     "120 + (i * 53) % 600 AS h FROM range(120) t(i)), "
     + _aspect_plan_sql("imgs", False).strip()[len("WITH "):]
 )
+
+
+def st21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-duration survival, ORACLE-CHECKED cell-exact
+    against ts37's batch SQL: the session state comes from Spark's
+    native streaming session_window aggregation (st12's machinery —
+    windows merge in the state store as events arrive; complete mode
+    emits every session including those open at the final trigger,
+    matching the batch gap-islands exactly with window.end = last
+    event + gap), and the Kaplan-Meier tail is ts37's shared
+    _survival_tail_sql over the |sessions|-bounded state: at-risk /
+    ended / censored counts per observed duration, hazard, surviving
+    share — right-censored at the corpus edge. The production form
+    swaps complete for append mode (watermark-closed sessions feed
+    the actuarial table incrementally; the open tail is censored by
+    construction)."""
+    from ..streaming.stream import run_stream_to_memory, stream_tap
+    from .timeseries import _survival_tail_sql, SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "st21_out"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    spark.table(name).select(
+        F.floor(
+            (
+                (F.unix_micros(F.col("sw.end")) - gap_us)
+                - F.unix_micros(F.col("sw.start"))
+            ).cast("double")
+            / 60000000.0
+        )
+        .cast("bigint")
+        .alias("dur_min"),
+        (F.unix_micros(F.col("sw.end")) - gap_us).cast("bigint").alias("end_us"),
+    ).createOrReplaceTempView("st21_sessions")
+    return spark.sql(_survival_tail_sql("st21_sessions"))
+
+
+QUERIES["st21_stream_survival"] = st21
+from .timeseries import ORACLES as _ts_oracles5  # noqa: E402
+
+ORACLES["st21_stream_survival"] = _ts_oracles5["ts37_survival_curve"]

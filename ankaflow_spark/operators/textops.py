@@ -1903,3 +1903,65 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t31_source_overlap"] = t31
 ORACLES["t31_source_overlap"] = _source_overlap_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# t32 — temperature-based sampling mix (the tau = 0.5 square-root
+# source weighting of mBERT / XLM-R, Conneau & Lample 2019): per
+# source, the token inventory, its temperature weight
+# w_i = sqrt(t_i) / sum_j sqrt(t_j) (up-weights small sources against
+# head domination), the expected token draw from a fixed training
+# budget, and the implied epoch count over the source's inventory —
+# with the published "repeating data degrades" flag at > 4 epochs
+# (Muennighoff et al. 2023 place the knee near 4). Scale shape: ONE
+# map-side-combinable scan onto the |sources|-bounded inventory; the
+# 1-row normalizer scalar cross-joins in (q59's class). Exactness:
+# token counts BIGINT; sqrt is quantized to e6 BIGINTs BEFORE the
+# normalizer sum (so the sum is integer, order-free); weight/epochs
+# each divide once; the epoch flag cross-multiplies integers.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); extends the t10/t16/t28 training-mix family.
+# ---------------------------------------------------------------------------
+#: fixed training budget (tokens drawn) the schedule is planned for
+T32_BUDGET = 1_000_000
+_T32_EPOCH_KNEE = 4
+
+
+def _temperature_mix_sql(spark_dialect: bool) -> str:
+    ntok = (
+        "size(split(trim(text), ' +'))"
+        if spark_dialect
+        else "len(regexp_extract_all(text, '\\S+'))"
+    )
+    b = T32_BUDGET
+    return f"""
+    WITH inv AS (
+      SELECT source,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    quant AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
+      FROM inv
+    ),
+    norm AS (SELECT CAST(SUM(s_e6) AS BIGINT) AS s_total FROM quant)
+    SELECT q.source AS source, q.n_docs AS n_docs, q.n_tokens AS n_tokens,
+           CAST(q.s_e6 AS DOUBLE) / n.s_total AS mix_weight,
+           CAST(({b} * q.s_e6) {"div" if spark_dialect else "//"} n.s_total
+                AS BIGINT) AS expected_tokens,
+           CAST({b} * q.s_e6 AS DOUBLE) / (n.s_total * q.n_tokens) AS epochs,
+           {b} * q.s_e6 > {_T32_EPOCH_KNEE} * n.s_total * q.n_tokens AS overfit_risk
+    FROM quant q CROSS JOIN norm n
+    ORDER BY source
+    """
+
+
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_temperature_mix_sql(True))
+
+
+QUERIES["t32_temperature_mix"] = t32
+ORACLES["t32_temperature_mix"] = _temperature_mix_sql(False)

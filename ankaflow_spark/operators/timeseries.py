@@ -2120,38 +2120,18 @@ def ts36(spark: SparkSession, sf_dir: str) -> DataFrame:
 # work to DuckDB); completes the ts02/ts13/ts19/ts34/ts35 behavioral
 # engagement family.
 # ---------------------------------------------------------------------------
-def _survival_sql(spark_dialect: bool) -> str:
-    epoch = "unix_micros" if spark_dialect else "epoch_us"
+def _survival_tail_sql(per_session: str) -> str:
+    """Kaplan-Meier tail over a (dur_min BIGINT, end_us BIGINT)
+    per-session relation — shared verbatim by ts37 (batch sessionizer)
+    and st21 (the streaming session_window state), dialect-free
+    because the censor comparison is integer microseconds."""
     gap_us = SESSION_GAP_MIN * 60 * 1000000
     return f"""
-    WITH ordered AS (
-      SELECT user_id, event_id, ts,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
-    ),
-    flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN prev_ts IS NULL
-                  OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ),
-    numbered AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-      FROM flagged
-    ),
-    per_session AS (
-      SELECT user_id, session_seq,
-             CAST(floor(CAST({epoch}(MAX(ts)) - {epoch}(MIN(ts)) AS DOUBLE) / 60000000.0) AS BIGINT) AS dur_min,
-             MAX(ts) AS session_end
-      FROM numbered GROUP BY user_id, session_seq
-    ),
-    cut AS (SELECT MAX(session_end) AS edge FROM per_session),
+    WITH cut AS (SELECT MAX(end_us) AS edge FROM {per_session}),
     labeled AS (
       SELECT p.dur_min,
-             {epoch}(c.edge) - {epoch}(p.session_end) > {gap_us} AS ended
-      FROM per_session p CROSS JOIN cut c
+             c.edge - p.end_us > {gap_us} AS ended
+      FROM {per_session} p CROSS JOIN cut c
     ),
     times AS (
       SELECT dur_min AS t_min,
@@ -2183,6 +2163,41 @@ def _survival_sql(spark_dialect: bool) -> str:
     FROM walk
     ORDER BY t_min
     """
+
+
+def _survival_sessions_sql(spark_dialect: bool) -> str:
+    """ts02's gap-island sessionizer reduced to the tail's
+    (dur_min, end_us) contract."""
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    return f"""
+    SELECT CAST(floor(CAST(MAX({epoch}(ts)) - MIN({epoch}(ts)) AS DOUBLE) / 60000000.0)
+                AS BIGINT) AS dur_min,
+           CAST(MAX({epoch}(ts)) AS BIGINT) AS end_us
+    FROM (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                    OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        )
+      )
+    )
+    GROUP BY user_id, session_seq
+    """
+
+
+def _survival_sql(spark_dialect: bool) -> str:
+    sessions = _survival_sessions_sql(spark_dialect)
+    tail = _survival_tail_sql("per_session").strip()
+    assert tail.startswith("WITH ")
+    return f"WITH per_session AS ({sessions}), {tail[len('WITH '):]}"
 
 
 @query("ts37_survival_curve", oracle=_survival_sql(False))
@@ -2266,3 +2281,71 @@ def ts38(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     spark.sql(_weekly_counts_sql(True)).createOrReplaceTempView("__ts38_weekly__")
     return spark.sql(_decay_tail_sql("__ts38_weekly__", True))
+
+
+# ---------------------------------------------------------------------------
+# ts39 — linear multi-touch attribution: every purchase's value is
+# split equally across the user's clicks in the preceding 7 days
+# (integer micro-units, remainder credited to the EARLIEST touch so
+# the books reconcile to the cent), rolled up into revenue credited
+# per click day — the standard marketing-attribution report between
+# last-touch (ts03's as-of) and position-weighted models. Scale
+# shape: purchases x clicks join on the USER key (both sides
+# type-pruned facts; SMJ correct at scale, AQE broadcasts where
+# small) with the 7-day band as a residual predicate; both windows
+# PARTITION BY the purchase id; the rollup is |days|-bounded.
+# Exactness: values quantize to e6 BIGINTs once (floor(v*1e6 + 0.5) —
+# identical doubles both engines); the equal split is integer
+# division with the remainder pinned to the first touch, so
+# SUM(attributed) equals SUM(purchase value) exactly; the final
+# DOUBLE divides once per row.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts03/ts14/ts32 journey family.
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_US = 7 * 86400 * 1000000
+
+
+def _attribution_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    return f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS pid, ts AS pts,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS cid, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.pid, p.v_e6,
+             CAST(floor(CAST({epoch}(c.cts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+               AS click_day,
+             ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND {epoch}(p.pts) - {epoch}(c.cts) > 0
+       AND {epoch}(p.pts) - {epoch}(c.cts) <= {_ATTR_WINDOW_US}
+    ),
+    alloc AS (
+      SELECT click_day,
+             v_e6 {intdiv} n_touch
+               + CASE WHEN rn = 1 THEN v_e6 % n_touch ELSE 0 END AS a_e6
+      FROM touches
+    )
+    SELECT click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(a_e6) AS BIGINT) AS attributed_e6,
+           CAST(SUM(a_e6) AS DOUBLE) / 1000000.0 AS attributed_value
+    FROM alloc
+    GROUP BY click_day
+    ORDER BY click_day
+    """
+
+
+@query("ts39_linear_attribution", oracle=_attribution_sql(False))
+def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_attribution_sql(True))

@@ -117,6 +117,13 @@ HEADLINE = [
     "d26_bbit_minhash",
     "s23_hubness_audit",
     "t31_source_overlap",
+    # round-15 continuation (total now covers 70 queries): the
+    # compaction planner, the temperature sampling mix, and linear
+    # multi-touch attribution
+    "q77_partition_planner",
+    "t32_temperature_mix",
+    "ts39_linear_attribution",
+    "s24_lsh_plane_sweep",
 ]
 
 

@@ -159,3 +159,18 @@ def test_corpus_health_example(engine):
     assert row["worst_fertility"] >= 1.0
     assert 0 <= row["n_lang_agree"] <= row["n_docs"]
     assert row["ri_ok"] is True
+
+
+def test_retention_analytics_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/retention_analytics.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    assert row["longest_session_min"] >= 0
+    assert row["n_edge_censored"] >= 1  # the corpus edge always censors
+    assert 0 < row["min_hazard"] <= 1
+    assert row["top_decayed_score"] > 0
+    assert row["leaderboard_rows"] == 10
+    assert row["longest_comeback_days"] >= 0

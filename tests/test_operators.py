@@ -2611,3 +2611,119 @@ def test_m10_aspect_buckets_vs_python(spark, sf_dir):
         assert (r["target_w"], r["target_h"]) == targets[r["bucket"]]
         assert r["n_images"] == hist[r["bucket"]]
         assert r["img_share"] == hist[r["bucket"]] / 120
+
+
+def test_t32_temperature_mix_vs_python(spark, sf_dir):
+    """Mix weights/epochs must equal a literal sqrt-temperature
+    recount with e6 quantization."""
+    import math
+    from collections import Counter
+
+    from ankaflow_spark.operators.textops import _T32_EPOCH_KNEE, QUERIES, T32_BUDGET
+
+    out = QUERIES["t32_temperature_mix"](spark, sf_dir).collect()
+    toks, docs = Counter(), Counter()
+    for r in spark.table("documents").select("source", "text").collect():
+        toks[r["source"]] += len(r["text"].split())
+        docs[r["source"]] += 1
+    s_e6 = {s: int(math.floor(math.sqrt(t) * 1000000.0)) for s, t in toks.items()}
+    s_total = sum(s_e6.values())
+    assert [r["source"] for r in out] == sorted(toks)
+    for r in out:
+        s = r["source"]
+        assert (r["n_docs"], r["n_tokens"]) == (docs[s], toks[s])
+        assert r["mix_weight"] == s_e6[s] / s_total
+        assert r["expected_tokens"] == (T32_BUDGET * s_e6[s]) // s_total
+        assert r["epochs"] == (T32_BUDGET * s_e6[s]) / (s_total * toks[s])
+        assert r["overfit_risk"] == (
+            T32_BUDGET * s_e6[s] > _T32_EPOCH_KNEE * s_total * toks[s]
+        )
+
+
+def test_ts39_attribution_vs_python(spark, sf_dir):
+    """Per-day attribution must equal a literal touch walk, and the
+    attributed total must reconcile exactly with touched purchases."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import _ATTR_WINDOW_US, QUERIES
+
+    out = QUERIES["ts39_linear_attribution"](spark, sf_dir).collect()
+    purchases, clicks = [], defaultdict(list)
+    for r in spark.table("events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).collect():
+        us = int(r["ts"].timestamp() * 1e6)
+        if r["event_type"] == "purchase":
+            purchases.append((r["user_id"], r["event_id"], us, r["value"]))
+        elif r["event_type"] == "click":
+            clicks[r["user_id"]].append((us, r["event_id"]))
+    day_touch, day_e6 = Counter(), Counter()
+    touched_total = 0
+    for user, _pid, pts, value in purchases:
+        touches = sorted(
+            (c_us, cid)
+            for c_us, cid in clicks.get(user, [])
+            if 0 < pts - c_us <= _ATTR_WINDOW_US
+        )
+        if not touches:
+            continue
+        v_e6 = int(value * 1000000.0 + 0.5)
+        touched_total += v_e6
+        n = len(touches)
+        for i, (c_us, _cid) in enumerate(touches):
+            day = c_us // 86400000000
+            day_touch[day] += 1
+            day_e6[day] += v_e6 // n + (v_e6 % n if i == 0 else 0)
+    assert [r["click_day"] for r in out] == sorted(day_touch)
+    for r in out:
+        assert r["n_touches"] == day_touch[r["click_day"]]
+        assert r["attributed_e6"] == day_e6[r["click_day"]]
+        assert r["attributed_value"] == day_e6[r["click_day"]] / 1000000.0
+    assert sum(r["attributed_e6"] for r in out) == touched_total
+
+
+def test_s24_plane_sweep_vs_python(spark, sf_dir):
+    """Occupancy/cost cells must equal a literal masked-bucket recount;
+    recall must be monotone non-increasing in the plane count (coarser
+    buckets are candidate supersets ranked by the same exact cosine)."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.similarity import (
+        _S24_MAXP,
+        _SWEEP_PLANES,
+        DIM,
+        N_QUERY_VECS,
+        QUERIES,
+    )
+
+    out = QUERIES["s24_lsh_plane_sweep"](spark, sf_dir).collect()
+    assert [r["n_planes"] for r in out] == list(_SWEEP_PLANES)
+    rows = spark.table("embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def sig(v):
+        b = 0
+        for pl in range(_S24_MAXP):
+            s = 0.0
+            for i in range(DIM):
+                s += float(v[i]) * (((pl * 37 + i * 17) % 13) - 6)
+            if s >= 0:
+                b |= 1 << pl
+        return b
+
+    sigs = {vid: sig(v) for vid, v in vecs.items()}
+    n = len(vecs)
+    for r in out:
+        p = r["n_planes"]
+        occ = Counter(s % (1 << p) for s in sigs.values())
+        assert r["n_buckets"] == len(occ)
+        assert r["max_occupancy"] == max(occ.values())
+        cand_total = sum(c * (c - 1) for c in occ.values())
+        assert r["mean_cands_per_query"] == cand_total / n
+        assert r["n_matched"] == round(r["recall_at_5"] * 5 * N_QUERY_VECS)
+        assert 0 <= r["recall_at_5"] <= 1
+    for a, b in zip(out, out[1:]):
+        assert a["recall_at_5"] >= b["recall_at_5"]
+        assert a["mean_cands_per_query"] >= b["mean_cands_per_query"]
+        assert a["n_buckets"] <= b["n_buckets"]
+        assert a["max_occupancy"] >= b["max_occupancy"]

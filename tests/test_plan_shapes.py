@@ -64,6 +64,9 @@ BNLJ_ALLOWED = {
     "ts38_decayed_leaderboard",  # 1-row week-span scalar cross-joined into the weekly-count relation — q59's scalar class
     "s23_hubness_audit",  # hyperplane table x corpus buckets (s02's class) + 1-row vec-total scalar into the degree histogram
     "t31_source_overlap",  # sizes x sizes pair assembly: both sides are the 20-row |sources| relation by design (broadcast-hinted)
+    "t32_temperature_mix",  # 1-row sqrt-normalizer scalar cross-joined into the |sources|-bounded mix relation — q59's scalar class
+    "s24_lsh_plane_sweep",  # 4-row plane spine + 10-row hyperplane table + 5-query truth broadcast + 1-row corpus-total scalar (s02/d24's sweep-spine classes)
+    "q77_partition_planner",  # 1-row table-total scalar cross-joined into the |months|-bounded partition relation — q59's scalar class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -94,6 +97,8 @@ SMJ_ALLOWED = {
     "d26_bbit_minhash",  # candidates x per-doc signature/shingle tables: both sides corpus-sized — d18's documented class
     "s23_hubness_audit",  # bucket-candidate edges x embeddings/norms re-rank joins: both sides ARE the corpus — s03's re-rank class
     "t31_source_overlap",  # (source, shingle) distinct-set self-join on the shingle key: both sides ARE the corpus — d07/d12's gram-join class
+    "ts39_linear_attribution",  # purchases x clicks on the user key: both sides are type-pruned facts — q38's fact-x-fact class, AQE broadcasts where small
+    "s24_lsh_plane_sweep",  # masked-signature self-join on (p, bucket): both sides ARE the corpus x spine — s03's re-rank class
 }
 
 
@@ -148,9 +153,9 @@ def plans(spark):
     patches the CLASSIC DataFrame (what spark.sql returns on PySpark
     4): its own localCheckpoint shadows the pyspark.sql.DataFrame base,
     so patching only the base silently captures nothing."""
-    # st*/m0* are covered by the executed_plans fixture below
+    # st*/m* are covered by the executed_plans fixture below
     return _collect_plans(
-        spark, lambda name: not (name.startswith("st") or name.startswith("m0"))
+        spark, lambda name: not (name.startswith("st") or name.startswith("m"))
     )
 
 
@@ -295,17 +300,19 @@ EXEC_BNLJ_ALLOWED = {
     "st19_stream_streaks",  # 1-row user-total scalar in the report tail (ts35's scalar class); the per-batch merge plans join only on the entity key
     "st20_stream_decay_topk",  # 1-row week-span scalar in the report tail (ts38's scalar class); per-batch merge plans join only on the counter key
     "m10_aspect_buckets",  # 5-row literal anchor table x image metadata + 1-row image-total scalar (q59's class)
+    "st21_stream_survival",  # 1-row corpus-edge + totals scalars in ts37's shared actuarial tail (q59's scalar class)
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
     "st20_stream_decay_topk",  # re-rank over TakeOrderedAndProject's 10-row output (st11's pattern, ts38's tail)
+    "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
 }
 
 
 @pytest.fixture(scope="module")
 def executed_plans(spark):
     out = _collect_plans(
-        spark, lambda name: name.startswith("st") or name.startswith("m0")
+        spark, lambda name: name.startswith("st") or name.startswith("m")
     )
     return out
 

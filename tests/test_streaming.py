@@ -568,3 +568,17 @@ def test_st20_decay_topk_incremental_equals_batch(spark):
     batch = TS_QUERIES["ts38_decayed_leaderboard"](spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
     assert len(out) == 10
+
+
+def test_st21_survival_incremental_equals_batch(spark):
+    """The session_window-state survival table must equal the batch
+    ts37 build exactly (complete mode emits every session; window.end
+    = last event + gap reduces to the same (dur_min, end_us) rows)."""
+    from ankaflow_spark.operators.streamq import QUERIES
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st21_stream_survival"](spark, sf_dir).collect()
+    batch = TS_QUERIES["ts37_survival_curve"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+    assert sum(r["n_censored_at"] for r in out) >= 1
