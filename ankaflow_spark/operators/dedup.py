@@ -2239,3 +2239,84 @@ def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d26_bbit_minhash"] = d26
 ORACLES["d26_bbit_minhash"] = _bbit_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# d27 — near-dup transitivity audit: every wedge a-m-c in the VERIFIED
+# near-dup graph (both legs pass d03's Jaccard threshold over the LSH
+# candidates) classified by whether its closing pair a-c is (1) also
+# verified, (2) an LSH candidate that fell below the threshold, or
+# (3) never an LSH candidate at all. Connected-components dedup (d06/
+# d17) collapses clusters by TRANSITIVE closure, so open wedges are
+# exactly the collapse risk: class (2) means the cluster glues
+# through sub-threshold similarity, class (3) means it glues through
+# pairs the banding never even inspected. This is the audit a
+# production pipeline reads before trusting cluster-level survivor
+# selection. Scale shape: rides the shared __cands__/__shingles__
+# relations; the wedge join is the d22 edge-iterator shape (both
+# sides ARE the verified edge list, id-ordered to count each wedge
+# once); classification is two LEFT equi-joins on the pair key; the
+# report is |classes|-bounded with a 1-row wedge-total scalar.
+# Exactness: the threshold test is the integer cross-product
+# 5*nc >= union (1/5 = d03's JACCARD_THRESHOLD); counts are BIGINT;
+# the share divides once.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the d06/d12/d22/d23 cluster-quality family.
+# ---------------------------------------------------------------------------
+def _transitivity_sql(spark_dialect: bool) -> str:
+    ctes = SPARK_CAND_CTES if spark_dialect else DUCK_CAND_CTES
+    return f"""
+    WITH {ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      WHERE COALESCE(cm.nc, 0) * 5 >= za.n + zb.n - COALESCE(cm.nc, 0)
+    ),
+    edges AS (
+      SELECT doc_a AS m, doc_b AS o FROM verified
+      UNION ALL
+      SELECT doc_b AS m, doc_a AS o FROM verified
+    ),
+    wedges AS (
+      SELECT e1.o AS a, e2.o AS c
+      FROM edges e1 JOIN edges e2 ON e2.m = e1.m AND e1.o < e2.o
+    ),
+    classified AS (
+      SELECT CASE WHEN v.doc_a IS NOT NULL THEN 'closed'
+                  WHEN cd.doc_a IS NOT NULL THEN 'open_below_threshold'
+                  ELSE 'open_not_candidate' END AS wedge_class
+      FROM wedges w
+      LEFT JOIN verified v ON v.doc_a = w.a AND v.doc_b = w.c
+      LEFT JOIN cands cd ON cd.doc_a = w.a AND cd.doc_b = w.c
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM classified)
+    SELECT c.wedge_class AS wedge_class,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS wedge_share,
+           c.wedge_class = 'closed' AS is_transitive
+    FROM classified c CROSS JOIN tot t
+    GROUP BY c.wedge_class
+    ORDER BY wedge_class
+    """
+
+
+def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    return spark.sql(_transitivity_sql(True))
+
+
+QUERIES["d27_transitivity_audit"] = d27
+ORACLES["d27_transitivity_audit"] = _transitivity_sql(False)

@@ -1791,3 +1791,64 @@ QUERIES["st21_stream_survival"] = st21
 from .timeseries import ORACLES as _ts_oracles5  # noqa: E402
 
 ORACLES["st21_stream_survival"] = _ts_oracles5["ts37_survival_curve"]
+
+
+def _shot_tail_sql(cuts: str) -> str:
+    """Shot-length histogram tail over an (media_id, frame_no, is_cut)
+    relation — shared verbatim by both engines. Shots are the gap
+    islands between cuts (the running cut count numbers them); shot
+    length counts the emitted frame rows in each island."""
+    return f"""
+    WITH numbered AS (
+      SELECT media_id, frame_no,
+             SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+               OVER (PARTITION BY media_id ORDER BY frame_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+      FROM {cuts}
+    ),
+    shots AS (
+      SELECT media_id, shot_id, CAST(COUNT(*) AS BIGINT) AS shot_len
+      FROM numbered GROUP BY media_id, shot_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM shots)
+    SELECT s.shot_len AS shot_len,
+           CAST(COUNT(*) AS BIGINT) AS n_shots,
+           CAST(COUNT(DISTINCT s.media_id) AS BIGINT) AS n_videos,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS shot_share
+    FROM shots s CROSS JOIN tot t
+    GROUP BY s.shot_len
+    ORDER BY shot_len
+    """
+
+
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-length distribution, ORACLE-CHECKED cell-exact: m06's
+    scene-cut rows partition each video's frame run into shots (gap
+    islands between cuts, numbered by the running cut count inside a
+    media-partitioned window), rolled into the shot-length histogram —
+    the pacing profile a video-training pipeline reads before choosing
+    clip-sampling windows (frame-sample strides should cover the
+    typical shot, not straddle several). Scale shape: rides m06's
+    mapInPandas kernel (payloads never shuffle; only fixed-width cut
+    rows do); the island window PARTITIONs BY media_id; the histogram
+    is |distinct shot lengths|-bounded with a 1-row total scalar
+    (q59's class). Exactness: islands and counts are integers; the
+    share divides once."""
+    from .multimodal import scene_cuts, synth_media
+
+    media = synth_media(spark, 120)
+    scene_cuts(media).createOrReplaceTempView("__m11_cuts__")
+    return spark.sql(_shot_tail_sql("__m11_cuts__"))
+
+
+QUERIES["m11_shot_lengths"] = m11
+_M06_CUT_CTES = ORACLES["m06_scene_cuts"].rsplit("SELECT media_id,", 1)
+ORACLES["m11_shot_lengths"] = (
+    _M06_CUT_CTES[0]
+    + """, cuts AS (
+      SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+             CAST(SUM(abs(d)) AS BIGINT) > 700 AS is_cut
+      FROM deltas GROUP BY media_id, frame_no
+    ), """
+    + _shot_tail_sql("cuts").strip()[len("WITH ") :]
+)

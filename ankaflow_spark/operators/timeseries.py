@@ -2349,3 +2349,101 @@ def _attribution_sql(spark_dialect: bool) -> str:
 def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_attribution_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts40 — per-day peak session concurrency (minute grain): the
+# capacity-planning number every ops team tracks — for each day, the
+# maximum number of sessions simultaneously active in any minute,
+# the first minute that peak occurs, and the day's session-span
+# count. The sweep is the classic +1/-1 delta walk made SCALE-SAFE:
+# deltas aggregate to (day, minute) first (map-side combinable), so
+# the cumulative window orders <= 1441 rows PER DAY PARTITION — never
+# the corpus. Sessions are ts02's 30-minute-gap islands; a session
+# crossing midnight is clipped into both days (correct per-day
+# concurrency semantics), expanded via a <= 2-element day sequence.
+# "Active in minute b" means overlapping any part of it: +1 at the
+# first covered minute, -1 one past the last. Exactness: all integer
+# microsecond/minute arithmetic and integer sums; the peak row is a
+# rank over the bounded per-day sweep (minute ascending on ties).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts01/ts02/ts19/ts37 session family.
+# ---------------------------------------------------------------------------
+_DAY_US = 86400 * 1000000
+
+
+def _concurrency_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    if spark_dialect:
+        days = "explode(sequence(CAST(floor(CAST(a_us AS DOUBLE) / 86400000000.0) AS BIGINT), CAST(floor(CAST(b_us AS DOUBLE) / 86400000000.0) AS BIGINT)))"
+    else:
+        days = "unnest(range(CAST(floor(CAST(a_us AS DOUBLE) / 86400000000.0) AS BIGINT), CAST(floor(CAST(b_us AS DOUBLE) / 86400000000.0) AS BIGINT) + 1))"
+    return f"""
+    WITH numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                    OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        )
+      )
+    ),
+    sessions AS (
+      SELECT CAST(MIN({epoch}(ts)) AS BIGINT) AS a_us,
+             CAST(MAX({epoch}(ts)) AS BIGINT) AS b_us
+      FROM numbered GROUP BY user_id, session_seq
+    ),
+    clipped AS (
+      SELECT day,
+             GREATEST(a_us, day * {_DAY_US}) AS a_us,
+             LEAST(b_us, (day + 1) * {_DAY_US} - 1) AS b_us
+      FROM (SELECT a_us, b_us, {days} AS day FROM sessions)
+    ),
+    deltas AS (
+      SELECT day,
+             CAST(floor(CAST(a_us - day * {_DAY_US} AS DOUBLE) / 60000000.0) AS INT) AS minute,
+             1 AS d
+      FROM clipped
+      UNION ALL
+      SELECT day,
+             CAST(floor(CAST(b_us - day * {_DAY_US} AS DOUBLE) / 60000000.0) AS INT) + 1,
+             -1
+      FROM clipped
+    ),
+    perminute AS (
+      SELECT day, minute, CAST(SUM(d) AS BIGINT) AS delta
+      FROM deltas GROUP BY day, minute
+    ),
+    sweep AS (
+      SELECT day, minute,
+             SUM(delta) OVER (PARTITION BY day ORDER BY minute
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+      FROM perminute
+    ),
+    spans AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_session_spans FROM clipped GROUP BY day),
+    ranked AS (
+      SELECT day, minute, active,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY active DESC, minute) AS rn
+      FROM sweep
+    )
+    SELECT r.day AS day,
+           CAST(r.active AS BIGINT) AS peak_concurrent,
+           CAST(r.minute AS INT) AS peak_minute,
+           s.n_session_spans AS n_session_spans
+    FROM ranked r JOIN spans s ON s.day = r.day
+    WHERE r.rn = 1
+    ORDER BY day
+    """
+
+
+@query("ts40_peak_concurrency", oracle=_concurrency_sql(False))
+def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_concurrency_sql(True))

@@ -124,6 +124,10 @@ HEADLINE = [
     "t32_temperature_mix",
     "ts39_linear_attribution",
     "s24_lsh_plane_sweep",
+    # round-16 additions (total now covers 73 queries): the near-dup
+    # transitivity audit and per-day peak session concurrency
+    "d27_transitivity_audit",
+    "ts40_peak_concurrency",
 ]
 
 

@@ -2727,3 +2727,121 @@ def test_s24_plane_sweep_vs_python(spark, sf_dir):
         assert a["mean_cands_per_query"] >= b["mean_cands_per_query"]
         assert a["n_buckets"] <= b["n_buckets"]
         assert a["max_occupancy"] >= b["max_occupancy"]
+
+
+def test_d27_transitivity_vs_python(spark, sf_dir):
+    """Wedge classes must equal a literal verified-graph enumeration."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d27_transitivity_audit"](spark, sf_dir).collect()
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    shingles = defaultdict(set)
+    for r in spark.table("documents").select("doc_id", "text").collect():
+        words = r["text"].split(" ")
+        shingles[r["doc_id"]] = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+    verified = {
+        (a, b)
+        for a, b in cands
+        if 5 * len(shingles[a] & shingles[b]) >= len(shingles[a] | shingles[b])
+    }
+    adj = defaultdict(set)
+    for a, b in verified:
+        adj[a].add(b)
+        adj[b].add(a)
+    cls = Counter()
+    for m, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for c in ns[i + 1 :]:
+                if (a, c) in verified:
+                    cls["closed"] += 1
+                elif (a, c) in cands:
+                    cls["open_below_threshold"] += 1
+                else:
+                    cls["open_not_candidate"] += 1
+    total = sum(cls.values())
+    assert [r["wedge_class"] for r in out] == sorted(k for k in cls if cls[k] > 0)
+    for r in out:
+        assert r["n_wedges"] == cls[r["wedge_class"]]
+        assert r["wedge_share"] == cls[r["wedge_class"]] / total
+        assert r["is_transitive"] == (r["wedge_class"] == "closed")
+
+
+def test_ts40_concurrency_vs_python(spark, sf_dir):
+    """Per-day peaks must equal a literal sessionize + minute-sweep."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES, SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    day_us = 86400 * 1000000
+    out = QUERIES["ts40_peak_concurrency"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in spark.table("events").select("user_id", "ts").collect():
+        by_user[r["user_id"]].append(int(r["ts"].timestamp() * 1e6))
+    spans = []
+    for times in by_user.values():
+        times.sort()
+        start = prev = times[0]
+        for t in times[1:]:
+            if t - prev > gap_us:
+                spans.append((start, prev))
+                start = t
+            prev = t
+        spans.append((start, prev))
+    deltas = defaultdict(Counter)
+    n_spans = Counter()
+    for a, b in spans:
+        for day in range(a // day_us, b // day_us + 1):
+            ca, cb = max(a, day * day_us), min(b, (day + 1) * day_us - 1)
+            n_spans[day] += 1
+            deltas[day][(ca - day * day_us) // 60000000] += 1
+            deltas[day][(cb - day * day_us) // 60000000 + 1] -= 1
+    assert [r["day"] for r in out] == sorted(deltas)
+    for r in out:
+        acc, best, best_min = 0, None, None
+        for m in sorted(deltas[r["day"]]):
+            acc += deltas[r["day"]][m]
+            if best is None or acc > best:
+                best, best_min = acc, m
+        assert (r["peak_concurrent"], r["peak_minute"]) == (best, best_min)
+        assert r["n_session_spans"] == n_spans[r["day"]]
+
+
+def test_m11_shot_lengths_vs_python(spark, sf_dir):
+    """The shot histogram must equal a literal island walk over m06's
+    cut rows."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    out = QUERIES["m11_shot_lengths"](spark, sf_dir).collect()
+    cuts = defaultdict(list)
+    for r in QUERIES["m06_scene_cuts"](spark, sf_dir).collect():
+        cuts[r["media_id"]].append((r["frame_no"], r["is_cut"]))
+    hist, vids = Counter(), defaultdict(set)
+    for mid, frames in cuts.items():
+        shot_sizes = Counter()
+        sid = 0
+        for _no, is_cut in sorted(frames):
+            if is_cut:
+                sid += 1
+            shot_sizes[sid] += 1
+        for n in shot_sizes.values():
+            hist[n] += 1
+            vids[n].add(mid)
+    total = sum(hist.values())
+    assert [r["shot_len"] for r in out] == sorted(hist)
+    for r in out:
+        assert r["n_shots"] == hist[r["shot_len"]]
+        assert r["n_videos"] == len(vids[r["shot_len"]])
+        assert r["shot_share"] == hist[r["shot_len"]] / total

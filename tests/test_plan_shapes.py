@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "t32_temperature_mix",  # 1-row sqrt-normalizer scalar cross-joined into the |sources|-bounded mix relation — q59's scalar class
     "s24_lsh_plane_sweep",  # 4-row plane spine + 10-row hyperplane table + 5-query truth broadcast + 1-row corpus-total scalar (s02/d24's sweep-spine classes)
     "q77_partition_planner",  # 1-row table-total scalar cross-joined into the |months|-bounded partition relation — q59's scalar class
+    "d27_transitivity_audit",  # 1-row wedge-total scalar cross-joined into the |classes|-bounded report — q59's scalar class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -99,6 +100,7 @@ SMJ_ALLOWED = {
     "t31_source_overlap",  # (source, shingle) distinct-set self-join on the shingle key: both sides ARE the corpus — d07/d12's gram-join class
     "ts39_linear_attribution",  # purchases x clicks on the user key: both sides are type-pruned facts — q38's fact-x-fact class, AQE broadcasts where small
     "s24_lsh_plane_sweep",  # masked-signature self-join on (p, bucket): both sides ARE the corpus x spine — s03's re-rank class
+    "d27_transitivity_audit",  # verified-edge wedge join + candidate/shingle equi-joins: every side IS the candidate graph/corpus — d18/d22's classes
 }
 
 
@@ -301,6 +303,7 @@ EXEC_BNLJ_ALLOWED = {
     "st20_stream_decay_topk",  # 1-row week-span scalar in the report tail (ts38's scalar class); per-batch merge plans join only on the counter key
     "m10_aspect_buckets",  # 5-row literal anchor table x image metadata + 1-row image-total scalar (q59's class)
     "st21_stream_survival",  # 1-row corpus-edge + totals scalars in ts37's shared actuarial tail (q59's scalar class)
+    "m11_shot_lengths",  # 1-row shot-total scalar cross-joined into the |shot lengths|-bounded histogram (q59's class)
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
