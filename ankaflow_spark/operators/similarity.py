@@ -2385,3 +2385,109 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s24_lsh_plane_sweep"] = s24
 ORACLES["s24_lsh_plane_sweep"] = _plane_sweep_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# s25 — stale-index recall audit (the retrain trigger): the IVF coarse
+# quantizer is trained ONLY on the pre-arrival corpus (vec_id % 4 <> 3
+# — the build snapshot), every vector including the post-build
+# arrivals is routed through those STALE centroids, and recall@5 is
+# measured separately for build-cohort queries and arrival-cohort
+# queries against the exact top-5. A vector the quantizer never saw
+# lands in whatever old cell is nearest, so arrival-cohort recall
+# decays as the data drifts — when the arrival recall drops below the
+# build recall band, it is time to retrain. This is the index-
+# freshness check every production ANN service schedules. Scale
+# shape: the training chain is s03's (sampled train set, one Lloyd
+# step); full-corpus routing is the shared integer-quantized argmin
+# (K-bounded per vector); the recall arms rank PARTITIONed BY query
+# over 10 literal probe ids; the report is 2 rows. Exactness:
+# distances are e6-quantized integer sums; counts integer; recall
+# divides once; cosine ranking uses the shared sequential folds.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the s03/s13/s20/s22/s24 IVF-operations family.
+# ---------------------------------------------------------------------------
+#: 5 build-snapshot probes (vec_id % 4 <> 3) and 5 post-build arrivals
+_S25_QUERIES = (
+    "(0, 'build'), (1, 'build'), (2, 'build'), (4, 'build'), (5, 'build'), "
+    "(3, 'arrival'), (7, 'arrival'), (11, 'arrival'), (15, 'arrival'), (19, 'arrival')"
+)
+
+
+def _stale_recall_sql(spark_dialect: bool) -> str:
+    f = _ivf_fragments(spark_dialect)
+    dot = f["dot"]
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    mat = "" if spark_dialect else "MATERIALIZED "
+    if spark_dialect:
+        all_dims = """all_dims AS (
+      SELECT vec_id, p.d AS d,
+             CAST(floor(CAST(p.pv AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings LATERAL VIEW posexplode(embedding) p AS d, pv
+    )"""
+    else:
+        all_dims = f"""all_dims AS {mat}(
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) t
+    )"""
+    assign_all = _IVF_ARGMIN.format(out="assign_all", vd="all_dims", cd="ivf_tcdims", mat=mat)
+    return f"""
+    WITH old_vecs AS {mat}(
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3
+    ),
+    {ivf_assign_ctes(spark_dialect, table="old_vecs", training_only=True)},
+    {all_dims},
+    {assign_all},
+    norms AS ({norm}),
+    probes AS (SELECT * FROM (VALUES {_S25_QUERIES}) AS t(qid, cohort)),
+    truth AS (
+      SELECT qid, cohort, cand_id FROM (
+        SELECT p.qid, p.cohort, m.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, m.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.qid
+        JOIN norms nq ON nq.vec_id = p.qid
+        CROSS JOIN embeddings m
+        JOIN norms nc ON nc.vec_id = m.vec_id
+        WHERE m.vec_id <> p.qid
+      ) r WHERE rn <= 5
+    ),
+    approx AS (
+      SELECT qid, cohort, cand_id FROM (
+        SELECT p.qid, p.cohort, m.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, m.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN assign_all aq ON aq.vec_id = p.qid
+        JOIN assign_all am ON am.cid = aq.cid AND am.vec_id <> p.qid
+        JOIN embeddings q ON q.vec_id = p.qid
+        JOIN embeddings m ON m.vec_id = am.vec_id
+        JOIN norms nq ON nq.vec_id = p.qid
+        JOIN norms nc ON nc.vec_id = am.vec_id
+      ) r WHERE rn <= 5
+    )
+    SELECT t.cohort AS cohort,
+           CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(a.cand_id) AS DOUBLE) / 25.0 AS recall_at_5
+    FROM truth t
+    LEFT JOIN approx a ON a.qid = t.qid AND a.cand_id = t.cand_id
+    GROUP BY t.cohort
+    ORDER BY cohort
+    """
+
+
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_stale_recall_sql(True))
+
+
+QUERIES["s25_stale_index_recall"] = s25
+ORACLES["s25_stale_index_recall"] = _stale_recall_sql(False)

@@ -1848,8 +1848,14 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (source, shingle), an equi-join on the shingle key for the
 # intersection (same class as d07's gram join — never all-pairs on
 # docs), and a |sources|^2-bounded assembly (the sizes x sizes cross
-# join is 20x20 by design). Exactness: all counts are integers over
-# distinct sets; the containment share divides once.
+# join is 20x20 by design). The distinct/join KEY is the 56-bit md5
+# prefix d02's signatures already ride — at 100 TB the distinct and
+# the intersection join shuffle 8-byte integers instead of 3-word
+# strings (~4x payload cut; a collision among a source's distinct
+# shingles is ~n^2/2^57, negligible, and BOTH engines hash
+# identically so cross-engine exactness is unconditional).
+# Exactness: all counts are integers over distinct hashed sets; the
+# containment share divides once.
 # Reference parity: no counterpart (the reference delegates execution
 # to DuckDB); extends the d07/t16/t28 corpus-mix audit family.
 # ---------------------------------------------------------------------------
@@ -1860,15 +1866,17 @@ def _source_overlap_sql(spark_dialect: bool) -> str:
         # without the hint Spark plans a CartesianProduct (sizes is a
         # stats-less aggregate), with it a broadcast loop over 20 rows
         hint = "/*+ BROADCAST(zb) */ "
+        hkey = "CAST(conv(substr(md5(s.sh), 1, 14), 16, 10) AS BIGINT)"
     else:
         from .dedup import DUCK_SHINGLES
 
         shingles = DUCK_SHINGLES
         hint = ""
+        hkey = "CAST(('0x' || substr(md5(s.sh), 1, 14)) AS BIGINT)"
     return f"""
     WITH shingles AS ({shingles}),
     src_sh AS (
-      SELECT DISTINCT d.source AS source, s.sh AS sh
+      SELECT DISTINCT d.source AS source, {hkey} AS sh
       FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
     ),
     sizes AS (

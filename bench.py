@@ -128,6 +128,9 @@ HEADLINE = [
     # transitivity audit and per-day peak session concurrency
     "d27_transitivity_audit",
     "ts40_peak_concurrency",
+    # round-16 continuation (total now covers 74 queries): the ANN
+    # index-freshness audit (stale-quantizer routing + cohort recall)
+    "s25_stale_index_recall",
 ]
 
 

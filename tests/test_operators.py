@@ -2845,3 +2845,18 @@ def test_m11_shot_lengths_vs_python(spark, sf_dir):
         assert r["n_shots"] == hist[r["shot_len"]]
         assert r["n_videos"] == len(vids[r["shot_len"]])
         assert r["shot_share"] == hist[r["shot_len"]] / total
+
+
+def test_s25_stale_recall_invariants(spark, sf_dir):
+    """Both cohorts must report 5 probes with consistent, bounded
+    recall, deterministically across runs."""
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    out = QUERIES["s25_stale_index_recall"](spark, sf_dir).collect()
+    assert [r["cohort"] for r in out] == ["arrival", "build"]
+    for r in out:
+        assert r["n_queries"] == 5
+        assert 0 <= r["n_matched"] <= 25
+        assert r["recall_at_5"] == r["n_matched"] / 25.0
+    again = QUERIES["s25_stale_index_recall"](spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

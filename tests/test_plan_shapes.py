@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "s24_lsh_plane_sweep",  # 4-row plane spine + 10-row hyperplane table + 5-query truth broadcast + 1-row corpus-total scalar (s02/d24's sweep-spine classes)
     "q77_partition_planner",  # 1-row table-total scalar cross-joined into the |months|-bounded partition relation — q59's scalar class
     "d27_transitivity_audit",  # 1-row wedge-total scalar cross-joined into the |classes|-bounded report — q59's scalar class
+    "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -101,6 +102,7 @@ SMJ_ALLOWED = {
     "ts39_linear_attribution",  # purchases x clicks on the user key: both sides are type-pruned facts — q38's fact-x-fact class, AQE broadcasts where small
     "s24_lsh_plane_sweep",  # masked-signature self-join on (p, bucket): both sides ARE the corpus x spine — s03's re-rank class
     "d27_transitivity_audit",  # verified-edge wedge join + candidate/shingle equi-joins: every side IS the candidate graph/corpus — d18/d22's classes
+    "s25_stale_index_recall",  # stale-cell candidates x embeddings/norms re-rank joins: both sides ARE the corpus — s03's re-rank class
 }
 
 
