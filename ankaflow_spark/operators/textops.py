@@ -1973,3 +1973,78 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t32_temperature_mix"] = t32
 ORACLES["t32_temperature_mix"] = _temperature_mix_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# t33 — PII prevalence audit by source: per crawl source, how many
+# documents carry each PII type (t09's exact-match regexes: email /
+# IPv4 / phone), how many are clean, and the source's PII document
+# share — the compliance report that decides which sources need
+# scrubbing (t09's redaction) before entering a training mix. The
+# synthetic corpus carries no PII, so the audit PLANTS it
+# deterministically and SELECTIVELY (email iff doc_id % 3 = 0, IP iff
+# % 5 = 0, phone iff % 7 = 0 — mirrored in both engines), which makes
+# prevalence vary by source and proves the detectors count EXACTLY
+# the planted strings. Scale shape: ONE codegen regex scan onto the
+# |sources|-bounded report; no joins, no windows. Exactness: counts
+# are integers; the share divides once.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the t09/q67/q69/q72/q75 privacy family.
+# ---------------------------------------------------------------------------
+def _pii_audit_sql(spark_dialect: bool) -> str:
+    cast_s = "STRING" if spark_dialect else "VARCHAR"
+    if spark_dialect:
+        e, i, p = (
+            _PII_EMAIL.replace("\\", "\\\\"),
+            _PII_IP.replace("\\", "\\\\"),
+            _PII_PHONE.replace("\\", "\\\\"),
+        )
+        n = lambda pat: f"size(regexp_extract_all(text, '{pat}', 0))"
+    else:
+        e, i, p = _PII_EMAIL, _PII_IP, _PII_PHONE
+        n = lambda pat: f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+    WITH planted AS (
+      SELECT source,
+             concat(text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' contact user', CAST(doc_id AS {cast_s}), '@mail.example.com')
+                    ELSE '' END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN concat(' from 10.0.0.', CAST(doc_id % 256 AS {cast_s}))
+                    ELSE '' END,
+               CASE WHEN doc_id % 7 = 0
+                    THEN concat(' tel +1-555-', lpad(CAST(doc_id % 10000 AS {cast_s}), 4, '0'))
+                    ELSE '' END
+             ) AS text
+      FROM documents
+    ),
+    scanned AS (
+      SELECT source,
+             CASE WHEN {n(e)} > 0 THEN 1 ELSE 0 END AS has_email,
+             CASE WHEN {n(i)} > 0 THEN 1 ELSE 0 END AS has_ip,
+             CASE WHEN {n(p)} > 0 THEN 1 ELSE 0 END AS has_phone
+      FROM planted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_email) AS BIGINT) AS n_email_docs,
+           CAST(SUM(has_ip) AS BIGINT) AS n_ip_docs,
+           CAST(SUM(has_phone) AS BIGINT) AS n_phone_docs,
+           CAST(SUM(CASE WHEN has_email + has_ip + has_phone = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean_docs,
+           CAST(SUM(CASE WHEN has_email + has_ip + has_phone > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pii_doc_share
+    FROM scanned
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_pii_audit_sql(True))
+
+
+QUERIES["t33_pii_audit"] = t33
+ORACLES["t33_pii_audit"] = _pii_audit_sql(False)

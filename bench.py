@@ -131,6 +131,7 @@ HEADLINE = [
     # round-16 continuation (total now covers 74 queries): the ANN
     # index-freshness audit (stale-quantizer routing + cohort recall)
     "s25_stale_index_recall",
+    "t33_pii_audit",
 ]
 
 

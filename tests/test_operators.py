@@ -2860,3 +2860,31 @@ def test_s25_stale_recall_invariants(spark, sf_dir):
         assert r["recall_at_5"] == r["n_matched"] / 25.0
     again = QUERIES["s25_stale_index_recall"](spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_t33_pii_audit_vs_python(spark, sf_dir):
+    """Prevalence cells must equal the planting moduli exactly (the
+    base word-stream corpus contains no accidental PII matches)."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.textops import QUERIES
+
+    out = QUERIES["t33_pii_audit"](spark, sf_dir).collect()
+    docs = Counter()
+    em, ip, ph, clean = Counter(), Counter(), Counter(), Counter()
+    for r in spark.table("documents").select("doc_id", "source").collect():
+        s, d = r["source"], r["doc_id"]
+        docs[s] += 1
+        e, i, p = d % 3 == 0, d % 5 == 0, d % 7 == 0
+        em[s] += e
+        ip[s] += i
+        ph[s] += p
+        clean[s] += not (e or i or p)
+    assert [r["source"] for r in out] == sorted(docs)
+    for r in out:
+        s = r["source"]
+        assert (r["n_docs"], r["n_email_docs"], r["n_ip_docs"], r["n_phone_docs"]) == (
+            docs[s], em[s], ip[s], ph[s],
+        )
+        assert r["n_clean_docs"] == clean[s]
+        assert r["pii_doc_share"] == (docs[s] - clean[s]) / docs[s]
