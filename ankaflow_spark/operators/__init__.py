@@ -86,7 +86,7 @@ GRADED_FIRST = [
     "ts28_cohort_retention",
     # (q64/q65/q66/q68/t25/st15/m07 — plus the post-freeze m09/s22/
     # d25/q75 and the session-8 wave ts37/ts38/q76/d26/s23/t31/st20/
-    # q77/m10/t32/ts39/s24/st21/d27/ts40/m11/s25/t33 —
+    # q77/m10/t32/ts39/s24/st21/d27/ts40/m11/s25/t33/ts41 —
     # queued for the next window rotation:
     # never driver-graded but cell-exact at both SFs in
     # CORRECTNESS_FULL_r22+ (session-8 wave in FULL_r25+); their

@@ -2447,3 +2447,62 @@ def _concurrency_sql(spark_dialect: bool) -> str:
 def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_concurrency_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts41 — burstiness profile (Fano factor + Goh-Barabasi burstiness):
+# per event type, the variance-to-mean ratio of daily volumes and
+# B = (sigma - mu) / (sigma + mu) — the dispersion diagnostics that
+# separate Poisson-like steady traffic (Fano ~ 1, B ~ -? steady) from
+# bursty arrivals (Fano >> 1, B -> 1), read next to ts30/ts31 before
+# trusting anomaly thresholds calibrated on a steady-traffic
+# assumption. Scale shape: ONE corpus groupBy onto the (type x day)-
+# bounded daily relation (ts30's shared _MAD_DAILY_SQL), then pure
+# integer-sum aggregation per type. Exactness: n, sum(x), sum(x^2)
+# are exact BIGINTs; mean/variance/Fano/B derive from them in a fixed
+# arithmetic order (each a handful of IEEE ops on identical operands
+# — bit-identical both engines); the overdispersion verdict
+# cross-multiplies integers only (n*sum_sq - sum^2 > sum*(n-1)).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts30/ts31/ts36/q73 monitoring family.
+# ---------------------------------------------------------------------------
+def _burstiness_tail_sql(daily: str) -> str:
+    """Dispersion tail over a (event_type, day, n) relation — shared
+    verbatim by both engines."""
+    return f"""
+    WITH sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM {daily} GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(sum_n AS DOUBLE) / n_days AS mean_daily,
+           CAST(n_days * sum_sq - sum_n * sum_n AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * (n_days - 1)) AS var_daily,
+           (CAST(n_days * sum_sq - sum_n * sum_n AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+             / (CAST(sum_n AS DOUBLE) / n_days) AS fano,
+           (sqrt(CAST(n_days * sum_sq - sum_n * sum_n AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+             - CAST(sum_n AS DOUBLE) / n_days)
+           / (sqrt(CAST(n_days * sum_sq - sum_n * sum_n AS DOUBLE)
+                   / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+             + CAST(sum_n AS DOUBLE) / n_days) AS burstiness,
+           n_days * sum_sq - sum_n * sum_n > sum_n * (n_days - 1) AS overdispersed
+    FROM sums
+    ORDER BY event_type
+    """
+
+
+@query(
+    "ts41_burstiness",
+    oracle=f"WITH daily AS ({_MAD_DAILY_SQL}), {_burstiness_tail_sql('daily').strip()[len('WITH '):]}",
+)
+def ts41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(_MAD_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__ts41_daily__"
+    )
+    return spark.sql(_burstiness_tail_sql("__ts41_daily__"))

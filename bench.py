@@ -132,6 +132,7 @@ HEADLINE = [
     # index-freshness audit (stale-quantizer routing + cohort recall)
     "s25_stale_index_recall",
     "t33_pii_audit",
+    "ts41_burstiness",
 ]
 
 

@@ -2888,3 +2888,29 @@ def test_t33_pii_audit_vs_python(spark, sf_dir):
         )
         assert r["n_clean_docs"] == clean[s]
         assert r["pii_doc_share"] == (docs[s] - clean[s]) / docs[s]
+
+
+def test_ts41_burstiness_vs_python(spark, sf_dir):
+    """Dispersion stats must equal a literal daily-count recount in the
+    same arithmetic order."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts41_burstiness"](spark, sf_dir).collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in spark.table("events").selectExpr(
+        "event_type", "CAST(ts AS DATE) AS day"
+    ).collect():
+        daily[r["event_type"]][r["day"]] += 1
+    assert [r["event_type"] for r in out] == sorted(daily)
+    for r in out:
+        xs = list(daily[r["event_type"]].values())
+        n, s, sq = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s / n
+        var = (n * sq - s * s) / (float(n) * (n - 1))
+        assert (r["n_days"], r["mean_daily"]) == (n, mean)
+        assert r["var_daily"] == var
+        assert r["fano"] == var / mean
+        assert r["burstiness"] == (var**0.5 - mean) / (var**0.5 + mean)
+        assert r["overdispersed"] == (n * sq - s * s > s * (n - 1))
