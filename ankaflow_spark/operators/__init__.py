@@ -27,93 +27,77 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 7 (len == 50, the driver's graded window).
-    # Priority order: (1) implementations changed this round — ts22's
-    # log2-octave quantile grid and the CC RAM stats-reset checkpoint
-    # (d06/d08/d10 call connected_components; d17/t20 consume those
-    # stages) — plus the six cached-cands consumers the r6 snapshot
-    # refactored AFTER the r6 rotation froze (judge item 3: d11, d12,
-    # d14, d16, d17, d18 need an official driver re-grade);
-    # (2) the stalest prior-green entries (all 19 whose last driver
-    # grade is r03); (3) a family-balanced refresh of r04-last entries
-    # (multimodal, streaming, similarity/sketch families). All
-    # rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
-    # via tools/oracle_check.py.
-    # (0) new this round — never driver-graded
-    "ts36_forecast_backtest",
-    "s21_sq_bits_sweep",
-    "st19_stream_streaks",
-    "ts35_activity_streaks",
-    "q74_referential_integrity",
-    "t30_langid_confusion",
-    "s20_ivf_probe_sweep",
-    "ts34_repeat_purchase_gaps",
-    "s19_embedding_stats",
-    "t29_tokenizer_fertility",
-    "d24_lsh_threshold_sweep",
-    "q73_psi_drift",
-    "t28_domain_caps",
-    "st18_stream_funnel",
-    "ts32_funnel_conversion",
-    "ts33_dow_seasonality",
-    "q72_t_closeness",
-    "t27_gopher_rules",
-    "st17_stream_cusum",
-    "t26_pmi_collocations",
-    "ts29_markov_transitions",
-    "q69_l_diversity",
-    "m08_phash_near_dup",
-    "d22_triangle_count",
-    "q70_data_quality_audit",
-    "ts30_mad_outliers",
-    "st16_stream_markov",
-    "d23_dedup_impact_report",
-    "q71_snapshot_diff",
-    "ts31_cusum_changepoint",
-    "s15_countmin_heavy_hitters",
-    "s18_mmr_diverse_topk",
-    "q63_zorder_layout",
-    "m07_duplicate_frame_pairs",
-    "t24_ngram_novelty",
-    "st14_stream_scd2",
-    "q67_k_anonymity",
-    "d19_substring_dedup",
-    "d20_substring_dedup_rewrite",
-    "d21_bloom_decontam",
-    "s17_silhouette_eval",
-    "st13_stream_bloom_decontam",
-    "q62_idle_rich_customers",
-    "ts28_cohort_retention",
-    # (q64/q65/q66/q68/t25/st15/m07 — plus the post-freeze m09/s22/
-    # d25/q75 and the session-8 wave ts37/ts38/q76/d26/s23/t31/st20/
-    # q77/m10/t32/ts39/s24/st21/d27/ts40/m11/s25/t33/ts41 —
-    # queued for the next window rotation:
-    # never driver-graded but cell-exact at both SFs in
-    # CORRECTNESS_FULL_r22+ (session-8 wave in FULL_r25+); their
-    # families stay represented above.
-    # ts22/d06/d08/d10 rotated out: officially re-graded green in r06
-    # after their post-freeze changes.)
-    # (1) the six __cands__ consumers the r6 judge named for an
-    # official re-grade (implementation moved onto the materialized
-    # cached_cands relation after the r6 rotation froze)
-    "d11_incremental_dedup",
-    "d12_lsh_recall_eval",
-    "d14_containment_pairs",
-    "d16_editdist_verify",
-    "d17_dedup_cascade",
-    "d18_minhash_accuracy",
-    # (2) stalest: last graded r03
-    # (q10/d05/d09 rotated out for the session-4/5 operators; r03-green,
-    # cell-exact in FULL_r19)
-    # (q11/q12/q13/q20/ts06 rotated out for the five session-4
-    # operators; all r03-green and cell-exact in CORRECTNESS_FULL_r17+)
-    # (3) family-balanced refresh of r04-last entries
-    # (s07/s08/s09/s13/st05/m04/m05/st09/m06/st04/st08/st10, q08, m03,
-    # q17, q18, q19, q22, q23, q24, q27, q28, q29 and ts04 rotated out
-    # to make room for the twenty-four new round-7 operators; all were
-    # driver-graded green in r03/r04 and stay cell-exact in
-    # CORRECTNESS_FULL_r11+.)
+    # Re-curated for round 8 (len == 50, the driver's graded window).
+    # Priority order per the r7 verdict punch item 1:
+    # (1) the 29 battery queries that have NEVER carried an official
+    #     driver-graded row (post-window-freeze session-7/8 wave) —
+    #     all cell-exact at both SFs in CORRECTNESS_FULL_r30/SF01_r30;
+    # (2) the 21 stalest prior-green entries (20 whose last driver
+    #     grade is r03, plus d15 at r04).
+    # All rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
+    # via tools/oracle_check.py; every family remains represented.
+    # (1) never driver-graded — the r7 queue at its old position 86-98
+    "q64_profit_by_nation",
+    "q65_small_qty_revenue",
+    "q66_excess_suppliers",
+    "q68_reservoir_sample",
+    "q75_cell_suppression",
+    "q76_mv_maintenance",
+    "q77_partition_planner",
+    "ts37_survival_curve",
+    "ts38_decayed_leaderboard",
+    "ts39_linear_attribution",
+    "ts40_peak_concurrency",
+    "ts41_burstiness",
+    "d25_dedup_bias_audit",
+    "d26_bbit_minhash",
+    "d27_transitivity_audit",
+    "s22_ivf_cell_balance",
+    "s23_hubness_audit",
+    "s24_lsh_plane_sweep",
+    "s25_stale_index_recall",
+    "t25_bpe_merge_training",
+    "t31_source_overlap",
+    "t32_temperature_mix",
+    "t33_pii_audit",
+    "st15_stream_novelty",
+    "st20_stream_decay_topk",
+    "st21_stream_survival",
+    "st22_stream_survival_bounded",  # new r8: st21's bounded-state production form
+    "m09_silence_trim",
+    "m10_aspect_buckets",
+    "m11_shot_lengths",
+    # (2) stalest: last driver-graded r03 (20 entries) + d15 (r04)
+    "d05_embedding_neardup",
+    "d08_dedup_survivors",
+    "d09_simhash_neardup",
+    "q08_union_all",
+    "q10_calendar",
+    "q11_having",
+    "q12_semi_join",
+    "q13_anti_join",
+    "q17_scalar_functions",
+    "q18_safe_math",
+    "q19_above_avg_items",
+    "q20_fn_dt_coercion",
+    "q22_collection_aggs",
+    "q23_month445",
+    "q24_string_agg",
+    "q27_intersect_except",
+    "q28_fn_sql_surface",
+    "q29_fn_calendar",
+    "ts04_json_props",
+    "ts06_interpolate",
+    # (d15_graph_centrality, last graded r04, yielded its filler slot
+    # to the new-this-round st22 — never-graded entries outrank stale
+    # re-grades; d15 stays cell-exact in CORRECTNESS_FULL_r*.)
+    # (r7 window rotated out: the 24 round-7-new entries and the six
+    # __cands__ re-grades all carry official r07 greens in
+    # CORRECTNESS_r07.json; the q62/ts28/d19-d21/s17/st13/st14/q67/
+    # t24/m07 block likewise. Union of driver greens r01-r08 will then
+    # cover all 235 battery queries — complete official trail.)
 ]
+
 
 
 def collect_all() -> Tuple[Dict[str, Callable[[SparkSession, str], DataFrame]], Dict[str, str]]:

@@ -1908,22 +1908,52 @@ def op_survival_curve(engine, df: DataFrame, params: Dict[str, Any]) -> DataFram
 def op_decayed_leaderboard(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
     """Exponentially-decayed activity leaderboard (ts38 as a reusable
     stage): half-life-weighted event counts per entity, integer-exact
-    (counts scaled by 2^(week - min_week) sum as BIGINT; ONE final
-    division by 2^span). Top-N via ORDER BY + LIMIT
-    (TakeOrderedAndProject), rank window over the N survivors."""
+    (counts scaled by 2^(week - anchor_week) sum as BIGINT; ONE final
+    division by 2^window). Top-N via ORDER BY + LIMIT
+    (TakeOrderedAndProject), rank window over the N survivors.
+
+    Retention-window re-anchor (r7 advice — overflow guard): BIGINT
+    shifts wrap silently past ~62 periods (Spark shiftleft masks the
+    shift amount, non-ANSI sums wrap), so the anchor is
+    max(min_week, max_week - max_span_weeks): periods older than
+    ``max_span_weeks`` (default 40) before the newest get weight
+    EXACTLY 0 — their true half-life weight would be < 2^-40 ~ 9e-13
+    relative, below any leaderboard's resolution — and the shift
+    amount is bounded by the window. Output is bit-identical to the
+    un-anchored spelling whenever the corpus spans <= max_span_weeks.
+    Per-entity-period counts >= 2^(62 - window) (the residual
+    integer-exactness bound, ~4.2M/week at the default) fail LOUDLY
+    via raise_error instead of wrapping."""
     from pyspark.sql import Window
 
     user = params.get("user", "user_id")
     ts_col = params.get("ts_col", "ts")
     top_n = int(params.get("top_n", 10))
     week_us = int(params.get("period_us", 7 * 86400 * 1000000))
+    max_span = int(params.get("max_span_weeks", 40))
     weekly = df.groupBy(
         F.col(user).alias("__u__"),
         F.floor(F.unix_micros(F.col(ts_col)).cast("double") / float(week_us))
         .cast("bigint")
         .alias("__w__"),
     ).agg(F.count("*").cast("bigint").alias("__n__"))
-    span = weekly.agg(F.min("__w__").alias("__w0__"), F.max("__w__").alias("__w1__"))
+    span = weekly.agg(
+        F.min("__w__").alias("__w0__"),
+        F.max("__w__").alias("__w1__"),
+        F.max("__n__").alias("__mx__"),
+    ).select(
+        F.greatest(F.col("__w0__"), F.col("__w1__") - max_span).alias("__w0e__"),
+        F.least(F.col("__w1__") - F.col("__w0__"), F.lit(max_span).cast("bigint")).alias(
+            "__win__"
+        ),
+        F.expr(
+            "CASE WHEN __mx__ >= shiftleft(CAST(1 AS BIGINT), CAST(62 - least(__w1__ - __w0__, "
+            f"CAST({max_span} AS BIGINT)) AS INT)) THEN "
+            "raise_error('decayed_leaderboard: per-entity period count too large for "
+            "integer-exact decay at this span; lower max_span_weeks or pre-aggregate') "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("__chk__"),
+    )
     scaled = (
         weekly.crossJoin(F.broadcast(span))
         .groupBy("__u__")
@@ -1931,11 +1961,15 @@ def op_decayed_leaderboard(engine, df: DataFrame, params: Dict[str, Any]) -> Dat
             F.sum("__n__").cast("bigint").alias("raw_n"),
             F.sum(
                 F.col("__n__")
-                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__w__ - __w0__ AS INT))")
+                * F.expr(
+                    "CASE WHEN __w__ < __w0e__ THEN CAST(0 AS BIGINT) "
+                    "ELSE shiftleft(CAST(1 AS BIGINT), CAST(__w__ - __w0e__ AS INT)) END"
+                )
+                + F.col("__chk__")
             )
             .cast("bigint")
             .alias("__scaled__"),
-            F.max(F.col("__w1__") - F.col("__w0__")).alias("__span__"),
+            F.max("__win__").alias("__span__"),
         )
     )
     top = scaled.orderBy(F.col("__scaled__").desc(), "__u__").limit(top_n).select(

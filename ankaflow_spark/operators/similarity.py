@@ -2181,45 +2181,123 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kNN labels and dedup verdicts) while "anti-hubs" (in-degree 0)
 # are unreachable by similarity search. Every serious embedding-QA
 # pipeline plots this histogram next to s19's norm stats before
-# trusting an ANN index. Scale shape: the graph is built on s02's
-# LSH-bucket candidate path (equi-join on the 8-bit hyperplane
-# bucket — NOT the quadratic all-pairs scan), the per-query rank
-# window is PARTITIONED BY query_id, the in-degree is one groupBy
-# over the |edges| <= 5|V| relation, and the histogram is bounded by
-# the max in-degree. Exactness: degrees/counts are integers; the
-# share divides once; cosine ranking uses the shared sequential-fold
-# doubles (bit-identical both engines, ties broken by cand_id).
+# trusting an ANN index. Scale shape: the graph is built on the
+# LSH-bucket candidate path (equi-join on a hyperplane bucket — NOT
+# the quadratic all-pairs scan) whose plane count is
+# OCCUPANCY-ADAPTIVE (r7 verdict fix): both engines compute
+# p = min plane count with 2^p * {target} >= COUNT(*) — i.e.
+# ceil(log2(N / target_occupancy)) — via exact integer arithmetic
+# over a constant spine, so per-bucket occupancy stays ~{target} and
+# bucket-join pair volume grows ~linearly with the corpus instead of
+# quadratically (the fixed-8-bit space died at 100x; s24 is the
+# measured sweep behind this rule, production note: planes ∝ log2 N).
+# Cosine is computed ONCE per unordered pair (bucket self-join on
+# c.vec_id < q.vec_id) and mirrored by UNION ALL — cosine is
+# symmetric and the fold's per-term products commute, so the mirrored
+# value is bit-identical — halving the dominant per-pair fold work.
+# The per-query rank window is PARTITIONED BY query_id, the
+# in-degree is one groupBy over the |edges| <= 5|V| relation, and the
+# histogram is bounded by the max in-degree. Exactness: the plane
+# count is integer-derived (no float log2 at power-of-2 edges),
+# degrees/counts are integers; the share divides once; cosine ranking
+# uses the shared sequential-fold doubles (bit-identical both
+# engines, ties broken by cand_id).
 # Reference parity: no counterpart (the reference delegates execution
 # to DuckDB); extends the s19/s22 embedding-health family.
 # ---------------------------------------------------------------------------
 HUB_K = 5  # neighbors per query in the audit graph
+HUB_TARGET_OCC = 16  # target per-bucket occupancy for the candidate join
+_HUB_MAX_PLANES = 30  # spine bound: 2^30 * 16 covers ~17B vectors
+
+
+def _adaptive_bucket_sql(spark_dialect: bool, target_occ: int) -> str:
+    """LSH signature with an occupancy-adaptive plane count: the
+    smallest p in [4, 30] with 2^p * target_occ >= COUNT(*), computed
+    identically on both engines with integer shifts (no float log2).
+
+    The whole signature is ONE nested fold per vector (outer fold over
+    planes, inner fold over dims) — no N x planes row explosion, no
+    re-aggregation shuffle; norm2 rides the same scan so the pair
+    stage never joins a separate norms relation. The inner dim fold is
+    the shared sequential-fold spelling (bit-identical both engines)."""
+    spine = ", ".join(f"({p})" for p in range(4, _HUB_MAX_PLANES + 1))
+    if spark_dialect:
+        shift_p = "shiftleft(CAST(1 AS BIGINT), sp.p)"
+        dim_fold = (
+            f"aggregate(transform(sequence(0, {DIM - 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({_PLANE_EXPR})), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        bucket = (
+            "aggregate(sequence(0, np.np - 1), CAST(0 AS BIGINT), "
+            f"(acc, pl) -> acc + CASE WHEN {dim_fold} >= 0 "
+            "THEN shiftleft(CAST(1 AS BIGINT), pl) ELSE CAST(0 AS BIGINT) END)"
+        )
+        norm2 = (
+            f"aggregate(transform(sequence(0, {DIM - 1}), "
+            "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+    else:
+        shift_p = "(CAST(1 AS BIGINT) << sp.p)"
+        dim_fold = (
+            f"list_reduce(list_transform(range(0, {DIM}), "
+            f"i -> CAST(embedding[i + 1] AS DOUBLE) * ({_PLANE_EXPR})), "
+            "(a, b) -> a + b)"
+        )
+        bucket = (
+            "list_reduce(list_transform(range(0, np.np), "
+            f"pl -> CASE WHEN {dim_fold} >= 0 "
+            "THEN (CAST(1 AS BIGINT) << pl) ELSE CAST(0 AS BIGINT) END), "
+            "(a, b) -> a + b)"
+        )
+        norm2 = (
+            f"list_reduce(list_transform(range(0, {DIM}), "
+            "i -> CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE)), "
+            "(a, b) -> a + b)"
+        )
+    return f"""
+      SELECT vec_id,
+             CAST({bucket} AS BIGINT) AS bucket,
+             {norm2} AS norm2
+      FROM embeddings
+      CROSS JOIN (
+        SELECT CAST(MIN(sp.p) AS INT) AS np
+        FROM (SELECT * FROM (VALUES {spine}) AS v(p)) sp
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) cnt
+        WHERE {shift_p} * {target_occ} >= cnt.n
+      ) np
+    """
 
 
 def _hubness_sql(spark_dialect: bool) -> str:
-    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
     dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
     return f"""
-    WITH buckets AS ({_bucket_sql(spark_dialect)}),
-    norms AS ({norm}),
+    WITH buckets AS ({_adaptive_bucket_sql(spark_dialect, HUB_TARGET_OCC)}),
     cands AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             q.norm2 AS q_norm2, c.norm2 AS c_norm2
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id < q.vec_id
     ),
-    dots AS (
-      SELECT query_id, cand_id, {dot} AS dot
+    half AS (
+      SELECT query_id, cand_id,
+             {dot} / (sqrt(q_norm2) * sqrt(c_norm2)) AS cosine
       FROM cands
       JOIN embeddings q ON q.vec_id = query_id
       JOIN embeddings c ON c.vec_id = cand_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, cosine FROM half
+      UNION ALL
+      SELECT cand_id AS query_id, query_id AS cand_id, cosine FROM half
     ),
     ranked AS (
       SELECT query_id, cand_id,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY dot / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, cand_id
+               ORDER BY cosine DESC, cand_id
              ) AS rn
       FROM dots
-      JOIN norms nq ON nq.vec_id = query_id
-      JOIN norms nc ON nc.vec_id = cand_id
     ),
     edges AS (SELECT query_id, cand_id FROM ranked WHERE rn <= {HUB_K}),
     indeg AS (

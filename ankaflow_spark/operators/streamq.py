@@ -756,8 +756,11 @@ QUERIES["m06_scene_cuts"] = m06
 # payload(i) = md5(str(i)) digest repeated (4 + i%5) times; video is
 # i % 3 == 2. Frames are 8-byte slices; byte j of frame f sits at hex
 # position (f*8 + j)*2 + 1.
-ORACLES["m06_scene_cuts"] = """
-    WITH vid AS (
+# The vid/fr/deltas CTEs are a named shared constant (r7 advice):
+# m11's oracle composes from it too — no string surgery on m06's
+# final oracle text.
+_M06_DELTA_CTES = """
+    vid AS (
       SELECT i AS media_id,
              repeat(md5(CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS hp
       FROM range(120) t(i) WHERE i % 3 = 2
@@ -781,6 +784,9 @@ ORACLES["m06_scene_cuts"] = """
              ) AS d
       FROM fr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) w
     )
+"""
+ORACLES["m06_scene_cuts"] = f"""
+    WITH {_M06_DELTA_CTES.strip()}
     SELECT media_id,
            CAST(frame_no AS INT) AS frame_no,
            CAST(SUM(abs(d)) AS BIGINT) AS delta_energy,
@@ -1793,6 +1799,69 @@ from .timeseries import ORACLES as _ts_oracles5  # noqa: E402
 ORACLES["st21_stream_survival"] = _ts_oracles5["ts37_survival_curve"]
 
 
+def st22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming survival, BOUNDED-STATE form (r7 punch item 7):
+    st21's session_window + complete mode keeps every session in the
+    state store forever (the measured 3.2x state-growth class); this
+    variant is the production spelling — the gap-closure sessionizer
+    (applyInPandasWithState, st04's machinery) holds THREE LONGS per
+    live key, emits each session the moment a later event closes it
+    (gap > 30 min), and the open tail per user is censored by
+    construction (each user's last session never closes, so it never
+    reaches the actuarial table). The emitted set — every session
+    except each user's last — is deterministic (boundaries depend only
+    on each key's timestamp multiset, st04's argument), so the
+    Kaplan-Meier tail over it gets a full value oracle: ts37's
+    gap-island sessions QUALIFY'd to drop each user's last, through
+    the shared _survival_tail_sql."""
+    from ..streaming.stream import run_stream_to_memory, sessionize_stateful, stream_tap
+    from .timeseries import SESSION_GAP_MIN, _survival_tail_sql
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    sessions = sessionize_stateful(
+        stream, gap_minutes=SESSION_GAP_MIN, watermark="3650 days"
+    )
+    name = "st22_out"
+    run_stream_to_memory(sessions, name, output_mode="append")
+    spark.table(name).select(
+        F.floor(
+            (F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start")))
+            .cast("double")
+            / 60000000.0
+        )
+        .cast("bigint")
+        .alias("dur_min"),
+        F.unix_micros(F.col("session_end")).cast("bigint").alias("end_us"),
+    ).createOrReplaceTempView("st22_sessions")
+    return spark.sql(_survival_tail_sql("st22_sessions"))
+
+
+QUERIES["st22_stream_survival_bounded"] = st22
+
+
+def _st22_oracle() -> str:
+    """ts37's gap-island per-session relation minus each user's LAST
+    session (the gap-closure sessionizer's emitted set), through the
+    shared survival tail."""
+    from .timeseries import _survival_sessions_sql, _survival_tail_sql
+
+    sessions = _survival_sessions_sql(False, with_keys=True)
+    closed = f"""
+    SELECT dur_min, end_us FROM (
+      SELECT user_id, session_seq, dur_min, end_us,
+             MAX(session_seq) OVER (PARTITION BY user_id) AS last_seq
+      FROM ({sessions})
+    ) WHERE session_seq < last_seq
+    """
+    tail = _survival_tail_sql("per_session").strip()
+    assert tail.startswith("WITH ")
+    return f"WITH per_session AS ({closed}), {tail[len('WITH '):]}"
+
+
+ORACLES["st22_stream_survival_bounded"] = _st22_oracle()
+
+
 def _shot_tail_sql(cuts: str) -> str:
     """Shot-length histogram tail over an (media_id, frame_no, is_cut)
     relation — shared verbatim by both engines. Shots are the gap
@@ -1842,10 +1911,10 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["m11_shot_lengths"] = m11
-_M06_CUT_CTES = ORACLES["m06_scene_cuts"].rsplit("SELECT media_id,", 1)
+# composed from the shared _M06_DELTA_CTES constant, not string surgery
 ORACLES["m11_shot_lengths"] = (
-    _M06_CUT_CTES[0]
-    + """, cuts AS (
+    f"WITH {_M06_DELTA_CTES.strip()},\n"
+    + """cuts AS (
       SELECT media_id, CAST(frame_no AS INT) AS frame_no,
              CAST(SUM(abs(d)) AS BIGINT) > 700 AS is_cut
       FROM deltas GROUP BY media_id, frame_no

@@ -1936,8 +1936,11 @@ _T32_EPOCH_KNEE = 4
 
 
 def _temperature_mix_sql(spark_dialect: bool) -> str:
+    # whitespace-class regex on BOTH sides (r7 advice): split(trim(x), ' +')
+    # returned 1 for empty/whitespace-only docs and ignored tabs/newlines,
+    # diverging from the oracle's \S+ extraction on edge inputs
     ntok = (
-        "size(split(trim(text), ' +'))"
+        "size(regexp_extract_all(text, '\\\\S+', 0))"
         if spark_dialect
         else "len(regexp_extract_all(text, '\\S+'))"
     )

@@ -2165,13 +2165,16 @@ def _survival_tail_sql(per_session: str) -> str:
     """
 
 
-def _survival_sessions_sql(spark_dialect: bool) -> str:
+def _survival_sessions_sql(spark_dialect: bool, with_keys: bool = False) -> str:
     """ts02's gap-island sessionizer reduced to the tail's
-    (dur_min, end_us) contract."""
+    (dur_min, end_us) contract. ``with_keys`` also projects the
+    (user_id, session_seq) group keys — st22's bounded-state oracle
+    needs them to drop each user's last (never-closed) island."""
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     gap_us = SESSION_GAP_MIN * 60 * 1000000
+    keys = "user_id, session_seq, " if with_keys else ""
     return f"""
-    SELECT CAST(floor(CAST(MAX({epoch}(ts)) - MIN({epoch}(ts)) AS DOUBLE) / 60000000.0)
+    SELECT {keys}CAST(floor(CAST(MAX({epoch}(ts)) - MIN({epoch}(ts)) AS DOUBLE) / 60000000.0)
                 AS BIGINT) AS dur_min,
            CAST(MAX({epoch}(ts)) AS BIGINT) AS end_us
     FROM (
@@ -2240,22 +2243,40 @@ def _weekly_counts_sql(spark_dialect: bool) -> str:
     """
 
 
+_DECAY_MAX_SPAN = 40  # retention window (weeks): older periods weigh exactly 0
+
+
 def _decay_tail_sql(weekly: str, spark_dialect: bool) -> str:
     """Decayed-leaderboard tail over a (user_id, week, n) relation —
     shared by ts38 (batch weekly counts) and st20 (the incrementally
-    maintained state table)."""
+    maintained state table).
+
+    Overflow guard (r7 advice): the anchor is re-based to
+    GREATEST(w0, w1 - {_DECAY_MAX_SPAN}) so the BIGINT shift amount is
+    bounded by the retention window — periods older than
+    {_DECAY_MAX_SPAN} weeks before the newest get weight EXACTLY 0
+    (true weight < 2^-40 ~ 9e-13 relative, below leaderboard
+    resolution) instead of silently wrapping the shift past ~62 weeks
+    (Spark shiftleft masks the shift to 6 bits; non-ANSI sums wrap).
+    Bit-identical to the un-anchored spelling for corpora spanning
+    <= {_DECAY_MAX_SPAN} weeks (the graded 30-day corpus spans <= 5)."""
     shift = (
         "shiftleft(CAST(1 AS BIGINT), CAST({x} AS INT))"
         if spark_dialect
         else "(CAST(1 AS BIGINT) << CAST({x} AS INT))"
     )
     return f"""
-    WITH span AS (SELECT MIN(week) AS w0, MAX(week) AS w1 FROM {weekly}),
+    WITH span AS (
+      SELECT GREATEST(MIN(week), MAX(week) - {_DECAY_MAX_SPAN}) AS w0,
+             LEAST(MAX(week) - MIN(week), CAST({_DECAY_MAX_SPAN} AS BIGINT)) AS win
+      FROM {weekly}
+    ),
     scaled AS (
       SELECT w.user_id,
              CAST(SUM(w.n) AS BIGINT) AS raw_n,
-             CAST(SUM(w.n * {shift.format(x="w.week - s.w0")}) AS BIGINT) AS scaled,
-             MAX(s.w1 - s.w0) AS span_weeks
+             CAST(SUM(w.n * (CASE WHEN w.week < s.w0 THEN CAST(0 AS BIGINT)
+                             ELSE {shift.format(x="w.week - s.w0")} END)) AS BIGINT) AS scaled,
+             MAX(s.win) AS span_weeks
       FROM {weekly} w CROSS JOIN span s
       GROUP BY w.user_id
     ),

@@ -586,6 +586,41 @@ def _histogram_1(a):
     )
 
 
+def _histogram_2(a):
+    """Binned histogram(x, n) aggregate -> MAP<bin_upper_bound, count>:
+    n equi-width bins over the group's observed [min(x), max(x)]
+    (DuckDB >= 1.1's binned-histogram semantics over equi-width bins;
+    the sandbox pins DuckDB 1.0.0 which lacks the binned form, so this
+    is pytest-golden-verified rather than oracle-checked — r7 punch
+    item 4). Keys are the DOUBLE upper boundaries lo + b*(hi-lo)/n in
+    ascending order; bin 1 includes lo, bin n includes hi (so float
+    rounding at the top edge never drops a value). A degenerate group
+    (min = max) yields the single-entry map {hi: count}. One aggregate
+    buffer (Catalyst dedups the identical collect_list/min/max), no
+    join, no extra shuffle — _histogram_1's class."""
+    x, n = a[0], a[1]
+    # a boundaries LIST (raw [..] or the already-expanded array(..))
+    # is DuckDB's other binned arity — reject actionably
+    if n.lstrip().startswith("[") or re.match(r"\s*array\s*\(", n, re.IGNORECASE):
+        raise UnsupportedDialect(
+            "histogram(x, boundaries-list) is not supported; pass a bin "
+            "COUNT (histogram(x, n) — n equi-width bins over min/max) or "
+            "GROUP BY width_bucket(x, lo, hi, n) with explicit boundaries"
+        )
+    lo, hi = f"min({x})", f"max({x})"
+    w = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / ({n})"
+    lower = f"CAST({lo} AS DOUBLE) + (__hb - 1) * {w}"
+    upper = f"CAST({lo} AS DOUBLE) + __hb * {w}"
+    return (
+        f"CASE WHEN {lo} = {hi} THEN "
+        f"map_from_entries(array(struct(CAST({hi} AS DOUBLE), size(collect_list({x}))))) "
+        f"ELSE map_from_entries(transform(sequence(1, {n}), __hb -> struct({upper}, "
+        f"size(filter(collect_list({x}), "
+        f"__hv -> (__hv > {lower} OR __hb = 1) AND (__hv <= {upper} OR __hb = ({n})))))))"
+        " END"
+    )
+
+
 def _jaccard_2(a):
     """DuckDB jaccard(s1, s2) -> character-SET Jaccard similarity
     (case-sensitive, multiset-insensitive: jaccard('aab','ab') = 1.0 —
@@ -716,7 +751,7 @@ DIALECT_FN_TEMPLATES: Dict[str, Dict[int, object]] = {
         2: _array_agg_ordered,
         3: _array_agg_ordered,
     },
-    "histogram": {1: _histogram_1},
+    "histogram": {1: _histogram_1, 2: _histogram_2},
     "bar": {3: _bar_template, 4: _bar_template},
     "jaccard": {2: _jaccard_2},
     "mismatches": {2: _mismatches_2},
@@ -732,7 +767,7 @@ _READ_TABLE_FNS = frozenset(
 # DuckDB functions with NO Spark equivalent: fail with the workaround
 # named instead of Spark's opaque UNRESOLVED_ROUTINE.
 KNOWN_UNSUPPORTED_FNS: Dict[str, str] = {
-    "histogram": "histogram(x) rewrites (MAP<x,count>); the binned 2-arg form does not — GROUP BY width_bucket(x, lo, hi, n) and COUNT(*)",
+    "histogram": "histogram(x) and the binned histogram(x, n) rewrite (MAP results); other arities do not",
     "bar": "bar(x, min, max[, width]) rewrites (full-block bars); other arities do not",
     "generate_subscripts": "posexplode(array) yields (pos, value); sequence(1, size(a)) yields indexes",
     "jaccard": "jaccard(s1, s2) rewrites (character-set Jaccard); other arities do not",

@@ -1,10 +1,24 @@
 """Benchmark harness: runs the headline operator queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver captures a bounded tail of stdout, so the
+LAST line must stay compact no matter how large the headline set grows —
+BENCH_r07 lost its total when the 76-entry per-query dict outgrew the
+tail window):
+  line 1: full JSON with the per-query dict
+          {"metric": ..., "value": total_sec, "unit": "sec",
+           "queries": {...}, "sf": ...}
+  line 2 (LAST): compact totals-only JSON
+          {"metric": ..., "value": total_sec, "unit": "sec",
+           "sf": ..., "n_queries": N, "detail": "BENCH_DETAIL.json"}
+The per-query dict is also written to BENCH_DETAIL.json in the repo root.
 
 Each query executes its full plan through the noop sink (no driver
 collect, no disk write) — the honest distributed-execution cost.
+
+Per-query running totals in the HEADLINE comments drifted (r7 advice);
+the authoritative per-addition ledger lives in PERF.md.
 """
 
 from __future__ import annotations
@@ -36,16 +50,16 @@ HEADLINE = [
     "t03_quality_score",
     "t04_winnow_fingerprint",
     # round-4 continuation additions (trajectory comparisons should use
-    # the per-query dict; the total now covers 21 queries, not 19)
+    # the per-query dict; per-addition totals ledger: PERF.md)
     "ts08_rollup_cascade",
     "t15_tfidf_topterms",
-    # round-6 additions (total now covers 24 queries): the new
+    # round-6 additions: the new
     # data-pipeline cores — two-pass heavy hitters, hashed classifier
     # inference, chunk dedup with reconstruction
     "q52_heavy_hitters",
     "t21_quality_classifier",
     "t22_chunk_dedup_rewrite",
-    # round-7 additions (total now covers 30 queries): the ASOF SQL
+    # round-7 additions: the ASOF SQL
     # surface, the day-grain interval-join expansion, SCD2 history,
     # skew diagnostics, one-pass profiling, WOE binning
     "ts25_asof_sql_surface",
@@ -54,7 +68,7 @@ HEADLINE = [
     "q59_skew_diagnostics",
     "q60_column_profile",
     "t23_woe_binning",
-    # round-8 additions (total now covers 34 queries): substring-level
+    # round-8 additions: substring-level
     # dedup + rewrite (d19's number includes the shared cold
     # __spans__ build; d20 consumes it, same accounting as d02/d03),
     # bloom-prefiltered decontamination, simplified silhouette
@@ -62,13 +76,13 @@ HEADLINE = [
     "d20_substring_dedup_rewrite",
     "d21_bloom_decontam",
     "s17_silhouette_eval",
-    # round-9 additions (total now covers 38 queries): count-min
+    # round-9 additions: count-min
     # sketch, MMR diversified re-rank, z-order layout, n-gram novelty
     "s15_countmin_heavy_hitters",
     "s18_mmr_diverse_topk",
     "q63_zorder_layout",
     "t24_ngram_novelty",
-    # round-10 additions (total now covers 43 queries): PMI
+    # round-10 additions: PMI
     # collocations, Markov transitions, l-diversity, triangle
     # counting, the data-quality audit
     "t26_pmi_collocations",
@@ -76,7 +90,7 @@ HEADLINE = [
     "q69_l_diversity",
     "d22_triangle_count",
     "q70_data_quality_audit",
-    # round-11 additions (total now covers 48 queries): funnel
+    # round-11 additions: funnel
     # conversion, DOW seasonality, t-closeness, Gopher rules, and the
     # MAD/CUSUM drift monitors
     "ts32_funnel_conversion",
@@ -84,11 +98,11 @@ HEADLINE = [
     "q72_t_closeness",
     "t27_gopher_rules",
     "ts30_mad_outliers",
-    # round-12 additions (total now covers 50 queries): the LSH
+    # round-12 additions: the LSH
     # calibration sweep and PSI drift monitor
     "d24_lsh_threshold_sweep",
     "q73_psi_drift",
-    # round-13 additions (total now covers 59 queries): the session-6/7
+    # round-13 additions: the session-6/7
     # corpus-health wave — repeat-gap and streak histograms, embedding
     # collapse stats, tokenizer fertility, lang-ID confusion, the
     # cross-table RI audit, and the IVF probe sweep (whose wall
@@ -102,11 +116,11 @@ HEADLINE = [
     "s20_ivf_probe_sweep",
     "ts36_forecast_backtest",
     "s21_sq_bits_sweep",
-    # round-14 additions (total now covers 61 queries): the dedup
+    # round-14 additions: the dedup
     # survivorship-bias audit and the small-cell suppression release
     "d25_dedup_bias_audit",
     "q75_cell_suppression",
-    # round-15 additions (total now covers 67 queries): the session-8
+    # round-15 additions: the session-8
     # wave — session-duration survival, the decayed leaderboard,
     # incremental-MV merge audit, b-bit minhash study (rides the
     # shared __cands__/__shingles__ relations), kNN hubness, and the
@@ -117,18 +131,18 @@ HEADLINE = [
     "d26_bbit_minhash",
     "s23_hubness_audit",
     "t31_source_overlap",
-    # round-15 continuation (total now covers 70 queries): the
+    # round-15 continuation: the
     # compaction planner, the temperature sampling mix, and linear
     # multi-touch attribution
     "q77_partition_planner",
     "t32_temperature_mix",
     "ts39_linear_attribution",
     "s24_lsh_plane_sweep",
-    # round-16 additions (total now covers 73 queries): the near-dup
+    # round-16 additions: the near-dup
     # transitivity audit and per-day peak session concurrency
     "d27_transitivity_audit",
     "ts40_peak_concurrency",
-    # round-16 continuation (total now covers 74 queries): the ANN
+    # round-16 continuation: the ANN
     # index-freshness audit (stale-quantizer routing + cohort recall)
     "s25_stale_index_recall",
     "t33_pii_audit",
@@ -188,15 +202,33 @@ def main() -> None:
         print(f"{name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup": "each plan pre-run once at sf0.001 (JIT codegen excluded)",
+    }
+    # per-query detail: first stdout line + committed sidecar file
+    print(json.dumps(full))
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+    # LAST line: compact, bounded-size — survives any tail-capture window
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "warmup": "each plan pre-run once at sf0.001 (JIT codegen excluded)",
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

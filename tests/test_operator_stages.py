@@ -1176,3 +1176,44 @@ def test_decayed_leaderboard_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["ts38_decayed_leaderboard"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+def test_decayed_leaderboard_long_horizon_reanchors(engine):
+    """r7 advice (medium): BIGINT shifts wrap silently past ~62 weeks
+    (Spark masks the shift amount). The op re-anchors to a retention
+    window: weeks older than max_span_weeks before the newest weigh
+    EXACTLY 0, so a 100-week history ranks correctly instead of
+    wrapping."""
+    import datetime
+
+    from ankaflow_spark.operators.registry import OPERATORS
+
+    week = datetime.timedelta(weeks=1)
+    t0 = datetime.datetime(2020, 1, 2)
+    rows = [("old_heavy", t0)] * 5 + [("recent", t0 + 99 * week)] * 3
+    df = engine.spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = OPERATORS["decayed_leaderboard"](engine, df, {"top_n": 10}).collect()
+    assert [(r.user_id, r.raw_n, r.decayed_n, r.rn) for r in out] == [
+        ("recent", 3, 3.0, 1),   # newest week: weight exactly 1
+        ("old_heavy", 5, 0.0, 2),  # > 40 weeks stale: weight exactly 0
+    ]
+
+
+def test_decayed_leaderboard_overflow_raises_loudly(engine):
+    """Counts too large for the integer-exact scale at the configured
+    window must raise_error, never wrap (r7 advice). With
+    max_span_weeks=61 the bound is 2^(62-61) = 2 events/week."""
+    import datetime
+
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from ankaflow_spark.operators.registry import OPERATORS
+
+    week = datetime.timedelta(weeks=1)
+    t0 = datetime.datetime(2020, 1, 2)
+    rows = [("u", t0)] + [("v", t0 + 61 * week)] * 2
+    df = engine.spark.createDataFrame(rows, "user_id string, ts timestamp")
+    with pytest.raises(SparkRuntimeException, match="decayed_leaderboard"):
+        OPERATORS["decayed_leaderboard"](
+            engine, df, {"top_n": 10, "max_span_weeks": 61}
+        ).collect()

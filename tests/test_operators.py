@@ -2463,20 +2463,23 @@ def test_d26_bbit_estimates_vs_python(spark, sf_dir):
 
 def test_s23_hubness_vs_python(spark, sf_dir):
     """The in-degree histogram must equal a literal bucket + sequential-
-    fold cosine kNN recount over every vector."""
+    fold cosine kNN recount over every vector — including the
+    occupancy-adaptive plane count (smallest p in [4, 30] with
+    2^p * HUB_TARGET_OCC >= N, the r7-verdict fix)."""
     from collections import Counter, defaultdict
 
     import numpy as np
 
-    from ankaflow_spark.operators.similarity import DIM, HUB_K, N_PLANES, QUERIES
+    from ankaflow_spark.operators.similarity import DIM, HUB_K, HUB_TARGET_OCC, QUERIES
 
     out = QUERIES["s23_hubness_audit"](spark, sf_dir).collect()
     rows = spark.table("embeddings").select("vec_id", "embedding").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    n_planes = min(p for p in range(4, 31) if (1 << p) * HUB_TARGET_OCC >= len(vecs))
 
     def bucket(vid):
         b = 0
-        for pl in range(N_PLANES):
+        for pl in range(n_planes):
             s = 0.0
             for i in range(DIM):
                 s += vecs[vid][i] * (((pl * 37 + i * 17) % 13) - 6)

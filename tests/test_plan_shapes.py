@@ -305,12 +305,14 @@ EXEC_BNLJ_ALLOWED = {
     "st20_stream_decay_topk",  # 1-row week-span scalar in the report tail (ts38's scalar class); per-batch merge plans join only on the counter key
     "m10_aspect_buckets",  # 5-row literal anchor table x image metadata + 1-row image-total scalar (q59's class)
     "st21_stream_survival",  # 1-row corpus-edge + totals scalars in ts37's shared actuarial tail (q59's scalar class)
+    "st22_stream_survival_bounded",  # same actuarial-tail scalars as st21, over the gap-closure sessionizer's bounded-state emitted set
     "m11_shot_lengths",  # 1-row shot-total scalar cross-joined into the |shot lengths|-bounded histogram (q59's class)
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)
     "st20_stream_decay_topk",  # re-rank over TakeOrderedAndProject's 10-row output (st11's pattern, ts38's tail)
     "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
+    "st22_stream_survival_bounded",  # ts37's bounded-walk class over the closed-session relation
 }
 
 

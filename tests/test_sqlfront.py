@@ -687,11 +687,12 @@ class TestRound5Dialect:
             expand_dialect_functions as e,
         )
 
-        # histogram(x) / bar(x, lo, hi) / jaccard(a, b) rewrite since
-        # round 7; the binned 2-arg histogram, other arities, and the
-        # jaro family still reject actionably
+        # histogram(x) / histogram(x, n) / bar(x, lo, hi) / jaccard(a, b)
+        # rewrite (binned n-form added r8); boundaries-list histogram,
+        # other arities, and the jaro family still reject actionably
         for fn, hint in (
             ("histogram(x, [1,2])", "width_bucket"),
+            ("histogram(x, [1])", "width_bucket"),
             ("jaro_similarity(a,b)", "levenshtein"),
         ):
             with pytest.raises(UnsupportedDialect, match=hint):

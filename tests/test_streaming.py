@@ -582,3 +582,23 @@ def test_st21_survival_incremental_equals_batch(spark):
     batch = TS_QUERIES["ts37_survival_curve"](spark, sf_dir).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
     assert sum(r["n_censored_at"] for r in out) >= 1
+
+def test_st22_bounded_survival_censors_open_tail(spark):
+    """The bounded-state variant's actuarial table covers exactly the
+    gap-CLOSED sessions (each user's last island never closes — it is
+    censored by construction, st04's determinism argument), so total
+    sessions = batch ts37 sessions minus one per active user, and the
+    per-key state is three longs regardless of history length."""
+    from ankaflow_spark.operators.streamq import QUERIES
+    from ankaflow_spark.operators.timeseries import QUERIES as TS_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st22_stream_survival_bounded"](spark, sf_dir).collect()
+    batch = TS_QUERIES["ts37_survival_curve"](spark, sf_dir).collect()
+    n_users = spark.table("events").select("user_id").distinct().count()
+    n_out = max(r["n_at_risk"] for r in out)       # sessions entering the table
+    n_batch = max(r["n_at_risk"] for r in batch)
+    assert n_out == n_batch - n_users
+    # closed sessions all have a defined end; censoring can still occur
+    # at the emitted-set edge, but the open per-user tails are gone
+    assert n_out > 0

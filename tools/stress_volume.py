@@ -18,6 +18,20 @@ embeddings creates n_copies exact copies of every vector, which makes
 the TRUE near-dup pair set itself grow quadratically (each clone group
 of k contributes k(k-1)/2 pairs) — the dup-dense regime, useful for
 worst-case stress but not for measuring organic volume growth.
+
+``events:users`` additionally shifts user_id per clone wave — the
+KEY-GROWTH axis: 10x distinct users, 10x sessions, 10x streaming
+state rows (the default clone keeps entity keys, which deepens
+history but leaves session/state cardinality flat — useless for
+state-store stress like st21/st22).
+
+``events:horizon`` additionally shifts ts per clone wave by the
+corpus time span — the LONG-RUNNING-STREAM axis: same users, 10x
+the history depth, 10x sessions per user. This is the axis that
+separates bounded from unbounded streaming state: an
+all-sessions-in-state form (st21 complete mode) grows its store 10x,
+while a gap-closure emitter (st22) holds one live session per key
+regardless of horizon.
 """
 
 from __future__ import annotations
@@ -45,10 +59,11 @@ SHIFT_KEY = {
 DEFAULT_OPS = ["ts27_scd2_history", "q60_column_profile"]
 
 
-def build_corpus(spark, n_copies: int, table: str, perturb: bool = False) -> str:
+def build_corpus(spark, n_copies: int, table: str, perturb: bool = False,
+                 shift_users: bool = False, shift_horizon: bool = False) -> str:
     import tempfile
 
-    tag = "rot" if perturb else "x"
+    tag = "rot" if perturb else ("u" if shift_users else ("h" if shift_horizon else "x"))
     out = os.path.join(
         tempfile.gettempdir(), f"ankaflow_volume_{table}_{n_copies}{tag}"
     )
@@ -70,6 +85,35 @@ def build_corpus(spark, n_copies: int, table: str, perturb: bool = False) -> str
         copies = base
         for i in range(1, n_copies):
             wave = base.withColumn(key, F.col(key) + i * n_base * 10)
+            if shift_horizon and "ts" in base.columns:
+                # long-running-stream axis: each wave extends the time
+                # horizon by one corpus span (+1 day guard), so every
+                # entity accrues n_copies x the session history
+                # parquet ts may be NTZ: round-trip through TIMESTAMP
+                # (session-tz interpretation is lossless both ways)
+                span_us = base.agg(
+                    F.expr(
+                        "unix_micros(CAST(max(ts) AS TIMESTAMP)) - "
+                        "unix_micros(CAST(min(ts) AS TIMESTAMP))"
+                    )
+                ).collect()[0][0] or 0
+                ntz = dict(base.dtypes)["ts"] == "timestamp_ntz"
+                shifted = (
+                    f"timestamp_micros(unix_micros(CAST(ts AS TIMESTAMP)) + "
+                    f"{i} * CAST({span_us + 86400000000} AS BIGINT))"
+                )
+                wave = wave.withColumn(
+                    "ts",
+                    F.expr(
+                        f"CAST({shifted} AS TIMESTAMP_NTZ)" if ntz else shifted
+                    ),
+                )
+            if shift_users and "user_id" in base.columns:
+                # key-growth axis: each wave is a NEW user population,
+                # so sessions and streaming state rows scale with volume
+                wave = wave.withColumn(
+                    "user_id", F.col("user_id") + i * 10_000_000
+                )
             if perturb and "embedding" in base.columns:
                 # circular-shift by the wave index: same norm, same value
                 # histogram, but decorrelated from the source vector —
@@ -98,9 +142,15 @@ def main() -> None:
     perturb = table.endswith(":perturb")
     if perturb:
         table = table[: -len(":perturb")]
+    shift_users = table.endswith(":users")
+    if shift_users:
+        table = table[: -len(":users")]
+    shift_horizon = table.endswith(":horizon")
+    if shift_horizon:
+        table = table[: -len(":horizon")]
     ops = args[2:] or DEFAULT_OPS
     spark = get_spark("volume-stress")
-    corpus = build_corpus(spark, n_copies, table, perturb)
+    corpus = build_corpus(spark, n_copies, table, perturb, shift_users, shift_horizon)
     qs = entry.queries()
     for name in ops:
         fn = qs[name]
