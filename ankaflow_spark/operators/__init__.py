@@ -64,6 +64,11 @@ GRADED_FIRST = [
     "st20_stream_decay_topk",
     "st21_stream_survival",
     "st22_stream_survival_bounded",  # new r8: st21's bounded-state production form
+    "ts42_stickiness",  # new r8: sliding 7-day DAU/WAU distinct ratio
+    "q78_ingest_freshness",  # new r8: per-type freshness SLA + rate-drop audit
+    "m12_shard_planner",  # new r8: byte-offset training-shard packing plan
+    "t34_length_ks_drift",  # new r8: exact KS length-distribution drift
+    "s26_calinski_harabasz",  # new r8: variance-ratio cluster validity
     "m09_silence_trim",
     "m10_aspect_buckets",
     "m11_shot_lengths",
@@ -83,14 +88,11 @@ GRADED_FIRST = [
     "q22_collection_aggs",
     "q23_month445",
     "q24_string_agg",
-    "q27_intersect_except",
-    "q28_fn_sql_surface",
-    "q29_fn_calendar",
-    "ts04_json_props",
-    "ts06_interpolate",
-    # (d15_graph_centrality, last graded r04, yielded its filler slot
-    # to the new-this-round st22 — never-graded entries outrank stale
-    # re-grades; d15 stays cell-exact in CORRECTNESS_FULL_r*.)
+    # (d15_graph_centrality, q27/q28/q29, ts04/ts06 — the six stalest
+    # fillers (r03/r04-last) — yielded their slots to the six
+    # new-this-round entries st22/ts42/q78/m12/t34/s26: never-graded
+    # entries outrank stale re-grades; all six rotated-out queries
+    # stay cell-exact in CORRECTNESS_FULL_r*.)
     # (r7 window rotated out: the 24 round-7-new entries and the six
     # __cands__ re-grades all carry official r07 greens in
     # CORRECTNESS_r07.json; the q62/ts28/d19-d21/s17/st13/st14/q67/

@@ -3123,3 +3123,65 @@ def _partition_planner_sql(spark_dialect: bool) -> str:
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_partition_planner_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q78 — ingest-freshness SLA audit: per event_type, the last-seen
+# event time, its lag behind the corpus edge in whole minutes, a
+# staleness flag (> 60 min behind), and a throughput-drop signal —
+# events in the stream's final 24 h vs the all-time mean daily rate.
+# This is the monitor every continuously-ingested 100 TB table runs
+# per source/partition: a stuck upstream shows up as a growing lag or
+# a final-day rate collapse long before consumers notice. Scale
+# shape: ONE map-side-combinable scan+aggregate onto the
+# |event types|-bounded report; the 1-row corpus-edge scalar
+# broadcasts into the projection (q59's scalar class). Exactness:
+# lags are integer microsecond arithmetic floored to minutes; the
+# rate ratio divides integer counts once (day count is exact integer
+# span arithmetic, minimum 1).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q70/q73/q74 data-quality family.
+# ---------------------------------------------------------------------------
+_FRESH_SLA_MIN = 60
+
+
+def _freshness_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    day_us = 86400 * 1000000
+    return f"""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MIN({epoch}(ts)) AS BIGINT) AS first_us,
+             CAST(MAX({epoch}(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY event_type
+    ),
+    edge AS (SELECT CAST(MAX(last_us) AS BIGINT) AS edge_us FROM per_type),
+    final_day AS (
+      SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_final_day
+      FROM events e
+      JOIN per_type p ON p.event_type = e.event_type
+      CROSS JOIN edge x
+      WHERE {epoch}(e.ts) > x.edge_us - {day_us}
+      GROUP BY p.event_type
+    )
+    SELECT p.event_type AS event_type,
+           p.n_events AS n_events,
+           CAST((x.edge_us - p.last_us) {intdiv} 60000000 AS BIGINT) AS lag_min,
+           (x.edge_us - p.last_us) {intdiv} 60000000 >= {_FRESH_SLA_MIN} AS is_stale,
+           CAST(COALESCE(f.n_final_day, 0) AS BIGINT) AS n_final_day,
+           CAST(COALESCE(f.n_final_day, 0) AS DOUBLE)
+             / (CAST(p.n_events AS DOUBLE)
+                / ((p.last_us - p.first_us) {intdiv} {day_us} + 1)) AS final_day_rate_ratio
+    FROM per_type p
+    CROSS JOIN edge x
+    LEFT JOIN final_day f ON f.event_type = p.event_type
+    ORDER BY event_type
+    """
+
+
+@query("q78_ingest_freshness", oracle=_freshness_sql(False))
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_freshness_sql(True))

@@ -2569,3 +2569,103 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s25_stale_index_recall"] = s25
 ORACLES["s25_stale_index_recall"] = _stale_recall_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# s26 — Calinski-Harabasz cluster validity (variance-ratio criterion):
+# for the s11/s17 k-means assignment, per-cluster within-centroid
+# scatter and size-weighted between-centroid scatter, and the global
+# CH score (B/(k-1)) / (W/(n-k)) — the O(n*k) validity index every
+# corpus-clustering pipeline reports next to the centroid silhouette
+# (s17); higher = tighter, better-separated clusters. Scale shape:
+# s17's class exactly — the e6-quantized dims relation is built once,
+# centroids broadcast into an n x k scoring join, cluster/global
+# reductions are |k|- and 1-row-bounded, and the 1-row totals scalar
+# cross-joins into the report (q59's scalar class). Exactness: dims,
+# centroids, and squared distances are exact integers (s11's e6
+# lattice); each vector's scatter is integer-div'd by 1e6 BEFORE the
+# cluster sums (order-free BIGINT sums, no overflow at 10x); the CH
+# ratio divides once in DOUBLE.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the s11/s12/s17 clustering-eval family.
+# ---------------------------------------------------------------------------
+
+
+def _ch_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dspine = f"SELECT explode(sequence(0, {DIM - 1})) AS d"
+        elem = "embedding[t.d]"
+        intdiv = "div"
+    else:
+        dspine = f"SELECT unnest(range(0, {DIM})) AS d"
+        elem = "embedding[t.d + 1]"
+        intdiv = "//"
+    assign = """
+      SELECT vec_id, c, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+      FROM (
+        SELECT dims.vec_id, {cent}.c,
+               CAST(SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)) AS BIGINT) AS dist
+        FROM dims JOIN {cent} ON {cent}.d = dims.d
+        GROUP BY dims.vec_id, {cent}.c
+      ) x
+    """
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST({elem} AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN ({dspine}) t
+    ),
+    c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
+    a1 AS ({assign.format(cent="c0")}),
+    m1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT m1.c, dims.d,
+             CAST(floor(CAST(SUM(dims.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims JOIN m1 ON m1.vec_id = dims.vec_id
+      GROUP BY m1.c, dims.d
+    ),
+    a2 AS ({assign.format(cent="c1")}),
+    m2 AS (SELECT vec_id, c, dist FROM a2 WHERE rk = 1),
+    gcent AS (
+      SELECT d, CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims GROUP BY d
+    ),
+    within AS (
+      SELECT m2.c,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(m2.dist {intdiv} 1000000) AS BIGINT) AS within_e6
+      FROM m2 GROUP BY m2.c
+    ),
+    between_c AS (
+      SELECT c1.c,
+             CAST(SUM((c1.q - g.q) * (c1.q - g.q)) {intdiv} 1000000 AS BIGINT) AS cg_e6
+      FROM c1 JOIN gcent g ON g.d = c1.d
+      GROUP BY c1.c
+    ),
+    per_cluster AS (
+      SELECT w.c, w.n_members, w.within_e6,
+             CAST(w.n_members * b.cg_e6 AS BIGINT) AS between_e6
+      FROM within w JOIN between_c b ON b.c = w.c
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_members) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(within_e6) AS BIGINT) AS w_tot,
+             CAST(SUM(between_e6) AS BIGINT) AS b_tot
+      FROM per_cluster
+    )
+    SELECT p.c AS cluster, p.n_members AS n_members,
+           p.within_e6 AS within_e6, p.between_e6 AS between_e6,
+           (CAST(t.b_tot AS DOUBLE) / (t.k - 1))
+             / (CAST(t.w_tot AS DOUBLE) / (t.n - t.k)) AS ch_score
+    FROM per_cluster p CROSS JOIN tot t
+    ORDER BY cluster
+    """
+
+
+@query("s26_calinski_harabasz", oracle=_ch_sql(False))
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_ch_sql(True))

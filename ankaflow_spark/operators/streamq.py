@@ -1921,3 +1921,76 @@ ORACLES["m11_shot_lengths"] = (
     ), """
     + _shot_tail_sql("cuts").strip()[len("WITH ") :]
 )
+
+
+# ---------------------------------------------------------------------------
+# m12 — multimodal shard planner: byte-offset sharding of the media
+# payload stream into fixed-budget training shards (the WebDataset/
+# tar-shard layout every multimodal loader consumes): items packed in
+# media_id order, each item assigned to the shard containing its
+# first byte (shard = prior_bytes div budget), reported per shard as
+# item count, byte total, per-modality mix, and the largest item.
+# This is q77's compaction arithmetic applied to opaque binary
+# payloads — the plan a 100 TB media lake runs before writing shards.
+# Scale shape: the payload bytes NEVER shuffle — one octet_length
+# projection leaves only (id, kind, nb) rows; the running-offset
+# window is a contract-scale bounded walk over the 120-item synthetic
+# inventory (m11's GLOBAL_WINDOW class; production inventories
+# pre-partition by coarse key and walk per partition); the report is
+# |shards|-bounded. Exactness: byte counts and shard ids are integer
+# arithmetic end to end.
+# Reference parity: no counterpart (the reference has no multimodal
+# surface); completes the m04/m10/m11 layout family next to q77.
+# ---------------------------------------------------------------------------
+_SHARD_BUDGET_BYTES = 256
+
+
+def _shard_plan_sql(items: str, spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    return f"""
+    WITH packed AS (
+      SELECT media_id, kind, nb,
+             COALESCE(SUM(nb) OVER (ORDER BY media_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS prior
+      FROM {items}
+    )
+    SELECT CAST(prior {intdiv} {_SHARD_BUDGET_BYTES} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+           CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+           CAST(MAX(nb) AS BIGINT) AS max_item_bytes
+    FROM packed
+    GROUP BY 1
+    ORDER BY shard_id
+    """
+
+
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard plan over REAL binary payloads: octet_length is taken on
+    the actual bytes inside the JVM (no Python hop, payloads pruned
+    before any shuffle); the oracle recomputes the same inventory in
+    the hex domain (payload(i) = md5(str(i)) digest repeated
+    (4 + i % 5) times -> 16 * (4 + i % 5) bytes, kind = i % 3)."""
+    from .multimodal import synth_media
+
+    media = synth_media(spark, 120)
+    media.select(
+        "media_id", "kind", F.octet_length("payload").cast("bigint").alias("nb")
+    ).createOrReplaceTempView("__m12_items__")
+    return spark.sql(_shard_plan_sql("__m12_items__", True))
+
+
+QUERIES["m12_shard_planner"] = m12
+ORACLES["m12_shard_planner"] = _shard_plan_sql(
+    """(
+      SELECT i AS media_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(16 * (4 + i % 5) AS BIGINT) AS nb
+      FROM range(120) t(i)
+    )""",
+    False,
+)

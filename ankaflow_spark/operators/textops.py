@@ -2051,3 +2051,80 @@ def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t33_pii_audit"] = t33
 ORACLES["t33_pii_audit"] = _pii_audit_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# t34 — length-distribution drift (exact Kolmogorov-Smirnov vs the
+# corpus): per source, the KS distance between the source's document-
+# length ECDF and the whole-corpus ECDF, evaluated at every observed
+# length. PSI (q73) needs binning choices; KS is the binning-free
+# nonparametric complement every corpus-intake pipeline runs when a
+# new source's length profile looks off (truncation, boilerplate
+# padding, chunking bugs all show up as ECDF divergence long before
+# they show up in means). Scale shape: ONE map-side-combinable
+# (source, n_chars) count; the evaluation spine is |sources| x
+# |distinct lengths| (both bounded), cumulated by a window
+# PARTITIONed BY source; the corpus ECDF is a |distinct lengths|-
+# bounded walk (ts37's bounded-walk class). Exactness: ECDFs are
+# e6-quantized via INTEGER division (cum * 1e6 div n) before the
+# difference, so the max-abs-diff is pure integer arithmetic; the
+# reported ks divides once at the end.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); extends the q73/t16/t28 drift-and-mix family.
+# ---------------------------------------------------------------------------
+_KS_FLAG_E6 = 150000  # flag sources whose KS distance exceeds 0.15
+
+
+def _length_ks_sql(spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    return f"""
+    WITH per AS (
+      SELECT source, n_chars,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    vals AS (SELECT DISTINCT n_chars FROM per),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM per GROUP BY source
+    ),
+    gdist AS (
+      SELECT n_chars,
+             SUM(SUM(c)) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+      FROM per GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    spine AS (
+      SELECT s.source, s.n_src, v.n_chars FROM srcs s CROSS JOIN vals v
+    ),
+    src_cum AS (
+      SELECT sp.source, sp.n_src, sp.n_chars,
+             SUM(COALESCE(p.c, 0)) OVER (PARTITION BY sp.source
+               ORDER BY sp.n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      FROM spine sp
+      LEFT JOIN per p ON p.source = sp.source AND p.n_chars = sp.n_chars
+    ),
+    diffs AS (
+      SELECT sc.source, sc.n_src,
+             abs(CAST(sc.cum_s * 1000000 {intdiv} sc.n_src AS BIGINT)
+               - CAST(g.cum_g * 1000000 {intdiv} t.n_all AS BIGINT)) AS d_e6
+      FROM src_cum sc
+      JOIN gdist g ON g.n_chars = sc.n_chars
+      CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_docs,
+           CAST(MAX(d_e6) AS BIGINT) AS ks_e6,
+           CAST(MAX(d_e6) AS DOUBLE) / 1000000.0 AS ks,
+           MAX(d_e6) >= {_KS_FLAG_E6} AS drifted
+    FROM diffs
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("t34_length_ks_drift", oracle=_length_ks_sql(False))
+def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_length_ks_sql(True))

@@ -2527,3 +2527,54 @@ def ts41(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ts41_daily__"
     )
     return spark.sql(_burstiness_tail_sql("__ts41_daily__"))
+
+
+# ---------------------------------------------------------------------------
+# ts42 — DAU/WAU stickiness: per day, distinct active users that day
+# (DAU) over distinct users active in the trailing 7-day window (WAU),
+# the canonical product-engagement ratio (a user active every day
+# scores 1.0; a once-a-week population scores ~1/7). The sliding
+# DISTINCT is spelled scalably: the distinct (user, day) relation is
+# built ONCE (map-side-combinable), then each active day contributes
+# to at most 7 window ends via a 7-row offset spine — no corpus-wide
+# window, no per-day rescan, total intermediate volume <= 7|U|. DAU
+# and WAU are two bounded groupBys joined on the day; days past the
+# corpus edge are excluded by the DAU join (every output day is an
+# observed day). Exactness: day numbers are integer epoch days,
+# counts BIGINT, the ratio divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); completes the ts28/ts33/ts35/ts41 engagement family.
+# ---------------------------------------------------------------------------
+_STICKY_WINDOW = 7
+
+
+def _stickiness_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        daynum = "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        offsets = f"SELECT explode(sequence(0, {_STICKY_WINDOW - 1})) AS o"
+    else:
+        daynum = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        offsets = f"SELECT unnest(range(0, {_STICKY_WINDOW})) AS o"
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, {daynum} AS dn FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, dn + o.o AS wdn
+      FROM ud CROSS JOIN ({offsets}) o
+    ),
+    dau AS (SELECT dn, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY dn),
+    wau AS (SELECT wdn AS dn, CAST(COUNT(*) AS BIGINT) AS n FROM contrib GROUP BY wdn)
+    SELECT d.dn AS day_num,
+           d.n AS dau,
+           w.n AS wau,
+           CAST(d.n AS DOUBLE) / w.n AS stickiness
+    FROM dau d JOIN wau w ON w.dn = d.dn
+    ORDER BY day_num
+    """
+
+
+@query("ts42_stickiness", oracle=_stickiness_sql(False))
+def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_stickiness_sql(True))

@@ -147,6 +147,15 @@ HEADLINE = [
     "s25_stale_index_recall",
     "t33_pii_audit",
     "ts41_burstiness",
+    # round-8 wave (driver round 8): stickiness, freshness SLA, the
+    # multimodal shard plan, KS length drift, CH cluster validity
+    # (s26's wall includes its own Lloyd-round training, s20's
+    # accounting class)
+    "ts42_stickiness",
+    "q78_ingest_freshness",
+    "m12_shard_planner",
+    "t34_length_ks_drift",
+    "s26_calinski_harabasz",
 ]
 
 

@@ -2917,3 +2917,158 @@ def test_ts41_burstiness_vs_python(spark, sf_dir):
         assert r["fano"] == var / mean
         assert r["burstiness"] == (var**0.5 - mean) / (var**0.5 + mean)
         assert r["overdispersed"] == (n * sq - s * s > s * (n - 1))
+
+
+def test_ts42_stickiness_vs_python(spark, sf_dir):
+    """DAU/WAU must equal a literal per-day distinct-set recount with a
+    trailing 7-day union window."""
+    from collections import defaultdict
+    from datetime import date
+
+    from ankaflow_spark.operators.timeseries import _STICKY_WINDOW, QUERIES
+
+    out = QUERIES["ts42_stickiness"](spark, sf_dir).collect()
+    by_day = defaultdict(set)
+    epoch = date(1970, 1, 1)
+    for r in spark.table("events").select("user_id", "ts").collect():
+        by_day[(r["ts"].date() - epoch).days].add(r["user_id"])
+    assert [r["day_num"] for r in out] == sorted(by_day)
+    for r in out:
+        d = r["day_num"]
+        dau = len(by_day[d])
+        wau = len(set().union(*(by_day.get(d - o, set()) for o in range(_STICKY_WINDOW))))
+        assert (r["dau"], r["wau"]) == (dau, wau)
+        assert r["stickiness"] == dau / wau
+
+
+def test_q78_freshness_vs_python(spark, sf_dir):
+    """Lag/staleness/rate-drop must equal a literal per-type recount."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import _FRESH_SLA_MIN, QUERIES
+
+    out = QUERIES["q78_ingest_freshness"](spark, sf_dir).collect()
+    us = lambda t: int(t.timestamp() * 1000000)  # noqa: E731
+    per = defaultdict(list)
+    for r in spark.table("events").select("event_type", "ts").collect():
+        per[r["event_type"]].append(us(r["ts"]))
+    edge = max(max(v) for v in per.values())
+    day_us = 86400 * 1000000
+    assert [r["event_type"] for r in out] == sorted(per)
+    for r in out:
+        ts = per[r["event_type"]]
+        lag = (edge - max(ts)) // 60000000
+        assert (r["n_events"], r["lag_min"]) == (len(ts), lag)
+        assert r["is_stale"] == (lag >= _FRESH_SLA_MIN)
+        n_final = sum(1 for t in ts if t > edge - day_us)
+        days = (max(ts) - min(ts)) // day_us + 1
+        assert r["n_final_day"] == n_final
+        assert r["final_day_rate_ratio"] == n_final / (len(ts) / days)
+
+
+def test_m12_shard_planner_vs_python(spark, sf_dir):
+    """The byte-offset shard plan must equal a literal greedy walk over
+    the deterministic payload sizes."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.streamq import _SHARD_BUDGET_BYTES, QUERIES
+
+    out = QUERIES["m12_shard_planner"](spark, sf_dir).collect()
+    kinds = ["image", "audio", "video"]
+    shards = defaultdict(lambda: [0, 0, {k: 0 for k in kinds}, 0])
+    prior = 0
+    for i in range(120):
+        nb = 16 * (4 + i % 5)
+        s = shards[prior // _SHARD_BUDGET_BYTES]
+        s[0] += 1
+        s[1] += nb
+        s[2][kinds[i % 3]] += 1
+        s[3] = max(s[3], nb)
+        prior += nb
+    assert [r["shard_id"] for r in out] == sorted(shards)
+    for r in out:
+        n, b, mix, mx = shards[r["shard_id"]]
+        assert (r["n_items"], r["shard_bytes"], r["max_item_bytes"]) == (n, b, mx)
+        assert (r["n_images"], r["n_audio"], r["n_video"]) == (
+            mix["image"], mix["audio"], mix["video"],
+        )
+
+
+def test_t34_length_ks_vs_python(spark, sf_dir):
+    """Per-source KS distances must equal a literal integer-quantized
+    ECDF recount at every observed length."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.textops import _KS_FLAG_E6, QUERIES
+
+    out = QUERIES["t34_length_ks_drift"](spark, sf_dir).collect()
+    per = defaultdict(Counter)
+    for r in spark.table("documents").select("source", "n_chars").collect():
+        per[r["source"]][r["n_chars"]] += 1
+    all_counts = Counter()
+    for c in per.values():
+        all_counts.update(c)
+    vals = sorted(all_counts)
+    n_all = sum(all_counts.values())
+    assert [r["source"] for r in out] == sorted(per)
+    for r in out:
+        c = per[r["source"]]
+        n_src = sum(c.values())
+        cs = cg = 0
+        ks = 0
+        for v in vals:
+            cs += c.get(v, 0)
+            cg += all_counts[v]
+            ks = max(ks, abs(cs * 1000000 // n_src - cg * 1000000 // n_all))
+        assert (r["n_docs"], r["ks_e6"]) == (n_src, ks)
+        assert r["ks"] == ks / 1000000.0
+        assert r["drifted"] == (ks >= _KS_FLAG_E6)
+
+
+def test_s26_calinski_harabasz_vs_python(spark, sf_dir):
+    """Cluster scatters and the CH score must equal a literal
+    e6-lattice k-means recount (one Lloyd round from the vec_id < K
+    seeds, s17's machinery)."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.similarity import _KM_K, DIM, QUERIES
+
+    out = QUERIES["s26_calinski_harabasz"](spark, sf_dir).collect()
+    rows = spark.table("embeddings").select("vec_id", "embedding").collect()
+    import math
+
+    q = {
+        r["vec_id"]: [int(math.floor(float(x) * 1000000)) for x in r["embedding"]]
+        for r in rows
+    }
+
+    def dist(a, b):
+        return sum((a[d] - b[d]) * (a[d] - b[d]) for d in range(DIM))
+
+    c0 = {c: q[c] for c in range(_KM_K)}
+    m1 = {v: min(c0, key=lambda c: (dist(q[v], c0[c]), c)) for v in q}
+    c1 = {}
+    for c in range(_KM_K):
+        members = [v for v, cc in m1.items() if cc == c]
+        c1[c] = [
+            int(math.floor(sum(q[v][d] for v in members) / len(members)))
+            for d in range(DIM)
+        ]
+    m2 = {v: min(c1, key=lambda c: (dist(q[v], c1[c]), c)) for v in q}
+    gcent = [int(math.floor(sum(q[v][d] for v in q) / len(q))) for d in range(DIM)]
+    within = defaultdict(int)
+    nmem = defaultdict(int)
+    for v, c in m2.items():
+        within[c] += dist(q[v], c1[c]) // 1000000
+        nmem[c] += 1
+    between = {c: nmem[c] * (dist(c1[c], gcent) // 1000000) for c in c1}
+    n, k = len(q), _KM_K
+    w_tot, b_tot = sum(within.values()), sum(between.values())
+    ch = (b_tot / (k - 1)) / (w_tot / (n - k))
+    assert [r["cluster"] for r in out] == sorted(nmem)
+    for r in out:
+        c = r["cluster"]
+        assert (r["n_members"], r["within_e6"], r["between_e6"]) == (
+            nmem[c], within[c], between[c],
+        )
+        assert r["ch_score"] == ch

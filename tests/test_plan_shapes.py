@@ -68,6 +68,10 @@ BNLJ_ALLOWED = {
     "s24_lsh_plane_sweep",  # 4-row plane spine + 10-row hyperplane table + 5-query truth broadcast + 1-row corpus-total scalar (s02/d24's sweep-spine classes)
     "q77_partition_planner",  # 1-row table-total scalar cross-joined into the |months|-bounded partition relation — q59's scalar class
     "d27_transitivity_audit",  # 1-row wedge-total scalar cross-joined into the |classes|-bounded report — q59's scalar class
+    "ts42_stickiness",  # 7-row trailing-window offset spine cross-joined into the distinct (user, day) relation — s21's sweep-spine class
+    "q78_ingest_freshness",  # 1-row corpus-edge scalar cross-joined into the |event types|-bounded report — q59's scalar class
+    "t34_length_ks_drift",  # |sources| x |distinct lengths| evaluation spine + 1-row corpus-total scalar — d24's spine + q59's scalar classes
+    "s26_calinski_harabasz",  # 64-row dim spine (s07's constant-matrix class) + 1-row totals scalar into the k-bounded report — q59's class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
 }
 
@@ -103,6 +107,7 @@ SMJ_ALLOWED = {
     "s24_lsh_plane_sweep",  # masked-signature self-join on (p, bucket): both sides ARE the corpus x spine — s03's re-rank class
     "d27_transitivity_audit",  # verified-edge wedge join + candidate/shingle equi-joins: every side IS the candidate graph/corpus — d18/d22's classes
     "s25_stale_index_recall",  # stale-cell candidates x embeddings/norms re-rank joins: both sides ARE the corpus — s03's re-rank class
+    "s26_calinski_harabasz",  # dims x centroid scoring join on the dim key: the dims side IS the corpus x 64 lattice (stats-less derived relation) — s03's re-rank class, AQE broadcasts the k x 64 centroid side at runtime
 }
 
 
@@ -262,6 +267,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "q59_skew_diagnostics",  # re-rank over TakeOrderedAndProject's 10-row output
     "ts37_survival_curve",  # cumulative walk over the |distinct session durations|-bounded times relation (ts34/ts35's bounded-walk class)
     "ts38_decayed_leaderboard",  # re-rank over TakeOrderedAndProject's 10-row output (st11's rank-after-LIMIT spelling)
+    "t34_length_ks_drift",  # corpus-ECDF cumulative walk over the |distinct doc lengths|-bounded value relation — t18's count-of-counts class
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
@@ -313,6 +319,7 @@ EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st20_stream_decay_topk",  # re-rank over TakeOrderedAndProject's 10-row output (st11's pattern, ts38's tail)
     "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
     "st22_stream_survival_bounded",  # ts37's bounded-walk class over the closed-session relation
+    "m12_shard_planner",  # running byte-offset walk over the 120-item contract-scale inventory (m11's class; production inventories pre-partition by coarse key)
 }
 
 
