@@ -29,11 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 GRADED_FIRST = [
     # Re-curated for round 8 (len == 50, the driver's graded window).
     # Priority order per the r7 verdict punch item 1:
-    # (1) the 29 battery queries that have NEVER carried an official
+    # (1) the 29 battery queries that had NEVER carried an official
     #     driver-graded row (post-window-freeze session-7/8 wave) —
     #     all cell-exact at both SFs in CORRECTNESS_FULL_r30/SF01_r30;
-    # (2) the 21 stalest prior-green entries (20 whose last driver
-    #     grade is r03, plus d15 at r04).
+    # (2) the nine NEW round-8 entries (also never graded, by
+    #     construction);
+    # (3) the 12 stalest prior-green entries (all r03-last).
     # All rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py; every family remains represented.
     # (1) never driver-graded — the r7 queue at its old position 86-98
@@ -69,6 +70,9 @@ GRADED_FIRST = [
     "m12_shard_planner",  # new r8: byte-offset training-shard packing plan
     "t34_length_ks_drift",  # new r8: exact KS length-distribution drift
     "s26_calinski_harabasz",  # new r8: variance-ratio cluster validity
+    "d28_lexical_semantic_agreement",  # new r8: lex-vs-sem dedup confusion
+    "s27_clustering_stability",  # new r8: seed-sensitivity ARI
+    "q79_erasure_cascade",  # new r8: GDPR delete blast-radius audit
     "m09_silence_trim",
     "m10_aspect_buckets",
     "m11_shot_lengths",
@@ -85,19 +89,18 @@ GRADED_FIRST = [
     "q18_safe_math",
     "q19_above_avg_items",
     "q20_fn_dt_coercion",
-    "q22_collection_aggs",
-    "q23_month445",
-    "q24_string_agg",
-    # (d15_graph_centrality, q27/q28/q29, ts04/ts06 — the six stalest
-    # fillers (r03/r04-last) — yielded their slots to the six
-    # new-this-round entries st22/ts42/q78/m12/t34/s26: never-graded
-    # entries outrank stale re-grades; all six rotated-out queries
-    # stay cell-exact in CORRECTNESS_FULL_r*.)
+    # (d15_graph_centrality, q22/q23/q24, q27/q28/q29, ts04/ts06 — the
+    # nine stalest fillers (r03/r04-last) — yielded their slots to the
+    # nine new-this-round entries st22/ts42/q78/m12/t34/s26/d28/s27/
+    # q79: never-graded entries outrank stale re-grades; all rotated-
+    # out queries stay cell-exact in CORRECTNESS_FULL_r*.)
     # (r7 window rotated out: the 24 round-7-new entries and the six
     # __cands__ re-grades all carry official r07 greens in
     # CORRECTNESS_r07.json; the q62/ts28/d19-d21/s17/st13/st14/q67/
-    # t24/m07 block likewise. Union of driver greens r01-r08 will then
-    # cover all 235 battery queries — complete official trail.)
+    # t24/m07 block likewise. After r08 grades this window, every one
+    # of the 235 pre-r8 queries carries an official driver green
+    # (union r01-r08) AND the nine r8-new entries are graded in the
+    # same pass — a complete official trail over all 244.)
 ]
 
 

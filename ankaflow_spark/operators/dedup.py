@@ -2320,3 +2320,109 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d27_transitivity_audit"] = d27
 ORACLES["d27_transitivity_audit"] = _transitivity_sql(False)
+
+
+# ---------------------------------------------------------------------------
+# d28 — lexical vs semantic dedup agreement: over the SHARED banded-LSH
+# candidate pairs (the __cands__ relation d03/d11-d18 ride), the 2x2
+# confusion between the lexical verdict (exact shingle Jaccard, d03's
+# spelling) and the semantic verdict (exact embedding cosine, d05's
+# spelling), with per-cell mean similarity on both axes. Thresholds
+# are calibrated to the candidate population: banded-LSH pairs are
+# high-Jaccard BY CONSTRUCTION (observed min ~0.89 — the bands are
+# tuned for j >= ~0.5), so the lexical split sits at 0.95 (near-exact
+# clones vs merely-heavy overlap); the semantic split sits at cosine
+# 0 (the similar half-space). On this corpus the table itself is the
+# finding: the synthetic embeddings are INDEPENDENT of the text, so
+# lexical clones scatter evenly across the semantic axis — exactly
+# the decorrelation this audit exists to expose before a pipeline
+# trusts one family to stand in for the other.
+# This is the calibration table a curation pipeline reads before
+# choosing which dedup family to trust where: lex-only cells are
+# templated/boilerplate pairs, sem-only cells are paraphrases, and the
+# disagreement volume decides whether the expensive semantic pass is
+# worth running after the lexical one. Scale shape: candidates come
+# from the materialized __cands__ (never an all-pairs product), the
+# Jaccard arm is d03's candidates x shingles equi-joins, the cosine
+# arm joins the pair list to embeddings/norms (s03's re-rank class;
+# inner joins restrict to docs that HAVE an embedding), and the report
+# is 4 rows. Exactness: similarities are floor-e6-quantized BIGINTs
+# (the doubles they quantize are the shared sequential folds,
+# bit-identical cross-engine); per-cell means divide integer sums
+# once.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); joins the d03/d05 verdict families it audits.
+# ---------------------------------------------------------------------------
+
+
+D28_LEX_THRESHOLD = 0.95  # near-exact clones vs heavy-overlap candidates
+D28_SEM_THRESHOLD = 0.0  # the cosine-similar half-space
+
+
+def _agreement_sql(spark_dialect: bool) -> str:
+    from .similarity import _DUCK_NORM, _SPARK_NORM
+
+    cand_ctes = SPARK_CAND_CTES if spark_dialect else DUCK_CAND_CTES
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    if spark_dialect:
+        dot = (
+            "aggregate(zip_with(ea.embedding, eb.embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (x, y) -> x + y)"
+        )
+    else:
+        dot = (
+            "list_reduce(list_transform(range(1, 65), "
+            "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+    j_t = int(D28_LEX_THRESHOLD * 1000000)
+    c_t = int(D28_SEM_THRESHOLD * 1000000)
+    return f"""
+    WITH {cand_ctes},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    jacc AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common)
+                        * 1000000) AS BIGINT) AS j_e6
+      FROM common
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+    ),
+    norms AS ({norm}),
+    scored AS (
+      SELECT j.doc_a, j.doc_b, j.j_e6,
+             CAST(floor({dot} / (sqrt(na.norm2) * sqrt(nb.norm2))
+                        * 1000000) AS BIGINT) AS c_e6
+      FROM jacc j
+      JOIN embeddings ea ON ea.vec_id = j.doc_a
+      JOIN embeddings eb ON eb.vec_id = j.doc_b
+      JOIN norms na ON na.vec_id = j.doc_a
+      JOIN norms nb ON nb.vec_id = j.doc_b
+    )
+    SELECT j_e6 >= {j_t} AS lex_dup,
+           c_e6 >= {c_t} AS sem_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_jaccard,
+           CAST(SUM(c_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_cosine
+    FROM scored
+    GROUP BY j_e6 >= {j_t}, c_e6 >= {c_t}
+    ORDER BY lex_dup, sem_dup
+    """
+
+
+@query("d28_lexical_semantic_agreement", oracle=_agreement_sql(False))
+def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cached_embeddings
+
+    load_tables(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_agreement_sql(True))

@@ -3185,3 +3185,74 @@ def _freshness_sql(spark_dialect: bool) -> str:
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_freshness_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q79 — right-to-erasure cascade audit: for a deterministic deletion
+# cohort (customers with negative account balance), the full
+# referential blast radius BEFORE any delete runs — per nation:
+# cohort size, orders to cascade, lineitems to cascade (the
+# grandchild level q74's RI audit proves must not be orphaned), and
+# each nation's share of all rows the erasure touches. Every GDPR/
+# CCPA deletion pipeline over a 100 TB lakehouse runs exactly this
+# plan first: the cascade counts size the rewrite job and the share
+# tells you which partitions to compact afterwards. Scale shape: the
+# cohort is a filtered dimension broadcast into the orders fact scan;
+# orders->lineitem is the fact x fact equi-join (q38's SMJ class,
+# AQE broadcasts where small); reports are |nations|-bounded with a
+# 1-row blast-total scalar (q59's class). Exactness: counts BIGINT;
+# the share divides once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q74 (RI) / q75 (suppression) governance
+# family.
+# ---------------------------------------------------------------------------
+
+
+def _erasure_sql() -> str:
+    return """
+    WITH cohort AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0
+    ),
+    ord AS (
+      SELECT o.o_orderkey, c.c_nationkey
+      FROM orders o JOIN cohort c ON o.o_custkey = c.c_custkey
+    ),
+    cust_n AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cohort GROUP BY c_nationkey
+    ),
+    ord_n AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM ord GROUP BY c_nationkey
+    ),
+    li_n AS (
+      SELECT o.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.c_nationkey
+    ),
+    blast AS (
+      SELECT CAST((SELECT COUNT(*) FROM cohort)
+                  + (SELECT COUNT(*) FROM ord)
+                  + (SELECT COALESCE(SUM(n_lineitems), 0) FROM li_n)
+                  AS BIGINT) AS total_rows
+    )
+    SELECT n.n_name AS nation,
+           c.n_customers AS n_customers,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(l.n_lineitems, 0) AS BIGINT) AS n_lineitems,
+           CAST(c.n_customers + COALESCE(o.n_orders, 0)
+                + COALESCE(l.n_lineitems, 0) AS DOUBLE) / b.total_rows
+             AS blast_share
+    FROM cust_n c
+    LEFT JOIN ord_n o ON o.c_nationkey = c.c_nationkey
+    LEFT JOIN li_n l ON l.c_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN blast b
+    ORDER BY nation
+    """
+
+
+@query("q79_erasure_cascade", oracle=_erasure_sql())
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_erasure_sql())

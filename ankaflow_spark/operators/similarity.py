@@ -2669,3 +2669,103 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_ch_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s27 — clustering stability (adjusted Rand index): the s11/s17 Lloyd
+# round run twice from DISJOINT seed sets (vec_id < K vs K <= vec_id
+# < 2K), compared by the k x k assignment contingency table and the
+# ARI — the standard seed-sensitivity check before trusting any
+# k-means-derived curation decision (SemDeDup pruning, IVF coarse
+# quantizers, cluster-balanced sampling all inherit the partition).
+# ARI ~ 1: the partition is a property of the data; ARI ~ 0: it is an
+# artifact of the seeds. Scale shape: s17's class twice — dims built
+# once, each run is an n x k broadcast scoring join; the contingency
+# table is k x k; the ARI is integer pair-counting arithmetic
+# (sum C(n_ij, 2) etc.) folded in a 1-row scalar that cross-joins
+# into the bounded report (q59's class). Exactness: all counts and
+# pair counts are BIGINT; the ARI is spelled with ONE division —
+# 2*(index*C(n,2) - sumA*sumB) / (C(n,2)*(sumA+sumB) - 2*sumA*sumB).
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the s11/s17/s26 clustering-eval family.
+# ---------------------------------------------------------------------------
+
+
+def _stability_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        dspine = f"SELECT explode(sequence(0, {DIM - 1})) AS d"
+        elem = "embedding[t.d]"
+    else:
+        dspine = f"SELECT unnest(range(0, {DIM})) AS d"
+        elem = "embedding[t.d + 1]"
+    assign = """
+      SELECT vec_id, c FROM (
+        SELECT dims.vec_id, {cent}.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY dims.vec_id
+                 ORDER BY SUM((dims.q - {cent}.q) * (dims.q - {cent}.q)), {cent}.c
+               ) AS rk
+        FROM dims JOIN {cent} ON {cent}.d = dims.d
+        GROUP BY dims.vec_id, {cent}.c
+      ) x WHERE rk = 1
+    """
+    lloyd = """
+    c0{tag} AS (SELECT vec_id - {lo} AS c, d, q FROM dims
+                WHERE vec_id >= {lo} AND vec_id < {hi}),
+    m1{tag} AS ({assign0}),
+    c1{tag} AS (
+      SELECT m.c, dims.d,
+             CAST(floor(CAST(SUM(dims.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims JOIN m1{tag} m ON m.vec_id = dims.vec_id
+      GROUP BY m.c, dims.d
+    ),
+    m2{tag} AS ({assign1})
+    """
+
+    def run(tag: str, lo: int, hi: int) -> str:
+        return lloyd.format(
+            tag=tag,
+            lo=lo,
+            hi=hi,
+            assign0=assign.format(cent=f"c0{tag}"),
+            assign1=assign.format(cent=f"c1{tag}"),
+        )
+
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST({elem} AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN ({dspine}) t
+    ),
+    {run("a", 0, _KM_K)},
+    {run("b", _KM_K, 2 * _KM_K)},
+    cont AS (
+      SELECT a.c AS ca, b.c AS cb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m2a a JOIN m2b b ON b.vec_id = a.vec_id
+      GROUP BY a.c, b.c
+    ),
+    rowsums AS (SELECT ca, CAST(SUM(n) AS BIGINT) AS n FROM cont GROUP BY ca),
+    colsums AS (SELECT cb, CAST(SUM(n) AS BIGINT) AS n FROM cont GROUP BY cb),
+    ari AS (
+      SELECT
+        CAST((SELECT SUM(n * (n - 1)) FROM cont) AS BIGINT) AS idx2,
+        CAST((SELECT SUM(n * (n - 1)) FROM rowsums) AS BIGINT) AS sa2,
+        CAST((SELECT SUM(n * (n - 1)) FROM colsums) AS BIGINT) AS sb2,
+        CAST((SELECT SUM(n) AS n FROM cont) AS BIGINT) AS n
+    ),
+    score AS (
+      SELECT CAST(2 * (idx2 * (n * (n - 1)) - sa2 * sb2) AS DOUBLE)
+             / ((n * (n - 1)) * (sa2 + sb2) - 2 * sa2 * sb2) AS ari
+      FROM ari
+    )
+    SELECT c.ca AS cluster_a, c.cb AS cluster_b, c.n AS n_points, s.ari AS ari
+    FROM cont c CROSS JOIN score s
+    ORDER BY cluster_a, cluster_b
+    """
+
+
+@query("s27_clustering_stability", oracle=_stability_sql(False))
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_stability_sql(True))

@@ -156,6 +156,12 @@ HEADLINE = [
     "m12_shard_planner",
     "t34_length_ks_drift",
     "s26_calinski_harabasz",
+    # round-8 wave 2: the lex-vs-sem calibration table (rides the
+    # shared __cands__ like d03), ARI seed stability (two Lloyd
+    # rounds, s26's accounting class), and the erasure blast radius
+    "d28_lexical_semantic_agreement",
+    "s27_clustering_stability",
+    "q79_erasure_cascade",
 ]
 
 

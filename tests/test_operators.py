@@ -3072,3 +3072,185 @@ def test_s26_calinski_harabasz_vs_python(spark, sf_dir):
             nmem[c], within[c], between[c],
         )
         assert r["ch_score"] == ch
+
+
+def test_d28_agreement_vs_python(spark, sf_dir):
+    """The lex/sem confusion must equal a literal recount: banded-LSH
+    candidates -> exact shingle Jaccard and sequential-fold cosine,
+    both floor-e6-quantized."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.dedup import (
+        _ROWS_PER_BAND,
+        D28_LEX_THRESHOLD,
+        D28_SEM_THRESHOLD,
+        MINHASH_K,
+        QUERIES,
+        SHINGLE_WORDS,
+    )
+
+    out = QUERIES["d28_lexical_semantic_agreement"](spark, sf_dir).collect()
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.table("embeddings").select("vec_id", "embedding").collect()
+    }
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < SHINGLE_WORDS:
+            return {" ".join(w)}
+        return {
+            " ".join(w[i : i + SHINGLE_WORDS])
+            for i in range(len(w) - SHINGLE_WORDS + 1)
+        }
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    bands = defaultdict(list)
+    for d, ss in sh.items():
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in ss]
+        mh = [
+            min(int(h[seed : seed + 14], 16) for h in hs)
+            for seed in range(MINHASH_K)
+        ]
+        for b in range(MINHASH_K // _ROWS_PER_BAND):
+            key = "-".join(
+                str(mh[b * _ROWS_PER_BAND + r]) for r in range(_ROWS_PER_BAND)
+            )
+            bands[(b, key)].append(d)
+    cands = set()
+    for members in bands.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cands.add((a, b))
+
+    def fold_dot(u, v):
+        s = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+        return s
+
+    cells = defaultdict(lambda: [0, 0, 0])
+    for a, b in cands:
+        if a not in embs or b not in embs:
+            continue
+        inter = len(sh[a] & sh[b])
+        j_e6 = math.floor(inter / (len(sh[a]) + len(sh[b]) - inter) * 1000000)
+        cos = fold_dot(embs[a], embs[b]) / (
+            math.sqrt(fold_dot(embs[a], embs[a]))
+            * math.sqrt(fold_dot(embs[b], embs[b]))
+        )
+        c_e6 = math.floor(cos * 1000000)
+        cell = cells[
+            (j_e6 >= D28_LEX_THRESHOLD * 1000000, c_e6 >= D28_SEM_THRESHOLD * 1000000)
+        ]
+        cell[0] += 1
+        cell[1] += j_e6
+        cell[2] += c_e6
+    assert [(r["lex_dup"], r["sem_dup"]) for r in out] == sorted(cells)
+    for r in out:
+        n, js, cs = cells[(r["lex_dup"], r["sem_dup"])]
+        assert r["n_pairs"] == n
+        assert r["mean_jaccard"] == js / (n * 1000000.0)
+        assert r["mean_cosine"] == cs / (n * 1000000.0)
+
+
+def test_s27_stability_vs_python(spark, sf_dir):
+    """The contingency table and ARI must equal a literal two-run
+    Lloyd recount on the e6 lattice."""
+    import math
+
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.similarity import _KM_K, DIM, QUERIES
+
+    out = QUERIES["s27_clustering_stability"](spark, sf_dir).collect()
+    rows = spark.table("embeddings").select("vec_id", "embedding").collect()
+    q = {
+        r["vec_id"]: [int(math.floor(float(x) * 1000000)) for x in r["embedding"]]
+        for r in rows
+    }
+
+    def dist(a, b):
+        return sum((a[d] - b[d]) * (a[d] - b[d]) for d in range(DIM))
+
+    def lloyd(lo):
+        c0 = {c - lo: q[c] for c in range(lo, lo + _KM_K)}
+        m1 = {v: min(c0, key=lambda c: (dist(q[v], c0[c]), c)) for v in q}
+        c1 = {}
+        for c in range(_KM_K):
+            mem = [v for v, cc in m1.items() if cc == c]
+            c1[c] = [
+                int(math.floor(sum(q[v][d] for v in mem) / len(mem)))
+                for d in range(DIM)
+            ]
+        return {v: min(c1, key=lambda c: (dist(q[v], c1[c]), c)) for v in q}
+
+    ma, mb = lloyd(0), lloyd(_KM_K)
+    cont = defaultdict(int)
+    for v in q:
+        cont[(ma[v], mb[v])] += 1
+    idx2 = sum(n * (n - 1) for n in cont.values())
+    ra = defaultdict(int)
+    rb = defaultdict(int)
+    for (a, b), n in cont.items():
+        ra[a] += n
+        rb[b] += n
+    sa2 = sum(n * (n - 1) for n in ra.values())
+    sb2 = sum(n * (n - 1) for n in rb.values())
+    n = len(q)
+    n2 = n * (n - 1)
+    ari = 2 * (idx2 * n2 - sa2 * sb2) / (n2 * (sa2 + sb2) - 2 * sa2 * sb2)
+    assert [(r["cluster_a"], r["cluster_b"]) for r in out] == sorted(cont)
+    for r in out:
+        assert r["n_points"] == cont[(r["cluster_a"], r["cluster_b"])]
+        assert r["ari"] == ari
+
+
+def test_q79_erasure_vs_python(spark, sf_dir):
+    """The cascade counts and blast share must equal a literal
+    three-table walk."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q79_erasure_cascade"](spark, sf_dir).collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.table("customer")
+        .filter("c_acctbal < 0")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    nname = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.table("nation").select("n_nationkey", "n_name").collect()
+    }
+    ordn = {}
+    per_o = defaultdict(int)
+    for r in spark.table("orders").select("o_orderkey", "o_custkey").collect():
+        if r["o_custkey"] in cust:
+            ordn[r["o_orderkey"]] = cust[r["o_custkey"]]
+            per_o[cust[r["o_custkey"]]] += 1
+    per_l = defaultdict(int)
+    for r in spark.table("lineitem").select("l_orderkey").collect():
+        if r["l_orderkey"] in ordn:
+            per_l[ordn[r["l_orderkey"]]] += 1
+    per_c = defaultdict(int)
+    for nk in cust.values():
+        per_c[nk] += 1
+    total = len(cust) + len(ordn) + sum(per_l.values())
+    assert [r["nation"] for r in out] == sorted(nname[k] for k in per_c)
+    for r in out:
+        nk = next(k for k, v in nname.items() if v == r["nation"])
+        assert (r["n_customers"], r["n_orders"], r["n_lineitems"]) == (
+            per_c[nk], per_o[nk], per_l[nk],
+        )
+        assert r["blast_share"] == (per_c[nk] + per_o[nk] + per_l[nk]) / total

@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "q78_ingest_freshness",  # 1-row corpus-edge scalar cross-joined into the |event types|-bounded report — q59's scalar class
     "t34_length_ks_drift",  # |sources| x |distinct lengths| evaluation spine + 1-row corpus-total scalar — d24's spine + q59's scalar classes
     "s26_calinski_harabasz",  # 64-row dim spine (s07's constant-matrix class) + 1-row totals scalar into the k-bounded report — q59's class
+    "s27_clustering_stability",  # 64-row dim spine (s07's class) + 1-row ARI scalar cross-joined into the k x k contingency — q59's class
+    "q79_erasure_cascade",  # 1-row blast-total scalar cross-joined into the |nations|-bounded report — q59's scalar class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
 }
 
@@ -108,6 +110,9 @@ SMJ_ALLOWED = {
     "d27_transitivity_audit",  # verified-edge wedge join + candidate/shingle equi-joins: every side IS the candidate graph/corpus — d18/d22's classes
     "s25_stale_index_recall",  # stale-cell candidates x embeddings/norms re-rank joins: both sides ARE the corpus — s03's re-rank class
     "s26_calinski_harabasz",  # dims x centroid scoring join on the dim key: the dims side IS the corpus x 64 lattice (stats-less derived relation) — s03's re-rank class, AQE broadcasts the k x 64 centroid side at runtime
+    "s27_clustering_stability",  # two Lloyd runs of s26's dims x centroid scoring join — same class
+    "d28_lexical_semantic_agreement",  # candidates x shingles / x embeddings verify joins: both sides ARE the corpus — d18/s03's classes
+    "q79_erasure_cascade",  # cascade orders x lineitem on l_orderkey: fact x fact — q38's SMJ class, AQE broadcasts where small
 }
 
 
