@@ -2578,3 +2578,84 @@ def _stickiness_sql(spark_dialect: bool) -> str:
 def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_stickiness_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts43 — in-session event-type co-occurrence (market-basket lift):
+# for every ordered pair of event types, the number of sessions
+# containing BOTH, support, directional confidence, and lift — the
+# association table behind behavioral features ("users who search in
+# a session also purchase in it 2.3x more than chance") and
+# next-action models. Sessions are ts02's gap islands; the basket
+# relation is the DISTINCT (user, session, type) projection, so
+# repeat events inside a session count once (true basket semantics).
+# Scale shape: one sessionizer pass (entity-keyed windows), one
+# map-side-combinable distinct, a self-equi-join on the session key
+# whose output is bounded by |types|^2 per session, and a
+# |type pairs|-bounded report with a 1-row session-total scalar
+# (q59's class). Exactness: all counts BIGINT; support/confidence/
+# lift each divide once (lift's numerator multiplies integers before
+# its single division).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the ts02/ts32 session-analytics family.
+# ---------------------------------------------------------------------------
+
+
+def _cooccurrence_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                  OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, session_seq, event_type FROM (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+        FROM flagged
+      ) s
+    ),
+    n_sess AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT user_id, session_seq FROM baskets
+      ) z
+    ),
+    per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a
+      JOIN baskets b ON b.user_id = a.user_id AND b.session_seq = a.session_seq
+                    AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a AS type_a, p.type_b AS type_b, p.n_ab AS n_both,
+           CAST(p.n_ab AS DOUBLE) / s.n AS support,
+           CAST(p.n_ab AS DOUBLE) / ta.n_t AS conf_a_to_b,
+           CAST(p.n_ab AS DOUBLE) / tb.n_t AS conf_b_to_a,
+           CAST(p.n_ab * s.n AS DOUBLE) / (ta.n_t * tb.n_t) AS lift
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    CROSS JOIN n_sess s
+    ORDER BY type_a, type_b
+    """
+
+
+@query("ts43_session_cooccurrence", oracle=_cooccurrence_sql(False))
+def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_cooccurrence_sql(True))

@@ -162,6 +162,7 @@ HEADLINE = [
     "d28_lexical_semantic_agreement",
     "s27_clustering_stability",
     "q79_erasure_cascade",
+    "ts43_session_cooccurrence",
 ]
 
 

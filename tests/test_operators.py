@@ -3254,3 +3254,49 @@ def test_q79_erasure_vs_python(spark, sf_dir):
             per_c[nk], per_o[nk], per_l[nk],
         )
         assert r["blast_share"] == (per_c[nk] + per_o[nk] + per_l[nk]) / total
+
+
+def test_ts43_cooccurrence_vs_python(spark, sf_dir):
+    """Support/confidence/lift must equal a literal session-basket
+    recount (gap islands, distinct types per session)."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import SESSION_GAP_MIN, QUERIES
+
+    out = QUERIES["ts43_session_cooccurrence"](spark, sf_dir).collect()
+    evs = defaultdict(list)
+    for r in (
+        spark.table("events").select("user_id", "event_id", "ts", "event_type").collect()
+    ):
+        evs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    baskets = []
+    for u, rows in evs.items():
+        rows.sort()
+        cur = None
+        prev = None
+        for ts, _eid, et in rows:
+            t = int(ts.timestamp() * 1000000)
+            if prev is None or t - prev > gap_us:
+                cur = set()
+                baskets.append(cur)
+            cur.add(et)
+            prev = t
+    n_sess = len(baskets)
+    n_t = defaultdict(int)
+    n_ab = defaultdict(int)
+    for b in baskets:
+        for t in b:
+            n_t[t] += 1
+        types = sorted(b)
+        for i, a in enumerate(types):
+            for c in types[i + 1 :]:
+                n_ab[(a, c)] += 1
+    assert [(r["type_a"], r["type_b"]) for r in out] == sorted(n_ab)
+    for r in out:
+        k = (r["type_a"], r["type_b"])
+        assert r["n_both"] == n_ab[k]
+        assert r["support"] == n_ab[k] / n_sess
+        assert r["conf_a_to_b"] == n_ab[k] / n_t[k[0]]
+        assert r["conf_b_to_a"] == n_ab[k] / n_t[k[1]]
+        assert r["lift"] == n_ab[k] * n_sess / (n_t[k[0]] * n_t[k[1]])

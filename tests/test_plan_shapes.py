@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "s26_calinski_harabasz",  # 64-row dim spine (s07's constant-matrix class) + 1-row totals scalar into the k-bounded report — q59's class
     "s27_clustering_stability",  # 64-row dim spine (s07's class) + 1-row ARI scalar cross-joined into the k x k contingency — q59's class
     "q79_erasure_cascade",  # 1-row blast-total scalar cross-joined into the |nations|-bounded report — q59's scalar class
+    "ts43_session_cooccurrence",  # 1-row session-total scalar cross-joined into the |type pairs|-bounded report — q59's scalar class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
 }
 
@@ -113,6 +114,7 @@ SMJ_ALLOWED = {
     "s27_clustering_stability",  # two Lloyd runs of s26's dims x centroid scoring join — same class
     "d28_lexical_semantic_agreement",  # candidates x shingles / x embeddings verify joins: both sides ARE the corpus — d18/s03's classes
     "q79_erasure_cascade",  # cascade orders x lineitem on l_orderkey: fact x fact — q38's SMJ class, AQE broadcasts where small
+    "ts43_session_cooccurrence",  # basket self-join on the session key: both sides ARE the distinct (session, type) corpus relation — d12's class, |types|^2-bounded per session
 }
 
 
