@@ -2591,15 +2591,36 @@ ORACLES["s25_stale_index_recall"] = _stale_recall_sql(False)
 # ---------------------------------------------------------------------------
 
 
-def _ch_sql(spark_dialect: bool) -> str:
+def _dims_sql(spark_dialect: bool) -> str:
+    """The shared e6-lattice (vec_id, d, q) relation s17/s26/s27 score
+    against."""
     if spark_dialect:
         dspine = f"SELECT explode(sequence(0, {DIM - 1})) AS d"
         elem = "embedding[t.d]"
-        intdiv = "div"
     else:
         dspine = f"SELECT unnest(range(0, {DIM})) AS d"
         elem = "embedding[t.d + 1]"
-        intdiv = "//"
+    return f"""
+      SELECT vec_id, t.d AS d,
+             CAST(floor(CAST({elem} AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN ({dspine}) t
+    """
+
+
+def _cached_dims(spark: SparkSession) -> None:
+    """Materialize the e6 dims lattice ONCE per query (localCheckpoint,
+    eager): the s26/s27 CTE chains reference dims 6-8 times and Spark
+    inlines CTEs, so without this every reference re-runs the scan +
+    explode. At cluster scale this is the persisted feature lattice a
+    clustering pipeline stages before Lloyd iterations."""
+    spark.sql(_dims_sql(True)).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__km_dims__"
+    )
+
+
+def _ch_sql(spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
     assign = """
       SELECT vec_id, c, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
@@ -2611,11 +2632,7 @@ def _ch_sql(spark_dialect: bool) -> str:
       ) x
     """
     return f"""
-    WITH dims AS (
-      SELECT vec_id, t.d AS d,
-             CAST(floor(CAST({elem} AS DOUBLE) * 1000000) AS BIGINT) AS q
-      FROM embeddings CROSS JOIN ({dspine}) t
-    ),
+    WITH dims AS ({dims}),
     c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
     a1 AS ({assign.format(cent="c0")}),
     m1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1),
@@ -2668,6 +2685,7 @@ def _ch_sql(spark_dialect: bool) -> str:
 def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
+    _cached_dims(spark)
     return spark.sql(_ch_sql(True))
 
 
@@ -2692,12 +2710,7 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stability_sql(spark_dialect: bool) -> str:
-    if spark_dialect:
-        dspine = f"SELECT explode(sequence(0, {DIM - 1})) AS d"
-        elem = "embedding[t.d]"
-    else:
-        dspine = f"SELECT unnest(range(0, {DIM})) AS d"
-        elem = "embedding[t.d + 1]"
+    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
     assign = """
       SELECT vec_id, c FROM (
         SELECT dims.vec_id, {cent}.c,
@@ -2732,11 +2745,7 @@ def _stability_sql(spark_dialect: bool) -> str:
         )
 
     return f"""
-    WITH dims AS (
-      SELECT vec_id, t.d AS d,
-             CAST(floor(CAST({elem} AS DOUBLE) * 1000000) AS BIGINT) AS q
-      FROM embeddings CROSS JOIN ({dspine}) t
-    ),
+    WITH dims AS ({dims}),
     {run("a", 0, _KM_K)},
     {run("b", _KM_K, 2 * _KM_K)},
     cont AS (
@@ -2768,4 +2777,5 @@ def _stability_sql(spark_dialect: bool) -> str:
 def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
+    _cached_dims(spark)
     return spark.sql(_stability_sql(True))
