@@ -2185,9 +2185,9 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucket candidate path (equi-join on a hyperplane bucket — NOT
 # the quadratic all-pairs scan) whose plane count is
 # OCCUPANCY-ADAPTIVE (r7 verdict fix): both engines compute
-# p = min plane count with 2^p * {target} >= COUNT(*) — i.e.
+# p = min plane count with 2^p * 8 >= COUNT(*) — i.e.
 # ceil(log2(N / target_occupancy)) — via exact integer arithmetic
-# over a constant spine, so per-bucket occupancy stays ~{target} and
+# over a constant spine, so per-bucket occupancy stays ~8 and
 # bucket-join pair volume grows ~linearly with the corpus instead of
 # quadratically (the fixed-8-bit space died at 100x; s24 is the
 # measured sweep behind this rule, production note: planes ∝ log2 N).
@@ -2206,7 +2206,7 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to DuckDB); extends the s19/s22 embedding-health family.
 # ---------------------------------------------------------------------------
 HUB_K = 5  # neighbors per query in the audit graph
-HUB_TARGET_OCC = 16  # target per-bucket occupancy for the candidate join
+HUB_TARGET_OCC = 8  # target per-bucket occupancy for the candidate join
 _HUB_MAX_PLANES = 30  # spine bound: 2^30 * 16 covers ~17B vectors
 
 
