@@ -1984,3 +1984,54 @@ def op_decayed_leaderboard(engine, df: DataFrame, params: Dict[str, Any]) -> Dat
         "rn",
         F.row_number().over(Window.orderBy(F.col("decayed_n").desc(), "user_id")),
     ).orderBy("rn")
+
+
+@operator("stickiness")
+def op_stickiness(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """DAU/WAU stickiness (ts42 as a reusable stage): sliding 7-day
+    distinct-user ratio per day; the sliding DISTINCT is a 7-row
+    contribution explode over the once-built (user, day) relation —
+    no corpus-wide windows (see timeseries._stickiness_sql)."""
+    from .timeseries import _stickiness_sql
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    df.select(
+        F.col(user).alias("user_id"), F.col(ts_col).alias("ts")
+    ).createOrReplaceTempView("__op_stickiness__")
+    return engine.spark.sql(_stickiness_sql(True, table="__op_stickiness__"))
+
+
+@operator("ingest_freshness")
+def op_ingest_freshness(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Ingest-freshness SLA audit (q78 as a reusable stage): per-key
+    last-seen lag vs the corpus edge, staleness flag, final-24h vs
+    mean-daily rate-drop signal (see relational._freshness_sql)."""
+    from .relational import _freshness_sql
+
+    key = params.get("key", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    df.select(
+        F.col(key).alias("event_type"), F.col(ts_col).alias("ts")
+    ).createOrReplaceTempView("__op_freshness__")
+    return engine.spark.sql(_freshness_sql(True, table="__op_freshness__"))
+
+
+@operator("session_cooccurrence")
+def op_session_cooccurrence(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """In-session event-type co-occurrence (ts43 as a reusable stage):
+    market-basket support/confidence/lift over gap-island session
+    baskets (see timeseries._cooccurrence_sql)."""
+    from .timeseries import _cooccurrence_sql
+
+    user = params.get("user", "user_id")
+    ts_col = params.get("ts_col", "ts")
+    id_col = params.get("id_col", "event_id")
+    type_col = params.get("type_col", "event_type")
+    df.select(
+        F.col(user).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+    ).createOrReplaceTempView("__op_cooccur__")
+    return engine.spark.sql(_cooccurrence_sql(True, table="__op_cooccur__"))

@@ -3145,7 +3145,7 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRESH_SLA_MIN = 60
 
 
-def _freshness_sql(spark_dialect: bool) -> str:
+def _freshness_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
@@ -3155,12 +3155,12 @@ def _freshness_sql(spark_dialect: bool) -> str:
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(MIN({epoch}(ts)) AS BIGINT) AS first_us,
              CAST(MAX({epoch}(ts)) AS BIGINT) AS last_us
-      FROM events GROUP BY event_type
+      FROM {table} GROUP BY event_type
     ),
     edge AS (SELECT CAST(MAX(last_us) AS BIGINT) AS edge_us FROM per_type),
     final_day AS (
       SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_final_day
-      FROM events e
+      FROM {table} e
       JOIN per_type p ON p.event_type = e.event_type
       CROSS JOIN edge x
       WHERE {epoch}(e.ts) > x.edge_us - {day_us}

@@ -2548,7 +2548,7 @@ def ts41(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STICKY_WINDOW = 7
 
 
-def _stickiness_sql(spark_dialect: bool) -> str:
+def _stickiness_sql(spark_dialect: bool, table: str = "events") -> str:
     if spark_dialect:
         daynum = "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
         offsets = f"SELECT explode(sequence(0, {_STICKY_WINDOW - 1})) AS o"
@@ -2557,7 +2557,7 @@ def _stickiness_sql(spark_dialect: bool) -> str:
         offsets = f"SELECT unnest(range(0, {_STICKY_WINDOW})) AS o"
     return f"""
     WITH ud AS (
-      SELECT DISTINCT user_id, {daynum} AS dn FROM events
+      SELECT DISTINCT user_id, {daynum} AS dn FROM {table}
     ),
     contrib AS (
       SELECT DISTINCT user_id, dn + o.o AS wdn
@@ -2601,14 +2601,14 @@ def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cooccurrence_sql(spark_dialect: bool) -> str:
+def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     gap_us = SESSION_GAP_MIN * 60 * 1000000
     return f"""
     WITH ordered AS (
       SELECT user_id, event_id, ts, event_type,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
+      FROM {table}
     ),
     flagged AS (
       SELECT user_id, event_id, ts, event_type,

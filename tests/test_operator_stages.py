@@ -1217,3 +1217,63 @@ def test_decayed_leaderboard_overflow_raises_loudly(engine):
         OPERATORS["decayed_leaderboard"](
             engine, df, {"top_n": 10, "max_span_weeks": 61}
         ).collect()
+
+
+def test_stickiness_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: stick
+  op: stickiness
+  params: {{user: user_id, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts42_stickiness"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_ingest_freshness_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: fresh
+  op: ingest_freshness
+  params: {{key: event_type, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q78_ingest_freshness"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_session_cooccurrence_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: basket
+  op: session_cooccurrence
+  params: {{user: user_id, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts43_session_cooccurrence"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
