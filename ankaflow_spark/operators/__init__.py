@@ -32,9 +32,9 @@ GRADED_FIRST = [
     # (1) the 29 battery queries that had NEVER carried an official
     #     driver-graded row (post-window-freeze session-7/8 wave) —
     #     all cell-exact at both SFs in CORRECTNESS_FULL_r30/SF01_r30;
-    # (2) the ten NEW round-8 entries (also never graded, by
+    # (2) the eleven NEW round-8 entries (also never graded, by
     #     construction);
-    # (3) the 11 stalest prior-green entries (all r03-last).
+    # (3) the ten stalest prior-green entries (all r03-last).
     # All rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
     # via tools/oracle_check.py; every family remains represented.
     # (1) never driver-graded — the r7 queue at its old position 86-98
@@ -74,6 +74,7 @@ GRADED_FIRST = [
     "s27_clustering_stability",  # new r8: seed-sensitivity ARI
     "q79_erasure_cascade",  # new r8: GDPR delete blast-radius audit
     "ts43_session_cooccurrence",  # new r8: in-session market-basket lift
+    "q80_join_fanout_audit",  # new r8: FK fan-out / amplification diagnostics
     "m09_silence_trim",
     "m10_aspect_buckets",
     "m11_shot_lengths",
@@ -88,11 +89,10 @@ GRADED_FIRST = [
     "q13_anti_join",
     "q17_scalar_functions",
     "q18_safe_math",
-    "q19_above_avg_items",
-    # (d15_graph_centrality, q20, q22/q23/q24, q27/q28/q29, ts04/ts06 — the
-    # ten stalest fillers (r03/r04-last) — yielded their slots to the
-    # ten new-this-round entries st22/ts42/q78/m12/t34/s26/d28/s27/
-    # q79/ts43: never-graded entries outrank stale re-grades; all rotated-
+    # (d15_graph_centrality, q19/q20, q22/q23/q24, q27/q28/q29, ts04/ts06 — the
+    # eleven stalest fillers (r03/r04-last) — yielded their slots to the
+    # eleven new-this-round entries st22/ts42/q78/m12/t34/s26/d28/s27/
+    # q79/ts43/q80: never-graded entries outrank stale re-grades; all rotated-
     # out queries stay cell-exact in CORRECTNESS_FULL_r*.)
     # (r7 window rotated out: the 24 round-7-new entries and the six
     # __cands__ re-grades all carry official r07 greens in
@@ -100,7 +100,7 @@ GRADED_FIRST = [
     # t24/m07 block likewise. After r08 grades this window, every one
     # of the 235 pre-r8 queries carries an official driver green
     # (union r01-r08) AND the nine r8-new entries are graded in the
-    # same pass — a complete official trail over all 245.)
+    # same pass — a complete official trail over all 246.)
 ]
 
 

@@ -3256,3 +3256,50 @@ def _erasure_sql() -> str:
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_erasure_sql())
+
+
+# ---------------------------------------------------------------------------
+# q80 — join fan-out audit: for each FK relationship in the star
+# schema (customer->orders, orders->lineitem), the parent/child row
+# counts, how many parents actually match, the max and mean fan-out,
+# and the skew ratio max/mean — the cardinality-amplification numbers
+# a planner (or a human) reads before choosing join strategy at
+# 100 TB: mean fan-out sizes the shuffle output, max/mean >> 1 is the
+# salting/AQE-skew-split trigger, and orphaned children are q74's RI
+# escalation. Scale shape: each relationship is ONE map-side-
+# combinable child groupBy onto a |parents with children|-bounded
+# fan-out relation folded to a single row — no parent x child join is
+# ever materialized; the report is |relationships| rows. Exactness:
+# counts BIGINT; mean and skew each divide once (skew multiplies
+# integers before its single division).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q59 (skew) / q74 (RI) diagnostics
+# family.
+# ---------------------------------------------------------------------------
+
+
+def _fanout_sql() -> str:
+    def rel(name: str, parent: str, pk: str, child: str, fk: str) -> str:
+        return f"""
+    SELECT '{name}' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}) AS n_parents,
+           CAST(SUM(c) AS BIGINT) AS n_children,
+           CAST(COUNT(*) AS BIGINT) AS matched_parents,
+           CAST(MAX(c) AS BIGINT) AS max_fanout,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_fanout,
+           CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS fanout_skew
+    FROM (SELECT {fk} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {child} GROUP BY {fk}) f
+    """
+
+    return f"""
+    {rel("customer->orders", "customer", "c_custkey", "orders", "o_custkey")}
+    UNION ALL
+    {rel("orders->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+    ORDER BY relationship
+    """
+
+
+@query("q80_join_fanout_audit", oracle=_fanout_sql())
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_fanout_sql())

@@ -163,6 +163,7 @@ HEADLINE = [
     "s27_clustering_stability",
     "q79_erasure_cascade",
     "ts43_session_cooccurrence",
+    "q80_join_fanout_audit",
 ]
 
 

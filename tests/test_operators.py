@@ -3300,3 +3300,30 @@ def test_ts43_cooccurrence_vs_python(spark, sf_dir):
         assert r["conf_a_to_b"] == n_ab[k] / n_t[k[0]]
         assert r["conf_b_to_a"] == n_ab[k] / n_t[k[1]]
         assert r["lift"] == n_ab[k] * n_sess / (n_t[k[0]] * n_t[k[1]])
+
+
+def test_q80_fanout_vs_python(spark, sf_dir):
+    """Fan-out stats must equal a literal per-FK recount."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q80_join_fanout_audit"](spark, sf_dir).collect()
+    specs = {
+        "customer->orders": ("customer", "orders", "o_custkey"),
+        "orders->lineitem": ("orders", "lineitem", "l_orderkey"),
+    }
+    assert [r["relationship"] for r in out] == sorted(specs)
+    for r in out:
+        parent, child, fk = specs[r["relationship"]]
+        n_parents = spark.table(parent).count()
+        fan = Counter(x[0] for x in spark.table(child).select(fk).collect())
+        n_children = sum(fan.values())
+        matched = len(fan)
+        mx = max(fan.values())
+        assert (r["n_parents"], r["n_children"], r["matched_parents"]) == (
+            n_parents, n_children, matched,
+        )
+        assert r["max_fanout"] == mx
+        assert r["mean_fanout"] == n_children / matched
+        assert r["fanout_skew"] == mx * matched / n_children

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "s27_clustering_stability",  # 64-row dim spine (s07's class) + 1-row ARI scalar cross-joined into the k x k contingency — q59's class
     "q79_erasure_cascade",  # 1-row blast-total scalar cross-joined into the |nations|-bounded report — q59's scalar class
     "ts43_session_cooccurrence",  # 1-row session-total scalar cross-joined into the |type pairs|-bounded report — q59's scalar class
+    "q80_join_fanout_audit",  # 1-row parent-count scalar subquery folded into each relationship's single-row fan-out summary — q59's scalar class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
 }
 
