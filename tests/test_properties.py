@@ -189,3 +189,48 @@ def test_star_replace_total(sql):
         return
     if "REPLACE" not in sql.upper():
         assert out == sql
+
+
+@slow
+@given(st.integers(min_value=2, max_value=64), st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+def test_histogram_binned_rewrite_is_exhaustive_and_exact(n_bins, vals):
+    """The histogram(x, n) rewrite must (a) count every non-degenerate
+    group's value exactly once across the n bins and (b) key bins by
+    ascending upper boundaries — for arbitrary bin counts and integer
+    value sets (pure-Python evaluation of the rewritten semantics)."""
+    lo, hi = min(vals), max(vals)
+    # mirror the generated SQL's semantics literally
+    if lo == hi:
+        bins = {float(hi): len(vals)}
+    else:
+        w = (float(hi) - float(lo)) / n_bins
+        bins = {}
+        for b in range(1, n_bins + 1):
+            lower = float(lo) + (b - 1) * w
+            upper = float(lo) + b * w
+            c = sum(
+                1
+                for v in vals
+                if (v > lower or b == 1) and (v <= upper or b == n_bins)
+            )
+            bins[upper] = c  # every bin key is emitted, including empty
+    assert sum(bins.values()) == len(vals)  # exhaustive, no double counting
+    assert list(bins) == sorted(bins)  # ascending boundary keys
+
+
+@slow
+@given(st.text(alphabet="abcxyz_(),' 0123456789[]", min_size=0, max_size=80))
+def test_dialect_expand_never_crashes_on_noise(sql):
+    """expand_dialect_functions on arbitrary token noise either returns
+    a string or raises the actionable UnsupportedDialect — never an
+    unhandled exception (the reference contract is 'reject actionably')."""
+    from ankaflow_spark.sqlfront.rewrite import (
+        UnsupportedDialect,
+        expand_dialect_functions,
+    )
+
+    try:
+        out = expand_dialect_functions(sql)
+    except UnsupportedDialect:
+        return
+    assert isinstance(out, str)
