@@ -1931,6 +1931,16 @@ def op_decayed_leaderboard(engine, df: DataFrame, params: Dict[str, Any]) -> Dat
     top_n = int(params.get("top_n", 10))
     week_us = int(params.get("period_us", 7 * 86400 * 1000000))
     max_span = int(params.get("max_span_weeks", 40))
+    # BIGINT shifts have 63 value bits and Spark MASKS shift amounts, so a
+    # span > 61 would silently wrap BOTH the decay weights and the guard
+    # bound itself (62 - win < 1) — exactly the failure the guard exists to
+    # make loud. Refuse at plan-build time instead (r8 ADVICE low).
+    if not 1 <= max_span <= 61:
+        raise ValueError(
+            "decayed_leaderboard: max_span_weeks must be in [1, 61] "
+            f"(got {max_span}) — integer-exact 2^week decay weights exceed "
+            "BIGINT past 61 periods; lower the span or pre-aggregate periods"
+        )
     weekly = df.groupBy(
         F.col(user).alias("__u__"),
         F.floor(F.unix_micros(F.col(ts_col)).cast("double") / float(week_us))

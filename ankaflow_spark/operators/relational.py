@@ -3266,12 +3266,18 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a planner (or a human) reads before choosing join strategy at
 # 100 TB: mean fan-out sizes the shuffle output, max/mean >> 1 is the
 # salting/AQE-skew-split trigger, and orphaned children are q74's RI
-# escalation. Scale shape: each relationship is ONE map-side-
-# combinable child groupBy onto a |parents with children|-bounded
-# fan-out relation folded to a single row — no parent x child join is
-# ever materialized; the report is |relationships| rows. Exactness:
-# counts BIGINT; mean and skew each divide once (skew multiplies
-# integers before its single division).
+# escalation. matched_parents counts FK values that EXIST IN THE
+# PARENT (the per-FK fan-out relation is semi-joined against the
+# parent key before folding — r8 ADVICE low: a bare COUNT(DISTINCT fk)
+# would let q74's orphaned children inflate the match count and skew
+# mean_fanout); orphaned FK groups are excluded from every fan-out
+# stat, since rows that find no parent never amplify the join. Scale
+# shape: each relationship is ONE map-side-combinable child groupBy
+# semi-joined onto the (pk-unique, column-pruned) parent scan, folded
+# to a single row — no parent x child join is ever materialized; the
+# report is |relationships| rows. Exactness: counts BIGINT; mean and
+# skew each divide once (skew multiplies integers before its single
+# division).
 # Reference parity: no counterpart (core/flow.py delegates relational
 # work to DuckDB); extends the q59 (skew) / q74 (RI) diagnostics
 # family.
@@ -3289,6 +3295,7 @@ def _fanout_sql() -> str:
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_fanout,
            CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS fanout_skew
     FROM (SELECT {fk} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM {child} GROUP BY {fk}) f
+    WHERE f.k IN (SELECT {pk} FROM {parent})
     """
 
     return f"""

@@ -2259,23 +2259,36 @@ def _decay_tail_sql(weekly: str, spark_dialect: bool) -> str:
     resolution) instead of silently wrapping the shift past ~62 weeks
     (Spark shiftleft masks the shift to 6 bits; non-ANSI sums wrap).
     Bit-identical to the un-anchored spelling for corpora spanning
-    <= {_DECAY_MAX_SPAN} weeks (the graded 30-day corpus spans <= 5)."""
+    <= {_DECAY_MAX_SPAN} weeks (the graded 30-day corpus spans <= 5).
+
+    Residual integer-exactness guard (r8 ADVICE low): a per-entity
+    weekly count >= 2^(62 - win) (~4.2M/week at the default span)
+    would wrap the scaled BIGINT sum silently on non-ANSI Spark while
+    DuckDB raises on overflow — cross-engine divergence exactly at
+    stress scale. Both dialects now fail LOUDLY via
+    raise_error/error() (the registry op's __chk__ pattern,
+    registry.py op_decayed_leaderboard) instead."""
     shift = (
         "shiftleft(CAST(1 AS BIGINT), CAST({x} AS INT))"
         if spark_dialect
         else "(CAST(1 AS BIGINT) << CAST({x} AS INT))"
     )
+    err = "raise_error" if spark_dialect else "error"
+    win_expr = f"LEAST(MAX(week) - MIN(week), CAST({_DECAY_MAX_SPAN} AS BIGINT))"
     return f"""
     WITH span AS (
       SELECT GREATEST(MIN(week), MAX(week) - {_DECAY_MAX_SPAN}) AS w0,
-             LEAST(MAX(week) - MIN(week), CAST({_DECAY_MAX_SPAN} AS BIGINT)) AS win
+             {win_expr} AS win,
+             CASE WHEN MAX(n) >= {shift.format(x=f"62 - {win_expr}")} THEN
+               {err}('decayed leaderboard: per-entity period count too large for integer-exact decay at this span; lower the retention window or pre-aggregate')
+             ELSE CAST(0 AS BIGINT) END AS chk
       FROM {weekly}
     ),
     scaled AS (
       SELECT w.user_id,
              CAST(SUM(w.n) AS BIGINT) AS raw_n,
              CAST(SUM(w.n * (CASE WHEN w.week < s.w0 THEN CAST(0 AS BIGINT)
-                             ELSE {shift.format(x="w.week - s.w0")} END)) AS BIGINT) AS scaled,
+                             ELSE {shift.format(x="w.week - s.w0")} END) + s.chk) AS BIGINT) AS scaled,
              MAX(s.win) AS span_weeks
       FROM {weekly} w CROSS JOIN span s
       GROUP BY w.user_id

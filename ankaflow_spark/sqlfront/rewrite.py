@@ -587,36 +587,74 @@ def _histogram_1(a):
 
 
 def _histogram_2(a):
-    """Binned histogram(x, n) aggregate -> MAP<bin_upper_bound, count>:
-    n equi-width bins over the group's observed [min(x), max(x)]
-    (DuckDB >= 1.1's binned-histogram semantics over equi-width bins;
-    the sandbox pins DuckDB 1.0.0 which lacks the binned form, so this
-    is pytest-golden-verified rather than oracle-checked — r7 punch
-    item 4). Keys are the DOUBLE upper boundaries lo + b*(hi-lo)/n in
-    ascending order; bin 1 includes lo, bin n includes hi (so float
-    rounding at the top edge never drops a value). A degenerate group
-    (min = max) yields the single-entry map {hi: count}. One aggregate
-    buffer (Catalyst dedups the identical collect_list/min/max), no
-    join, no extra shuffle — _histogram_1's class."""
+    """Binned histogram(x, second-arg) aggregate — two arities:
+
+    histogram(x, n) with n an INTEGER LITERAL -> MAP<bin_upper, count>:
+    n equi-width bins over the group's observed [min(x), max(x)].
+    NOTE: this bin-COUNT arity is an ankaflow_spark EXTENSION, not
+    DuckDB parity — DuckDB >= 1.1's 2-arg binned histogram takes a
+    boundaries LIST (usually from equi_width_bins(...)), never a bare
+    count, and the sandbox pins DuckDB 1.0.0 so the binned surface is
+    pytest-golden-verified rather than oracle-checked (r7 punch item 4;
+    r8 ADVICE medium). Keys are the DOUBLE upper boundaries
+    lo + b*(hi-lo)/n ascending; bin 1 includes lo, bin n includes hi
+    (float rounding at the top edge never drops a value). A degenerate
+    group (min = max) yields {hi: count}; an all-NULL group yields the
+    EMPTY map like the 1-arg form (min(x) IS NULL guard — r8 ADVICE
+    low: NULL map keys would otherwise raise at runtime). n must be a
+    bare positive integer literal: a column ref / equi_width_bins(...)
+    / arithmetic second arg is rejected actionably instead of being
+    pasted into nonsense SQL.
+
+    histogram(x, [b1, b2, ...]) with a LITERAL boundaries list (raw
+    [..] or array(..)) -> MAP<boundary, count> keyed by the given
+    boundaries ascending: value for b_i counts x with
+    prev_boundary < x <= b_i (first bin unbounded below, matching
+    width_bucket/DuckDB's inclusive-upper bin edges); values above the
+    largest boundary are dropped. Every boundary key is emitted, empty
+    bins as 0. Unverifiable against the pinned DuckDB 1.0.0, so the
+    above-top-drop choice is documented here and pinned in pytest.
+
+    Both forms are one aggregate buffer (Catalyst dedups the identical
+    collect_list/min/max), no join, no extra shuffle —
+    _histogram_1's class."""
     x, n = a[0], a[1]
-    # a boundaries LIST (raw [..] or the already-expanded array(..))
-    # is DuckDB's other binned arity — reject actionably
-    if n.lstrip().startswith("[") or re.match(r"\s*array\s*\(", n, re.IGNORECASE):
-        raise UnsupportedDialect(
-            "histogram(x, boundaries-list) is not supported; pass a bin "
-            "COUNT (histogram(x, n) — n equi-width bins over min/max) or "
-            "GROUP BY width_bucket(x, lo, hi, n) with explicit boundaries"
+    n_s = n.strip()
+    # boundaries-LIST arity (raw [..] or the already-expanded array(..))
+    m_list = re.fullmatch(r"\[(.*)\]|array\s*\((.*)\)", n_s, re.IGNORECASE | re.DOTALL)
+    if m_list:
+        inner = m_list.group(1) if m_list.group(1) is not None else m_list.group(2)
+        bs = f"array_sort(array({inner}))"
+        return (
+            f"map_from_entries(transform({bs}, (__hb, __hi) -> struct(__hb, "
+            f"size(filter(collect_list({x}), "
+            f"__hv -> __hv <= __hb AND (__hi = 0 OR __hv > element_at({bs}, __hi)))))))"
         )
+    try:
+        n_int = int(n_s)
+    except ValueError:
+        raise UnsupportedDialect(
+            "histogram(x, second-arg): second arg must be a positive integer "
+            "LITERAL (n equi-width bins over min/max — an extension; DuckDB's "
+            "binned form takes a boundaries list) or a LITERAL boundaries "
+            "list [b1, b2, ...]; a column ref / equi_width_bins(...) / "
+            "expression is not supported — use GROUP BY "
+            "width_bucket(x, lo, hi, n) with explicit boundaries"
+        )
+    if n_int < 1:
+        raise UnsupportedDialect("histogram(x, n): bin count must be >= 1")
     lo, hi = f"min({x})", f"max({x})"
-    w = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / ({n})"
+    w = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / ({n_int})"
     lower = f"CAST({lo} AS DOUBLE) + (__hb - 1) * {w}"
     upper = f"CAST({lo} AS DOUBLE) + __hb * {w}"
+    empty = "map_from_entries(filter(array(struct(CAST(0.0 AS DOUBLE), 0)), __he -> false))"
     return (
-        f"CASE WHEN {lo} = {hi} THEN "
+        f"CASE WHEN {lo} IS NULL THEN {empty} "
+        f"WHEN {lo} = {hi} THEN "
         f"map_from_entries(array(struct(CAST({hi} AS DOUBLE), size(collect_list({x}))))) "
-        f"ELSE map_from_entries(transform(sequence(1, {n}), __hb -> struct({upper}, "
+        f"ELSE map_from_entries(transform(sequence(1, {n_int}), __hb -> struct({upper}, "
         f"size(filter(collect_list({x}), "
-        f"__hv -> (__hv > {lower} OR __hb = 1) AND (__hv <= {upper} OR __hb = ({n})))))))"
+        f"__hv -> (__hv > {lower} OR __hb = 1) AND (__hv <= {upper} OR __hb = ({n_int})))))))"
         " END"
     )
 

@@ -378,11 +378,50 @@ def test_histogram_binned_per_group(engine):
     assert dict(rows[1]["h"]) == {3.0: 2, 5.0: 1}
 
 
-def test_histogram_boundaries_list_rejected_actionably(engine):
-    with pytest.raises(UnsupportedDialect, match="width_bucket"):
-        engine.sql("SELECT histogram(v, [10]) FROM t")
-    with pytest.raises(UnsupportedDialect, match="width_bucket"):
-        engine.sql("SELECT histogram(v, [10, 20]) FROM t")
+def test_histogram_boundaries_list(engine):
+    """histogram(x, [b1, b2, ...]) with a literal boundaries list (r8
+    ADVICE medium / r8 punch item 4): keys are the given boundaries
+    ascending, bin i counts prev < x <= b_i (first bin unbounded
+    below), values above the top boundary are dropped, empty bins emit
+    0. Golden (sandbox DuckDB 1.0.0 predates the binned form)."""
+    got = engine.sql(
+        "SELECT histogram(v, [2, 5, 7]) AS h FROM "
+        "(SELECT unnest([-1,0,1,2,3,4,5,6,7,8,9]) AS v) t"
+    ).collect()[0]["h"]
+    # (-inf..2]={-1,0,1,2}, (2..5]={3,4,5}, (5..7]={6,7}; 8,9 dropped
+    assert dict(got) == {2: 4, 5: 3, 7: 2}
+    # unsorted literal sorts; empty bins still keyed
+    got = engine.sql(
+        "SELECT histogram(v, [30, 10, 20]) AS h FROM "
+        "(SELECT unnest([5, 25]) AS v) t"
+    ).collect()[0]["h"]
+    assert dict(got) == {10: 1, 20: 0, 30: 1}
+
+
+def test_histogram_all_null_group_is_empty_map(engine):
+    """An all-NULL group must return an EMPTY map from both histogram
+    arities — the binned form used to feed NULL min/max into
+    map_from_entries and raise 'null as map key' (r8 ADVICE low)."""
+    sql = (
+        "SELECT g, {call} AS h FROM (SELECT x % 2 AS g, "
+        "CASE WHEN x % 2 = 0 THEN CAST(NULL AS INT) ELSE x END AS v "
+        "FROM (SELECT unnest([0,1,2,3]) AS x) u) t GROUP BY g ORDER BY g"
+    )
+    for call in ("histogram(v)", "histogram(v, 4)"):
+        rows = engine.sql(sql.format(call=call)).collect()
+        assert dict(rows[0]["h"]) == {}, call  # g=0: all NULL
+        assert len(rows[1]["h"]) > 0, call
+
+
+def test_histogram_nonliteral_second_arg_rejected_actionably(engine):
+    # column refs / equi_width_bins(...) / arithmetic must reject, not
+    # paste into nonsense SQL (r8 ADVICE medium)
+    for bad in ("histogram(v, n)", "histogram(v, equi_width_bins(0, 10, 4))",
+                "histogram(v, 2 + 2)"):
+        with pytest.raises(UnsupportedDialect, match="width_bucket"):
+            engine.sql(f"SELECT {bad} FROM t")
+    with pytest.raises(UnsupportedDialect, match=">= 1"):
+        engine.sql("SELECT histogram(v, 0) FROM t")
 
 
 def test_bar_renders_clamped_blocks(engine):

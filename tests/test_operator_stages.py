@@ -1219,6 +1219,63 @@ def test_decayed_leaderboard_overflow_raises_loudly(engine):
         ).collect()
 
 
+def test_decayed_leaderboard_span_bounds_validated(engine):
+    """max_span_weeks > 61 would wrap BOTH the decay weights and the
+    overflow guard itself (62 - win < 1 and Spark masks shiftleft
+    amounts) — the op must refuse at plan-build time (r8 ADVICE low)."""
+    import pytest
+
+    from ankaflow_spark.operators.registry import OPERATORS
+
+    df = engine.spark.createDataFrame(
+        [("u", __import__("datetime").datetime(2020, 1, 2))],
+        "user_id string, ts timestamp",
+    )
+    for bad in (62, 100, 0, -1):
+        with pytest.raises(ValueError, match=r"max_span_weeks must be in \[1, 61\]"):
+            OPERATORS["decayed_leaderboard"](engine, df, {"max_span_weeks": bad})
+    # 61 (the guard's edge) still builds a plan
+    OPERATORS["decayed_leaderboard"](engine, df, {"max_span_weeks": 61})
+
+
+def test_decay_tail_sql_overflow_raises_both_engines(engine):
+    """The shared ts38/st20 SQL tail must fail LOUDLY on both engines
+    when a per-entity weekly count exceeds 2^(62 - win) — non-ANSI
+    Spark would otherwise wrap silently while DuckDB raises on
+    overflow (r8 ADVICE low). Synthesizes a weekly relation whose max
+    count crosses the bound at win = 40."""
+    import duckdb
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from ankaflow_spark.operators.timeseries import _decay_tail_sql
+
+    big = 1 << 22  # 2^(62-40): the exact bound at the default 40-week span
+    weekly_rows = [("u", 0, big), ("v", 40, 1)]
+    engine.spark.createDataFrame(
+        weekly_rows, "user_id string, week bigint, n bigint"
+    ).createOrReplaceTempView("__decay_guard_weekly__")
+    with pytest.raises(SparkRuntimeException, match="decayed leaderboard"):
+        engine.spark.sql(_decay_tail_sql("__decay_guard_weekly__", True)).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (user_id VARCHAR, week BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO w VALUES (?, ?, ?)", weekly_rows)
+    with pytest.raises(Exception, match="decayed leaderboard"):
+        con.sql(_decay_tail_sql("w", False)).fetchall()
+    # one under the bound: both engines succeed and agree
+    con.execute("UPDATE w SET n = n - 1 WHERE user_id = 'u'")
+    engine.spark.createDataFrame(
+        [("u", 0, big - 1), ("v", 40, 1)], "user_id string, week bigint, n bigint"
+    ).createOrReplaceTempView("__decay_guard_weekly__")
+    got = [
+        tuple(r)
+        for r in engine.spark.sql(
+            _decay_tail_sql("__decay_guard_weekly__", True)
+        ).collect()
+    ]
+    assert got == con.sql(_decay_tail_sql("w", False)).fetchall()
+
+
 def test_stickiness_stage_matches_graded(engine, sf_dir):
     flow = Flow(
         Stages.loads(f"""

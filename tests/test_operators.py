@@ -3303,27 +3303,67 @@ def test_ts43_cooccurrence_vs_python(spark, sf_dir):
 
 
 def test_q80_fanout_vs_python(spark, sf_dir):
-    """Fan-out stats must equal a literal per-FK recount."""
+    """Fan-out stats must equal a literal per-FK recount restricted to
+    FK values that exist in the parent (orphans excluded — r8 ADVICE)."""
     from collections import Counter
 
     from ankaflow_spark.operators.relational import QUERIES
 
     out = QUERIES["q80_join_fanout_audit"](spark, sf_dir).collect()
     specs = {
-        "customer->orders": ("customer", "orders", "o_custkey"),
-        "orders->lineitem": ("orders", "lineitem", "l_orderkey"),
+        "customer->orders": ("customer", "c_custkey", "orders", "o_custkey"),
+        "orders->lineitem": ("orders", "o_orderkey", "lineitem", "l_orderkey"),
     }
     assert [r["relationship"] for r in out] == sorted(specs)
     for r in out:
-        parent, child, fk = specs[r["relationship"]]
-        n_parents = spark.table(parent).count()
-        fan = Counter(x[0] for x in spark.table(child).select(fk).collect())
+        parent, pk, child, fk = specs[r["relationship"]]
+        pks = {x[0] for x in spark.table(parent).select(pk).collect()}
+        fan = Counter(
+            x[0] for x in spark.table(child).select(fk).collect() if x[0] in pks
+        )
         n_children = sum(fan.values())
         matched = len(fan)
         mx = max(fan.values())
         assert (r["n_parents"], r["n_children"], r["matched_parents"]) == (
-            n_parents, n_children, matched,
+            len(pks), n_children, matched,
         )
         assert r["max_fanout"] == mx
         assert r["mean_fanout"] == n_children / matched
         assert r["fanout_skew"] == mx * matched / n_children
+
+
+def test_q80_fanout_excludes_orphans(spark, sf_dir):
+    """Orphaned children (FK values with no parent row — the RI failure
+    q74 detects) must not inflate matched_parents or the fan-out stats:
+    they never amplify the join. Injects 5 orphan orders under a
+    shadowed 'orders' view and recounts (r8 ADVICE low)."""
+    from ankaflow_spark.operators.relational import QUERIES, load_tables
+
+    load_tables(spark, str(sf_dir))
+    base = QUERIES["q80_join_fanout_audit"](spark, str(sf_dir)).collect()
+    try:
+        spark.sql(
+            "SELECT * FROM orders UNION ALL SELECT * FROM "
+            "(SELECT -o_orderkey AS o_orderkey, CAST(-1 AS BIGINT) AS o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+            "FROM orders ORDER BY o_orderkey DESC LIMIT 5) injected"
+        ).createOrReplaceTempView("orders")
+        got = {
+            r["relationship"]: r
+            for r in QUERIES["q80_join_fanout_audit"](spark, str(sf_dir)).collect()
+        }
+    finally:
+        # load_tables memoizes registration per (session, sf_dir), so
+        # re-register the real view explicitly to undo the shadow
+        load_tables(spark, str(sf_dir))["orders"].createOrReplaceTempView("orders")
+    want = {r["relationship"]: r for r in base}
+    co = got["customer->orders"]
+    # custkey -1 has no parent: matched/fan-out stats unchanged vs base
+    for col in ("matched_parents", "n_children", "max_fanout",
+                "mean_fanout", "fanout_skew"):
+        assert co[col] == want["customer->orders"][col], col
+    # the 5 orphan orders DO count as parents for orders->lineitem...
+    ol = got["orders->lineitem"]
+    assert ol["n_parents"] == want["orders->lineitem"]["n_parents"] + 5
+    # ...but their (negated-key) lineitems don't exist, so child stats hold
+    assert ol["n_children"] == want["orders->lineitem"]["n_children"]

@@ -687,17 +687,19 @@ class TestRound5Dialect:
             expand_dialect_functions as e,
         )
 
-        # histogram(x) / histogram(x, n) / bar(x, lo, hi) / jaccard(a, b)
-        # rewrite (binned n-form added r8); boundaries-list histogram,
-        # other arities, and the jaro family still reject actionably
+        # histogram(x) / histogram(x, n) / histogram(x, [..]) / bar /
+        # jaccard rewrite (binned n-form r8, boundaries-list r9);
+        # non-literal second args and the jaro family reject actionably
         for fn, hint in (
-            ("histogram(x, [1,2])", "width_bucket"),
-            ("histogram(x, [1])", "width_bucket"),
+            ("histogram(x, n_bins)", "width_bucket"),
+            ("histogram(x, equi_width_bins(0, 1, 4))", "width_bucket"),
             ("jaro_similarity(a,b)", "levenshtein"),
         ):
             with pytest.raises(UnsupportedDialect, match=hint):
                 e(f"SELECT {fn} FROM t")
         assert "map_from_entries" in e("SELECT histogram(x) FROM t")
+        assert "map_from_entries" in e("SELECT histogram(x, [1,2]) FROM t")
+        assert "element_at" in e("SELECT histogram(x, [1]) FROM t")
         assert "array_intersect" in e("SELECT jaccard(a, b) FROM t")
 
     def test_json_arrow_and_cast(self):
