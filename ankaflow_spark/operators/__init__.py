@@ -27,80 +27,72 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 8 (len == 50, the driver's graded window).
-    # Priority order per the r7 verdict punch item 1:
-    # (1) the 29 battery queries that had NEVER carried an official
-    #     driver-graded row (post-window-freeze session-7/8 wave) —
-    #     all cell-exact at both SFs in CORRECTNESS_FULL_r30/SF01_r30;
-    # (2) the eleven NEW round-8 entries (also never graded, by
-    #     construction);
-    # (3) the ten stalest prior-green entries (all r03-last).
-    # All rotated-out entries stay cell-exact in CORRECTNESS_FULL_r*.json
-    # via tools/oracle_check.py; every family remains represented.
-    # (1) never driver-graded — the r7 queue at its old position 86-98
-    "q64_profit_by_nation",
-    "q65_small_qty_revenue",
-    "q66_excess_suppliers",
-    "q68_reservoir_sample",
-    "q75_cell_suppression",
-    "q76_mv_maintenance",
-    "q77_partition_planner",
-    "ts37_survival_curve",
-    "ts38_decayed_leaderboard",
-    "ts39_linear_attribution",
-    "ts40_peak_concurrency",
-    "ts41_burstiness",
-    "d25_dedup_bias_audit",
-    "d26_bbit_minhash",
-    "d27_transitivity_audit",
-    "s22_ivf_cell_balance",
-    "s23_hubness_audit",
-    "s24_lsh_plane_sweep",
-    "s25_stale_index_recall",
-    "t25_bpe_merge_training",
-    "t31_source_overlap",
-    "t32_temperature_mix",
-    "t33_pii_audit",
-    "st15_stream_novelty",
-    "st20_stream_decay_topk",
-    "st21_stream_survival",
-    "st22_stream_survival_bounded",  # new r8: st21's bounded-state production form
-    "ts42_stickiness",  # new r8: sliding 7-day DAU/WAU distinct ratio
-    "q78_ingest_freshness",  # new r8: per-type freshness SLA + rate-drop audit
-    "m12_shard_planner",  # new r8: byte-offset training-shard packing plan
-    "t34_length_ks_drift",  # new r8: exact KS length-distribution drift
-    "s26_calinski_harabasz",  # new r8: variance-ratio cluster validity
-    "d28_lexical_semantic_agreement",  # new r8: lex-vs-sem dedup confusion
-    "s27_clustering_stability",  # new r8: seed-sensitivity ARI
-    "q79_erasure_cascade",  # new r8: GDPR delete blast-radius audit
-    "ts43_session_cooccurrence",  # new r8: in-session market-basket lift
-    "q80_join_fanout_audit",  # new r8: FK fan-out / amplification diagnostics
-    "m09_silence_trim",
-    "m10_aspect_buckets",
-    "m11_shot_lengths",
-    # (2) stalest: last driver-graded r03 (20 entries) + d15 (r04)
-    "d05_embedding_neardup",
-    "d08_dedup_survivors",
-    "d09_simhash_neardup",
-    "q08_union_all",
-    "q10_calendar",
-    "q11_having",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q17_scalar_functions",
-    "q18_safe_math",
-    # (d15_graph_centrality, q19/q20, q22/q23/q24, q27/q28/q29, ts04/ts06 — the
-    # eleven stalest fillers (r03/r04-last) — yielded their slots to the
-    # eleven new-this-round entries st22/ts42/q78/m12/t34/s26/d28/s27/
-    # q79/ts43/q80: never-graded entries outrank stale re-grades; all rotated-
-    # out queries stay cell-exact in CORRECTNESS_FULL_r*.)
-    # (r7 window rotated out: the 24 round-7-new entries and the six
-    # __cands__ re-grades all carry official r07 greens in
-    # CORRECTNESS_r07.json; the q62/ts28/d19-d21/s17/st13/st14/q67/
-    # t24/m07 block likewise. After r08 grades this window, every one
-    # of the 235 pre-r8 queries carries an official driver green
-    # (union r01-r08) AND the nine r8-new entries are graded in the
-    # same pass — a complete official trail over all 246.)
+    # Re-curated for round 9 (len == 50, the driver's graded window).
+    # With the union of driver greens r01-r08 covering ALL 246 battery
+    # queries (zero never-graded — verified by the r8 judge), rotation
+    # now keeps grade FRESHNESS ahead of code churn (r8 verdict punch
+    # item 2): this window is exactly the 50 STALEST official greens,
+    # computed from the CORRECTNESS_r0*.json artifacts themselves
+    # (per-query max round with hash_match — 10 r03-last, 38 r04-last,
+    # and the 2 alphabetically-first r05-last entries as tiebreak).
+    # Every rotated-out entry keeps its official r07/r08 green and
+    # stays cell-exact in CORRECTNESS_FULL_r*.json via
+    # tools/oracle_check.py; every family remains represented
+    # (relational, time-series, dedup, similarity/ANN, text curation,
+    # streaming, multimodal).
+    # Rotation queue after this window is graded: the r05-last block
+    # (d13/m02 are in this window; ~45 more r05-last entries queue
+    # next), then r06-last, then the r07/r08 waves.
+    "q19_above_avg_items",  # last r03
+    "q20_fn_dt_coercion",  # last r03
+    "q22_collection_aggs",  # last r03
+    "q23_month445",  # last r03
+    "q24_string_agg",  # last r03
+    "q27_intersect_except",  # last r03
+    "q28_fn_sql_surface",  # last r03
+    "q29_fn_calendar",  # last r03
+    "ts04_json_props",  # last r03
+    "ts06_interpolate",  # last r03
+    "d15_graph_centrality",  # last r04
+    "m03_frame_sample_keys",  # last r04
+    "m04_patch_grid",  # last r04
+    "m05_audio_frame_energy",  # last r04
+    "m06_scene_cuts",  # last r04
+    "q48_min_cost_supplier",  # last r04
+    "q51_untapped_segments",  # last r04
+    "q52_heavy_hitters",  # last r04
+    "q53_approx_quantile_verdict",  # last r04
+    "q54_supplier_diversity",  # last r04
+    "q55_promo_revenue_share",  # last r04
+    "q57_mergeable_hll_rollup",  # last r04
+    "q58_theta_sketch_overlap",  # last r04
+    "s07_random_projection",  # last r04
+    "s08_pq_encode",  # last r04
+    "s09_pq_adc_search",  # last r04
+    "s10_pq_recall_eval",  # last r04
+    "s12_hard_negatives",  # last r04
+    "s13_ivf_recall_eval",  # last r04
+    "s14_retrieval_mrr",  # last r04
+    "st03_stream_distinct_users",  # last r04
+    "st04_stream_sessions",  # last r04
+    "st05_stream_static_join",  # last r04
+    "st06_stream_rollup",  # last r04
+    "st07_stream_incremental",  # last r04
+    "st08_stream_stream_join",  # last r04
+    "st09_foreachbatch_upsert",  # last r04
+    "st10_dedup_within_watermark",  # last r04
+    "st12_stream_session_window",  # last r04
+    "t16_domain_mixture",  # last r04
+    "t19_chunk_dedup",  # last r04
+    "t20_leakage_safe_split",  # last r04
+    "t22_chunk_dedup_rewrite",  # last r04
+    "ts19_native_session_window",  # last r04
+    "ts20_trajectory_similarity",  # last r04
+    "ts21_growth_accounting",  # last r04
+    "ts23_twap",  # last r04
+    "ts24_pit_features",  # last r04
+    "d13_decontam_spans",  # last r05
+    "m02_multimodal_feature_surface",  # last r05
 ]
 
 

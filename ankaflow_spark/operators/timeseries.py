@@ -2340,8 +2340,41 @@ _ATTR_WINDOW_US = 7 * 86400 * 1000000
 
 
 def _attribution_sql(spark_dialect: bool) -> str:
+    """Spark side splits the user-key join by 7-day bucket (r9 skew
+    fix): the naive ON c.user_id = p.user_id join carries the band as
+    a RESIDUAL predicate, so a hot user owning share s of the corpus
+    pays |P_u| x |C_u| pair generation — quadratic in per-user HISTORY
+    (measured 2.85x organic wall at 0.5 hot share, the only >2x op in
+    the r9 entity-window skew sweep). A click can only attribute to a
+    purchase whose window-bucket floor(pts_us / 7d) is its own bucket
+    or the next one (integer floor: cts in [pts-W, pts-1] spans
+    exactly buckets pb-1..pb), so purchases expand 2x via explode and
+    the join becomes equi on (user_id, bucket) — per-key products are
+    bounded by per-WINDOW activity, history-linear at any skew, and
+    each qualifying pair matches exactly one bucket arm (a click's
+    bucket is unique), so no dedup is needed. The DuckDB oracle keeps
+    the naive single-key spelling: a structurally different plan
+    producing the identical pair set is a stronger independent
+    check."""
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
+    if spark_dialect:
+        touches_from = f"""
+      FROM (SELECT user_id, pid, pts, v_e6,
+                   CAST({epoch}(pts) AS BIGINT) {intdiv} {_ATTR_WINDOW_US} - __bk.d AS jb
+            FROM purchases
+            LATERAL VIEW explode(array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) __bk AS d) p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND CAST({epoch}(c.cts) AS BIGINT) {intdiv} {_ATTR_WINDOW_US} = p.jb
+       AND {epoch}(p.pts) - {epoch}(c.cts) > 0
+       AND {epoch}(p.pts) - {epoch}(c.cts) <= {_ATTR_WINDOW_US}"""
+    else:
+        touches_from = f"""
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND {epoch}(p.pts) - {epoch}(c.cts) > 0
+       AND {epoch}(p.pts) - {epoch}(c.cts) <= {_ATTR_WINDOW_US}"""
     return f"""
     WITH purchases AS (
       SELECT user_id, event_id AS pid, ts AS pts,
@@ -2358,10 +2391,7 @@ def _attribution_sql(spark_dialect: bool) -> str:
                AS click_day,
              ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn,
              COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
-      FROM purchases p JOIN clicks c
-        ON c.user_id = p.user_id
-       AND {epoch}(p.pts) - {epoch}(c.cts) > 0
-       AND {epoch}(p.pts) - {epoch}(c.cts) <= {_ATTR_WINDOW_US}
+      {touches_from}
     ),
     alloc AS (
       SELECT click_day,

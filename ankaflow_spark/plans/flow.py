@@ -63,6 +63,10 @@ class Flow:
         self.renderer = Renderer()
         self.lastname: Optional[str] = None
         self._last_df: Optional[DataFrame] = None
+        # per-executed-stage (name, kind, seconds) — lazy stages record
+        # plan-build time, taps/sinks record real execution; bench.py's
+        # PIPELINE section and users profiling a flow read this
+        self.stage_timings: list = []
 
     # ------------------------------------------------------------------
     def run(self) -> Optional[DataFrame]:
@@ -99,9 +103,14 @@ class Flow:
             rendered = self._render(stage.skip_if)
             if str(rendered).strip().lower() in ("1", "true", "yes"):
                 return
+        t0 = time.time()
         try:
             handler = HANDLERS[stage.kind]
             df = handler(self, stage)
+            self.stage_timings.append(
+                (stage.name, getattr(stage.kind, "value", str(stage.kind)),
+                 round(time.time() - t0, 3))
+            )
         except Exception as e:
             if stage.on_error == ErrorPolicy.proceed:
                 return

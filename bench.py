@@ -8,11 +8,21 @@ BENCH_r07 lost its total when the 76-entry per-query dict outgrew the
 tail window):
   line 1: full JSON with the per-query dict
           {"metric": ..., "value": total_sec, "unit": "sec",
-           "queries": {...}, "sf": ...}
+           "queries": {...}, "sf": ..., "runs": N, "pass_totals": [...],
+           "pipelines": {...}}
   line 2 (LAST): compact totals-only JSON
           {"metric": ..., "value": total_sec, "unit": "sec",
-           "sf": ..., "n_queries": N, "detail": "BENCH_DETAIL.json"}
+           "sf": ..., "n_queries": N, "runs": N,
+           "pipelines_total_sec": S, "detail": "BENCH_DETAIL.json"}
 The per-query dict is also written to BENCH_DETAIL.json in the repo root.
+
+Timings are best-of-$SPARK_GRAFT_BENCH_RUNS (default 2) per query —
+two full passes, per-query minimum, both raw pass totals recorded
+(tames the documented ±30% single-run host variance; r8 punch item 6).
+"pipelines" additionally times whole example YAML flows end-to-end
+(wall + per-stage breakdown; r8 punch item 3) — skip with
+SPARK_GRAFT_BENCH_PIPELINES=0. The headline total NEVER includes
+pipeline time, so value stays trajectory-comparable across rounds.
 
 Each query executes its full plan through the noop sink (no driver
 collect, no disk write) — the honest distributed-execution cost.
@@ -175,6 +185,54 @@ def input_bytes(sf_dir: str) -> int:
     )
 
 
+# Composed pipeline-level bench (r8 verdict punch item 3): per-query
+# timings can't see shared-scan reuse or the tap caching policy — a
+# whole YAML flow run end-to-end can. Walls land in BENCH_DETAIL.json's
+# "pipelines" section with the per-stage breakdown from
+# Flow.stage_timings (taps/sinks record real execution, lazy transform/
+# operator stages record plan-build time — a stage showing seconds is a
+# stage that re-scanned).
+PIPELINES = ("training_data_pipeline", "corpus_health", "curation_quality")
+
+
+def run_pipelines(spark, sf_dir: str, warm_dir: str) -> dict:
+    import shutil
+    import tempfile
+
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+    from ankaflow_spark.session import SparkEngine
+
+    engine = SparkEngine(spark)
+    root = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for name in PIPELINES:
+        path = os.path.join(root, "examples", f"{name}.yaml")
+        tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            for data_dir, measured in ((warm_dir, False), (sf_dir, True)):
+                variables = {"data_dir": data_dir, "out_dir": tmp, "out": tmp}
+                t0 = time.time()
+                flow = Flow(Stages.load(path), engine=engine, variables=variables)
+                df = flow.run()
+                if df is not None:
+                    df.write.format("noop").mode("overwrite").save()
+                if measured:
+                    results[name] = {
+                        "wall_sec": round(time.time() - t0, 3),
+                        "stages": [
+                            {"name": n, "kind": k, "sec": s}
+                            for n, k, s in flow.stage_timings
+                        ],
+                    }
+        except Exception as e:
+            print(f"pipeline {name} failed: {e}", file=sys.stderr)
+            results[name] = {"error": str(e)[:200]}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -210,13 +268,31 @@ def main() -> None:
 
     load_tables(spark, sf_dir)
 
-    timings = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    # best-of-N (default 2, r8 verdict punch item 6): per-query minimum
+    # across passes tames the documented ±30% single-run host-variance
+    # envelope; both raw pass totals are recorded for honesty.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    timings: dict = {}
+    pass_totals = []
+    for p in range(runs):
+        pass_total = 0.0
+        for name in HEADLINE:
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            pass_total += dt
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            print(f"pass{p + 1} {name}: {round(dt, 3)}s", file=sys.stderr)
+        pass_totals.append(round(pass_total, 3))
+
+    pipelines = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINES", "1") != "0":
+        pipelines = run_pipelines(spark, sf_dir, warm_dir)
+    pipelines_total = round(
+        sum(v.get("wall_sec", 0.0) for v in pipelines.values()), 3
+    )
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -225,6 +301,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": runs,
+        "pass_totals": pass_totals,
+        "pipelines": pipelines,
+        "pipelines_total_sec": pipelines_total,
         "warmup": "each plan pre-run once at sf0.001 (JIT codegen excluded)",
     }
     # per-query detail: first stdout line + committed sidecar file
@@ -245,6 +325,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "runs": runs,
+                "pipelines_total_sec": pipelines_total,
+                "n_pipelines": len(pipelines),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -71,3 +71,19 @@ def test_bench_detail_sidecar_matches_contract():
     assert d["metric"] == "headline_queries_total_sec"
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.01
     assert d["sf"] == 0.1
+    # r9: best-of-N + the pipeline section (both optional in pre-r9
+    # artifacts, pinned once present)
+    if "runs" in d:
+        assert len(d["pass_totals"]) == d["runs"]
+        # per-query best-of can't exceed any single pass total
+        assert d["value"] <= min(d["pass_totals"]) + 0.01
+    if d.get("pipelines"):
+        for name, pipe in d["pipelines"].items():
+            assert "error" not in pipe, (name, pipe)
+            assert pipe["wall_sec"] > 0
+            assert {s["kind"] for s in pipe["stages"]} <= {
+                "tap", "transform", "sink", "operator", "sql", "pipeline",
+                "stream",
+            }
+            # stage walls are components of (not exceeding) the flow wall
+            assert sum(s["sec"] for s in pipe["stages"]) <= pipe["wall_sec"] + 0.01
