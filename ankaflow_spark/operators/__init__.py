@@ -40,9 +40,13 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming, multimodal).
+    # Never-graded entries outrank stale re-grades: d29 (new this
+    # round) takes the front slot and m02 (the later r05 tiebreak)
+    # yields its slot to keep len == 50.
     # Rotation queue after this window is graded: the r05-last block
-    # (d13/m02 are in this window; ~45 more r05-last entries queue
-    # next), then r06-last, then the r07/r08 waves.
+    # (m02 + ~45 more r05-last entries queue next), then r06-last,
+    # then the r07/r08 waves.
+    "d29_agreement_bounded",  # new r9: d28's production-bounded spelling
     "q19_above_avg_items",  # last r03
     "q20_fn_dt_coercion",  # last r03
     "q22_collection_aggs",  # last r03
@@ -92,7 +96,6 @@ GRADED_FIRST = [
     "ts23_twap",  # last r04
     "ts24_pit_features",  # last r04
     "d13_decontam_spans",  # last r05
-    "m02_multimodal_feature_surface",  # last r05
 ]
 
 

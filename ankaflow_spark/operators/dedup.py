@@ -2359,10 +2359,59 @@ D28_LEX_THRESHOLD = 0.95  # near-exact clones vs heavy-overlap candidates
 D28_SEM_THRESHOLD = 0.0  # the cosine-similar half-space
 
 
-def _agreement_sql(spark_dialect: bool) -> str:
+def _agreement_sql(
+    spark_dialect: bool,
+    max_pairs_per_doc: int | None = None,
+    max_verify_pairs: int | None = None,
+) -> str:
     from .similarity import _DUCK_NORM, _SPARK_NORM
 
     cand_ctes = SPARK_CAND_CTES if spark_dialect else DUCK_CAND_CTES
+    # production-bounded variant (r8 verdict punch item 5) — two
+    # composed bounds, each against a distinct pathology:
+    # (1) hub cap: at most K pairs per doc_a via a deterministic rank
+    #     (doc_b ascending — (doc_a, doc_b) is unique in cands, so both
+    #     engines pick the identical subset). Bounds any single doc's
+    #     verify fan-out.
+    # (2) rate-calibrated sample: the TOTAL verified pairs are capped
+    #     at ~S via a uniform md5 sample whose rate self-calibrates to
+    #     the observed candidate count n (1-row scalar): keep iff
+    #     h16 * n < S * 65536 where h16 is the first 16 bits of
+    #     md5('d29' || doc_a || '_' || doc_b) — pure integer
+    #     arithmetic (h16 <= 65535, so the product stays far below
+    #     BIGINT), bit-identical cross-engine, and keeps EVERYTHING
+    #     whenever n <= S (organic corpora verify exactly). Bounds the
+    #     dup-dense quadratic: the measured 10x clone regime multiplies
+    #     candidate pairs ~1000x over organic (250,600 vs 256 at
+    #     sf0.1), which no per-doc cap binds (median degree 5).
+    # Both apply BEFORE the shingle/embedding joins, so the per-pair
+    # verify cost — the 10.7x dup-dense term — is O(S + K*hubs)
+    # regardless of clone-cluster shape.
+    cap_cte, cand_rel = "", "cands"
+    if max_pairs_per_doc is not None:
+        cast_s = "STRING" if spark_dialect else "VARCHAR"
+        key = (
+            f"concat('d29', CAST(doc_a AS {cast_s}), '_', CAST(doc_b AS {cast_s}))"
+        )
+        if spark_dialect:
+            h16 = f"CAST(conv(substr(md5({key}), 1, 4), 16, 10) AS BIGINT)"
+        else:
+            h16 = f"CAST(('0x' || substr(md5({key}), 1, 4)) AS BIGINT)"
+        s_pairs = int(max_verify_pairs if max_verify_pairs is not None else 20000)
+        cap_cte = f"""
+    hubcapped AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY doc_b) AS __rn
+        FROM cands) r
+      WHERE __rn <= {int(max_pairs_per_doc)}
+    ),
+    n_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hubcapped),
+    capped AS (
+      SELECT doc_a, doc_b FROM hubcapped CROSS JOIN n_c
+      WHERE {h16} * n < CAST({s_pairs} AS BIGINT) * 65536
+    ),"""
+        cand_rel = "capped"
     norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
     if spark_dialect:
         dot = (
@@ -2379,11 +2428,11 @@ def _agreement_sql(spark_dialect: bool) -> str:
     j_t = int(D28_LEX_THRESHOLD * 1000000)
     c_t = int(D28_SEM_THRESHOLD * 1000000)
     return f"""
-    WITH {cand_ctes},
+    WITH {cand_ctes},{cap_cte}
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cands c
+      FROM {cand_rel} c
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
       GROUP BY c.doc_a, c.doc_b
@@ -2426,3 +2475,60 @@ def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached_cands(spark, sf_dir)
     cached_embeddings(spark)
     return spark.sql(_agreement_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d29 — d28's PRODUCTION-BOUNDED spelling (r8 verdict punch item 5):
+# the same lex-vs-sem confusion table over a bounded candidate subset:
+# (1) at most D29_MAX_PAIRS_PER_DOC pairs per doc_a (deterministic
+# rank, doc_b ascending — bounds hub docs), then (2) a
+# rate-calibrated uniform md5 sample capping the TOTAL verified pairs
+# at ~D29_MAX_VERIFY_PAIRS (keep iff h16 * n < S * 65536, integer-
+# exact, self-calibrating to the observed candidate count; organic
+# corpora with n <= S verify EVERYTHING and reproduce d28's pair set
+# modulo the hub cap). d28's exact table pays the full candidate
+# volume, which grows QUADRATICALLY on a dup-dense corpus (clone
+# clusters of size m contribute m(m-1)/2 pairs — the accepted
+# d24/d26/d27 regime, measured 10.7x wall and ~1000x pair volume at
+# 10x clones); the composed bounds cap the per-pair verify work — the
+# dominant term: two shingle equi-joins plus an embedding cosine per
+# pair — at O(S), constant in corpus pathology. The bounded table is
+# a uniform SAMPLE of d28's: counts shrink proportionally, the 2x2
+# structure and per-cell means stay readable (md5 sampling is
+# cell-agnostic: it keys on ids, never on similarity). Production
+# pipelines point THIS spelling at unknown corpora and graduate to
+# d28 when the candidate volume is known to be survivor-bounded.
+# Scale shape: one partitioned window over the materialized __cands__
+# plus a 1-row count scalar broadcast (q59's class — no new shuffle
+# class), then d28's plan on the bounded remainder; the report is
+# <= 4 rows. Exactness: both bounds are deterministic cross-engine
+# ((doc_a, doc_b) unique in cands; md5 identical both engines);
+# everything downstream is d28's floor-e6 integer arithmetic.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); bounds d28 the way d24's sweep bounds band choice.
+# ---------------------------------------------------------------------------
+D29_MAX_PAIRS_PER_DOC = 20
+D29_MAX_VERIFY_PAIRS = 20000
+
+
+@query(
+    "d29_agreement_bounded",
+    oracle=_agreement_sql(
+        False,
+        max_pairs_per_doc=D29_MAX_PAIRS_PER_DOC,
+        max_verify_pairs=D29_MAX_VERIFY_PAIRS,
+    ),
+)
+def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cached_embeddings
+
+    load_tables(spark, sf_dir)
+    cached_cands(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(
+        _agreement_sql(
+            True,
+            max_pairs_per_doc=D29_MAX_PAIRS_PER_DOC,
+            max_verify_pairs=D29_MAX_VERIFY_PAIRS,
+        )
+    )

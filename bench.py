@@ -174,6 +174,9 @@ HEADLINE = [
     "q79_erasure_cascade",
     "ts43_session_cooccurrence",
     "q80_join_fanout_audit",
+    # round-9 (driver round 9): d28's production-bounded spelling
+    # (capped per-doc verify — rides the shared __cands__ like d28)
+    "d29_agreement_bounded",
 ]
 
 

@@ -3162,6 +3162,118 @@ def test_d28_agreement_vs_python(spark, sf_dir):
         assert r["mean_cosine"] == cs / (n * 1000000.0)
 
 
+def test_d29_bounded_agreement_vs_python(spark, sf_dir):
+    """The bounded confusion table must equal a literal recount over
+    the bounded candidate set: per-doc_a hub cap (rank by doc_b
+    ascending, first D29_MAX_PAIRS_PER_DOC kept) then the
+    rate-calibrated md5 sample (keep iff h16 * n < S * 65536) — both
+    applied BEFORE the embedding filter, exactly like the SQL."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.dedup import (
+        _ROWS_PER_BAND,
+        D28_LEX_THRESHOLD,
+        D28_SEM_THRESHOLD,
+        D29_MAX_PAIRS_PER_DOC,
+        MINHASH_K,
+        QUERIES,
+        SHINGLE_WORDS,
+    )
+
+    out = QUERIES["d29_agreement_bounded"](spark, sf_dir).collect()
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.table("embeddings").select("vec_id", "embedding").collect()
+    }
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < SHINGLE_WORDS:
+            return {" ".join(w)}
+        return {
+            " ".join(w[i : i + SHINGLE_WORDS])
+            for i in range(len(w) - SHINGLE_WORDS + 1)
+        }
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    bands = defaultdict(list)
+    for d, ss in sh.items():
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in ss]
+        mh = [
+            min(int(h[seed : seed + 14], 16) for h in hs)
+            for seed in range(MINHASH_K)
+        ]
+        for b in range(MINHASH_K // _ROWS_PER_BAND):
+            key = "-".join(
+                str(mh[b * _ROWS_PER_BAND + r]) for r in range(_ROWS_PER_BAND)
+            )
+            bands[(b, key)].append(d)
+    cands = set()
+    for members in bands.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cands.add((a, b))
+
+    # bound 1 — the hub cap: first K doc_b per doc_a, key-ascending
+    by_a = defaultdict(list)
+    for a, b in sorted(cands):
+        by_a[a].append(b)
+    hubcapped = {
+        (a, b) for a, bs in by_a.items() for b in bs[:D29_MAX_PAIRS_PER_DOC]
+    }
+    assert hubcapped <= cands
+    # bound 2 — the rate-calibrated md5 sample over the capped set
+    from ankaflow_spark.operators.dedup import D29_MAX_VERIFY_PAIRS
+
+    n = len(hubcapped)
+    capped = {
+        (a, b)
+        for a, b in hubcapped
+        if int(hashlib.md5(f"d29{a}_{b}".encode()).hexdigest()[:4], 16) * n
+        < D29_MAX_VERIFY_PAIRS * 65536
+    }
+    # organic sf corpora sit far under the S target: everything kept
+    assert capped == hubcapped if n <= D29_MAX_VERIFY_PAIRS else capped < hubcapped
+
+    def fold_dot(u, v):
+        s = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+        return s
+
+    cells = defaultdict(lambda: [0, 0, 0])
+    for a, b in capped:
+        if a not in embs or b not in embs:
+            continue
+        inter = len(sh[a] & sh[b])
+        j_e6 = math.floor(inter / (len(sh[a]) + len(sh[b]) - inter) * 1000000)
+        cos = fold_dot(embs[a], embs[b]) / (
+            math.sqrt(fold_dot(embs[a], embs[a]))
+            * math.sqrt(fold_dot(embs[b], embs[b]))
+        )
+        c_e6 = math.floor(cos * 1000000)
+        cell = cells[
+            (j_e6 >= D28_LEX_THRESHOLD * 1000000, c_e6 >= D28_SEM_THRESHOLD * 1000000)
+        ]
+        cell[0] += 1
+        cell[1] += j_e6
+        cell[2] += c_e6
+    assert [(r["lex_dup"], r["sem_dup"]) for r in out] == sorted(cells)
+    for r in out:
+        n, js, cs = cells[(r["lex_dup"], r["sem_dup"])]
+        assert r["n_pairs"] == n
+        assert r["mean_jaccard"] == js / (n * 1000000.0)
+        assert r["mean_cosine"] == cs / (n * 1000000.0)
+
+
 def test_s27_stability_vs_python(spark, sf_dir):
     """The contingency table and ARI must equal a literal two-run
     Lloyd recount on the e6 lattice."""

@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "ts43_session_cooccurrence",  # 1-row session-total scalar cross-joined into the |type pairs|-bounded report — q59's scalar class
     "q80_join_fanout_audit",  # 1-row parent-count scalar subquery folded into each relationship's single-row fan-out summary — q59's scalar class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
+    "d29_agreement_bounded",  # 1-row candidate-count scalar cross-joined into the sample-rate predicate — q59's scalar class (the rate calibrator)
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
