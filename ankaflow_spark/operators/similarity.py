@@ -2779,3 +2779,86 @@ def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached_embeddings(spark)
     _cached_dims(spark)
     return spark.sql(_stability_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s28 — per-shard embedding centroid drift: for every label shard,
+# the Euclidean distance between the shard centroid and the global
+# corpus centroid, the shard's corpus share, and a drift verdict —
+# the cheap index-maintenance monitor that decides WHEN to retrain a
+# quantizer: s25 measures the recall damage a stale IVF index causes
+# (needs ground truth), s28 detects the distribution shift directly
+# from one pass over the vectors, no ground truth needed. At 100 TB
+# the label axis is whatever partitions arrivals (ingest day, source,
+# tenant); a shard whose centroid wanders past the threshold is the
+# retrain trigger. Scale shape: ONE posexplode scan into a
+# (label, dim) map-side-combinable integer aggregation, a 64-row
+# re-aggregation for the global centroid, a |labels| x 64 equi-join
+# on dim, and a |labels|-bounded report — no window, no scalar
+# cross-join, skew-immune (every row contributes exactly DIM lattice
+# points). Exactness: values quantize to e4 BIGINTs at the scan
+# (s19's lattice); each centroid coordinate divides ONCE as DOUBLE
+# (correctly-rounded IEEE, bit-identical cross-engine); per-dim
+# squared diffs re-quantize to e12 BIGINTs (floor of
+# correctly-rounded products) and sum exactly in any order; the
+# distance takes one sqrt (IEEE-exact); the verdict compares
+# INTEGERS against the e12-scaled threshold.
+# Reference parity: no counterpart (the reference delegates execution
+# to DuckDB); completes the s19/s25/s26 index-health family.
+# ---------------------------------------------------------------------------
+_S28_DRIFT_THRESHOLD_E12 = 2_500_000_000  # dist^2 > 0.05^2, e12-scaled
+
+
+def _centroid_drift_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        exploded = """
+          SELECT label, pos + 1 AS dim,
+                 CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        """
+    else:
+        exploded = f"""
+          SELECT e.label, t.d AS dim,
+                 CAST(floor(CAST(e.embedding[t.d] AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings e CROSS JOIN (SELECT CAST(i + 1 AS INT) AS d FROM range({DIM}) r(i)) t
+        """
+    return f"""
+    WITH vals AS ({exploded}),
+    per_label AS (
+      SELECT label, dim,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY label, dim
+    ),
+    global_c AS (
+      SELECT dim, CAST(SUM(s) AS BIGINT) AS sg, CAST(SUM(n) AS BIGINT) AS ng
+      FROM per_label GROUP BY dim
+    ),
+    diffs AS (
+      SELECT l.label, l.dim, l.n, g.ng,
+             (CAST(l.s AS DOUBLE) / (l.n * 10000.0)
+              - CAST(g.sg AS DOUBLE) / (g.ng * 10000.0)) AS diff
+      FROM per_label l JOIN global_c g ON g.dim = l.dim
+    ),
+    folded AS (
+      SELECT label,
+             CAST(MAX(n) AS BIGINT) AS n_vecs,
+             CAST(MAX(ng) AS BIGINT) AS ng,
+             CAST(SUM(CAST(floor(diff * diff * 1000000000000.0) AS BIGINT)) AS BIGINT)
+               AS d2_e12
+      FROM diffs GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           n_vecs,
+           CAST(n_vecs AS DOUBLE) / ng AS corpus_share,
+           sqrt(CAST(d2_e12 AS DOUBLE) / 1000000000000.0) AS centroid_dist,
+           d2_e12 > {_S28_DRIFT_THRESHOLD_E12} AS drifted
+    FROM folded
+    ORDER BY label
+    """
+
+
+@query("s28_centroid_drift", oracle=_centroid_drift_sql(False))
+def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_centroid_drift_sql(True))

@@ -176,7 +176,9 @@ HEADLINE = [
     "q80_join_fanout_audit",
     # round-9 (driver round 9): d28's production-bounded spelling
     # (capped per-doc verify — rides the shared __cands__ like d28)
+    # and the embedding centroid-drift monitor
     "d29_agreement_bounded",
+    "s28_centroid_drift",
 ]
 
 

@@ -3479,3 +3479,39 @@ def test_q80_fanout_excludes_orphans(spark, sf_dir):
     assert ol["n_parents"] == want["orders->lineitem"]["n_parents"] + 5
     # ...but their (negated-key) lineitems don't exist, so child stats hold
     assert ol["n_children"] == want["orders->lineitem"]["n_children"]
+
+
+def test_s28_centroid_drift_vs_python(spark, sf_dir):
+    """Per-shard centroid drift must equal a literal e4-lattice
+    centroid + e12-quantized squared-diff recount."""
+    import math
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.similarity import (
+        _S28_DRIFT_THRESHOLD_E12,
+        DIM,
+        QUERIES,
+    )
+
+    out = QUERIES["s28_centroid_drift"](spark, sf_dir).collect()
+    rows = spark.table("embeddings").select("label", "embedding").collect()
+    sums = defaultdict(lambda: [0] * DIM)
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r["label"]] += 1
+        for d, v in enumerate(r["embedding"]):
+            sums[r["label"]][d] += math.floor(float(v) * 10000)
+    ng = sum(counts.values())
+    gsum = [sum(sums[lab][d] for lab in sums) for d in range(DIM)]
+    assert [r["label"] for r in out] == sorted(counts)
+    for r in out:
+        lab = r["label"]
+        n = counts[lab]
+        d2 = 0
+        for d in range(DIM):
+            diff = sums[lab][d] / (n * 10000.0) - gsum[d] / (ng * 10000.0)
+            d2 += math.floor(diff * diff * 1e12)
+        assert r["n_vecs"] == n
+        assert r["corpus_share"] == n / ng
+        assert r["centroid_dist"] == math.sqrt(d2 / 1e12)
+        assert r["drifted"] == (d2 > _S28_DRIFT_THRESHOLD_E12)
