@@ -40,14 +40,16 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming, multimodal).
-    # Never-graded entries outrank stale re-grades: the two new
-    # round-9 entries (d29/s28) take the front slots; m02 and d13
-    # (the r05 tiebreaks) yield theirs to keep len == 50.
-    # Rotation queue after this window is graded: d13/m02, then the
-    # ~45 remaining r05-last entries, then r06-last, then the r07/r08
-    # waves.
+    # Never-graded entries outrank stale re-grades: the three new
+    # round-9 entries (d29/s28/st23) take the front slots; m02, d13
+    # (the r05 tiebreaks) and ts24 (the alphabetically-last r04
+    # entry) yield theirs to keep len == 50.
+    # Rotation queue after this window is graded: ts24/d13/m02, then
+    # the ~45 remaining r05-last entries, then r06-last, then the
+    # r07/r08 waves.
     "d29_agreement_bounded",  # new r9: d28's production-bounded spelling
     "s28_centroid_drift",  # new r9: per-shard embedding drift monitor
+    "st23_stream_centroid_drift",  # new r9: s28 maintained incrementally
     "q19_above_avg_items",  # last r03
     "q20_fn_dt_coercion",  # last r03
     "q22_collection_aggs",  # last r03
@@ -95,7 +97,6 @@ GRADED_FIRST = [
     "ts20_trajectory_similarity",  # last r04
     "ts21_growth_accounting",  # last r04
     "ts23_twap",  # last r04
-    "ts24_pit_features",  # last r04
 ]
 
 

@@ -2809,36 +2809,20 @@ def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S28_DRIFT_THRESHOLD_E12 = 2_500_000_000  # dist^2 > 0.05^2, e12-scaled
 
 
-def _centroid_drift_sql(spark_dialect: bool) -> str:
-    if spark_dialect:
-        exploded = """
-          SELECT label, pos + 1 AS dim,
-                 CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
-          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
-        """
-    else:
-        exploded = f"""
-          SELECT e.label, t.d AS dim,
-                 CAST(floor(CAST(e.embedding[t.d] AS DOUBLE) * 10000) AS BIGINT) AS q
-          FROM embeddings e CROSS JOIN (SELECT CAST(i + 1 AS INT) AS d FROM range({DIM}) r(i)) t
-        """
+def _drift_tail_sql(per_label: str) -> str:
+    """Centroid-drift report tail over a (label, dim, s, n) relation —
+    shared by s28 (batch lattice sums) and st23 (the incrementally
+    maintained state table); dialect-free SQL."""
     return f"""
-    WITH vals AS ({exploded}),
-    per_label AS (
-      SELECT label, dim,
-             CAST(SUM(q) AS BIGINT) AS s,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM vals GROUP BY label, dim
-    ),
-    global_c AS (
+    WITH global_c AS (
       SELECT dim, CAST(SUM(s) AS BIGINT) AS sg, CAST(SUM(n) AS BIGINT) AS ng
-      FROM per_label GROUP BY dim
+      FROM {per_label} GROUP BY dim
     ),
     diffs AS (
       SELECT l.label, l.dim, l.n, g.ng,
              (CAST(l.s AS DOUBLE) / (l.n * 10000.0)
               - CAST(g.sg AS DOUBLE) / (g.ng * 10000.0)) AS diff
-      FROM per_label l JOIN global_c g ON g.dim = l.dim
+      FROM {per_label} l JOIN global_c g ON g.dim = l.dim
     ),
     folded AS (
       SELECT label,
@@ -2855,6 +2839,32 @@ def _centroid_drift_sql(spark_dialect: bool) -> str:
            d2_e12 > {_S28_DRIFT_THRESHOLD_E12} AS drifted
     FROM folded
     ORDER BY label
+    """
+
+
+def _centroid_drift_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        exploded = """
+          SELECT label, pos + 1 AS dim,
+                 CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+        """
+    else:
+        exploded = f"""
+          SELECT e.label, t.d AS dim,
+                 CAST(floor(CAST(e.embedding[t.d] AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings e CROSS JOIN (SELECT CAST(i + 1 AS INT) AS d FROM range({DIM}) r(i)) t
+        """
+    tail = _drift_tail_sql("per_label").strip()
+    assert tail.startswith("WITH ")
+    return f"""
+    WITH vals AS ({exploded}),
+    per_label AS (
+      SELECT label, dim,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY label, dim
+    ), {tail[len("WITH "):]}
     """
 
 

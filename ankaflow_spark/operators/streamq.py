@@ -1994,3 +1994,73 @@ ORACLES["m12_shard_planner"] = _shard_plan_sql(
     )""",
     False,
 )
+
+
+def _staged_embeddings(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stage the embeddings corpus as a 6-file directory for the
+    streaming file source, so a throttled reader executes multiple
+    REAL micro-batches with whole vectors per file (the lattice sums
+    are per-vector, so file boundaries are safe batch boundaries)."""
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_streamembs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    success = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = os.path.exists(success) and (
+        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
+    )
+    if not fresh:
+        (
+            t["embeddings"]
+            .repartitionByRange(6, "vec_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+    return staged, spark.read.parquet(staged).schema
+
+
+def st23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming centroid-drift maintenance, ORACLE-CHECKED cell-exact
+    against s28's batch SQL: the vector corpus arrives as a throttled
+    file stream (multiple real micro-batches, 2 files per trigger);
+    each micro-batch posexplodes its vectors onto the e4 lattice and
+    foreachbatch_merge_sums maintains EXACT per-(label, dim) BIGINT
+    (sum, count) state — the running centroid numerators an ANN
+    deployment keeps NEXT TO its index so the retrain trigger costs
+    one report query, never a corpus rescan. State is
+    |labels| x DIM rows — BOUNDED regardless of stream length (st22's
+    measured property; BIGINT sums are associative, so the maintained
+    state equals the batch GROUP BY whatever the trigger boundaries).
+    The report tail is s28's shared drift SQL over the state table:
+    per-coordinate single division, e12-quantized squared diffs,
+    integer drift verdict."""
+    from ..streaming.stream import foreachbatch_merge_sums, stream_tap
+
+    staged, schema = _staged_embeddings(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st23_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    lattice = stream.select(
+        "label",
+        F.expr("posexplode(embedding) AS (pos, v)"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)").alias("q"),
+    )
+    state = foreachbatch_merge_sums(lattice, ["label", "dim"], "q", base)
+    state.createOrReplaceTempView("st23_per_label")
+    from .similarity import _drift_tail_sql
+
+    return spark.sql(_drift_tail_sql("st23_per_label"))
+
+
+QUERIES["st23_stream_centroid_drift"] = st23
+from .similarity import ORACLES as _sim_oracles  # noqa: E402
+
+ORACLES["st23_stream_centroid_drift"] = _sim_oracles["s28_centroid_drift"]

@@ -291,6 +291,62 @@ def foreachbatch_merge_counts(
     return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(eager=True)
 
 
+def foreachbatch_merge_sums(
+    stream_df: DataFrame,
+    keys: List[str],
+    value_col: str,
+    state_base: str,
+) -> DataFrame:
+    """Maintain EXACT per-key (sum, count) pairs across micro-batches —
+    ``foreachbatch_merge_counts`` generalized to an integer value
+    column: each batch pre-aggregates its own slice and sum-merges it
+    with the previous state table. BIGINT addition is associative and
+    commutative, so the final sums equal the batch GROUP BY whatever
+    the trigger boundaries. State publishes via the same
+    alternating-directory atomic-swap contract; state size is
+    O(|keys|), not O(stream) — the bounded-state property st22
+    measures.
+
+    Returns the final state as a batch DataFrame (columns: keys + s + n)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ckpt = state_base + "_ckpt"
+    for d in (state_base + "_a", state_base + "_b", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    last_dir: List[str] = []
+
+    def merge_batch(batch_df, batch_id: int):
+        prev = state_base + ("_b" if batch_id % 2 else "_a")
+        nxt = state_base + ("_a" if batch_id % 2 else "_b")
+        part = batch_df.groupBy(*keys).agg(
+            F.sum(value_col).cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        if os.path.isdir(prev):
+            part = part.unionByName(batch_df.sparkSession.read.parquet(prev))
+        merged = part.groupBy(*keys).agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+        last_dir.append(nxt)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if not last_dir:
+        raise RuntimeError("foreachbatch_merge_sums: no micro-batch executed")
+    return stream_df.sparkSession.read.parquet(last_dir[-1]).localCheckpoint(eager=True)
+
+
 def foreachbatch_append(
     stream_df: DataFrame,
     transform,

@@ -602,3 +602,30 @@ def test_st22_bounded_survival_censors_open_tail(spark):
     # closed sessions all have a defined end; censoring can still occur
     # at the emitted-set edge, but the open per-user tails are gone
     assert n_out > 0
+
+
+def test_st23_centroid_drift_incremental_equals_batch(spark):
+    """The incrementally-maintained (label, dim) lattice sums must
+    yield the same drift report as the batch s28 build, across
+    MULTIPLE micro-batches (BIGINT sums are associative, so trigger
+    boundaries are invisible), and the state must stay BOUNDED at
+    |labels| x DIM rows regardless of stream length."""
+    import os
+
+    from ankaflow_spark.operators.similarity import DIM
+    from ankaflow_spark.operators.similarity import QUERIES as SIM_QUERIES
+    from ankaflow_spark.operators.streamq import QUERIES, _staged_embeddings
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st23_stream_centroid_drift"](spark, sf_dir).collect()
+
+    staged, _ = _staged_embeddings(spark, sf_dir)
+    n_files = len([f for f in os.listdir(staged) if f.endswith(".parquet")])
+    assert n_files >= 4  # max_files_per_trigger=2 -> >= 2 micro-batches
+
+    batch = SIM_QUERIES["s28_centroid_drift"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+    # bounded state: the maintained table is exactly |labels| x DIM
+    n_labels = len(out)
+    state = spark.table("st23_per_label")
+    assert state.count() == n_labels * DIM
