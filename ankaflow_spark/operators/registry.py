@@ -2045,3 +2045,35 @@ def op_session_cooccurrence(engine, df: DataFrame, params: Dict[str, Any]) -> Da
         F.col(type_col).alias("event_type"),
     ).createOrReplaceTempView("__op_cooccur__")
     return engine.spark.sql(_cooccurrence_sql(True, table="__op_cooccur__"))
+
+
+@operator("centroid_drift")
+def op_centroid_drift(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Per-shard embedding centroid drift (s28 as a reusable stage):
+    shard-vs-global centroid distance on the e4 lattice with
+    e12-quantized squared diffs and an integer drift verdict — the
+    quantizer-retrain trigger a YAML pipeline runs next to its ANN
+    index. One posexplode pass into a map-side-combinable
+    (shard, dim) integer aggregation; output is |shards| rows."""
+    from .similarity import _drift_tail_sql
+
+    shard_col = params.get("shard", "label")
+    vec_col = params.get("vector", "embedding")
+    per_shard = (
+        df.select(
+            F.col(shard_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("__d__", "__v__"),
+        )
+        .select(
+            "label",
+            (F.col("__d__") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("__v__").cast("double") * 10000).cast("bigint").alias("__q__"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("__q__").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    per_shard.createOrReplaceTempView("__op_centroid_drift__")
+    return engine.spark.sql(_drift_tail_sql("__op_centroid_drift__"))

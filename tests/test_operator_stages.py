@@ -1334,3 +1334,23 @@ def test_session_cooccurrence_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["ts43_session_cooccurrence"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_centroid_drift_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: embeddings
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: drift
+  op: centroid_drift
+  params: {{shard: label, vector: embedding}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    graded = QUERIES["s28_centroid_drift"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]

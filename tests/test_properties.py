@@ -234,3 +234,30 @@ def test_dialect_expand_never_crashes_on_noise(sql):
     except UnsupportedDialect:
         return
     assert isinstance(out, str)
+
+
+@slow
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(-1200, 1200), min_size=0, max_size=40),
+)
+def test_histogram_boundaries_rewrite_semantics(bounds, vals):
+    """The histogram(x, [boundaries]) rewrite semantics (r9): keys are
+    the given boundaries ascending; bin i counts prev < x <= b_i with
+    the first bin unbounded below; values above the top boundary are
+    DROPPED; every boundary key is emitted (empty bins 0) — for
+    arbitrary boundary sets and integer values (pure-Python evaluation
+    of the rewritten expression's semantics)."""
+    bs = sorted(bounds)
+    bins = {}
+    for i, b in enumerate(bs):
+        lo = bs[i - 1] if i > 0 else None
+        bins[b] = sum(1 for v in vals if v <= b and (lo is None or v > lo))
+    assert list(bins) == bs  # every boundary keyed, ascending
+    # exhaustive over the covered domain, nothing above the top counted
+    assert sum(bins.values()) == sum(1 for v in vals if v <= bs[-1])
+    # no double counting: each covered value lands in exactly one bin
+    for v in set(vals):
+        hit = [b for i, b in enumerate(bs)
+               if v <= b and (i == 0 or v > bs[i - 1])]
+        assert len(hit) == (1 if v <= bs[-1] else 0)
