@@ -40,16 +40,22 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming, multimodal).
-    # Never-graded entries outrank stale re-grades: the three new
-    # round-9 entries (d29/s28/st23) take the front slots; m02, d13
-    # (the r05 tiebreaks) and ts24 (the alphabetically-last r04
-    # entry) yield theirs to keep len == 50.
-    # Rotation queue after this window is graded: ts24/d13/m02, then
-    # the ~45 remaining r05-last entries, then r06-last, then the
-    # r07/r08 waves.
+    # Never-graded entries outrank stale re-grades: the seven new
+    # round-9 entries (d29/s28/st23 wave 1; m13/st24/ts44/q81 wave 2)
+    # take the front slots; m02, d13 (the r05 tiebreaks), ts24 (the
+    # alphabetically-last r04 entry) and ts19/ts20/ts21/ts23 (the last
+    # four r04 entries by list position) yield theirs to keep
+    # len == 50.
+    # Rotation queue after this window is graded: ts19/ts20/ts21/
+    # ts23/ts24/d13/m02, then the ~45 remaining r05-last entries,
+    # then r06-last, then the r07/r08 waves.
     "d29_agreement_bounded",  # new r9: d28's production-bounded spelling
     "s28_centroid_drift",  # new r9: per-shard embedding drift monitor
     "st23_stream_centroid_drift",  # new r9: s28 maintained incrementally
+    "m13_corrupt_asset_audit",  # new r9w2: multimodal ingest validation
+    "st24_stream_quantiles",  # new r9w2: bounded-state quantile maintenance
+    "ts44_seasonal_anomaly",  # new r9w2: calendar-baseline MAD anomaly
+    "q81_retention_ttl_audit",  # new r9w2: TTL age-out / purge planner
     "q19_above_avg_items",  # last r03
     "q20_fn_dt_coercion",  # last r03
     "q22_collection_aggs",  # last r03
@@ -93,10 +99,6 @@ GRADED_FIRST = [
     "t19_chunk_dedup",  # last r04
     "t20_leakage_safe_split",  # last r04
     "t22_chunk_dedup_rewrite",  # last r04
-    "ts19_native_session_window",  # last r04
-    "ts20_trajectory_similarity",  # last r04
-    "ts21_growth_accounting",  # last r04
-    "ts23_twap",  # last r04
 ]
 
 

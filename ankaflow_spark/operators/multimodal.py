@@ -533,3 +533,93 @@ def synth_sized_images(spark, n: int = 120) -> DataFrame:
         rows.append((i, "image", bytearray(payload), meta))
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+MIN_ASSET_BYTES = 16
+
+# required metadata key per declared modality — the contract an ingest
+# manifest promises downstream decoders
+_REQUIRED_META = {"image": "w", "audio": "w", "video": "n_frames"}
+
+VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_ok", T.BooleanType(), False),
+        T.StructField("meta_ok", T.BooleanType(), False),
+        T.StructField("kind_ok", T.BooleanType(), False),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def synth_media_corrupt(spark, n: int = 120) -> DataFrame:
+    """Deterministic ingest-corruption twin of ``synth_media``: the
+    same md5-derived payload/metadata spec, with three independent
+    corruption classes injected as pure functions of media_id so a SQL
+    oracle reproduces every verdict —
+    - ``i % 7 == 3``: payload truncated to 3 bytes (failed upload),
+    - ``i % 11 == 5``: the required metadata key dropped (manifest bug),
+    - ``i % 13 == 8``: kind overwritten to 'webp' (undeclared modality).
+    """
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.md5(str(i).encode()).digest() * (4 + i % 5)
+        meta = (
+            {"n_frames": str(8 + i % 7)} if kind == "video" else {"w": "64", "h": "48"}
+        )
+        if i % 7 == 3:
+            payload = payload[:3]
+        if i % 11 == 5:
+            meta = {k: v for k, v in meta.items() if k not in ("n_frames", "w")}
+        if i % 13 == 8:
+            kind = "webp"
+        rows.append((i, kind, bytearray(payload), meta))
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+def validate_assets(media: DataFrame) -> DataFrame:
+    """mapInPandas ingest validation — the gate a multimodal pipeline
+    runs BEFORE spending decode cycles: byte-length floor on the real
+    payload bytes (measured executor-side after the Arrow hop, so the
+    check also proves binary integrity through the batch transfer),
+    required-metadata presence for the DECLARED kind, and a
+    known-modality check (an unknown kind cannot be meta-validated, so
+    it fails both kind_ok and meta_ok). Per-batch memory is bounded by
+    the Arrow batch size; verdict rows are fixed-width — the shuffle
+    after validation moves bytes-per-row, never the media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "kind": [],
+                "n_bytes": [],
+                "payload_ok": [],
+                "meta_ok": [],
+                "kind_ok": [],
+                "valid": [],
+            }
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload or b"")
+                m = dict(meta) if meta is not None else {}
+                p_ok = len(b) >= MIN_ASSET_BYTES
+                req = _REQUIRED_META.get(kind)
+                k_ok = req is not None
+                m_ok = k_ok and req in m
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(b))
+                out["payload_ok"].append(p_ok)
+                out["meta_ok"].append(m_ok)
+                out["kind_ok"].append(k_ok)
+                out["valid"].append(p_ok and m_ok and k_ok)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=VALIDATE_SCHEMA)

@@ -3310,3 +3310,63 @@ def _fanout_sql() -> str:
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_fanout_sql())
+
+
+# ---------------------------------------------------------------------------
+# q81 — retention/TTL age-out audit: per event_type, the rows already
+# past their retention policy (click 7 d, view 14 d, error 30 d,
+# signup 90 d, else 365 d — the per-class TTL table every governed
+# store carries), the expired share, and the day-partition purge plan
+# (how many daily partitions a TTL job would drop, and the oldest one)
+# — the complement of q78 (is data arriving?) and q79 (user-scoped
+# erasure): q81 is the CALENDAR-scoped deletion obligation. "now" is
+# the corpus edge (max ts), so the audit is reproducible on a frozen
+# snapshot. Scale shape: ONE map-side-combinable scan+aggregate onto
+# the |event types|-bounded report; the 1-row corpus-edge scalar
+# broadcasts into the projection (q59/q78's scalar class); the purge
+# plan counts DISTINCT expired day numbers inside the same aggregate —
+# no second scan, no per-partition listing. Exactness: all thresholds
+# are integer microsecond arithmetic; expired_share divides two
+# integers once.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the q70/q74/q78/q79 governance family.
+# ---------------------------------------------------------------------------
+_TTL_DAYS_CASE = (
+    "CASE event_type WHEN 'click' THEN 7 WHEN 'view' THEN 14 "
+    "WHEN 'error' THEN 30 WHEN 'signup' THEN 90 ELSE 365 END"
+)
+
+
+def _ttl_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    day_us = 86400 * 1000000
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             {_TTL_DAYS_CASE} AS ttl_days,
+             CAST({epoch}(ts) AS BIGINT) AS ts_us,
+             CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no
+      FROM events
+    ),
+    edge AS (SELECT CAST(MAX(ts_us) AS BIGINT) AS edge_us FROM base)
+    SELECT b.event_type AS event_type,
+           CAST(MAX(b.ttl_days) AS BIGINT) AS ttl_days,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN b.ts_us < x.edge_us - b.ttl_days * {day_us}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+           CAST(SUM(CASE WHEN b.ts_us < x.edge_us - b.ttl_days * {day_us}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS expired_share,
+           CAST(COUNT(DISTINCT CASE WHEN b.ts_us < x.edge_us - b.ttl_days * {day_us}
+                                    THEN b.day_no END) AS BIGINT) AS n_purge_partitions,
+           CAST(MIN(b.day_no) AS BIGINT) AS oldest_day_no
+    FROM base b CROSS JOIN edge x
+    GROUP BY b.event_type
+    ORDER BY event_type
+    """
+
+
+@query("q81_retention_ttl_audit", oracle=_ttl_sql(False))
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_ttl_sql(True))

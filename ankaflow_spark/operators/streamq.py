@@ -2064,3 +2064,136 @@ QUERIES["st23_stream_centroid_drift"] = st23
 from .similarity import ORACLES as _sim_oracles  # noqa: E402
 
 ORACLES["st23_stream_centroid_drift"] = _sim_oracles["s28_centroid_drift"]
+
+
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest-validation audit, ORACLE-CHECKED cell-exact:
+    a corrupted synthetic manifest (truncated payloads, dropped
+    required metadata, undeclared modalities — each a pure function of
+    media_id, see ``synth_media_corrupt``) flows through the
+    ``validate_assets`` mapInPandas gate, and every per-asset verdict
+    (byte-length floor measured on the REAL bytes executor-side,
+    required-meta presence, known-modality) is reproduced by the
+    DuckDB oracle from the corruption spec alone — proving the Arrow
+    binary hop, the map-typed metadata transfer, and the kernel logic
+    all agree with the declared contract. This is the gate a 100 TB
+    multimodal ingest runs before spending decode cycles; invalid
+    assets route to quarantine instead of poisoning the decode stage."""
+    from .multimodal import synth_media_corrupt, validate_assets
+
+    media = synth_media_corrupt(spark, 120)
+    return validate_assets(media).orderBy("media_id")
+
+
+QUERIES["m13_corrupt_asset_audit"] = m13
+ORACLES["m13_corrupt_asset_audit"] = """
+    SELECT i AS media_id,
+           CASE WHEN i % 13 = 8 THEN 'webp'
+                ELSE CASE CAST(i % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           END AS kind,
+           CASE WHEN i % 7 = 3 THEN 3
+                ELSE octet_length(repeat(unhex(md5(CAST(i AS VARCHAR))),
+                                         CAST(4 + i % 5 AS INT)))
+           END AS n_bytes,
+           i % 7 <> 3 AS payload_ok,
+           (i % 11 <> 5 AND i % 13 <> 8) AS meta_ok,
+           i % 13 <> 8 AS kind_ok,
+           (i % 7 <> 3 AND i % 11 <> 5 AND i % 13 <> 8) AS valid
+    FROM range(120) t(i)
+    ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# st24 — streaming quantile maintenance with BOUNDED histogram state:
+# events arrive as a throttled file stream; each micro-batch quantizes
+# value to exact cents (floor of a DECIMAL — both engines truncate
+# identically) and folds into $5-wide buckets, and
+# foreachbatch_merge_counts maintains EXACT per-(event_type, bucket)
+# counters — integer addition is associative, so the state equals the
+# batch GROUP BY whatever the trigger boundaries. State is
+# |types| x |occupied buckets| rows (value <= $500 -> <= ~100 buckets
+# per type) REGARDLESS of stream length — the st22/st23 bounded-state
+# property applied to distribution sketching. The report reads
+# p50/p90/p99 as the exact lower bound of the bucket where the
+# cumulative count first reaches ceil(q*N) — pure integer rank
+# arithmetic, identical on both engines; a production deployment
+# narrows the bucket width for finer quantiles at linearly more state.
+# ---------------------------------------------------------------------------
+_ST24_BUCKET_CENTS = 500
+
+
+def _stream_quantile_sql(src: str, spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    w = _ST24_BUCKET_CENTS
+    return f"""
+    WITH tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM {src} GROUP BY event_type
+    ),
+    cum AS (
+      SELECT s.event_type, s.bucket, s.n,
+             CAST(SUM(s.n) OVER (PARTITION BY s.event_type ORDER BY s.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM {src} s
+    )
+    SELECT t.event_type AS event_type,
+           t.total AS n_events,
+           CAST(MIN(CASE WHEN c.cum_n >= (t.total + 1) {intdiv} 2
+                         THEN c.bucket END) * {w} AS BIGINT) AS p50_lo_cents,
+           CAST(MIN(CASE WHEN c.cum_n >= (9 * t.total + 9) {intdiv} 10
+                         THEN c.bucket END) * {w} AS BIGINT) AS p90_lo_cents,
+           CAST(MIN(CASE WHEN c.cum_n >= (99 * t.total + 99) {intdiv} 100
+                         THEN c.bucket END) * {w} AS BIGINT) AS p99_lo_cents
+    FROM tot t JOIN cum c ON c.event_type = t.event_type
+    GROUP BY t.event_type, t.total
+    ORDER BY event_type
+    """
+
+
+def st24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile maintenance, ORACLE-CHECKED cell-exact
+    against the batch bucket histogram (see the block comment above):
+    bounded per-(type, bucket) counter state via
+    foreachbatch_merge_counts, exact integer rank -> bucket lower
+    bound report shared verbatim with the DuckDB oracle."""
+    from ..streaming.stream import foreachbatch_merge_counts, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st24_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    bucketed = stream.select(
+        "event_type",
+        F.expr(
+            "CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) "
+            f"div {_ST24_BUCKET_CENTS}"
+        ).alias("bucket"),
+    )
+    state = foreachbatch_merge_counts(bucketed, ["event_type", "bucket"], base)
+    state.createOrReplaceTempView("st24_state")
+    return spark.sql(_stream_quantile_sql("st24_state", True))
+
+
+QUERIES["st24_stream_quantiles"] = st24
+ORACLES["st24_stream_quantiles"] = (
+    """
+    WITH st24_state AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) // """
+    + str(_ST24_BUCKET_CENTS)
+    + """ AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    q AS ("""
+    + _stream_quantile_sql("st24_state", False)
+    + """)
+    SELECT * FROM q
+"""
+)

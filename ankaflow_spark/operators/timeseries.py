@@ -2702,3 +2702,72 @@ def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
 def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_cooccurrence_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts44 — seasonality-adjusted anomaly detection: hourly event counts
+# scored against the CALENDAR baseline for the same (day-of-week,
+# hour) cell across all weeks — the monitor that catches "this Monday
+# 9am is wrong" where ts10's trailing-window z-score would average the
+# weekly rhythm away (and ts33 only profiles the rhythm, it doesn't
+# score residuals). Baseline is median / MAD (robust: one outage week
+# can't drag its own baseline), and the flag is the classic
+# |x - med| > 3 * MAD. Exactness: dow derives from integer day-number
+# arithmetic ((day_no + 4) % 7, 0 = Sunday — engine-independent,
+# avoiding the dayofweek() origin mismatch); medians of integers are
+# exact half-integers in doubles, so med2 = 2*median and mad4 =
+# 4*MAD = 2*median(|2c - med2|) are EXACT BIGINTs and the verdict
+# 2*dev2 > 3*mad4 is pure integer comparison (the dev2 >= 2 guard
+# keeps a zero-MAD constant cell from flagging |c-med| = 0.5 noise).
+# Scale shape: ONE map-side-combinable scan onto the |days x 24| cell
+# lattice; baselines and MADs are per-(dow, hour) aggregates of that
+# lattice (168 groups), and every join afterwards is lattice-sized —
+# at 100 TB the raw scan dominates and everything else is megabytes.
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the ts10/ts30/ts33 anomaly family.
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_anomaly_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    day_us = 86400 * 1000000
+    hour_us = 3600 * 1000000
+    return f"""
+    WITH cells AS (
+      SELECT CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no,
+             CAST(({epoch}(ts) % {day_us}) {intdiv} {hour_us} AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT day_no, hr, CAST((day_no + 4) % 7 AS BIGINT) AS dow, n_events
+      FROM cells
+    ),
+    base AS (
+      SELECT dow, hr, CAST(2 * median(n_events) AS BIGINT) AS med2
+      FROM keyed GROUP BY dow, hr
+    ),
+    dev AS (
+      SELECT k.day_no, k.hr, k.dow, k.n_events, b.med2,
+             ABS(2 * k.n_events - b.med2) AS dev2
+      FROM keyed k JOIN base b ON b.dow = k.dow AND b.hr = k.hr
+    ),
+    madt AS (
+      SELECT dow, hr, CAST(2 * median(dev2) AS BIGINT) AS mad4
+      FROM dev GROUP BY dow, hr
+    )
+    SELECT d.day_no AS day_no, d.hr AS hr, d.dow AS dow,
+           d.n_events AS n_events,
+           CAST(d.med2 AS DOUBLE) / 2 AS baseline_median,
+           CAST(m.mad4 AS DOUBLE) / 4 AS mad,
+           (2 * d.dev2 > 3 * m.mad4 AND d.dev2 >= 2) AS is_anomaly
+    FROM dev d JOIN madt m ON m.dow = d.dow AND m.hr = d.hr
+    ORDER BY day_no, hr
+    """
+
+
+@query("ts44_seasonal_anomaly", oracle=_seasonal_anomaly_sql(False))
+def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_seasonal_anomaly_sql(True))

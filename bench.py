@@ -179,6 +179,11 @@ HEADLINE = [
     # and the embedding centroid-drift monitor
     "d29_agreement_bounded",
     "s28_centroid_drift",
+    # round-9 wave 2: TTL purge planner, calendar-baseline anomaly,
+    # multimodal ingest validation (mapInPandas kernel)
+    "q81_retention_ttl_audit",
+    "ts44_seasonal_anomaly",
+    "m13_corrupt_asset_audit",
 ]
 
 

@@ -3515,3 +3515,115 @@ def test_s28_centroid_drift_vs_python(spark, sf_dir):
         assert r["corpus_share"] == n / ng
         assert r["centroid_dist"] == math.sqrt(d2 / 1e12)
         assert r["drifted"] == (d2 > _S28_DRIFT_THRESHOLD_E12)
+
+
+def test_q81_retention_ttl_vs_python(spark, sf_dir):
+    """TTL audit must equal a literal microsecond-arithmetic recount:
+    per-type expired rows, expired day-partitions, and shares."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q81_retention_ttl_audit"](spark, sf_dir).collect()
+    rows = spark.table("events").selectExpr(
+        "event_type", "unix_micros(ts) AS us"
+    ).collect()
+    ttl = {"click": 7, "view": 14, "error": 30, "signup": 90}
+    day_us = 86400 * 1000000
+    edge = max(r["us"] for r in rows)
+    n = defaultdict(int)
+    exp = defaultdict(int)
+    purge = defaultdict(set)
+    oldest = {}
+    for r in rows:
+        t = r["event_type"]
+        n[t] += 1
+        d = ttl.get(t, 365)
+        day = r["us"] // day_us
+        oldest[t] = min(oldest.get(t, day), day)
+        if r["us"] < edge - d * day_us:
+            exp[t] += 1
+            purge[t].add(day)
+    assert [r["event_type"] for r in out] == sorted(n)
+    for r in out:
+        t = r["event_type"]
+        assert r["ttl_days"] == ttl.get(t, 365)
+        assert r["n_rows"] == n[t]
+        assert r["n_expired"] == exp[t]
+        assert r["expired_share"] == exp[t] / n[t]
+        assert r["n_purge_partitions"] == len(purge[t])
+        assert r["oldest_day_no"] == oldest[t]
+    # the synthetic 30-day corpus gives the audit real signal: short
+    # TTLs expire rows, the 365-day class expires none
+    assert any(r["n_expired"] > 0 for r in out)
+    assert any(r["n_expired"] == 0 for r in out)
+
+
+def test_ts44_seasonal_anomaly_vs_python(spark, sf_dir):
+    """Seasonal-MAD anomaly verdicts must equal a literal recount:
+    integer (dow, hour) cells, exact 2*median / 4*MAD arithmetic, and
+    the 2*dev2 > 3*mad4 flag."""
+    from collections import defaultdict
+    from statistics import median
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts44_seasonal_anomaly"](spark, sf_dir).collect()
+    rows = spark.table("events").selectExpr("unix_micros(ts) AS us").collect()
+    day_us = 86400 * 1000000
+    hour_us = 3600 * 1000000
+    cells = defaultdict(int)
+    for r in rows:
+        cells[(r["us"] // day_us, (r["us"] % day_us) // hour_us)] += 1
+    groups = defaultdict(list)
+    for (day, hr), c in cells.items():
+        groups[((day + 4) % 7, hr)].append(c)
+    med2 = {k: int(2 * median(v)) for k, v in groups.items()}
+    dev2 = {
+        (day, hr): abs(2 * c - med2[((day + 4) % 7, hr)])
+        for (day, hr), c in cells.items()
+    }
+    mad4 = {
+        k: int(
+            2
+            * median(
+                [dev2[(d, h)] for (d, h) in cells if ((d + 4) % 7, h) == k]
+            )
+        )
+        for k in groups
+    }
+    assert len(out) == len(cells)
+    n_anom = 0
+    for r in out:
+        key = (r["day_no"], r["hr"])
+        gk = ((r["day_no"] + 4) % 7, r["hr"])
+        assert r["dow"] == gk[0]
+        assert r["n_events"] == cells[key]
+        assert r["baseline_median"] == med2[gk] / 2
+        assert r["mad"] == mad4[gk] / 4
+        expect = 2 * dev2[key] > 3 * mad4[gk] and dev2[key] >= 2
+        assert r["is_anomaly"] == expect
+        n_anom += bool(r["is_anomaly"])
+    assert 0 < n_anom < len(out)  # real signal, not degenerate
+
+
+def test_m13_corrupt_asset_audit_kernel(spark):
+    """The mapInPandas validation kernel must flag exactly the
+    injected corruption classes, measured on the REAL bytes after the
+    Arrow hop."""
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    out = QUERIES["m13_corrupt_asset_audit"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 120
+    for r in rows:
+        i = r["media_id"]
+        assert r["payload_ok"] == (i % 7 != 3)
+        assert r["meta_ok"] == (i % 11 != 5 and i % 13 != 8)
+        assert r["kind_ok"] == (i % 13 != 8)
+        assert r["valid"] == (i % 7 != 3 and i % 11 != 5 and i % 13 != 8)
+        if i % 7 == 3:
+            assert r["n_bytes"] == 3
+        else:
+            assert r["n_bytes"] == 16 * (4 + i % 5)
+    assert sum(not r["valid"] for r in rows) > 0

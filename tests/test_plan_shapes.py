@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "s20_ivf_probe_sweep",  # 4-row probe spine inequality-joined (crank <= probe) to the 40-row query x centroid rank table — d24's sweep-spine class
     "st19_stream_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram tail — ts35's scalar class over the maintained state
     "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
+    "q81_retention_ttl_audit",  # 1-row corpus-edge scalar cross-joined into the TTL comparison — q59/q78's scalar class
     "s22_ivf_cell_balance",  # 1-row corpus-total scalar cross-joined into the K-bounded cell relation — q59's scalar class
     "d25_dedup_bias_audit",  # 1-row before/after-totals scalar cross-joined into the |sources|-bounded drift relation — q73's class
     "ts37_survival_curve",  # 1-row corpus-edge + totals scalars cross-joined into the |distinct durations|-bounded actuarial walk — q59's scalar class

@@ -629,3 +629,43 @@ def test_st23_centroid_drift_incremental_equals_batch(spark):
     n_labels = len(out)
     state = spark.table("st23_per_label")
     assert state.count() == n_labels * DIM
+
+
+def test_st24_stream_quantiles_bounded_state_equals_batch(spark):
+    """The incrementally-maintained (type, bucket) histogram must
+    reproduce the batch bucket counts exactly (integer merge is
+    trigger-invariant), stay BOUNDED at |occupied buckets| rows, and
+    the rank->bucket report must match a literal recount."""
+    from ankaflow_spark.operators.streamq import (
+        _ST24_BUCKET_CENTS,
+        QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st24_stream_quantiles"](spark, sf_dir).collect()
+
+    import math
+    from collections import defaultdict
+
+    rows = spark.table("events").select("event_type", "value").collect()
+    hist = defaultdict(int)
+    for r in rows:
+        cents = math.floor(float(r["value"]) * 100)
+        hist[(r["event_type"], cents // _ST24_BUCKET_CENTS)] += 1
+
+    state = {(r["event_type"], r["bucket"]): r["n"] for r in spark.table("st24_state").collect()}
+    assert state == dict(hist)  # exact counts AND bounded row set
+
+    for r in out:
+        t = r["event_type"]
+        buckets = sorted(b for (tt, b) in hist if tt == t)
+        total = sum(hist[(t, b)] for b in buckets)
+        assert r["n_events"] == total
+        for q_num, q_den, col in ((1, 2, "p50_lo_cents"), (9, 10, "p90_lo_cents"), (99, 100, "p99_lo_cents")):
+            rank = (q_num * total + q_den - 1) // q_den
+            cum = 0
+            for b in buckets:
+                cum += hist[(t, b)]
+                if cum >= rank:
+                    assert r[col] == b * _ST24_BUCKET_CENTS
+                    break
