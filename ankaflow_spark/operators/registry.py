@@ -2077,3 +2077,89 @@ def op_centroid_drift(engine, df: DataFrame, params: Dict[str, Any]) -> DataFram
     )
     per_shard.createOrReplaceTempView("__op_centroid_drift__")
     return engine.spark.sql(_drift_tail_sql("__op_centroid_drift__"))
+
+
+@operator("retention_ttl")
+def op_retention_ttl(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Retention/TTL age-out audit (q81 as a reusable stage): per-key
+    rows past their retention policy, expired share, and the
+    day-partition purge plan against the corpus edge. ``ttl_days``
+    maps key values to day budgets (``default_days`` for the rest);
+    the CASE is built from VALIDATED integer literals so no SQL is
+    ever spliced from user strings."""
+    from .relational import _ttl_sql
+
+    key = params.get("key", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    ttl_map = params.get("ttl_days") or {}
+    default_days = int(params.get("default_days", 365))
+    if default_days < 1:
+        raise ValueError("retention_ttl: default_days must be >= 1")
+    branches = []
+    for k, v in ttl_map.items():
+        days = int(v)
+        if days < 1:
+            raise ValueError(f"retention_ttl: ttl_days[{k!r}] must be >= 1")
+        safe_k = str(k).replace("'", "''")
+        branches.append(f"WHEN '{safe_k}' THEN {days}")
+    case = (
+        f"CASE event_type {' '.join(branches)} ELSE {default_days} END"
+        if branches
+        else str(default_days)
+    )
+    df.select(
+        F.col(key).alias("event_type"), F.col(ts_col).alias("ts")
+    ).createOrReplaceTempView("__op_retention_ttl__")
+    return engine.spark.sql(
+        _ttl_sql(True, table="__op_retention_ttl__", ttl_case=case)
+    )
+
+
+@operator("seasonal_anomaly")
+def op_seasonal_anomaly(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Seasonality-adjusted anomaly detection (ts44 as a reusable
+    stage): hourly counts scored against the same-(dow, hour) calendar
+    baseline with exact integer median/MAD arithmetic (see
+    timeseries._seasonal_anomaly_sql)."""
+    from .timeseries import _seasonal_anomaly_sql
+
+    ts_col = params.get("ts_col", "ts")
+    df.select(F.col(ts_col).alias("ts")).createOrReplaceTempView(
+        "__op_seasonal_anomaly__"
+    )
+    return engine.spark.sql(
+        _seasonal_anomaly_sql(True, table="__op_seasonal_anomaly__")
+    )
+
+
+@operator("value_quantiles")
+def op_value_quantiles(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Bucketed exact quantiles (st24's report as a batch stage):
+    quantize a value column to cents, fold into fixed-width buckets,
+    and read p50/p90/p99 as the exact integer rank -> bucket lower
+    bound. The same histogram state a streaming deployment maintains
+    incrementally (st24); as a stage it profiles any (key, value)
+    relation in one map-side-combinable pass."""
+    from .streamq import _ST24_BUCKET_CENTS, _stream_quantile_sql
+
+    key = params.get("key", "event_type")
+    val = params.get("value", "value")
+    width = int(params.get("bucket_cents", _ST24_BUCKET_CENTS))
+    if width < 1:
+        raise ValueError("value_quantiles: bucket_cents must be >= 1")
+    state = (
+        df.select(F.col(key).alias("event_type"), F.col(val).alias("value"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) "
+                f"div {width}"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    state.createOrReplaceTempView("__op_value_quantiles__")
+    return engine.spark.sql(
+        _stream_quantile_sql("__op_value_quantiles__", True, width=width)
+    )

@@ -3337,17 +3337,20 @@ _TTL_DAYS_CASE = (
 )
 
 
-def _ttl_sql(spark_dialect: bool) -> str:
+def _ttl_sql(
+    spark_dialect: bool, table: str = "events", ttl_case: str | None = None
+) -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
+    ttl_case = ttl_case or _TTL_DAYS_CASE
     return f"""
     WITH base AS (
       SELECT event_type,
-             {_TTL_DAYS_CASE} AS ttl_days,
+             {ttl_case} AS ttl_days,
              CAST({epoch}(ts) AS BIGINT) AS ts_us,
              CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no
-      FROM events
+      FROM {table}
     ),
     edge AS (SELECT CAST(MAX(ts_us) AS BIGINT) AS edge_us FROM base)
     SELECT b.event_type AS event_type,

@@ -2124,9 +2124,11 @@ ORACLES["m13_corrupt_asset_audit"] = """
 _ST24_BUCKET_CENTS = 500
 
 
-def _stream_quantile_sql(src: str, spark_dialect: bool) -> str:
+def _stream_quantile_sql(
+    src: str, spark_dialect: bool, width: int = _ST24_BUCKET_CENTS
+) -> str:
     intdiv = "div" if spark_dialect else "//"
-    w = _ST24_BUCKET_CENTS
+    w = width
     return f"""
     WITH tot AS (
       SELECT event_type, CAST(SUM(n) AS BIGINT) AS total

@@ -2728,7 +2728,7 @@ def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _seasonal_anomaly_sql(spark_dialect: bool) -> str:
+def _seasonal_anomaly_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
@@ -2738,7 +2738,7 @@ def _seasonal_anomaly_sql(spark_dialect: bool) -> str:
       SELECT CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no,
              CAST(({epoch}(ts) % {day_us}) {intdiv} {hour_us} AS BIGINT) AS hr,
              CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1, 2
+      FROM {table} GROUP BY 1, 2
     ),
     keyed AS (
       SELECT day_no, hr, CAST((day_no + 4) % 7 AS BIGINT) AS dow, n_events

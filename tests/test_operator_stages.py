@@ -1354,3 +1354,114 @@ def test_centroid_drift_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["s28_centroid_drift"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_retention_ttl_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: ttl
+  op: retention_ttl
+  params:
+    key: event_type
+    ts_col: ts
+    ttl_days: {{click: 7, view: 14, error: 30, signup: 90}}
+    default_days: 365
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q81_retention_ttl_audit"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_retention_ttl_stage_rejects_bad_params(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: ttl
+  op: retention_ttl
+  params: {{ttl_days: {{click: 0}}}}
+"""),
+        engine=engine,
+    )
+    with pytest.raises(FlowError, match="must be >= 1"):
+        flow.run()
+
+
+def test_seasonal_anomaly_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: anomaly
+  op: seasonal_anomaly
+  params: {{ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts44_seasonal_anomaly"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_value_quantiles_stage_matches_graded(engine, sf_dir):
+    """The batch stage over the default $5 buckets must equal st24's
+    incrementally-maintained report exactly."""
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: quant
+  op: value_quantiles
+  params: {{key: event_type, value: value}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    graded = QUERIES["st24_stream_quantiles"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_value_quantiles_stage_narrow_buckets(engine, sf_dir):
+    """Narrower buckets refine the quantile lower bounds monotonically
+    upward (a finer grid can only move the crossing bucket's lower
+    bound up, never down)."""
+    def run(width):
+        flow = Flow(
+            Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: quant
+  op: value_quantiles
+  params: {{key: event_type, value: value, bucket_cents: {width}}}
+"""),
+            engine=engine,
+        )
+        return {r["event_type"]: r for r in flow.run().collect()}
+
+    coarse, fine = run(500), run(100)
+    assert set(coarse) == set(fine)
+    for t in coarse:
+        assert coarse[t]["n_events"] == fine[t]["n_events"]
+        for col in ("p50_lo_cents", "p90_lo_cents", "p99_lo_cents"):
+            assert fine[t][col] >= coarse[t][col]
+            assert fine[t][col] - coarse[t][col] < 500
