@@ -2720,9 +2720,13 @@ def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2*dev2 > 3*mad4 is pure integer comparison (the dev2 >= 2 guard
 # keeps a zero-MAD constant cell from flagging |c-med| = 0.5 noise).
 # Scale shape: ONE map-side-combinable scan onto the |days x 24| cell
-# lattice; baselines and MADs are per-(dow, hour) aggregates of that
-# lattice (168 groups), and every join afterwards is lattice-sized —
-# at 100 TB the raw scan dominates and everything else is megabytes.
+# lattice; med2 and mad4 are STACKED windowed medians over the SAME
+# (dow, hour) partitioning of that lattice — one partitioned-window
+# exchange serves both (no baseline joins: a CTE referenced twice
+# re-expands in Spark, which would re-SCAN events per reference — the
+# windowed spelling plans exactly one scan, verified by
+# tools/plan_audit.py). At 100 TB the raw scan dominates and
+# everything downstream is lattice-sized megabytes.
 # Reference parity: no counterpart (core/flow.py delegates relational
 # work to DuckDB); extends the ts10/ts30/ts33 anomaly family.
 # ---------------------------------------------------------------------------
@@ -2744,25 +2748,25 @@ def _seasonal_anomaly_sql(spark_dialect: bool, table: str = "events") -> str:
       SELECT day_no, hr, CAST((day_no + 4) % 7 AS BIGINT) AS dow, n_events
       FROM cells
     ),
-    base AS (
-      SELECT dow, hr, CAST(2 * median(n_events) AS BIGINT) AS med2
-      FROM keyed GROUP BY dow, hr
+    scored AS (
+      SELECT day_no, hr, dow, n_events,
+             CAST(2 * median(n_events) OVER (PARTITION BY dow, hr)
+                  AS BIGINT) AS med2
+      FROM keyed
     ),
-    dev AS (
-      SELECT k.day_no, k.hr, k.dow, k.n_events, b.med2,
-             ABS(2 * k.n_events - b.med2) AS dev2
-      FROM keyed k JOIN base b ON b.dow = k.dow AND b.hr = k.hr
-    ),
-    madt AS (
-      SELECT dow, hr, CAST(2 * median(dev2) AS BIGINT) AS mad4
-      FROM dev GROUP BY dow, hr
+    devd AS (
+      SELECT day_no, hr, dow, n_events, med2,
+             ABS(2 * n_events - med2) AS dev2
+      FROM scored
     )
-    SELECT d.day_no AS day_no, d.hr AS hr, d.dow AS dow,
-           d.n_events AS n_events,
-           CAST(d.med2 AS DOUBLE) / 2 AS baseline_median,
-           CAST(m.mad4 AS DOUBLE) / 4 AS mad,
-           (2 * d.dev2 > 3 * m.mad4 AND d.dev2 >= 2) AS is_anomaly
-    FROM dev d JOIN madt m ON m.dow = d.dow AND m.hr = d.hr
+    SELECT day_no, hr, dow, n_events,
+           CAST(med2 AS DOUBLE) / 2 AS baseline_median,
+           CAST(CAST(2 * median(dev2) OVER (PARTITION BY dow, hr) AS BIGINT)
+                AS DOUBLE) / 4 AS mad,
+           (2 * dev2 > 3 * CAST(2 * median(dev2) OVER (PARTITION BY dow, hr)
+                                AS BIGINT)
+            AND dev2 >= 2) AS is_anomaly
+    FROM devd
     ORDER BY day_no, hr
     """
 
