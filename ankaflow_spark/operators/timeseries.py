@@ -1175,7 +1175,21 @@ def _log_cell(u: str, idiv: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {63 * S} END"
 
 
-def _rfm_sql(spark_dialect: bool) -> str:
+def _rfm_stage1_sql(spark_dialect: bool, table: str = "events") -> str:
+    """The ONE raw-table pass: per-user profile aggregation."""
+    return f"""
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             SUM(CAST(value AS DECIMAL(14,4))) AS monetary
+      FROM {table} GROUP BY user_id
+    """
+
+
+def _rfm_stage2_ctes(spark_dialect: bool, pu: str = "per_user") -> str:
+    """anchor/base/stats/cells CTE block over a per-user relation.
+
+    The corpus-edge anchor reads MAX(last_ts) from the per-user
+    relation (identical to MAX(ts) over raw events) so NOTHING after
+    stage 1 ever touches the raw table again."""
     if spark_dialect:
         rec = "datediff(a.mx, p.last_ts)"
         idiv = "DIV"
@@ -1186,15 +1200,35 @@ def _rfm_sql(spark_dialect: bool) -> str:
     # descending (mx - v) for frequency/monetary. The shifted value
     # (v - mn, resp. mx - v) is >= 0 and maps onto the log2-octave grid;
     # all-equal metrics degenerate safely to cell 0.
-    cells = f"""cells AS (
+    return f"""anchor AS (SELECT MAX(last_ts) AS mx FROM {pu}),
+    base AS (
+      SELECT p.user_id,
+             CAST({rec} AS BIGINT) AS rec,
+             CAST(p.frequency AS BIGINT) AS freq,
+             p.monetary,
+             CAST(p.monetary * 10000 AS BIGINT) AS mon_e4
+      FROM {pu} p CROSS JOIN anchor a
+    ),
+    stats AS (
+      SELECT MIN(rec) AS mn_r, MAX(rec) AS mx_r,
+             MIN(freq) AS mn_f, MAX(freq) AS mx_f,
+             MIN(mon_e4) AS mn_m, MAX(mon_e4) AS mx_m
+      FROM base
+    ),
+    cells AS (
       SELECT b.user_id, b.rec, b.freq, b.monetary,
              ({_log_cell("b.rec - s.mn_r", idiv)}) AS r_cell,
              ({_log_cell("s.mx_f - b.freq", idiv)}) AS f_cell,
              ({_log_cell("s.mx_m - b.mon_e4", idiv)}) AS m_cell
       FROM base b CROSS JOIN stats s
     )"""
+
+
+def _rfm_stage3_sql(spark_dialect: bool, cells: str = "cells") -> str:
+    """ks/histograms/boundaries/scoring over a cells relation."""
+    idiv = "DIV" if spark_dialect else "//"
     hists = ",\n    ".join(
-        f"h_{m} AS (SELECT {m}_cell AS cell, COUNT(*) AS cnt FROM cells GROUP BY {m}_cell)"
+        f"h_{m} AS (SELECT {m}_cell AS cell, COUNT(*) AS cnt FROM {cells} GROUP BY {m}_cell)"
         for m in ("r", "f", "m")
     )
     if spark_dialect:
@@ -1234,34 +1268,11 @@ def _rfm_sql(spark_dialect: bool) -> str:
         f" + (CASE WHEN c.{m}_cell > {b}.b3 THEN 1 ELSE 0 END)"
         f" + (CASE WHEN c.{m}_cell > {b}.b4 THEN 1 ELSE 0 END)"
     )
-    return f"""
-    WITH per_user AS (
-      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
-             SUM(CAST(value AS DECIMAL(14,4))) AS monetary
-      FROM events GROUP BY user_id
+    return f"""ks AS (
+      SELECT (1 * COUNT(*) + 4) {idiv} 5 AS k1, (2 * COUNT(*) + 4) {idiv} 5 AS k2,
+             (3 * COUNT(*) + 4) {idiv} 5 AS k3, (4 * COUNT(*) + 4) {idiv} 5 AS k4
+      FROM {cells}
     ),
-    anchor AS (SELECT MAX(ts) AS mx FROM events),
-    base AS (
-      SELECT p.user_id,
-             CAST({rec} AS BIGINT) AS rec,
-             CAST(p.frequency AS BIGINT) AS freq,
-             p.monetary,
-             CAST(p.monetary * 10000 AS BIGINT) AS mon_e4
-      FROM per_user p CROSS JOIN anchor a
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n,
-             MIN(rec) AS mn_r, MAX(rec) AS mx_r,
-             MIN(freq) AS mn_f, MAX(freq) AS mx_f,
-             MIN(mon_e4) AS mn_m, MAX(mon_e4) AS mx_m
-      FROM base
-    ),
-    ks AS (
-      SELECT (1 * n + 4) {idiv} 5 AS k1, (2 * n + 4) {idiv} 5 AS k2,
-             (3 * n + 4) {idiv} 5 AS k3, (4 * n + 4) {idiv} 5 AS k4
-      FROM stats
-    ),
-    {cells},
     {hists},
     {bounds},
     scored AS (
@@ -1270,7 +1281,7 @@ def _rfm_sql(spark_dialect: bool) -> str:
              {tile("r", "br")} AS r_q,
              {tile("f", "bf")} AS f_q,
              {tile("m", "bm")} AS m_q
-      FROM cells c CROSS JOIN b_r br CROSS JOIN b_f bf CROSS JOIN b_m bm
+      FROM {cells} c CROSS JOIN b_r br CROSS JOIN b_f bf CROSS JOIN b_m bm
     )
     SELECT user_id, recency_days, frequency, monetary,
            6 - r_q AS r_score, 6 - f_q AS f_score, 6 - m_q AS m_score,
@@ -1280,10 +1291,34 @@ def _rfm_sql(spark_dialect: bool) -> str:
     """
 
 
+def _rfm_sql(spark_dialect: bool) -> str:
+    """Single-string spelling (the DuckDB oracle — DuckDB plans each
+    CTE once, so the inline form is fine there)."""
+    return f"""
+    WITH per_user AS ({_rfm_stage1_sql(spark_dialect)}),
+    {_rfm_stage2_ctes(spark_dialect)},
+    {_rfm_stage3_sql(spark_dialect)}
+    """
+
+
 @query("ts22_rfm_segmentation", oracle=_rfm_sql(False))
 def ts22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side runs STAGED with two localCheckpoint barriers: Spark
+    re-expands a CTE per reference, and the inline spelling re-planned
+    the raw events scan 22x (events appears once per expansion of the
+    per_user/anchor/base chain under cells' four consumers — measured
+    with tools/plan_audit.py). Staging pins (1) the per-user profile
+    (ONE events scan, the only raw-table pass) and (2) the cells
+    relation (consumed by three histograms + scoring); everything
+    downstream scans the materialized |users|-row relations only."""
     load_tables(spark, sf_dir)
-    return spark.sql(_rfm_sql(True))
+    pu = spark.sql(_rfm_stage1_sql(True)).localCheckpoint(eager=True)
+    pu.createOrReplaceTempView("__rfm_pu__")
+    cells = spark.sql(
+        "WITH " + _rfm_stage2_ctes(True, "__rfm_pu__") + " SELECT * FROM cells"
+    ).localCheckpoint(eager=True)
+    cells.createOrReplaceTempView("__rfm_cells__")
+    return spark.sql("WITH " + _rfm_stage3_sql(True, "__rfm_cells__"))
 
 
 # ---------------------------------------------------------------------------
