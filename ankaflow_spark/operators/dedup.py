@@ -1835,7 +1835,7 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_BITS = 16384  # 2^14-bit bitmap; small enough to show real FPs
 
 
-def _bloom_decontam_sql(spark_dialect: bool) -> str:
+def _bloom_decontam_sql(spark_dialect: bool, bench_rel: str | None = None) -> str:
     mod, m = DECONTAM_MOD, BLOOM_BITS
     if spark_dialect:
         grams = f"""
@@ -1867,13 +1867,27 @@ def _bloom_decontam_sql(spark_dialect: bool) -> str:
         exact_hint = ""
     bench_grams = grams.format(pred="=")
     train_grams = grams.format(pred="<>")
+    if bench_rel == "__grams_only__":
+        # the staged Spark path materializes exactly this relation
+        return f"SELECT DISTINCT g FROM ({bench_grams}) __b__"
+    if bench_rel is None:
+        bench_cte = f"bench AS (SELECT DISTINCT g FROM ({bench_grams}) __b__),"
+        bench = "bench"
+    else:
+        # Spark runtime path: the benchmark gram set is checkpointed by
+        # the caller — its three consumers (two bloom probe projections
+        # + the exact join) would otherwise each re-run the gram explode
+        # over the raw documents slice (PERF.md r27: Spark re-executes a
+        # CTE per reference).
+        bench_cte = ""
+        bench = bench_rel
     return f"""
-    WITH bench AS (SELECT DISTINCT g FROM ({bench_grams}) __b__),
+    WITH {bench_cte}
     bits AS (
       SELECT DISTINCT b FROM (
-        SELECT {h1} AS b FROM bench
+        SELECT {h1} AS b FROM {bench}
         UNION ALL
-        SELECT {h2} AS b FROM bench) __p__
+        SELECT {h2} AS b FROM {bench}) __p__
     ),
     train AS (
       SELECT doc_id, g, {h1} AS b1, {h2} AS b2 FROM ({train_grams}) __t__
@@ -1885,7 +1899,7 @@ def _bloom_decontam_sql(spark_dialect: bool) -> str:
     exact AS (
       SELECT {exact_hint}c.doc_id,
              COUNT(*) AS n_cand, COUNT(b.g) AS n_shared
-      FROM cand c LEFT JOIN bench b ON c.g = b.g
+      FROM cand c LEFT JOIN {bench} b ON c.g = b.g
       GROUP BY c.doc_id
     )
     SELECT d.doc_id,
@@ -1903,7 +1917,11 @@ def _bloom_decontam_sql(spark_dialect: bool) -> str:
 @query("d21_bloom_decontam", oracle=_bloom_decontam_sql(False))
 def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_bloom_decontam_sql(True))
+    bench = spark.sql(
+        _bloom_decontam_sql(True, bench_rel="__grams_only__")
+    ).localCheckpoint(eager=True)
+    bench.createOrReplaceTempView("__d21_bench__")
+    return spark.sql(_bloom_decontam_sql(True, bench_rel="__d21_bench__"))
 
 
 # ---------------------------------------------------------------------------
@@ -2106,22 +2124,31 @@ def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (core/flow.py delegates relational
 # work to DuckDB); composes d01's rule with q73's drift framing.
 # ---------------------------------------------------------------------------
-def _dedup_bias_sql(spark_dialect: bool) -> str:
+def _dedup_bias_sql(spark_dialect: bool, keys_rel: str | None = None) -> str:
     if spark_dialect:
         key = "md5(concat_ws(' ', array_sort(array_distinct(split(lower(text), ' ')))))"
     else:
         key = "md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))"
+    keys_sql = f"SELECT doc_id, source, {key} AS k FROM documents"
+    if keys_rel == "__keys_only__":
+        return keys_sql
+    if keys_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        keys_cte, keys = f"keys AS ({keys_sql}),", "keys"
+    else:
+        # Spark runtime path: keys is checkpointed by the caller — its
+        # three consumers (surv/before/after) would otherwise each
+        # re-run the md5 content-key scan (PERF.md r27)
+        keys_cte, keys = "", keys_rel
     return f"""
-    WITH keys AS (
-      SELECT doc_id, source, {key} AS k FROM documents
-    ),
-    surv AS (SELECT k, MIN(doc_id) AS keep FROM keys GROUP BY k),
+    WITH {keys_cte}
+    surv AS (SELECT k, MIN(doc_id) AS keep FROM {keys} GROUP BY k),
     before AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM keys GROUP BY source
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM {keys} GROUP BY source
     ),
     after AS (
       SELECT kk.source, CAST(COUNT(*) AS BIGINT) AS n_after
-      FROM keys kk JOIN surv s ON s.keep = kk.doc_id
+      FROM {keys} kk JOIN surv s ON s.keep = kk.doc_id
       GROUP BY kk.source
     ),
     tot AS (
@@ -2129,7 +2156,7 @@ def _dedup_bias_sql(spark_dialect: bool) -> str:
              (SELECT CAST(SUM(n_after) AS BIGINT) FROM after) AS ta
       FROM before
     )
-    SELECT b.source AS source, b.n_before AS n_before,
+    SELECT {"/*+ BROADCAST(a) */ " if spark_dialect else ""}b.source AS source, b.n_before AS n_before,
            COALESCE(a.n_after, 0) AS n_after,
            CAST(b.n_before AS DOUBLE) / t.tb AS share_before,
            CAST(COALESCE(a.n_after, 0) AS DOUBLE) / t.ta AS share_after,
@@ -2146,7 +2173,11 @@ def _dedup_bias_sql(spark_dialect: bool) -> str:
 @query("d25_dedup_bias_audit", oracle=_dedup_bias_sql(False))
 def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_dedup_bias_sql(True))
+    keys = spark.sql(
+        _dedup_bias_sql(True, keys_rel="__keys_only__")
+    ).localCheckpoint(eager=True)
+    keys.createOrReplaceTempView("__d25_keys__")
+    return spark.sql(_dedup_bias_sql(True, keys_rel="__d25_keys__"))
 
 
 # ---------------------------------------------------------------------------

@@ -2017,14 +2017,14 @@ def op_ingest_freshness(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     """Ingest-freshness SLA audit (q78 as a reusable stage): per-key
     last-seen lag vs the corpus edge, staleness flag, final-24h vs
     mean-daily rate-drop signal (see relational._freshness_sql)."""
-    from .relational import _freshness_sql
+    from .relational import freshness_staged
 
     key = params.get("key", "event_type")
     ts_col = params.get("ts_col", "ts")
     df.select(
         F.col(key).alias("event_type"), F.col(ts_col).alias("ts")
     ).createOrReplaceTempView("__op_freshness__")
-    return engine.spark.sql(_freshness_sql(True, table="__op_freshness__"))
+    return freshness_staged(engine.spark, table="__op_freshness__")
 
 
 @operator("session_cooccurrence")
@@ -2032,8 +2032,6 @@ def op_session_cooccurrence(engine, df: DataFrame, params: Dict[str, Any]) -> Da
     """In-session event-type co-occurrence (ts43 as a reusable stage):
     market-basket support/confidence/lift over gap-island session
     baskets (see timeseries._cooccurrence_sql)."""
-    from .timeseries import _cooccurrence_sql
-
     user = params.get("user", "user_id")
     ts_col = params.get("ts_col", "ts")
     id_col = params.get("id_col", "event_id")
@@ -2044,7 +2042,9 @@ def op_session_cooccurrence(engine, df: DataFrame, params: Dict[str, Any]) -> Da
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("event_type"),
     ).createOrReplaceTempView("__op_cooccur__")
-    return engine.spark.sql(_cooccurrence_sql(True, table="__op_cooccur__"))
+    from .timeseries import cooccurrence_staged
+
+    return cooccurrence_staged(engine.spark, table="__op_cooccur__")
 
 
 @operator("centroid_drift")

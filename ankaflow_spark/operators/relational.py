@@ -2399,7 +2399,7 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulation, one cast to DOUBLE at the end.
 # ---------------------------------------------------------------------------
 _PROFIT_BY_NATION_SQL = """
-    SELECT n.n_name AS nation,
+    SELECT /*+ BROADCAST(o), BROADCAST(l) */ n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
                     * CAST(1 - l.l_discount AS DECIMAL(12,4)))
@@ -2870,19 +2870,26 @@ _PSI_SPLIT = "1998-01-01"
 _PSI_BIN_WIDTH = 50000
 
 
-_PSI_SQL = f"""
-    WITH cells AS (
+_PSI_CELLS_SQL = f"""
       SELECT CAST(o_orderdate >= '{_PSI_SPLIT}' AS INT) AS snap,
              CAST(floor(CAST(o_totalprice AS DOUBLE) / {_PSI_BIN_WIDTH}) AS BIGINT) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM orders GROUP BY 1, 2
-    ),
-    bins AS (SELECT DISTINCT bin FROM cells),
+"""
+
+
+def _psi_tail_sql(cells: str) -> str:
+    """PSI report over a (snap, bin, n) cell relation. The Spark path
+    passes a checkpointed view (cells is consumed by the bin spine AND
+    the smoothing join, and smoothed again by totals + report — inline,
+    each reference re-scanned orders; PERF.md r27)."""
+    return f"""
+    WITH bins AS (SELECT DISTINCT bin FROM {cells}),
     smoothed AS (
       SELECT b.bin,
              CAST(GREATEST(COALESCE(MAX(CASE WHEN c.snap = 0 THEN c.n END), 0), 1) AS BIGINT) AS n_base,
              CAST(GREATEST(COALESCE(MAX(CASE WHEN c.snap = 1 THEN c.n END), 0), 1) AS BIGINT) AS n_cur
-      FROM bins b LEFT JOIN cells c ON c.bin = b.bin
+      FROM bins b LEFT JOIN {cells} c ON c.bin = b.bin
       GROUP BY b.bin
     ),
     tot AS (
@@ -2904,10 +2911,18 @@ _PSI_SQL = f"""
     """
 
 
+_PSI_SQL = (
+    f"WITH cells AS ({_PSI_CELLS_SQL}), "
+    + _psi_tail_sql("cells").strip()[len("WITH ") :]
+)
+
+
 @query("q73_psi_drift", oracle=_PSI_SQL)
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_PSI_SQL)
+    cells = spark.sql(_PSI_CELLS_SQL).localCheckpoint(eager=True)
+    cells.createOrReplaceTempView("__q73_cells__")
+    return spark.sql(_psi_tail_sql("__q73_cells__"))
 
 
 # ---------------------------------------------------------------------------
@@ -3145,28 +3160,44 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRESH_SLA_MIN = 60
 
 
-def _freshness_sql(spark_dialect: bool, table: str = "events") -> str:
+def _freshness_sql(
+    spark_dialect: bool, table: str = "events", per_rel: str | None = None
+) -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
-    return f"""
-    WITH per_type AS (
+    per_sql = f"""
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(MIN({epoch}(ts)) AS BIGINT) AS first_us,
              CAST(MAX({epoch}(ts)) AS BIGINT) AS last_us
       FROM {table} GROUP BY event_type
-    ),
-    edge AS (SELECT CAST(MAX(last_us) AS BIGINT) AS edge_us FROM per_type),
+    """
+    if per_rel == "__per_only__":
+        return per_sql
+    if per_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        per_cte, per = f"per_type AS ({per_sql}),", "per_type"
+    else:
+        # Spark runtime path: the per-type profile is checkpointed by
+        # the caller — its three consumers (edge, the final-day join,
+        # the report) would otherwise each re-scan the raw table
+        # (PERF.md r27); only the final-24h count pays a second
+        # (ts/type-pruned) raw pass, which cannot derive from the
+        # profile because the cutoff needs the edge first
+        per_cte, per = "", per_rel
+    return f"""
+    WITH {per_cte}
+    edge AS (SELECT CAST(MAX(last_us) AS BIGINT) AS edge_us FROM {per}),
     final_day AS (
       SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_final_day
       FROM {table} e
-      JOIN per_type p ON p.event_type = e.event_type
+      JOIN {per} p ON p.event_type = e.event_type
       CROSS JOIN edge x
       WHERE {epoch}(e.ts) > x.edge_us - {day_us}
       GROUP BY p.event_type
     )
-    SELECT p.event_type AS event_type,
+    SELECT {"/*+ BROADCAST(f) */ " if spark_dialect else ""}p.event_type AS event_type,
            p.n_events AS n_events,
            CAST((x.edge_us - p.last_us) {intdiv} 60000000 AS BIGINT) AS lag_min,
            (x.edge_us - p.last_us) {intdiv} 60000000 >= {_FRESH_SLA_MIN} AS is_stale,
@@ -3174,17 +3205,27 @@ def _freshness_sql(spark_dialect: bool, table: str = "events") -> str:
            CAST(COALESCE(f.n_final_day, 0) AS DOUBLE)
              / (CAST(p.n_events AS DOUBLE)
                 / ((p.last_us - p.first_us) {intdiv} {day_us} + 1)) AS final_day_rate_ratio
-    FROM per_type p
+    FROM {per} p
     CROSS JOIN edge x
     LEFT JOIN final_day f ON f.event_type = p.event_type
     ORDER BY event_type
     """
 
 
+def freshness_staged(spark: SparkSession, table: str = "events") -> DataFrame:
+    """Run the freshness audit with the per-type profile checkpointed
+    (shared by q78 and the YAML stage op)."""
+    per = spark.sql(
+        _freshness_sql(True, table=table, per_rel="__per_only__")
+    ).localCheckpoint(eager=True)
+    per.createOrReplaceTempView("__q78_per__")
+    return spark.sql(_freshness_sql(True, table=table, per_rel="__q78_per__"))
+
+
 @query("q78_ingest_freshness", oracle=_freshness_sql(False))
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_freshness_sql(True))
+    return freshness_staged(spark)
 
 
 # ---------------------------------------------------------------------------
@@ -3208,35 +3249,51 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _erasure_sql() -> str:
-    return """
-    WITH cohort AS (
-      SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0
-    ),
-    ord AS (
+_ERASURE_COHORT_SQL = "SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0"
+
+
+def _erasure_ord_sql(cohort: str) -> str:
+    return f"""
       SELECT o.o_orderkey, c.c_nationkey
-      FROM orders o JOIN cohort c ON o.o_custkey = c.c_custkey
-    ),
+      FROM orders o JOIN {cohort} c ON o.o_custkey = c.c_custkey
+    """
+
+
+def _erasure_li_sql(ord_rel: str) -> str:
+    return f"""
+      SELECT o.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM lineitem l JOIN {ord_rel} o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.c_nationkey
+    """
+
+
+def _erasure_tail_sql(cohort: str, ord_rel: str, li_rel: str | None = None) -> str:
+    """Blast-radius report over checkpointable cohort/order/lineitem
+    relations — inline, cohort (3 consumers), ord (3 consumers) and
+    li_n (2 consumers) each re-scanned their base table per reference
+    (PERF.md r27)."""
+    li_cte = (
+        f"li_n AS ({_erasure_li_sql(ord_rel)}),"
+        if li_rel is None
+        else f"li_n AS (SELECT * FROM {li_rel}),"
+    )
+    return f"""
+    WITH {li_cte}
     cust_n AS (
       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
-      FROM cohort GROUP BY c_nationkey
+      FROM {cohort} GROUP BY c_nationkey
     ),
     ord_n AS (
       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders
-      FROM ord GROUP BY c_nationkey
-    ),
-    li_n AS (
-      SELECT o.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
-      FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
-      GROUP BY o.c_nationkey
+      FROM {ord_rel} GROUP BY c_nationkey
     ),
     blast AS (
-      SELECT CAST((SELECT COUNT(*) FROM cohort)
-                  + (SELECT COUNT(*) FROM ord)
+      SELECT CAST((SELECT COUNT(*) FROM {cohort})
+                  + (SELECT COUNT(*) FROM {ord_rel})
                   + (SELECT COALESCE(SUM(n_lineitems), 0) FROM li_n)
                   AS BIGINT) AS total_rows
     )
-    SELECT n.n_name AS nation,
+    SELECT /*+ BROADCAST(o), BROADCAST(l) */ n.n_name AS nation,
            c.n_customers AS n_customers,
            CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
            CAST(COALESCE(l.n_lineitems, 0) AS BIGINT) AS n_lineitems,
@@ -3252,10 +3309,27 @@ def _erasure_sql() -> str:
     """
 
 
+def _erasure_sql() -> str:
+    """Single-string spelling (the DuckDB oracle)."""
+    tail = _erasure_tail_sql("cohort", "ord").strip()[len("WITH ") :]
+    return (
+        f"WITH cohort AS ({_ERASURE_COHORT_SQL}), "
+        f"ord AS ({_erasure_ord_sql('cohort')}), " + tail
+    )
+
+
 @query("q79_erasure_cascade", oracle=_erasure_sql())
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_erasure_sql())
+    cohort = spark.sql(_ERASURE_COHORT_SQL).localCheckpoint(eager=True)
+    cohort.createOrReplaceTempView("__q79_cohort__")
+    ord_rel = spark.sql(_erasure_ord_sql("__q79_cohort__")).localCheckpoint(eager=True)
+    ord_rel.createOrReplaceTempView("__q79_ord__")
+    li_n = spark.sql(_erasure_li_sql("__q79_ord__")).localCheckpoint(eager=True)
+    li_n.createOrReplaceTempView("__q79_li__")
+    return spark.sql(
+        _erasure_tail_sql("__q79_cohort__", "__q79_ord__", li_rel="__q79_li__")
+    )
 
 
 # ---------------------------------------------------------------------------

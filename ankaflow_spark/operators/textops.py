@@ -334,23 +334,57 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _repetition_sql(spark_dialect: bool, ordered: bool = True) -> str:
     if spark_dialect:
-        words = "split(text, ' ')"
-        n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
-        n_unique = "size(array_distinct(split(lower(text), ' ')))"
-        gram2 = """
-          SELECT doc_id, explode(
-            CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),
-              i -> concat(w[i], ' ', w[i + 1]))
-            ELSE array(concat_ws(' ', w)) END) AS g
-          FROM (SELECT doc_id, {words} AS w FROM documents)
-        """
-        gram3 = """
-          SELECT doc_id, explode(
-            CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
-              i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
-            ELSE array(concat_ws(' ', w)) END) AS g
-          FROM (SELECT doc_id, {words} AS w FROM documents)
-        """
+        # FUSED single-scan spelling: the two gram sizes explode from ONE
+        # tagged array so the raw documents scan (and the split) runs
+        # once — the 3-CTE form re-executed the scan per gram size plus
+        # once for the token stats (PERF.md r27: Spark re-expands CTEs).
+        # n_tokens/n_unique ride the explode as per-doc constants and
+        # fold back with MAX(). The DuckDB oracle keeps the 3-CTE
+        # spelling — structurally independent, same cells.
+        return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT) AS n_tokens,
+             CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS n_unique,
+             split(text, ' ') AS w
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, n_tokens, n_unique, tg.n AS n, tg.g AS g
+      FROM base
+      LATERAL VIEW explode(concat(
+        transform(
+          CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),
+            i -> concat(w[i], ' ', w[i + 1]))
+          ELSE array(concat_ws(' ', w)) END,
+          x -> named_struct('n', 2, 'g', x)),
+        transform(
+          CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
+            i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+          ELSE array(concat_ws(' ', w)) END,
+          x -> named_struct('n', 3, 'g', x))
+      )) t AS tg
+    ),
+    counts AS (
+      SELECT doc_id, n, g, MAX(n_tokens) AS n_tokens, MAX(n_unique) AS n_unique,
+             COUNT(*) AS c
+      FROM tagged GROUP BY doc_id, n, g
+    ),
+    tops AS (
+      SELECT doc_id, n, MAX(n_tokens) AS n_tokens, MAX(n_unique) AS n_unique,
+             MAX(c) AS top_n, SUM(c) AS total
+      FROM counts GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           MAX(n_tokens) AS n_tokens,
+           1.0 - CAST(MAX(n_unique) AS DOUBLE) / MAX(n_tokens) AS dup_token_frac,
+           CAST(MAX(CASE WHEN n = 2 THEN top_n END) AS DOUBLE)
+             / MAX(CASE WHEN n = 2 THEN total END) AS top_bigram_frac,
+           CAST(MAX(CASE WHEN n = 3 THEN top_n END) AS DOUBLE)
+             / MAX(CASE WHEN n = 3 THEN total END) AS top_trigram_frac
+    FROM tops GROUP BY doc_id
+    {"ORDER BY doc_id" if ordered else ""}
+    """
     else:
         words = "string_split(text, ' ')"
         n_tokens = "len(regexp_extract_all(text, '\\S+'))"
@@ -1702,24 +1736,21 @@ def _domain_caps_sql(spark_dialect: bool) -> str:
                                 ORDER BY s.score DESC, s.doc_id) AS rk
       FROM scored s JOIN documents d ON d.doc_id = s.doc_id
     ),
-    kept AS (
+    merged AS (
+      -- kept stats AND per-source totals fold in ONE pass over ranked
+      -- (a separate totals CTE re-scanned documents; PERF.md r27)
       SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n_kept,
-             MIN(score) AS min_kept_score,
-             MAX(score) AS max_kept_score,
-             CAST(SUM(doc_id) AS BIGINT) AS kept_id_digest
-      FROM ranked WHERE rk <= {_DOMAIN_CAP} GROUP BY source
-    ),
-    totals AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             MIN(CASE WHEN rk <= {_DOMAIN_CAP} THEN score END) AS min_kept_score,
+             MAX(CASE WHEN rk <= {_DOMAIN_CAP} THEN score END) AS max_kept_score,
+             CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN doc_id END) AS BIGINT) AS kept_id_digest
+      FROM ranked GROUP BY source
     )
-    SELECT t.source AS source, t.n_docs AS n_docs, k.n_kept AS n_kept,
-           t.n_docs - k.n_kept AS n_dropped,
-           k.min_kept_score AS min_kept_score,
-           k.max_kept_score AS max_kept_score,
-           k.kept_id_digest AS kept_id_digest
-    FROM totals t JOIN kept k ON k.source = t.source
+    SELECT source, n_docs, n_kept,
+           n_docs - n_kept AS n_dropped,
+           min_kept_score, max_kept_score, kept_id_digest
+    FROM merged
     ORDER BY source
     """
 
@@ -1859,13 +1890,13 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (the reference delegates execution
 # to DuckDB); extends the d07/t16/t28 corpus-mix audit family.
 # ---------------------------------------------------------------------------
-def _source_overlap_sql(spark_dialect: bool) -> str:
+def _source_overlap_sql(spark_dialect: bool, src_sh_rel: str | None = None) -> str:
     if spark_dialect:
         shingles = "SELECT doc_id, sh FROM __shingles__"
         # the sizes x sizes pair assembly is |sources|^2 by design;
         # without the hint Spark plans a CartesianProduct (sizes is a
         # stats-less aggregate), with it a broadcast loop over 20 rows
-        hint = "/*+ BROADCAST(zb) */ "
+        hint = "/*+ BROADCAST(zb), BROADCAST(i) */ "
         hkey = "CAST(conv(substr(md5(s.sh), 1, 14), 16, 10) AS BIGINT)"
     else:
         from .dedup import DUCK_SHINGLES
@@ -1873,20 +1904,34 @@ def _source_overlap_sql(spark_dialect: bool) -> str:
         shingles = DUCK_SHINGLES
         hint = ""
         hkey = "CAST(('0x' || substr(md5(s.sh), 1, 14)) AS BIGINT)"
-    return f"""
-    WITH shingles AS ({shingles}),
-    src_sh AS (
+    src_sh_sql = f"""
+    WITH shingles AS ({shingles})
       SELECT DISTINCT d.source AS source, {hkey} AS sh
       FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
-    ),
+    """
+    if src_sh_rel == "__src_sh_only__":
+        return src_sh_sql
+    if src_sh_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        src_cte = f"src_sh AS ({src_sh_sql}),"
+        src_sh = "src_sh"
+    else:
+        # Spark runtime path: the per-source shingle-set is
+        # checkpointed by the caller — its three consumers (sizes +
+        # both intersection sides) would otherwise each re-run the
+        # shingle x documents join (PERF.md r27)
+        src_cte = ""
+        src_sh = src_sh_rel
+    return f"""
+    WITH {src_cte}
     sizes AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
-      FROM src_sh GROUP BY source
+      FROM {src_sh} GROUP BY source
     ),
     inter AS (
       SELECT a.source AS src_a, b.source AS src_b,
              CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM src_sh a JOIN src_sh b ON b.sh = a.sh AND b.source <> a.source
+      FROM {src_sh} a JOIN {src_sh} b ON b.sh = a.sh AND b.source <> a.source
       GROUP BY a.source, b.source
     )
     SELECT {hint}za.source AS src_a, zb.source AS src_b,
@@ -1906,7 +1951,11 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
-    return spark.sql(_source_overlap_sql(True))
+    src_sh = spark.sql(
+        _source_overlap_sql(True, src_sh_rel="__src_sh_only__")
+    ).localCheckpoint(eager=True)
+    src_sh.createOrReplaceTempView("__t31_src_sh__")
+    return spark.sql(_source_overlap_sql(True, src_sh_rel="__t31_src_sh__"))
 
 
 QUERIES["t31_source_overlap"] = t31
@@ -2075,25 +2124,38 @@ ORACLES["t33_pii_audit"] = _pii_audit_sql(False)
 _KS_FLAG_E6 = 150000  # flag sources whose KS distance exceeds 0.15
 
 
-def _length_ks_sql(spark_dialect: bool) -> str:
+def _length_ks_sql(spark_dialect: bool, per_rel: str | None = None) -> str:
     intdiv = "div" if spark_dialect else "//"
-    return f"""
-    WITH per AS (
+    per_sql = """
       SELECT source, n_chars,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM documents GROUP BY source, n_chars
-    ),
-    vals AS (SELECT DISTINCT n_chars FROM per),
+    """
+    if per_rel == "__per_only__":
+        return per_sql
+    if per_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        per_cte, per = f"per AS ({per_sql}),", "per"
+    else:
+        # Spark runtime path: the (source, n_chars) histogram is
+        # checkpointed by the caller — its four consumers (vals, srcs,
+        # gdist, src_cum) and the corpus total would otherwise each
+        # re-scan raw documents (PERF.md r27); the total now derives
+        # from the histogram itself for the same reason
+        per_cte, per = "", per_rel
+    return f"""
+    WITH {per_cte}
+    vals AS (SELECT DISTINCT n_chars FROM {per}),
     srcs AS (
-      SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM per GROUP BY source
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM {per} GROUP BY source
     ),
     gdist AS (
       SELECT n_chars,
              SUM(SUM(c)) OVER (ORDER BY n_chars
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
-      FROM per GROUP BY n_chars
+      FROM {per} GROUP BY n_chars
     ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM {per}),
     spine AS (
       SELECT s.source, s.n_src, v.n_chars FROM srcs s CROSS JOIN vals v
     ),
@@ -2103,7 +2165,7 @@ def _length_ks_sql(spark_dialect: bool) -> str:
                ORDER BY sp.n_chars
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
       FROM spine sp
-      LEFT JOIN per p ON p.source = sp.source AND p.n_chars = sp.n_chars
+      LEFT JOIN {per} p ON p.source = sp.source AND p.n_chars = sp.n_chars
     ),
     diffs AS (
       SELECT sc.source, sc.n_src,
@@ -2127,4 +2189,8 @@ def _length_ks_sql(spark_dialect: bool) -> str:
 @query("t34_length_ks_drift", oracle=_length_ks_sql(False))
 def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_length_ks_sql(True))
+    per = spark.sql(
+        _length_ks_sql(True, per_rel="__per_only__")
+    ).localCheckpoint(eager=True)
+    per.createOrReplaceTempView("__t34_per__")
+    return spark.sql(_length_ks_sql(True, per_rel="__t34_per__"))

@@ -738,10 +738,18 @@ def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("user_id", "event_type", "ts")
+    # each survivor set is consumed 2-3x downstream (next step's build +
+    # the step summaries); Spark re-executes a DataFrame subtree per
+    # reference just like an inlined CTE (PERF.md r27), so the inline
+    # form re-scanned events 9x. Checkpointing the |users|-row survivor
+    # sets pins raw-table work at exactly three DISJOINT type-slice
+    # scans (event_type pushes down to the scan, so together they read
+    # each row group's type partition once).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -749,6 +757,7 @@ def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -756,6 +765,7 @@ def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
 
     def _lat(later, earlier):
@@ -2240,8 +2250,14 @@ def _survival_sql(spark_dialect: bool) -> str:
 
 @query("ts37_survival_curve", oracle=_survival_sql(False))
 def ts37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side checkpoints the per-session relation: the
+    Kaplan-Meier tail consumes it several times (at-risk totals,
+    the duration spine, the cumulative walk), and each reference
+    would re-run the sessionizer over raw events (PERF.md r27)."""
     load_tables(spark, sf_dir)
-    return spark.sql(_survival_sql(True))
+    per = spark.sql(_survival_sessions_sql(True)).localCheckpoint(eager=True)
+    per.createOrReplaceTempView("__ts37_sessions__")
+    return spark.sql(_survival_tail_sql("__ts37_sessions__"))
 
 
 # ---------------------------------------------------------------------------
@@ -2471,14 +2487,14 @@ def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAY_US = 86400 * 1000000
 
 
-def _concurrency_sql(spark_dialect: bool) -> str:
+def _concurrency_sql(spark_dialect: bool, clipped_rel: str | None = None) -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     gap_us = SESSION_GAP_MIN * 60 * 1000000
     if spark_dialect:
         days = "explode(sequence(CAST(floor(CAST(a_us AS DOUBLE) / 86400000000.0) AS BIGINT), CAST(floor(CAST(b_us AS DOUBLE) / 86400000000.0) AS BIGINT)))"
     else:
         days = "unnest(range(CAST(floor(CAST(a_us AS DOUBLE) / 86400000000.0) AS BIGINT), CAST(floor(CAST(b_us AS DOUBLE) / 86400000000.0) AS BIGINT) + 1))"
-    return f"""
+    head = f"""
     WITH numbered AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2499,22 +2515,38 @@ def _concurrency_sql(spark_dialect: bool) -> str:
              CAST(MAX({epoch}(ts)) AS BIGINT) AS b_us
       FROM numbered GROUP BY user_id, session_seq
     ),
-    clipped AS (
+    clipped_core AS (
       SELECT day,
              GREATEST(a_us, day * {_DAY_US}) AS a_us,
              LEAST(b_us, (day + 1) * {_DAY_US} - 1) AS b_us
       FROM (SELECT a_us, b_us, {days} AS day FROM sessions)
-    ),
+    )
+    SELECT * FROM clipped_core"""
+    if clipped_rel == "__clipped_only__":
+        return head
+    if clipped_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        clipped_cte = f"clipped AS ({head}),"
+        clipped = "clipped"
+    else:
+        # Spark runtime path: the day-clipped session spans are
+        # checkpointed by the caller — their three consumers (both
+        # delta projections + the span counts) would otherwise each
+        # re-run the sessionizer over raw events (PERF.md r27)
+        clipped_cte = ""
+        clipped = clipped_rel
+    return f"""
+    WITH {clipped_cte}
     deltas AS (
       SELECT day,
              CAST(floor(CAST(a_us - day * {_DAY_US} AS DOUBLE) / 60000000.0) AS INT) AS minute,
              1 AS d
-      FROM clipped
+      FROM {clipped}
       UNION ALL
       SELECT day,
              CAST(floor(CAST(b_us - day * {_DAY_US} AS DOUBLE) / 60000000.0) AS INT) + 1,
              -1
-      FROM clipped
+      FROM {clipped}
     ),
     perminute AS (
       SELECT day, minute, CAST(SUM(d) AS BIGINT) AS delta
@@ -2526,7 +2558,7 @@ def _concurrency_sql(spark_dialect: bool) -> str:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
       FROM perminute
     ),
-    spans AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_session_spans FROM clipped GROUP BY day),
+    spans AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_session_spans FROM {clipped} GROUP BY day),
     ranked AS (
       SELECT day, minute, active,
              ROW_NUMBER() OVER (PARTITION BY day ORDER BY active DESC, minute) AS rn
@@ -2545,7 +2577,11 @@ def _concurrency_sql(spark_dialect: bool) -> str:
 @query("ts40_peak_concurrency", oracle=_concurrency_sql(False))
 def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_concurrency_sql(True))
+    clipped = spark.sql(
+        _concurrency_sql(True, clipped_rel="__clipped_only__")
+    ).localCheckpoint(eager=True)
+    clipped.createOrReplaceTempView("__ts40_clipped__")
+    return spark.sql(_concurrency_sql(True, clipped_rel="__ts40_clipped__"))
 
 
 # ---------------------------------------------------------------------------
@@ -2679,10 +2715,12 @@ def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
+def _cooccurrence_sql(
+    spark_dialect: bool, table: str = "events", baskets_rel: str | None = None
+) -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     gap_us = SESSION_GAP_MIN * 60 * 1000000
-    return f"""
+    baskets_sql = f"""
     WITH ordered AS (
       SELECT user_id, event_id, ts, event_type,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -2694,7 +2732,7 @@ def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
                   OR {epoch}(ts) - {epoch}(prev_ts) > {gap_us} THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),
-    baskets AS (
+    baskets_core AS (
       SELECT DISTINCT user_id, session_seq, event_type FROM (
         SELECT user_id, event_type,
                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2702,21 +2740,37 @@ def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
                  AS session_seq
         FROM flagged
       ) s
-    ),
+    )
+    SELECT * FROM baskets_core"""
+    if baskets_rel == "__baskets_only__":
+        return baskets_sql
+    if baskets_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        baskets_cte = f"baskets AS ({baskets_sql}),"
+        baskets = "baskets"
+    else:
+        # Spark runtime path: baskets is checkpointed by the caller —
+        # its four consumers (n_sess, per_type, both pair sides) would
+        # otherwise each re-run the sessionizer chain over the raw
+        # table (PERF.md r27)
+        baskets_cte = ""
+        baskets = baskets_rel
+    return f"""
+    WITH {baskets_cte}
     n_sess AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT DISTINCT user_id, session_seq FROM baskets
+        SELECT DISTINCT user_id, session_seq FROM {baskets}
       ) z
     ),
     per_type AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
-      FROM baskets GROUP BY event_type
+      FROM {baskets} GROUP BY event_type
     ),
     pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
              CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM baskets a
-      JOIN baskets b ON b.user_id = a.user_id AND b.session_seq = a.session_seq
+      FROM {baskets} a
+      JOIN {baskets} b ON b.user_id = a.user_id AND b.session_seq = a.session_seq
                     AND a.event_type < b.event_type
       GROUP BY a.event_type, b.event_type
     )
@@ -2733,10 +2787,22 @@ def _cooccurrence_sql(spark_dialect: bool, table: str = "events") -> str:
     """
 
 
+def cooccurrence_staged(spark: SparkSession, table: str = "events") -> DataFrame:
+    """Run the co-occurrence report with the session-basket relation
+    checkpointed (shared by ts43 and the YAML stage op)."""
+    baskets = spark.sql(
+        _cooccurrence_sql(True, table=table, baskets_rel="__baskets_only__")
+    ).localCheckpoint(eager=True)
+    baskets.createOrReplaceTempView("__ts43_baskets__")
+    return spark.sql(
+        _cooccurrence_sql(True, table=table, baskets_rel="__ts43_baskets__")
+    )
+
+
 @query("ts43_session_cooccurrence", oracle=_cooccurrence_sql(False))
 def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_cooccurrence_sql(True))
+    return cooccurrence_staged(spark)
 
 
 # ---------------------------------------------------------------------------

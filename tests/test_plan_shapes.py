@@ -94,6 +94,9 @@ SMJ_ALLOWED = {
     "s20_ivf_probe_sweep",  # probe-arm candidates x embeddings re-rank join: the candidate side is probe-multiplied corpus cells (stats-less checkpointed assign) — s03's re-rank class, correct at scale
     "s10_pq_recall_eval",  # exact-truth side: corpus x corpus quantized-L2 (d12's documented cost profile)
     "d17_dedup_cascade",  # per-doc verdict relations joined on doc_id: both sides ARE the corpus — SMJ correct at scale
+    "ts14_funnel",  # survivor-set joins on user_id: every side is |users|-sized at scale (stats-less checkpointed survivor sets) — SMJ correct; AQE downgrades when a funnel step collapses
+    "d21_bloom_decontam",  # doc-spine LEFT JOIN per-doc exact counts: both sides ARE the corpus (stats-less checkpoint) — d17's class
+    "t31_source_overlap",  # per-source shingle-set self-join on the shingle key: both sides ARE the corpus shingle relation (stats-less checkpoint) — d12's class
     # CC iteration fragments (labels x edges / pointer-jump label self-joins):
     # per-round relations are |V|-sized at scale and the RAM stats-reset
     # checkpoint deliberately carries no size estimate — SMJ planned, AQE
@@ -383,3 +386,57 @@ def test_scan_heavy_queries_bounded_shuffles(plans):
     ]:
         nodes, _ = plans[name]
         assert nodes.count("Exchange") <= cap, name
+
+
+# ---------------------------------------------------------------------------
+# Executed-scan regression gate (r9): Spark re-expands a CTE / DataFrame
+# subtree per consumer with NO physical reuse, so a relation consumed k
+# times re-SCANS its base table k times unless materialized (the inline
+# ts22 executed 28 separate events scans — PERF.md r27). The queries
+# below were fixed by staging their natural materialization points
+# through eager localCheckpoints; this gate pins the RETURNED DataFrame's
+# base-table scan budget so a refactor can't silently reintroduce the
+# re-expansion. tools/scan_audit.py is the sweep tool for new queries.
+# Budgets count FileSourceScanExec nodes in the final adaptive plan
+# (reused exchanges/subqueries excluded); scans paid inside checkpoint
+# stages are by construction one per stage.
+# ---------------------------------------------------------------------------
+SCAN_BUDGETS = {
+    # query: {table: max FileSourceScanExec in the returned plan}
+    "ts22_rfm_segmentation": {"events": 0},  # staged: profile + cells checkpoints
+    "ts14_funnel": {"events": 0},  # survivor sets checkpointed (3 disjoint slice scans at build)
+    "d21_bloom_decontam": {"documents": 2},  # train grams (full) + doc_id-only spine; bench checkpointed
+    "t07_repetition_signals": {"documents": 1},  # fused tagged-gram single pass
+    "t08_curation_gate": {"documents": 4},  # scored(1) + fused rep(1) + decontam bench/train slices(2)
+    "d25_dedup_bias_audit": {"documents": 0},  # content keys checkpointed
+    "ts43_session_cooccurrence": {"events": 0},  # session baskets checkpointed
+    "t34_length_ks_drift": {"documents": 0},  # (source, n_chars) histogram checkpointed
+    "q78_ingest_freshness": {"events": 1},  # final-24h count (profile checkpointed)
+    "ts37_survival_curve": {"events": 0},  # per-session relation checkpointed
+    "t31_source_overlap": {"documents": 0},  # per-source shingle set checkpointed
+    "q79_erasure_cascade": {"orders": 0, "lineitem": 0, "customer": 0},  # cohort/ord/li_n checkpointed
+    "q73_psi_drift": {"orders": 0},  # (snap, bin) cells checkpointed
+}
+
+
+def test_executed_scan_budgets(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.scan_audit import real_scans
+
+    from ankaflow_spark.operators import collect_all
+
+    qs, _ = collect_all()
+    sf = "/root/testdata/sf0.001"
+    over = []
+    for name, budget in SCAN_BUDGETS.items():
+        counts = real_scans(qs[name](spark, sf))
+        for table, cap in budget.items():
+            if counts.get(table, 0) > cap:
+                over.append((name, table, counts.get(table, 0), cap))
+    assert over == [], (
+        f"{over}: a base table is scanned more often than its pinned "
+        f"budget — a CTE/DataFrame re-expansion crept back in; stage the "
+        f"multiply-consumed relation through localCheckpoint (PERF.md r27)"
+    )
