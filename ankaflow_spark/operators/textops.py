@@ -1263,7 +1263,7 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window by chunk hash (high-cardinality key — AQE-splittable), one
 # per-doc regroup bounded by doc size; no pairwise state anywhere.
 # ---------------------------------------------------------------------------
-def _chunk_rewrite_sql(spark_dialect: bool) -> str:
+def _chunk_rewrite_sql(spark_dialect: bool, inst_rel: str | None = None) -> str:
     W_ = _CHUNK_W
     if spark_dialect:
         inst = f"""
@@ -1293,16 +1293,28 @@ def _chunk_rewrite_sql(spark_dialect: bool) -> str:
              md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
       FROM kept GROUP BY doc_id
         """
+    if inst_rel == "__inst_only__":
+        return inst
+    if inst_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        inst_cte, inst_name = f"inst AS ({inst}),", "inst"
+    else:
+        # Spark runtime path: the chunk-instance relation is
+        # checkpointed by the caller — its two consumers (the
+        # first-occurrence window and the per-doc totals) would
+        # otherwise each re-run the chunk explode over raw documents
+        # (PERF.md r27)
+        inst_cte, inst_name = "", inst_rel
     return f"""
-    WITH inst AS ({inst}),
+    WITH {inst_cte}
     owner AS (
       SELECT doc_id, pos, chunk,
              ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rk
-      FROM inst
+      FROM {inst_name}
     ),
     kept AS (SELECT doc_id, pos, chunk FROM owner WHERE rk = 1),
     rebuilt AS ({agg}),
-    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM inst GROUP BY doc_id)
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM {inst_name} GROUP BY doc_id)
     SELECT d.doc_id AS doc_id,
            COALESCE(t.n_chunks, 0) AS n_chunks,
            COALESCE(r.n_kept, 0) AS n_kept,
@@ -1318,7 +1330,11 @@ def _chunk_rewrite_sql(spark_dialect: bool) -> str:
 @query("t22_chunk_dedup_rewrite", oracle=_chunk_rewrite_sql(False))
 def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_chunk_rewrite_sql(True))
+    inst = spark.sql(
+        _chunk_rewrite_sql(True, inst_rel="__inst_only__")
+    ).localCheckpoint(eager=True)
+    inst.createOrReplaceTempView("__t22_inst__")
+    return spark.sql(_chunk_rewrite_sql(True, inst_rel="__t22_inst__"))
 
 
 # ---------------------------------------------------------------------------

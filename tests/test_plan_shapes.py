@@ -416,7 +416,20 @@ SCAN_BUDGETS = {
     "t31_source_overlap": {"documents": 0},  # per-source shingle set checkpointed
     "q79_erasure_cascade": {"orders": 0, "lineitem": 0, "customer": 0},  # cohort/ord/li_n checkpointed
     "q73_psi_drift": {"orders": 0},  # (snap, bin) cells checkpointed
+    "ts40_peak_concurrency": {"events": 0},  # day-clipped session spans checkpointed
+    "t28_domain_caps": {"documents": 2},  # totals folded into the ranked pass (scored full + source-join narrow)
+    "t22_chunk_dedup_rewrite": {"documents": 2},  # chunk instances checkpointed (explode full + doc_id spine)
 }
+
+# Remaining >= 3x queries are SEMANTICALLY multi-pass and stay unfixed
+# by design (audited r9, tools/scan_audit.py): q47 pins three NOT IN /
+# NOT EXISTS spellings side by side (3 scans IS the query), q76's MV
+# audit recomputes by contract (base + delta + full recompute), q71
+# synthesizes a second table version from the first (v2's two branches
+# are the synthetic CDC feed; in production v2 is its own table),
+# q74/q80/q38 audit multiple FK relationships (one pass per
+# relationship), t25 is iterative (one pass per BPE round), ts06's
+# bracketing joins read the sparse series per bound side.
 
 
 def test_executed_scan_budgets(spark):
