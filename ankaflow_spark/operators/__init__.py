@@ -46,9 +46,10 @@ GRADED_FIRST = [
     # alphabetically-last r04 entry) and ts19/ts20/ts21/ts23 (the last
     # four r04 entries by list position) yield theirs to keep
     # len == 50.
-    # Rotation queue after this window is graded: ts19/ts20/ts21/
-    # ts23/ts24/d13/m02, then the ~45 remaining r05-last entries,
-    # then r06-last, then the r07/r08 waves.
+    # Rotation queue after this window is graded: t22/ts19/ts20/
+    # ts21/ts23/ts24/d13/m02, then the ~45 remaining r05-last
+    # entries, then r06-last, then the r07/r08 waves. (t22 yielded
+    # its slot to st25 in wave 3.)
     "d29_agreement_bounded",  # new r9: d28's production-bounded spelling
     "s28_centroid_drift",  # new r9: per-shard embedding drift monitor
     "st23_stream_centroid_drift",  # new r9: s28 maintained incrementally
@@ -56,6 +57,7 @@ GRADED_FIRST = [
     "st24_stream_quantiles",  # new r9w2: bounded-state quantile maintenance
     "ts44_seasonal_anomaly",  # new r9w2: calendar-baseline MAD anomaly
     "q81_retention_ttl_audit",  # new r9w2: TTL age-out / purge planner
+    "st25_stream_psi_drift",  # new r9w3: q73's PSI maintained incrementally
     "q19_above_avg_items",  # last r03
     "q20_fn_dt_coercion",  # last r03
     "q22_collection_aggs",  # last r03
@@ -98,7 +100,6 @@ GRADED_FIRST = [
     "t16_domain_mixture",  # last r04
     "t19_chunk_dedup",  # last r04
     "t20_leakage_safe_split",  # last r04
-    "t22_chunk_dedup_rewrite",  # last r04
 ]
 
 

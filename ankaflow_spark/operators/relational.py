@@ -2878,11 +2878,14 @@ _PSI_CELLS_SQL = f"""
 """
 
 
-def _psi_tail_sql(cells: str) -> str:
+def _psi_tail_sql(cells: str, width: int | None = None) -> str:
     """PSI report over a (snap, bin, n) cell relation. The Spark path
     passes a checkpointed view (cells is consumed by the bin spine AND
     the smoothing join, and smoothed again by totals + report — inline,
-    each reference re-scanned orders; PERF.md r27)."""
+    each reference re-scanned orders; PERF.md r27). ``width`` is the
+    bin width used only for the bin_lo presentation column (st25 reuses
+    this tail over value-cent buckets)."""
+    width = _PSI_BIN_WIDTH if width is None else width
     return f"""
     WITH bins AS (SELECT DISTINCT bin FROM {cells}),
     smoothed AS (
@@ -2898,7 +2901,7 @@ def _psi_tail_sql(cells: str) -> str:
       FROM smoothed
     )
     SELECT s.bin AS bin,
-           s.bin * {_PSI_BIN_WIDTH} AS bin_lo,
+           s.bin * {width} AS bin_lo,
            s.n_base AS n_base, s.n_cur AS n_cur,
            ROUND((CAST(s.n_base AS DOUBLE) / t.tb - CAST(s.n_cur AS DOUBLE) / t.tc)
                  * ln((CAST(s.n_base AS DOUBLE) / t.tb)

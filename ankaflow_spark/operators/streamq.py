@@ -2199,3 +2199,67 @@ ORACLES["st24_stream_quantiles"] = (
     SELECT * FROM q
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# st25 — streaming PSI drift maintenance: q73's population-stability
+# monitor kept NEXT TO the stream instead of recomputed per report.
+# Each event routes to (snap, bucket) — snap 0 = before the fixed
+# calendar split (the frozen REFERENCE window), snap 1 = after (the
+# LIVE window) — and foreachbatch_merge_counts maintains the exact
+# 2 x |occupied buckets| counter lattice (integer merge is
+# trigger-invariant; the st22/st23/st24 bounded-state property). The
+# report is q73's shared PSI tail over the state table: +1-smoothed
+# per-bin (p - q) * ln(p / q) contributions, exact-integer inputs,
+# ROUND(...,6) — cell-exact on both engines. In production the split
+# is the model-training cutoff; a drifting live window fires the
+# retrain/recalibrate trigger without ever rescanning history.
+# ---------------------------------------------------------------------------
+_ST25_SPLIT_US = 1705363200000000  # 2024-01-16 00:00:00 UTC (mid-corpus)
+_ST25_BUCKET_CENTS = 500
+
+
+def st25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import foreachbatch_merge_counts, stream_tap
+
+    staged, schema = _staged_events(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_st25_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=2)
+    cells = stream.select(
+        F.expr(f"CAST(unix_micros(ts) >= {_ST25_SPLIT_US} AS INT)").alias("snap"),
+        F.expr(
+            "CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) "
+            f"div {_ST25_BUCKET_CENTS}"
+        ).alias("bin"),
+    )
+    state = foreachbatch_merge_counts(cells, ["snap", "bin"], base)
+    state.createOrReplaceTempView("st25_cells")
+    from .relational import _psi_tail_sql
+
+    return spark.sql(_psi_tail_sql("st25_cells", width=_ST25_BUCKET_CENTS))
+
+
+QUERIES["st25_stream_psi_drift"] = st25
+
+
+def _st25_oracle() -> str:
+    from .relational import _psi_tail_sql
+
+    tail = _psi_tail_sql("cells", width=_ST25_BUCKET_CENTS).strip()
+    return (
+        f"""
+    WITH cells AS (
+      SELECT CAST(epoch_us(ts) >= {_ST25_SPLIT_US} AS INT) AS snap,
+             CAST(floor(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) // {_ST25_BUCKET_CENTS} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), """
+        + tail[len("WITH ") :]
+    )
+
+
+ORACLES["st25_stream_psi_drift"] = _st25_oracle()

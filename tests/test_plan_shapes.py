@@ -326,6 +326,7 @@ EXEC_BNLJ_ALLOWED = {
     "st21_stream_survival",  # 1-row corpus-edge + totals scalars in ts37's shared actuarial tail (q59's scalar class)
     "st22_stream_survival_bounded",  # same actuarial-tail scalars as st21, over the gap-closure sessionizer's bounded-state emitted set
     "m11_shot_lengths",  # 1-row shot-total scalar cross-joined into the |shot lengths|-bounded histogram (q59's class)
+    "st25_stream_psi_drift",  # 1-row snapshot-totals scalar cross-joined into the |bins|-bounded smoothed relation — q73's class over the maintained state
 }
 EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st11_stream_heavy_hitters",  # re-rank over TakeOrderedAndProject's 10-row output (t11's pattern)

@@ -669,3 +669,48 @@ def test_st24_stream_quantiles_bounded_state_equals_batch(spark):
                 if cum >= rank:
                     assert r[col] == b * _ST24_BUCKET_CENTS
                     break
+
+
+def test_st25_psi_incremental_equals_batch(spark):
+    """The incrementally-maintained (snap, bin) lattice must equal the
+    batch GROUP BY exactly (integer merge is trigger-invariant), stay
+    BOUNDED at 2 x |occupied buckets| rows, and the PSI report must be
+    cell-identical to running q73's shared tail over the batch cells."""
+    import math
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.streamq import (
+        _ST25_BUCKET_CENTS,
+        _ST25_SPLIT_US,
+        QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["st25_stream_psi_drift"](spark, sf_dir).collect()
+
+    rows = spark.table("events").selectExpr(
+        "unix_micros(ts) AS us", "value"
+    ).collect()
+    cells = defaultdict(int)
+    for r in rows:
+        snap = int(r["us"] >= _ST25_SPLIT_US)
+        b = math.floor(float(r["value"]) * 100) // _ST25_BUCKET_CENTS
+        cells[(snap, b)] += 1
+    state = {
+        (r["snap"], r["bin"]): r["n"] for r in spark.table("st25_cells").collect()
+    }
+    assert state == dict(cells)  # exact AND bounded (occupied cells only)
+    assert 1 in {s for s, _ in state} and 0 in {s for s, _ in state}
+
+    # report recount: +1-smoothed per-bin PSI contributions
+    bins = sorted({b for _, b in cells})
+    n_base = {b: max(cells.get((0, b), 0), 1) for b in bins}
+    n_cur = {b: max(cells.get((1, b), 0), 1) for b in bins}
+    tb, tc = sum(n_base.values()), sum(n_cur.values())
+    assert len(out) == len(bins)
+    for r in out:
+        b = r["bin"]
+        p, q = n_base[b] / tb, n_cur[b] / tc
+        assert r["n_base"] == n_base[b] and r["n_cur"] == n_cur[b]
+        assert r["psi_bin"] == round((p - q) * math.log(p / q), 6)
+        assert r["bin_lo"] == b * _ST25_BUCKET_CENTS
