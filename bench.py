@@ -202,7 +202,12 @@ def input_bytes(sf_dir: str) -> int:
 # Flow.stage_timings (taps/sinks record real execution, lazy transform/
 # operator stages record plan-build time — a stage showing seconds is a
 # stage that re-scanned).
-PIPELINES = ("training_data_pipeline", "corpus_health", "curation_quality")
+PIPELINES = (
+    "training_data_pipeline",
+    "corpus_health",
+    "curation_quality",
+    "stream_health_monitor",
+)
 
 
 def run_pipelines(spark, sf_dir: str, warm_dir: str) -> dict:

@@ -174,3 +174,19 @@ def test_retention_analytics_example(engine):
     assert row["top_decayed_score"] > 0
     assert row["leaderboard_rows"] == 10
     assert row["longest_comeback_days"] >= 0
+
+
+def test_stream_health_monitor_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/stream_health_monitor.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    # the frozen 30-day corpus: freshest type is at the edge, so the
+    # worst lag is bounded by the corpus span; short TTLs must expire
+    assert 0 <= row["worst_lag_min"] < 45 * 24 * 60
+    assert row["n_rows_to_purge"] > 0
+    assert row["n_partitions_to_purge"] > 0
+    assert 0 < row["n_anomalous_hours"] < row["n_hour_cells"]
+    assert row["max_p99_lo_cents"] > 0
