@@ -261,3 +261,71 @@ def test_histogram_boundaries_rewrite_semantics(bounds, vals):
         hit = [b for i, b in enumerate(bs)
                if v <= b and (i == 0 or v > bs[i - 1])]
         assert len(hit) == (1 if v <= bs[-1] else 0)
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 29), st.integers(0, 23)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_ts44_median_mad_arithmetic_exact(events):
+    """ts44's exact-integer seasonal baseline: for arbitrary (day, hour)
+    event placements, the SQL's med2 = 2*median / mad4 = 2*median(dev2)
+    spelling (evaluated via DuckDB, the oracle engine) must equal a
+    literal statistics.median recount, and the integer anomaly verdict
+    2*dev2 > 3*mad4 must match |c - med| > 3*MAD computed in exact
+    fractions."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+    from statistics import median
+
+    import duckdb
+
+    cells = Counter(events)  # (day_no, hr) -> count
+    groups = defaultdict(list)
+    for (day, hr), c in cells.items():
+        groups[((day + 4) % 7, hr)].append(c)
+    med2 = {k: 2 * Fraction(median(v)) for k, v in groups.items()}
+    for k, v in med2.items():
+        assert v.denominator == 1  # 2*median of ints is an exact integer
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells (day_no BIGINT, hr BIGINT, n_events BIGINT)")
+    con.executemany(
+        "INSERT INTO cells VALUES (?, ?, ?)",
+        [(d, h, c) for (d, h), c in cells.items()],
+    )
+    rows = con.execute("""
+      WITH keyed AS (
+        SELECT day_no, hr, CAST((day_no + 4) % 7 AS BIGINT) AS dow, n_events
+        FROM cells
+      ),
+      scored AS (
+        SELECT day_no, hr, dow, n_events,
+               CAST(2 * median(n_events) OVER (PARTITION BY dow, hr) AS BIGINT) AS med2
+        FROM keyed
+      ),
+      devd AS (
+        SELECT *, ABS(2 * n_events - med2) AS dev2 FROM scored
+      )
+      SELECT day_no, hr, n_events, med2, dev2,
+             CAST(2 * median(dev2) OVER (PARTITION BY dow, hr) AS BIGINT) AS mad4
+      FROM devd ORDER BY day_no, hr
+    """).fetchall()
+    assert len(rows) == len(cells)
+    for day, hr, c, m2, d2, m4 in rows:
+        gk = ((day + 4) % 7, hr)
+        assert m2 == med2[gk]
+        assert d2 == abs(2 * c - m2)
+        devs = [abs(2 * v - int(med2[gk])) for v in groups[gk]]
+        assert m4 == 2 * Fraction(median(devs))
+        # the SQL verdict equals the exact-fraction definition
+        sql_flag = 2 * d2 > 3 * m4 and d2 >= 2
+        exact_flag = (
+            abs(Fraction(c) - med2[gk] / 2) > 3 * (Fraction(m4) / 4)
+            and abs(2 * c - int(med2[gk])) >= 2
+        )
+        assert sql_flag == exact_flag
