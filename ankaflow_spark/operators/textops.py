@@ -1121,6 +1121,10 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.slice(F.col("ws"), F.col("i") * W_ + 1, W_), " ")
             ).alias("h"),
         )
+        # consumed twice (per-chunk doc counts + the per-doc fold):
+        # without the checkpoint each consumer re-runs the chunk
+        # explode over raw documents TEXT (PERF.md r27)
+        .localCheckpoint(eager=True)
     )
     cc = inst.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.count(F.when(F.col("nd") > 1, F.lit(1)))
@@ -1349,35 +1353,45 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is size(split(...)), one groupBy(bin) shuffle, scalar totals
 # broadcast back.
 # ---------------------------------------------------------------------------
-def _woe_sql(spark_dialect: bool) -> str:
+def _woe_sql(spark_dialect: bool, bins_rel: str | None = None) -> str:
     if spark_dialect:
         ntok = "size(split(text, ' '))"
     else:
         ntok = "len(string_split(text, ' '))"
-    return f"""
+    bins_sql = f"""
     WITH feats AS (
       SELECT CAST(least(floor({ntok} / 10.0), 15) AS BIGINT) AS bin,
              CAST(lang = 'en' AS INT) AS pos
       FROM documents
-    ),
-    bins AS (
+    )
       SELECT bin,
              CAST(SUM(pos) AS BIGINT) AS n_pos,
              CAST(SUM(1 - pos) AS BIGINT) AS n_neg
       FROM feats GROUP BY bin
-    ),
+    """
+    if bins_rel == "__bins_only__":
+        return bins_sql
+    if bins_rel is None:
+        bins_cte, bins = f"bins AS ({bins_sql}),", "bins"
+    else:
+        # Spark path: bins is checkpointed by the caller — its two
+        # consumers (totals + report) would otherwise each re-run the
+        # token-count scan over raw documents TEXT (PERF.md r27)
+        bins_cte, bins = "", bins_rel
+    return f"""
+    WITH {bins_cte}
     tot AS (
       SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
              CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
              COUNT(*) AS n_bins
-      FROM bins
+      FROM {bins}
     )
     SELECT bin, n_pos, n_neg,
            CAST(floor(ln(
              ((n_pos + 1) * CAST(tot_neg + n_bins AS DOUBLE)) /
              ((n_neg + 1) * CAST(tot_pos + n_bins AS DOUBLE))
            ) * 10000) AS BIGINT) AS woe_e4
-    FROM bins CROSS JOIN tot
+    FROM {bins} CROSS JOIN tot
     ORDER BY bin
     """
 
@@ -1385,7 +1399,11 @@ def _woe_sql(spark_dialect: bool) -> str:
 @query("t23_woe_binning", oracle=_woe_sql(False))
 def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_woe_sql(True))
+    bins = spark.sql(_woe_sql(True, bins_rel="__bins_only__")).localCheckpoint(
+        eager=True
+    )
+    bins.createOrReplaceTempView("__t23_bins__")
+    return spark.sql(_woe_sql(True, bins_rel="__t23_bins__"))
 
 
 # ---------------------------------------------------------------------------
@@ -1406,7 +1424,7 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOVELTY_N = 5  # words per gram
 
 
-def _novelty_sql(spark_dialect: bool) -> str:
+def _novelty_sql(spark_dialect: bool, grams_rel: str | None = None) -> str:
     n = _NOVELTY_N
     if spark_dialect:
         grams = f"""
@@ -1426,17 +1444,27 @@ def _novelty_sql(spark_dialect: bool) -> str:
         ELSE [md5(array_to_string(w, ' '))] END)) AS g
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         """
+    if grams_rel == "__grams_only__":
+        return grams
+    if grams_rel is None:
+        grams_cte, gname = f"grams AS ({grams}),", "grams"
+    else:
+        # Spark path: the distinct-gram relation is checkpointed by the
+        # caller — its two consumers (first-seen owner + the per-doc
+        # fold) would otherwise each re-run the gram explode over raw
+        # documents TEXT (PERF.md r27)
+        grams_cte, gname = "", grams_rel
     return f"""
-    WITH grams AS ({grams}),
+    WITH {grams_cte}
     first_seen AS (
-      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+      SELECT g, MIN(doc_id) AS first_doc FROM {gname} GROUP BY g
     ),
     per_doc AS (
       SELECT gr.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_grams,
              CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_novel
-      FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+      FROM {gname} gr JOIN first_seen fs ON fs.g = gr.g
       GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_novel,
@@ -1449,7 +1477,11 @@ def _novelty_sql(spark_dialect: bool) -> str:
 @query("t24_ngram_novelty", oracle=_novelty_sql(False))
 def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_novelty_sql(True))
+    grams = spark.sql(
+        _novelty_sql(True, grams_rel="__grams_only__")
+    ).localCheckpoint(eager=True)
+    grams.createOrReplaceTempView("__t24_grams__")
+    return spark.sql(_novelty_sql(True, grams_rel="__t24_grams__"))
 
 
 # ---------------------------------------------------------------------------
@@ -1839,7 +1871,7 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (core/flow.py delegates relational
 # work to DuckDB); the corpus rollup of t02's per-document verdicts.
 # ---------------------------------------------------------------------------
-def _langid_confusion_sql(spark_dialect: bool) -> str:
+def _langid_confusion_sql(spark_dialect: bool, conf_rel: str | None = None) -> str:
     if spark_dialect:
         count = lambda p: f"CAST(regexp_count(lower(text), '{p}') AS BIGINT)"
     else:
@@ -1847,7 +1879,7 @@ def _langid_confusion_sql(spark_dialect: bool) -> str:
     score_cols = ", ".join(
         f"{_lang_score(lg, count)} AS score_{lg}" for lg in _LANG_WORDS
     )
-    return f"""
+    head = f"""
     WITH scores AS (
       SELECT doc_id, lang AS labeled_lang, {score_cols}
       FROM documents
@@ -1859,19 +1891,31 @@ def _langid_confusion_sql(spark_dialect: bool) -> str:
           WHEN score_es THEN 'es' ELSE 'zh' END AS predicted_lang
       FROM scores
     ),
-    conf AS (
+    conf_core AS (
       SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM verdicts GROUP BY labeled_lang, predicted_lang
-    ),
+    )
+    SELECT * FROM conf_core"""
+    if conf_rel == "__conf_only__":
+        return head
+    if conf_rel is None:
+        conf_cte, conf = f"conf AS ({head}),", "conf"
+    else:
+        # Spark path: conf is checkpointed by the caller — its two
+        # consumers (label totals + report) would otherwise each re-run
+        # the regexp-scoring scan over raw documents TEXT (PERF.md r27)
+        conf_cte, conf = "", conf_rel
+    return f"""
+    WITH {conf_cte}
     totals AS (
       SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS n_label
-      FROM conf GROUP BY labeled_lang
+      FROM {conf} GROUP BY labeled_lang
     )
     SELECT c.labeled_lang AS labeled_lang, c.predicted_lang AS predicted_lang,
            c.n_docs AS n_docs,
            CAST(c.n_docs AS DOUBLE) / t.n_label AS label_share,
            c.labeled_lang = c.predicted_lang AS is_correct
-    FROM conf c JOIN totals t ON t.labeled_lang = c.labeled_lang
+    FROM {conf} c JOIN totals t ON t.labeled_lang = c.labeled_lang
     ORDER BY labeled_lang, predicted_lang
     """
 
@@ -1879,7 +1923,11 @@ def _langid_confusion_sql(spark_dialect: bool) -> str:
 @query("t30_langid_confusion", oracle=_langid_confusion_sql(False))
 def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_langid_confusion_sql(True))
+    conf = spark.sql(
+        _langid_confusion_sql(True, conf_rel="__conf_only__")
+    ).localCheckpoint(eager=True)
+    conf.createOrReplaceTempView("__t30_conf__")
+    return spark.sql(_langid_confusion_sql(True, conf_rel="__t30_conf__"))
 
 
 # ---------------------------------------------------------------------------
@@ -2000,7 +2048,7 @@ T32_BUDGET = 1_000_000
 _T32_EPOCH_KNEE = 4
 
 
-def _temperature_mix_sql(spark_dialect: bool) -> str:
+def _temperature_mix_sql(spark_dialect: bool, quant_rel: str | None = None) -> str:
     # whitespace-class regex on BOTH sides (r7 advice): split(trim(x), ' +')
     # returned 1 for empty/whitespace-only docs and ignored tabs/newlines,
     # diverging from the oracle's \S+ extraction on edge inputs
@@ -2010,33 +2058,49 @@ def _temperature_mix_sql(spark_dialect: bool) -> str:
         else "len(regexp_extract_all(text, '\\S+'))"
     )
     b = T32_BUDGET
-    return f"""
+    head = f"""
     WITH inv AS (
       SELECT source,
              CAST(SUM({ntok}) AS BIGINT) AS n_tokens,
              CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY source
     ),
-    quant AS (
+    quant_core AS (
       SELECT source, n_docs, n_tokens,
              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_e6
       FROM inv
-    ),
-    norm AS (SELECT CAST(SUM(s_e6) AS BIGINT) AS s_total FROM quant)
+    )
+    SELECT * FROM quant_core"""
+    if quant_rel == "__quant_only__":
+        return head
+    if quant_rel is None:
+        quant_cte, quant = f"quant AS ({head}),", "quant"
+    else:
+        # Spark path: quant is checkpointed by the caller — its two
+        # consumers (normalizer + report) would otherwise each re-run
+        # the token-count scan over raw documents TEXT (PERF.md r27)
+        quant_cte, quant = "", quant_rel
+    return f"""
+    WITH {quant_cte}
+    norm AS (SELECT CAST(SUM(s_e6) AS BIGINT) AS s_total FROM {quant})
     SELECT q.source AS source, q.n_docs AS n_docs, q.n_tokens AS n_tokens,
            CAST(q.s_e6 AS DOUBLE) / n.s_total AS mix_weight,
            CAST(({b} * q.s_e6) {"div" if spark_dialect else "//"} n.s_total
                 AS BIGINT) AS expected_tokens,
            CAST({b} * q.s_e6 AS DOUBLE) / (n.s_total * q.n_tokens) AS epochs,
            {b} * q.s_e6 > {_T32_EPOCH_KNEE} * n.s_total * q.n_tokens AS overfit_risk
-    FROM quant q CROSS JOIN norm n
+    FROM {quant} q CROSS JOIN norm n
     ORDER BY source
     """
 
 
 def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_temperature_mix_sql(True))
+    quant = spark.sql(
+        _temperature_mix_sql(True, quant_rel="__quant_only__")
+    ).localCheckpoint(eager=True)
+    quant.createOrReplaceTempView("__t32_quant__")
+    return spark.sql(_temperature_mix_sql(True, quant_rel="__t32_quant__"))
 
 
 QUERIES["t32_temperature_mix"] = t32

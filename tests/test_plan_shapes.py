@@ -420,6 +420,15 @@ SCAN_BUDGETS = {
     "ts40_peak_concurrency": {"events": 0},  # day-clipped session spans checkpointed
     "t28_domain_caps": {"documents": 2},  # totals folded into the ranked pass (scored full + source-join narrow)
     "t22_chunk_dedup_rewrite": {"documents": 2},  # chunk instances checkpointed (explode full + doc_id spine)
+    # second wave: queries that read the heavy TEXT column twice (a
+    # genuine 2x of the dominant bytes at scale) — the multiply-
+    # consumed relation is now checkpointed; 0 scans in the returned
+    # plan, one text pass at build
+    "t19_chunk_dedup": {"documents": 0},  # chunk instances checkpointed
+    "t23_woe_binning": {"documents": 0},  # (bin, label) counts checkpointed
+    "t24_ngram_novelty": {"documents": 0},  # distinct-gram relation checkpointed
+    "t30_langid_confusion": {"documents": 0},  # confusion cells checkpointed
+    "t32_temperature_mix": {"documents": 0},  # per-source token inventory checkpointed
 }
 
 # Remaining >= 3x queries are SEMANTICALLY multi-pass and stay unfixed
