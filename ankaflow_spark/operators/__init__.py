@@ -48,8 +48,8 @@ GRADED_FIRST = [
     # len == 50.
     # Rotation queue after this window is graded: t22/ts19/ts20/
     # ts21/ts23/ts24/d13/m02, then the ~45 remaining r05-last
-    # entries, then r06-last, then the r07/r08 waves. (t22 yielded
-    # its slot to st25 in wave 3.)
+    # entries, then r06-last, then the r07/r08 waves. (t22 and t20
+    # yielded their slots to st25/ts45 in wave 3.)
     "d29_agreement_bounded",  # new r9: d28's production-bounded spelling
     "s28_centroid_drift",  # new r9: per-shard embedding drift monitor
     "st23_stream_centroid_drift",  # new r9: s28 maintained incrementally
@@ -58,6 +58,7 @@ GRADED_FIRST = [
     "ts44_seasonal_anomaly",  # new r9w2: calendar-baseline MAD anomaly
     "q81_retention_ttl_audit",  # new r9w2: TTL age-out / purge planner
     "st25_stream_psi_drift",  # new r9w3: q73's PSI maintained incrementally
+    "ts45_daily_acf",  # new r9w3: per-lag rhythm strength (seasonality ACF)
     "q19_above_avg_items",  # last r03
     "q20_fn_dt_coercion",  # last r03
     "q22_collection_aggs",  # last r03
@@ -99,7 +100,6 @@ GRADED_FIRST = [
     "st12_stream_session_window",  # last r04
     "t16_domain_mixture",  # last r04
     "t19_chunk_dedup",  # last r04
-    "t20_leakage_safe_split",  # last r04
 ]
 
 

@@ -2876,3 +2876,91 @@ def _seasonal_anomaly_sql(spark_dialect: bool, table: str = "events") -> str:
 def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_seasonal_anomaly_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# ts45 — daily-series autocorrelation (ACF, lags 1..7): per event
+# type, the Pearson correlation between the daily-count series and its
+# lag-k shift — the rhythm detector behind seasonality-aware
+# forecasting and anomaly baselines (a weekly cycle shows as a lag-7
+# peak; ts33 profiles the rhythm's SHAPE, ts41 its dispersion — ts45
+# measures its STRENGTH per lag, which is what decides whether ts44's
+# calendar baseline or ts10's trailing window is the right monitor).
+# Exactness: the daily lattice is exact BIGINT counts; per (type, lag)
+# the five sufficient statistics (sx, sy, sxy, sxx, syy over the
+# overlapping window) accumulate in DECIMAL(38,0) — exact integers at
+# any scale (1e9-events/day regimes put sxx*m products near 1e2x,
+# far inside 38 digits) — and the correlation is ONE compound IEEE
+# expression from those exact integers (the ts10/ts41 discipline), so
+# both engines agree bit-for-bit. Scale shape: ONE map-side-combinable
+# scan onto the |types x days| lattice (checkpointed — the lag join
+# consumes it twice, PERF.md r27); everything after is lattice-sized
+# (a 7-row lag spine equi-joins day_no = day_no + lag).
+# Reference parity: no counterpart (core/flow.py delegates relational
+# work to DuckDB); extends the ts33/ts36/ts41 seasonality family.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+def _daily_acf_sql(spark_dialect: bool, daily_rel: str | None = None) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    day_us = 86400 * 1000000
+    daily_sql = f"""
+      SELECT event_type,
+             CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    """
+    if daily_rel == "__daily_only__":
+        return daily_sql
+    if daily_rel is None:
+        # inline spelling (the DuckDB oracle; DuckDB plans CTEs once)
+        daily_cte, daily = f"daily AS ({daily_sql}),", "daily"
+    else:
+        # Spark runtime path: the daily lattice is checkpointed by the
+        # caller — both lag-join sides would otherwise re-scan events
+        daily_cte, daily = "", daily_rel
+    if spark_dialect:
+        lags = "SELECT explode(sequence(1, %d)) AS lag" % _ACF_MAX_LAG
+    else:
+        lags = "SELECT unnest(range(1, %d)) AS lag" % (_ACF_MAX_LAG + 1)
+    dec = "DECIMAL(38,0)"
+    return f"""
+    WITH {daily_cte}
+    lags AS ({lags}),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(a.n AS {dec}) AS x, CAST(b.n AS {dec}) AS y
+      FROM {daily} a
+      CROSS JOIN lags l
+      JOIN {daily} b ON b.event_type = a.event_type
+                    AND b.day_no = a.day_no + l.lag
+    ),
+    stats AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS {dec}) AS m,
+             CAST(SUM(x) AS {dec}) AS sx, CAST(SUM(y) AS {dec}) AS sy,
+             CAST(SUM(x * y) AS {dec}) AS sxy,
+             CAST(SUM(x * x) AS {dec}) AS sxx,
+             CAST(SUM(y * y) AS {dec}) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(m AS BIGINT) AS n_pairs,
+           (CAST(m * sxy - sx * sy AS DOUBLE))
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE)) AS acf
+    FROM stats
+    ORDER BY event_type, lag
+    """
+
+
+@query("ts45_daily_acf", oracle=_daily_acf_sql(False))
+def ts45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    daily = spark.sql(
+        _daily_acf_sql(True, daily_rel="__daily_only__")
+    ).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("__ts45_daily__")
+    return spark.sql(_daily_acf_sql(True, daily_rel="__ts45_daily__"))

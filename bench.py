@@ -184,6 +184,8 @@ HEADLINE = [
     "q81_retention_ttl_audit",
     "ts44_seasonal_anomaly",
     "m13_corrupt_asset_audit",
+    # round-9 wave 3: daily-series rhythm strength
+    "ts45_daily_acf",
 ]
 
 

@@ -3627,3 +3627,48 @@ def test_m13_corrupt_asset_audit_kernel(spark):
         else:
             assert r["n_bytes"] == 16 * (4 + i % 5)
     assert sum(not r["valid"] for r in rows) > 0
+
+
+def test_ts45_daily_acf_vs_python(spark, sf_dir):
+    """Per-(type, lag) ACF must equal a literal Pearson recount over
+    the integer daily lattice (exact sufficient statistics; one
+    compound IEEE expression)."""
+    import math
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.timeseries import _ACF_MAX_LAG, QUERIES
+
+    out = QUERIES["ts45_daily_acf"](spark, sf_dir).collect()
+    rows = spark.table("events").selectExpr(
+        "event_type", "unix_micros(ts) div 86400000000 AS day_no"
+    ).collect()
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r["event_type"], r["day_no"])] += 1
+    types = sorted({t for t, _ in daily})
+    expect = {}
+    for t in types:
+        days = sorted(d for tt, d in daily if tt == t)
+        for lag in range(1, _ACF_MAX_LAG + 1):
+            xs, ys = [], []
+            for d in days:
+                if (t, d + lag) in daily:
+                    xs.append(daily[(t, d)])
+                    ys.append(daily[(t, d + lag)])
+            m = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            acf = (m * sxy - sx * sy) / math.sqrt(
+                (m * sxx - sx * sx) * (m * syy - sy * sy)
+            )
+            expect[(t, lag)] = (m, acf)
+    assert len(out) == len(expect)
+    for r in out:
+        m, acf = expect[(r["event_type"], r["lag"])]
+        assert r["n_pairs"] == m
+        assert r["acf"] == acf
+    # real signal: correlations are neither all-zero nor constant
+    vals = {round(r["acf"], 6) for r in out}
+    assert len(vals) > 5

@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "q80_join_fanout_audit",  # 1-row parent-count scalar subquery folded into each relationship's single-row fan-out summary — q59's scalar class
     "s25_stale_index_recall",  # 10-row literal probe table broadcast against the corpus for the exact-truth arm (s01's class) + K-bounded centroid products
     "d29_agreement_bounded",  # 1-row candidate-count scalar cross-joined into the sample-rate predicate — q59's scalar class (the rate calibrator)
+    "ts45_daily_acf",  # 7-row lag spine cross-joined into the checkpointed daily lattice — s21/d24's sweep-spine class
 }
 
 # SortMergeJoin is acceptable only where both sides are genuinely
@@ -429,6 +430,7 @@ SCAN_BUDGETS = {
     "t24_ngram_novelty": {"documents": 0},  # distinct-gram relation checkpointed
     "t30_langid_confusion": {"documents": 0},  # confusion cells checkpointed
     "t32_temperature_mix": {"documents": 0},  # per-source token inventory checkpointed
+    "ts45_daily_acf": {"events": 0},  # daily lattice checkpointed (both lag-join sides consume it)
 }
 
 # Remaining >= 3x queries are SEMANTICALLY multi-pass and stay unfixed
