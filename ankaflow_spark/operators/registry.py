@@ -2163,3 +2163,26 @@ def op_value_quantiles(engine, df: DataFrame, params: Dict[str, Any]) -> DataFra
     return engine.spark.sql(
         _stream_quantile_sql("__op_value_quantiles__", True, width=width)
     )
+
+
+@operator("daily_acf")
+def op_daily_acf(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Daily-series autocorrelation (ts45 as a reusable stage): per-key
+    Pearson ACF of the daily event counts at lags 1..max_lag — the
+    rhythm-strength table behind seasonality-aware monitor selection
+    (see timeseries._daily_acf_sql). The daily lattice is checkpointed
+    (both lag-join sides consume it)."""
+    from .timeseries import _daily_acf_sql
+
+    key = params.get("key", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    df.select(
+        F.col(key).alias("event_type"), F.col(ts_col).alias("ts")
+    ).createOrReplaceTempView("__op_daily_acf__")
+    daily = engine.spark.sql(
+        _daily_acf_sql(True, daily_rel="__daily_only__", table="__op_daily_acf__")
+    ).localCheckpoint(eager=True)
+    daily.createOrReplaceTempView("__op_daily_acf_lattice__")
+    return engine.spark.sql(
+        _daily_acf_sql(True, daily_rel="__op_daily_acf_lattice__")
+    )

@@ -2902,7 +2902,9 @@ def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_MAX_LAG = 7
 
 
-def _daily_acf_sql(spark_dialect: bool, daily_rel: str | None = None) -> str:
+def _daily_acf_sql(
+    spark_dialect: bool, daily_rel: str | None = None, table: str = "events"
+) -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
@@ -2910,7 +2912,7 @@ def _daily_acf_sql(spark_dialect: bool, daily_rel: str | None = None) -> str:
       SELECT event_type,
              CAST({epoch}(ts) {intdiv} {day_us} AS BIGINT) AS day_no,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM {table} GROUP BY 1, 2
     """
     if daily_rel == "__daily_only__":
         return daily_sql

@@ -1465,3 +1465,23 @@ def test_value_quantiles_stage_narrow_buckets(engine, sf_dir):
         for col in ("p50_lo_cents", "p90_lo_cents", "p99_lo_cents"):
             assert fine[t][col] >= coarse[t][col]
             assert fine[t][col] - coarse[t][col] < 500
+
+
+def test_daily_acf_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: acf
+  op: daily_acf
+  params: {{key: event_type, ts_col: ts}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    graded = QUERIES["ts45_daily_acf"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
