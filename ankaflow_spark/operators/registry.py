@@ -18,6 +18,7 @@ reference the result by stage name.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Dict
 
 from pyspark.sql import DataFrame
@@ -2085,8 +2086,12 @@ def op_retention_ttl(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame
     rows past their retention policy, expired share, and the
     day-partition purge plan against the corpus edge. ``ttl_days``
     maps key values to day budgets (``default_days`` for the rest);
-    the CASE is built from VALIDATED integer literals so no SQL is
-    ever spliced from user strings."""
+    the day budgets are VALIDATED integer literals and the key values
+    are restricted to a conservative identifier charset
+    (``[A-Za-z0-9_.:@ -]``, no quotes or backslashes) before they are
+    embedded as single-quoted literals — Spark's parser treats
+    backslash as an escape inside string literals, so quote-doubling
+    alone is NOT a sufficient sanitizer."""
     from .relational import _ttl_sql
 
     key = params.get("key", "event_type")
@@ -2100,7 +2105,12 @@ def op_retention_ttl(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame
         days = int(v)
         if days < 1:
             raise ValueError(f"retention_ttl: ttl_days[{k!r}] must be >= 1")
-        safe_k = str(k).replace("'", "''")
+        safe_k = str(k)
+        if not re.fullmatch(r"[A-Za-z0-9_.:@ -]+", safe_k):
+            raise ValueError(
+                f"retention_ttl: ttl_days key {k!r} contains characters "
+                "outside [A-Za-z0-9_.:@ -]; refusing to splice it into SQL"
+            )
         branches.append(f"WHEN '{safe_k}' THEN {days}")
     case = (
         f"CASE event_type {' '.join(branches)} ELSE {default_days} END"

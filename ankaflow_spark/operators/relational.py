@@ -2395,11 +2395,14 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the lineitem scan first (the selective edge), supplier/nation
 # broadcast, and the only shuffle-worthy edge is lineitem x orders on
 # orderkey — at scale both fact sides shuffle on the SAME key they're
-# naturally keyed by. Decimal discipline: q01's — exact DECIMAL
+# naturally keyed by, so that edge is LEFT to shuffle (no hint): a
+# forced broadcast of either fact table would exceed Spark's broadcast
+# limits (8GB / 512M rows) beyond toy SFs. Only the three true
+# dimensions are hinted. Decimal discipline: q01's — exact DECIMAL
 # accumulation, one cast to DOUBLE at the end.
 # ---------------------------------------------------------------------------
 _PROFIT_BY_NATION_SQL = """
-    SELECT /*+ BROADCAST(o), BROADCAST(l) */ n.n_name AS nation,
+    SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n) */ n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
                     * CAST(1 - l.l_discount AS DECIMAL(12,4)))
@@ -3398,7 +3401,9 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the complement of q78 (is data arriving?) and q79 (user-scoped
 # erasure): q81 is the CALENDAR-scoped deletion obligation. "now" is
 # the corpus edge (max ts), so the audit is reproducible on a frozen
-# snapshot. Scale shape: ONE map-side-combinable scan+aggregate onto
+# snapshot. oldest_day_no is the oldest EXPIRED partition (the first
+# one the purge job drops) — NULL when n_expired = 0, so a purge
+# planner can never misread a retained partition as droppable. Scale shape: ONE map-side-combinable scan+aggregate onto
 # the |event types|-bounded report; the 1-row corpus-edge scalar
 # broadcasts into the projection (q59/q78's scalar class); the purge
 # plan counts DISTINCT expired day numbers inside the same aggregate —
@@ -3439,7 +3444,8 @@ def _ttl_sql(
                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS expired_share,
            CAST(COUNT(DISTINCT CASE WHEN b.ts_us < x.edge_us - b.ttl_days * {day_us}
                                     THEN b.day_no END) AS BIGINT) AS n_purge_partitions,
-           CAST(MIN(b.day_no) AS BIGINT) AS oldest_day_no
+           CAST(MIN(CASE WHEN b.ts_us < x.edge_us - b.ttl_days * {day_us}
+                         THEN b.day_no END) AS BIGINT) AS oldest_day_no
     FROM base b CROSS JOIN edge x
     GROUP BY b.event_type
     ORDER BY event_type

@@ -1759,10 +1759,14 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and a kept-set digest (SUM of kept doc_ids) that pins WHICH documents
 # survived, not just how many. Scale shape: the quality score is t03's
 # single-scan expression; the per-source ROW_NUMBER window ships each
-# row once to its source partition, and the rank<=K filter is Spark's
-# WindowGroupLimit class (per-partition top-K pre-filter before the
-# final sort — q68's plan shape); the audit is a groupBy over the
-# capped relation, output bounded by |sources|. A pathologically hot
+# row once to its source partition, and the kept/dropped split happens
+# INSIDE the same aggregate via rk<=K CASE expressions — the fused
+# one-pass spelling (one documents scan instead of two). Trade-off:
+# with no rk<=K filter between window and aggregate, Spark's
+# WindowGroupLimit per-partition top-K pre-filter does NOT apply —
+# every row flows through the full window into the fold; that is the
+# price of folding totals and kept-stats into one pass. The audit
+# output is bounded by |sources|. A pathologically hot
 # domain is the documented straggler class (ts23/ts29's note): the
 # production mitigation is a two-level top-K (per (source, hash-bucket)
 # pre-rank, then re-rank the K*B survivors), which preserves exact

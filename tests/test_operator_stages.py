@@ -1397,6 +1397,27 @@ def test_retention_ttl_stage_rejects_bad_params(engine, sf_dir):
         flow.run()
 
 
+def test_retention_ttl_stage_rejects_unsafe_keys(engine, sf_dir):
+    # Spark treats backslash as an escape in string literals, so a key
+    # ending in a backslash would escape the closing quote — the stage
+    # must refuse to splice it rather than rely on quote-doubling.
+    for bad in ("x\\", "a'; DROP TABLE t; --", 'q"z'):
+        flow = Flow(
+            Stages.loads(f"""
+- kind: tap
+  name: events
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+- kind: operator
+  name: ttl
+  op: retention_ttl
+  params: {{ttl_days: {{{bad!r}: 7}}}}
+"""),
+            engine=engine,
+        )
+        with pytest.raises(FlowError, match="refusing to splice"):
+            flow.run()
+
+
 def test_seasonal_anomaly_stage_matches_graded(engine, sf_dir):
     flow = Flow(
         Stages.loads(f"""

@@ -3540,10 +3540,10 @@ def test_q81_retention_ttl_vs_python(spark, sf_dir):
         n[t] += 1
         d = ttl.get(t, 365)
         day = r["us"] // day_us
-        oldest[t] = min(oldest.get(t, day), day)
         if r["us"] < edge - d * day_us:
             exp[t] += 1
             purge[t].add(day)
+            oldest[t] = min(oldest.get(t, day), day)
     assert [r["event_type"] for r in out] == sorted(n)
     for r in out:
         t = r["event_type"]
@@ -3552,7 +3552,12 @@ def test_q81_retention_ttl_vs_python(spark, sf_dir):
         assert r["n_expired"] == exp[t]
         assert r["expired_share"] == exp[t] / n[t]
         assert r["n_purge_partitions"] == len(purge[t])
-        assert r["oldest_day_no"] == oldest[t]
+        # oldest_day_no is the oldest EXPIRED partition — NULL when the
+        # type has nothing to purge (a purge job must never misread a
+        # retained partition as droppable)
+        assert r["oldest_day_no"] == oldest.get(t)
+        if exp[t] == 0:
+            assert r["oldest_day_no"] is None
     # the synthetic 30-day corpus gives the audit real signal: short
     # TTLs expire rows, the 365-day class expires none
     assert any(r["n_expired"] > 0 for r in out)
