@@ -203,6 +203,16 @@ class SparkEngine:
             return self._run_asof(asof)
 
         def schema_lookup(name):
+            if name.lstrip().startswith("("):
+                # COLUMNS(...) over a subquery source: resolve the
+                # subquery's output schema by Catalyst ANALYSIS only —
+                # .schema on an un-executed DataFrame plans, never runs
+                try:
+                    inner = rewrite_sql(name, self._views, schema_lookup)
+                    df = self.spark.sql(f"SELECT * FROM {inner} __cols_src__")
+                    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+                except Exception:
+                    return None
             try:
                 return self.describe(name)
             except Exception:

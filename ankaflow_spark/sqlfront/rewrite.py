@@ -1208,9 +1208,11 @@ def expand_columns_expr(sql: str, schema_lookup) -> str:
     uses: bare ``COLUMNS(...)`` in the select list (expands to the
     column list) and a single-argument wrapping call
     ``fn(COLUMNS(...))`` (applies ``fn`` per column, aliased
-    ``fn(col)``). Anything else — multi-relation FROM, subquery source,
-    EXCLUDE/lambda arguments — keeps the actionable rejection raised by
-    ``normalize_dialect``."""
+    ``fn(col)``). The FROM source may be a named relation or a
+    parenthesized subquery (the engine's ``schema_lookup`` resolves a
+    subquery's schema by analysis only). Anything else —
+    multi-relation FROM, EXCLUDE arguments — keeps the actionable
+    rejection raised by ``normalize_dialect``."""
     if schema_lookup is None:
         return sql
     search_from = 0
@@ -1254,17 +1256,41 @@ def expand_columns_expr(sql: str, schema_lookup) -> str:
                 "COLUMNS(...) could not be resolved: no FROM clause found in "
                 "the containing SELECT — list the columns explicitly"
             )
-        rel_m = re.match(
-            r'\s*("([^"]+)"|`([^`]+)`|[A-Za-z_][\w.]*)', sql[from_pos + 4 :]
-        )
-        if rel_m is None:
-            raise UnsupportedDialect(
-                "COLUMNS(...) requires a single named FROM relation "
-                "(subquery sources are not supported) — list the columns "
-                "explicitly"
+        after_from = sql[from_pos + 4 :]
+        lead_ws = len(after_from) - len(after_from.lstrip())
+        if after_from.lstrip().startswith("("):
+            # subquery source: hand the whole parenthesized text to
+            # schema_lookup — the engine resolves its schema by Catalyst
+            # ANALYSIS only (lazy; nothing executes)
+            sub_open = from_pos + 4 + lead_ws
+            sub_close = _find_matching(sql, sub_open, "(", ")")
+            if sub_close == -1:
+                raise UnsupportedDialect(
+                    "COLUMNS(...): unbalanced parentheses in the FROM "
+                    "subquery — list the columns explicitly"
+                )
+            relname = sql[sub_open : sub_close + 1]
+            rel_end = sub_close + 1
+            # skip an optional [AS] alias after the subquery
+            am = re.match(
+                r"\s+(?:AS\s+)?([A-Za-z_]\w*|`[^`]+`)", sql[rel_end:], re.IGNORECASE
             )
-        relname = rel_m.group(2) or rel_m.group(3) or rel_m.group(1)
-        rel_end = from_pos + 4 + rel_m.end()
+            if am is not None and am.group(1).upper() not in _CLAUSE_AFTER_FROM + (
+                "JOIN", "ON", "AS",
+            ):
+                rel_end += am.end()
+        else:
+            rel_m = re.match(
+                r'\s*("([^"]+)"|`([^`]+)`|[A-Za-z_][\w.]*)', after_from
+            )
+            if rel_m is None:
+                raise UnsupportedDialect(
+                    "COLUMNS(...) requires a single FROM relation (a named "
+                    "view/table or a parenthesized subquery) — list the "
+                    "columns explicitly"
+                )
+            relname = rel_m.group(2) or rel_m.group(3) or rel_m.group(1)
+            rel_end = from_pos + 4 + rel_m.end()
         clause_pos = _scan_at_depth(sql, rel_end, d, d, _CLAUSE_AFTER_FROM)
         join_pos = _scan_at_depth(sql, rel_end, d, d, ("JOIN", ","))
         if join_pos != -1 and (clause_pos == -1 or join_pos < clause_pos):

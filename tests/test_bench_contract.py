@@ -87,3 +87,56 @@ def test_bench_detail_sidecar_matches_contract():
             }
             # stage walls are components of (not exceeding) the flow wall
             assert sum(s["sec"] for s in pipe["stages"]) <= pipe["wall_sec"] + 0.01
+
+
+def test_passes_clear_shared_caches():
+    """Best-of-N accounting (r9 judge finding): every timing pass must
+    start with clear_shared_caches(spark), else pass 2 reads
+    __cands__/__spans__/the embeddings cache built in pass 1 and the
+    per-query minima for cache-building queries (d02, d19, ...)
+    silently exclude their cold builds. Statically pinned: the
+    `for p in range(runs)` loop body must call clear_shared_caches
+    BEFORE the inner per-query loop."""
+    tree = ast.parse(_bench_source())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.For)
+            and isinstance(node.iter, ast.Call)
+            and getattr(node.iter.func, "id", None) == "range"
+            and getattr(node.target, "id", None) == "p"
+        ):
+            calls = [
+                getattr(n.func, "id", None)
+                for stmt in node.body
+                for n in ast.walk(stmt)
+                if isinstance(n, ast.Call)
+            ]
+            assert "clear_shared_caches" in calls, (
+                "timing pass loop must clear shared caches per pass"
+            )
+            first_stmt_calls = [
+                getattr(n.func, "id", None)
+                for n in ast.walk(node.body[0])
+                if isinstance(n, ast.Call)
+            ]
+            assert "clear_shared_caches" in first_stmt_calls, (
+                "clear_shared_caches must run before any query is timed"
+            )
+            return
+    raise AssertionError("best-of-N pass loop (for p in range(runs)) not found")
+
+
+def test_clear_shared_caches_resets_memos(spark, sf_dir):
+    """clear_shared_caches must empty the session-scoped memo dicts so
+    the next consumer rebuilds cold (the bench accounting contract)."""
+    from ankaflow_spark.operators import clear_shared_caches, dedup
+    from ankaflow_spark.operators.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    dedup.cached_cands(spark, sf_dir)
+    assert dedup._MATERIALIZED
+    clear_shared_caches(spark)
+    assert not dedup._MATERIALIZED
+    # and the next call rebuilds + re-registers the views transparently
+    dedup.cached_cands(spark, sf_dir)
+    assert spark.sql("SELECT COUNT(*) AS n FROM __cands__").collect()[0]["n"] >= 0

@@ -384,6 +384,44 @@ def test_columns_lambda_predicates(engine):
     assert [tuple(r) for r in df.collect()] == [(10, 20)]
 
 
+def test_columns_expr_subquery_source(engine):
+    """COLUMNS(...) over a parenthesized subquery source: the engine
+    resolves the subquery's schema by Catalyst analysis only (r9
+    verdict punch item 7 — this was the last rejecting shape)."""
+    engine.sql(
+        "SELECT 1 AS id, 10 AS amt_a, 20 AS amt_b, 'x' AS tag"
+    ).createOrReplaceTempView("__colsub__")
+    df = engine.sql(
+        "SELECT COLUMNS('^amt_') FROM (SELECT * FROM __colsub__ WHERE id = 1)"
+    )
+    assert df.columns == ["amt_a", "amt_b"]
+    assert [tuple(r) for r in df.collect()] == [(10, 20)]
+    # with an alias on the subquery, and a wrapping aggregate
+    df = engine.sql(
+        "SELECT max(COLUMNS('amt')) FROM "
+        "(SELECT amt_a, amt_b, tag FROM __colsub__) t"
+    )
+    assert df.columns == ["max(amt_a)", "max(amt_b)"]
+    # subquery may itself use dialect rewrites (EXCLUDE) and change the
+    # visible column set
+    df = engine.sql(
+        "SELECT COLUMNS(*) FROM (SELECT * EXCLUDE(tag, id) FROM __colsub__)"
+    )
+    assert df.columns == ["amt_a", "amt_b"]
+    # matches DuckDB on the same shape
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.sql("CREATE TABLE __colsub__(id INT, amt_a INT, amt_b INT, tag VARCHAR)")
+    con.sql("INSERT INTO __colsub__ VALUES (1, 10, 20, 'x')")
+    sql = "SELECT COLUMNS('^amt_') FROM (SELECT * FROM __colsub__ WHERE id = 1)"
+    got = engine.sql(sql)
+    want = con.sql(sql)
+    assert got.columns == list(want.columns)
+    assert [tuple(r) for r in got.collect()] == want.fetchall()
+    con.close()
+
+
 def test_columns_lambda_matches_duckdb(engine):
     import duckdb as _duck
 
