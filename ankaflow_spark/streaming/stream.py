@@ -240,10 +240,28 @@ def foreachbatch_upsert(
     return stream_df.sparkSession.read.parquet(last_dir[-1])
 
 
+def _state_table_metrics(state_dir: str) -> tuple:
+    """(row count, byte size) of a parquet state table, read from file
+    footers driver-side — no Spark job, so soak instrumentation does
+    not perturb the batch walls it measures."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows, size = 0, 0
+    for f in os.listdir(state_dir):
+        p = os.path.join(state_dir, f)
+        size += os.path.getsize(p)
+        if f.endswith(".parquet"):
+            rows += pq.read_metadata(p).num_rows
+    return rows, size
+
+
 def foreachbatch_merge_counts(
     stream_df: DataFrame,
     keys: List[str],
     state_base: str,
+    metrics: Optional[list] = None,
 ) -> DataFrame:
     """Maintain EXACT per-key counts across micro-batches: each batch
     pre-aggregates its own slice (the map-side combine of a streaming
@@ -255,9 +273,16 @@ def foreachbatch_merge_counts(
     same alternating-directory atomic-swap contract as
     ``foreachbatch_upsert``; state size is O(|keys|), not O(stream).
 
+    ``metrics``: when a list is passed, one dict per micro-batch is
+    appended — {batch_id, wall_sec, state_rows, state_bytes} — read
+    from the written state table's parquet FOOTERS (driver-side, no
+    extra Spark job), the soak-test evidence that state stays flat
+    across triggers.
+
     Returns the final counts as a batch DataFrame (columns: keys + n)."""
     import os
     import shutil
+    import time
 
     from pyspark.sql import functions as F
 
@@ -267,6 +292,7 @@ def foreachbatch_merge_counts(
     last_dir: List[str] = []
 
     def merge_batch(batch_df, batch_id: int):
+        t0 = time.time()
         prev = state_base + ("_b" if batch_id % 2 else "_a")
         nxt = state_base + ("_a" if batch_id % 2 else "_b")
         part = batch_df.groupBy(*keys).agg(F.count("*").alias("n"))
@@ -275,6 +301,16 @@ def foreachbatch_merge_counts(
         merged = part.groupBy(*keys).agg(F.sum("n").alias("n"))
         merged.write.mode("overwrite").parquet(nxt)
         last_dir.append(nxt)
+        if metrics is not None:
+            rows, size = _state_table_metrics(nxt)
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "state_rows": rows,
+                    "state_bytes": size,
+                }
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -296,6 +332,7 @@ def foreachbatch_merge_sums(
     keys: List[str],
     value_col: str,
     state_base: str,
+    metrics: Optional[list] = None,
 ) -> DataFrame:
     """Maintain EXACT per-key (sum, count) pairs across micro-batches —
     ``foreachbatch_merge_counts`` generalized to an integer value
@@ -305,11 +342,13 @@ def foreachbatch_merge_sums(
     the trigger boundaries. State publishes via the same
     alternating-directory atomic-swap contract; state size is
     O(|keys|), not O(stream) — the bounded-state property st22
-    measures.
+    measures. ``metrics``: same per-batch soak instrumentation as
+    ``foreachbatch_merge_counts``.
 
     Returns the final state as a batch DataFrame (columns: keys + s + n)."""
     import os
     import shutil
+    import time
 
     from pyspark.sql import functions as F
 
@@ -319,6 +358,7 @@ def foreachbatch_merge_sums(
     last_dir: List[str] = []
 
     def merge_batch(batch_df, batch_id: int):
+        t0 = time.time()
         prev = state_base + ("_b" if batch_id % 2 else "_a")
         nxt = state_base + ("_a" if batch_id % 2 else "_b")
         part = batch_df.groupBy(*keys).agg(
@@ -333,6 +373,16 @@ def foreachbatch_merge_sums(
         )
         merged.write.mode("overwrite").parquet(nxt)
         last_dir.append(nxt)
+        if metrics is not None:
+            rows, size = _state_table_metrics(nxt)
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "state_rows": rows,
+                    "state_bytes": size,
+                }
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
