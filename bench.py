@@ -210,6 +210,9 @@ PIPELINES = (
     "corpus_health",
     "curation_quality",
     "stream_health_monitor",
+    # r10: the expensive d/s chain composed through stages — LSH dedup
+    # -> survivor collapse -> quality gate + SemDeDup -> ANN probe
+    "dedup_ann_curation",
 )
 
 

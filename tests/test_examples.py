@@ -190,3 +190,21 @@ def test_stream_health_monitor_example(engine):
     assert row["n_partitions_to_purge"] > 0
     assert 0 < row["n_anomalous_hours"] < row["n_hour_cells"]
     assert row["max_p99_lo_cents"] > 0
+
+
+def test_dedup_ann_curation_example(engine):
+    flow = Flow(
+        Stages.load("/root/repo/examples/dedup_ann_curation.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    # survivors <= docs (LSH collapse removes clones), curation gate
+    # removes only low-quality survivors
+    assert 0 < row["n_survivors"] <= row["n_docs"]
+    assert 0 < row["n_curated"] <= row["n_survivors"]
+    # SemDeDup keeps a strict subset of the vector corpus; the probe
+    # returns top-10 per query vector (5 query vecs), all real cosines
+    assert 0 < row["n_index_vectors"] <= row["n_vectors"]
+    assert row["n_ann_hits"] == 50
+    assert -1.0 <= row["worst_hit_cosine"] <= 1.0
