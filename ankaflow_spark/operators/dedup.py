@@ -2563,3 +2563,94 @@ def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_verify_pairs=D29_MAX_VERIFY_PAIRS,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d30 — LSH band-occupancy audit: the pre-flight degeneracy check a
+# near-dup job runs BEFORE the banded self-join. Boilerplate-heavy
+# corpora (licence headers, scraped chrome, form letters) concentrate
+# signatures into few band buckets; a bucket of size n contributes
+# n*(n-1)/2 candidate pairs through a SINGLE join key, so one
+# degenerate bucket can dominate the whole job (measured in the
+# hot-band stress: 30% template share moved the max bucket 4 -> 671
+# and candidates 923 -> 625k, PERF.md r29). This audit reports, per
+# band: bucket count, corpus coverage, the max bucket, how many
+# buckets are non-singleton, the total candidate-pair volume, and the
+# share of pairs the single largest bucket contributes — the number
+# that decides between running d02 as-is, capping degenerate buckets
+# (d29's hub cap), or stripping the template first.
+# Scale shape: ONE aggregate over the persisted band table (|docs| x 4
+# rows, map-side combinable onto |buckets| rows) folded to 4 report
+# rows; no join, no self-join — the audit costs a vanishing fraction
+# of the job it gates. Exactness: integer counts and one final double
+# division (NULL when a band has no multi-occupant bucket).
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); extends the d24/d29 LSH-calibration family.
+# ---------------------------------------------------------------------------
+def spark_shingles_sql(table: str = "documents") -> str:
+    """The shared Spark shingle fragment over an arbitrary relation
+    (the ``documents`` spelling is the graded constant above)."""
+    return SPARK_SHINGLES.replace("FROM documents", f"FROM {table}")
+
+
+def _band_occupancy_tail(bucket_src: str, intdiv: str) -> str:
+    return f"""
+    WITH buckets AS ({bucket_src})
+    SELECT CAST(band_id AS INT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+           CAST(SUM(n * (n - 1) {intdiv} 2) AS BIGINT) AS cand_pairs,
+           CAST(MAX(n) * (MAX(n) - 1) {intdiv} 2 AS DOUBLE)
+             / NULLIF(CAST(SUM(n * (n - 1) {intdiv} 2) AS DOUBLE), 0)
+             AS top_bucket_pair_share
+    FROM buckets
+    GROUP BY band_id
+    ORDER BY band_id
+    """
+
+
+def band_occupancy_inline_sql(table: str) -> str:
+    """Spark-only band-occupancy SQL over an ARBITRARY text relation
+    (doc_id, text) — the stage-operator surface of d30: the same
+    shingle -> md5 -> 14-hex-window minhash -> stack banding as the
+    graded query, built inline instead of reading the per-(session, sf)
+    cached __bands__ view."""
+    bucket_cols = "band_id, " + _BAND_VAL_COLS
+    chain = f"""
+      WITH shingles AS ({spark_shingles_sql(table)}),
+      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+      sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
+      allbands AS (
+        SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS})
+               AS (band_id, {_BAND_VAL_COLS})
+        FROM sigs
+      )
+      SELECT {bucket_cols}, COUNT(*) AS n FROM allbands GROUP BY {bucket_cols}
+    """
+    return _band_occupancy_tail(chain, "div")
+
+
+def _band_occupancy_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        bucket_cols = "band_id, " + _BAND_VAL_COLS
+        src = f"SELECT {bucket_cols}, COUNT(*) AS n FROM __bands__ GROUP BY {bucket_cols}"
+        return _band_occupancy_tail(src, "div")
+    # reuse the shared shingles->bands chain, dropping the trailing
+    # cands CTE (the audit runs BEFORE the self-join)
+    head, sep, _ = DUCK_CAND_CTES.rpartition("cands AS")
+    assert sep, "DUCK_CAND_CTES no longer ends with a cands CTE"
+    src = (
+        f"WITH {head.rstrip().rstrip(',')}"
+        " SELECT band_id, band_key, COUNT(*) AS n FROM bands"
+        " GROUP BY band_id, band_key"
+    )
+    return _band_occupancy_tail(src, "//")
+
+
+@query("d30_band_occupancy_audit", oracle=_band_occupancy_sql(False))
+def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    return spark.sql(_band_occupancy_sql(True))

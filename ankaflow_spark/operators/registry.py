@@ -2196,3 +2196,57 @@ def op_daily_acf(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
     return engine.spark.sql(
         _daily_acf_sql(True, daily_rel="__op_daily_acf_lattice__")
     )
+
+
+@operator("band_occupancy")
+def op_band_occupancy(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """LSH band-occupancy audit (d30 as a reusable stage): per-band
+    bucket count, max bucket, non-singleton buckets, candidate-pair
+    volume, and the top bucket's pair share — the degeneracy pre-flight
+    a near-dup job runs before its banded self-join (see
+    dedup.band_occupancy_inline_sql; same shingle -> md5 -> 14-hex
+    minhash -> stack banding as the graded query, built inline over
+    the input)."""
+    from .dedup import band_occupancy_inline_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    view = "__op_band_occ__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    return engine.spark.sql(band_occupancy_inline_sql(view))
+
+
+@operator("boilerplate_shingles")
+def op_boilerplate_shingles(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Boilerplate-shingle audit (t35 as a reusable stage): the top-K
+    3-word shingles by document frequency, corpus penetration, and the
+    d03x df-cap verdict — names the template text that inflates every
+    lexical-similarity signal (see textops._boilerplate_shingles_sql)."""
+    from .textops import _boilerplate_shingles_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    view = "__op_boilerplate__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    return engine.spark.sql(_boilerplate_shingles_sql(True, table=view))
+
+
+@operator("ann_bucket_balance")
+def op_ann_bucket_balance(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """ANN bucket-balance audit (s29 as a reusable stage): hyperplane
+    bucket occupancy extremes, expected per-query candidate work, and
+    the Faiss-style imbalance factor over an embedding column (see
+    similarity._bucket_balance_sql)."""
+    from .similarity import _bucket_balance_sql
+
+    id_col = params.get("id_column", "vec_id")
+    vec_col = params.get("vector_column", "embedding")
+    view = "__op_bucket_balance__"
+    df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).createOrReplaceTempView(view)
+    return engine.spark.sql(_bucket_balance_sql(True, table=view))

@@ -148,7 +148,7 @@ def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANE_EXPR = "((pl * 37 + i * 17) % 13) - 6"
 
 
-def _bucket_sql(spark_dialect: bool) -> str:
+def _bucket_sql(spark_dialect: bool, table: str = "embeddings") -> str:
     if spark_dialect:
         fold = (
             f"aggregate(transform(sequence(0, {DIM - 1}), "
@@ -170,7 +170,7 @@ def _bucket_sql(spark_dialect: bool) -> str:
         CAST(SUM(CASE WHEN s >= 0 THEN shift ELSE 0 END) AS BIGINT) AS bucket
       FROM (
         SELECT vec_id, pl.pl AS pl, {fold} AS s, {shift} AS shift
-        FROM embeddings
+        FROM {table}
         CROSS JOIN ({planes}) pl
       ) y GROUP BY vec_id
     """
@@ -2353,7 +2353,7 @@ _SWEEP_PLANES = (4, 6, 8, 10)
 _S24_MAXP = 10
 
 
-def _bucket_sql_n(spark_dialect: bool, n_planes: int) -> str:
+def _bucket_sql_n(spark_dialect: bool, n_planes: int, table: str = "embeddings") -> str:
     """The s02 hyperplane signature generalized to ``n_planes`` bits
     (same integer plane expression, same fold)."""
     if spark_dialect:
@@ -2377,7 +2377,7 @@ def _bucket_sql_n(spark_dialect: bool, n_planes: int) -> str:
         CAST(SUM(CASE WHEN s >= 0 THEN shift ELSE 0 END) AS BIGINT) AS bucket
       FROM (
         SELECT vec_id, pl.pl AS pl, {fold} AS s, {shift} AS shift
-        FROM embeddings
+        FROM {table}
         CROSS JOIN ({planes}) pl
       ) y GROUP BY vec_id
     """
@@ -2872,3 +2872,50 @@ def _centroid_drift_sql(spark_dialect: bool) -> str:
 def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_centroid_drift_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# s29 — ANN bucket-balance audit: the embedding-side twin of d30's
+# band-occupancy audit, over s02's hyperplane buckets. Bucket routing
+# only beats brute force if occupancy is balanced: the expected
+# candidate count per query is sum(n_i * (n_i - 1)) / N, and the
+# standard imbalance factor (Faiss's metric for IVF lists:
+# n_buckets * sum(n_i^2) / N^2, 1.0 = perfectly uniform) says how far
+# the index is from that ideal — a collapsed-embedding corpus (s19's
+# failure mode) routes everything through few buckets and this report
+# fires BEFORE queries start timing out. One row out: occupancy
+# extremes, expected per-query candidate work, and the imbalance
+# factor.
+# Scale shape: the bucket assignment is s02's one-pass signature fold
+# (|vecs| x 8 integer plane dots, map-side combinable); the audit is a
+# two-level aggregate (per-bucket counts -> 1 report row) — no join,
+# no self-join; the audit costs a vanishing fraction of the ANN job it
+# gates. Exactness: integer sums, two final double divisions.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); extends the s19/s23/s24 index-health family.
+# ---------------------------------------------------------------------------
+def _bucket_balance_sql(spark_dialect: bool, table: str = "embeddings") -> str:
+    return f"""
+    WITH buckets AS ({_bucket_sql(spark_dialect, table)}),
+    occ AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM buckets GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(MIN(n) AS BIGINT) AS min_bucket,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1)) AS DOUBLE) / SUM(n)
+             AS expected_cands_per_query,
+           CAST(COUNT(*) * SUM(n * n) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * SUM(n))
+             AS imbalance_factor
+    FROM occ
+    """
+
+
+@query("s29_ann_bucket_balance", oracle=_bucket_balance_sql(False))
+def s29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    cached_embeddings(spark)
+    return spark.sql(_bucket_balance_sql(True))

@@ -2278,3 +2278,76 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     per.createOrReplaceTempView("__t34_per__")
     return spark.sql(_length_ks_sql(True, per_rel="__t34_per__"))
+
+
+# ---------------------------------------------------------------------------
+# t35 — boilerplate-shingle audit: the text-side companion of d30's
+# band-occupancy audit. A shingle appearing in MANY documents is
+# template text (licence banners, navigation chrome, form-letter
+# frames) — it inflates every lexical-similarity signal (minhash bands
+# collide on it, n-gram Jaccard counts it as overlap) and is exactly
+# what d03x's MAX_SHINGLE_DF cap strips. This audit names the top-K
+# shingles by document frequency, their corpus penetration, and
+# whether each would be dropped by the cap — the report a curation
+# team reads before deciding to strip a template vs cap buckets.
+# Scale shape: ONE aggregate over the persisted shingle table
+# (map-side combinable onto |distinct shingles|), then a global top-K
+# via ORDER BY + LIMIT — Spark's TakeOrderedAndProject (per-partition
+# K-row heaps, K rows to the driver side of the exchange) — and the
+# rank column is a ROW_NUMBER over the K-row output only (t11/q68's
+# rank-after-LIMIT spelling; never a global window over the full df
+# relation). The 1-row corpus count broadcasts into the projection
+# (q59's scalar class). Shingles are DISTINCT per doc upstream, so
+# COUNT(*) IS the document frequency. Exactness: integer counts, one
+# double division.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); extends the t11/t15 vocabulary-audit family.
+# ---------------------------------------------------------------------------
+_T35_TOP_K = 20
+
+
+def _boilerplate_shingles_sql(
+    spark_dialect: bool, table: str = "documents", shingle_rel: str | None = None
+) -> str:
+    from .dedup import DUCK_SHINGLES, MAX_SHINGLE_DF
+
+    if shingle_rel is None:
+        if spark_dialect:
+            if table == "documents":
+                # graded spelling reads the per-(session, sf) cached view
+                shingle_rel = "__shingles__"
+            else:
+                # stage callers get an inline fragment over their input
+                # (deferred import: spark_shingles_sql is defined after
+                # dedup's own mid-module textops import)
+                from .dedup import spark_shingles_sql
+
+                shingle_rel = f"({spark_shingles_sql(table)})"
+        else:
+            shingle_rel = f"({DUCK_SHINGLES})"
+    return f"""
+    WITH df AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+      FROM {shingle_rel} GROUP BY sh
+    ),
+    top AS (SELECT sh, df FROM df ORDER BY df DESC, sh LIMIT {_T35_TOP_K}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+    ranked AS (
+      SELECT sh, df, ROW_NUMBER() OVER (ORDER BY df DESC, sh) AS rank
+      FROM top
+    )
+    SELECT CAST(r.rank AS INT) AS rank, r.sh AS sh, r.df AS df,
+           CAST(r.df AS DOUBLE) / t.n_docs AS df_share,
+           r.df > {MAX_SHINGLE_DF} AS over_cap
+    FROM ranked r CROSS JOIN tot t
+    ORDER BY r.rank
+    """
+
+
+@query("t35_boilerplate_shingles", oracle=_boilerplate_shingles_sql(False))
+def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import cached_shingles
+
+    load_tables(spark, sf_dir)
+    cached_shingles(spark, sf_dir)
+    return spark.sql(_boilerplate_shingles_sql(True))

@@ -187,6 +187,12 @@ HEADLINE = [
     "m13_corrupt_asset_audit",
     # round-9 wave 3: daily-series rhythm strength
     "ts45_daily_acf",
+    # round-10 (driver round 10): the LSH degeneracy pre-flight audits
+    # (d30 rides the shared __bands__ like d02; t35 rides __shingles__)
+    # and the hyperplane occupancy/imbalance report
+    "d30_band_occupancy_audit",
+    "t35_boilerplate_shingles",
+    "s29_ann_bucket_balance",
 ]
 
 

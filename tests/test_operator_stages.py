@@ -1506,3 +1506,63 @@ def test_daily_acf_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["ts45_daily_acf"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_band_occupancy_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: occ
+  op: band_occupancy
+  params: {{id_column: doc_id, text_column: text}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    graded = QUERIES["d30_band_occupancy_audit"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_boilerplate_shingles_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: documents
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: boiler
+  op: boilerplate_shingles
+  params: {{id_column: doc_id, text_column: text}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.textops import QUERIES
+
+    graded = QUERIES["t35_boilerplate_shingles"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_ann_bucket_balance_stage_matches_graded(engine, sf_dir):
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: embeddings
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: balance
+  op: ann_bucket_balance
+  params: {{id_column: vec_id, vector_column: embedding}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.similarity import QUERIES
+
+    graded = QUERIES["s29_ann_bucket_balance"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]

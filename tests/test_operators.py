@@ -3677,3 +3677,115 @@ def test_ts45_daily_acf_vs_python(spark, sf_dir):
     # real signal: correlations are neither all-zero nor constant
     vals = {round(r["acf"], 6) for r in out}
     assert len(vals) > 5
+
+
+def test_d30_band_occupancy_vs_python(spark, sf_dir):
+    """Per-band bucket stats must equal a literal recount of the
+    minhash/band construction: bucket = (band_id, 4 consecutive
+    14-hex-window minhashes), counts/pairs in exact integers."""
+    import hashlib as hl
+    from collections import Counter
+
+    from ankaflow_spark.operators.dedup import (
+        _ROWS_PER_BAND,
+        LSH_BANDS,
+        MINHASH_K,
+        QUERIES,
+    )
+
+    out = QUERIES["d30_band_occupancy_audit"](spark, sf_dir).collect()
+    assert [r["band_id"] for r in out] == list(range(LSH_BANDS))
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    buckets = Counter()
+    for r in docs:
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        sig = [
+            min(int(hl.md5(s.encode()).hexdigest()[k : k + 14], 16) for s in shs)
+            for k in range(MINHASH_K)
+        ]
+        for b in range(LSH_BANDS):
+            key = tuple(sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND])
+            buckets[(b, key)] += 1
+    for r in out:
+        sizes = [n for (b, _), n in buckets.items() if b == r["band_id"]]
+        pairs = sum(n * (n - 1) // 2 for n in sizes)
+        assert r["n_buckets"] == len(sizes)
+        assert r["n_docs"] == sum(sizes) == len(docs)
+        assert r["max_bucket"] == max(sizes)
+        assert r["n_multi_buckets"] == sum(1 for n in sizes if n >= 2)
+        assert r["cand_pairs"] == pairs
+        want_share = (
+            (max(sizes) * (max(sizes) - 1) // 2) / pairs if pairs else None
+        )
+        assert r["top_bucket_pair_share"] == want_share
+
+
+def test_t35_boilerplate_shingles_vs_python(spark, sf_dir):
+    """Top-K shingles by document frequency must equal a literal
+    per-doc distinct-shingle recount with (df DESC, sh) ordering."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.dedup import MAX_SHINGLE_DF
+    from ankaflow_spark.operators.textops import _T35_TOP_K, QUERIES
+
+    out = QUERIES["t35_boilerplate_shingles"](spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    df = Counter()
+    for r in docs:
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        for s in shs:
+            df[s] += 1
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_T35_TOP_K]
+    assert [r["rank"] for r in out] == list(range(1, len(top) + 1))
+    for r, (sh, n) in zip(out, top):
+        assert (r["sh"], r["df"]) == (sh, n)
+        assert r["df_share"] == n / len(docs)
+        assert r["over_cap"] == (n > MAX_SHINGLE_DF)
+
+
+def test_s29_bucket_balance_vs_python(spark, sf_dir):
+    """The occupancy report must equal a literal hyperplane-signature
+    recount (s24's sig arithmetic) and exact integer occupancy sums."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        QUERIES,
+    )
+
+    out = QUERIES["s29_ann_bucket_balance"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = spark.table("embeddings").select("vec_id", "embedding").collect()
+
+    def sig(v):
+        b = 0
+        for pl in range(N_PLANES):
+            s = 0.0
+            for i in range(DIM):
+                s += float(v[i]) * (((pl * 37 + i * 17) % 13) - 6)
+            if s >= 0:
+                b |= 1 << pl
+        return b
+
+    occ = Counter(sig(row["embedding"]) for row in rows)
+    n = sum(occ.values())
+    assert r["n_vecs"] == n == len(rows)
+    assert r["n_buckets"] == len(occ)
+    assert r["min_bucket"] == min(occ.values())
+    assert r["max_bucket"] == max(occ.values())
+    assert r["expected_cands_per_query"] == sum(c * (c - 1) for c in occ.values()) / n
+    assert r["imbalance_factor"] == (
+        len(occ) * float(sum(c * c for c in occ.values())) / (float(n) * n)
+    )

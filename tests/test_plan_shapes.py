@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "s01_cosine_topk",  # exact baseline: 5-query broadcast cross join
     "s05_knn_label",  # exact kNN eval: broadcast test-slice cross join (ANN paths replace it at scale)
     "s02_lsh_ann",  # hyperplane table x query/corpus buckets
+    "s29_ann_bucket_balance",  # 8-row plane spine x corpus signature fold (s02's class)
     "s03_ivf_ann",  # queries x centroids (5 x 16) + probe products
     "ts06_interpolate",  # bracketing-bounds join over a 30-row spine
     "d12_lsh_recall_eval",  # three 1-row count relations merged into the metrics row
@@ -59,6 +60,7 @@ BNLJ_ALLOWED = {
     "st19_stream_streaks",  # 1-row user-total scalar cross-joined into the |streak lengths|-bounded histogram tail — ts35's scalar class over the maintained state
     "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
     "q81_retention_ttl_audit",  # 1-row corpus-edge scalar cross-joined into the TTL comparison — q59/q78's scalar class
+    "t35_boilerplate_shingles",  # 1-row corpus-total scalar cross-joined into the 20-row top-shingle relation — q59's scalar class
     "s22_ivf_cell_balance",  # 1-row corpus-total scalar cross-joined into the K-bounded cell relation — q59's scalar class
     "d25_dedup_bias_audit",  # 1-row before/after-totals scalar cross-joined into the |sources|-bounded drift relation — q73's class
     "ts37_survival_curve",  # 1-row corpus-edge + totals scalars cross-joined into the |distinct durations|-bounded actuarial walk — q59's scalar class
@@ -277,6 +279,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "s14_retrieval_mrr",  # rank over 5-query candidate slices
     "q56_returned_item_reporting",  # re-rank over TakeOrderedAndProject's 20-row output
     "t11_vocab_topk",  # re-rank over TakeOrderedAndProject's K-row output
+    "t35_boilerplate_shingles",  # re-rank over TakeOrderedAndProject's 20-row output (t11's rank-after-LIMIT spelling)
     "t18_zipf_fit",  # cumsum over the DISTINCT-frequency table (O(sqrt tokens) rows, count-of-counts law)
     "q59_skew_diagnostics",  # re-rank over TakeOrderedAndProject's 10-row output
     "ts37_survival_curve",  # cumulative walk over the |distinct session durations|-bounded times relation (ts34/ts35's bounded-walk class)
