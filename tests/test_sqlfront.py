@@ -471,6 +471,35 @@ def test_pivot_statement_in_list_and_group(engine):
     df = engine.sql("PIVOT __piv__ ON year USING sum(pop) ORDER BY country DESC")
     assert [r["country"] for r in df.collect()] == ["us", "nl"]
 
+
+def test_pivot_statement_subquery_source(engine):
+    """DuckDB's PIVOT statement over a parenthesized SUBQUERY source
+    (r9 verdict dialect-tail item): the source text goes through the
+    full rewrite pipeline, so filters and dialect constructs work
+    inside it — matches DuckDB on the same statement."""
+    engine.sql(
+        "SELECT * FROM VALUES ('nl', 2000, 16), ('nl', 2010, 17), "
+        "('us', 2000, 282), ('us', 2010, 309) AS t(country, year, pop)"
+    ).createOrReplaceTempView("__pivsub__")
+    sql = (
+        "PIVOT (SELECT * FROM __pivsub__ WHERE year = 2000) "
+        "ON year USING sum(pop) ORDER BY country"
+    )
+    df = engine.sql(sql)
+    got = {r["country"]: r["2000"] for r in df.collect()}
+    assert got == {"nl": 16, "us": 282}
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.sql("CREATE TABLE __pivsub__(country VARCHAR, year INT, pop INT)")
+    con.sql(
+        "INSERT INTO __pivsub__ VALUES ('nl', 2000, 16), ('nl', 2010, 17), "
+        "('us', 2000, 282), ('us', 2010, 309)"
+    )
+    want = con.sql(sql)
+    assert [tuple(r) for r in df.collect()] == want.fetchall()
+    con.close()
+
 def test_list_comprehension_rewrite_text():
     from ankaflow_spark.sqlfront.rewrite import rewrite_list_comprehensions
 
