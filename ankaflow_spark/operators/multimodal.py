@@ -623,3 +623,93 @@ def validate_assets(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=VALIDATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m14 — perceptual-hash (dHash) near-dup over media bytes: the d02
+# machinery generalized to the multimodal corpus. A real image dedup
+# decodes each asset and hashes the downsampled luma grid; the codec
+# stub here reads the grid STRAIGHT from the payload bytes (byte j of
+# an 8x9 grid = payload[9r + c]; a real deployment swaps `_dhash` for
+# PIL decode + resize, one function), so the Arrow binary hop, the
+# executor-side fingerprint kernel, and the banded Hamming join are
+# all real. 64 difference bits (b[9r+c] > b[9r+c+1]) emit as FOUR
+# 16-bit band keys — kept split so no value ever needs the sign bit of
+# a BIGINT — and candidates come from a band EQUI-join (never
+# all-pairs), verified by exact Hamming distance (bit_count of the
+# band XORs). The synthetic corpus plants near-dup structure as pure
+# functions of media_id (byte-appended and byte-flipped variants of 40
+# base assets), so a SQL oracle reproduces every fingerprint from the
+# md5 spec alone — the m13 proof pattern applied to similarity.
+# ---------------------------------------------------------------------------
+DHASH_GRID_W, DHASH_GRID_H = 8, 8  # 8x8 bits from an 8x9 byte grid
+PHASH_MAX_HAMMING = 6
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("k0", T.LongType(), False),
+        T.StructField("k1", T.LongType(), False),
+        T.StructField("k2", T.LongType(), False),
+        T.StructField("k3", T.LongType(), False),
+    ]
+)
+
+
+def synth_media_neardup(spark, n: int = 120) -> DataFrame:
+    """Deterministic near-dup twin of ``synth_media``: 3 generations of
+    ``n // 3`` base assets, as pure functions of media_id (seed =
+    i % base, generation = i // base) so a SQL oracle reproduces the
+    fingerprints —
+    - g0: base payload = md5(seed) digest x (5 + seed % 4) (>= 80 B),
+    - g1: base + 8 trailing 0xFF bytes (same grid -> identical dHash,
+      different bytes — the re-encoded-copy class),
+    - g2: first byte +128 mod 256 (at most ONE difference bit flips —
+      the slightly-edited class)."""
+    base = n // 3
+    rows = []
+    for i in range(n):
+        seed, g = i % base, i // base
+        payload = bytearray(
+            hashlib.md5(str(seed).encode()).digest() * (5 + seed % 4)
+        )
+        if g == 1:
+            payload += b"\xff" * 8
+        elif g == 2:
+            payload[0] = (payload[0] + 128) % 256
+        rows.append((i, "image", payload, {"w": "64", "h": "48"}))
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+
+
+def dhash_fingerprints(media: DataFrame) -> DataFrame:
+    """mapInPandas dHash kernel over REAL payload bytes: per asset,
+    64 difference bits over the leading 8x9 byte grid, emitted as four
+    16-bit band keys (band b holds bit positions 16b..16b+15). The
+    fingerprint computation never leaves the executor; only the
+    fixed-width (media_id, k0..k3) rows shuffle."""
+
+    def _dhash(b: bytes):
+        ks = [0, 0, 0, 0]
+        for r in range(DHASH_GRID_H):
+            for c in range(DHASH_GRID_W):
+                j = (DHASH_GRID_W + 1) * r + c
+                if b[j] > b[j + 1]:
+                    p = DHASH_GRID_W * r + c
+                    ks[p // 16] |= 1 << (p % 16)
+        return ks
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "k0": [], "k1": [], "k2": [], "k3": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if len(b) < (DHASH_GRID_W + 1) * DHASH_GRID_H:
+                    continue  # below the grid floor: m13's gate catches these
+                ks = _dhash(b)
+                out["media_id"].append(mid)
+                for i, k in enumerate(ks):
+                    out[f"k{i}"].append(k)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FP_SCHEMA)

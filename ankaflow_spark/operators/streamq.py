@@ -2105,6 +2105,113 @@ ORACLES["m13_corrupt_asset_audit"] = """
 """
 
 
+def _phash_pairs_tail(fps_rel: str, spark_dialect: bool) -> str:
+    """Banded Hamming near-dup tail over a (media_id, k0..k3)
+    fingerprint relation — shared by m14's Spark side (real kernel
+    fingerprints) and its DuckDB oracle (spec-derived fingerprints).
+    Candidates come from a band EQUI-join (any of the four 16-bit keys
+    matching — unpivoted to (band_id, bkey) rows so the join stays an
+    equi-join, d02's plan shape, never an OR-join/all-pairs); the
+    verify step is exact integer Hamming via bit_count of band XORs."""
+    from .multimodal import PHASH_MAX_HAMMING
+
+    if spark_dialect:
+        bands = (
+            f"SELECT media_id, stack(4, 0, k0, 1, k1, 2, k2, 3, k3) "
+            f"AS (band_id, bkey) FROM {fps_rel}"
+        )
+        ham = " + ".join(f"bit_count(fa.k{i} ^ fb.k{i})" for i in range(4))
+    else:
+        bands = " UNION ALL ".join(
+            f"SELECT media_id, {b} AS band_id, k{b} AS bkey FROM {fps_rel}"
+            for b in range(4)
+        )
+        ham = " + ".join(f"bit_count(xor(fa.k{i}, fb.k{i}))" for i in range(4))
+    return f"""
+    bands AS ({bands}),
+    cands AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+       AND a.media_id < b.media_id
+    ),
+    verified AS (
+      SELECT c.media_a, c.media_b, CAST({ham} AS INT) AS hamming
+      FROM cands c
+      JOIN {fps_rel} fa ON fa.media_id = c.media_a
+      JOIN {fps_rel} fb ON fb.media_id = c.media_b
+    )
+    SELECT media_a, media_b, hamming, hamming = 0 AS same_hash
+    FROM verified
+    WHERE hamming <= {PHASH_MAX_HAMMING}
+    ORDER BY media_a, media_b
+    """
+
+
+def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over media bytes, ORACLE-CHECKED
+    cell-exact: the planted near-dup corpus (3 generations of 40 base
+    assets — byte-appended copies and single-byte edits, each a pure
+    function of media_id) flows through the ``dhash_fingerprints``
+    mapInPandas kernel (64 difference bits over the real payload grid,
+    emitted as four 16-bit band keys), then the banded Hamming
+    equi-join + exact bit_count verification. The DuckDB oracle
+    reproduces every fingerprint from the md5 generation spec alone —
+    proving the Arrow binary hop, the executor-side hash kernel, and
+    the LSH band join agree with the declared contract (m13's proof
+    pattern applied to similarity). This is d02's near-dup machinery
+    on the multimodal corpus: band the fingerprint, equi-join the
+    bands, verify exactly, never all-pairs."""
+    from .multimodal import dhash_fingerprints, synth_media_neardup
+
+    media = synth_media_neardup(spark, 120)
+    fps = dhash_fingerprints(media).localCheckpoint(eager=True)
+    fps.createOrReplaceTempView("__m14_fps__")
+    return spark.sql("WITH " + _phash_pairs_tail("__m14_fps__", True))
+
+
+QUERIES["m14_phash_neardup"] = m14
+
+
+def _m14_oracle() -> str:
+    # byte j of the g0 payload is digest[(j) % 16] (the 16-byte md5
+    # digest repeated >= 5x); the lhs of difference bit p is byte
+    # j = p + p // 8 (the 8x9 grid walk), the rhs is byte j + 1 (never
+    # byte 0). g2 adds 128 mod 256 to byte 0 only.
+    def dbyte(m: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR)), "
+            f"2 * ({m}) + 1, 2)) AS BIGINT)"
+        )
+
+    lhs = (
+        f"CASE WHEN p + p // 8 = 0 AND g = 2 THEN ({dbyte('0')} + 128) % 256 "
+        f"ELSE {dbyte('(p + p // 8) % 16')} END"
+    )
+    rhs = dbyte("(p + p // 8 + 1) % 16")
+    ks = ", ".join(
+        f"CAST(SUM(CASE WHEN p // 16 = {b} AND bit = 1 "
+        f"THEN CAST(1 AS BIGINT) << (p % 16) ELSE 0 END) AS BIGINT) AS k{b}"
+        for b in range(4)
+    )
+    return f"""
+    WITH spec AS (
+      SELECT i AS media_id, i % 40 AS seed, CAST(i // 40 AS INT) AS g
+      FROM range(120) t(i)
+    ),
+    bits AS (
+      SELECT media_id, p.p AS p,
+             CASE WHEN ({lhs}) > ({rhs}) THEN 1 ELSE 0 END AS bit
+      FROM spec CROSS JOIN (SELECT unnest(range(0, 64)) AS p) p
+    ),
+    fps AS (SELECT media_id, {ks} FROM bits GROUP BY media_id),
+    {_phash_pairs_tail("fps", False)}
+    """
+
+
+ORACLES["m14_phash_neardup"] = _m14_oracle()
+
+
 # ---------------------------------------------------------------------------
 # st24 — streaming quantile maintenance with BOUNDED histogram state:
 # events arrive as a throttled file stream; each micro-batch quantizes

@@ -193,6 +193,9 @@ HEADLINE = [
     "d30_band_occupancy_audit",
     "t35_boilerplate_shingles",
     "s29_ann_bucket_balance",
+    # round-10 wave 2: dHash banded Hamming near-dup over media bytes
+    # (mapInPandas fingerprint kernel + the d02 join shape)
+    "m14_phash_neardup",
 ]
 
 

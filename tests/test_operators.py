@@ -3789,3 +3789,53 @@ def test_s29_bucket_balance_vs_python(spark, sf_dir):
     assert r["imbalance_factor"] == (
         len(occ) * float(sum(c * c for c in occ.values())) / (float(n) * n)
     )
+
+
+def test_m14_phash_neardup_vs_python(spark, sf_dir):
+    """Banded-Hamming verdicts must equal a literal recount: dHash
+    bits from the generated bytes, band-collision candidacy, exact
+    Hamming — and the planted structure must surface (every (g0, g1)
+    pair hash-identical; every pair involving g2 within 1 bit)."""
+    from itertools import combinations
+
+    from ankaflow_spark.operators.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        PHASH_MAX_HAMMING,
+        synth_media_neardup,
+    )
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    out = QUERIES["m14_phash_neardup"](spark, sf_dir).collect()
+    media = {
+        r["media_id"]: bytes(r["payload"])
+        for r in synth_media_neardup(spark, 120).collect()
+    }
+
+    def dhash(b):
+        ks = [0, 0, 0, 0]
+        for r in range(DHASH_GRID_H):
+            for c in range(DHASH_GRID_W):
+                j = (DHASH_GRID_W + 1) * r + c
+                if b[j] > b[j + 1]:
+                    p = DHASH_GRID_W * r + c
+                    ks[p // 16] |= 1 << (p % 16)
+        return ks
+
+    fps = {mid: dhash(b) for mid, b in media.items()}
+    want = {}
+    for a, b in combinations(sorted(fps), 2):
+        if any(fps[a][i] == fps[b][i] for i in range(4)):
+            ham = sum(bin(fps[a][i] ^ fps[b][i]).count("1") for i in range(4))
+            if ham <= PHASH_MAX_HAMMING:
+                want[(a, b)] = ham
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in out}
+    assert got == want
+    for r in out:
+        assert r["same_hash"] == (r["hamming"] == 0)
+    # planted structure: g1 copies are hash-identical to their base;
+    # g2 single-byte edits sit within one difference bit
+    for seed in range(40):
+        assert got[(seed, seed + 40)] == 0
+        assert got[(seed, seed + 80)] <= 1
+        assert got[(seed + 40, seed + 80)] <= 1
