@@ -2654,3 +2654,87 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_bands(spark, sf_dir)
     return spark.sql(_band_occupancy_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# d31 — dedup cluster-size audit: the over-merge health check for
+# transitive near-dup collapse. Connected components chain A~B~C into
+# one cluster even when A and C share nothing (d27 audits the wedge
+# rate; this audits the OUTCOME): a healthy corpus shows a steep
+# size histogram (mostly pairs/triples), while template contamination
+# or an over-permissive threshold grows a giant component that would
+# silently delete a big corpus slice when survivors are kept. Output:
+# one row per observed cluster size — cluster count, docs covered,
+# corpus share — including the size-1 row for docs in no candidate
+# pair. The d30 -> d31 pair brackets the LSH job: d30 predicts the
+# join's bucket work BEFORE it runs, d31 audits what the collapse did
+# AFTER.
+# Scale shape: rides the SAME labels relation d06 materializes
+# (connected_components over the persisted candidate pairs; labels ~
+# |V(pairs)| rows, tiny vs the corpus); the histogram is two bounded
+# aggregates over it plus two 1-row scalars (corpus total, labeled
+# total) broadcast into the projection. Exactness: integer counts,
+# one double division per row.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); completes the d06/d27/d30 cluster-health family.
+# ---------------------------------------------------------------------------
+def _cluster_size_tail(labels_rel: str) -> str:
+    """Histogram tail over a (doc_id, cluster_id) labels relation —
+    shared verbatim by both engines."""
+    return f"""
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM {labels_rel} GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY sz
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    lab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labeled FROM {labels_rel}),
+    rows_out AS (
+      SELECT cluster_size, n_clusters FROM hist
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), t.n_total - l.n_labeled
+      FROM tot t CROSS JOIN lab l
+      WHERE t.n_total > l.n_labeled
+    )
+    SELECT r.cluster_size AS cluster_size,
+           r.n_clusters AS n_clusters,
+           r.cluster_size * r.n_clusters AS n_docs,
+           CAST(r.cluster_size * r.n_clusters AS DOUBLE) / t.n_total
+             AS corpus_share
+    FROM rows_out r CROSS JOIN tot t
+    ORDER BY cluster_size
+    """
+
+
+@query("d31_cluster_size_audit")
+def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
+    labels = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    labels.createOrReplaceTempView("__d31_labels__")
+    return spark.sql("WITH " + _cluster_size_tail("__d31_labels__"))
+
+
+# oracle: d06's exact recursive transitive closure provides the labels
+ORACLES["d31_cluster_size_audit"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["d02_minhash_lsh_pairs"].replace("ORDER BY doc_a, doc_b", "")}),
+    edges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_a AS doc_id, doc_a AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_b AS nbr FROM pairs
+    ),
+    reach(doc_id, nbr) AS (
+      SELECT doc_id, nbr FROM edges
+      UNION
+      SELECT r.doc_id, e.nbr FROM reach r JOIN edges e ON e.doc_id = r.nbr
+    ),
+    labels AS (SELECT doc_id, MIN(nbr) AS cluster_id FROM reach GROUP BY doc_id),
+    {_cluster_size_tail("labels")}
+    """

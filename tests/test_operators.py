@@ -3839,3 +3839,44 @@ def test_m14_phash_neardup_vs_python(spark, sf_dir):
         assert got[(seed, seed + 40)] == 0
         assert got[(seed, seed + 80)] <= 1
         assert got[(seed + 40, seed + 80)] <= 1
+
+
+def test_d31_cluster_size_audit_vs_python(spark, sf_dir):
+    """The size histogram must equal a literal union-find recount over
+    d02's candidate pairs, singletons included."""
+    from collections import Counter
+
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    out = QUERIES["d31_cluster_size_audit"](spark, sf_dir).collect()
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = Counter()
+    for x in parent:
+        sizes[find(x)] += 1
+    hist = Counter(sizes.values())
+    n_total = spark.table("documents").count()
+    n_labeled = len(parent)
+    if n_total > n_labeled:
+        hist[1] += n_total - n_labeled
+    assert {(r["cluster_size"], r["n_clusters"]) for r in out} == set(hist.items())
+    for r in out:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["corpus_share"] == r["n_docs"] / n_total
+    # the histogram covers the whole corpus exactly once
+    assert sum(r["n_docs"] for r in out) == n_total

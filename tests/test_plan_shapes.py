@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "s21_sq_bits_sweep",  # 4-row bit-width spine cross-joined into the corpus scan (one pass, 4x per-row array math) — d24's sweep-spine class
     "q81_retention_ttl_audit",  # 1-row corpus-edge scalar cross-joined into the TTL comparison — q59/q78's scalar class
     "t35_boilerplate_shingles",  # 1-row corpus-total scalar cross-joined into the 20-row top-shingle relation — q59's scalar class
+    "d31_cluster_size_audit",  # 1-row corpus-total + labeled-total scalars cross-joined into the |distinct sizes|-bounded histogram — q59's scalar class
     "s22_ivf_cell_balance",  # 1-row corpus-total scalar cross-joined into the K-bounded cell relation — q59's scalar class
     "d25_dedup_bias_audit",  # 1-row before/after-totals scalar cross-joined into the |sources|-bounded drift relation — q73's class
     "ts37_survival_curve",  # 1-row corpus-edge + totals scalars cross-joined into the |distinct durations|-bounded actuarial walk — q59's scalar class
@@ -109,6 +110,7 @@ SMJ_ALLOWED = {
     "d10_semantic_dedup",
     "t20_leakage_safe_split",
     "d23_dedup_impact_report",  # consumes d06's cluster build — same CC iteration fragments
+    "d31_cluster_size_audit",  # consumes d06's cluster build — same CC iteration fragments
     "d18_minhash_accuracy",  # candidates x per-doc signature/shingle tables: both sides corpus-sized (d12's class)
     "s13_ivf_recall_eval",  # checkpoint fragment is s03's own plan (cell-candidates x embeddings re-rank join)
     "q66_excess_suppliers",  # per-(supp,part) volumes x per-part averages: both are partsupp-scale derived aggregates (Q20's availability relation class) — SMJ correct at scale, AQE downgrades where small
