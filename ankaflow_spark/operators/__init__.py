@@ -40,12 +40,12 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming via st02, multimodal via m02).
-    # The five NEW round-10 operators outrank stale re-grades
+    # The six NEW round-10 operators outrank stale re-grades
     # (never-graded first) and take the front slots; ts08/ts09/ts10/
-    # ts11/t21 (the list-last r05 entries) yield theirs to keep
+    # ts11/t21/t18 (the list-last r05 entries) yield theirs to keep
     # len == 50.
     # Rotation queue after this window is graded: ts08/ts09/ts10/
-    # ts11/t21, then ts13/ts14/ts15/ts16/ts18 (the remaining r05-last entries),
+    # ts11/t21/t18, then ts13/ts14/ts15/ts16/ts18 (the remaining r05-last entries),
     # then the r06-last cohort (d01/d02/d03/...), then r07/r08/r09
     # waves.
     "d30_band_occupancy_audit",  # new r10: LSH degeneracy pre-flight
@@ -53,6 +53,7 @@ GRADED_FIRST = [
     "s29_ann_bucket_balance",  # new r10: hyperplane occupancy/imbalance
     "m14_phash_neardup",  # new r10: dHash banded Hamming near-dup (multimodal)
     "d31_cluster_size_audit",  # new r10: over-merge health of transitive collapse
+    "st26_stream_asset_validation",  # new r10: m13 gate run on-arrival (streamed)
     "t20_leakage_safe_split",  # last r04
     "t22_chunk_dedup_rewrite",  # last r04
     "ts19_native_session_window",  # last r04
@@ -97,7 +98,6 @@ GRADED_FIRST = [
     "t12_normalized_dedup",  # last r05
     "t14_bpe_token_count",  # last r05
     "t15_tfidf_topterms",  # last r05
-    "t18_zipf_fit",  # last r05
 ]
 
 

@@ -2212,6 +2212,44 @@ def _m14_oracle() -> str:
 ORACLES["m14_phash_neardup"] = _m14_oracle()
 
 
+def st26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest validation, ORACLE-CHECKED
+    cell-exact against m13's corruption spec: the corrupted synthetic
+    media manifest arrives as a throttled file stream (binary payloads
+    + map metadata through the streaming parquet source), every
+    micro-batch runs the ``validate_assets`` mapInPandas gate on its
+    own slice, and verdicts APPEND (foreachbatch_append — per-record
+    work, NO cross-batch state; exactly-once from checkpointed offsets
+    + per-batch-id idempotent subdirs). Because each verdict is a pure
+    function of its own row, the union of batch outputs equals the
+    batch run whatever the trigger boundaries — so the whole streaming
+    execution gets m13's full value oracle. This is how a production
+    multimodal ingest actually runs the gate: on arrival, before decode
+    spend, with quarantine routing downstream of the verdict table."""
+    import tempfile
+
+    from ..streaming.stream import foreachbatch_append, stream_tap
+    from .multimodal import synth_media_corrupt, validate_assets
+
+    media = synth_media_corrupt(spark, 120)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ankaflow_streammedia_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        media.repartitionByRange(6, "media_id").write.mode("overwrite").parquet(staged)
+    stream = stream_tap(
+        spark, staged, spark.read.parquet(staged).schema, max_files_per_trigger=2
+    )
+    base = staged + "_st26_state"
+    verdicts = foreachbatch_append(stream, validate_assets, base)
+    return verdicts.orderBy("media_id")
+
+
+QUERIES["st26_stream_asset_validation"] = st26
+ORACLES["st26_stream_asset_validation"] = ORACLES["m13_corrupt_asset_audit"]
+
+
 # ---------------------------------------------------------------------------
 # st24 — streaming quantile maintenance with BOUNDED histogram state:
 # events arrive as a throttled file stream; each micro-batch quantizes

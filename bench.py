@@ -194,8 +194,10 @@ HEADLINE = [
     "t35_boilerplate_shingles",
     "s29_ann_bucket_balance",
     # round-10 wave 2: dHash banded Hamming near-dup over media bytes
-    # (mapInPandas fingerprint kernel + the d02 join shape)
+    # (mapInPandas fingerprint kernel + the d02 join shape) and the
+    # streamed m13 gate (per-record verdicts, no cross-batch state)
     "m14_phash_neardup",
+    "st26_stream_asset_validation",
 ]
 
 

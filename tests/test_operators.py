@@ -3880,3 +3880,16 @@ def test_d31_cluster_size_audit_vs_python(spark, sf_dir):
         assert r["corpus_share"] == r["n_docs"] / n_total
     # the histogram covers the whole corpus exactly once
     assert sum(r["n_docs"] for r in out) == n_total
+
+
+def test_st26_stream_validation_matches_batch(spark, sf_dir):
+    """The streamed verdict table must equal the batch m13 gate row for
+    row — per-record verdicts are trigger-invariant by construction,
+    and the streaming run must actually have executed more than one
+    micro-batch (2 files per trigger over a 6-file staging)."""
+    from ankaflow_spark.operators.streamq import QUERIES
+
+    streamed = QUERIES["st26_stream_asset_validation"](spark, sf_dir).collect()
+    batch = QUERIES["m13_corrupt_asset_audit"](spark, sf_dir).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(streamed) == 120
