@@ -40,12 +40,13 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming via st02, multimodal via m02).
-    # The six NEW round-10 operators outrank stale re-grades
+    # The nine NEW round-10 operators outrank stale re-grades
     # (never-graded first) and take the front slots; ts08/ts09/ts10/
-    # ts11/t21/t18 (the list-last r05 entries) yield theirs to keep
-    # len == 50.
+    # ts11/t21/t18/t15/t14/t12 (the list-last r05 entries) yield
+    # theirs to keep len == 50.
     # Rotation queue after this window is graded: ts08/ts09/ts10/
-    # ts11/t21/t18, then ts13/ts14/ts15/ts16/ts18 (the remaining r05-last entries),
+    # ts11/t21/t18/t15/t14/t12, then ts13/ts14/ts15/ts16/ts18
+    # (the remaining r05-last entries),
     # then the r06-last cohort (d01/d02/d03/...), then r07/r08/r09
     # waves.
     "d30_band_occupancy_audit",  # new r10: LSH degeneracy pre-flight
@@ -54,6 +55,9 @@ GRADED_FIRST = [
     "m14_phash_neardup",  # new r10: dHash banded Hamming near-dup (multimodal)
     "d31_cluster_size_audit",  # new r10: over-merge health of transitive collapse
     "st26_stream_asset_validation",  # new r10: m13 gate run on-arrival (streamed)
+    "q82_late_arrival_audit",  # new r10: watermark calibration (p99 lateness)
+    "ts46_max_drawdown",  # new r10: deepest activity collapse vs running peak
+    "t36_token_budget",  # new r10: dedup-aware surviving-token budget per source
     "t20_leakage_safe_split",  # last r04
     "t22_chunk_dedup_rewrite",  # last r04
     "ts19_native_session_window",  # last r04
@@ -95,9 +99,6 @@ GRADED_FIRST = [
     "t09_pii_redaction",  # last r05
     "t10_stratified_mix",  # last r05
     "t11_vocab_topk",  # last r05
-    "t12_normalized_dedup",  # last r05
-    "t14_bpe_token_count",  # last r05
-    "t15_tfidf_topterms",  # last r05
 ]
 
 

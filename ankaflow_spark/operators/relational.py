@@ -3456,3 +3456,82 @@ def _ttl_sql(
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_ttl_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q82 — late-arrival audit (watermark calibration): per event type,
+# how disordered is the ingest? Treating event_id as arrival order
+# (the append-log sequence), a row is LATE by (running max event time
+# seen so far) - (its own event time). The p99 of that lateness IS the
+# number a streaming deployment plugs into withWatermark: too tight
+# drops real data, too loose bloats every stateful operator — this
+# audit replaces folklore with the measured distribution (plus the max
+# for the tail-risk decision). Quantized to whole minutes so the
+# distribution table stays bounded by the corpus span.
+# Scale shape: one window partitioned BY TYPE ordered by arrival seq
+# (each type's rows ship once to its partition — no global sort), then
+# a map-side-combinable fold onto the |types| x |distinct late
+# minutes| lattice, then the exact integer rank -> minute readout
+# (st24's exact-percentile pattern). Exactness: lateness is integer
+# microsecond arithmetic; p99 is MIN minute whose cumulative count
+# reaches ceil(0.99 n) — identical integer arithmetic on both engines.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); the batch calibration study for the st-family watermarks.
+# ---------------------------------------------------------------------------
+def _late_arrival_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST({epoch}(ts) AS BIGINT) AS ts_us,
+             CAST(MAX(CAST({epoch}(ts) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS hwm_us
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+             CAST((hwm_us - ts_us) {intdiv} 60000000 AS BIGINT) AS late_min,
+             CASE WHEN ts_us < hwm_us THEN 1 ELSE 0 END AS is_late
+      FROM seq
+    ),
+    cells AS (
+      SELECT event_type, late_min,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_late) AS BIGINT) AS n_late
+      FROM lat GROUP BY event_type, late_min
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(n_late) AS BIGINT) AS n_late,
+             CAST(MAX(CASE WHEN n_late > 0 THEN late_min END) AS BIGINT)
+               AS max_late_min
+      FROM cells GROUP BY event_type
+    ),
+    cum AS (
+      SELECT event_type, late_min,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY late_min
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM cells
+    )
+    SELECT t.event_type AS event_type,
+           t.n_rows AS n_rows,
+           t.n_late AS n_late,
+           CAST(t.n_late AS DOUBLE) / t.n_rows AS late_share,
+           t.max_late_min AS max_late_min,
+           CAST(MIN(CASE WHEN c.cum_n * 100 >= t.n_rows * 99
+                         THEN c.late_min END) AS BIGINT) AS p99_late_min
+    FROM tot t JOIN cum c ON c.event_type = t.event_type
+    GROUP BY t.event_type, t.n_rows, t.n_late, t.max_late_min
+    ORDER BY event_type
+    """
+
+
+@query("q82_late_arrival_audit", oracle=_late_arrival_sql(False))
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_late_arrival_sql(True))

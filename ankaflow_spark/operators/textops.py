@@ -2351,3 +2351,60 @@ def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     return spark.sql(_boilerplate_shingles_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# t36 — dedup-aware token budget: the number a pre-training plan is
+# actually built from — how many TOKENS survive exact dedup, per
+# source. Uses d01's content key (bag-of-words md5) so "duplicate"
+# means the same normalized content wherever it appears; a cross-source
+# duplicate's tokens are credited only to the surviving copy's source
+# (min doc_id, d01's rule), so the per-source survival share exposes
+# which feeds are mostly mirrors of others. Whitespace tokens keep the
+# budget arithmetic identical on both engines.
+# Scale shape: one scan folds to (doc, key, ntok); the survivor rule is
+# a groupBy on the fixed-width md5 key; the join back is key-equi (both
+# sides corpus-sized at scale — SMJ correct, d17's class); output is
+# |sources| rows. Exactness: integer counts/sums, one double division.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); the planning complement of d01 (which documents survive)
+# and t01 (how many tokens exist) — this says how many tokens REMAIN.
+# ---------------------------------------------------------------------------
+def _token_budget_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        key = ("md5(concat_ws(' ', array_sort(array_distinct("
+               "split(lower(text), ' ')))))")
+        ntok = "size(split(text, ' '))"
+    else:
+        key = ("md5(array_to_string(list_sort(list_distinct("
+               "string_split(lower(text), ' '))), ' '))")
+        ntok = "len(string_split(text, ' '))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {key} AS content_key,
+             CAST({ntok} AS BIGINT) AS ntok
+      FROM documents
+    ),
+    surv AS (
+      SELECT content_key, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+      FROM toks GROUP BY content_key
+    )
+    SELECT t.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN s.keep_doc_id = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving_docs,
+           CAST(SUM(CASE WHEN s.keep_doc_id = t.doc_id THEN t.ntok ELSE 0 END)
+                AS BIGINT) AS n_surviving_tokens,
+           CAST(SUM(CASE WHEN s.keep_doc_id = t.doc_id THEN t.ntok ELSE 0 END)
+                AS DOUBLE) / SUM(t.ntok) AS token_survival_share
+    FROM toks t JOIN surv s ON s.content_key = t.content_key
+    GROUP BY t.source
+    ORDER BY source
+    """
+
+
+@query("t36_token_budget", oracle=_token_budget_sql(False))
+def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_token_budget_sql(True))

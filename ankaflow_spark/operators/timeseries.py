@@ -2966,3 +2966,67 @@ def ts45(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     daily.createOrReplaceTempView("__ts45_daily__")
     return spark.sql(_daily_acf_sql(True, daily_rel="__ts45_daily__"))
+
+
+# ---------------------------------------------------------------------------
+# ts46 — activity max drawdown: per event type, the deepest collapse
+# of the daily volume series relative to its running peak — the
+# single number an ops review asks for after an incident ("how far
+# did traffic fall, and when?"). Finance's max-drawdown statistic
+# applied to the activity series: running peak per day, drawdown
+# share = (peak - today) / peak, report the deepest point (earliest
+# day on ties).
+# Scale shape: the corpus folds map-side onto the |types x days| daily
+# lattice; the running peak is one window partitioned by type (each
+# type's bounded day series ships once); the argmax is a ROW_NUMBER
+# over the same lattice. Nothing after the first fold grows with the
+# corpus. Exactness: counts and peaks are integers; the share is one
+# double division per lattice row, computed from identical integers on
+# both engines (so the ranking comparison is bit-identical); ties
+# break on the integer day.
+# Reference parity: no counterpart (core/flow.py delegates execution
+# to DuckDB); completes the ts10/ts30/ts44 anomaly family with the
+# cumulative-collapse view.
+# ---------------------------------------------------------------------------
+def _drawdown_sql(spark_dialect: bool) -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    day_us = 86400 * 1000000
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST({epoch}(ts) AS BIGINT) {intdiv} {day_us} AS BIGINT) AS day_no,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    walked AS (
+      SELECT event_type, day_no, n,
+             CAST(MAX(n) OVER (PARTITION BY event_type ORDER BY day_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak_n
+      FROM daily
+    ),
+    ranked AS (
+      SELECT event_type, day_no, n, peak_n,
+             CAST(peak_n - n AS DOUBLE) / peak_n AS dd_share,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(peak_n - n AS DOUBLE) / peak_n DESC,
+                                         day_no) AS rk
+      FROM walked
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN rk = 1 THEN day_no END) AS BIGINT) AS trough_day,
+           CAST(MAX(CASE WHEN rk = 1 THEN peak_n END) AS BIGINT) AS peak_n,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS trough_n,
+           MAX(CASE WHEN rk = 1 THEN dd_share END) AS max_drawdown_share
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@query("ts46_max_drawdown", oracle=_drawdown_sql(False))
+def ts46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_drawdown_sql(True))

@@ -198,6 +198,11 @@ HEADLINE = [
     # streamed m13 gate (per-record verdicts, no cross-batch state)
     "m14_phash_neardup",
     "st26_stream_asset_validation",
+    # round-10 wave 3: watermark calibration, activity drawdown, the
+    # dedup-aware token budget
+    "q82_late_arrival_audit",
+    "ts46_max_drawdown",
+    "t36_token_budget",
 ]
 
 

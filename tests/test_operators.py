@@ -3893,3 +3893,100 @@ def test_st26_stream_validation_matches_batch(spark, sf_dir):
     batch = QUERIES["m13_corrupt_asset_audit"](spark, sf_dir).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
     assert len(streamed) == 120
+
+
+def test_q82_late_arrival_vs_python(spark, sf_dir):
+    """Lateness stats must equal a literal running-max recount over
+    arrival (event_id) order, with the exact integer p99 rank rule."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q82_late_arrival_audit"](spark, sf_dir).collect()
+    rows = spark.table("events").selectExpr(
+        "event_type", "event_id", "unix_micros(ts) AS us"
+    ).collect()
+    per = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        per[r["event_type"]].append(r["us"])
+    assert [r["event_type"] for r in out] == sorted(per)
+    for r in out:
+        seq = per[r["event_type"]]
+        hwm, lates, flags = 0, [], []
+        for us in seq:
+            hwm = max(hwm, us)
+            lates.append((hwm - us) // 60000000)
+            flags.append(us < hwm)
+        n_late = sum(flags)
+        assert r["n_rows"] == len(seq)
+        assert r["n_late"] == n_late
+        assert r["late_share"] == n_late / len(seq)
+        # max_late_min: the largest minute BUCKET containing a late row
+        # (NULL when nothing is late)
+        assert r["max_late_min"] == max(
+            (m for m, f in zip(lates, flags) if f), default=None
+        )
+        # exact p99: min lateness minute whose cumulative count reaches
+        # the integer rank (cum * 100 >= n * 99 <=> cum >= ceil(99n/100))
+        s = sorted(lates)
+        k = -(-99 * len(s) // 100)
+        assert r["p99_late_min"] == s[k - 1]
+
+
+def test_ts46_max_drawdown_vs_python(spark, sf_dir):
+    """Drawdown verdicts must equal a literal daily running-peak walk
+    (earliest day on ties)."""
+    from collections import Counter, defaultdict
+
+    from ankaflow_spark.operators.timeseries import QUERIES
+
+    out = QUERIES["ts46_max_drawdown"](spark, sf_dir).collect()
+    rows = spark.table("events").selectExpr(
+        "event_type", "unix_micros(ts) div 86400000000 AS day_no"
+    ).collect()
+    daily = defaultdict(Counter)
+    for r in rows:
+        daily[r["event_type"]][r["day_no"]] += 1
+    assert [r["event_type"] for r in out] == sorted(daily)
+    for r in out:
+        series = sorted(daily[r["event_type"]].items())
+        peak, best = 0, None
+        for day, n in series:
+            peak = max(peak, n)
+            dd = (peak - n) / peak
+            if best is None or dd > best[0]:
+                best = (dd, day, peak, n)
+        assert r["n_days"] == len(series)
+        assert (r["max_drawdown_share"], r["trough_day"], r["peak_n"], r["trough_n"]) == best
+
+
+def test_t36_token_budget_vs_python(spark, sf_dir):
+    """Per-source token budgets must equal a literal content-key
+    recount: min-doc_id survivor per normalized bag of words, tokens
+    credited to the survivor's source."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.textops import QUERIES
+
+    out = QUERIES["t36_token_budget"](spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "source", "text").collect()
+    keep = {}
+    for r in docs:
+        key = " ".join(sorted(set(r["text"].lower().split(" "))))
+        keep[key] = min(keep.get(key, r["doc_id"]), r["doc_id"])
+    survivors = set(keep.values())
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        ntok = len(r["text"].split(" "))
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += ntok
+        if r["doc_id"] in survivors:
+            a[2] += 1
+            a[3] += ntok
+    assert [r["source"] for r in out] == sorted(agg)
+    for r in out:
+        n_docs, n_tok, n_sdocs, n_stok = agg[r["source"]]
+        assert (r["n_docs"], r["n_tokens"]) == (n_docs, n_tok)
+        assert (r["n_surviving_docs"], r["n_surviving_tokens"]) == (n_sdocs, n_stok)
+        assert r["token_survival_share"] == n_stok / n_tok
