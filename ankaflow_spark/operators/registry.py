@@ -2250,3 +2250,55 @@ def op_ann_bucket_balance(engine, df: DataFrame, params: Dict[str, Any]) -> Data
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).createOrReplaceTempView(view)
     return engine.spark.sql(_bucket_balance_sql(True, table=view))
+
+
+@operator("late_arrival")
+def op_late_arrival(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Late-arrival / watermark-calibration audit (q82 as a reusable
+    stage): running event-time high-water mark over an arrival-order
+    column per key; late share, max and exact integer-rank p99 lateness
+    in minute buckets (see relational._late_arrival_sql)."""
+    from .relational import _late_arrival_sql
+
+    key = params.get("key", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    seq_col = params.get("seq_col", "event_id")
+    df.select(
+        F.col(key).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).alias("event_id"),
+    ).createOrReplaceTempView("__op_late_arrival__")
+    return engine.spark.sql(_late_arrival_sql(True, table="__op_late_arrival__"))
+
+
+@operator("max_drawdown")
+def op_max_drawdown(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Activity max drawdown (ts46 as a reusable stage): deepest
+    collapse of the daily volume series vs its running peak per key
+    (see timeseries._drawdown_sql)."""
+    from .timeseries import _drawdown_sql
+
+    key = params.get("key", "event_type")
+    ts_col = params.get("ts_col", "ts")
+    df.select(
+        F.col(key).alias("event_type"), F.col(ts_col).alias("ts")
+    ).createOrReplaceTempView("__op_max_drawdown__")
+    return engine.spark.sql(_drawdown_sql(True, table="__op_max_drawdown__"))
+
+
+@operator("token_budget")
+def op_token_budget(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Dedup-aware token budget (t36 as a reusable stage): per-group
+    tokens surviving exact content-key dedup, duplicates credited to
+    the surviving copy's group (see textops._token_budget_sql)."""
+    from .textops import _token_budget_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    group = params.get("group", "source")
+    df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group).alias("source"),
+        F.col(text_col).alias("text"),
+    ).createOrReplaceTempView("__op_token_budget__")
+    return engine.spark.sql(_token_budget_sql(True, table="__op_token_budget__"))

@@ -3478,7 +3478,7 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (core/flow.py delegates execution
 # to DuckDB); the batch calibration study for the st-family watermarks.
 # ---------------------------------------------------------------------------
-def _late_arrival_sql(spark_dialect: bool) -> str:
+def _late_arrival_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     return f"""
@@ -3489,7 +3489,7 @@ def _late_arrival_sql(spark_dialect: bool) -> str:
                PARTITION BY event_type ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS hwm_us
-      FROM events
+      FROM {table}
     ),
     lat AS (
       SELECT event_type,

@@ -2370,7 +2370,7 @@ def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to DuckDB); the planning complement of d01 (which documents survive)
 # and t01 (how many tokens exist) — this says how many tokens REMAIN.
 # ---------------------------------------------------------------------------
-def _token_budget_sql(spark_dialect: bool) -> str:
+def _token_budget_sql(spark_dialect: bool, table: str = "documents") -> str:
     if spark_dialect:
         key = ("md5(concat_ws(' ', array_sort(array_distinct("
                "split(lower(text), ' ')))))")
@@ -2383,7 +2383,7 @@ def _token_budget_sql(spark_dialect: bool) -> str:
     WITH toks AS (
       SELECT doc_id, source, {key} AS content_key,
              CAST({ntok} AS BIGINT) AS ntok
-      FROM documents
+      FROM {table}
     ),
     surv AS (
       SELECT content_key, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id

@@ -2988,7 +2988,7 @@ def ts45(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to DuckDB); completes the ts10/ts30/ts44 anomaly family with the
 # cumulative-collapse view.
 # ---------------------------------------------------------------------------
-def _drawdown_sql(spark_dialect: bool) -> str:
+def _drawdown_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
     day_us = 86400 * 1000000
@@ -2997,7 +2997,7 @@ def _drawdown_sql(spark_dialect: bool) -> str:
       SELECT event_type,
              CAST(CAST({epoch}(ts) AS BIGINT) {intdiv} {day_us} AS BIGINT) AS day_no,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM {table} GROUP BY 1, 2
     ),
     walked AS (
       SELECT event_type, day_no, n,
