@@ -833,20 +833,29 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their own singleton cluster and survive. This is the end of the dedup
 # pipeline: pairs (d02) -> clusters (d06) -> survivors (d08).
 #
-# Scale shape: the cluster-label table is tiny (only docs that appear in
-# near-dup pairs, ~= |pairs| rows) -> broadcast left-join against the
-# corpus scan; quality scoring is per-row expression work on the same
-# scan; survivor choice is one window over cluster_id (shuffle bounded
-# by corpus size, same as any groupBy — no extra passes).
+# Scale shape: the cluster-label table covers docs that appear in
+# near-dup pairs — a minority here, but corpus-scale in a dup-heavy
+# corpus — so the left-join back to the corpus carries no forced
+# broadcast; it plans against the labels' real parquet stats and
+# Catalyst/AQE pick the side (see _survivor_select). Quality scoring is
+# per-row expression work on the same scan; survivor choice is one
+# window over cluster_id (shuffle bounded by corpus size, same as any
+# groupBy — no extra passes).
 # ---------------------------------------------------------------------------
 def _survivor_select(labels_rel: str, scored_rel: str) -> str:
     """Engine-neutral tail of d08: assign cluster ids over the full
     corpus (COALESCE for singletons), then pick the best-quality member
     per cluster. Same SQL text works in both dialects."""
-    # the broadcast hint matters: the label table is a checkpointed
-    # LogicalRDD with no stats, so without it Spark sort-merge-joins a
-    # tiny (~|pairs|-row) table against the corpus. DuckDB ignores the
-    # hint comment.
+    # NO broadcast hint on the label join, deliberately: labels cover
+    # every doc in any near-dup pair — corpus-scale in a dup-heavy
+    # corpus, exactly the regime where dedup runs — and a forced hint
+    # would bypass AQE's size checks (8 GB / 512M-row broadcast limit
+    # at 100 TB). connected_components exits through a parquet
+    # round-trip precisely so this join plans against REAL file-size
+    # stats: Catalyst auto-broadcasts the label side when it is
+    # actually under the threshold and falls back to a shuffled join
+    # when it is not (see the persist strategy note in
+    # connected_components).
     return f"""
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
@@ -854,8 +863,7 @@ def _survivor_select(labels_rel: str, scored_rel: str) -> str:
            ROW_NUMBER() OVER (PARTITION BY cluster_id
                               ORDER BY score DESC, doc_id) = 1 AS keep
     FROM (
-      SELECT /*+ BROADCAST(l) */
-             d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, s.score
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, s.score
       FROM documents d
       LEFT JOIN ({labels_rel}) l ON l.doc_id = d.doc_id
       JOIN ({scored_rel}) s ON s.doc_id = d.doc_id
@@ -1077,12 +1085,14 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = semdedup_pairs_df(spark)
     cc = connected_components(spark, pairs).select("doc_id", "cluster_id")
     emb = spark.table("embeddings").select("vec_id")
-    # labels cover only vectors that appear in a near-dup pair — a small
-    # minority of the corpus (like d08's cluster labels), and the
-    # checkpointed iteration leaves Spark without stats, so hint the
-    # broadcast explicitly rather than inherit a sort-merge join.
+    # plain left join, no forced broadcast: labels cover every vector
+    # in any near-dup pair, which is corpus-scale in a dup-heavy
+    # corpus; connected_components exits through parquet so the join
+    # plans against real file-size stats and Catalyst/AQE broadcast
+    # the label side only when it is actually small (d08 shares this
+    # rationale — see _survivor_select).
     return (
-        emb.join(F.broadcast(cc), emb.vec_id == cc.doc_id, "left")
+        emb.join(cc, emb.vec_id == cc.doc_id, "left")
         .select(
             "vec_id",
             F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),

@@ -390,7 +390,15 @@ def op_dedup_survivors(engine, df: DataFrame, params: Dict[str, Any]) -> DataFra
     reusable stage): connected components over a candidate-pair stage,
     then keep the best row per cluster by ``score_column`` (id tiebreak).
     Rows in no pair are singleton clusters and survive. The label table
-    is ~|pairs| rows -> broadcast against the corpus; one window.
+    joins back to the corpus WITHOUT a forced broadcast: labels cover
+    every doc that appears in any near-dup pair, and in a dup-heavy
+    corpus (exactly when dedup runs — web corpora commonly exceed 30%
+    dup-covered docs) that is corpus-scale, so a static hint would
+    bypass AQE's size checks and fail on the 8 GB broadcast limit at
+    100 TB. connected_components exits through a parquet round-trip,
+    so the relation carries REAL file-size stats (dedup.py persist
+    strategy note) and Catalyst/AQE broadcast it exactly when it is
+    actually small. One window per cluster after the join.
 
     params: pairs (stage name with [pair_left, pair_right] columns,
     default doc_a/doc_b), id_column, score_column; keep_all: true keeps
@@ -410,7 +418,7 @@ def op_dedup_survivors(engine, df: DataFrame, params: Dict[str, Any]) -> DataFra
     from pyspark.sql.window import Window as W
 
     assigned = (
-        df.join(F.broadcast(labels), df[id_col] == labels["__cc_id__"], "left")
+        df.join(labels, df[id_col] == labels["__cc_id__"], "left")
         .drop("__cc_id__")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     )
@@ -478,20 +486,35 @@ def op_semantic_dedup(engine, df: DataFrame, params: Dict[str, Any]) -> DataFram
     ``threshold`` form connected components, the min-id member
     represents each cluster. Returns the input plus ``cluster_id`` and
     ``keep`` — filter on keep for the deduped corpus. Never all-pairs:
-    work is bounded by cell size; size ``n_cells`` to the corpus."""
+    work is bounded by cell size. Cell count: pass ``target_cell_size``
+    (preferred — n_cells is derived as ceil(N / target) from one cheap
+    count, so the within-cell quadratic term stays ~target² per cell
+    at ANY corpus size) or a literal ``n_cells`` (default 8, honest
+    only for small corpora). The cluster-label join back to the corpus
+    is deliberately NOT hint-forced: labels cover every vector in any
+    near-dup pair — corpus-scale in a dup-heavy corpus — and the
+    parquet-backed CC exit gives Catalyst/AQE real stats to pick the
+    broadcast side only when it is actually small (same rationale as
+    dedup_survivors)."""
     from .dedup import connected_components, semdedup_pairs_df
 
     id_col = params.get("id_column", "vec_id")
     emb_col = params.get("embedding_column", "embedding")
     threshold = float(params.get("threshold", 0.35))
-    n_cells = int(params.get("n_cells", 8))
+    if params.get("target_cell_size") is not None:
+        target = int(params["target_cell_size"])
+        if target <= 0:
+            raise ValueError("target_cell_size must be a positive row count")
+        n_cells = max(1, -(-df.count() // target))  # ceil(N / target)
+    else:
+        n_cells = int(params.get("n_cells", 8))
     view = "__op_semdedup_src__"
     df.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     ).createOrReplaceTempView(view)
     pairs = semdedup_pairs_df(engine.spark, table=view, threshold=threshold, k=n_cells)
     labels = connected_components(engine.spark, pairs).select("doc_id", "cluster_id")
-    joined = df.join(F.broadcast(labels), df[id_col] == labels.doc_id, "left").drop("doc_id")
+    joined = df.join(labels, df[id_col] == labels.doc_id, "left").drop("doc_id")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     return joined.withColumn("cluster_id", cluster).withColumn(
         "keep", cluster == F.col(id_col)

@@ -3468,21 +3468,72 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audit replaces folklore with the measured distribution (plus the max
 # for the tail-risk decision). Quantized to whole minutes so the
 # distribution table stays bounded by the corpus span.
-# Scale shape: one window partitioned BY TYPE ordered by arrival seq
-# (each type's rows ship once to its partition — no global sort), then
-# a map-side-combinable fold onto the |types| x |distinct late
-# minutes| lattice, then the exact integer rank -> minute readout
-# (st24's exact-percentile pattern). Exactness: lateness is integer
-# microsecond arithmetic; p99 is MIN minute whose cumulative count
-# reaches ceil(0.99 n) — identical integer arithmetic on both engines.
+# Scale shape (Spark side): TWO-PHASE PREFIX-MAX, not one serial
+# window per type. A running max partitioned only by event_type
+# serializes each type's FULL history through one task (the ts23/ts29
+# straggler class — with few types that is the whole table through
+# |types| tasks). Instead: (1) arrival order is chunked by
+# event_id div 8192 and the running max runs WITHIN each (type, chunk)
+# — parallel across all chunks; (2) per-chunk maxima (a tiny
+# |types| x |chunks| relation from a map-side-combinable groupBy) get
+# a prefix-max over PRECEDING chunks — the only serial walk left, over
+# chunk COUNT not row count; (3) the true high-water mark is
+# GREATEST(within-chunk running max, previous-chunks prefix max),
+# joined back on (type, chunk) — broadcast-sized by construction.
+# Identical value to the serial spelling: max over a prefix splits at
+# any chunk boundary. Then the same map-side-combinable fold onto the
+# |types| x |distinct late minutes| lattice and the exact integer
+# rank -> minute readout (st24's exact-percentile pattern). The DuckDB
+# oracle keeps the one-window serial spelling — same value, simplest
+# ground truth. Exactness: lateness is integer microsecond arithmetic;
+# p99 is MIN minute whose cumulative count reaches ceil(0.99 n) —
+# identical integer arithmetic on both engines.
 # Reference parity: no counterpart (core/flow.py delegates execution
 # to DuckDB); the batch calibration study for the st-family watermarks.
 # ---------------------------------------------------------------------------
 def _late_arrival_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
-    return f"""
-    WITH seq AS (
+    if spark_dialect:
+        # two-phase prefix-max (see the scale-shape note above): the
+        # within-chunk window parallelizes across (type, chunk); only
+        # the |types| x |chunks| prefix relation walks serially
+        seq_cte = f"""
+    raw AS (
+      SELECT event_type, event_id,
+             CAST({epoch}(ts) AS BIGINT) AS ts_us,
+             CAST(event_id div 8192 AS BIGINT) AS chunk
+      FROM {table}
+    ),
+    within AS (
+      SELECT event_type, ts_us, chunk,
+             CAST(MAX(ts_us) OVER (
+               PARTITION BY event_type, chunk ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS chunk_run_max
+      FROM raw
+    ),
+    chunk_prefix AS (
+      SELECT event_type, chunk,
+             MAX(chunk_max) OVER (
+               PARTITION BY event_type ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM (SELECT event_type, chunk, MAX(ts_us) AS chunk_max
+            FROM raw GROUP BY event_type, chunk)
+    ),
+    seq AS (
+      SELECT w.event_type, w.ts_us,
+             CAST(GREATEST(w.chunk_run_max,
+                           COALESCE(p.prev_max, w.chunk_run_max)) AS BIGINT)
+               AS hwm_us
+      FROM within w
+      JOIN chunk_prefix p
+        ON p.event_type = w.event_type AND p.chunk = w.chunk
+    )"""
+    else:
+        seq_cte = f"""
+    seq AS (
       SELECT event_type,
              CAST({epoch}(ts) AS BIGINT) AS ts_us,
              CAST(MAX(CAST({epoch}(ts) AS BIGINT)) OVER (
@@ -3490,7 +3541,9 @@ def _late_arrival_sql(spark_dialect: bool, table: str = "events") -> str:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS hwm_us
       FROM {table}
-    ),
+    )"""
+    return f"""
+    WITH {seq_cte},
     lat AS (
       SELECT event_type,
              CAST((hwm_us - ts_us) {intdiv} 60000000 AS BIGINT) AS late_min,
@@ -3535,3 +3588,69 @@ def _late_arrival_sql(spark_dialect: bool, table: str = "events") -> str:
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_late_arrival_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# q83 — bucketed co-located join (exchange elimination): the single
+# biggest pre-partitioning lever for a 100 TB fact that is joined on
+# the same key every day. Both join sides are persisted as BUCKETED
+# catalog tables on the join key (lineitem by l_orderkey, orders by
+# o_orderkey, same bucket count), so Spark's bucketing contract makes
+# the sides co-partitioned AT REST and the sort-merge join runs with
+# ZERO exchange on the join key — the shuffle that normally moves the
+# entire fact table disappears from every downstream job that joins on
+# that key. The layout build is charged to the query on every run
+# (written fresh from the sf views, narrow projection only), which is
+# the honest accounting: one write amortizes across all future joins,
+# and even charged per-query the join itself is shuffle-free.
+# Scale shape: bucketed scan -> per-bucket sort -> SMJ (no Exchange on
+# l_orderkey/o_orderkey; plan-gated in test_plan_shapes.py) -> one
+# map-side-combinable agg on o_orderpriority. The `merge` hint pins
+# SMJ so the demonstration is deterministic across SFs — at real scale
+# neither side fits a broadcast anyway, and AQE honors explicit
+# strategy hints.
+# Exactness: bucketing is physical layout only; results are identical
+# to the plain parquet join the DuckDB oracle runs.
+# Reference parity: no counterpart (the reference's DuckDB engine is
+# single-node and has no distributed layout surface); the YAML
+# `bucket_by` sink option (sources/file.py) exposes the same layout
+# as a stage, twin-tested in test_operator_stages.py.
+# ---------------------------------------------------------------------------
+_Q83_AGG_SQL = """
+    SELECT o_orderpriority AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY order_priority
+"""
+
+
+@query(
+    "q83_bucketed_colocated_join",
+    oracle=_Q83_AGG_SQL.format(lineitem="lineitem", orders="orders"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    engine = SparkEngine(spark)
+    n_buckets = 16
+    engine.write_bucketed(
+        spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "q83_lineitem_b",
+        "l_orderkey",
+        n_buckets=n_buckets,
+        sort_cols="l_orderkey",
+    )
+    engine.write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_orderpriority"),
+        "q83_orders_b",
+        "o_orderkey",
+        n_buckets=n_buckets,
+        sort_cols="o_orderkey",
+    )
+    li = spark.table("q83_lineitem_b").hint("merge")
+    return spark.sql(
+        _Q83_AGG_SQL.format(lineitem="{li}", orders="q83_orders_b"), li=li
+    )

@@ -228,6 +228,35 @@ class BaseFileConnection:
     def sink(self, df: DataFrame, stage: Stage) -> None:
         path = self._locator()
         mode = self.spec.get("mode") or "overwrite"
+        bucket_by = self.spec.get("bucket_by")
+        if bucket_by:
+            # bucketed-table layout surface (r10 verdict punch item 5):
+            # `bucket_by: [key]` persists the sink as a bucketed
+            # (+ optionally `sort_by`-sorted) CATALOG table via
+            # engine.write_bucketed — the pre-partitioning strategy
+            # that lets repeatedly-joined 100 TB facts join with ZERO
+            # exchange (q83 plan-gates the elimination). The table
+            # name is `table:` if given, else the locator basename;
+            # parquet only (bucketing is a table-format property, not
+            # a COPY-TO file property).
+            if self.format != "parquet":
+                raise ValueError(
+                    f"bucket_by sink requires kind: parquet, got {self.format!r}"
+                )
+            table = self.spec.get("table") or re.sub(
+                r"\W", "_", os.path.splitext(os.path.basename(path or ""))[0]
+            )
+            if not table:
+                raise ValueError("bucket_by sink needs a `table:` or a locator name")
+            self.engine.write_bucketed(
+                df,
+                table,
+                bucket_by,
+                n_buckets=int(self.spec.get("n_buckets", 16)),
+                sort_cols=self.spec.get("sort_by"),
+                mode=mode,
+            )
+            return
         single = bool(self.spec.get("single_file")) or not path.rstrip("/").endswith("__dir__")
         opts = dict(self.spec.get("options") or {})
         partition_by = self.spec.get("partition_by") or []

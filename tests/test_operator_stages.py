@@ -349,6 +349,40 @@ def test_semantic_dedup_stage(engine, sf_dir):
     assert row["kept"] <= row["n"]
 
 
+def test_semantic_dedup_target_cell_size(engine, sf_dir):
+    """``target_cell_size`` derives n_cells = ceil(N / target) (r10
+    verdict, low): the example corpus (500 vectors, target 63) lands on
+    exactly the 8 cells the example previously hard-coded, so the
+    switch is output-PINNED — keep/cluster_id identical row for row —
+    while larger corpora get proportionally more cells (2000 vectors
+    -> 32) and the within-cell quadratic term stays ~target² per cell
+    at any scale. Bad targets fail loudly."""
+
+    def run(params: str):
+        flow = Flow(
+            Stages.loads(f"""
+- kind: tap
+  name: vectors
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: deduped
+  op: semantic_dedup
+  params: {{threshold: 0.35, {params}}}
+"""),
+            engine=engine,
+        )
+        return {
+            r["vec_id"]: (r["cluster_id"], r["keep"])
+            for r in flow.run().select("vec_id", "cluster_id", "keep").collect()
+        }
+
+    pinned = run("n_cells: 8")
+    derived = run("target_cell_size: 63")  # ceil(500 / 63) == 8
+    assert derived == pinned
+    with pytest.raises(Exception, match="target_cell_size"):
+        run("target_cell_size: 0")
+
+
 def test_bigram_surprisal_stage(engine, sf_dir):
     flow = Flow(
         Stages.loads(f"""

@@ -126,6 +126,7 @@ SMJ_ALLOWED = {
     "d28_lexical_semantic_agreement",  # candidates x shingles / x embeddings verify joins: both sides ARE the corpus — d18/s03's classes
     "q79_erasure_cascade",  # cascade orders x lineitem on l_orderkey: fact x fact — q38's SMJ class, AQE broadcasts where small
     "ts43_session_cooccurrence",  # basket self-join on the session key: both sides ARE the distinct (session, type) corpus relation — d12's class, |types|^2-bounded per session
+    "q83_bucketed_colocated_join",  # the POINT of the query: bucketed-bucketed SMJ with zero exchange on the join key (fact x fact at scale, merge-hinted; gated below)
 }
 
 
@@ -245,6 +246,28 @@ def test_q04_star_joins_all_broadcast(plans):
     assert "SortMergeJoin" not in nodes
 
 
+def test_q83_bucketed_join_eliminates_exchange(spark):
+    """The bucketed-layout lever (r10 verdict punch item 5): both q83
+    join sides are persisted bucketed on the join key with the same
+    bucket count, so the sort-merge join must plan with ZERO Exchange
+    on the join key — the co-partitioning comes from the table layout,
+    not a shuffle. The only exchanges allowed in the whole plan are the
+    downstream aggregation/sort ones (keyed on o_orderpriority), never
+    on l_orderkey/o_orderkey."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q83_bucketed_colocated_join"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in executed
+    offenders = [
+        line
+        for line in executed.splitlines()
+        if "Exchange" in line and "orderkey" in line.lower()
+    ]
+    assert not offenders, offenders
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes
@@ -256,8 +279,65 @@ def test_d07_benchmark_grams_broadcast(plans):
 
 
 def test_d08_label_join_broadcast(plans):
+    # the broadcast must come from the labels' REAL parquet stats (the
+    # CC exit round-trip), never from a static hint: labels are
+    # corpus-scale in a dup-heavy corpus, where a forced broadcast
+    # fails on the 8 GB / 512M-row limit (r10 verdict)
     nodes, _ = plans["d08_dedup_survivors"]
     assert "SortMergeJoin" not in nodes
+
+
+def test_no_static_broadcast_of_cluster_labels(engine, sf_dir):
+    """The dedup_survivors / semantic_dedup STAGE OPS must not force-
+    broadcast the cluster-label relation (r10 verdict, medium): labels
+    have one row per document in ANY near-dup pair — corpus-scale in a
+    dup-heavy corpus — and a static hint bypasses AQE's size checks.
+    Gate: the analyzed plan of both stage ops carries NO broadcast
+    hint; the small-SF executed plan still picks a broadcast join from
+    the labels' real parquet stats (so dropping the hint costs nothing
+    when labels genuinely are small)."""
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: operator
+  name: pairs
+  op: minhash_pairs
+  params: {{id_column: doc_id, text_column: text}}
+- kind: operator
+  name: survivors
+  op: dedup_survivors
+  input: docs
+  params: {{pairs: pairs, id_column: doc_id, score_column: n_chars}}
+"""),
+        engine=engine,
+    )
+    df = flow.run()
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed  # stats-chosen, not hint-forced
+
+    flow2 = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: vectors
+  connection: {{kind: parquet, locator: {sf_dir}/embeddings.parquet}}
+- kind: operator
+  name: deduped
+  op: semantic_dedup
+  params: {{threshold: 0.35, n_cells: 4}}
+"""),
+        engine=engine,
+    )
+    df2 = flow2.run()
+    analyzed2 = df2._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed2 and "UnresolvedHint" not in analyzed2
 
 
 # A window with an empty PARTITION BY funnels its whole input through
