@@ -203,6 +203,9 @@ HEADLINE = [
     "q82_late_arrival_audit",
     "ts46_max_drawdown",
     "t36_token_budget",
+    # round-11: bucketed co-located join — charges its own layout
+    # build every run (honest accounting), then joins shuffle-free
+    "q83_bucketed_colocated_join",
 ]
 
 

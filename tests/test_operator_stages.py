@@ -1660,3 +1660,67 @@ def test_token_budget_stage_matches_graded(engine, sf_dir):
 
     graded = QUERIES["t36_token_budget"](engine.spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_bucket_by_sink_stage_matches_graded(engine, sf_dir):
+    """The YAML `bucket_by` sink surface (r10 verdict punch item 5):
+    two parquet sinks persist the q83 join sides as bucketed+sorted
+    catalog tables, a transform joins them through the catalog, and
+    the result must equal the graded q83 — with the join planning
+    ZERO exchange on the join key (the layout, not a shuffle, provides
+    co-partitioning)."""
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: li_src
+  connection: {{kind: parquet, locator: {sf_dir}/lineitem.parquet}}
+  query: SELECT l_orderkey, l_extendedprice, l_discount FROM source
+- kind: sink
+  name: li_sink
+  connection: {{kind: parquet, locator: twin_lineitem_b, bucket_by: [l_orderkey],
+                n_buckets: 16, sort_by: [l_orderkey]}}
+- kind: tap
+  name: ord_src
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+  query: SELECT o_orderkey, o_orderpriority FROM source
+- kind: sink
+  name: ord_sink
+  connection: {{kind: parquet, locator: twin_orders_b, bucket_by: [o_orderkey],
+                n_buckets: 16, sort_by: [o_orderkey]}}
+"""),
+        engine=engine,
+    )
+    flow.run()
+    df = engine.spark.sql("""
+      SELECT /*+ MERGE(l) */ o_orderpriority AS order_priority,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+      FROM twin_lineitem_b l JOIN twin_orders_b o ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY order_priority
+    """)
+    rows = df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in executed
+    assert not [
+        line
+        for line in executed.splitlines()
+        if "Exchange" in line and "orderkey" in line.lower()
+    ]
+    from ankaflow_spark.operators.relational import QUERIES
+
+    graded = QUERIES["q83_bucketed_colocated_join"](engine.spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+    with pytest.raises(FlowError, match="bucket_by"):
+        Flow(
+            Stages.loads(f"""
+- kind: tap
+  name: src
+  connection: {{kind: parquet, locator: {sf_dir}/orders.parquet}}
+- kind: sink
+  name: bad
+  connection: {{kind: csv, locator: nope.csv, bucket_by: [o_orderkey]}}
+"""),
+            engine=engine,
+        ).run()

@@ -3933,6 +3933,81 @@ def test_q82_late_arrival_vs_python(spark, sf_dir):
         assert r["p99_late_min"] == s[k - 1]
 
 
+def test_q82_two_phase_prefix_max_on_disordered_arrival(spark, sf_dir):
+    """The two-phase prefix-max respell (r10 verdict, low: the serial
+    per-type window was a straggler class) must equal a literal serial
+    running-max recount on GENUINELY DISORDERED data — the sf events
+    arrive perfectly ordered (zero lateness), which never crosses a
+    chunk boundary with a stale high-water mark, so this test builds a
+    deterministically shuffled arrival order (event_id := rank of
+    md5(event_id)) where ~half the rows are late and lateness spans
+    many 8192-row chunks."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import QUERIES, _late_arrival_sql
+
+    QUERIES["q82_late_arrival_audit"](spark, sf_dir)  # registers events
+    spark.sql("""
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING)))
+               AS event_id
+      FROM events
+    """).createOrReplaceTempView("q82_disordered")
+    out = spark.sql(_late_arrival_sql(True, table="q82_disordered")).collect()
+    rows = spark.table("q82_disordered").selectExpr(
+        "event_type", "event_id", "unix_micros(ts) AS us"
+    ).collect()
+    per = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        per[r["event_type"]].append(r["us"])
+    assert [r["event_type"] for r in out] == sorted(per)
+    total_late = 0
+    for r in out:
+        seq = per[r["event_type"]]
+        hwm, lates, flags = 0, [], []
+        for us in seq:
+            hwm = max(hwm, us)
+            lates.append((hwm - us) // 60000000)
+            flags.append(us < hwm)
+        total_late += sum(flags)
+        assert r["n_rows"] == len(seq)
+        assert r["n_late"] == sum(flags)
+        assert r["max_late_min"] == max(
+            (m for m, f in zip(lates, flags) if f), default=None
+        )
+        s = sorted(lates)
+        assert r["p99_late_min"] == s[-(-99 * len(s) // 100) - 1]
+    assert total_late > 0  # the shuffle genuinely disordered arrival
+
+
+def test_q83_bucketed_join_vs_python(spark, sf_dir):
+    """The bucketed co-located join must return exactly the plain-join
+    aggregate (bucketing is physical layout only): literal dict
+    recount over the raw rows."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q83_bucketed_colocated_join"](spark, sf_dir).collect()
+    prio = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in spark.table("orders").select("o_orderkey", "o_orderpriority").collect()
+    }
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect():
+        p = prio.get(r["l_orderkey"])
+        if p is not None:
+            agg[p][0] += 1
+            agg[p][1] += r["l_extendedprice"] * (1 - r["l_discount"])
+    assert [r["order_priority"] for r in out] == sorted(agg)
+    for r in out:
+        n, rev = agg[r["order_priority"]]
+        assert r["n_lines"] == n
+        assert abs(r["revenue"] - rev) < 1e-6 * max(1.0, abs(rev))
+
+
 def test_ts46_max_drawdown_vs_python(spark, sf_dir):
     """Drawdown verdicts must equal a literal daily running-peak walk
     (earliest day on ties)."""
