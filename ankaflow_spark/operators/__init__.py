@@ -27,78 +27,77 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 10 (len == 50, the driver's graded window).
-    # With the union of driver greens r01-r09 covering ALL 255 battery
-    # queries (zero never-graded — verified by the r9 judge), rotation
-    # keeps grade FRESHNESS ahead of code churn (r9 verdict punch
-    # item 5): this window is exactly the 50 STALEST official greens,
-    # computed from the CORRECTNESS_r0*.json artifacts themselves
-    # (per-query max green round: the 7 remaining r04-last entries,
-    # then the r05-last cohort in alphabetical order up to len == 50).
-    # Every rotated-out entry keeps its official r08/r09 green and
+    # Re-curated for round 11 (len == 50, the driver's graded window).
+    # The union of driver greens r01-r10 covers ALL 264 battery queries
+    # (zero never-graded — verified by the r10 judge), so rotation
+    # keeps grade FRESHNESS ahead of code churn. Front slots: the ONE
+    # new round-11 operator (never graded), then the two queries whose
+    # SPARK spelling changed this round and therefore need a fresh
+    # official green (q82 two-phase prefix-max respell; d08 de-hinted
+    # label join — d10, also de-hinted, rotates in with its r06-last
+    # cohort below). The rest is exactly the stalest official greens,
+    # computed from the CORRECTNESS_r0*.json artifacts (per-query max
+    # green round): the 14 remaining r05-last entries, then the
+    # r06-last cohort in alphabetical order up to len == 50.
+    # Every rotated-out entry keeps its official r08-r10 green and
     # stays cell-exact in CORRECTNESS_FULL_r*.json via
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
-    # streaming via st02, multimodal via m02).
-    # The nine NEW round-10 operators outrank stale re-grades
-    # (never-graded first) and take the front slots; ts08/ts09/ts10/
-    # ts11/t21/t18/t15/t14/t12 (the list-last r05 entries) yield
-    # theirs to keep len == 50.
-    # Rotation queue after this window is graded: ts08/ts09/ts10/
-    # ts11/t21/t18/t15/t14/t12, then ts13/ts14/ts15/ts16/ts18
-    # (the remaining r05-last entries),
-    # then the r06-last cohort (d01/d02/d03/...), then r07/r08/r09
+    # streaming via st01/st11, multimodal via m01).
+    # Rotation queue after this window is graded: the 17 remaining
+    # r06-last entries (t02/t03/t04/t13/t17/t23/ts01/ts02/ts03/ts05/
+    # ts07/ts12/ts17/ts22/ts25/ts26/ts27), then the r07/r08/r09/r10
     # waves.
-    "d30_band_occupancy_audit",  # new r10: LSH degeneracy pre-flight
-    "t35_boilerplate_shingles",  # new r10: template-shingle DF audit
-    "s29_ann_bucket_balance",  # new r10: hyperplane occupancy/imbalance
-    "m14_phash_neardup",  # new r10: dHash banded Hamming near-dup (multimodal)
-    "d31_cluster_size_audit",  # new r10: over-merge health of transitive collapse
-    "st26_stream_asset_validation",  # new r10: m13 gate run on-arrival (streamed)
-    "q82_late_arrival_audit",  # new r10: watermark calibration (p99 lateness)
-    "ts46_max_drawdown",  # new r10: deepest activity collapse vs running peak
-    "t36_token_budget",  # new r10: dedup-aware surviving-token budget per source
-    "t20_leakage_safe_split",  # last r04
-    "t22_chunk_dedup_rewrite",  # last r04
-    "ts19_native_session_window",  # last r04
-    "ts20_trajectory_similarity",  # last r04
-    "ts21_growth_accounting",  # last r04
-    "ts23_twap",  # last r04
-    "ts24_pit_features",  # last r04
-    "d13_decontam_spans",  # last r05
-    "m02_multimodal_feature_surface",  # last r05
-    "q01_pricing_summary",  # last r05
-    "q04_local_supplier_volume",  # last r05
-    "q31_grouping_sets",  # last r05
-    "q32_exists_subquery",  # last r05
-    "q33_scalar_subquery",  # last r05
-    "q34_not_exists_antijoin",  # last r05
-    "q36_large_volume_customer",  # last r05
-    "q37_market_share",  # last r05
-    "q38_waiting_suppliers",  # last r05
-    "q39_recursive_rollup",  # last r05
-    "q40_filter_clause",  # last r05
-    "q41_lateral_topn",  # last r05
-    "q42_ranking_family",  # last r05
-    "q43_disjunctive_pushdown",  # last r05
-    "q45_nation_pair_volume",  # last r05
-    "q46_approx_distinct_verdict",  # last r05
-    "q47_null_aware_not_in",  # last r05
-    "q49_important_value_share",  # last r05
-    "q50_top_revenue_supplier",  # last r05
-    "q56_returned_item_reporting",  # last r05
-    "s04_quantization_fidelity",  # last r05
-    "s05_knn_label",  # last r05
-    "s06_label_cohesion",  # last r05
-    "s11_kmeans_lloyd",  # last r05
-    "st02_stream_dedup",  # last r05
-    "t05_groupwise_quality_topk",  # last r05
-    "t06_sequence_pack",  # last r05
-    "t07_repetition_signals",  # last r05
-    "t08_curation_gate",  # last r05
-    "t09_pii_redaction",  # last r05
-    "t10_stratified_mix",  # last r05
-    "t11_vocab_topk",  # last r05
+    "q83_bucketed_colocated_join",  # new r11: zero-exchange bucketed join
+    "q82_late_arrival_audit",  # respelled r11: two-phase prefix-max (re-grade)
+    "d08_dedup_survivors",  # respelled r11: de-hinted label join (re-grade)
+    "t12_normalized_dedup",  # last r05
+    "t14_bpe_token_count",  # last r05
+    "t15_tfidf_topterms",  # last r05
+    "t18_zipf_fit",  # last r05
+    "t21_quality_classifier",  # last r05
+    "ts08_rollup_cascade",  # last r05
+    "ts09_ohlc",  # last r05
+    "ts10_anomaly_zscore",  # last r05
+    "ts11_ewma_smoothing",  # last r05
+    "ts13_cohort_retention",  # last r05
+    "ts14_funnel",  # last r05
+    "ts15_range_window",  # last r05
+    "ts16_period_over_period",  # last r05
+    "ts18_user_features",  # last r05
+    "d01_exact_dedup",  # last r06
+    "d02_minhash_lsh_pairs",  # last r06
+    "d03_ngram_jaccard",  # last r06
+    "d03x_ngram_jaccard_exact",  # last r06
+    "d04_simhash",  # last r06
+    "d06_dedup_clusters",  # last r06
+    "d07_benchmark_decontam",  # last r06
+    "d10_semantic_dedup",  # last r06 + de-hinted label join this round
+    "m01_multimodal_features",  # last r06
+    "q02_filter_project",  # last r06
+    "q03_shipping_priority",  # last r06
+    "q05_window_top_order",  # last r06
+    "q06_versioned_dedup",  # last r06
+    "q07_topk_orders",  # last r06
+    "q09_distinct_counts",  # last r06
+    "q14_rollup",  # last r06
+    "q15_pivot_events",  # last r06
+    "q16_running_total",  # last r06
+    "q21_hash_sample",  # last r06
+    "q25_percentiles",  # last r06
+    "q26_cube",  # last r06
+    "q30_skew_salted_agg",  # last r06
+    "q35_custdist",  # last r06
+    "q44_setops_all",  # last r06
+    "q59_skew_diagnostics",  # last r06
+    "q60_column_profile",  # last r06
+    "s01_cosine_topk",  # last r06
+    "s02_lsh_ann",  # last r06
+    "s03_ivf_ann",  # last r06
+    "s16_matryoshka_recall",  # last r06
+    "st01_stream_window",  # last r06
+    "st11_stream_heavy_hitters",  # last r06
+    "t01_token_stats",  # last r06
 ]
 
 

@@ -3619,7 +3619,9 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q83_AGG_SQL = """
     SELECT o_orderpriority AS order_priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE)
+             AS revenue
     FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY order_priority
