@@ -2251,6 +2251,230 @@ ORACLES["st26_stream_asset_validation"] = ORACLES["m13_corrupt_asset_audit"]
 
 
 # ---------------------------------------------------------------------------
+# st27 — watermark drop accounting, ORACLE-CHECKED cell-exact against a
+# full batch simulation of Spark's watermark semantics: q82 measures
+# the lateness distribution, this operator CLOSES THE LOOP by running a
+# real windowed streaming aggregation at the q82-calibrated p99
+# watermark over a deterministically disordered arrival order and
+# reporting, per type, how many rows the engine actually dropped.
+# The sf events arrive perfectly ordered (q82 reads 0 lateness), so the
+# arrival order is first shuffled deterministically (arrival seq :=
+# rank of md5(event_id) — identical in both engines), staged as 8
+# arrival-order chunk files with ascending mtimes, and streamed with
+# maxFilesPerTrigger=1 so micro-batch k IS chunk k in BOTH engines'
+# models. Drop rule (validated end-to-end against the engine's
+# numRowsDroppedByWatermark in tests/test_streaming_watermark_e2e.py):
+# the watermark entering batch k is max(event-time ms over batches
+# < k) - delay, and a row is dropped iff its WINDOW END <= that
+# watermark — all integer arithmetic, so the DuckDB oracle replays it
+# exactly: same md5 ranking, same ceil(n/8) chunking, same per-chunk
+# prefix-max watermark, same integer-rank p99 delay.
+# Scale shape: calibration is q82's two-phase prefix-max; the stream
+# itself is the st01 windowed-agg shape with bounded state
+# (|types| x |open windows| rows); the oracle-side simulation is two
+# map-side-combinable groupBys plus a |chunks|-row prefix walk.
+# Execution note: chunks are FED incrementally (copy file, drain,
+# repeat — the foreachbatch_update_latest feeds mode) rather than
+# pre-staged behind maxFilesPerTrigger: each drain runs the no-data
+# batch that COMMITS the advanced watermark, giving the documented
+# one-batch-lag semantics the oracle simulates; with availableNow
+# throttling there are no empty commit batches and the effective
+# watermark lags one extra batch (measured at sf0.01: 8 engine drops
+# vs the model's 13 before the fix).
+# ---------------------------------------------------------------------------
+def _st27_sim_sql(spark_dialect: bool, table: str = "events") -> str:
+    epoch = "unix_micros" if spark_dialect else "epoch_us"
+    intdiv = "div" if spark_dialect else "//"
+    strty = "STRING" if spark_dialect else "VARCHAR"
+    return f"""
+    WITH dis AS (
+      SELECT event_type,
+             CAST({epoch}(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS {strty}))) AS seq
+      FROM {table}
+    ),
+    lat AS (
+      SELECT event_type,
+             CAST((MAX(ts_us) OVER (PARTITION BY event_type ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_us)
+                  {intdiv} 60000000 AS BIGINT) AS late_min
+      FROM dis
+    ),
+    ranked AS (
+      SELECT event_type, late_min,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY late_min
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM lat
+    ),
+    p99 AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN late_min END) AS p99_late_min
+      FROM ranked GROUP BY event_type
+    ),
+    delay AS (SELECT CAST(MAX(p99_late_min) AS BIGINT) AS delay_min FROM p99),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dis),
+    chunked AS (
+      SELECT event_type, ts_us,
+             CAST((seq - 1) {intdiv} ((n + 7) {intdiv} 8) AS BIGINT) AS chunk
+      FROM dis CROSS JOIN tot
+    ),
+    chunk_max AS (
+      SELECT chunk, CAST(MAX(ts_us) AS BIGINT) AS max_us
+      FROM chunked GROUP BY chunk
+    ),
+    wm AS (
+      SELECT chunk,
+             MAX(max_us) OVER (ORDER BY chunk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us
+      FROM chunk_max
+    ),
+    verdict AS (
+      SELECT c.event_type,
+             CASE WHEN w.prev_max_us IS NOT NULL
+                   AND ((c.ts_us {intdiv} 3600000000) + 1) * 3600000
+                       <= (w.prev_max_us {intdiv} 1000) - d.delay_min * 60000
+                  THEN 1 ELSE 0 END AS dropped
+      FROM chunked c JOIN wm w ON w.chunk = c.chunk CROSS JOIN delay d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_survived
+    FROM verdict GROUP BY event_type ORDER BY event_type
+    """
+
+
+_ST27_N_CHUNKS = 8
+
+
+def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the md5-disordered events as _ST27_N_CHUNKS arrival-order
+    chunk FILES (one parquet file per ceil(n/8)-row arrival slice);
+    st27 copies them into a live source dir one at a time so chunk k
+    is exactly micro-batch k — the determinism the oracle's watermark
+    simulation relies on."""
+    import shutil
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ankaflow_st27_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    success = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
+        return staged
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    dis = spark.sql("""
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING))) AS seq
+      FROM events
+    """)
+    n = dis.count()
+    per_chunk = -(-n // _ST27_N_CHUNKS)
+    import glob as _glob
+
+    for k in range(_ST27_N_CHUNKS):
+        tmp = os.path.join(staged, f"__tmp_{k}__")
+        (
+            dis.filter(
+                (F.col("seq") > k * per_chunk) & (F.col("seq") <= (k + 1) * per_chunk)
+            )
+            .orderBy("seq")
+            .select("event_type", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, os.path.join(staged, f"chunk-{k:05d}.parquet"))
+        shutil.rmtree(tmp)
+    with open(success, "w"):
+        pass
+    return staged
+
+
+def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark drop accounting, ORACLE-CHECKED cell-exact
+    (see the block comment above): a REAL windowed streaming
+    aggregation runs at the q82-calibrated p99 watermark over the
+    deterministic disordered chunk replay; surviving per-window counts
+    come from the update-mode latest-wins sink, and the per-type
+    n_dropped is arrival minus survival — equal to the DuckDB oracle's
+    integer simulation of the watermark rule."""
+    from ..streaming.stream import foreachbatch_update_latest, stream_tap
+    from .relational import _late_arrival_sql
+
+    load_tables(spark, sf_dir)
+    spark.sql("""
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING))) AS event_id
+      FROM events
+    """).createOrReplaceTempView("st27_dis")
+    delay_min = int(
+        spark.sql(
+            "SELECT MAX(p99_late_min) FROM ("
+            + _late_arrival_sql(True, table="st27_dis")
+            + ")"
+        ).first()[0]
+    )
+    staged = _st27_staged(spark, sf_dir)
+    base = (
+        staged.rstrip("/")
+        + "_state_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    import shutil
+
+    live = tempfile.mkdtemp(prefix="ankaflow_st27_live_")
+
+    def feed(k: int) -> None:
+        shutil.copy(
+            os.path.join(staged, f"chunk-{k:05d}.parquet"),
+            os.path.join(live, f"chunk-{k:05d}.parquet"),
+        )
+
+    feed(0)
+    stream = stream_tap(spark, live, spark.read.parquet(staged).schema)
+    agg = (
+        stream.withWatermark("ts", f"{delay_min} minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    surv, _dropped = foreachbatch_update_latest(
+        agg,
+        ["win_start_us", "event_type"],
+        base,
+        feeds=[
+            (lambda k=k: feed(k)) for k in range(1, _ST27_N_CHUNKS)
+        ],
+    )
+    surv.createOrReplaceTempView("st27_surv")
+    return spark.sql("""
+      SELECT t.event_type AS event_type,
+             t.n_rows AS n_rows,
+             CAST(t.n_rows - s.n_survived AS BIGINT) AS n_dropped,
+             s.n_survived AS n_survived
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM st27_dis GROUP BY event_type) t
+      JOIN (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_survived
+            FROM st27_surv GROUP BY event_type) s
+        ON s.event_type = t.event_type
+      ORDER BY event_type
+    """)
+
+
+QUERIES["st27_stream_watermark_drops"] = st27
+ORACLES["st27_stream_watermark_drops"] = _st27_sim_sql(False)
+
+
+# ---------------------------------------------------------------------------
 # st24 — streaming quantile maintenance with BOUNDED histogram state:
 # events arrive as a throttled file stream; each micro-batch quantizes
 # value to exact cents (floor of a DECIMAL — both engines truncate

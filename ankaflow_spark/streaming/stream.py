@@ -437,6 +437,78 @@ def foreachbatch_append(
     return stream_df.sparkSession.read.parquet(out).drop("batch")
 
 
+def foreachbatch_update_latest(
+    stream_df: DataFrame,
+    keys: List[str],
+    state_base: str,
+    feeds=(),
+):
+    """UPDATE-output-mode sink for streaming aggregations: each
+    micro-batch emits only the keys whose aggregate CHANGED, so the
+    current value of a key is its latest emission. Each batch appends
+    its emissions under an idempotent ``batch=N`` subdir (exactly-once
+    from checkpointed offsets + per-batch-id overwrite, the
+    foreachbatch_append layout) and the read-back keeps the
+    max-batch-id row per key — merge-order independent because batch
+    ids are totally ordered.
+
+    ``feeds``: optional callables that make MORE source data available
+    (e.g. copy the next arrival-chunk file into the source dir). When
+    given, the query runs on the default micro-batch trigger and the
+    stream is drained (processAllAvailable) after start and after
+    every feed — each drain runs the data batch AND the no-new-data
+    batch that COMMITS the advanced watermark, so the watermark
+    entering feed k's batch is exactly max(event time through feed
+    k-1) - delay, the documented one-batch-lag contract st27's oracle
+    simulates. (availableNow + maxFilesPerTrigger does NOT give this:
+    without empty commit batches between file batches the effective
+    watermark lags one extra batch.)
+
+    Returns ``(final state DataFrame, rows dropped by watermark)`` —
+    the engine-reported numRowsDroppedByWatermark total across
+    batches, so callers can verify drop accounting against a batch
+    prediction (st27's value oracle)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ckpt = state_base + "_ckpt"
+    out = state_base + "_out"
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def run_batch(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(run_batch)
+        .option("checkpointLocation", ckpt)
+    )
+    if not feeds:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.processAllAvailable()
+    for feed in feeds:
+        feed()
+        q.processAllAvailable()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    )
+    q.stop()
+    emitted = stream_df.sparkSession.read.parquet(out)
+    w = W.partitionBy(*keys).orderBy(F.col("batch").desc())
+    latest = (
+        emitted.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "batch")
+    )
+    return latest, dropped
+
+
 def foreachbatch_scd2(
     stream_df: DataFrame,
     key: str,

@@ -204,8 +204,11 @@ HEADLINE = [
     "ts46_max_drawdown",
     "t36_token_budget",
     # round-11: bucketed co-located join — charges its own layout
-    # build every run (honest accounting), then joins shuffle-free
+    # build every run (honest accounting), then joins shuffle-free —
+    # and the q82-calibrated watermark drop accounting (real stream,
+    # full value oracle)
     "q83_bucketed_colocated_join",
+    "st27_stream_watermark_drops",
 ]
 
 

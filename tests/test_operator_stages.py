@@ -1694,7 +1694,9 @@ def test_bucket_by_sink_stage_matches_graded(engine, sf_dir):
     df = engine.spark.sql("""
       SELECT /*+ MERGE(l) */ o_orderpriority AS order_priority,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
-             CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE)
+               AS revenue
       FROM twin_lineitem_b l JOIN twin_orders_b o ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
       ORDER BY order_priority

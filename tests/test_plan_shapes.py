@@ -420,6 +420,7 @@ EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
     "st22_stream_survival_bounded",  # ts37's bounded-walk class over the closed-session relation
     "m12_shard_planner",  # running byte-offset walk over the 120-item contract-scale inventory (m11's class; production inventories pre-partition by coarse key)
+    "st27_stream_watermark_drops",  # the md5 arrival-rank that CONSTRUCTS the deterministic disorder replay (sf events arrive ordered, so calibration needs a synthetic total arrival order both engines can reproduce); a production deployment reads its real ingest sequence and never ranks
 }
 
 

@@ -714,3 +714,50 @@ def test_st25_psi_incremental_equals_batch(spark):
         assert r["n_base"] == n_base[b] and r["n_cur"] == n_cur[b]
         assert r["psi_bin"] == round((p - q) * math.log(p / q), 6)
         assert r["bin_lo"] == b * _ST25_BUCKET_CENTS
+
+
+def test_st27_watermark_drops_vs_python(spark, sf_dir):
+    """The streamed drop accounting must equal a literal python replay
+    of the watermark rule over the SAME md5-disordered chunk sequence:
+    watermark entering chunk k = max event-time ms through chunk k-1
+    minus the q82-calibrated p99 delay; a row drops iff its window end
+    <= that watermark. Also pins that the disorder construction
+    produces nonzero drops at the calibrated (non-tail-safe) delay —
+    otherwise the operator demonstrates nothing."""
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.relational import _late_arrival_sql
+    from ankaflow_spark.operators.streamq import _ST27_N_CHUNKS, QUERIES
+
+    out = QUERIES["st27_stream_watermark_drops"](spark, sf_dir).collect()
+    rows = spark.sql(
+        "SELECT event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id "
+        "FROM st27_dis"
+    ).collect()
+    rows.sort(key=lambda r: r["event_id"])
+    delay_min = int(
+        spark.sql(
+            "SELECT MAX(p99_late_min) FROM ("
+            + _late_arrival_sql(True, table="st27_dis")
+            + ")"
+        ).first()[0]
+    )
+    per_chunk = -(-len(rows) // _ST27_N_CHUNKS)
+    wm_ms, delay_ms = 0, delay_min * 60_000
+    win_us = 3_600 * 1_000_000
+    n_rows, n_dropped = defaultdict(int), defaultdict(int)
+    for k in range(_ST27_N_CHUNKS):
+        chunk = rows[k * per_chunk : (k + 1) * per_chunk]
+        for r in chunk:
+            n_rows[r["event_type"]] += 1
+            win_end_ms = ((r["us"] // win_us) + 1) * 3_600_000
+            if wm_ms > 0 and win_end_ms <= wm_ms:
+                n_dropped[r["event_type"]] += 1
+        wm_ms = max(wm_ms, max(r["us"] for r in chunk) // 1000 - delay_ms)
+    assert [r["event_type"] for r in out] == sorted(n_rows)
+    for r in out:
+        t = r["event_type"]
+        assert r["n_rows"] == n_rows[t]
+        assert r["n_dropped"] == n_dropped[t]
+        assert r["n_survived"] == n_rows[t] - n_dropped[t]
+    assert sum(n_dropped.values()) > 0
