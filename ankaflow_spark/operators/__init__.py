@@ -44,11 +44,12 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming via st01/st11, multimodal via m01).
-    # Rotation queue after this window is graded: the 18 remaining
-    # r06-last entries (t01/t02/t03/t04/t13/t17/t23/ts01/ts02/ts03/
-    # ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27), then the r07/r08/r09/
-    # r10 waves.
+    # Rotation queue after this window is graded: the 19 remaining
+    # r06-last entries (st11/t01/t02/t03/t04/t13/t17/t23/ts01/ts02/
+    # ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27), then the r07/
+    # r08/r09/r10 waves.
     "q83_bucketed_colocated_join",  # new r11: zero-exchange bucketed join
+    "q84_bucketed_colocated_agg",  # new r11: zero-exchange bucketed rollup (same layout)
     "st27_stream_watermark_drops",  # new r11: q82-calibrated watermark drop accounting (full value oracle)
     "q82_late_arrival_audit",  # respelled r11: two-phase prefix-max (re-grade)
     "d08_dedup_survivors",  # respelled r11: de-hinted label join (re-grade)
@@ -97,7 +98,6 @@ GRADED_FIRST = [
     "s03_ivf_ann",  # last r06
     "s16_matryoshka_recall",  # last r06
     "st01_stream_window",  # last r06
-    "st11_stream_heavy_hitters",  # last r06
 ]
 
 

@@ -3656,3 +3656,51 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q83_AGG_SQL.format(lineitem="{li}", orders="q83_orders_b"), li=li
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — bucketed co-located aggregation (the other half of the q83
+# layout story): a groupBy whose grouping key IS the bucket key needs
+# NO exchange either — the bucketed scan's output partitioning already
+# satisfies the aggregation's required distribution, and the top-k
+# readout is TakeOrderedAndProject. The ENTIRE plan (scan -> aggregate
+# -> top-k) executes with ZERO Exchange nodes (plan-gated): on a
+# 100 TB fact bucketed by its hot key, per-key rollups become
+# shuffle-free scans. Layout build charged to the query every run,
+# same honest accounting as q83 (and the same table — one layout
+# serves both the join and the rollup, which is the point of paying
+# for it).
+# Exactness: DECIMAL-summed revenue, deterministic DESC-revenue /
+# ASC-key tiebreak, identical on both engines.
+# Reference parity: no counterpart (single-node DuckDB engine has no
+# distributed layout surface).
+# ---------------------------------------------------------------------------
+_Q84_AGG_SQL = """
+    SELECT l_orderkey AS order_key,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE)
+             AS revenue
+    FROM {lineitem}
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, order_key
+    LIMIT 25
+"""
+
+
+@query(
+    "q84_bucketed_colocated_agg",
+    oracle=_Q84_AGG_SQL.format(lineitem="lineitem"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    SparkEngine(spark).write_bucketed(
+        spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "q83_lineitem_b",
+        "l_orderkey",
+        n_buckets=16,
+        sort_cols="l_orderkey",
+    )
+    return spark.sql(_Q84_AGG_SQL.format(lineitem="q83_lineitem_b"))

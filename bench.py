@@ -208,6 +208,7 @@ HEADLINE = [
     # and the q82-calibrated watermark drop accounting (real stream,
     # full value oracle)
     "q83_bucketed_colocated_join",
+    "q84_bucketed_colocated_agg",
     "st27_stream_watermark_drops",
 ]
 

@@ -4008,6 +4008,34 @@ def test_q83_bucketed_join_vs_python(spark, sf_dir):
         assert abs(r["revenue"] - rev) < 1e-6 * max(1.0, abs(rev))
 
 
+def test_q84_bucketed_agg_vs_python(spark, sf_dir):
+    """The bucketed rollup must return exactly the plain per-key
+    aggregate's top 25 (bucketing is physical layout only): literal
+    dict recount with the DESC-revenue / ASC-key tiebreak."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q84_bucketed_colocated_agg"](spark, sf_dir).collect()
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect():
+        agg[r["l_orderkey"]][0] += 1
+        price = Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.0001"))
+        disc = (Decimal(1) - Decimal(str(r["l_discount"]))).quantize(
+            Decimal("0.0001")
+        )
+        agg[r["l_orderkey"]][1] += price * disc
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:25]
+    assert len(out) == 25
+    for r, (key, (n, rev)) in zip(out, top):
+        assert r["order_key"] == key
+        assert r["n_lines"] == n
+        assert r["revenue"] == float(rev)
+
+
 def test_ts46_max_drawdown_vs_python(spark, sf_dir):
     """Drawdown verdicts must equal a literal daily running-peak walk
     (earliest day on ties)."""

@@ -268,6 +268,22 @@ def test_q83_bucketed_join_eliminates_exchange(spark):
     assert not offenders, offenders
 
 
+def test_q84_bucketed_agg_zero_exchange(spark):
+    """The other half of the layout lever: q84 groups on the BUCKET
+    key, so the bucketed scan's output partitioning satisfies the
+    aggregation's required distribution and the top-k readout is
+    TakeOrderedAndProject — the ENTIRE executed plan must contain ZERO
+    Exchange nodes. On a 100 TB fact bucketed by its hot key this is
+    the difference between a shuffle-free scan and moving the table."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q84_bucketed_colocated_agg"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in executed
+    assert "TakeOrderedAndProject" in executed
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes
