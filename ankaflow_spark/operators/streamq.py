@@ -2455,6 +2455,9 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lambda k=k: feed(k)) for k in range(1, _ST27_N_CHUNKS)
         ],
     )
+    # the report reads only the state parquet + st27_dis; the drained
+    # live source dir (fresh per call) can go immediately
+    shutil.rmtree(live, ignore_errors=True)
     surv.createOrReplaceTempView("st27_surv")
     return spark.sql("""
       SELECT t.event_type AS event_type,
