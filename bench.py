@@ -236,6 +236,9 @@ PIPELINES = (
     # r10: the expensive d/s chain composed through stages — LSH dedup
     # -> survivor collapse -> quality gate + SemDeDup -> ANN probe
     "dedup_ann_curation",
+    # r11: pay the bucketed layout once, run both shuffle-free
+    # consumers (q83's join + q84's rollup) through the catalog
+    "bucketed_layout",
 )
 
 

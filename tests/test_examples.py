@@ -208,3 +208,24 @@ def test_dedup_ann_curation_example(engine):
     assert 0 < row["n_index_vectors"] <= row["n_vectors"]
     assert row["n_ann_hits"] == 50
     assert -1.0 <= row["worst_hit_cosine"] <= 1.0
+
+
+def test_bucketed_layout_example(engine):
+    """The layout-amortization pipeline: one bucketed write, two
+    shuffle-free consumers — the report must reconcile with the graded
+    q83 (join) and q84 (rollup) on the same corpus."""
+    flow = Flow(
+        Stages.load("/root/repo/examples/bucketed_layout.yaml"),
+        engine=engine,
+        variables={"data_dir": "/root/testdata/sf0.001"},
+    )
+    row = flow.run().collect()[0]
+    from ankaflow_spark.operators.relational import QUERIES
+
+    q83 = QUERIES["q83_bucketed_colocated_join"](engine.spark, "/root/testdata/sf0.001").collect()
+    q84 = QUERIES["q84_bucketed_colocated_agg"](engine.spark, "/root/testdata/sf0.001").collect()
+    assert row["n_priorities"] == len(q83)
+    assert row["n_lines_joined"] == sum(r["n_lines"] for r in q83)
+    assert row["max_priority_revenue"] == max(r["revenue"] for r in q83)
+    assert row["n_top_orders"] == len(q84)
+    assert row["top_order_revenue"] == q84[0]["revenue"]
