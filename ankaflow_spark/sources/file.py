@@ -226,7 +226,6 @@ class BaseFileConnection:
 
     # -- sink --------------------------------------------------------------
     def sink(self, df: DataFrame, stage: Stage) -> None:
-        path = self._locator()
         mode = self.spec.get("mode") or "overwrite"
         bucket_by = self.spec.get("bucket_by")
         if bucket_by:
@@ -244,7 +243,11 @@ class BaseFileConnection:
                     f"bucket_by sink requires kind: parquet, got {self.format!r}"
                 )
             table = self.spec.get("table") or re.sub(
-                r"\W", "_", os.path.splitext(os.path.basename(path or ""))[0]
+                r"\W",
+                "_",
+                os.path.splitext(
+                    os.path.basename(self.spec.get("locator") or "")
+                )[0],
             )
             if not table:
                 raise ValueError("bucket_by sink needs a `table:` or a locator name")
@@ -257,6 +260,7 @@ class BaseFileConnection:
                 mode=mode,
             )
             return
+        path = self._locator()
         single = bool(self.spec.get("single_file")) or not path.rstrip("/").endswith("__dir__")
         opts = dict(self.spec.get("options") or {})
         partition_by = self.spec.get("partition_by") or []
