@@ -83,7 +83,7 @@ def test_bench_detail_sidecar_matches_contract():
             assert pipe["wall_sec"] > 0
             assert {s["kind"] for s in pipe["stages"]} <= {
                 "tap", "transform", "sink", "operator", "sql", "pipeline",
-                "stream",
+                "stream", "internal",
             }
             # stage walls are components of (not exceeding) the flow wall
             assert sum(s["sec"] for s in pipe["stages"]) <= pipe["wall_sec"] + 0.01
