@@ -44,12 +44,14 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming via st01/st11, multimodal via m01).
-    # Rotation queue after this window is graded: the 19 remaining
-    # r06-last entries (st11/t01/t02/t03/t04/t13/t17/t23/ts01/ts02/
-    # ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27), then the r07/
-    # r08/r09/r10 waves.
+    # Rotation queue after this window is graded: the 21 remaining
+    # r06-last entries (q60/s16/st11/t01/t02/t03/t04/t13/t17/t23/
+    # ts01/ts02/ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27), then
+    # the r07/r08/r09/r10 waves.
     "q83_bucketed_colocated_join",  # new r11: zero-exchange bucketed join
     "q84_bucketed_colocated_agg",  # new r11: zero-exchange bucketed rollup (same layout)
+    "q85_partition_pruned_scan",  # new r11: static partition pruning on the day layout
+    "q86_dynamic_partition_pruning",  # new r11: DPP through the day-dim join (same layout)
     "st27_stream_watermark_drops",  # new r11: q82-calibrated watermark drop accounting (full value oracle)
     "q82_late_arrival_audit",  # respelled r11: two-phase prefix-max (re-grade)
     "d08_dedup_survivors",  # respelled r11: de-hinted label join (re-grade)
@@ -92,11 +94,9 @@ GRADED_FIRST = [
     "q35_custdist",  # last r06
     "q44_setops_all",  # last r06
     "q59_skew_diagnostics",  # last r06
-    "q60_column_profile",  # last r06
     "s01_cosine_topk",  # last r06
     "s02_lsh_ann",  # last r06
     "s03_ivf_ann",  # last r06
-    "s16_matryoshka_recall",  # last r06
     "st01_stream_window",  # last r06
 ]
 

@@ -3704,3 +3704,139 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_cols="l_orderkey",
     )
     return spark.sql(_Q84_AGG_SQL.format(lineitem="q83_lineitem_b"))
+
+
+# ---------------------------------------------------------------------------
+# q85/q86 — partition pruning, static and dynamic (the scan-side
+# layout levers completing q83/q84's shuffle-side ones): the events
+# fact is laid out PARTITIONED BY day (hive-style day_no=N dirs, the
+# universal time-partitioned-fact layout at 100 TB), and both queries
+# ride it.
+#   q85 filters on a plan-time day literal -> STATIC partition
+#   pruning: the scan's PartitionFilters carry the day_no equality and
+#   Spark lists exactly one day directory — at 100 TB the difference
+#   between reading ~1/90th of the table and all of it. The day
+#   literal comes from a 1-row driver collect (busiest day, lowest-day
+#   tiebreak) because a literal at PLAN time is precisely what static
+#   pruning requires — production queries arrive with the date
+#   spelled out; the oracle computes the same day relationally.
+#   q86 joins the fact to a day-dimension filtered on a dim ATTRIBUTE
+#   (dow = 3), so the pruning days are unknowable at plan time ->
+#   DYNAMIC partition pruning: Spark broadcasts the filtered dim,
+#   builds a dynamicpruning subquery into the fact scan's
+#   PartitionFilters, and skips ~6/7 of the partitions at runtime.
+#   Plan-gated on the dynamicpruning expression.
+# The partitioned layout (fact + day dim) is written fresh on every
+# run and charged to the query — q83/q84's honest-accounting contract.
+# Exactness: DECIMAL-summed value, integer day arithmetic, BIGINT
+# casts — identical on both engines.
+# Reference parity: no counterpart (single-node DuckDB engine has no
+# partition-layout surface).
+# ---------------------------------------------------------------------------
+_PE_FACT_SQL = """
+    SELECT event_type, value,
+           CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day_no
+    FROM events
+"""
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write the day-partitioned fact + day dimension for q85/q86;
+    returns (fact_path, dim_path). Overwritten every call — the
+    layout build is part of what these queries charge themselves."""
+    import hashlib
+    import os
+    import tempfile
+
+    load_tables(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ankaflow_pp_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    fact_path, dim_path = base + "_fact", base + "_dim"
+    spark.sql(_PE_FACT_SQL).write.mode("overwrite").partitionBy("day_no").parquet(
+        fact_path
+    )
+    spark.sql(
+        "SELECT DISTINCT day_no, day_no % 7 AS dow FROM (" + _PE_FACT_SQL + ")"
+    ).write.mode("overwrite").parquet(dim_path)
+    return fact_path, dim_path
+
+
+_Q85_ORACLE = """
+    WITH fact AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+      FROM events
+    ),
+    busiest AS (
+      SELECT day_no FROM fact GROUP BY day_no
+      ORDER BY COUNT(*) DESC, day_no LIMIT 1
+    )
+    SELECT f.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+    FROM fact f JOIN busiest b ON b.day_no = f.day_no
+    GROUP BY f.event_type
+    ORDER BY event_type
+"""
+
+
+@query("q85_partition_pruned_scan", oracle=_Q85_ORACLE)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_path, _ = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    fact.createOrReplaceTempView("q85_fact")
+    busiest = spark.sql("""
+      SELECT day_no FROM q85_fact GROUP BY day_no
+      ORDER BY COUNT(*) DESC, day_no LIMIT 1
+    """).first()[0]
+    return (
+        fact.filter(F.col("day_no") == int(busiest))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q86_ORACLE = """
+    WITH fact AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT day_no, day_no % 7 AS dow FROM fact)
+    SELECT f.event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT f.day_no) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS dow_value
+    FROM fact f JOIN dim d ON d.day_no = f.day_no
+    WHERE d.dow = 3
+    GROUP BY f.event_type
+    ORDER BY event_type
+"""
+
+
+@query("q86_dynamic_partition_pruning", oracle=_Q86_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_path, dim_path = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    return (
+        fact.join(dim, "day_no")
+        .where(F.col("dow") == 3)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("day_no").cast("bigint").alias("n_days"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("dow_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -209,6 +209,11 @@ HEADLINE = [
     # full value oracle)
     "q83_bucketed_colocated_join",
     "q84_bucketed_colocated_agg",
+    # round-11 wave 2: the scan-side layout levers — static partition
+    # pruning and DPP over the day-partitioned fact (layout charged
+    # per run, same honest accounting)
+    "q85_partition_pruned_scan",
+    "q86_dynamic_partition_pruning",
     "st27_stream_watermark_drops",
 ]
 

@@ -4036,6 +4036,63 @@ def test_q84_bucketed_agg_vs_python(spark, sf_dir):
         assert r["revenue"] == float(rev)
 
 
+def test_q85_partition_pruned_scan_vs_python(spark, sf_dir):
+    """The pruned-scan aggregate must equal a literal recount of the
+    busiest day (lowest-day tiebreak) — the partition layout changes
+    WHAT is read, never the answer."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q85_partition_pruned_scan"](spark, sf_dir).collect()
+    rows = spark.sql(
+        "SELECT event_type, value, unix_micros(ts) div 86400000000 AS d FROM events"
+    ).collect()
+    per_day = Counter(r["d"] for r in rows)
+    busiest = min(d for d in per_day if per_day[d] == max(per_day.values()))
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        if r["d"] == busiest:
+            agg[r["event_type"]][0] += 1
+            agg[r["event_type"]][1] += Decimal(str(r["value"])).quantize(
+                Decimal("0.000001")
+            )
+    assert [r["event_type"] for r in out] == sorted(agg)
+    for r in out:
+        n, v = agg[r["event_type"]]
+        assert r["n_events"] == n
+        assert r["day_value"] == float(v)
+
+
+def test_q86_dynamic_partition_pruning_vs_python(spark, sf_dir):
+    """The DPP join aggregate must equal a literal dow==3 recount —
+    dynamic pruning changes WHICH partitions are read, never the
+    answer."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q86_dynamic_partition_pruning"](spark, sf_dir).collect()
+    rows = spark.sql(
+        "SELECT event_type, value, unix_micros(ts) div 86400000000 AS d FROM events"
+    ).collect()
+    agg = defaultdict(lambda: [0, set(), Decimal(0)])
+    for r in rows:
+        if r["d"] % 7 == 3:
+            a = agg[r["event_type"]]
+            a[0] += 1
+            a[1].add(r["d"])
+            a[2] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+    assert [r["event_type"] for r in out] == sorted(agg)
+    for r in out:
+        n, days, v = agg[r["event_type"]]
+        assert r["n_events"] == n
+        assert r["n_days"] == len(days)
+        assert r["dow_value"] == float(v)
+
+
 def test_ts46_max_drawdown_vs_python(spark, sf_dir):
     """Drawdown verdicts must equal a literal daily running-peak walk
     (earliest day on ties)."""

@@ -284,6 +284,42 @@ def test_q84_bucketed_agg_zero_exchange(spark):
     assert "TakeOrderedAndProject" in executed
 
 
+def test_q85_static_partition_pruning(spark):
+    """q85's day filter must reach the scan as a PARTITION filter (the
+    fact is laid out day_no=N hive-style): the executed scan carries
+    the day_no equality in PartitionFilters and no post-scan Filter on
+    day_no — at 100 TB this is reading one day directory instead of
+    the table."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q85_partition_pruned_scan"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in executed.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and all(
+        "day_no" in l.split("PartitionFilters:")[1].split("]")[0]
+        for l in scan_lines
+    ), scan_lines
+    # the equality must NOT survive as a row-level filter after the scan
+    assert not [
+        l for l in executed.splitlines() if l.strip().startswith("+- Filter") and "day_no" in l
+    ]
+
+
+def test_q86_dynamic_partition_pruning(spark):
+    """q86's pruning days are unknowable at plan time (the filter sits
+    on a dim ATTRIBUTE), so the fact scan must carry a dynamicpruning
+    subquery — Spark broadcasts the filtered dim and skips ~6/7 of the
+    day partitions at runtime. Without DPP the scan reads every
+    partition and the filter runs post-join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q86_dynamic_partition_pruning"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes
