@@ -244,6 +244,9 @@ PIPELINES = (
     # r11: pay the bucketed layout once, run both shuffle-free
     # consumers (q83's join + q84's rollup) through the catalog
     "bucketed_layout",
+    # r11: pay the day-partitioned layout once, read it PRUNED twice
+    # (q85's static day slice + q86's DPP dow slice)
+    "partitioned_layout",
 )
 
 

@@ -229,3 +229,29 @@ def test_bucketed_layout_example(engine):
     assert row["max_priority_revenue"] == max(r["revenue"] for r in q83)
     assert row["n_top_orders"] == len(q84)
     assert row["top_order_revenue"] == q84[0]["revenue"]
+
+
+def test_partitioned_layout_example(engine):
+    """The scan-side layout pipeline: one partition_by sink, two
+    pruned consumers — the report must reconcile with graded q85
+    (busiest-day slice) and q86 (dow slice) on the same corpus."""
+    import tempfile
+
+    flow = Flow(
+        Stages.load("/root/repo/examples/partitioned_layout.yaml"),
+        engine=engine,
+        variables={
+            "data_dir": "/root/testdata/sf0.001",
+            "out_dir": tempfile.mkdtemp(prefix="pl_test_"),
+        },
+    )
+    row = flow.run().collect()[0]
+    from ankaflow_spark.operators.relational import QUERIES
+
+    q85 = QUERIES["q85_partition_pruned_scan"](engine.spark, "/root/testdata/sf0.001").collect()
+    q86 = QUERIES["q86_dynamic_partition_pruning"](engine.spark, "/root/testdata/sf0.001").collect()
+    assert row["n_types_day"] == len(q85)
+    assert row["n_events_day"] == sum(r["n_events"] for r in q85)
+    assert row["n_types_dow"] == len(q86)
+    assert row["n_events_dow"] == sum(r["n_events"] for r in q86)
+    assert row["n_dow_days"] == max(r["n_days"] for r in q86)
