@@ -3742,8 +3742,11 @@ _PE_FACT_SQL = """
 
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
     """Write the day-partitioned fact + day dimension for q85/q86;
-    returns (fact_path, dim_path). Overwritten every call — the
-    layout build is part of what these queries charge themselves."""
+    returns (fact DataFrame, dim DataFrame) read back from the layout.
+    Overwritten every call — the layout build is part of what these
+    queries charge themselves. Read-back passes the explicit schemas:
+    an EMPTY corpus writes zero part files, where schema inference has
+    nothing to read (the empty-inputs robustness gate)."""
     import hashlib
     import os
     import tempfile
@@ -3754,13 +3757,15 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
         "ankaflow_pp_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     fact_path, dim_path = base + "_fact", base + "_dim"
-    spark.sql(_PE_FACT_SQL).write.mode("overwrite").partitionBy("day_no").parquet(
-        fact_path
-    )
-    spark.sql(
+    fact_src = spark.sql(_PE_FACT_SQL)
+    fact_src.write.mode("overwrite").partitionBy("day_no").parquet(fact_path)
+    dim_src = spark.sql(
         "SELECT DISTINCT day_no, day_no % 7 AS dow FROM (" + _PE_FACT_SQL + ")"
-    ).write.mode("overwrite").parquet(dim_path)
-    return fact_path, dim_path
+    )
+    dim_src.write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.schema(fact_src.schema).parquet(fact_path)
+    dim = spark.read.schema(dim_src.schema).parquet(dim_path)
+    return fact, dim
 
 
 _Q85_ORACLE = """
@@ -3784,15 +3789,15 @@ _Q85_ORACLE = """
 
 @query("q85_partition_pruned_scan", oracle=_Q85_ORACLE)
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact_path, _ = _partitioned_events(spark, sf_dir)
-    fact = spark.read.parquet(fact_path)
+    fact, _ = _partitioned_events(spark, sf_dir)
     fact.createOrReplaceTempView("q85_fact")
-    busiest = spark.sql("""
+    row = spark.sql("""
       SELECT day_no FROM q85_fact GROUP BY day_no
       ORDER BY COUNT(*) DESC, day_no LIMIT 1
-    """).first()[0]
+    """).first()
+    busiest = int(row[0]) if row is not None else -1  # empty corpus: no day
     return (
-        fact.filter(F.col("day_no") == int(busiest))
+        fact.filter(F.col("day_no") == busiest)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -3824,9 +3829,7 @@ _Q86_ORACLE = """
 
 @query("q86_dynamic_partition_pruning", oracle=_Q86_ORACLE)
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact_path, dim_path = _partitioned_events(spark, sf_dir)
-    fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path)
+    fact, dim = _partitioned_events(spark, sf_dir)
     return (
         fact.join(dim, "day_no")
         .where(F.col("dow") == 3)
