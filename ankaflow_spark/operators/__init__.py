@@ -44,14 +44,15 @@ GRADED_FIRST = [
     # tools/oracle_check.py; every family remains represented
     # (relational, time-series, dedup, similarity/ANN, text curation,
     # streaming via st01/st11, multimodal via m01).
-    # Rotation queue after this window is graded: the 21 remaining
-    # r06-last entries (q60/s16/st11/t01/t02/t03/t04/t13/t17/t23/
-    # ts01/ts02/ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27), then
-    # the r07/r08/r09/r10 waves.
+    # Rotation queue after this window is graded: the 22 remaining
+    # r06-last entries (q60/s03/s16/st11/t01/t02/t03/t04/t13/t17/
+    # t23/ts01/ts02/ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27),
+    # then the r07/r08/r09/r10 waves.
     "q83_bucketed_colocated_join",  # new r11: zero-exchange bucketed join
     "q84_bucketed_colocated_agg",  # new r11: zero-exchange bucketed rollup (same layout)
     "q85_partition_pruned_scan",  # new r11: static partition pruning on the day layout
     "q86_dynamic_partition_pruning",  # new r11: DPP through the day-dim join (same layout)
+    "q87_layered_fact_layout",  # new r11: day partitions + user buckets in ONE table (DPP + shuffle-free rollup)
     "st27_stream_watermark_drops",  # new r11: q82-calibrated watermark drop accounting (full value oracle)
     "q82_late_arrival_audit",  # respelled r11: two-phase prefix-max (re-grade)
     "d08_dedup_survivors",  # respelled r11: de-hinted label join (re-grade)
@@ -96,7 +97,6 @@ GRADED_FIRST = [
     "q59_skew_diagnostics",  # last r06
     "s01_cosine_topk",  # last r06
     "s02_lsh_ann",  # last r06
-    "s03_ivf_ann",  # last r06
     "st01_stream_window",  # last r06
 ]
 

@@ -3827,6 +3827,81 @@ _Q86_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q87 — layered fact layout (the capstone of the q83-q86 series): ONE
+# table carries BOTH layout levers — hive day partitions (scan-side:
+# partitions prune) AND user_id buckets within each partition
+# (shuffle-side: the bucketed scan's output partitioning satisfies the
+# per-user aggregation). The query is the production shape those
+# levers exist for: "per-user activity on a day-of-week slice" —
+# dim-attribute filter -> DPP prunes ~6/7 of the day directories,
+# broadcast dim join, then a user rollup and top-k that run WITHOUT a
+# single exchange on user_id. Plan-gated on all three properties in
+# ONE executed plan: dynamicpruning in the fact scan, zero
+# hashpartitioning(user_id) exchanges, TakeOrderedAndProject readout.
+# This is exactly how a 100 TB event fact is laid out in practice:
+# date partitions for retention/pruning, high-cardinality buckets for
+# the repeated per-entity jobs.
+# Layout written fresh and charged per run (q83's honest-accounting
+# contract). Exactness: DECIMAL-summed value, deterministic
+# DESC-count / ASC-user tiebreak, BIGINT casts on both engines.
+# Reference parity: no counterpart (single-node DuckDB engine has no
+# distributed layout surface).
+# ---------------------------------------------------------------------------
+_Q87_ORACLE = """
+    WITH fact AS (
+      SELECT user_id, value,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT day_no, day_no % 7 AS dow FROM fact)
+    SELECT f.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT f.day_no) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS dow_value
+    FROM fact f JOIN dim d ON d.day_no = f.day_no
+    WHERE d.dow = 3
+    GROUP BY f.user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 25
+"""
+
+
+@query("q87_layered_fact_layout", oracle=_Q87_ORACLE)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    SparkEngine(spark).write_bucketed(
+        spark.sql(
+            """SELECT user_id, value,
+                      CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day_no
+               FROM events"""
+        ),
+        "q87_fact_l",
+        "user_id",
+        n_buckets=16,
+        sort_cols="user_id",
+        partition_cols="day_no",
+    )
+    fact = spark.table("q87_fact_l")
+    dim = spark.sql("SELECT DISTINCT day_no, day_no % 7 AS dow FROM q87_fact_l")
+    return (
+        fact.join(dim, "day_no")
+        .where(F.col("dow") == 3)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("day_no").cast("bigint").alias("n_days"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("dow_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(25)
+    )
+
+
 @query("q86_dynamic_partition_pruning", oracle=_Q86_ORACLE)
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact, dim = _partitioned_events(spark, sf_dir)

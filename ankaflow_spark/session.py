@@ -538,12 +538,16 @@ class SparkEngine:
         n_buckets: int = 16,
         sort_cols=None,
         mode: str = "overwrite",
+        partition_cols=None,
     ) -> None:
         """Persist ``df`` as a bucketed (+ optionally sorted) catalog
         table. Joins/aggregations between tables bucketed on the same
         keys with the same bucket count skip the exchange entirely —
         the pre-partitioning strategy for repeatedly-joined 100 TB
-        facts. (Local warehouse in tests; object store on a cluster.)"""
+        facts. ``partition_cols`` layers hive partitioning on top
+        (partition dirs prune the scan, buckets within them kill the
+        shuffle — q87's layered fact layout). (Local warehouse in
+        tests; object store on a cluster.)"""
         if isinstance(bucket_cols, str):
             bucket_cols = [bucket_cols]
         if mode == "overwrite":
@@ -556,7 +560,12 @@ class SparkEngine:
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
             shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
-        writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+        writer = df.write.mode(mode)
+        if partition_cols:
+            if isinstance(partition_cols, str):
+                partition_cols = [partition_cols]
+            writer = writer.partitionBy(*partition_cols)
+        writer = writer.bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             if isinstance(sort_cols, str):
                 sort_cols = [sort_cols]

@@ -258,6 +258,7 @@ class BaseFileConnection:
                 n_buckets=int(self.spec.get("n_buckets", 16)),
                 sort_cols=self.spec.get("sort_by"),
                 mode=mode,
+                partition_cols=self.spec.get("partition_by"),
             )
             return
         path = self._locator()

@@ -214,6 +214,9 @@ HEADLINE = [
     # per run, same honest accounting)
     "q85_partition_pruned_scan",
     "q86_dynamic_partition_pruning",
+    # round-11 wave 3: both levers in ONE table — day partitions +
+    # user buckets (DPP + shuffle-free per-user rollup)
+    "q87_layered_fact_layout",
     "st27_stream_watermark_drops",
 ]
 

@@ -1726,3 +1726,41 @@ def test_bucket_by_sink_stage_matches_graded(engine, sf_dir):
 """),
             engine=engine,
         ).run()
+
+
+def test_layered_bucket_partition_sink_stage(engine, sf_dir):
+    """The YAML surface for q87's layered layout: `partition_by` +
+    `bucket_by` on one parquet sink produce a catalog table whose dow
+    query plans with dynamicpruning AND no user_id exchange — the two
+    layout levers from a single stage."""
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: ev_src
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  query: >
+    SELECT user_id, value,
+           CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT) AS day_no
+    FROM source
+- kind: sink
+  name: layered
+  connection: {{kind: parquet, locator: twin_fact_layered, bucket_by: [user_id],
+                n_buckets: 16, sort_by: [user_id], partition_by: [day_no]}}
+"""),
+        engine=engine,
+    )
+    flow.run()
+    spark = engine.spark
+    dim = spark.sql("SELECT DISTINCT day_no, day_no % 7 AS dow FROM twin_fact_layered")
+    df = (
+        spark.table("twin_fact_layered")
+        .join(dim, "day_no")
+        .where("dow = 3")
+        .groupBy("user_id")
+        .count()
+    )
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed
+    assert "hashpartitioning(user_id" not in executed
+    assert "SelectedBucketsCount" in executed

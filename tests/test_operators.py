@@ -4093,6 +4093,35 @@ def test_q86_dynamic_partition_pruning_vs_python(spark, sf_dir):
         assert r["dow_value"] == float(v)
 
 
+def test_q87_layered_layout_vs_python(spark, sf_dir):
+    """The layered-layout rollup must equal a literal dow==3 per-user
+    recount with the DESC-count / ASC-user tiebreak — two layout
+    levers in one table change the plan, never the answer."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q87_layered_fact_layout"](spark, sf_dir).collect()
+    rows = spark.sql(
+        "SELECT user_id, value, unix_micros(ts) div 86400000000 AS d FROM events"
+    ).collect()
+    agg = defaultdict(lambda: [0, set(), Decimal(0)])
+    for r in rows:
+        if r["d"] % 7 == 3:
+            a = agg[r["user_id"]]
+            a[0] += 1
+            a[1].add(r["d"])
+            a[2] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:25]
+    assert len(out) == min(25, len(agg))
+    for r, (uid, (n, days, v)) in zip(out, top):
+        assert r["user_id"] == uid
+        assert r["n_events"] == n
+        assert r["n_days"] == len(days)
+        assert r["dow_value"] == float(v)
+
+
 def test_ts46_max_drawdown_vs_python(spark, sf_dir):
     """Drawdown verdicts must equal a literal daily running-peak walk
     (earliest day on ties)."""

@@ -320,6 +320,24 @@ def test_q86_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in executed
 
 
+def test_q87_layered_layout_prunes_and_skips_shuffle(spark):
+    """The layered-layout capstone: ONE executed plan must show all
+    three layout dividends at once — the fact scan carries a
+    dynamicpruning subquery (day partitions pruned at runtime), there
+    is NO exchange on user_id anywhere (the bucketed scan's
+    partitioning feeds the per-user aggregation directly), and the
+    readout is TakeOrderedAndProject."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q87_layered_fact_layout"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed
+    assert "hashpartitioning(user_id" not in executed
+    assert "TakeOrderedAndProject" in executed
+    assert "SelectedBucketsCount" in executed
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes
