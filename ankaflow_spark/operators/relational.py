@@ -3616,6 +3616,31 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `bucket_by` sink option (sources/file.py) exposes the same layout
 # as a stage, twin-tested in test_operator_stages.py.
 # ---------------------------------------------------------------------------
+# The bucketed lineitem layout q83 (co-located join) and q84 (co-located
+# rollup) BOTH consume — one layout serving every consumer keyed on
+# l_orderkey is the point of paying for it. Single-sourced here so the
+# projection / bucket spec / table name cannot drift between the two
+# queries (r11 advice: the implicit sharing coupled q84's correctness
+# to q83's spec).
+_Q83_LAYOUT_TABLE = "q83_lineitem_b"
+_Q83_N_BUCKETS = 16
+
+
+def _bucketed_lineitem(spark: SparkSession) -> str:
+    from ..session import SparkEngine
+
+    SparkEngine(spark).write_bucketed(
+        spark.table("lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        _Q83_LAYOUT_TABLE,
+        "l_orderkey",
+        n_buckets=_Q83_N_BUCKETS,
+        sort_cols="l_orderkey",
+    )
+    return _Q83_LAYOUT_TABLE
+
+
 _Q83_AGG_SQL = """
     SELECT o_orderpriority AS order_priority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -3636,23 +3661,15 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import SparkEngine
 
     load_tables(spark, sf_dir)
-    engine = SparkEngine(spark)
-    n_buckets = 16
-    engine.write_bucketed(
-        spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        "q83_lineitem_b",
-        "l_orderkey",
-        n_buckets=n_buckets,
-        sort_cols="l_orderkey",
-    )
-    engine.write_bucketed(
+    lineitem_b = _bucketed_lineitem(spark)
+    SparkEngine(spark).write_bucketed(
         spark.table("orders").select("o_orderkey", "o_orderpriority"),
         "q83_orders_b",
         "o_orderkey",
-        n_buckets=n_buckets,
+        n_buckets=_Q83_N_BUCKETS,
         sort_cols="o_orderkey",
     )
-    li = spark.table("q83_lineitem_b").hint("merge")
+    li = spark.table(lineitem_b).hint("merge")
     return spark.sql(
         _Q83_AGG_SQL.format(lineitem="{li}", orders="q83_orders_b"), li=li
     )
@@ -3693,17 +3710,8 @@ _Q84_AGG_SQL = """
     oracle=_Q84_AGG_SQL.format(lineitem="lineitem"),
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import SparkEngine
-
     load_tables(spark, sf_dir)
-    SparkEngine(spark).write_bucketed(
-        spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        "q83_lineitem_b",
-        "l_orderkey",
-        n_buckets=16,
-        sort_cols="l_orderkey",
-    )
-    return spark.sql(_Q84_AGG_SQL.format(lineitem="q83_lineitem_b"))
+    return spark.sql(_Q84_AGG_SQL.format(lineitem=_bucketed_lineitem(spark)))
 
 
 # ---------------------------------------------------------------------------

@@ -80,9 +80,11 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "events.parquet")
-    fresh = os.path.exists(success) and (
-        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
-    )
+    fp = _src_fingerprint(src)
+    fresh = False
+    if os.path.exists(success):
+        with open(success) as fh:
+            fresh = fh.read().strip() == fp
     if fresh:
         fresh = not any(
             f.dataType.typeName() == "timestamp_ntz"
@@ -99,6 +101,8 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
         # real time-sliced ingest directory, and a throttled reader
         # (st07) never sees data arrive behind the watermark
         df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(staged)
+        with open(success, "w") as fh:
+            fh.write(fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -914,6 +918,33 @@ ORACLES["st12_stream_session_window"] = f"""
 """
 
 
+def _src_fingerprint(src: str) -> str:
+    """Content fingerprint of a parquet source (single file or part-file
+    directory): every data file's (relative name, size, mtime), hashed.
+    Staged-replay caches key on THIS, not the top-level path mtime —
+    part files rewritten IN PLACE under the same names can leave the
+    directory mtime unchanged, which would silently reuse a stale
+    staging against fresh data (r11 advice)."""
+    import glob as _glob
+
+    if not os.path.exists(src):
+        return "nosrc"
+    if os.path.isfile(src):
+        files = [src]
+    else:
+        files = sorted(
+            p
+            for p in _glob.glob(os.path.join(src, "**"), recursive=True)
+            if os.path.isfile(p)
+        )
+    sig = ";".join(
+        f"{os.path.relpath(p, src) if os.path.isdir(src) else os.path.basename(p)}"
+        f":{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+        for p in files
+    )
+    return hashlib.md5(sig.encode()).hexdigest()
+
+
 def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
     """Stage the documents corpus as an 8-file directory for the
     streaming file source, so a throttled reader executes multiple
@@ -926,9 +957,11 @@ def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
-    fresh = os.path.exists(success) and (
-        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
-    )
+    fp = _src_fingerprint(src)
+    fresh = False
+    if os.path.exists(success):
+        with open(success) as fh:
+            fresh = fh.read().strip() == fp
     if not fresh:
         (
             t["documents"]
@@ -936,6 +969,10 @@ def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
             .write.mode("overwrite")
             .parquet(staged)
         )
+        # Spark's own _SUCCESS marker is empty; store the source
+        # fingerprint in it so reuse is content-keyed
+        with open(success, "w") as fh:
+            fh.write(fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -1120,8 +1157,11 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) 
     )
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "events.parquet")
-    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
-        return staged, spark.read.parquet(staged).schema
+    fp = _src_fingerprint(src)
+    if os.path.exists(success):
+        with open(success) as fh:
+            if fh.read().strip() == fp:
+                return staged, spark.read.parquet(staged).schema
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
@@ -1155,7 +1195,7 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) 
         ts_i = _time.time() - (n_slices - i) * 10
         os.utime(dst, (ts_i, ts_i))
     with open(success, "w") as fh:
-        fh.write("ok")
+        fh.write(fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -1237,8 +1277,11 @@ def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) ->
     )
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
-        return staged, spark.read.parquet(staged).schema
+    fp = _src_fingerprint(src)
+    if os.path.exists(success):
+        with open(success) as fh:
+            if fh.read().strip() == fp:
+                return staged, spark.read.parquet(staged).schema
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
@@ -1259,7 +1302,7 @@ def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) ->
         ts_i = _time.time() - (n_slices - i) * 10
         os.utime(dst, (ts_i, ts_i))
     with open(success, "w") as fh:
-        fh.write("ok")
+        fh.write(fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -2008,9 +2051,11 @@ def _staged_embeddings(spark: SparkSession, sf_dir: str) -> tuple:
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    fresh = os.path.exists(success) and (
-        not os.path.exists(src) or os.path.getmtime(success) >= os.path.getmtime(src)
-    )
+    fp = _src_fingerprint(src)
+    fresh = False
+    if os.path.exists(success):
+        with open(success) as fh:
+            fresh = fh.read().strip() == fp
     if not fresh:
         (
             t["embeddings"]
@@ -2018,6 +2063,8 @@ def _staged_embeddings(spark: SparkSession, sf_dir: str) -> tuple:
             .write.mode("overwrite")
             .parquet(staged)
         )
+        with open(success, "w") as fh:
+            fh.write(fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -2362,8 +2409,11 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "events.parquet")
-    if os.path.exists(success) and os.path.getmtime(success) >= os.path.getmtime(src):
-        return staged
+    fp = _src_fingerprint(src)
+    if os.path.exists(success):
+        with open(success) as fh:
+            if fh.read().strip() == fp:
+                return staged
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
     dis = spark.sql("""
@@ -2390,8 +2440,8 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
         part = _glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, os.path.join(staged, f"chunk-{k:05d}.parquet"))
         shutil.rmtree(tmp)
-    with open(success, "w"):
-        pass
+    with open(success, "w") as fh:
+        fh.write(fp)
     return staged
 
 
@@ -2459,14 +2509,18 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
     # live source dir (fresh per call) can go immediately
     shutil.rmtree(live, ignore_errors=True)
     surv.createOrReplaceTempView("st27_surv")
+    # LEFT join from the arrival side: an event type whose rows are ALL
+    # dropped by the watermark has no survivor rows, but must still be
+    # reported with n_survived = 0 — the oracle's simulation keeps
+    # every arriving type (r11 advice, medium).
     return spark.sql("""
       SELECT t.event_type AS event_type,
              t.n_rows AS n_rows,
-             CAST(t.n_rows - s.n_survived AS BIGINT) AS n_dropped,
-             s.n_survived AS n_survived
+             CAST(t.n_rows - COALESCE(s.n_survived, 0) AS BIGINT) AS n_dropped,
+             CAST(COALESCE(s.n_survived, 0) AS BIGINT) AS n_survived
       FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM st27_dis GROUP BY event_type) t
-      JOIN (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_survived
+      LEFT JOIN (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_survived
             FROM st27_surv GROUP BY event_type) s
         ON s.event_type = t.event_type
       ORDER BY event_type

@@ -432,9 +432,18 @@ def foreachbatch_append(
     )
     q.processAllAvailable()
     q.stop()
+    spark = stream_df.sparkSession
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(out, "batch=*")):
+        # no batches ran (empty source): derive the output schema by
+        # applying the transform to an empty static batch
+        empty = transform(spark.createDataFrame([], stream_df.schema))
+        return spark.createDataFrame([], empty.schema)
     # `batch=N` subdirs surface as a partition column on read-back —
     # an implementation detail of the idempotent layout, not output
-    return stream_df.sparkSession.read.parquet(out).drop("batch")
+    return spark.read.parquet(out).drop("batch")
 
 
 def foreachbatch_update_latest(
@@ -489,17 +498,42 @@ def foreachbatch_update_latest(
     if not feeds:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
+    # recentProgress retains only the last numRecentProgressUpdates
+    # entries (default 100): summing it ONCE at the end silently
+    # under-counts drops past that many batches. Harvesting after
+    # EVERY drain with a seen-batchId set keeps the total exact for
+    # any number of feeds (each drain adds at most a data batch plus
+    # a no-data commit batch, far under the retention window).
+    seen_batches: set = set()
+    dropped = 0
+
+    def _harvest() -> None:
+        nonlocal dropped
+        for p in q.recentProgress or []:
+            bid = p["batchId"]
+            if bid in seen_batches:
+                continue
+            seen_batches.add(bid)
+            for so in p.get("stateOperators") or []:
+                dropped += so["numRowsDroppedByWatermark"]
+
     q.processAllAvailable()
+    _harvest()
     for feed in feeds:
         feed()
         q.processAllAvailable()
-    dropped = sum(
-        p["stateOperators"][0]["numRowsDroppedByWatermark"]
-        for p in (q.recentProgress or [])
-        if p.get("stateOperators")
-    )
+        _harvest()
     q.stop()
-    emitted = stream_df.sparkSession.read.parquet(out)
+    import glob as _glob
+    import os as _os
+
+    spark = stream_df.sparkSession
+    if not _glob.glob(_os.path.join(out, "batch=*")):
+        # a source that never yields a batch writes no batch=N subdir;
+        # read.parquet over the bare dir would raise. The empty state
+        # carries the stream's own (aggregation-output) schema.
+        return spark.createDataFrame([], stream_df.schema), dropped
+    emitted = spark.read.parquet(out)
     w = W.partitionBy(*keys).orderBy(F.col("batch").desc())
     latest = (
         emitted.withColumn("__rn__", F.row_number().over(w))
