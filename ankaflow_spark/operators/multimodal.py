@@ -362,7 +362,12 @@ def duplicate_video_pairs(frames: DataFrame) -> DataFrame:
     scored by shared-frame count and frame-set Jaccard. The join key is
     the HASH (position-independent — a shared intro matches wherever it
     sits), so the shuffle partitions by content, the same shape as
-    d01/d02; per-video frame counts broadcast back over the pair list."""
+    d01/d02. The per-video frame-count joins are UNHINTED: per_video is
+    one row per video with >=1 sampled frame — corpus-scale at 100 TB
+    of media, over the broadcast caps — so the strategy must come from
+    runtime stats (AQE broadcasts it exactly when it is actually
+    small), never a static hint that bypasses the size checks (r11
+    verdict: the dedup-label defect class, fixed here the same way)."""
     per_video = frames.groupBy("media_id").agg(
         F.count("*").cast("bigint").alias("n_frames")
     )
@@ -381,8 +386,8 @@ def duplicate_video_pairs(frames: DataFrame) -> DataFrame:
         F.col("media_id").alias("media_b"), F.col("n_frames").alias("nb")
     )
     return (
-        pairs.join(F.broadcast(na), "media_a")
-        .join(F.broadcast(nb), "media_b")
+        pairs.join(na, "media_a")
+        .join(nb, "media_b")
         .select(
             "media_a",
             "media_b",

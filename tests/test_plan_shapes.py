@@ -410,6 +410,26 @@ def test_no_static_broadcast_of_cluster_labels(engine, sf_dir):
     assert "ResolvedHint" not in analyzed2 and "UnresolvedHint" not in analyzed2
 
 
+def test_m07_no_static_broadcast_of_frame_counts(spark):
+    """m07's per-video frame-count relation (per_video in
+    duplicate_video_pairs) is one row per video with >= 1 sampled
+    frame — corpus-scale at 100 TB of media — so the pair-scoring
+    joins must NOT force-broadcast it (r11 verdict, medium: the
+    dedup-label defect class, multimodal edition). Gate: the analyzed
+    plan carries NO broadcast hint; the small-SF executed plan still
+    picks broadcast joins from per_video's real runtime stats, so
+    dropping the hint costs nothing when the relation genuinely is
+    small."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["m07_duplicate_frame_pairs"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed  # stats-chosen, not hint-forced
+
+
 # A window with an empty PARTITION BY funnels its whole input through
 # ONE partition (Spark's "No Partition Defined" warning). Acceptable
 # only where the window input is a constant-size relation by design —
