@@ -2748,3 +2748,160 @@ ORACLES["d31_cluster_size_audit"] = f"""
     labels AS (SELECT doc_id, MIN(nbr) AS cluster_id FROM reach GROUP BY doc_id),
     {_cluster_size_tail("labels")}
     """
+
+
+# ---------------------------------------------------------------------------
+# d33 — incremental dedup over a PERSISTED BUCKETED band index (the
+# q83 layout lever applied to d02's hottest shuffle; r11 verdict punch
+# item 3). The production 100 TB dedup story is "new shard vs existing
+# corpus", and the corpus band relation is the natural bucketed asset:
+# persist it ONCE as a catalog table bucketed on the full band join
+# key (band_id, k0..k3), then every daily batch probe joins its own
+# bands against it with ZERO Exchange on the corpus side — the only
+# shuffle in the probe join moves the BATCH (1 day of docs), never the
+# corpus (plan-gated: exactly one band-key Exchange, bucketed corpus
+# scan). The index build is charged to the query on every run (q83's
+# honest-accounting contract); at scale it amortizes across every
+# daily probe, and the per-batch cost is batch-bands shuffle + a
+# per-bucket merge of the corpus scan.
+# The `merge` hint pins SMJ so the demonstration is deterministic
+# across SFs — at real corpus scale the index side never fits a
+# broadcast anyway (it is the corpus), while the BATCH side may: a
+# deployment probing a small batch drops the hint and lets AQE
+# broadcast the batch bands, which reads the index with no shuffle at
+# all. Both plans read the same persisted layout.
+# Exactness: band values are integer minhash windows (identical parse
+# both engines, d02's argument); the verdict relation is
+# engine-identical. Reference parity: no counterpart (the reference's
+# single-node DuckDB engine has no layout surface; its incremental
+# path re-reads the whole corpus per run).
+# ---------------------------------------------------------------------------
+D33_NEW_MOD = 9  # doc_id % 9 = 4 -> member of the incoming batch
+D33_NEW_REM = 4
+D33_INDEX_TABLE = "d33_corpus_bands_b"
+_D33_KEY_COLS = ["band_id"] + [f"k{r}" for r in range(_ROWS_PER_BAND)]
+
+
+def _d33_sql(cand_ctes: str) -> str:
+    """Identical text both dialects (band spelling differs inside
+    cand_ctes, which ends at the `bands` CTE; `corpus`/`batch` are the
+    snapshot split; the cands CTE cand_ctes also defines goes unused).
+    The Spark side does NOT run this text verbatim — it probes the
+    persisted bucketed index table instead of an inline `corpus` CTE —
+    but the relation is the same."""
+    return f"""
+    WITH {cand_ctes},
+    batch AS (
+      SELECT * FROM bands WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}
+    ),
+    corpus AS (
+      SELECT * FROM bands WHERE doc_id % {D33_NEW_MOD} <> {D33_NEW_REM}
+    ),
+    hits AS (
+      SELECT DISTINCT n.doc_id, b.doc_id AS partner
+      FROM batch n JOIN corpus b ON {{join_pred}}
+    ),
+    best AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+             MIN(partner) AS dup_of
+      FROM hits GROUP BY doc_id
+    ),
+    new_docs AS (SELECT DISTINCT doc_id FROM batch)
+    SELECT d.doc_id AS doc_id,
+           COALESCE(b.n_partners, 0) AS n_partners,
+           (b.dup_of IS NOT NULL) AS is_dup,
+           b.dup_of AS dup_of
+    FROM new_docs d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+_D33_SPARK_JOIN = " AND ".join(
+    ["n.band_id = b.band_id"]
+    + [f"n.k{r} = b.k{r}" for r in range(_ROWS_PER_BAND)]
+)
+
+
+def spark_bands_inline_sql(table: str) -> str:
+    """The shingle -> md5 -> 14-hex-window minhash -> stack banding
+    chain over an ARBITRARY (doc_id, text) relation — the stage-
+    operator surface of the shared __bands__ materialization (same
+    spelling, so stage outputs pin byte-identical to the graded
+    family)."""
+    return f"""
+      WITH shingles AS ({spark_shingles_sql(table)}),
+      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+      sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
+      SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS})
+             AS (band_id, {_BAND_VAL_COLS})
+      FROM sigs
+    """
+
+
+def band_probe_sql(batch_view: str) -> str:
+    """The probe-side SQL (``{b}`` is the persisted index relation,
+    passed as a DataFrame arg so the merge hint rides along): batch
+    bands join the bucketed corpus index on the full band key, then
+    fold to one verdict row per batch doc."""
+    return f"""
+    WITH hits AS (
+      SELECT DISTINCT n.doc_id, b.doc_id AS partner
+      FROM {batch_view} n JOIN {{b}} b
+        ON {_D33_SPARK_JOIN} AND b.doc_id <> n.doc_id
+    ),
+    best AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+             MIN(partner) AS dup_of
+      FROM hits GROUP BY doc_id
+    ),
+    new_docs AS (SELECT DISTINCT doc_id FROM {batch_view})
+    SELECT d.doc_id AS doc_id,
+           COALESCE(b.n_partners, 0) AS n_partners,
+           (b.dup_of IS NOT NULL) AS is_dup,
+           b.dup_of AS dup_of
+    FROM new_docs d
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def build_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the CORPUS slice of the band relation as the bucketed
+    index table (bucket key = the full band join key, sorted within
+    buckets). Returns the table name. Rides the shared __bands__
+    materialization, so the 16-min signature aggregation runs once per
+    (session, sf) across the whole dedup family."""
+    from ..session import SparkEngine
+
+    cached_bands(spark, sf_dir)
+    corpus = spark.sql(
+        f"SELECT * FROM __bands__ "
+        f"WHERE doc_id % {D33_NEW_MOD} <> {D33_NEW_REM}"
+    )
+    SparkEngine(spark).write_bucketed(
+        corpus,
+        D33_INDEX_TABLE,
+        _D33_KEY_COLS,
+        n_buckets=16,
+        sort_cols=_D33_KEY_COLS,
+    )
+    return D33_INDEX_TABLE
+
+
+@query(
+    "d33_bucketed_band_probe",
+    oracle=_d33_sql(DUCK_CAND_CTES).format(
+        join_pred="n.band_id = b.band_id AND n.band_key = b.band_key "
+        "AND b.doc_id <> n.doc_id"
+    ),
+)
+def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    index = build_band_index(spark, sf_dir)
+    spark.sql(
+        f"SELECT * FROM __bands__ "
+        f"WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}"
+    ).createOrReplaceTempView("__d33_batch__")
+    corpus_b = spark.table(index).hint("merge")
+    return spark.sql(band_probe_sql("__d33_batch__"), b=corpus_b)

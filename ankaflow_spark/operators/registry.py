@@ -2325,3 +2325,57 @@ def op_token_budget(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
         F.col(text_col).alias("text"),
     ).createOrReplaceTempView("__op_token_budget__")
     return engine.spark.sql(_token_budget_sql(True, table="__op_token_budget__"))
+
+
+@operator("band_index_build")
+def op_band_index_build(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Persist the banded MinHash-LSH relation of the input corpus as
+    a BUCKETED catalog table keyed on the full band join key (d33's
+    index build as a reusable stage — the q83 layout lever applied to
+    the dedup family's hottest shuffle). Pay the layout once per
+    corpus snapshot; every daily batch then probes it via
+    band_index_probe with zero Exchange on the corpus side. Returns
+    the persisted band relation read back from the layout."""
+    from ..session import SparkEngine
+    from .dedup import _D33_KEY_COLS, D33_INDEX_TABLE, spark_bands_inline_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    table = params.get("table", D33_INDEX_TABLE)
+    n_buckets = int(params.get("n_buckets", 16))
+    view = "__op_band_index_src__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    bands = engine.spark.sql(spark_bands_inline_sql(view))
+    SparkEngine(engine.spark).write_bucketed(
+        bands, table, _D33_KEY_COLS, n_buckets=n_buckets,
+        sort_cols=_D33_KEY_COLS,
+    )
+    return engine.spark.table(table)
+
+
+@operator("band_index_probe")
+def op_band_index_probe(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Probe a persisted bucketed band index (band_index_build) with
+    the input BATCH: bands the batch inline, equi-joins the index on
+    the full band key — only the batch shuffles; the corpus side
+    streams from its bucketed layout — and folds to one verdict row
+    per batch doc (doc_id, n_partners, is_dup, dup_of). ``merge:
+    false`` drops the SMJ pin so AQE may broadcast a small batch and
+    read the index with no shuffle at all."""
+    from .dedup import D33_INDEX_TABLE, band_probe_sql, spark_bands_inline_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    table = params.get("index_table", D33_INDEX_TABLE)
+    view = "__op_band_probe_src__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    batch_view = "__op_band_probe_bands__"
+    engine.spark.sql(spark_bands_inline_sql(view)).createOrReplaceTempView(batch_view)
+    index = engine.spark.table(table)
+    if params.get("merge", True):
+        index = index.hint("merge")
+    return engine.spark.sql(band_probe_sql(batch_view), b=index)

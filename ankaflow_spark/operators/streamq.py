@@ -2306,7 +2306,8 @@ ORACLES["st26_stream_asset_validation"] = ORACLES["m13_corrupt_asset_audit"]
 # reporting, per type, how many rows the engine actually dropped.
 # The sf events arrive perfectly ordered (q82 reads 0 lateness), so the
 # arrival order is first shuffled deterministically (arrival seq :=
-# rank of md5(event_id) — identical in both engines), staged as 8
+# rank of md5(event_id) — identical in both engines; the Spark side
+# computes it TWO-PHASE, see _md5_disorder_sql), staged as 8
 # arrival-order chunk files with ascending mtimes, and streamed with
 # maxFilesPerTrigger=1 so micro-batch k IS chunk k in BOTH engines'
 # models. Drop rule (validated end-to-end against the engine's
@@ -2329,17 +2330,61 @@ ORACLES["st26_stream_asset_validation"] = ORACLES["m13_corrupt_asset_audit"]
 # watermark lags one extra batch (measured at sf0.01: 8 engine drops
 # vs the model's 13 before the fix).
 # ---------------------------------------------------------------------------
+def _md5_disorder_sql(table: str = "events", seq_alias: str = "seq") -> str:
+    """Deterministic md5 arrival shuffle for the SPARK side, TWO-PHASE
+    (the q82 prefix-max respell applied to ranking): a bare
+    ROW_NUMBER() OVER (ORDER BY md5(event_id)) funnels every row
+    through ONE task. md5 hex order equals (2-hex-char prefix, full
+    digest) order, so rank WITHIN each of the <= 256 prefix partitions
+    and add the total count of all earlier prefixes — bitwise-identical
+    seq values, 256-way parallel rank. The only remaining global window
+    runs over the <= 256-row prefix-count relation (bounded by
+    construction, the ts23/ts29 convention). Synthesis-only: the sf
+    events arrive ordered, so a deterministic disorder must be
+    manufactured for the replay; production arrival order is physical
+    and never needs ranking. The DuckDB oracle keeps the single-window
+    spelling — same values, and the oracle is not the scaled side."""
+    return f"""
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(r + COALESCE(off, 0) AS BIGINT) AS {seq_alias}
+    FROM (
+      SELECT event_type, ts, substring(h, 1, 2) AS pfx,
+             ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 2)
+                                ORDER BY h) AS r
+      FROM (SELECT event_type, ts,
+                   md5(CAST(event_id AS STRING)) AS h
+            FROM {table}) hashed
+    ) ranked
+    JOIN (
+      SELECT pfx, SUM(c) OVER (ORDER BY pfx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+      FROM (SELECT substring(md5(CAST(event_id AS STRING)), 1, 2) AS pfx,
+                   COUNT(*) AS c
+            FROM {table} GROUP BY 1) per_pfx
+    ) offsets USING (pfx)
+    """
+
+
 def _st27_sim_sql(spark_dialect: bool, table: str = "events") -> str:
     epoch = "unix_micros" if spark_dialect else "epoch_us"
     intdiv = "div" if spark_dialect else "//"
-    strty = "STRING" if spark_dialect else "VARCHAR"
-    return f"""
-    WITH dis AS (
+    if spark_dialect:
+        # the Spark side ranks two-phase (_md5_disorder_sql); the
+        # DuckDB branch below keeps the plain single-window spelling —
+        # identical seq values, and the oracle is not the scaled side
+        dis = f"""
+      SELECT event_type, CAST({epoch}(ts) AS BIGINT) AS ts_us, seq
+      FROM ({_md5_disorder_sql(table, "seq")}) two_phase
+    """
+    else:
+        dis = f"""
       SELECT event_type,
              CAST({epoch}(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
-             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS {strty}))) AS seq
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS VARCHAR))) AS seq
       FROM {table}
-    ),
+    """
+    return f"""
+    WITH dis AS ({dis}),
     lat AS (
       SELECT event_type,
              CAST((MAX(ts_us) OVER (PARTITION BY event_type ORDER BY seq
@@ -2416,11 +2461,7 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
                 return staged
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
-    dis = spark.sql("""
-      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING))) AS seq
-      FROM events
-    """)
+    dis = spark.sql(_md5_disorder_sql("events", "seq"))
     n = dis.count()
     per_chunk = -(-n // _ST27_N_CHUNKS)
     import glob as _glob
@@ -2457,11 +2498,9 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import _late_arrival_sql
 
     load_tables(spark, sf_dir)
-    spark.sql("""
-      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING))) AS event_id
-      FROM events
-    """).createOrReplaceTempView("st27_dis")
+    spark.sql(_md5_disorder_sql("events", "event_id")).createOrReplaceTempView(
+        "st27_dis"
+    )
     delay_min = int(
         spark.sql(
             "SELECT MAX(p99_late_min) FROM ("

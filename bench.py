@@ -218,6 +218,10 @@ HEADLINE = [
     # user buckets (DPP + shuffle-free per-user rollup)
     "q87_layered_fact_layout",
     "st27_stream_watermark_drops",
+    # round-12: the layout lever applied to the dedup family — the
+    # bucketed band-index probe charges its own index build every run
+    # (honest accounting) and shuffles only the batch side
+    "d33_bucketed_band_probe",
 ]
 
 
@@ -250,6 +254,9 @@ PIPELINES = (
     # r11: pay the day-partitioned layout once, read it PRUNED twice
     # (q85's static day slice + q86's DPP dow slice)
     "partitioned_layout",
+    # r12: the layout lever applied to incremental dedup — stage walls
+    # separate the amortized band-index build from the per-batch probe
+    "incremental_band_index",
 )
 
 

@@ -1764,3 +1764,41 @@ def test_layered_bucket_partition_sink_stage(engine, sf_dir):
     assert "dynamicpruning" in executed
     assert "hashpartitioning(user_id" not in executed
     assert "SelectedBucketsCount" in executed
+
+
+def test_band_index_stage_matches_graded(engine, sf_dir):
+    """band_index_build + band_index_probe composed through stages pin
+    cell-identical to the graded d33 (same corpus/batch split, same
+    band chain, same persisted-bucketed-index probe)."""
+    from ankaflow_spark.operators.dedup import D33_NEW_MOD, D33_NEW_REM
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: corpus
+  query: SELECT * FROM docs WHERE doc_id % {D33_NEW_MOD} <> {D33_NEW_REM}
+- kind: operator
+  name: index
+  op: band_index_build
+  input: corpus
+  params: {{id_column: doc_id, text_column: text, table: d33_twin_index}}
+- kind: transform
+  name: batch
+  query: SELECT * FROM docs WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}
+- kind: operator
+  name: verdicts
+  op: band_index_probe
+  input: batch
+  params: {{id_column: doc_id, text_column: text, index_table: d33_twin_index}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    graded = QUERIES["d33_bucketed_band_probe"](engine.spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]

@@ -4179,3 +4179,55 @@ def test_t36_token_budget_vs_python(spark, sf_dir):
         assert (r["n_docs"], r["n_tokens"]) == (n_docs, n_tok)
         assert (r["n_surviving_docs"], r["n_surviving_tokens"]) == (n_sdocs, n_stok)
         assert r["token_survival_share"] == n_stok / n_tok
+
+
+def test_d33_band_probe_vs_python(spark, sf_dir):
+    """The incremental probe verdicts must equal a literal python
+    recount of the band construction and the corpus/batch split: a
+    batch doc's partners are exactly the corpus docs sharing at least
+    one (band_id, 4-consecutive-minhash) bucket; n_partners exact,
+    dup_of = min partner."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.dedup import (
+        _ROWS_PER_BAND,
+        D33_NEW_MOD,
+        D33_NEW_REM,
+        LSH_BANDS,
+        MINHASH_K,
+        QUERIES,
+    )
+
+    out = QUERIES["d33_bucketed_band_probe"](spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    buckets = defaultdict(list)  # (band, key) -> [corpus doc_id]
+    batch_bands = {}  # batch doc_id -> [(band, key)]
+    for r in docs:
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        sig = [
+            min(int(hl.md5(s.encode()).hexdigest()[k : k + 14], 16) for s in shs)
+            for k in range(MINHASH_K)
+        ]
+        keys = [
+            (b, tuple(sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]))
+            for b in range(LSH_BANDS)
+        ]
+        if r["doc_id"] % D33_NEW_MOD == D33_NEW_REM:
+            batch_bands[r["doc_id"]] = keys
+        else:
+            for key in keys:
+                buckets[key].append(r["doc_id"])
+    assert [r["doc_id"] for r in out] == sorted(batch_bands)
+    for r in out:
+        partners = {
+            d for key in batch_bands[r["doc_id"]] for d in buckets[key]
+        }
+        assert r["n_partners"] == len(partners)
+        assert r["is_dup"] == (len(partners) > 0)
+        assert r["dup_of"] == (min(partners) if partners else None)

@@ -430,6 +430,32 @@ def test_m07_no_static_broadcast_of_frame_counts(spark):
     assert "BroadcastHashJoin" in executed  # stats-chosen, not hint-forced
 
 
+def test_d33_band_probe_moves_only_the_batch(spark):
+    """d33's probe join must shuffle ONLY the daily batch: the corpus
+    band index is persisted bucketed on the full band join key, so in
+    the FINAL executed plan the only band-key Exchange is the batch
+    side's — re-partitioned into the index's 16 buckets — and the
+    corpus side is a bucketed scan (SelectedBucketsCount) feeding the
+    SMJ with no Exchange. The q83 argument applied to d02's hottest
+    shuffle: at 100 TB the corpus never moves again after the index
+    build."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["d33_bucketed_band_probe"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert "SelectedBucketsCount" in final
+    band_ex = [
+        l
+        for l in final.splitlines()
+        if "Exchange hashpartitioning(band_id" in l
+    ]
+    assert len(band_ex) == 1, band_ex
+    assert ", 16)" in band_ex[0]  # co-partitioned into the bucket count
+
+
 # A window with an empty PARTITION BY funnels its whole input through
 # ONE partition (Spark's "No Partition Defined" warning). Acceptable
 # only where the window input is a constant-size relation by design —
@@ -510,7 +536,7 @@ EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
     "st22_stream_survival_bounded",  # ts37's bounded-walk class over the closed-session relation
     "m12_shard_planner",  # running byte-offset walk over the 120-item contract-scale inventory (m11's class; production inventories pre-partition by coarse key)
-    "st27_stream_watermark_drops",  # the md5 arrival-rank that CONSTRUCTS the deterministic disorder replay (sf events arrive ordered, so calibration needs a synthetic total arrival order both engines can reproduce); a production deployment reads its real ingest sequence and never ranks
+    "st27_stream_watermark_drops",  # two-phase md5 arrival-rank (r12 respell): the only remaining global window is the <= 256-row prefix-count offset relation (bounded by construction); the disorder itself is synthesis-only — production reads its real ingest sequence and never ranks
 }
 
 

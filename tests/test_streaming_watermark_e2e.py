@@ -33,16 +33,12 @@ N_CHUNKS = 8
 
 
 def _disordered(spark, sf_dir):
+    from ankaflow_spark.operators.streamq import _md5_disorder_sql
+
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).createOrReplaceTempView(
         "wm_events"
     )
-    return spark.sql("""
-      SELECT event_type,
-             CAST(ts AS TIMESTAMP) AS ts,
-             ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS STRING)))
-               AS event_id
-      FROM wm_events
-    """)
+    return spark.sql(_md5_disorder_sql("wm_events", "event_id"))
 
 
 def _calibrate(spark, view: str) -> dict:
