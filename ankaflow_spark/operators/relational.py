@@ -3926,3 +3926,121 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — AQE skew-join splitting, demonstrated as a graded operator (r11
+# verdict punch item 4). The battery proves MANUAL skew mitigation
+# (q30's salted agg); this one proves Spark's OWN: a fact whose hot key
+# owns ~50% of all rows (the power-law bot/test-account reality of user
+# data — the stress_skew layout, manufactured deterministically here as
+# user_key := 0 WHEN event_id % 2 = 0 so the DuckDB oracle replays it
+# exactly) sort-merge-joins a per-user profile, and AQE's
+# OptimizeSkewedJoin splits the hot reduce partition into mapper-chunk
+# ranges, duplicating the matching profile rows — the executed plan
+# shows SortMergeJoin(skew=true) + "AQEShuffleRead skewed" (plan-gated
+# via _Q88_LAST_EXECUTED). Without it, one task sorts/joins half the
+# fact: the default disaster of fact-fact SMJs at 100 TB.
+# Demo-scale notes (each the q85 plan-time-literal class of honesty):
+#   * the skew thresholds are squeezed (4KB/1.2x vs the 256MB/5x
+#     defaults) around the INTERNAL execution only, set/restored in a
+#     finally — at 100 TB the defaults fire on their own;
+#   * the fact is pre-repartitioned to 32 mapper tasks: skew split
+#     regroups MAPPER chunks, and a toy single-file scan has ONE
+#     mapper, leaving nothing to split along — a multi-file 100 TB
+#     scan has thousands;
+#   * the profile side is materialized to parquet first (real stats,
+#     the persisted per-user profile a pipeline keeps) because
+#     OptimizeSkewedJoin only matches Sort(ShuffleStage) children — an
+#     aggregate between shuffle and join suppresses the rewrite;
+#   * the query executes the skewed join internally (st27's contract:
+#     the query charges itself its real execution) and returns the
+#     2-row aggregate; values are physical-plan-independent and
+#     cell-exact against the oracle's relational replay.
+# ---------------------------------------------------------------------------
+_Q88_SKEWED_SQL = """
+  SELECT /*+ REPARTITION(32) */
+         CASE WHEN event_id % 2 = 0 THEN CAST(0 AS BIGINT) ELSE user_id END
+           AS user_key,
+         value
+  FROM events
+"""
+
+_Q88_PROFILE_SQL = """
+  SELECT user_key, CAST(COUNT(*) AS BIGINT) AS n_user_events
+  FROM __q88_skewed__ GROUP BY user_key
+"""
+
+_Q88_JOIN_SQL = """
+SELECT /*+ MERGE(p) */ (s.user_key = 0) AS is_hot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(s.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(p.n_user_events) AS BIGINT) AS self_join_weight
+FROM __q88_skewed__ s JOIN __q88_profile__ p ON s.user_key = p.user_key
+GROUP BY 1 ORDER BY is_hot
+"""
+
+#: executed plan of q88's internal skewed join, captured for the plan
+#: gate (test_q88_skew_join_split) and the PERF audit
+_Q88_LAST_EXECUTED: str | None = None
+
+_Q88_SKEW_CONF = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+@query(
+    "q88_aqe_skew_join",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN CAST(0 AS BIGINT) ELSE user_id END
+               AS user_key,
+             value
+      FROM events
+    ),
+    profile AS (
+      SELECT user_key, CAST(COUNT(*) AS BIGINT) AS n_user_events
+      FROM skewed GROUP BY user_key
+    )
+    SELECT (s.user_key = 0) AS is_hot,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(s.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(p.n_user_events) AS BIGINT) AS self_join_weight
+    FROM skewed s JOIN profile p ON s.user_key = p.user_key
+    GROUP BY 1 ORDER BY is_hot
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    global _Q88_LAST_EXECUTED
+    load_tables(spark, sf_dir)
+    spark.sql(_Q88_SKEWED_SQL).createOrReplaceTempView("__q88_skewed__")
+    prof_path = os.path.join(
+        tempfile.gettempdir(),
+        "ankaflow_q88_prof_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    spark.sql(_Q88_PROFILE_SQL).write.mode("overwrite").parquet(prof_path)
+    spark.read.parquet(prof_path).createOrReplaceTempView("__q88_profile__")
+    old = {k: spark.conf.get(k, None) for k in _Q88_SKEW_CONF}
+    for k, v in _Q88_SKEW_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        joined = spark.sql(_Q88_JOIN_SQL)
+        rows = joined.collect()
+        _Q88_LAST_EXECUTED = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, joined.schema)

@@ -220,8 +220,11 @@ HEADLINE = [
     "st27_stream_watermark_drops",
     # round-12: the layout lever applied to the dedup family — the
     # bucketed band-index probe charges its own index build every run
-    # (honest accounting) and shuffles only the batch side
+    # (honest accounting) and shuffles only the batch side — and the
+    # AQE skew-join demonstration (executes its hot-key join
+    # internally, q85/st27's self-charging contract)
     "d33_bucketed_band_probe",
+    "q88_aqe_skew_join",
 ]
 
 

@@ -4231,3 +4231,32 @@ def test_d33_band_probe_vs_python(spark, sf_dir):
         assert r["n_partners"] == len(partners)
         assert r["is_dup"] == (len(partners) > 0)
         assert r["dup_of"] == (min(partners) if partners else None)
+
+
+def test_q88_skew_join_vs_python(spark, sf_dir):
+    """The skew-join aggregate must equal a literal recount of the
+    hot-key reassignment and the profile self-weight — AQE's skew
+    split changes HOW the hot partition is read, never the answer.
+    self_join_weight recounts as sum over rows of that key's total
+    row count (i.e. sum of n_k^2 within each hotness class)."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q88_aqe_skew_join"](spark, sf_dir).collect()
+    rows = spark.table("events").select("event_id", "user_id", "value").collect()
+    keys = [0 if r["event_id"] % 2 == 0 else r["user_id"] for r in rows]
+    counts = Counter(keys)
+    agg = defaultdict(lambda: [0, Decimal(0), 0])  # n, value sum, weight
+    for r, k in zip(rows, keys):
+        a = agg[k == 0]
+        a[0] += 1
+        a[1] += Decimal(str(r["value"])).quantize(Decimal("0.000001"))
+        a[2] += counts[k]
+    assert [r["is_hot"] for r in out] == sorted(agg)
+    for r in out:
+        n, v, w = agg[r["is_hot"]]
+        assert r["n_rows"] == n
+        assert r["total_value"] == float(v)
+        assert r["self_join_weight"] == w

@@ -456,6 +456,30 @@ def test_d33_band_probe_moves_only_the_batch(spark):
     assert ", 16)" in band_ex[0]  # co-partitioned into the bucket count
 
 
+def test_q88_skew_join_split(spark):
+    """q88's internal execution must show AQE's own skew mitigation:
+    the hot-key fact-profile SMJ plans with skew=true and the hot
+    reduce partition is read as mapper-chunk splits (AQEShuffleRead
+    skewed) — one task no longer sorts/joins half the fact. The query
+    captures its executed plan in _Q88_LAST_EXECUTED (the join runs
+    inside the query under the squeezed demo thresholds; at 100 TB
+    the 256MB/5x defaults fire on their own)."""
+    import __spark_entry__ as entry
+
+    from ankaflow_spark.operators import relational
+
+    df = entry.queries()["q88_aqe_skew_join"](spark, SF)
+    assert df.count() == 2
+    executed = relational._Q88_LAST_EXECUTED
+    assert executed is not None
+    assert "SortMergeJoin(skew=true)" in executed
+    assert "AQEShuffleRead skewed" in executed
+    # and the squeezed demo confs were restored after the internal run
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    ) == "true"
+
+
 # A window with an empty PARTITION BY funnels its whole input through
 # ONE partition (Spark's "No Partition Defined" warning). Acceptable
 # only where the window input is a constant-size relation by design —
