@@ -27,77 +27,75 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 11 (len == 50, the driver's graded window).
-    # The union of driver greens r01-r10 covers ALL 264 battery queries
-    # (zero never-graded — verified by the r10 judge), so rotation
-    # keeps grade FRESHNESS ahead of code churn. Front slots: the ONE
-    # new round-11 operator (never graded), then the two queries whose
-    # SPARK spelling changed this round and therefore need a fresh
-    # official green (q82 two-phase prefix-max respell; d08 de-hinted
-    # label join — d10, also de-hinted, rotates in with its r06-last
-    # cohort below). The rest is exactly the stalest official greens,
-    # computed from the CORRECTNESS_r0*.json artifacts (per-query max
-    # green round): the 14 remaining r05-last entries, then the
-    # r06-last cohort in alphabetical order up to len == 50.
-    # Every rotated-out entry keeps its official r08-r10 green and
-    # stays cell-exact in CORRECTNESS_FULL_r*.json via
-    # tools/oracle_check.py; every family remains represented
-    # (relational, time-series, dedup, similarity/ANN, text curation,
-    # streaming via st01/st11, multimodal via m01).
-    # Rotation queue after this window is graded: the 22 remaining
-    # r06-last entries (q60/s03/s16/st11/t01/t02/t03/t04/t13/t17/
-    # t23/ts01/ts02/ts03/ts05/ts07/ts12/ts17/ts22/ts25/ts26/ts27),
-    # then the r07/r08/r09/r10 waves.
-    "q83_bucketed_colocated_join",  # new r11: zero-exchange bucketed join
-    "q84_bucketed_colocated_agg",  # new r11: zero-exchange bucketed rollup (same layout)
-    "q85_partition_pruned_scan",  # new r11: static partition pruning on the day layout
-    "q86_dynamic_partition_pruning",  # new r11: DPP through the day-dim join (same layout)
-    "q87_layered_fact_layout",  # new r11: day partitions + user buckets in ONE table (DPP + shuffle-free rollup)
-    "st27_stream_watermark_drops",  # new r11: q82-calibrated watermark drop accounting (full value oracle)
-    "q82_late_arrival_audit",  # respelled r11: two-phase prefix-max (re-grade)
-    "d08_dedup_survivors",  # respelled r11: de-hinted label join (re-grade)
-    "t12_normalized_dedup",  # last r05
-    "t14_bpe_token_count",  # last r05
-    "t15_tfidf_topterms",  # last r05
-    "t18_zipf_fit",  # last r05
-    "t21_quality_classifier",  # last r05
-    "ts08_rollup_cascade",  # last r05
-    "ts09_ohlc",  # last r05
-    "ts10_anomaly_zscore",  # last r05
-    "ts11_ewma_smoothing",  # last r05
-    "ts13_cohort_retention",  # last r05
-    "ts14_funnel",  # last r05
-    "ts15_range_window",  # last r05
-    "ts16_period_over_period",  # last r05
-    "ts18_user_features",  # last r05
-    "d01_exact_dedup",  # last r06
-    "d02_minhash_lsh_pairs",  # last r06
-    "d03_ngram_jaccard",  # last r06
-    "d03x_ngram_jaccard_exact",  # last r06
-    "d04_simhash",  # last r06
-    "d06_dedup_clusters",  # last r06
-    "d07_benchmark_decontam",  # last r06
-    "d10_semantic_dedup",  # last r06 + de-hinted label join this round
-    "m01_multimodal_features",  # last r06
-    "q02_filter_project",  # last r06
-    "q03_shipping_priority",  # last r06
-    "q05_window_top_order",  # last r06
-    "q06_versioned_dedup",  # last r06
-    "q07_topk_orders",  # last r06
-    "q09_distinct_counts",  # last r06
-    "q14_rollup",  # last r06
-    "q15_pivot_events",  # last r06
-    "q16_running_total",  # last r06
-    "q21_hash_sample",  # last r06
-    "q25_percentiles",  # last r06
-    "q26_cube",  # last r06
-    "q30_skew_salted_agg",  # last r06
-    "q35_custdist",  # last r06
-    "q44_setops_all",  # last r06
-    "q59_skew_diagnostics",  # last r06
-    "s01_cosine_topk",  # last r06
-    "s02_lsh_ann",  # last r06
-    "st01_stream_window",  # last r06
+    # Re-curated for round 12 (len == 50, the driver's graded window).
+    # The union of driver greens r01-r11 covers ALL 270 prior battery
+    # queries (zero never-graded — verified by the r11 judge), so
+    # rotation keeps grade FRESHNESS ahead of code churn. Front slots:
+    # the TWO new round-12 operators (never graded), then the two
+    # queries whose SPARK spelling changed this round and therefore
+    # need a fresh official green (m07 de-hinted per-video joins; st27
+    # two-phase disorder rank + LEFT-JOIN report). The rest is exactly
+    # the stalest official greens, computed from the
+    # CORRECTNESS_r0*.json artifacts (per-query max green round): the
+    # 22 remaining r06-last entries, then the r07-last cohort in
+    # alphabetical order up to len == 50.
+    # Every rotated-out entry keeps its official green and stays
+    # cell-exact in CORRECTNESS_FULL_r*.json via tools/oracle_check.py;
+    # every family remains represented (relational, time-series,
+    # dedup, similarity/ANN, text curation, streaming, multimodal).
+    # Rotation queue after this window is graded: the 26 remaining
+    # r07-last entries (q70-q74, s18-s21, st13-st19, t24-t30 classes,
+    # ts28-ts36), then the r08/r09/r10/r11 waves.
+    "d33_bucketed_band_probe",  # new r12: zero-corpus-shuffle bucketed band-index probe
+    "q88_aqe_skew_join",  # new r12: AQE skew-split demonstration (plan-gated)
+    "m07_duplicate_frame_pairs",  # respelled r12: de-hinted per-video count joins (re-grade)
+    "st27_stream_watermark_drops",  # respelled r12: two-phase disorder rank + LEFT-JOIN report (re-grade)
+    "q60_column_profile",  # last r06
+    "s03_ivf_ann",  # last r06
+    "s16_matryoshka_recall",  # last r06
+    "st11_stream_heavy_hitters",  # last r06
+    "t01_token_stats",  # last r06
+    "t02_lang_id",  # last r06
+    "t03_quality_score",  # last r06
+    "t04_winnow_fingerprint",  # last r06
+    "t13_bigram_surprisal",  # last r06
+    "t17_readability",  # last r06
+    "t23_woe_binning",  # last r06
+    "ts01_time_buckets",  # last r06
+    "ts02_sessionization",  # last r06
+    "ts03_asof_last_click",  # last r06
+    "ts05_gap_fill",  # last r06
+    "ts07_asof_pandas",  # last r06
+    "ts12_dow_hour_profile",  # last r06
+    "ts17_sliding_windows",  # last r06
+    "ts22_rfm_segmentation",  # last r06
+    "ts25_asof_sql_surface",  # last r06
+    "ts26_interval_join",  # last r06
+    "ts27_scd2_history",  # last r06
+    "d11_incremental_dedup",  # last r07
+    "d12_lsh_recall_eval",  # last r07
+    "d14_containment_pairs",  # last r07
+    "d16_editdist_verify",  # last r07
+    "d17_dedup_cascade",  # last r07
+    "d18_minhash_accuracy",  # last r07
+    "d19_substring_dedup",  # last r07
+    "d20_substring_dedup_rewrite",  # last r07
+    "d21_bloom_decontam",  # last r07
+    "d22_triangle_count",  # last r07
+    "d23_dedup_impact_report",  # last r07
+    "d24_lsh_threshold_sweep",  # last r07
+    "m08_phash_near_dup",  # last r07
+    "q62_idle_rich_customers",  # last r07
+    "q63_zorder_layout",  # last r07
+    "q67_k_anonymity",  # last r07
+    "q69_l_diversity",  # last r07
+    "q70_data_quality_audit",  # last r07
+    "q71_snapshot_diff",  # last r07
+    "q72_t_closeness",  # last r07
+    "q73_psi_drift",  # last r07
+    "q74_referential_integrity",  # last r07
+    "s15_countmin_heavy_hitters",  # last r07
+    "s17_silhouette_eval",  # last r07
 ]
 
 
