@@ -4044,3 +4044,54 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, joined.schema)
+
+
+# ---------------------------------------------------------------------------
+# q89 — bucket-pruned point lookup (the scan-side dividend of the q83
+# bucket layout, completing the lever set: q83/q84 kill the SHUFFLE,
+# q85/q86 prune PARTITIONS, this prunes FILES within an unpartitioned
+# table). An equality predicate on the single bucket column lets the
+# scan hash the literal to its bucket and list 1/16th of the files —
+# "SelectedBucketsCount: 1 out of 16" in the executed scan, plan-gated
+# — and the single-key rollup then needs ZERO Exchange (the bucketed
+# scan already satisfies the grouping distribution). On a 100 TB fact
+# this is the entity-lookup path: O(table/buckets) bytes read, no
+# shuffle, no partition columns required. The key is the busiest
+# order (lowest-key tiebreak) via a 1-row driver collect: bucket
+# pruning needs a PLAN-TIME literal, exactly like q85's day (a
+# production lookup arrives with the key spelled out); the oracle
+# computes the same key relationally. Layout build charged per run
+# (q83's honest accounting; same shared _bucketed_lineitem layout).
+# ---------------------------------------------------------------------------
+@query(
+    "q89_bucket_pruned_lookup",
+    oracle="""
+    WITH target AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      ORDER BY COUNT(*) DESC, l_orderkey LIMIT 1
+    )
+    SELECT l.l_orderkey AS order_key,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN target t ON l.l_orderkey = t.l_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    table = _bucketed_lineitem(spark)
+    key = spark.sql(
+        f"SELECT l_orderkey FROM {table} "
+        "GROUP BY 1 ORDER BY COUNT(*) DESC, l_orderkey LIMIT 1"
+    ).first()[0]
+    return spark.sql(f"""
+      SELECT l_orderkey AS order_key,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE)
+               AS revenue
+      FROM {table} WHERE l_orderkey = {int(key)}
+      GROUP BY l_orderkey
+    """)

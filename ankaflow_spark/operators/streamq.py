@@ -2728,3 +2728,94 @@ def _st25_oracle() -> str:
 
 
 ORACLES["st25_stream_psi_drift"] = _st25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# st28 — streaming incremental dedup against the PERSISTED bucketed
+# band index: the streaming face of d33, and the production shape of
+# the 100 TB dedup loop — the corpus index is a static asset built
+# once per snapshot (build_band_index); new documents ARRIVE as a
+# stream, and each micro-batch bands itself and probes the index.
+# Verdicts are per-document (own batch + the static index only), so
+# there is NO cross-batch streaming state — st13's screening pattern:
+# the sink is append-only, the state store is empty, and throughput
+# scales with batch volume while the corpus side never reshuffles
+# (each probe join reads the bucketed layout; a small batch side gets
+# broadcast by AQE from real stats — the d33 no-hint deployment mode).
+# Every doc lands in exactly ONE batch (whole-doc range files), so the
+# union of batch verdicts equals the batch relation (d33) cell-exactly
+# — same oracle.
+# ---------------------------------------------------------------------------
+def _staged_batch_docs(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> tuple:
+    """Stage the d33 BATCH slice (doc_id % D33_NEW_MOD = D33_NEW_REM)
+    as n_slices doc-ranged files for the streaming file source —
+    whole documents per file, so per-doc verdicts make file boundaries
+    safe batch boundaries."""
+    from .dedup import D33_NEW_MOD, D33_NEW_REM
+
+    t = load_tables(spark, sf_dir)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_st28_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    success = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _src_fingerprint(src)
+    fresh = False
+    if os.path.exists(success):
+        with open(success) as fh:
+            fresh = fh.read().strip() == fp
+    if not fresh:
+        (
+            t["documents"]
+            .filter(F.col("doc_id") % D33_NEW_MOD == D33_NEW_REM)
+            .select("doc_id", "text")
+            .repartitionByRange(n_slices, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        with open(success, "w") as fh:
+            fh.write(fp)
+    return staged, spark.read.parquet(staged).schema
+
+
+def st28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming band-index probe, ORACLE-CHECKED cell-exact against
+    d33's batch relation (see the block comment above)."""
+    from ..streaming.stream import foreachbatch_append, stream_tap
+    from .dedup import band_probe_sql, build_band_index, spark_bands_inline_sql
+
+    load_tables(spark, sf_dir)
+    index_table = build_band_index(spark, sf_dir)
+    staged, schema = _staged_batch_docs(spark, sf_dir)
+
+    def screen(batch_df: DataFrame) -> DataFrame:
+        s = batch_df.sparkSession
+        batch_df.select("doc_id", "text").createOrReplaceTempView("__st28_src__")
+        s.sql(spark_bands_inline_sql("__st28_src__")).createOrReplaceTempView(
+            "__st28_bands__"
+        )
+        # no merge pin here: the micro-batch side is small by design,
+        # so AQE broadcasts the BATCH bands from real stats and the
+        # bucketed corpus index is read with no shuffle at all
+        return s.sql(band_probe_sql("__st28_bands__"), b=s.table(index_table))
+
+    base = staged.rstrip("/") + "_probe"
+    stream = stream_tap(spark, staged, schema, max_files_per_trigger=1)
+    out = foreachbatch_append(stream, screen, base)
+    return out.orderBy("doc_id")
+
+
+QUERIES["st28_stream_band_probe"] = st28
+
+
+def _st28_oracle() -> str:
+    from .dedup import DUCK_CAND_CTES, _d33_sql
+
+    return _d33_sql(DUCK_CAND_CTES).format(
+        join_pred="n.band_id = b.band_id AND n.band_key = b.band_key "
+        "AND b.doc_id <> n.doc_id"
+    )
+
+
+ORACLES["st28_stream_band_probe"] = _st28_oracle()

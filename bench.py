@@ -225,6 +225,12 @@ HEADLINE = [
     # internally, q85/st27's self-charging contract)
     "d33_bucketed_band_probe",
     "q88_aqe_skew_join",
+    # round-12 wave 2: the bucket-pruned point lookup (1-of-16 file
+    # listing + zero-exchange rollup on the shared q83 layout) and the
+    # streaming band-index probe (4 real micro-batches against the
+    # persisted corpus index, index build charged per run)
+    "q89_bucket_pruned_lookup",
+    "st28_stream_band_probe",
 ]
 
 

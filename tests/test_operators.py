@@ -4260,3 +4260,32 @@ def test_q88_skew_join_vs_python(spark, sf_dir):
         assert r["n_rows"] == n
         assert r["total_value"] == float(v)
         assert r["self_join_weight"] == w
+
+
+def test_q89_bucket_pruned_lookup_vs_python(spark, sf_dir):
+    """The point-lookup rollup must equal a literal recount of the
+    busiest order's lines — bucket pruning changes which FILES are
+    listed, never the answer."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q89_bucket_pruned_lookup"](spark, sf_dir).collect()
+    rows = spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    counts = Counter(r["l_orderkey"] for r in rows)
+    busiest = min(k for k in counts if counts[k] == max(counts.values()))
+    rev = Decimal(0)
+    for r in rows:
+        if r["l_orderkey"] == busiest:
+            price = Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.0001"))
+            disc = (Decimal(1) - Decimal(str(r["l_discount"]))).quantize(
+                Decimal("0.0001")
+            )
+            rev += price * disc
+    assert len(out) == 1
+    assert out[0]["order_key"] == busiest
+    assert out[0]["n_lines"] == counts[busiest]
+    assert out[0]["revenue"] == float(rev)

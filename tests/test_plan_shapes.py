@@ -338,6 +338,22 @@ def test_q87_layered_layout_prunes_and_skips_shuffle(spark):
     assert "SelectedBucketsCount" in executed
 
 
+def test_q89_bucket_pruned_lookup(spark):
+    """q89's equality predicate on the single bucket column must prune
+    the scan to ONE bucket ("SelectedBucketsCount: 1 out of 16") and
+    the single-key rollup must run with ZERO Exchange — the bucketed
+    scan satisfies the grouping distribution. At 100 TB this is the
+    entity-lookup path: O(table/buckets) bytes, no shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q89_bucket_pruned_lookup"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "SelectedBucketsCount: 1 out of 16" in final
+    assert "Exchange" not in final
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes

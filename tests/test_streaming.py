@@ -767,3 +767,28 @@ def test_st27_watermark_drops_vs_python(spark, sf_dir):
 
     sim = spark.sql(_st27_sim_sql(True)).collect()
     assert [tuple(r) for r in sim] == [tuple(r) for r in out]
+
+
+def test_st28_matches_d33_and_runs_real_batches(spark, sf_dir):
+    """The streamed band-index probe must equal the batch d33 relation
+    cell-exactly (every doc lands in exactly one whole-doc batch file)
+    AND must have executed as real micro-batches (one per staged
+    slice), each appending its own idempotent batch=N output."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from ankaflow_spark.operators.dedup import QUERIES as DQ
+    from ankaflow_spark.operators.streamq import QUERIES as SQ
+
+    out = SQ["st28_stream_band_probe"](spark, sf_dir).collect()
+    graded = DQ["d33_bucketed_band_probe"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert [tuple(r) for r in out] == [tuple(r) for r in graded]
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"ankaflow_st28_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    batches = glob.glob(staged + "_probe_out/batch=*")
+    assert len(batches) >= 4, batches
