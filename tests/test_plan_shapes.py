@@ -127,6 +127,7 @@ SMJ_ALLOWED = {
     "q79_erasure_cascade",  # cascade orders x lineitem on l_orderkey: fact x fact — q38's SMJ class, AQE broadcasts where small
     "ts43_session_cooccurrence",  # basket self-join on the session key: both sides ARE the distinct (session, type) corpus relation — d12's class, |types|^2-bounded per session
     "q83_bucketed_colocated_join",  # the POINT of the query: bucketed-bucketed SMJ with zero exchange on the join key (fact x fact at scale, merge-hinted; gated below)
+    "d33_bucketed_band_probe",  # the POINT of the query: batch bands SMJ the bucketed corpus index with zero Exchange on the corpus side (merge-hinted for determinism; gated below — a no-hint deployment lets AQE broadcast the batch instead)
 }
 
 
