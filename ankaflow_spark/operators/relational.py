@@ -4082,10 +4082,13 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     table = _bucketed_lineitem(spark)
-    key = spark.sql(
+    row = spark.sql(
         f"SELECT l_orderkey FROM {table} "
         "GROUP BY 1 ORDER BY COUNT(*) DESC, l_orderkey LIMIT 1"
-    ).first()[0]
+    ).first()
+    # empty corpus: no busiest order exists — probe an impossible key
+    # so the lookup returns zero rows, matching the oracle
+    key = int(row[0]) if row else -1
     return spark.sql(f"""
       SELECT l_orderkey AS order_key,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
