@@ -31,7 +31,7 @@ GRADED_FIRST = [
     # The union of driver greens r01-r11 covers ALL 270 prior battery
     # queries (zero never-graded — verified by the r11 judge), so
     # rotation keeps grade FRESHNESS ahead of code churn. Front slots:
-    # the FOUR new round-12 operators (never graded), then the two
+    # the SIX new round-12 operators (never graded), then the two
     # queries whose SPARK spelling changed this round and therefore
     # need a fresh official green (m07 de-hinted per-video joins; st27
     # two-phase disorder rank + LEFT-JOIN report). The rest is exactly
@@ -43,13 +43,15 @@ GRADED_FIRST = [
     # cell-exact in CORRECTNESS_FULL_r*.json via tools/oracle_check.py;
     # every family remains represented (relational, time-series,
     # dedup, similarity/ANN, text curation, streaming, multimodal).
-    # Rotation queue after this window is graded: the 28 remaining
-    # r07-last entries (s15/s17-s21, st13-st19, t24-t30 classes,
-    # ts28-ts36), then the r08/r09/r10/r11 waves.
+    # Rotation queue after this window is graded: the 30 remaining
+    # r07-last entries (q73/q74, s15/s17-s21, st13-st19, t24-t30
+    # classes, ts28-ts36), then the r08/r09/r10/r11 waves.
     "d33_bucketed_band_probe",  # new r12: zero-corpus-shuffle bucketed band-index probe
     "q88_aqe_skew_join",  # new r12: AQE skew-split demonstration (plan-gated)
     "q89_bucket_pruned_lookup",  # new r12: 1-of-16 bucket-pruned point lookup (plan-gated)
     "st28_stream_band_probe",  # new r12: streaming probe of the persisted band index (d33's oracle)
+    "d34_band_index_merge",  # new r12: bucketed APPEND maintenance — day-2 probe over the merged index (plan-gated)
+    "q90_aqe_coalesced_rollup",  # new r12: AQE partition coalescing (the lever pair with q88; plan-gated)
     "m07_duplicate_frame_pairs",  # respelled r12: de-hinted per-video count joins (re-grade)
     "st27_stream_watermark_drops",  # respelled r12: two-phase disorder rank + LEFT-JOIN report (re-grade)
     "q60_column_profile",  # last r06
@@ -94,8 +96,6 @@ GRADED_FIRST = [
     "q70_data_quality_audit",  # last r07
     "q71_snapshot_diff",  # last r07
     "q72_t_closeness",  # last r07
-    "q73_psi_drift",  # last r07
-    "q74_referential_integrity",  # last r07
 ]
 
 

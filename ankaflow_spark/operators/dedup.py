@@ -2782,20 +2782,25 @@ D33_INDEX_TABLE = "d33_corpus_bands_b"
 _D33_KEY_COLS = ["band_id"] + [f"k{r}" for r in range(_ROWS_PER_BAND)]
 
 
-def _d33_sql(cand_ctes: str) -> str:
+def _d33_sql(
+    cand_ctes: str,
+    batch_pred: str = f"doc_id % {D33_NEW_MOD} = {D33_NEW_REM}",
+    corpus_pred: str = f"doc_id % {D33_NEW_MOD} <> {D33_NEW_REM}",
+) -> str:
     """Identical text both dialects (band spelling differs inside
     cand_ctes, which ends at the `bands` CTE; `corpus`/`batch` are the
     snapshot split; the cands CTE cand_ctes also defines goes unused).
     The Spark side does NOT run this text verbatim — it probes the
     persisted bucketed index table instead of an inline `corpus` CTE —
-    but the relation is the same."""
+    but the relation is the same. d34 re-parameterizes the split (its
+    corpus is the merged index: original corpus + the day-1 batch)."""
     return f"""
     WITH {cand_ctes},
     batch AS (
-      SELECT * FROM bands WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}
+      SELECT * FROM bands WHERE {batch_pred}
     ),
     corpus AS (
-      SELECT * FROM bands WHERE doc_id % {D33_NEW_MOD} <> {D33_NEW_REM}
+      SELECT * FROM bands WHERE {corpus_pred}
     ),
     hits AS (
       SELECT DISTINCT n.doc_id, b.doc_id AS partner
@@ -2905,3 +2910,76 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("__d33_batch__")
     corpus_b = spark.table(index).hint("merge")
     return spark.sql(band_probe_sql("__d33_batch__"), b=corpus_b)
+
+
+# ---------------------------------------------------------------------------
+# d34 — band-index MAINTENANCE: append-merge a probed batch into the
+# persisted bucketed index (the missing half of d33's production
+# loop — after day 1's batch is probed, it IS corpus for day 2, and
+# at 100 TB the index must absorb it WITHOUT a rebuild). The merge is
+# a bucketed APPEND: the new bands write as additional per-bucket
+# files under the same (band_id, k0..k3) spec, so the layout
+# guarantee — probe joins shuffle only the batch — holds over the
+# merged table unchanged (plan-gated on the day-2 probe: one band-key
+# Exchange, bucketed scan). Cost model: maintenance is
+# O(|daily batch|) written bytes per day, zero corpus rewrite; an
+# occasional compaction folds the accumulated small per-bucket files
+# (the standard bucketed-table upkeep trade).
+# Exactness: the graded relation is the DAY-2 probe against the
+# merged index — its corpus side is (original corpus + day-1 batch),
+# which the oracle replays relationally as doc_id % 9 <> 5; day-2
+# verdicts catching day-1 partners IS the proof the merge took.
+# Scale shape: identical to d33's per-batch probe.
+# ---------------------------------------------------------------------------
+D34_DAY2_REM = 5  # doc_id % 9 = 5 -> day-2 batch (day-1 is d33's = 4)
+D34_INDEX_TABLE = "d34_band_index_b"
+
+
+@query(
+    "d34_band_index_merge",
+    oracle=_d33_sql(
+        DUCK_CAND_CTES,
+        batch_pred=f"doc_id % {D33_NEW_MOD} = {D34_DAY2_REM}",
+        corpus_pred=f"doc_id % {D33_NEW_MOD} <> {D34_DAY2_REM}",
+    ).format(
+        join_pred="n.band_id = b.band_id AND n.band_key = b.band_key "
+        "AND b.doc_id <> n.doc_id"
+    ),
+)
+def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import SparkEngine
+
+    load_tables(spark, sf_dir)
+    cached_bands(spark, sf_dir)
+    # day 0: index the original corpus (neither day-1 nor day-2 docs)
+    corpus = spark.sql(
+        f"SELECT * FROM __bands__ WHERE doc_id % {D33_NEW_MOD} "
+        f"NOT IN ({D33_NEW_REM}, {D34_DAY2_REM})"
+    )
+    SparkEngine(spark).write_bucketed(
+        corpus,
+        D34_INDEX_TABLE,
+        _D33_KEY_COLS,
+        n_buckets=16,
+        sort_cols=_D33_KEY_COLS,
+    )
+    # day 1: the probed batch merges in as a bucketed APPEND — new
+    # per-bucket files under the same spec, no corpus rewrite
+    (
+        spark.sql(
+            f"SELECT * FROM __bands__ "
+            f"WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}"
+        )
+        .write.mode("append")
+        .bucketBy(16, *_D33_KEY_COLS)
+        .sortBy(*_D33_KEY_COLS)
+        .format("parquet")
+        .saveAsTable(D34_INDEX_TABLE)
+    )
+    # day 2: probe the MERGED index — day-1 docs are now partners
+    spark.sql(
+        f"SELECT * FROM __bands__ "
+        f"WHERE doc_id % {D33_NEW_MOD} = {D34_DAY2_REM}"
+    ).createOrReplaceTempView("__d34_batch__")
+    merged = spark.table(D34_INDEX_TABLE).hint("merge")
+    return spark.sql(band_probe_sql("__d34_batch__"), b=merged)

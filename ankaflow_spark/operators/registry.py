@@ -2379,3 +2379,32 @@ def op_band_index_probe(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     if params.get("merge", True):
         index = index.hint("merge")
     return engine.spark.sql(band_probe_sql(batch_view), b=index)
+
+
+@operator("band_index_merge")
+def op_band_index_merge(engine, df: DataFrame, params: Dict[str, Any]) -> DataFrame:
+    """Append-merge the input batch's bands into an existing bucketed
+    band index (band_index_build) — d34's daily maintenance step: new
+    per-bucket files under the same (band_id, k0..k3) spec, no corpus
+    rewrite, and the probe-side layout guarantee (only the batch
+    shuffles) holds over the merged table unchanged. Returns the
+    merged index read back from the catalog."""
+    from .dedup import _D33_KEY_COLS, D33_INDEX_TABLE, spark_bands_inline_sql
+
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+    table = params.get("table", D33_INDEX_TABLE)
+    n_buckets = int(params.get("n_buckets", 16))
+    view = "__op_band_merge_src__"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    (
+        engine.spark.sql(spark_bands_inline_sql(view))
+        .write.mode("append")
+        .bucketBy(n_buckets, *_D33_KEY_COLS)
+        .sortBy(*_D33_KEY_COLS)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return engine.spark.table(table)

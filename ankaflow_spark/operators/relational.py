@@ -4098,3 +4098,58 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {table} WHERE l_orderkey = {int(key)}
       GROUP BY l_orderkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# q90 — AQE partition coalescing, the second adaptive lever beside
+# q88's skew split (together: AQE re-sizes reducers DOWN when a static
+# spark.sql.shuffle.partitions over-partitions a stage, and splits
+# them when skew under-partitions one). A cluster tunes
+# shuffle.partitions for its BIGGEST stage — thousands at 100 TB —
+# and every smaller aggregation in the same job then schedules
+# thousands of near-empty reducers (task-launch overhead, tiny
+# shuffle files, straggling commit waves) unless AQE coalesces the
+# reads from real map-output sizes. The query executes its monthly
+# rollup internally under a deliberately oversized 512-partition
+# setting (set/restored in a finally; the graded values are
+# physical-plan-independent) and captures the executed plan: the
+# gate pins "AQEShuffleRead coalesced" — the 512 shuffle read
+# collapsing to a handful of real partitions.
+# Exactness: month = substr of the timestamp's canonical string (same
+# 7-char prefix both engines), DECIMAL-summed totals cast DOUBLE.
+# ---------------------------------------------------------------------------
+_Q90_SQL = """
+SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+#: executed plan of q90's internal oversized-shuffle run, captured for
+#: the plan gate (test_q90_coalesced_shuffle_read)
+_Q90_LAST_EXECUTED: str | None = None
+
+
+@query(
+    "q90_aqe_coalesced_rollup",
+    oracle="""
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _Q90_LAST_EXECUTED
+    load_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    try:
+        df = spark.sql(_Q90_SQL)
+        rows = df.collect()
+        _Q90_LAST_EXECUTED = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(rows, df.schema)

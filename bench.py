@@ -231,6 +231,11 @@ HEADLINE = [
     # persisted corpus index, index build charged per run)
     "q89_bucket_pruned_lookup",
     "st28_stream_band_probe",
+    # round-12 wave 3: index maintenance (bucketed APPEND + day-2
+    # probe over the merged table) and the AQE coalesce lever (runs
+    # its rollup internally under an oversized 512-partition setting)
+    "d34_band_index_merge",
+    "q90_aqe_coalesced_rollup",
 ]
 
 

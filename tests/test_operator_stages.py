@@ -1802,3 +1802,54 @@ def test_band_index_stage_matches_graded(engine, sf_dir):
     graded = QUERIES["d33_bucketed_band_probe"](engine.spark, sf_dir).collect()
     assert len(rows) > 0
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_band_index_merge_stage_matches_graded(engine, sf_dir):
+    """band_index_build (day-0 corpus) + band_index_merge (day-1
+    batch) + band_index_probe (day-2 batch) composed through stages
+    pin cell-identical to the graded d34 — the full production loop:
+    build once, merge daily, probe daily."""
+    from ankaflow_spark.operators.dedup import (
+        D33_NEW_MOD,
+        D33_NEW_REM,
+        D34_DAY2_REM,
+    )
+
+    flow = Flow(
+        Stages.loads(f"""
+- kind: tap
+  name: docs
+  connection: {{kind: parquet, locator: {sf_dir}/documents.parquet}}
+- kind: transform
+  name: corpus
+  query: SELECT * FROM docs WHERE doc_id % {D33_NEW_MOD} NOT IN ({D33_NEW_REM}, {D34_DAY2_REM})
+- kind: operator
+  name: index
+  op: band_index_build
+  input: corpus
+  params: {{id_column: doc_id, text_column: text, table: d34_twin_index}}
+- kind: transform
+  name: day1
+  query: SELECT * FROM docs WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}
+- kind: operator
+  name: merged
+  op: band_index_merge
+  input: day1
+  params: {{id_column: doc_id, text_column: text, table: d34_twin_index}}
+- kind: transform
+  name: day2
+  query: SELECT * FROM docs WHERE doc_id % {D33_NEW_MOD} = {D34_DAY2_REM}
+- kind: operator
+  name: verdicts
+  op: band_index_probe
+  input: day2
+  params: {{id_column: doc_id, text_column: text, index_table: d34_twin_index}}
+"""),
+        engine=engine,
+    )
+    rows = flow.run().collect()
+    from ankaflow_spark.operators.dedup import QUERIES
+
+    graded = QUERIES["d34_band_index_merge"](engine.spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [tuple(r) for r in rows] == [tuple(r) for r in graded]

@@ -4289,3 +4289,84 @@ def test_q89_bucket_pruned_lookup_vs_python(spark, sf_dir):
     assert out[0]["order_key"] == busiest
     assert out[0]["n_lines"] == counts[busiest]
     assert out[0]["revenue"] == float(rev)
+
+
+def test_d34_band_index_merge_vs_python(spark, sf_dir):
+    """The day-2 probe against the MERGED index must equal a literal
+    python recount whose corpus is (day-0 corpus + day-1 batch) — and
+    at least one verdict must name a day-1 doc as partner, proving
+    the merge actually took."""
+    import hashlib as hl
+    from collections import defaultdict
+
+    from ankaflow_spark.operators.dedup import (
+        _ROWS_PER_BAND,
+        D33_NEW_MOD,
+        D33_NEW_REM,
+        D34_DAY2_REM,
+        LSH_BANDS,
+        MINHASH_K,
+        QUERIES,
+    )
+
+    out = QUERIES["d34_band_index_merge"](spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    buckets = defaultdict(list)
+    batch_bands = {}
+    for r in docs:
+        words = r["text"].split(" ")
+        shs = (
+            {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            if len(words) >= 3
+            else {" ".join(words)}
+        )
+        sig = [
+            min(int(hl.md5(s.encode()).hexdigest()[k : k + 14], 16) for s in shs)
+            for k in range(MINHASH_K)
+        ]
+        keys = [
+            (b, tuple(sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]))
+            for b in range(LSH_BANDS)
+        ]
+        if r["doc_id"] % D33_NEW_MOD == D34_DAY2_REM:
+            batch_bands[r["doc_id"]] = keys
+        else:  # merged corpus: day-0 docs AND the day-1 batch
+            for key in keys:
+                buckets[key].append(r["doc_id"])
+    assert [r["doc_id"] for r in out] == sorted(batch_bands)
+    saw_day1_partner = False
+    for r in out:
+        partners = {
+            d for key in batch_bands[r["doc_id"]] for d in buckets[key]
+        }
+        assert r["n_partners"] == len(partners)
+        assert r["is_dup"] == (len(partners) > 0)
+        assert r["dup_of"] == (min(partners) if partners else None)
+        if any(p % D33_NEW_MOD == D33_NEW_REM for p in partners):
+            saw_day1_partner = True
+    assert saw_day1_partner, "no day-2 verdict named a day-1 partner"
+
+
+def test_q90_coalesced_rollup_vs_python(spark, sf_dir):
+    """The monthly rollup must equal a literal recount — AQE
+    coalescing changes how many reducers read the shuffle, never the
+    answer."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q90_aqe_coalesced_rollup"](spark, sf_dir).collect()
+    rows = spark.table("orders").select("o_orderdate", "o_totalprice").collect()
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        month = str(r["o_orderdate"])[:7] if r["o_orderdate"] is not None else None
+        a = agg[month]
+        a[0] += 1
+        a[1] += Decimal(str(r["o_totalprice"])).quantize(Decimal("0.000001"))
+    assert None not in agg  # testdata has no NULL order dates
+    assert [r["month"] for r in out] == sorted(agg)
+    for r in out:
+        n, v = agg[r["month"]]
+        assert r["n_orders"] == n
+        assert r["total_price"] == float(v)

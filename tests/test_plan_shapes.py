@@ -128,6 +128,7 @@ SMJ_ALLOWED = {
     "ts43_session_cooccurrence",  # basket self-join on the session key: both sides ARE the distinct (session, type) corpus relation — d12's class, |types|^2-bounded per session
     "q83_bucketed_colocated_join",  # the POINT of the query: bucketed-bucketed SMJ with zero exchange on the join key (fact x fact at scale, merge-hinted; gated below)
     "d33_bucketed_band_probe",  # the POINT of the query: batch bands SMJ the bucketed corpus index with zero Exchange on the corpus side (merge-hinted for determinism; gated below — a no-hint deployment lets AQE broadcast the batch instead)
+    "d34_band_index_merge",  # d33's probe shape over the APPEND-MERGED index — same justification, same gate
 }
 
 
@@ -355,6 +356,27 @@ def test_q89_bucket_pruned_lookup(spark):
     assert "Exchange" not in final
 
 
+def test_q90_coalesced_shuffle_read(spark):
+    """q90's internal run executes under a deliberately oversized
+    512-partition shuffle setting; AQE must coalesce the reads from
+    real map-output sizes — the executed plan shows the 512-partition
+    Exchange read back through "AQEShuffleRead coalesced". The second
+    adaptive lever beside q88's skew split: reducers sized DOWN at
+    runtime when the static setting over-partitions a stage."""
+    import __spark_entry__ as entry
+
+    from ankaflow_spark.operators import relational
+
+    df = entry.queries()["q90_aqe_coalesced_rollup"](spark, SF)
+    assert df.count() > 0
+    executed = relational._Q90_LAST_EXECUTED
+    assert executed is not None
+    assert "AQEShuffleRead coalesced" in executed
+    assert ", 512)" in executed  # the oversized exchange it collapsed
+    # and the session setting was restored after the internal run
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
 def test_q07_topk_no_global_sort(plans):
     nodes, _ = plans["q07_topk_orders"]
     assert "TakeOrderedAndProject" in nodes
@@ -471,6 +493,27 @@ def test_d33_band_probe_moves_only_the_batch(spark):
     ]
     assert len(band_ex) == 1, band_ex
     assert ", 16)" in band_ex[0]  # co-partitioned into the bucket count
+
+
+def test_d34_merged_index_keeps_the_layout_guarantee(spark):
+    """After the day-1 batch APPEND-merges into the bucketed index,
+    the day-2 probe must keep d33's plan shape unchanged: one band-key
+    Exchange (the batch side), bucketed corpus scan, SMJ — the merge
+    adds per-bucket files, never a reshuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["d34_band_index_merge"](spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert "SelectedBucketsCount" in final
+    band_ex = [
+        l
+        for l in final.splitlines()
+        if "Exchange hashpartitioning(band_id" in l
+    ]
+    assert len(band_ex) == 1, band_ex
 
 
 def test_q88_skew_join_split(spark):
