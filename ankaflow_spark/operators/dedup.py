@@ -180,13 +180,23 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-_SPARK_BANDS_SQL = f"""
-    WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
+def _bands_from_shingles_sql(shingles_sql: str) -> str:
+    """THE one spelling of the shingle -> md5 -> 14-hex-window minhash
+    -> stack banding chain, parameterized by the shingle source.
+    Every consumer (the cached __bands__ materialization, the d30
+    occupancy audit, the band_index_build/probe/merge stage ops)
+    derives from this text, so signature-width or banding edits can
+    never desynchronize a stage output from the graded family."""
+    return f"""
+    WITH shingles AS ({shingles_sql}),
     hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
     sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
     SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS}) AS (band_id, {_BAND_VAL_COLS})
     FROM sigs
 """
+
+
+_SPARK_BANDS_SQL = _bands_from_shingles_sql("SELECT doc_id, sh FROM __shingles__")
 
 
 def cached_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2623,20 +2633,13 @@ def _band_occupancy_tail(bucket_src: str, intdiv: str) -> str:
 
 def band_occupancy_inline_sql(table: str) -> str:
     """Spark-only band-occupancy SQL over an ARBITRARY text relation
-    (doc_id, text) — the stage-operator surface of d30: the same
-    shingle -> md5 -> 14-hex-window minhash -> stack banding as the
-    graded query, built inline instead of reading the per-(session, sf)
-    cached __bands__ view."""
+    (doc_id, text) — the stage-operator surface of d30: the SAME band
+    chain as the graded family (delegates to _bands_from_shingles_sql,
+    the single spelling), built inline instead of reading the
+    per-(session, sf) cached __bands__ view."""
     bucket_cols = "band_id, " + _BAND_VAL_COLS
     chain = f"""
-      WITH shingles AS ({spark_shingles_sql(table)}),
-      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
-      sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
-      allbands AS (
-        SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS})
-               AS (band_id, {_BAND_VAL_COLS})
-        FROM sigs
-      )
+      WITH allbands AS ({spark_bands_inline_sql(table)})
       SELECT {bucket_cols}, COUNT(*) AS n FROM allbands GROUP BY {bucket_cols}
     """
     return _band_occupancy_tail(chain, "div")
@@ -2829,19 +2832,11 @@ _D33_SPARK_JOIN = " AND ".join(
 
 
 def spark_bands_inline_sql(table: str) -> str:
-    """The shingle -> md5 -> 14-hex-window minhash -> stack banding
-    chain over an ARBITRARY (doc_id, text) relation — the stage-
-    operator surface of the shared __bands__ materialization (same
-    spelling, so stage outputs pin byte-identical to the graded
-    family)."""
-    return f"""
-      WITH shingles AS ({spark_shingles_sql(table)}),
-      hashed AS (SELECT doc_id, md5(sh) AS h FROM shingles),
-      sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
-      SELECT doc_id, stack({LSH_BANDS}, {_SPARK_STACK_ARGS})
-             AS (band_id, {_BAND_VAL_COLS})
-      FROM sigs
-    """
+    """The band chain over an ARBITRARY (doc_id, text) relation — the
+    stage-operator surface of the shared __bands__ materialization.
+    Delegates to _bands_from_shingles_sql (THE one spelling), so stage
+    outputs pin identical to the graded family by construction."""
+    return _bands_from_shingles_sql(spark_shingles_sql(table))
 
 
 def band_probe_sql(batch_view: str) -> str:

@@ -2387,8 +2387,13 @@ def op_band_index_merge(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     band index (band_index_build) — d34's daily maintenance step: new
     per-bucket files under the same (band_id, k0..k3) spec, no corpus
     rewrite, and the probe-side layout guarantee (only the batch
-    shuffles) holds over the merged table unchanged. Returns the
-    merged index read back from the catalog."""
+    shuffles) holds over the merged table unchanged. The merge is
+    IDEMPOTENT: docs already present in the index are anti-joined
+    away first, so a retried pipeline or a replayed batch cannot grow
+    the index twice (one O(|batch|) probe per merge — the index side
+    of the anti-join is a bucketed scan on nothing, Spark prunes to
+    the doc_id column). Returns the merged index read back from the
+    catalog."""
     from .dedup import _D33_KEY_COLS, D33_INDEX_TABLE, spark_bands_inline_sql
 
     id_col = params.get("id_column", "doc_id")
@@ -2399,8 +2404,10 @@ def op_band_index_merge(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).createOrReplaceTempView(view)
+    bands = engine.spark.sql(spark_bands_inline_sql(view))
+    already = engine.spark.table(table).select("doc_id").distinct()
     (
-        engine.spark.sql(spark_bands_inline_sql(view))
+        bands.join(already, "doc_id", "left_anti")
         .write.mode("append")
         .bucketBy(n_buckets, *_D33_KEY_COLS)
         .sortBy(*_D33_KEY_COLS)

@@ -81,10 +81,7 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "events.parquet")
     fp = _src_fingerprint(src)
-    fresh = False
-    if os.path.exists(success):
-        with open(success) as fh:
-            fresh = fh.read().strip() == fp
+    fresh = _staged_fresh(success, fp)
     if fresh:
         fresh = not any(
             f.dataType.typeName() == "timestamp_ntz"
@@ -101,8 +98,7 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple:
         # real time-sliced ingest directory, and a throttled reader
         # (st07) never sees data arrive behind the watermark
         df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(staged)
-        with open(success, "w") as fh:
-            fh.write(fp)
+        _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -945,6 +941,25 @@ def _src_fingerprint(src: str) -> str:
     return hashlib.md5(sig.encode()).hexdigest()
 
 
+def _staged_fresh(success: str, fp: str) -> bool:
+    """True iff the staging marker exists and records exactly ``fp`` —
+    the check half of the content-keyed reuse contract every staged
+    replay dir follows (single-sourced so the strip-compare/write-raw
+    convention cannot drift between copies)."""
+    if not os.path.exists(success):
+        return False
+    with open(success) as fh:
+        return fh.read().strip() == fp
+
+
+def _mark_staged(success: str, fp: str) -> None:
+    """Record the source fingerprint in the staging marker (Spark's
+    own _SUCCESS is empty; writing fp into it makes reuse
+    content-keyed)."""
+    with open(success, "w") as fh:
+        fh.write(fp)
+
+
 def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
     """Stage the documents corpus as an 8-file directory for the
     streaming file source, so a throttled reader executes multiple
@@ -958,10 +973,7 @@ def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     fp = _src_fingerprint(src)
-    fresh = False
-    if os.path.exists(success):
-        with open(success) as fh:
-            fresh = fh.read().strip() == fp
+    fresh = _staged_fresh(success, fp)
     if not fresh:
         (
             t["documents"]
@@ -971,8 +983,7 @@ def _staged_documents(spark: SparkSession, sf_dir: str) -> tuple:
         )
         # Spark's own _SUCCESS marker is empty; store the source
         # fingerprint in it so reuse is content-keyed
-        with open(success, "w") as fh:
-            fh.write(fp)
+        _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -1158,10 +1169,8 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) 
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "events.parquet")
     fp = _src_fingerprint(src)
-    if os.path.exists(success):
-        with open(success) as fh:
-            if fh.read().strip() == fp:
-                return staged, spark.read.parquet(staged).schema
+    if _staged_fresh(success, fp):
+        return staged, spark.read.parquet(staged).schema
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
@@ -1194,8 +1203,7 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) 
         # strictly increasing mtimes = deterministic source order
         ts_i = _time.time() - (n_slices - i) * 10
         os.utime(dst, (ts_i, ts_i))
-    with open(success, "w") as fh:
-        fh.write(fp)
+    _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -1278,10 +1286,8 @@ def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) ->
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "documents.parquet")
     fp = _src_fingerprint(src)
-    if os.path.exists(success):
-        with open(success) as fh:
-            if fh.read().strip() == fp:
-                return staged, spark.read.parquet(staged).schema
+    if _staged_fresh(success, fp):
+        return staged, spark.read.parquet(staged).schema
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
@@ -1301,8 +1307,7 @@ def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) ->
         shutil.rmtree(tmp, ignore_errors=True)
         ts_i = _time.time() - (n_slices - i) * 10
         os.utime(dst, (ts_i, ts_i))
-    with open(success, "w") as fh:
-        fh.write(fp)
+    _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -2052,10 +2057,7 @@ def _staged_embeddings(spark: SparkSession, sf_dir: str) -> tuple:
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     fp = _src_fingerprint(src)
-    fresh = False
-    if os.path.exists(success):
-        with open(success) as fh:
-            fresh = fh.read().strip() == fp
+    fresh = _staged_fresh(success, fp)
     if not fresh:
         (
             t["embeddings"]
@@ -2063,8 +2065,7 @@ def _staged_embeddings(spark: SparkSession, sf_dir: str) -> tuple:
             .write.mode("overwrite")
             .parquet(staged)
         )
-        with open(success, "w") as fh:
-            fh.write(fp)
+        _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 
@@ -2343,7 +2344,12 @@ def _md5_disorder_sql(table: str = "events", seq_alias: str = "seq") -> str:
     events arrive ordered, so a deterministic disorder must be
     manufactured for the replay; production arrival order is physical
     and never needs ranking. The DuckDB oracle keeps the single-window
-    spelling — same values, and the oracle is not the scaled side."""
+    spelling — same values, and the oracle is not the scaled side.
+    The offset join is NULL-SAFE (<=>): a NULL id hashes to a NULL
+    prefix, and a plain equi-join would silently DROP those rows — a
+    different defect class than the engines' differing NULL-ordering
+    (which the single-window spelling had too, and which only a
+    corpus with NULL primary keys could ever see)."""
     return f"""
     SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
            CAST(r + COALESCE(off, 0) AS BIGINT) AS {seq_alias}
@@ -2356,12 +2362,13 @@ def _md5_disorder_sql(table: str = "events", seq_alias: str = "seq") -> str:
             FROM {table}) hashed
     ) ranked
     JOIN (
-      SELECT pfx, SUM(c) OVER (ORDER BY pfx
+      SELECT pfx AS opfx,
+             SUM(c) OVER (ORDER BY pfx
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
       FROM (SELECT substring(md5(CAST(event_id AS STRING)), 1, 2) AS pfx,
                    COUNT(*) AS c
             FROM {table} GROUP BY 1) per_pfx
-    ) offsets USING (pfx)
+    ) offsets ON ranked.pfx <=> offsets.opfx
     """
 
 
@@ -2455,10 +2462,8 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "events.parquet")
     fp = _src_fingerprint(src)
-    if os.path.exists(success):
-        with open(success) as fh:
-            if fh.read().strip() == fp:
-                return staged
+    if _staged_fresh(success, fp):
+        return staged
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
     dis = spark.sql(_md5_disorder_sql("events", "seq"))
@@ -2481,8 +2486,7 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
         part = _glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, os.path.join(staged, f"chunk-{k:05d}.parquet"))
         shutil.rmtree(tmp)
-    with open(success, "w") as fh:
-        fh.write(fp)
+    _mark_staged(success, fp)
     return staged
 
 
@@ -2761,10 +2765,7 @@ def _staged_batch_docs(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> t
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     fp = _src_fingerprint(src)
-    fresh = False
-    if os.path.exists(success):
-        with open(success) as fh:
-            fresh = fh.read().strip() == fp
+    fresh = _staged_fresh(success, fp)
     if not fresh:
         (
             t["documents"]
@@ -2774,8 +2775,7 @@ def _staged_batch_docs(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> t
             .write.mode("overwrite")
             .parquet(staged)
         )
-        with open(success, "w") as fh:
-            fh.write(fp)
+        _mark_staged(success, fp)
     return staged, spark.read.parquet(staged).schema
 
 

@@ -1853,3 +1853,25 @@ def test_band_index_merge_stage_matches_graded(engine, sf_dir):
     graded = QUERIES["d34_band_index_merge"](engine.spark, sf_dir).collect()
     assert len(rows) > 0
     assert [tuple(r) for r in rows] == [tuple(r) for r in graded]
+
+
+def test_band_index_merge_is_idempotent(engine, sf_dir):
+    """A retried pipeline replays the merge stage: the second merge of
+    the SAME batch must not grow the index (docs already indexed are
+    anti-joined away)."""
+    from ankaflow_spark.operators.dedup import D33_NEW_MOD, D33_NEW_REM
+    from ankaflow_spark.operators.registry import get_operator
+
+    spark = engine.spark
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(docs.doc_id % D33_NEW_MOD != D33_NEW_REM)
+    batch = docs.filter(docs.doc_id % D33_NEW_MOD == D33_NEW_REM)
+    build = get_operator("band_index_build")
+    merge = get_operator("band_index_merge")
+    build(engine, corpus, {"table": "d34_idem_index"})
+    n0 = spark.table("d34_idem_index").count()
+    merge(engine, batch, {"table": "d34_idem_index"})
+    n1 = spark.table("d34_idem_index").count()
+    assert n1 > n0
+    merge(engine, batch, {"table": "d34_idem_index"})  # replayed batch
+    assert spark.table("d34_idem_index").count() == n1

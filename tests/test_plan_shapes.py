@@ -367,6 +367,7 @@ def test_q90_coalesced_shuffle_read(spark):
 
     from ankaflow_spark.operators import relational
 
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     df = entry.queries()["q90_aqe_coalesced_rollup"](spark, SF)
     assert df.count() > 0
     executed = relational._Q90_LAST_EXECUTED
@@ -374,7 +375,9 @@ def test_q90_coalesced_shuffle_read(spark):
     assert "AQEShuffleRead coalesced" in executed
     assert ", 512)" in executed  # the oversized exchange it collapsed
     # and the session setting was restored after the internal run
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    # (compare to the PRE-query value: the session default is
+    # host-dependent, never a hardcoded count)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 def test_q07_topk_no_global_sort(plans):
@@ -528,6 +531,9 @@ def test_q88_skew_join_split(spark):
 
     from ankaflow_spark.operators import relational
 
+    before = {
+        k: spark.conf.get(k, None) for k in relational._Q88_SKEW_CONF
+    }
     df = entry.queries()["q88_aqe_skew_join"](spark, SF)
     assert df.count() == 2
     executed = relational._Q88_LAST_EXECUTED
@@ -535,9 +541,12 @@ def test_q88_skew_join_split(spark):
     assert "SortMergeJoin(skew=true)" in executed
     assert "AQEShuffleRead skewed" in executed
     # and the squeezed demo confs were restored after the internal run
-    assert spark.conf.get(
-        "spark.sql.adaptive.coalescePartitions.enabled"
-    ) == "true"
+    # (compared to the PRE-query values — session defaults are
+    # host/env-dependent, never hardcoded)
+    after = {
+        k: spark.conf.get(k, None) for k in relational._Q88_SKEW_CONF
+    }
+    assert after == before
 
 
 # A window with an empty PARTITION BY funnels its whole input through
