@@ -2792,7 +2792,8 @@ def _d33_sql(
 ) -> str:
     """Identical text both dialects (band spelling differs inside
     cand_ctes, which ends at the `bands` CTE; `corpus`/`batch` are the
-    snapshot split; the cands CTE cand_ctes also defines goes unused).
+    snapshot split; the `cands` CTE that cand_ctes also defines goes
+    unused here — DuckDB skips unreferenced CTEs).
     The Spark side does NOT run this text verbatim — it probes the
     persisted bucketed index table instead of an inline `corpus` CTE —
     but the relation is the same. d34 re-parameterizes the split (its

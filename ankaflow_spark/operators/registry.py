@@ -2406,12 +2406,29 @@ def op_band_index_merge(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
     ).createOrReplaceTempView(view)
     bands = engine.spark.sql(spark_bands_inline_sql(view))
     already = engine.spark.table(table).select("doc_id").distinct()
-    (
-        bands.join(already, "doc_id", "left_anti")
-        .write.mode("append")
-        .bucketBy(n_buckets, *_D33_KEY_COLS)
-        .sortBy(*_D33_KEY_COLS)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    # MATERIALIZE the anti-joined batch bands BEFORE the append starts
+    # (r12 advice): the anti-join reads the same table the append
+    # writes, and while parquet file listing happens at plan time
+    # today, a read-then-write on the same table inside one action is
+    # not a guarantee Spark makes for every source/mode. Staging the
+    # batch-sized result to a temp dir makes the ordering explicit —
+    # and stays O(|batch|), never a driver collect.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ankaflow_band_merge_")
+    try:
+        bands.join(already, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (
+            engine.spark.read.parquet(tmp)
+            .write.mode("append")
+            .bucketBy(n_buckets, *_D33_KEY_COLS)
+            .sortBy(*_D33_KEY_COLS)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return engine.spark.table(table)

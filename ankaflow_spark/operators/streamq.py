@@ -1168,7 +1168,10 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) 
     )
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "events.parquet")
-    fp = _src_fingerprint(src)
+    # staged content depends on the slicing parameter too, not just the
+    # source bytes — fold it into the fingerprint so a changed n_slices
+    # can never silently reuse a stale staging dir (r12 advice)
+    fp = _src_fingerprint(src) + f":slices={n_slices}"
     if _staged_fresh(success, fp):
         return staged, spark.read.parquet(staged).schema
     import shutil
@@ -1285,7 +1288,9 @@ def _staged_docs_ordered(spark: SparkSession, sf_dir: str, n_slices: int = 6) ->
     )
     success = os.path.join(staged, "_DONE")
     src = os.path.join(sf_dir, "documents.parquet")
-    fp = _src_fingerprint(src)
+    # slicing parameter folded into the fingerprint (r12 advice — see
+    # _staged_events_ordered)
+    fp = _src_fingerprint(src) + f":slices={n_slices}"
     if _staged_fresh(success, fp):
         return staged, spark.read.parquet(staged).schema
     import shutil
@@ -2447,23 +2452,40 @@ def _st27_sim_sql(spark_dialect: bool, table: str = "events") -> str:
 _ST27_N_CHUNKS = 8
 
 
-def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
+def _st27_staged(spark: SparkSession, sf_dir: str) -> tuple:
     """Stage the md5-disordered events as _ST27_N_CHUNKS arrival-order
     chunk FILES (one parquet file per ceil(n/8)-row arrival slice);
     st27 copies them into a live source dir one at a time so chunk k
     is exactly micro-batch k — the determinism the oracle's watermark
-    simulation relies on."""
+    simulation relies on. Returns (staged_dir, delay_min): the
+    q82-calibrated p99 watermark delay is a PURE FUNCTION of the
+    staged data, so it is computed once here (while the disorder
+    relation is in hand anyway) and persisted next to the fingerprint
+    marker — the per-call path never recomputes the full-corpus md5
+    disorder rank again (r12 verdict: st27 was the heaviest battery
+    query because calibration was charged on every call). The meta
+    file is underscore-prefixed so Spark's file index ignores it when
+    the chunk dir is read back as parquet."""
     import shutil
+
+    from .relational import _late_arrival_sql
 
     staged = os.path.join(
         tempfile.gettempdir(),
         "ankaflow_st27_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     success = os.path.join(staged, "_SUCCESS")
+    meta = os.path.join(staged, "_delay_min.txt")
     src = os.path.join(sf_dir, "events.parquet")
-    fp = _src_fingerprint(src)
+    # chunk count folded into the fingerprint (r12 advice): the staged
+    # content depends on it, and bumping it must invalidate the cache.
+    # ":cal" marks the layout generation that persists the calibrated
+    # delay — pre-r13 staging dirs (no meta file) fail the match and
+    # restage.
+    fp = _src_fingerprint(src) + f":chunks={_ST27_N_CHUNKS}:cal"
     if _staged_fresh(success, fp):
-        return staged
+        with open(meta) as fh:
+            return staged, int(fh.read().strip())
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
     dis = spark.sql(_md5_disorder_sql("events", "seq"))
@@ -2486,22 +2508,8 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> str:
         part = _glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, os.path.join(staged, f"chunk-{k:05d}.parquet"))
         shutil.rmtree(tmp)
-    _mark_staged(success, fp)
-    return staged
-
-
-def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming watermark drop accounting, ORACLE-CHECKED cell-exact
-    (see the block comment above): a REAL windowed streaming
-    aggregation runs at the q82-calibrated p99 watermark over the
-    deterministic disordered chunk replay; surviving per-window counts
-    come from the update-mode latest-wins sink, and the per-type
-    n_dropped is arrival minus survival — equal to the DuckDB oracle's
-    integer simulation of the watermark rule."""
-    from ..streaming.stream import foreachbatch_update_latest, stream_tap
-    from .relational import _late_arrival_sql
-
-    load_tables(spark, sf_dir)
+    # q82 p99 calibration over the arrival order just staged (seq
+    # aliased event_id because _late_arrival_sql ranks arrival by it)
     spark.sql(_md5_disorder_sql("events", "event_id")).createOrReplaceTempView(
         "st27_dis"
     )
@@ -2512,7 +2520,42 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ")"
         ).first()[0]
     )
-    staged = _st27_staged(spark, sf_dir)
+    with open(meta, "w") as fh:
+        fh.write(str(delay_min))
+    _mark_staged(success, fp)
+    return staged, delay_min
+
+
+#: per-call wall split for the staged-replay streaming queries, keyed
+#: by query name — bench.py copies it into BENCH_DETAIL.json so the
+#: amortized staging/calibration half is visible separately from the
+#: per-call stream wall (r12 verdict: d33's pipeline models the same
+#: build-vs-probe split through stage walls)
+COST_SPLITS: dict = {}
+
+
+def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark drop accounting, ORACLE-CHECKED cell-exact
+    (see the block comment above): a REAL windowed streaming
+    aggregation runs at the q82-calibrated p99 watermark over the
+    deterministic disordered chunk replay; surviving per-window counts
+    come from the update-mode latest-wins sink, and the per-type
+    n_dropped is arrival minus survival — equal to the DuckDB oracle's
+    integer simulation of the watermark rule. Per-call cost is the
+    stream replay plus two tiny grouped joins: the md5 disorder rank
+    and the p99 calibration are computed once in _st27_staged and
+    reused via the content fingerprint, and the arrival counts come
+    from the staged chunk parquet (the disorder relation's exact image)
+    rather than a fresh full-corpus window (r12 verdict punch item 1)."""
+    import time as _time
+
+    from ..streaming.stream import foreachbatch_update_latest, stream_tap
+
+    load_tables(spark, sf_dir)
+    t0 = _time.time()
+    staged, delay_min = _st27_staged(spark, sf_dir)
+    t_staging = _time.time() - t0
+    t0 = _time.time()
     base = (
         staged.rstrip("/")
         + "_state_"
@@ -2548,26 +2591,36 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lambda k=k: feed(k)) for k in range(1, _ST27_N_CHUNKS)
         ],
     )
-    # the report reads only the state parquet + st27_dis; the drained
-    # live source dir (fresh per call) can go immediately
+    # the report reads only the state parquet + the staged chunks; the
+    # drained live source dir (fresh per call) can go immediately
     shutil.rmtree(live, ignore_errors=True)
     surv.createOrReplaceTempView("st27_surv")
+    # arrival counts per type come from the STAGED chunk parquet — the
+    # exact row image of the disorder relation (chunking is a
+    # partition of it), so GROUP BY over it equals GROUP BY over the
+    # corpus without recomputing the md5 rank windows per call
+    spark.read.parquet(staged).createOrReplaceTempView("st27_arrivals")
     # LEFT join from the arrival side: an event type whose rows are ALL
     # dropped by the watermark has no survivor rows, but must still be
     # reported with n_survived = 0 — the oracle's simulation keeps
     # every arriving type (r11 advice, medium).
-    return spark.sql("""
+    out = spark.sql("""
       SELECT t.event_type AS event_type,
              t.n_rows AS n_rows,
              CAST(t.n_rows - COALESCE(s.n_survived, 0) AS BIGINT) AS n_dropped,
              CAST(COALESCE(s.n_survived, 0) AS BIGINT) AS n_survived
       FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
-            FROM st27_dis GROUP BY event_type) t
+            FROM st27_arrivals GROUP BY event_type) t
       LEFT JOIN (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_survived
             FROM st27_surv GROUP BY event_type) s
         ON s.event_type = t.event_type
       ORDER BY event_type
     """)
+    COST_SPLITS["st27_stream_watermark_drops"] = {
+        "staging_calibration_sec": round(t_staging, 3),
+        "stream_wall_sec": round(_time.time() - t0, 3),
+    }
+    return out
 
 
 QUERIES["st27_stream_watermark_drops"] = st27
@@ -2764,7 +2817,15 @@ def _staged_batch_docs(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> t
     )
     success = os.path.join(staged, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
-    fp = _src_fingerprint(src)
+    # the staged content is a function of the batch-slice constants and
+    # the slicing width too — fold them into the fingerprint so changing
+    # D33_NEW_MOD/REM or n_slices can never silently reuse a stale dir
+    # (r12 advice, the same defect class the source-rewrite fingerprint
+    # fix closed)
+    fp = (
+        _src_fingerprint(src)
+        + f":mod={D33_NEW_MOD}:rem={D33_NEW_REM}:slices={n_slices}"
+    )
     fresh = _staged_fresh(success, fp)
     if not fresh:
         (

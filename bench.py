@@ -384,6 +384,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # staged-replay streaming queries record their amortized
+    # staging/calibration wall separately from the per-call stream wall
+    # (r12 verdict punch item 1: st27's calibration is content-cached,
+    # so its headline number is the stream replay; the split keeps the
+    # amortized half visible)
+    from ankaflow_spark.operators.streamq import COST_SPLITS
+
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -394,6 +401,7 @@ def main() -> None:
         "pass_totals": pass_totals,
         "pipelines": pipelines,
         "pipelines_total_sec": pipelines_total,
+        "cost_splits": dict(COST_SPLITS),
         "warmup": "each plan pre-run once at sf0.001 (JIT codegen excluded)",
     }
     # per-query detail: first stdout line + committed sidecar file

@@ -730,6 +730,14 @@ def test_st27_watermark_drops_vs_python(spark, sf_dir):
     from ankaflow_spark.operators.streamq import _ST27_N_CHUNKS, QUERIES
 
     out = QUERIES["st27_stream_watermark_drops"](spark, sf_dir).collect()
+    # the query no longer materializes the disorder view per call (the
+    # calibration is persisted with the staged fingerprint, r12 punch
+    # item 1) — the recount builds it itself
+    from ankaflow_spark.operators.streamq import _md5_disorder_sql
+
+    spark.sql(_md5_disorder_sql("events", "event_id")).createOrReplaceTempView(
+        "st27_dis"
+    )
     rows = spark.sql(
         "SELECT event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id "
         "FROM st27_dis"
@@ -767,6 +775,20 @@ def test_st27_watermark_drops_vs_python(spark, sf_dir):
 
     sim = spark.sql(_st27_sim_sql(True)).collect()
     assert [tuple(r) for r in sim] == [tuple(r) for r in out]
+    # the calibrated delay is a pure function of the staged data: it is
+    # persisted next to the staging fingerprint and a warm call reads
+    # it back instead of recomputing the full-corpus disorder rank
+    # (r12 verdict punch item 1); the staging-vs-stream wall split is
+    # recorded for BENCH_DETAIL
+    import os
+
+    from ankaflow_spark.operators.streamq import COST_SPLITS, _st27_staged
+
+    staged, cached_delay = _st27_staged(spark, sf_dir)
+    assert cached_delay == delay_min
+    assert os.path.exists(os.path.join(staged, "_delay_min.txt"))
+    split = COST_SPLITS["st27_stream_watermark_drops"]
+    assert set(split) == {"staging_calibration_sec", "stream_wall_sec"}
 
 
 def test_st28_matches_d33_and_runs_real_batches(spark, sf_dir):
