@@ -27,75 +27,76 @@ from pyspark.sql import DataFrame, SparkSession
 # integrity pytest and in tools/oracle_check.py, whose full
 # battery result is committed per round as CORRECTNESS_FULL_r{N}.json.
 GRADED_FIRST = [
-    # Re-curated for round 12 (len == 50, the driver's graded window).
-    # The union of driver greens r01-r11 covers ALL 270 prior battery
-    # queries (zero never-graded — verified by the r11 judge), so
+    # Re-curated for round 13 (len == 50, the driver's graded window).
+    # The union of driver greens r01-r12 covers ALL 276 battery
+    # queries (zero never-graded — verified by the r12 judge), so
     # rotation keeps grade FRESHNESS ahead of code churn. Front slots:
-    # the SIX new round-12 operators (never graded), then the two
-    # queries whose SPARK spelling changed this round and therefore
-    # need a fresh official green (m07 de-hinted per-video joins; st27
-    # two-phase disorder rank + LEFT-JOIN report). The rest is exactly
-    # the stalest official greens, computed from the
-    # CORRECTNESS_r0*.json artifacts (per-query max green round): the
-    # 22 remaining r06-last entries, then the r07-last cohort in
+    # the ONE new round-13 operator (q91, never graded), then the
+    # three queries whose SPARK spelling changed this round and
+    # therefore need a fresh official green (st27 cached-calibration +
+    # staged-arrival report; q88/q90 JVM-side plan capture instead of
+    # collect-and-rebuild). The rest is exactly the stalest official
+    # greens, computed from the CORRECTNESS_r0*.json artifacts
+    # (per-query max green round): the FULL 29-query r07-last cohort
+    # (the r12 judge's punch item 2), then the r08-last cohort in
     # alphabetical order up to len == 50.
     # Every rotated-out entry keeps its official green and stays
     # cell-exact in CORRECTNESS_FULL_r*.json via tools/oracle_check.py;
     # every family remains represented (relational, time-series,
     # dedup, similarity/ANN, text curation, streaming, multimodal).
-    # Rotation queue after this window is graded: the 30 remaining
-    # r07-last entries (q73/q74, s15/s17-s21, st13-st19, t24-t30
-    # classes, ts28-ts36), then the r08/r09/r10/r11 waves.
-    "d33_bucketed_band_probe",  # new r12: zero-corpus-shuffle bucketed band-index probe
-    "q88_aqe_skew_join",  # new r12: AQE skew-split demonstration (plan-gated)
-    "q89_bucket_pruned_lookup",  # new r12: 1-of-16 bucket-pruned point lookup (plan-gated)
-    "st28_stream_band_probe",  # new r12: streaming probe of the persisted band index (d33's oracle)
-    "d34_band_index_merge",  # new r12: bucketed APPEND maintenance — day-2 probe over the merged index (plan-gated)
-    "q90_aqe_coalesced_rollup",  # new r12: AQE partition coalescing (the lever pair with q88; plan-gated)
-    "m07_duplicate_frame_pairs",  # respelled r12: de-hinted per-video count joins (re-grade)
-    "st27_stream_watermark_drops",  # respelled r12: two-phase disorder rank + LEFT-JOIN report (re-grade)
-    "q60_column_profile",  # last r06
-    "s03_ivf_ann",  # last r06
-    "s16_matryoshka_recall",  # last r06
-    "st11_stream_heavy_hitters",  # last r06
-    "t01_token_stats",  # last r06
-    "t02_lang_id",  # last r06
-    "t03_quality_score",  # last r06
-    "t04_winnow_fingerprint",  # last r06
-    "t13_bigram_surprisal",  # last r06
-    "t17_readability",  # last r06
-    "t23_woe_binning",  # last r06
-    "ts01_time_buckets",  # last r06
-    "ts02_sessionization",  # last r06
-    "ts03_asof_last_click",  # last r06
-    "ts05_gap_fill",  # last r06
-    "ts07_asof_pandas",  # last r06
-    "ts12_dow_hour_profile",  # last r06
-    "ts17_sliding_windows",  # last r06
-    "ts22_rfm_segmentation",  # last r06
-    "ts25_asof_sql_surface",  # last r06
-    "ts26_interval_join",  # last r06
-    "ts27_scd2_history",  # last r06
-    "d11_incremental_dedup",  # last r07
-    "d12_lsh_recall_eval",  # last r07
-    "d14_containment_pairs",  # last r07
-    "d16_editdist_verify",  # last r07
-    "d17_dedup_cascade",  # last r07
-    "d18_minhash_accuracy",  # last r07
-    "d19_substring_dedup",  # last r07
-    "d20_substring_dedup_rewrite",  # last r07
-    "d21_bloom_decontam",  # last r07
-    "d22_triangle_count",  # last r07
-    "d23_dedup_impact_report",  # last r07
-    "d24_lsh_threshold_sweep",  # last r07
-    "m08_phash_near_dup",  # last r07
-    "q62_idle_rich_customers",  # last r07
-    "q63_zorder_layout",  # last r07
-    "q67_k_anonymity",  # last r07
-    "q69_l_diversity",  # last r07
-    "q70_data_quality_audit",  # last r07
-    "q71_snapshot_diff",  # last r07
-    "q72_t_closeness",  # last r07
+    # Rotation queue after this window is graded: the 32 remaining
+    # r08-last entries (q64-q80 classes, s22-s27, st15/st20-st22,
+    # t31-t34, ts37-ts43), then the r09/r10/r11/r12 waves.
+    "q91_runtime_bloom_join",  # new r13: runtime Bloom-filter join pruning (plan-gated)
+    "st27_stream_watermark_drops",  # respelled r13: fingerprint-cached calibration + staged-arrival report (re-grade)
+    "q88_aqe_skew_join",  # respelled r13: JVM-side plan capture, no driver round-trip (re-grade)
+    "q90_aqe_coalesced_rollup",  # respelled r13: same no-collect respell as q88 (re-grade)
+    "q73_psi_drift",  # last r07
+    "q74_referential_integrity",  # last r07
+    "s15_countmin_heavy_hitters",  # last r07
+    "s17_silhouette_eval",  # last r07
+    "s18_mmr_diverse_topk",  # last r07
+    "s19_embedding_stats",  # last r07
+    "s20_ivf_probe_sweep",  # last r07
+    "s21_sq_bits_sweep",  # last r07
+    "st13_stream_bloom_decontam",  # last r07
+    "st14_stream_scd2",  # last r07
+    "st16_stream_markov",  # last r07
+    "st17_stream_cusum",  # last r07
+    "st18_stream_funnel",  # last r07
+    "st19_stream_streaks",  # last r07
+    "t24_ngram_novelty",  # last r07
+    "t26_pmi_collocations",  # last r07
+    "t27_gopher_rules",  # last r07
+    "t28_domain_caps",  # last r07
+    "t29_tokenizer_fertility",  # last r07
+    "t30_langid_confusion",  # last r07
+    "ts28_cohort_retention",  # last r07
+    "ts29_markov_transitions",  # last r07
+    "ts30_mad_outliers",  # last r07
+    "ts31_cusum_changepoint",  # last r07
+    "ts32_funnel_conversion",  # last r07
+    "ts33_dow_seasonality",  # last r07
+    "ts34_repeat_purchase_gaps",  # last r07
+    "ts35_activity_streaks",  # last r07
+    "ts36_forecast_backtest",  # last r07
+    "d05_embedding_neardup",  # last r08
+    "d09_simhash_neardup",  # last r08
+    "d25_dedup_bias_audit",  # last r08
+    "d26_bbit_minhash",  # last r08
+    "d27_transitivity_audit",  # last r08
+    "d28_lexical_semantic_agreement",  # last r08
+    "m09_silence_trim",  # last r08
+    "m10_aspect_buckets",  # last r08
+    "m11_shot_lengths",  # last r08
+    "m12_shard_planner",  # last r08
+    "q08_union_all",  # last r08
+    "q10_calendar",  # last r08
+    "q11_having",  # last r08
+    "q12_semi_join",  # last r08
+    "q13_anti_join",  # last r08
+    "q17_scalar_functions",  # last r08
+    "q18_safe_math",  # last r08
 ]
 
 

@@ -4171,3 +4171,97 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     return df
+
+
+# ---------------------------------------------------------------------------
+# q91 — runtime Bloom-filter join pruning (r12 verdict punch item 3),
+# completing the runtime-filtering lever set: q85/q86 prune PARTITIONS
+# (the key is a partition column), q89 prunes BUCKETS (the key is the
+# bucket column), and this one prunes ROWS of a fact whose join key is
+# NEITHER — the common 100 TB case: a selective dim filter (one
+# nation's suppliers) joining an unpartitioned, unbucketed fact
+# (lineitem on l_suppkey). Spark's InjectRuntimeFilter builds a Bloom
+# filter over the FILTERED dim keys (bloom_filter_agg, a scalar
+# subquery) and injects might_contain(xxhash64(l_suppkey)) above the
+# fact scan, so ~96% of fact rows (24/25 nations) die BEFORE the
+# shuffle feeding the join — the shuffle and sort cost drops to the
+# matching slice, exactly what DPP does for partitioned layouts but
+# with no layout requirement at all.
+# Demo-scale notes (q88's squeezed-conf honesty class, set/restored
+# around the INTERNAL execution only):
+#   * applicationSideScanSizeThreshold is lowered from its 10GB
+#     default so the sf-scale fact qualifies — at 100 TB the default
+#     fires on its own;
+#   * autoBroadcastJoinThreshold = -1 forces the shuffle join the
+#     filter exists for (at demo scale AQE would broadcast the 80-row
+#     dim and the bloom filter would be moot; at 100 TB a wide dim —
+#     or a fact-fact join — lands on SMJ and the filter is the only
+#     pre-shuffle reducer);
+#   * the executed plan is captured JVM-side (q88's no-collect
+#     pattern) into _Q91_LAST_EXECUTED for the plan gate: creation
+#     side shows bloom_filter_agg over the filtered dim keys,
+#     application side shows might_contain on the fact scan's Filter.
+# Exactness: the Bloom filter is a pure pre-filter (false positives
+# only re-admit rows the join drops anyway), so the graded values are
+# physical-plan-independent: DECIMAL-summed revenue cast DOUBLE, same
+# text both engines. Output is |suppliers in one nation| rows.
+# Reference parity: no counterpart (single-node DuckDB has no
+# shuffle to protect; its hash join probes are already in-memory).
+# ---------------------------------------------------------------------------
+_Q91_SQL = """
+SELECT s.s_name AS supplier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = 7
+GROUP BY s.s_name ORDER BY supplier
+"""
+
+#: executed plan of q91's internal bloom-filtered run, captured for the
+#: plan gate (test_q91_runtime_bloom_filter) and the PERF audit
+_Q91_LAST_EXECUTED: str | None = None
+
+_Q91_BLOOM_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # squeezed from the 10GB default so the demo-scale fact qualifies;
+    # at 100 TB the default fires on its own
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    # force the shuffle join the filter exists for (see block comment)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "q91_runtime_bloom_join",
+    oracle="""
+    SELECT s.s_name AS supplier,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 7
+    GROUP BY s.s_name ORDER BY supplier
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _Q91_LAST_EXECUTED
+    load_tables(spark, sf_dir)
+    old = {k: spark.conf.get(k, None) for k in _Q91_BLOOM_CONF}
+    for k, v in _Q91_BLOOM_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(_Q91_SQL)
+        # JVM-side execution of the same QueryExecution (q88's
+        # no-collect pattern) — finalizes the adaptive plan with the
+        # injected runtime filter without round-tripping rows
+        qe = df._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        _Q91_LAST_EXECUTED = qe.executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

@@ -235,7 +235,12 @@ def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
     disallowed on streaming file sources). In production the same stage
     runs unbounded by swapping the trigger; semantics are identical
     because the operators' state is associative (see operators/streamq
-    value-oracle arguments)."""
+    value-oracle arguments).
+
+    ``params.state_store`` selects the state store provider for this
+    stage's query: ``rocksdb`` (off-heap RocksDB state — the
+    production setting for large stores) or ``hdfs`` (Spark's
+    heap-backed default). Omitted = session setting untouched."""
     from ..streaming.stream import (
         run_stream_to_memory,
         stream_tap,
@@ -252,130 +257,137 @@ def handle_stream(flow: Flow, stage: Stage) -> DataFrame:
     locator = rendered.get("locator")
     params = flow._render(dict(stage.params or {}))
     spark = flow.engine.spark
-    if os.path.isfile(locator):
-        # the file stream source requires a DIRECTORY; a single-file
-        # locator is staged as a symlink dir (md5-keyed: stable across
-        # processes, no per-run leak)
-        d = os.path.join(
-            tempfile.gettempdir(),
-            f"ankaflow_streamstage_{hashlib.md5(locator.encode()).hexdigest()[:8]}",
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, os.path.basename(locator))
-        if not os.path.exists(link):
-            os.symlink(locator, link)
-        locator = d
-    schema = spark.read.format(fmt).load(locator).schema
-    stream = stream_tap(
-        spark, locator, schema, fmt=fmt,
-        max_files_per_trigger=params.get("max_files_per_trigger"),
-    )
-    # watermarks hard-require TIMESTAMP; no-tz parquet columns probe as
-    # NTZ on a default Spark 4 session (same normalization as the
-    # batch loader / streaming staging)
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampType
+    # state store provider surface (r12 verdict punch item 4): the
+    # bounded-state family's production story needs off-heap state —
+    # `state_store: rocksdb` scopes Spark's RocksDB provider to this
+    # stage's query (set before start, restored unset-aware after)
+    from ..streaming.stream import state_store_conf
 
-    for f in stream.schema.fields:
-        if f.dataType.typeName() == "timestamp_ntz":
-            stream = stream.withColumn(f.name, F.col(f.name).cast(TimestampType()))
-    op = stage.op or "windowed_agg"
-    ts_col = params.get("ts", "ts")
-    watermark = params.get("watermark", "10 minutes")
-    if op == "windowed_agg":
-        out = windowed_agg(
-            stream, ts_col,
-            window_len=params.get("window", "5 minutes"),
-            watermark=watermark,
-            group_cols=list(params.get("keys", [])),
-        )
-        mode = "complete"
-    elif op == "dedup":
-        out = streaming_dedup(stream, keys=list(params["keys"]), ts_col=ts_col)
-        mode = "append"
-    elif op == "sessionize":
-        from ..streaming.stream import sessionize_stateful
-
-        out = sessionize_stateful(
-            stream,
-            ts_col=ts_col,
-            key_col=params.get("key", "user_id"),
-            gap_minutes=int(params.get("gap_minutes", 30)),
-            watermark=watermark if "watermark" in params else "2 hours",
-        )
-        mode = "append"
-    elif op == "static_join":
-        # enrich the stream against an already-materialized stage (the
-        # broadcast stream-static pattern, st05), then window-aggregate
-        right = params.get("right")
-        if not right:
-            raise FlowError(
-                f"stream stage '{stage.name}': op static_join needs params.right "
-                "(the name of a previous stage to broadcast)"
+    with state_store_conf(spark, params.get("state_store")):
+        if os.path.isfile(locator):
+            # the file stream source requires a DIRECTORY; a single-file
+            # locator is staged as a symlink dir (md5-keyed: stable across
+            # processes, no per-run leak)
+            d = os.path.join(
+                tempfile.gettempdir(),
+                f"ankaflow_streamstage_{hashlib.md5(locator.encode()).hexdigest()[:8]}",
             )
-        dim = flow.engine.table(right)
-        # "join_on" preferred: a bare `on:` key is YAML-1.1 boolean True
-        join_cols = params.get("join_on") or params.get("on") or params.get(True) or []
-        joined = stream.join(F.broadcast(dim), list(join_cols))
-        out = windowed_agg(
-            joined, ts_col,
-            window_len=params.get("window", "5 minutes"),
-            watermark=watermark,
-            group_cols=list(params.get("keys", [])),
+            os.makedirs(d, exist_ok=True)
+            link = os.path.join(d, os.path.basename(locator))
+            if not os.path.exists(link):
+                os.symlink(locator, link)
+            locator = d
+        schema = spark.read.format(fmt).load(locator).schema
+        stream = stream_tap(
+            spark, locator, schema, fmt=fmt,
+            max_files_per_trigger=params.get("max_files_per_trigger"),
         )
-        mode = "complete"
-    elif op == "upsert":
-        # foreachBatch latest-wins keyed state (st09); terminal batch
-        # result registers directly — no memory sink involved
-        from ..streaming.stream import foreachbatch_upsert
+        # watermarks hard-require TIMESTAMP; no-tz parquet columns probe as
+        # NTZ on a default Spark 4 session (same normalization as the
+        # batch loader / streaming staging)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
 
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "ankaflow_upsert_"
-            + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
-        )
-        final = foreachbatch_upsert(
-            stream,
-            keys=list(params["keys"]),
-            version=params.get("version", ts_col),
-            tiebreak=params.get("tiebreak"),
-            state_base=base,
-        )
-        return flow.engine.register(stage.name, final, materialize=True)
-    elif op == "batch_sql":
-        # stateless per-micro-batch SQL screen with an append-only sink
-        # (st13's shape): each batch registers as `__batch__`, the
-        # stage SQL may join it against any previously-materialized
-        # stage (broadcast statics), and outputs append — no streaming
-        # state, so the stage scales with output volume only
-        from ..streaming.stream import foreachbatch_append
-
-        sql = params.get("sql")
-        if not sql:
-            raise FlowError(
-                f"stream stage '{stage.name}': op batch_sql needs params.sql "
-                "(SELECT over the per-micro-batch view __batch__)"
+        for f in stream.schema.fields:
+            if f.dataType.typeName() == "timestamp_ntz":
+                stream = stream.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+        op = stage.op or "windowed_agg"
+        ts_col = params.get("ts", "ts")
+        watermark = params.get("watermark", "10 minutes")
+        if op == "windowed_agg":
+            out = windowed_agg(
+                stream, ts_col,
+                window_len=params.get("window", "5 minutes"),
+                watermark=watermark,
+                group_cols=list(params.get("keys", [])),
             )
+            mode = "complete"
+        elif op == "dedup":
+            out = streaming_dedup(stream, keys=list(params["keys"]), ts_col=ts_col)
+            mode = "append"
+        elif op == "sessionize":
+            from ..streaming.stream import sessionize_stateful
 
-        def _screen(batch_df):
-            batch_df.createOrReplaceTempView("__batch__")
-            return batch_df.sparkSession.sql(sql)
+            out = sessionize_stateful(
+                stream,
+                ts_col=ts_col,
+                key_col=params.get("key", "user_id"),
+                gap_minutes=int(params.get("gap_minutes", 30)),
+                watermark=watermark if "watermark" in params else "2 hours",
+            )
+            mode = "append"
+        elif op == "static_join":
+            # enrich the stream against an already-materialized stage (the
+            # broadcast stream-static pattern, st05), then window-aggregate
+            right = params.get("right")
+            if not right:
+                raise FlowError(
+                    f"stream stage '{stage.name}': op static_join needs params.right "
+                    "(the name of a previous stage to broadcast)"
+                )
+            dim = flow.engine.table(right)
+            # "join_on" preferred: a bare `on:` key is YAML-1.1 boolean True
+            join_cols = params.get("join_on") or params.get("on") or params.get(True) or []
+            joined = stream.join(F.broadcast(dim), list(join_cols))
+            out = windowed_agg(
+                joined, ts_col,
+                window_len=params.get("window", "5 minutes"),
+                watermark=watermark,
+                group_cols=list(params.get("keys", [])),
+            )
+            mode = "complete"
+        elif op == "upsert":
+            # foreachBatch latest-wins keyed state (st09); terminal batch
+            # result registers directly — no memory sink involved
+            from ..streaming.stream import foreachbatch_upsert
 
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "ankaflow_batchsql_"
-            + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
-        )
-        final = foreachbatch_append(stream, _screen, base)
-        return flow.engine.register(stage.name, final, materialize=True)
-    else:
-        raise FlowError(
-            f"stream stage '{stage.name}': unknown op {op!r} "
-            "(windowed_agg, dedup, sessionize, static_join, upsert, batch_sql)"
-        )
-    mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
-    run_stream_to_memory(out, mem, output_mode=mode)
-    return flow.engine.register(stage.name, spark.table(mem), materialize=True)
+            base = os.path.join(
+                tempfile.gettempdir(),
+                "ankaflow_upsert_"
+                + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
+            )
+            final = foreachbatch_upsert(
+                stream,
+                keys=list(params["keys"]),
+                version=params.get("version", ts_col),
+                tiebreak=params.get("tiebreak"),
+                state_base=base,
+            )
+            return flow.engine.register(stage.name, final, materialize=True)
+        elif op == "batch_sql":
+            # stateless per-micro-batch SQL screen with an append-only sink
+            # (st13's shape): each batch registers as `__batch__`, the
+            # stage SQL may join it against any previously-materialized
+            # stage (broadcast statics), and outputs append — no streaming
+            # state, so the stage scales with output volume only
+            from ..streaming.stream import foreachbatch_append
+
+            sql = params.get("sql")
+            if not sql:
+                raise FlowError(
+                    f"stream stage '{stage.name}': op batch_sql needs params.sql "
+                    "(SELECT over the per-micro-batch view __batch__)"
+                )
+
+            def _screen(batch_df):
+                batch_df.createOrReplaceTempView("__batch__")
+                return batch_df.sparkSession.sql(sql)
+
+            base = os.path.join(
+                tempfile.gettempdir(),
+                "ankaflow_batchsql_"
+                + hashlib.md5(f"{locator}|{stage.name}".encode()).hexdigest()[:10],
+            )
+            final = foreachbatch_append(stream, _screen, base)
+            return flow.engine.register(stage.name, final, materialize=True)
+        else:
+            raise FlowError(
+                f"stream stage '{stage.name}': unknown op {op!r} "
+                "(windowed_agg, dedup, sessionize, static_join, upsert, batch_sql)"
+            )
+        mem = "__stream_" + "".join(c if c.isalnum() else "_" for c in stage.name) + "__"
+        run_stream_to_memory(out, mem, output_mode=mode)
+        return flow.engine.register(stage.name, spark.table(mem), materialize=True)
 
 
 HANDLERS = {

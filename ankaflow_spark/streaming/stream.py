@@ -18,10 +18,59 @@ cluster deployment points at kafka + a Delta sink.
 
 from __future__ import annotations
 
+import contextlib
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: the two state store providers Spark ships. The default
+#: (HDFS-backed) keeps every store's working set on the executor HEAP —
+#: fine for demo-scale state, an OOM source at 100 TB/day where stores
+#: hold millions of keys. RocksDB keeps state OFF-HEAP in a local
+#: RocksDB instance per store (native memory + local SSD, incremental
+#: changelog/snapshot checkpointing), which is the provider a
+#: production deployment of the bounded-state family runs on.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def state_store_conf(spark: SparkSession, provider: Optional[str]):
+    """Scope the state store provider to one streaming query: the
+    provider class is read from the SESSION conf when the query starts,
+    so it is set before `.start()` and restored unset-aware afterwards
+    (q88's restore pattern). `provider` is a STATE_STORE_PROVIDERS key
+    or None (leave the session setting untouched)."""
+    if provider is None:
+        yield
+        return
+    try:
+        cls = STATE_STORE_PROVIDERS[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown state_store {provider!r} "
+            f"(one of {sorted(STATE_STORE_PROVIDERS)})"
+        ) from None
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, cls)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
 
 
 def stream_tap(

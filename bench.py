@@ -236,6 +236,10 @@ HEADLINE = [
     # its rollup internally under an oversized 512-partition setting)
     "d34_band_index_merge",
     "q90_aqe_coalesced_rollup",
+    # round-13: the runtime Bloom-filter join-pruning lever (executes
+    # its nation-supplier join internally under the squeezed scan-size
+    # threshold, q88's self-charging contract)
+    "q91_runtime_bloom_join",
 ]
 
 

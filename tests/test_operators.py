@@ -4370,3 +4370,45 @@ def test_q90_coalesced_rollup_vs_python(spark, sf_dir):
         n, v = agg[r["month"]]
         assert r["n_orders"] == n
         assert r["total_price"] == float(v)
+
+
+def test_q91_runtime_bloom_join_vs_python(spark, sf_dir):
+    """The bloom-filtered nation-supplier rollup must equal a literal
+    recount of the join — the runtime Bloom filter is a pure
+    pre-filter (false positives only re-admit rows the join drops
+    anyway), so it changes which rows reach the shuffle, never the
+    answer."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q91_runtime_bloom_join"](spark, sf_dir).collect()
+    sups = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.table("supplier")
+        .filter("s_nationkey = 7")
+        .select("s_suppkey", "s_name")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in (
+        spark.table("lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .collect()
+    ):
+        name = sups.get(r["l_suppkey"])
+        if name is None:
+            continue
+        price = Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.0001"))
+        disc = (Decimal(1) - Decimal(str(r["l_discount"]))).quantize(
+            Decimal("0.0001")
+        )
+        a = agg[name]
+        a[0] += 1
+        a[1] += price * disc
+    assert [r["supplier"] for r in out] == sorted(agg)
+    for r in out:
+        n, rev = agg[r["supplier"]]
+        assert r["n_lines"] == n
+        assert r["revenue"] == float(rev)

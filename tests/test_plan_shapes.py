@@ -760,3 +760,37 @@ def test_executed_scan_budgets(spark):
         f"budget — a CTE/DataFrame re-expansion crept back in; stage the "
         f"multiply-consumed relation through localCheckpoint (PERF.md r27)"
     )
+
+
+def test_q91_runtime_bloom_filter(spark):
+    """q91's internal execution must show Spark's runtime Bloom-filter
+    join pruning: the creation side builds bloom_filter_agg over the
+    FILTERED dim keys and the application side's fact scan carries a
+    might_contain(xxhash64(l_suppkey)) filter — fact rows die BEFORE
+    the shuffle feeding the join. The query captures its executed plan
+    in _Q91_LAST_EXECUTED (the join runs inside the query under the
+    squeezed scan-size threshold; at 100 TB the 10GB default fires on
+    its own). Completes the runtime-pruning lever set: q85/q86
+    partitions, q89 buckets, q91 rows on an un-laid-out fact."""
+    import __spark_entry__ as entry
+
+    from ankaflow_spark.operators import relational
+
+    before = {
+        k: spark.conf.get(k, None) for k in relational._Q91_BLOOM_CONF
+    }
+    df = entry.queries()["q91_runtime_bloom_join"](spark, SF)
+    assert df.count() > 0
+    executed = relational._Q91_LAST_EXECUTED
+    assert executed is not None
+    final = executed.split("== Initial Plan ==")[0]
+    # creation side: bloom built over the filtered dim's join keys
+    assert "bloom_filter_agg(xxhash64(s_suppkey" in final
+    # application side: the probe sits on the FACT's key pre-shuffle
+    assert "might_contain" in final
+    assert "xxhash64(l_suppkey" in final
+    # and the squeezed confs were restored after the internal run
+    after = {
+        k: spark.conf.get(k, None) for k in relational._Q91_BLOOM_CONF
+    }
+    assert after == before

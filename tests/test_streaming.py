@@ -145,6 +145,44 @@ def test_stream_stage_in_yaml_flow(engine, sf_dir):
     assert row["n_windows"] > 0
 
 
+def test_stream_stage_state_store_rocksdb(engine, sf_dir):
+    """`state_store: rocksdb` on a stream stage runs the SAME stateful
+    query on Spark's RocksDB state store provider (off-heap state —
+    the production setting for stores too large for executor heap):
+    the result is provider-independent, the provider conf is scoped to
+    the stage (restored unset-aware afterwards), and an unknown name
+    raises."""
+    import pytest
+
+    from ankaflow_spark.models.core import Stages
+    from ankaflow_spark.plans.flow import Flow
+    from ankaflow_spark.streaming.stream import _PROVIDER_KEY
+
+    spark = engine.spark
+    before = spark.conf.get(_PROVIDER_KEY, None)
+
+    def run(extra: str):
+        flow = Flow(
+            Stages.loads(f"""
+- kind: stream
+  name: minutely
+  connection: {{kind: parquet, locator: {sf_dir}/events.parquet}}
+  params: {{ts: ts, window: "5 minutes", keys: [event_type]{extra}}}
+- kind: transform
+  name: check
+  query: SELECT * FROM minutely ORDER BY window_start, event_type
+"""),
+            engine=engine,
+        )
+        return [tuple(r) for r in flow.run().collect()]
+
+    rocks = run(", state_store: rocksdb")
+    assert spark.conf.get(_PROVIDER_KEY, None) == before  # restored
+    assert rocks == run("")  # provider-independent values
+    with pytest.raises(Exception, match="unknown state_store"):
+        run(", state_store: bogus")
+
+
 def test_stream_stage_dedup_op(engine, sf_dir):
     from ankaflow_spark.models.core import Stages
     from ankaflow_spark.plans.flow import Flow
