@@ -31,23 +31,26 @@ GRADED_FIRST = [
     # The union of driver greens r01-r12 covers ALL 276 battery
     # queries (zero never-graded — verified by the r12 judge), so
     # rotation keeps grade FRESHNESS ahead of code churn. Front slots:
-    # the ONE new round-13 operator (q91, never graded), then the
-    # three queries whose SPARK spelling changed this round and
-    # therefore need a fresh official green (st27 cached-calibration +
-    # staged-arrival report; q88/q90 JVM-side plan capture instead of
-    # collect-and-rebuild). The rest is exactly the stalest official
-    # greens, computed from the CORRECTNESS_r0*.json artifacts
-    # (per-query max green round): the FULL 29-query r07-last cohort
-    # (the r12 judge's punch item 2), then the r08-last cohort in
-    # alphabetical order up to len == 50.
+    # the THREE new round-13 operators (q91 runtime bloom, q92 SHJ,
+    # st29 RocksDB — never graded), then the three queries whose SPARK
+    # spelling changed this round and therefore need a fresh official
+    # green (st27 cached-calibration + staged-arrival report; q88/q90
+    # JVM-side plan capture instead of collect-and-rebuild). The rest
+    # is exactly the stalest official greens, computed from the
+    # CORRECTNESS_r0*.json artifacts (per-query max green round): the
+    # FULL 29-query r07-last cohort (the r12 judge's punch item 2),
+    # then the r08-last cohort in alphabetical order up to len == 50.
     # Every rotated-out entry keeps its official green and stays
     # cell-exact in CORRECTNESS_FULL_r*.json via tools/oracle_check.py;
     # every family remains represented (relational, time-series,
     # dedup, similarity/ANN, text curation, streaming, multimodal).
-    # Rotation queue after this window is graded: the 32 remaining
-    # r08-last entries (q64-q80 classes, s22-s27, st15/st20-st22,
-    # t31-t34, ts37-ts43), then the r09/r10/r11/r12 waves.
+    # Rotation queue after this window is graded: the 34 remaining
+    # r08-last entries (q17/q18, q64-q80 classes, s22-s27,
+    # st15/st20-st22, t31-t34, ts37-ts43), then the r09/r10/r11/r12
+    # waves.
     "q91_runtime_bloom_join",  # new r13: runtime Bloom-filter join pruning (plan-gated)
+    "q92_shuffled_hash_join",  # new r13: SHJ strategy lever — no-sort join of a non-broadcastable dim (plan-gated)
+    "st29_rocksdb_survival",  # new r13: st22's bounded-state sessionizer graded ON RocksDB (provider-proofed)
     "st27_stream_watermark_drops",  # respelled r13: fingerprint-cached calibration + staged-arrival report (re-grade)
     "q88_aqe_skew_join",  # respelled r13: JVM-side plan capture, no driver round-trip (re-grade)
     "q90_aqe_coalesced_rollup",  # respelled r13: same no-collect respell as q88 (re-grade)
@@ -95,8 +98,6 @@ GRADED_FIRST = [
     "q11_having",  # last r08
     "q12_semi_join",  # last r08
     "q13_anti_join",  # last r08
-    "q17_scalar_functions",  # last r08
-    "q18_safe_math",  # last r08
 ]
 
 

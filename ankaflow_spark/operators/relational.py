@@ -4265,3 +4265,96 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# q92 — shuffled hash join (SHJ), the join-STRATEGY lever completing
+# the set (broadcast: dims that fit; SMJ: q83/q88's default for
+# big-big; SHJ: the middle case Spark's preferSortMergeJoin=true
+# default hides). The 100 TB shape: a dim too large to broadcast
+# (over the 10MB threshold / 8GB hard cap — a wide customer table at
+# corpus scale) joining a much larger fact. SMJ SORTS BOTH SIDES —
+# at 100 TB the fact-side sort is the dominant cost and spills; SHJ
+# builds a per-partition hash map of the SMALL side after the same
+# shuffle and streams the fact through it UNSORTED. Spark picks SHJ
+# when preferSortMergeJoin=false, the build side is under
+# (autoBroadcastJoinThreshold x shuffle partitions) per-partition
+# local-map budget, and it is 3x smaller than the probe side
+# (muchSmaller) — customer vs orders is 10x here.
+# Demo-scale notes (q88's squeezed-conf honesty class, set/restored
+# around the INTERNAL execution):
+#   * autoBroadcastJoinThreshold=16KB stands in for "the dim exceeds
+#     the broadcast budget" (customer is 33KB-315KB at test SFs; a
+#     100 TB deployment's wide dim exceeds the 10MB default the same
+#     way) while keeping the 16KB x 32-partition = 512KB local-map
+#     window open — at scale the window is (10MB x thousands of
+#     reducers), which admits multi-GB dims with the DEFAULT conf;
+#   * preferSortMergeJoin=false is the lever itself: the conservative
+#     default prefers SMJ because sorts spill gracefully while hash
+#     maps OOM — the right trade only when the build side is unbounded,
+#     which a stats-checked dim is not;
+#   * executed plan captured JVM-side into _Q92_LAST_EXECUTED
+#     (q88's no-collect pattern); the gate pins ShuffledHashJoin
+#     BuildRight AND the absence of join-KEY sorts (SMJ would sort
+#     both sides on o_custkey/c_custkey) — the cost the lever
+#     deletes; the bounded 5-row ORDER BY on the output remains.
+# Exactness: DECIMAL-summed totals cast DOUBLE, same text both
+# engines; values are join-strategy-independent.
+# Reference parity: no counterpart (single-node DuckDB always hash
+# joins in memory; strategy choice is a distributed-engine concern).
+# ---------------------------------------------------------------------------
+_Q92_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY segment
+"""
+
+#: executed plan of q92's internal SHJ run, captured for the plan gate
+#: (test_q92_shuffled_hash_join) and the PERF audit
+_Q92_LAST_EXECUTED: str | None = None
+
+_Q92_SHJ_CONF = {
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "16KB",
+    # the local-map budget is (threshold x shuffle partitions) and AQE
+    # re-checks it against RUNTIME shuffle bytes: 200 reducers keep the
+    # window (3.2MB) above the dim's uncompressed shuffle size at every
+    # test SF while the 16KB threshold still blocks broadcast. The
+    # production analog needs no squeeze at all: thousands of reducers
+    # x the 10MB default admit multi-GB dims.
+    "spark.sql.shuffle.partitions": "200",
+}
+
+
+@query(
+    "q92_shuffled_hash_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _Q92_LAST_EXECUTED
+    load_tables(spark, sf_dir)
+    old = {k: spark.conf.get(k, None) for k in _Q92_SHJ_CONF}
+    for k, v in _Q92_SHJ_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(_Q92_SQL)
+        # JVM-side execution of the same QueryExecution (q88's
+        # no-collect pattern)
+        qe = df._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        _Q92_LAST_EXECUTED = qe.executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

@@ -2880,3 +2880,77 @@ def _st28_oracle() -> str:
 
 
 ORACLES["st28_stream_band_probe"] = _st28_oracle()
+
+
+# ---------------------------------------------------------------------------
+# st29 — the RocksDB state store provider as a GRADED surface (r12
+# verdict punch item 4, completing the r13 `state_store` config
+# surface): st22's bounded-state gap-closure sessionizer — the
+# applyInPandasWithState machinery whose cross-batch state is three
+# longs per live key — executed end-to-end on Spark's RocksDB provider
+# (spark.sql.streaming.stateStore.providerClass, scoped to this query
+# via state_store_conf and restored unset-aware). The provider decides
+# WHERE state lives (off-heap RocksDB + local disk vs the default
+# executor-heap maps), never WHAT the state is, so the emitted session
+# set is bit-identical to st22's and the Kaplan-Meier tail reuses
+# st22's full value oracle. At 100 TB/day this is not a demo choice:
+# heap-backed stores OOM at production key counts, and the soak
+# measurement (PERF r32: 55.0s vs 79.2s over 24 micro-batches at
+# sf0.1) shows RocksDB is also FASTER at bench state sizes. The last
+# run's provider custom metrics are kept in _ST29_LAST_METRICS so the
+# pytest gate can prove RocksDB actually backed the graded execution
+# (the heap provider reports no rocksdb* metrics).
+# Scale shape: identical to st22 (bounded state, append sink).
+# Reference parity: no counterpart (the reference has no streaming
+# engine; SURVEY §7 names streaming the designed extension).
+# ---------------------------------------------------------------------------
+#: provider custom metrics from st29's last streaming run — the pytest
+#: gate asserts rocksdb* keys are present (provider proof)
+_ST29_LAST_METRICS: dict = {}
+
+
+def st29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st22's bounded-state streaming survival tail, executed on the
+    RocksDB state store provider (see the block comment above)."""
+    global _ST29_LAST_METRICS
+    from ..streaming.stream import (
+        run_stream_to_memory,
+        sessionize_stateful,
+        state_store_conf,
+        stream_tap,
+    )
+    from .timeseries import SESSION_GAP_MIN, _survival_tail_sql
+
+    staged, schema = _staged_events(spark, sf_dir)
+    stream = stream_tap(spark, staged, schema)
+    sessions = sessionize_stateful(
+        stream, gap_minutes=SESSION_GAP_MIN, watermark="3650 days"
+    )
+    name = "st29_out"
+    with state_store_conf(spark, "rocksdb"):
+        q = run_stream_to_memory(sessions, name, output_mode="append")
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    _ST29_LAST_METRICS = (
+        dict(prog[-1]["stateOperators"][0].get("customMetrics", {}))
+        if prog
+        else {}
+    )
+    spark.table(name).select(
+        F.floor(
+            (
+                F.unix_micros(F.col("session_end"))
+                - F.unix_micros(F.col("session_start"))
+            ).cast("double")
+            / 60000000.0
+        )
+        .cast("bigint")
+        .alias("dur_min"),
+        F.unix_micros(F.col("session_end")).cast("bigint").alias("end_us"),
+    ).createOrReplaceTempView("st29_sessions")
+    return spark.sql(_survival_tail_sql("st29_sessions"))
+
+
+QUERIES["st29_rocksdb_survival"] = st29
+# same emitted set as st22 (the provider changes where state lives,
+# never what it is) -> st22's full value oracle verbatim
+ORACLES["st29_rocksdb_survival"] = _st22_oracle()

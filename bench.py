@@ -240,6 +240,11 @@ HEADLINE = [
     # its nation-supplier join internally under the squeezed scan-size
     # threshold, q88's self-charging contract)
     "q91_runtime_bloom_join",
+    # round-13 wave 2: the SHJ strategy lever (same self-charging
+    # contract) and the RocksDB-provider graded stream (a full real
+    # sessionizer replay, st22's accounting class)
+    "q92_shuffled_hash_join",
+    "st29_rocksdb_survival",
 ]
 
 

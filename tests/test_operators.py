@@ -4412,3 +4412,36 @@ def test_q91_runtime_bloom_join_vs_python(spark, sf_dir):
         n, rev = agg[r["supplier"]]
         assert r["n_lines"] == n
         assert r["revenue"] == float(rev)
+
+
+def test_q92_shuffled_hash_join_vs_python(spark, sf_dir):
+    """The SHJ rollup must equal a literal recount of the
+    segment-grouped join — join strategy changes how rows meet, never
+    the answer."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ankaflow_spark.operators.relational import QUERIES
+
+    out = QUERIES["q92_shuffled_hash_join"](spark, sf_dir).collect()
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.table("customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in (
+        spark.table("orders").select("o_custkey", "o_totalprice").collect()
+    ):
+        s = seg.get(r["o_custkey"])
+        if s is None:
+            continue
+        a = agg[s]
+        a[0] += 1
+        a[1] += Decimal(str(r["o_totalprice"])).quantize(Decimal("0.000001"))
+    assert [r["segment"] for r in out] == sorted(agg)
+    for r in out:
+        n, tot = agg[r["segment"]]
+        assert r["n_orders"] == n
+        assert r["total_price"] == float(tot)

@@ -620,6 +620,7 @@ EXEC_BNLJ_ALLOWED = {
     "m10_aspect_buckets",  # 5-row literal anchor table x image metadata + 1-row image-total scalar (q59's class)
     "st21_stream_survival",  # 1-row corpus-edge + totals scalars in ts37's shared actuarial tail (q59's scalar class)
     "st22_stream_survival_bounded",  # same actuarial-tail scalars as st21, over the gap-closure sessionizer's bounded-state emitted set
+    "st29_rocksdb_survival",  # st22's exact relation on the RocksDB provider — same actuarial-tail scalars
     "m11_shot_lengths",  # 1-row shot-total scalar cross-joined into the |shot lengths|-bounded histogram (q59's class)
     "st25_stream_psi_drift",  # 1-row snapshot-totals scalar cross-joined into the |bins|-bounded smoothed relation — q73's class over the maintained state
 }
@@ -628,6 +629,7 @@ EXEC_GLOBAL_WINDOW_ALLOWED = {
     "st20_stream_decay_topk",  # re-rank over TakeOrderedAndProject's 10-row output (st11's pattern, ts38's tail)
     "st21_stream_survival",  # cumulative walk over the |distinct durations|-bounded times relation (ts37's bounded-walk class)
     "st22_stream_survival_bounded",  # ts37's bounded-walk class over the closed-session relation
+    "st29_rocksdb_survival",  # st22's bounded-walk class, RocksDB provider twin
     "m12_shard_planner",  # running byte-offset walk over the 120-item contract-scale inventory (m11's class; production inventories pre-partition by coarse key)
     "st27_stream_watermark_drops",  # two-phase md5 arrival-rank (r12 respell): the only remaining global window is the <= 256-row prefix-count offset relation (bounded by construction); the disorder itself is synthesis-only — production reads its real ingest sequence and never ranks
 }
@@ -792,5 +794,40 @@ def test_q91_runtime_bloom_filter(spark):
     # and the squeezed confs were restored after the internal run
     after = {
         k: spark.conf.get(k, None) for k in relational._Q91_BLOOM_CONF
+    }
+    assert after == before
+
+
+def test_q92_shuffled_hash_join(spark):
+    """q92's internal execution must pick ShuffledHashJoin with the
+    dim as build side — the join-strategy lever for a dim too big to
+    broadcast but far smaller than the fact: same shuffle as SMJ, but
+    the fact streams through a per-partition hash map UNSORTED. The
+    gate also pins the deleted cost: no Sort node anywhere in the
+    final plan (the aggregation is hash-based and the join no longer
+    sorts either side)."""
+    import __spark_entry__ as entry
+
+    from ankaflow_spark.operators import relational
+
+    before = {
+        k: spark.conf.get(k, None) for k in relational._Q92_SHJ_CONF
+    }
+    df = entry.queries()["q92_shuffled_hash_join"](spark, SF)
+    assert df.count() > 0
+    executed = relational._Q92_LAST_EXECUTED
+    assert executed is not None
+    final = executed.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final
+    assert "BuildRight" in final or "BuildLeft" in final
+    # the lever's win: NEITHER join side is sorted on its join key
+    # (SMJ would plan Sort [o_custkey]/Sort [c_custkey] above both
+    # shuffle reads; the only remaining Sort is the bounded 5-row
+    # ORDER BY segment on the aggregate output)
+    assert "Sort [o_custkey" not in final
+    assert "Sort [c_custkey" not in final
+    # and the squeezed confs were restored after the internal run
+    after = {
+        k: spark.conf.get(k, None) for k in relational._Q92_SHJ_CONF
     }
     assert after == before

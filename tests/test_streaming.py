@@ -852,3 +852,26 @@ def test_st28_matches_d33_and_runs_real_batches(spark, sf_dir):
     )
     batches = glob.glob(staged + "_probe_out/batch=*")
     assert len(batches) >= 4, batches
+
+
+def test_st29_rocksdb_matches_st22_and_proves_provider(spark, sf_dir):
+    """st29 runs st22's bounded-state sessionizer on the RocksDB state
+    store provider: the survival tail must be cell-identical (the
+    provider decides WHERE state lives, never what it is), the run's
+    progress metrics must carry rocksdb* keys (provider proof — the
+    heap default reports none), and the provider conf must be restored
+    unset-aware after the query."""
+    from ankaflow_spark.operators.streamq import QUERIES
+    from ankaflow_spark.streaming.stream import _PROVIDER_KEY
+
+    before = spark.conf.get(_PROVIDER_KEY, None)
+    out29 = QUERIES["st29_rocksdb_survival"](spark, sf_dir).collect()
+    from ankaflow_spark.operators.streamq import _ST29_LAST_METRICS
+
+    assert any("rocksdb" in k for k in _ST29_LAST_METRICS), (
+        sorted(_ST29_LAST_METRICS)[:5] or "no state metrics captured"
+    )
+    assert spark.conf.get(_PROVIDER_KEY, None) == before
+    out22 = QUERIES["st22_stream_survival_bounded"](spark, sf_dir).collect()
+    assert len(out29) > 0
+    assert [tuple(r) for r in out29] == [tuple(r) for r in out22]
