@@ -22,6 +22,7 @@ Reference behavior covered here (studied, not copied):
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Dict
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -3984,6 +3985,48 @@ GROUP BY 1 ORDER BY is_hot
 #: gate (test_q88_skew_join_split) and the PERF audit
 _Q88_LAST_EXECUTED: str | None = None
 
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, conf: Dict[str, str]):
+    """Set session confs around a lever query's INTERNAL execution and
+    restore them unset-aware afterwards (a key the session never set
+    explicitly stays unset — q88's restore contract, single-sourced
+    for the q88/q90/q91/q92 family after the four hand-maintained
+    copies started to drift, r13 self-review)."""
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _finalize_and_capture(df: DataFrame) -> str:
+    """Execute THIS DataFrame's QueryExecution JVM-side (executedPlan
+    is the AdaptiveSparkPlanExec; executing its RDD finalizes the
+    adaptive plan) and return the final plan string — no rows
+    round-trip the driver and no local-relation rebuild (r12 verdict:
+    collect-and-rebuild becomes a driver bottleneck if the output
+    grows). df.count() would NOT do: it plans a separate
+    QueryExecution, leaving this one un-executed.
+
+    Contract notes (r13 self-review): the finalized adaptive plan
+    stays CACHED on the returned DataFrame — a later caller action
+    reuses it (shuffle map stages are reused, the small final stage
+    re-runs); it does NOT re-plan under the restored session conf.
+    That is exactly the honesty the lever queries want: the captured
+    plan IS the plan the graded result came from, the conf restore
+    protects *subsequent* queries, and the graded values are
+    physical-plan-independent either way."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.executedPlan().toString()
+
 _Q88_SKEW_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
@@ -4028,31 +4071,12 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(_Q88_PROFILE_SQL).write.mode("overwrite").parquet(prof_path)
     spark.read.parquet(prof_path).createOrReplaceTempView("__q88_profile__")
-    old = {k: spark.conf.get(k, None) for k in _Q88_SKEW_CONF}
-    for k, v in _Q88_SKEW_CONF.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_conf(spark, _Q88_SKEW_CONF):
         joined = spark.sql(_Q88_JOIN_SQL)
-        # drive THIS DataFrame's QueryExecution JVM-side (executedPlan
-        # is the AdaptiveSparkPlanExec; executing its RDD finalizes the
-        # adaptive plan) — no rows round-trip through the driver and no
-        # local-relation rebuild (r12 verdict: the collect-and-rebuild
-        # pattern silently becomes a driver bottleneck if the output
-        # grows). df.count() would NOT do: it plans a separate
-        # QueryExecution, leaving this one un-executed.
-        qe = joined._jdf.queryExecution()
-        qe.executedPlan().execute().count()
-        _Q88_LAST_EXECUTED = qe.executedPlan().toString()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    # the returned DataFrame re-executes under the restored session conf
-    # when the caller collects it — the graded values are
-    # physical-plan-independent, only the captured plan needed the
-    # squeezed demo thresholds
+        _Q88_LAST_EXECUTED = _finalize_and_capture(joined)
+    # the caller's later action reuses the finalized plan captured
+    # above (see _finalize_and_capture's contract notes); values are
+    # physical-plan-independent
     return joined
 
 
@@ -4152,24 +4176,9 @@ _Q90_LAST_EXECUTED: str | None = None
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q90_LAST_EXECUTED
     load_tables(spark, sf_dir)
-    # unset-aware restore (q88's pattern, r12 advice): if the session
-    # never set the key explicitly, leave it unset afterwards instead
-    # of freezing the default into an explicit setting
-    old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "512")
-    try:
+    with _scoped_conf(spark, {"spark.sql.shuffle.partitions": "512"}):
         df = spark.sql(_Q90_SQL)
-        # JVM-side execution of the same QueryExecution — finalizes the
-        # adaptive plan without round-tripping rows through the driver
-        # (see q88)
-        qe = df._jdf.queryExecution()
-        qe.executedPlan().execute().count()
-        _Q90_LAST_EXECUTED = qe.executedPlan().toString()
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+        _Q90_LAST_EXECUTED = _finalize_and_capture(df)
     return df
 
 
@@ -4247,23 +4256,9 @@ _Q91_BLOOM_CONF = {
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q91_LAST_EXECUTED
     load_tables(spark, sf_dir)
-    old = {k: spark.conf.get(k, None) for k in _Q91_BLOOM_CONF}
-    for k, v in _Q91_BLOOM_CONF.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_conf(spark, _Q91_BLOOM_CONF):
         df = spark.sql(_Q91_SQL)
-        # JVM-side execution of the same QueryExecution (q88's
-        # no-collect pattern) — finalizes the adaptive plan with the
-        # injected runtime filter without round-tripping rows
-        qe = df._jdf.queryExecution()
-        qe.executedPlan().execute().count()
-        _Q91_LAST_EXECUTED = qe.executedPlan().toString()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        _Q91_LAST_EXECUTED = _finalize_and_capture(df)
     return df
 
 
@@ -4341,20 +4336,7 @@ _Q92_SHJ_CONF = {
 def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q92_LAST_EXECUTED
     load_tables(spark, sf_dir)
-    old = {k: spark.conf.get(k, None) for k in _Q92_SHJ_CONF}
-    for k, v in _Q92_SHJ_CONF.items():
-        spark.conf.set(k, v)
-    try:
+    with _scoped_conf(spark, _Q92_SHJ_CONF):
         df = spark.sql(_Q92_SQL)
-        # JVM-side execution of the same QueryExecution (q88's
-        # no-collect pattern)
-        qe = df._jdf.queryExecution()
-        qe.executedPlan().execute().count()
-        _Q92_LAST_EXECUTED = qe.executedPlan().toString()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        _Q92_LAST_EXECUTED = _finalize_and_capture(df)
     return df

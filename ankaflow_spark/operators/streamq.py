@@ -2479,16 +2479,26 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> tuple:
     src = os.path.join(sf_dir, "events.parquet")
     # chunk count folded into the fingerprint (r12 advice): the staged
     # content depends on it, and bumping it must invalidate the cache.
-    # ":cal" marks the layout generation that persists the calibrated
-    # delay — pre-r13 staging dirs (no meta file) fail the match and
-    # restage.
-    fp = _src_fingerprint(src) + f":chunks={_ST27_N_CHUNKS}:cal"
+    # The persisted delay is also a function of the CALIBRATION CODE,
+    # so the fingerprint folds in a hash of the generating SQL text —
+    # a respell of the disorder rank or the p99 lateness SQL restages
+    # and recalibrates instead of silently replaying a stale delay
+    # against a freshly-computed oracle (r13 self-review).
+    cal_sig = hashlib.md5(
+        (_md5_disorder_sql("events", "seq") + _late_arrival_sql(True)).encode()
+    ).hexdigest()[:8]
+    fp = _src_fingerprint(src) + f":chunks={_ST27_N_CHUNKS}:cal={cal_sig}"
     if _staged_fresh(success, fp):
         with open(meta) as fh:
             return staged, int(fh.read().strip())
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
-    dis = spark.sql(_md5_disorder_sql("events", "seq"))
+    # ONE materialization of the two-phase rank: every downstream
+    # action (count, 8 chunk writes, calibration) re-executes the full
+    # corpus windows without it — the 67s-vs-16s cold/warm gap the
+    # PERF ledger measured (r13 self-review; localCheckpoint per the
+    # shared-relation convention, freed after staging)
+    dis = spark.sql(_md5_disorder_sql("events", "seq")).localCheckpoint()
     n = dis.count()
     per_chunk = -(-n // _ST27_N_CHUNKS)
     import glob as _glob
@@ -2508,9 +2518,10 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> tuple:
         part = _glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, os.path.join(staged, f"chunk-{k:05d}.parquet"))
         shutil.rmtree(tmp)
-    # q82 p99 calibration over the arrival order just staged (seq
-    # aliased event_id because _late_arrival_sql ranks arrival by it)
-    spark.sql(_md5_disorder_sql("events", "event_id")).createOrReplaceTempView(
+    # q82 p99 calibration over the SAME materialized disorder relation
+    # (seq renamed event_id because _late_arrival_sql ranks arrival by
+    # it) — no tenth recomputation of the corpus windows
+    dis.withColumnRenamed("seq", "event_id").createOrReplaceTempView(
         "st27_dis"
     )
     delay_min = int(
@@ -2520,6 +2531,8 @@ def _st27_staged(spark: SparkSession, sf_dir: str) -> tuple:
             + ")"
         ).first()[0]
     )
+    spark.catalog.dropTempView("st27_dis")
+    dis.rdd.unpersist()
     with open(meta, "w") as fh:
         fh.write(str(delay_min))
     _mark_staged(success, fp)

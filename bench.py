@@ -368,11 +368,15 @@ def main() -> None:
     # like and every minimum still carries its cold-build share.
     from ankaflow_spark.operators import clear_shared_caches
 
+    from ankaflow_spark.operators.streamq import COST_SPLITS
+
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict = {}
     pass_totals = []
+    split_passes = []
     for p in range(runs):
         clear_shared_caches(spark)
+        COST_SPLITS.clear()
         pass_total = 0.0
         for name in HEADLINE:
             t0 = time.time()
@@ -384,6 +388,11 @@ def main() -> None:
             timings[name] = round(dt if prev is None else min(prev, dt), 3)
             print(f"pass{p + 1} {name}: {round(dt, 3)}s", file=sys.stderr)
         pass_totals.append(round(pass_total, 3))
+        # snapshot the staged-replay cost splits PER PASS: the headline
+        # number is the min across passes, so a single last-pass split
+        # could describe a different run than the number it annotates
+        # (r13 self-review)
+        split_passes.append({k: dict(v) for k, v in COST_SPLITS.items()})
 
     pipelines = {}
     if os.environ.get("SPARK_GRAFT_BENCH_PIPELINES", "1") != "0":
@@ -397,9 +406,7 @@ def main() -> None:
     # staging/calibration wall separately from the per-call stream wall
     # (r12 verdict punch item 1: st27's calibration is content-cached,
     # so its headline number is the stream replay; the split keeps the
-    # amortized half visible)
-    from ankaflow_spark.operators.streamq import COST_SPLITS
-
+    # amortized half visible), one snapshot per pass
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -410,7 +417,7 @@ def main() -> None:
         "pass_totals": pass_totals,
         "pipelines": pipelines,
         "pipelines_total_sec": pipelines_total,
-        "cost_splits": dict(COST_SPLITS),
+        "cost_splits": {"per_pass": split_passes},
         "warmup": "each plan pre-run once at sf0.001 (JIT codegen excluded)",
     }
     # per-query detail: first stdout line + committed sidecar file

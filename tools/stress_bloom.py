@@ -30,20 +30,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-JOIN_SQL = """
-SELECT s.s_name AS supplier,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-                * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
-FROM {fact} l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-WHERE s.s_nationkey = 7
-GROUP BY s.s_name ORDER BY supplier
-"""
+# SQL and confs derive from the graded operator's own constants (r13
+# self-review: a hand-copied spelling would silently measure a
+# different query than the one whose PERF rows this tool reproduces)
+def _join_sql() -> str:
+    from ankaflow_spark.operators.relational import _Q91_SQL
 
-CONF = {
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
-    "spark.sql.autoBroadcastJoinThreshold": "-1",
-}
+    assert "FROM lineitem l" in _Q91_SQL
+    return _Q91_SQL.replace("FROM lineitem l", "FROM {fact} l")
+
+
+def _conf() -> dict:
+    from ankaflow_spark.operators.relational import _Q91_BLOOM_CONF
+
+    # the tool toggles the lever itself; everything else is q91's
+    return {
+        k: v
+        for k, v in _Q91_BLOOM_CONF.items()
+        if k != "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    }
 
 
 def run_once(spark, fact: str, bloom_on: bool) -> tuple:
@@ -51,7 +56,7 @@ def run_once(spark, fact: str, bloom_on: bool) -> tuple:
         "spark.sql.optimizer.runtime.bloomFilter.enabled",
         "true" if bloom_on else "false",
     )
-    df = spark.sql(JOIN_SQL.format(fact=fact))
+    df = spark.sql(_join_sql().format(fact=fact))
     t0 = time.time()
     rows = df.collect()
     wall = time.time() - t0
@@ -72,7 +77,7 @@ def main() -> None:
 
     spark = get_spark("stress_bloom")
     load_tables(spark, "/root/testdata/sf0.1")
-    for k, v in CONF.items():
+    for k, v in _conf().items():
         spark.conf.set(k, v)
 
     # Nx fact: clone lineitem with shifted l_orderkey (l_suppkey stays)

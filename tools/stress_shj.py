@@ -29,20 +29,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-JOIN_SQL = """
-SELECT c.c_mktsegment AS segment,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
-FROM {fact} o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_mktsegment ORDER BY segment
-"""
+# SQL derives from the graded operator's own constant (r13 self-review:
+# a hand-copied spelling would silently measure a different query than
+# the one whose PERF rows this tool reproduces)
+def _join_sql() -> str:
+    from ankaflow_spark.operators.relational import _Q92_SQL
+
+    assert "FROM orders o" in _Q92_SQL
+    return _Q92_SQL.replace("FROM orders o", "FROM {fact} o")
 
 
 def run_once(spark, fact: str, shj: bool) -> tuple:
     spark.conf.set(
         "spark.sql.join.preferSortMergeJoin", "false" if shj else "true"
     )
-    df = spark.sql(JOIN_SQL.format(fact=fact))
+    df = spark.sql(_join_sql().format(fact=fact))
     t0 = time.time()
     rows = df.collect()
     wall = time.time() - t0
@@ -71,9 +72,13 @@ def main() -> None:
     # hold broadcast off in BOTH regimes (the dim "exceeds the budget"
     # by construction) while keeping the SHJ local-map window open —
     # AQE re-checks (threshold x partitions) against RUNTIME shuffle
-    # bytes, so the reducer count carries the window (q92's conf)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16KB")
-    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    # bytes, so the reducer count carries the window. Confs are q92's
+    # own, minus the lever key the tool toggles itself.
+    from ankaflow_spark.operators.relational import _Q92_SHJ_CONF
+
+    for k, v in _Q92_SHJ_CONF.items():
+        if k != "spark.sql.join.preferSortMergeJoin":
+            spark.conf.set(k, v)
 
     big_dir = build_corpus(spark, n_copies, "orders")
     spark.read.parquet(
