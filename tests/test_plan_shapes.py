@@ -129,6 +129,8 @@ SMJ_ALLOWED = {
     "q83_bucketed_colocated_join",  # the POINT of the query: bucketed-bucketed SMJ with zero exchange on the join key (fact x fact at scale, merge-hinted; gated below)
     "d33_bucketed_band_probe",  # the POINT of the query: batch bands SMJ the bucketed corpus index with zero Exchange on the corpus side (merge-hinted for determinism; gated below — a no-hint deployment lets AQE broadcast the batch instead)
     "d34_band_index_merge",  # d33's probe shape over the APPEND-MERGED index — same justification, same gate
+    "q88_aqe_skew_join",  # the POINT of the query: SortMergeJoin(skew=true) over the hot-key fact — since the collect-and-rebuild removal the RETURNED plan is the real join plan (gated by test_q88_skew_join_split below)
+    "q91_runtime_bloom_join",  # the POINT of the query: SMJ over the Bloom-pruned fact scan — runtime bloomFilter only injects into shuffle joins (gated by test_q91_runtime_bloom_filter below)
 }
 
 
