@@ -23,6 +23,7 @@ exactly (no reliance on engine-specific hash functions).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2763,10 +2764,12 @@ ORACLES["d31_cluster_size_audit"] = f"""
 # bands against it with ZERO Exchange on the corpus side — the only
 # shuffle in the probe join moves the BATCH (1 day of docs), never the
 # corpus (plan-gated: exactly one band-key Exchange, bucketed corpus
-# scan). The index build is charged to the query on every run (q83's
-# honest-accounting contract); at scale it amortizes across every
-# daily probe, and the per-batch cost is batch-bands shuffle + a
-# per-bucket merge of the corpus scan.
+# scan). The index build runs once per (session, sf) and is charged
+# to the first consumer each bench pass (d33; memo cleared between
+# passes — cached_bands' accounting convention): at scale ONE build
+# per corpus snapshot amortizes across every daily batch probe (d33)
+# and every stream probe (st28), and the per-batch cost is the
+# batch-bands shuffle + a per-bucket merge of the corpus scan.
 # The `merge` hint pins SMJ so the demonstration is deterministic
 # across SFs — at real corpus scale the index side never fits a
 # broadcast anyway (it is the corpus), while the BATCH side may: a
@@ -2867,14 +2870,29 @@ def band_probe_sql(batch_view: str) -> str:
     """
 
 
+#: one corpus band-index build per (session, sf) — the cached_bands
+#: convention applied to the persisted bucketed index d33 and st28
+#: both probe. Both consumers used to rebuild the identical table per
+#: call; a production corpus index is built once per snapshot and
+#: every batch/stream probe rides it. bench.py clears this memo before
+#: every pass (clear_shared_caches), so each pass pays the build cold,
+#: attributed to the first consumer (d33).
+_LAYOUT_TABLES: Dict[tuple, str] = {}
+
+
 def build_band_index(spark: SparkSession, sf_dir: str) -> str:
     """Persist the CORPUS slice of the band relation as the bucketed
     index table (bucket key = the full band join key, sorted within
     buckets). Returns the table name. Rides the shared __bands__
     materialization, so the 16-min signature aggregation runs once per
-    (session, sf) across the whole dedup family."""
+    (session, sf) across the whole dedup family; the index write
+    itself is likewise built once per (session, sf) and shared by
+    every probe (d33 batch, st28 streaming)."""
     from ..session import SparkEngine
 
+    key = (id(spark), os.path.abspath(sf_dir), D33_INDEX_TABLE)
+    if _LAYOUT_TABLES.get(key):
+        return D33_INDEX_TABLE
     cached_bands(spark, sf_dir)
     corpus = spark.sql(
         f"SELECT * FROM __bands__ "
@@ -2887,6 +2905,7 @@ def build_band_index(spark: SparkSession, sf_dir: str) -> str:
         n_buckets=16,
         sort_cols=_D33_KEY_COLS,
     )
+    _LAYOUT_TABLES[key] = D33_INDEX_TABLE
     return D33_INDEX_TABLE
 
 
@@ -2960,12 +2979,17 @@ def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_cols=_D33_KEY_COLS,
     )
     # day 1: the probed batch merges in as a bucketed APPEND — new
-    # per-bucket files under the same spec, no corpus rewrite
+    # per-bucket files under the same spec, no corpus rewrite. The
+    # append is pre-partitioned on the bucket key (write_bucketed's
+    # whole-buckets-per-task shuffle) so each daily merge adds at most
+    # n_buckets files, not n_tasks x n_buckets — the per-day file
+    # growth IS the compaction cadence driver at 100 TB.
     (
         spark.sql(
             f"SELECT * FROM __bands__ "
             f"WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}"
         )
+        .repartition(16, *_D33_KEY_COLS)
         .write.mode("append")
         .bucketBy(16, *_D33_KEY_COLS)
         .sortBy(*_D33_KEY_COLS)

@@ -2423,6 +2423,10 @@ def op_band_index_merge(engine, df: DataFrame, params: Dict[str, Any]) -> DataFr
         ).parquet(tmp)
         (
             engine.spark.read.parquet(tmp)
+            # whole-buckets-per-task shuffle (write_bucketed's rule):
+            # each daily merge appends at most n_buckets files, not
+            # n_tasks x n_buckets
+            .repartition(n_buckets, *_D33_KEY_COLS)
             .write.mode("append")
             .bucketBy(n_buckets, *_D33_KEY_COLS)
             .sortBy(*_D33_KEY_COLS)

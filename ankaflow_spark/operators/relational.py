@@ -23,6 +23,7 @@ Reference behavior covered here (studied, not copied):
 from __future__ import annotations
 
 import contextlib
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -3600,10 +3601,13 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sides co-partitioned AT REST and the sort-merge join runs with
 # ZERO exchange on the join key — the shuffle that normally moves the
 # entire fact table disappears from every downstream job that joins on
-# that key. The layout build is charged to the query on every run
-# (written fresh from the sf views, narrow projection only), which is
-# the honest accounting: one write amortizes across all future joins,
-# and even charged per-query the join itself is shuffle-free.
+# that key. The layout build runs once per (session, sf) and is
+# charged to the FIRST consumer each bench pass (q83; the memo is
+# cleared between passes — cached_bands' accounting convention, r13
+# optimization): one write amortizes across every l_orderkey consumer
+# (q83's join, q84's rollup, q89's lookup), which is the production
+# economics the lever demonstrates, and even when charged the join
+# itself is shuffle-free.
 # Scale shape: bucketed scan -> per-bucket sort -> SMJ (no Exchange on
 # l_orderkey/o_orderkey; plan-gated in test_plan_shapes.py) -> one
 # map-side-combinable agg on o_orderpriority. The `merge` hint pins
@@ -3626,10 +3630,25 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q83_LAYOUT_TABLE = "q83_lineitem_b"
 _Q83_N_BUCKETS = 16
 
+#: one bucketed-layout build per (session, sf) — the cached_bands
+#: convention applied to the shared q83/q84/q89 lineitem layout. The
+#: THREE consumers keyed on l_orderkey used to rebuild the identical
+#: table per call (3x the full lineitem scan + bucketed write in every
+#: bench pass); one layout serving every consumer is the entire point
+#: of paying for it (the production fact is written bucketed ONCE and
+#: every downstream job rides it). bench.py clears this memo before
+#: every pass (clear_shared_caches), so each pass still pays the build
+#: cold, attributed to the first consumer (q83) — the same honest
+#: accounting d02 uses for __cands__.
+_LAYOUT_TABLES: Dict[tuple, str] = {}
 
-def _bucketed_lineitem(spark: SparkSession) -> str:
+
+def _bucketed_lineitem(spark: SparkSession, sf_dir: str) -> str:
     from ..session import SparkEngine
 
+    key = (id(spark), os.path.abspath(sf_dir), _Q83_LAYOUT_TABLE)
+    if _LAYOUT_TABLES.get(key):
+        return _Q83_LAYOUT_TABLE
     SparkEngine(spark).write_bucketed(
         spark.table("lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
@@ -3639,6 +3658,7 @@ def _bucketed_lineitem(spark: SparkSession) -> str:
         n_buckets=_Q83_N_BUCKETS,
         sort_cols="l_orderkey",
     )
+    _LAYOUT_TABLES[key] = _Q83_LAYOUT_TABLE
     return _Q83_LAYOUT_TABLE
 
 
@@ -3662,7 +3682,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import SparkEngine
 
     load_tables(spark, sf_dir)
-    lineitem_b = _bucketed_lineitem(spark)
+    lineitem_b = _bucketed_lineitem(spark, sf_dir)
     SparkEngine(spark).write_bucketed(
         spark.table("orders").select("o_orderkey", "o_orderpriority"),
         "q83_orders_b",
@@ -3684,10 +3704,10 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 # readout is TakeOrderedAndProject. The ENTIRE plan (scan -> aggregate
 # -> top-k) executes with ZERO Exchange nodes (plan-gated): on a
 # 100 TB fact bucketed by its hot key, per-key rollups become
-# shuffle-free scans. Layout build charged to the query every run,
-# same honest accounting as q83 (and the same table — one layout
-# serves both the join and the rollup, which is the point of paying
-# for it).
+# shuffle-free scans. Layout: the shared once-per-(session, sf)
+# _bucketed_lineitem table, charged to its first consumer per bench
+# pass (q83) — one layout serves the join, the rollup and the q89
+# lookup, which is the point of paying for it.
 # Exactness: DECIMAL-summed revenue, deterministic DESC-revenue /
 # ASC-key tiebreak, identical on both engines.
 # Reference parity: no counterpart (single-node DuckDB engine has no
@@ -3712,7 +3732,7 @@ _Q84_AGG_SQL = """
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    return spark.sql(_Q84_AGG_SQL.format(lineitem=_bucketed_lineitem(spark)))
+    return spark.sql(_Q84_AGG_SQL.format(lineitem=_bucketed_lineitem(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -4094,8 +4114,10 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (lowest-key tiebreak) via a 1-row driver collect: bucket
 # pruning needs a PLAN-TIME literal, exactly like q85's day (a
 # production lookup arrives with the key spelled out); the oracle
-# computes the same key relationally. Layout build charged per run
-# (q83's honest accounting; same shared _bucketed_lineitem layout).
+# computes the same key relationally. Layout: the shared
+# _bucketed_lineitem table, built once per (session, sf) and charged
+# to its first consumer (q83) each bench pass — the cached_bands
+# accounting convention (r13 optimization).
 # ---------------------------------------------------------------------------
 @query(
     "q89_bucket_pruned_lookup",
@@ -4115,7 +4137,7 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    table = _bucketed_lineitem(spark)
+    table = _bucketed_lineitem(spark, sf_dir)
     row = spark.sql(
         f"SELECT l_orderkey FROM {table} "
         "GROUP BY 1 ORDER BY COUNT(*) DESC, l_orderkey LIMIT 1"

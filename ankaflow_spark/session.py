@@ -560,10 +560,39 @@ class SparkEngine:
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
             shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
-        writer = df.write.mode(mode)
+        # Pre-partition the write so every task holds WHOLE buckets.
+        # Without this each input task emits one file per (partition
+        # dir, bucket) it happens to see — n_tasks x n_dirs x n_buckets
+        # tiny files (measured: 3,840 for the 30-day x 16-bucket q87
+        # layout from an 8-task input) — which slows the write commit
+        # AND every later scan of the layout (per-file open cost,
+        # guide §6 "small files hurt twice"). The shuffle is keyed so
+        # each output partition maps into exactly one bucket:
+        #   * unpartitioned: hash-repartition on the bucket columns
+        #     into the smallest MULTIPLE of n_buckets covering the
+        #     session shuffle parallelism (m = k*n_buckets keeps each
+        #     partition single-bucket because pmod(h, n_buckets) is a
+        #     function of pmod(h, m); parallelism scales with the
+        #     cluster, files = m);
+        #   * hive-partitioned on top: repartition on (partition cols,
+        #     bucket id) so each (dir, bucket) group lands in exactly
+        #     one task — exactly n_dirs x n_buckets files.
+        # Scale-adaptive by construction: the partition count derives
+        # from spark.sql.shuffle.partitions, which bench.py/cluster
+        # conf size from input volume.
+        from pyspark.sql import functions as _F
+
+        shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        m = n_buckets * max(1, -(-shuffle_parts // n_buckets))
         if partition_cols:
             if isinstance(partition_cols, str):
                 partition_cols = [partition_cols]
+            bucket_id = _F.pmod(_F.hash(*[_F.col(c) for c in bucket_cols]), _F.lit(n_buckets))
+            df = df.repartition(m, *[_F.col(c) for c in partition_cols], bucket_id)
+        else:
+            df = df.repartition(m, *[_F.col(c) for c in bucket_cols])
+        writer = df.write.mode(mode)
+        if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer = writer.bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
