@@ -3640,7 +3640,7 @@ _Q83_N_BUCKETS = 16
 #: every pass (clear_shared_caches), so each pass still pays the build
 #: cold, attributed to the first consumer (q83) — the same honest
 #: accounting d02 uses for __cands__.
-_LAYOUT_TABLES: Dict[tuple, str] = {}
+_LAYOUT_TABLES: Dict[tuple, object] = {}
 
 
 def _bucketed_lineitem(spark: SparkSession, sf_dir: str) -> str:
@@ -3772,8 +3772,18 @@ _PE_FACT_SQL = """
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
     """Write the day-partitioned fact + day dimension for q85/q86;
     returns (fact DataFrame, dim DataFrame) read back from the layout.
-    Overwritten every call — the layout build is part of what these
-    queries charge themselves. Read-back passes the explicit schemas:
+    Built once per (session, sf) and charged to the first consumer
+    each bench pass (q85; memo cleared by clear_shared_caches —
+    cached_bands' accounting convention): one day-partitioned layout
+    serves both the static-pruning and the DPP consumer, which is its
+    production economics. The fact write stays at scan parallelism —
+    a pre-write repartition(day_no) was measured SLOWER here (AQE
+    coalesces the 2 MB shuffle to one task, serializing all 30 day
+    dirs; at cluster volume the same repartition is the right
+    distribution mode, but the scan-parallel write is already
+    near-minimal files at both scales since tasks x days stays small).
+    The ~|days|-row dim coalesces to a single file. Read-back passes
+    the explicit schemas:
     an EMPTY corpus writes zero part files, where schema inference has
     nothing to read (the empty-inputs robustness gate)."""
     import hashlib
@@ -3781,6 +3791,10 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
     import tempfile
 
     load_tables(spark, sf_dir)
+    key = (id(spark), os.path.abspath(sf_dir), "pp_events")
+    memo = _LAYOUT_TABLES.get(key)
+    if memo is not None:
+        return memo
     base = os.path.join(
         tempfile.gettempdir(),
         "ankaflow_pp_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
@@ -3791,9 +3805,10 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple:
     dim_src = spark.sql(
         "SELECT DISTINCT day_no, day_no % 7 AS dow FROM (" + _PE_FACT_SQL + ")"
     )
-    dim_src.write.mode("overwrite").parquet(dim_path)
+    dim_src.coalesce(1).write.mode("overwrite").parquet(dim_path)
     fact = spark.read.schema(fact_src.schema).parquet(fact_path)
     dim = spark.read.schema(dim_src.schema).parquet(dim_path)
+    _LAYOUT_TABLES[key] = (fact, dim)
     return fact, dim
 
 
