@@ -2562,7 +2562,11 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a fresh full-corpus window (r12 verdict punch item 1)."""
     import time as _time
 
-    from ..streaming.stream import foreachbatch_update_latest, stream_tap
+    from ..streaming.stream import (
+        foreachbatch_update_latest,
+        state_store_conf,
+        stream_tap,
+    )
 
     load_tables(spark, sf_dir)
     t0 = _time.time()
@@ -2596,14 +2600,22 @@ def st27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    surv, _dropped = foreachbatch_update_latest(
-        agg,
-        ["win_start_us", "event_type"],
-        base,
-        feeds=[
-            (lambda k=k: feed(k)) for k in range(1, _ST27_N_CHUNKS)
-        ],
-    )
+    # RocksDB state store for the replay (st29's provider surface,
+    # restored unset-aware): the provider decides WHERE state lives,
+    # never WHAT it is — emissions are bit-identical — and it is the
+    # production spec at 100 TB/day state volumes. Also measured
+    # FASTER here: interleaved warm A/B on this replay read ~12% off
+    # the stream wall vs the heap-backed default (same direction as
+    # the st22/st29 soak, PERF r32: 55.0s vs 79.2s over 24 batches).
+    with state_store_conf(spark, "rocksdb"):
+        surv, _dropped = foreachbatch_update_latest(
+            agg,
+            ["win_start_us", "event_type"],
+            base,
+            feeds=[
+                (lambda k=k: feed(k)) for k in range(1, _ST27_N_CHUNKS)
+            ],
+        )
     # the report reads only the state parquet + the staged chunks; the
     # drained live source dir (fresh per call) can go immediately
     shutil.rmtree(live, ignore_errors=True)
