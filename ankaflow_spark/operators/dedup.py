@@ -1669,13 +1669,24 @@ def _span_positions_cte(spark_dialect: bool) -> str:
     if spark_dialect:
         # REPARTITION before the explode: the documents scan is a
         # handful of input splits, and without it the |text|-per-doc
-        # position blow-up (and every md5) runs at scan parallelism —
+        # position blow-up (and every hash) runs at scan parallelism —
         # measured 20s -> ~2s at sf0.1. Cheap (5k slim rows) and at
         # cluster scale it spreads generator work over all executors.
+        # Fingerprint: the fp is a pure EQUALITY key (grouped per
+        # engine, never compared across engines or emitted), so the
+        # Spark side uses xxhash64 — one 8-byte BIGINT per position
+        # instead of md5's crypto hash + hex encode + 16-char string —
+        # halving the bytes entering the PARTITION BY fp shuffle
+        # (guide §2.3 narrower types) and cutting generator CPU
+        # (measured interleaved A/B at sf0.1: 3.02/4.00s -> 2.81/3.15s,
+        # span sets bit-identical). Both spellings are 64-bit
+        # fingerprints, so the (negligible) collision class is
+        # unchanged; true duplicate substrings hash equal under each
+        # engine's own function, which is all the span join needs.
         return f"""
     positions AS (
       SELECT doc_id, n_chars, p,
-             substr(md5(substr(text, p, {k})), 1, 16) AS fp
+             xxhash64(substr(text, p, {k})) AS fp
       FROM (SELECT doc_id, n_chars, text, {step} AS p
             FROM (SELECT /*+ REPARTITION(64) */ doc_id, n_chars, text
                   FROM documents WHERE length(text) >= {k}))
