@@ -1424,15 +1424,21 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOVELTY_N = 5  # words per gram
 
 
-def _novelty_sql(spark_dialect: bool, grams_rel: str | None = None) -> str:
+def _novelty_sql(spark_dialect: bool) -> str:
     n = _NOVELTY_N
     if spark_dialect:
+        # xxhash64 instead of md5: the gram key is a pure EQUALITY key
+        # (each engine groups its own grams; keys are never emitted or
+        # compared across engines), so the Spark side uses an 8-byte
+        # bigint instead of a 32-char hex string — same 64-bit-class
+        # fingerprint, half the shuffle bytes, no crypto hash + hex
+        # encode per gram (guide §2.3; d19's fingerprint argument).
         grams = f"""
       SELECT doc_id, explode(array_distinct(
         CASE WHEN size(w) >= {n} THEN
           transform(sequence(0, size(w) - {n}),
-                    i -> md5(concat_ws(' ', slice(w, i + 1, {n}))))
-        ELSE array(md5(concat_ws(' ', w))) END)) AS g
+                    i -> xxhash64(concat_ws(' ', slice(w, i + 1, {n}))))
+        ELSE array(xxhash64(concat_ws(' ', w))) END)) AS g
       FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
         """
     else:
@@ -1444,27 +1450,44 @@ def _novelty_sql(spark_dialect: bool, grams_rel: str | None = None) -> str:
         ELSE [md5(array_to_string(w, ' '))] END)) AS g
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         """
-    if grams_rel == "__grams_only__":
-        return grams
-    if grams_rel is None:
-        grams_cte, gname = f"grams AS ({grams}),", "grams"
-    else:
-        # Spark path: the distinct-gram relation is checkpointed by the
-        # caller — its two consumers (first-seen owner + the per-doc
-        # fold) would otherwise each re-run the gram explode over raw
-        # documents TEXT (PERF.md r27)
-        grams_cte, gname = "", grams_rel
+    if spark_dialect:
+        # ONE shuffle instead of three: "first occurrence of gram g" is
+        # MIN(doc_id) OVER (PARTITION BY g) — the same window spelling
+        # d19's hits step uses — so the gram relation is consumed ONCE
+        # (no groupBy(g) + shuffle-join-back on g, no caller-side
+        # localCheckpoint to protect two consumers; guide §2.4 "two
+        # operations keyed the same way share one exchange"). The
+        # per-doc fold then re-aggregates on doc_id as before.
+        return f"""
+    WITH grams AS ({grams}),
+    owned AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+      FROM grams
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM owned
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_grams AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """
     return f"""
-    WITH {grams_cte}
+    WITH grams AS ({grams}),
     first_seen AS (
-      SELECT g, MIN(doc_id) AS first_doc FROM {gname} GROUP BY g
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
     ),
     per_doc AS (
       SELECT gr.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_grams,
              CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_novel
-      FROM {gname} gr JOIN first_seen fs ON fs.g = gr.g
+      FROM grams gr JOIN first_seen fs ON fs.g = gr.g
       GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_novel,
@@ -1477,11 +1500,7 @@ def _novelty_sql(spark_dialect: bool, grams_rel: str | None = None) -> str:
 @query("t24_ngram_novelty", oracle=_novelty_sql(False))
 def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
-    grams = spark.sql(
-        _novelty_sql(True, grams_rel="__grams_only__")
-    ).localCheckpoint(eager=True)
-    grams.createOrReplaceTempView("__t24_grams__")
-    return spark.sql(_novelty_sql(True, grams_rel="__t24_grams__"))
+    return spark.sql(_novelty_sql(True))
 
 
 # ---------------------------------------------------------------------------
