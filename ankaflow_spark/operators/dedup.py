@@ -2891,6 +2891,22 @@ def band_probe_sql(batch_view: str) -> str:
 _LAYOUT_TABLES: Dict[tuple, str] = {}
 
 
+def band_index_table(sf_dir: str) -> str:
+    """SF-qualified physical name for the shared corpus band index.
+    The memo below is keyed per (session, sf) but the CATALOG is
+    session-wide: with one fixed table name, a session that touches
+    two SFs (the pytest suite runs most tests at sf0.001 and the plan
+    gates at sf0.01) leaves the LAST writer's content under a name the
+    OTHER SF's memo still vouches for — a stale-probe bug reproduced
+    in round 13 (st28's streamed probe read the wrong corpus). Folding
+    the sf digest into the name gives each SF its own table, so a memo
+    hit can never alias another SF's bytes."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{D33_INDEX_TABLE}_{h}"
+
+
 def build_band_index(spark: SparkSession, sf_dir: str) -> str:
     """Persist the CORPUS slice of the band relation as the bucketed
     index table (bucket key = the full band join key, sorted within
@@ -2901,9 +2917,10 @@ def build_band_index(spark: SparkSession, sf_dir: str) -> str:
     every probe (d33 batch, st28 streaming)."""
     from ..session import SparkEngine
 
-    key = (id(spark), os.path.abspath(sf_dir), D33_INDEX_TABLE)
+    table = band_index_table(sf_dir)
+    key = (id(spark), os.path.abspath(sf_dir), table)
     if _LAYOUT_TABLES.get(key):
-        return D33_INDEX_TABLE
+        return table
     cached_bands(spark, sf_dir)
     corpus = spark.sql(
         f"SELECT * FROM __bands__ "
@@ -2911,13 +2928,13 @@ def build_band_index(spark: SparkSession, sf_dir: str) -> str:
     )
     SparkEngine(spark).write_bucketed(
         corpus,
-        D33_INDEX_TABLE,
+        table,
         _D33_KEY_COLS,
         n_buckets=16,
         sort_cols=_D33_KEY_COLS,
     )
-    _LAYOUT_TABLES[key] = D33_INDEX_TABLE
-    return D33_INDEX_TABLE
+    _LAYOUT_TABLES[key] = table
+    return table
 
 
 @query(
@@ -2930,6 +2947,12 @@ def build_band_index(spark: SparkSession, sf_dir: str) -> str:
 def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     index = build_band_index(spark, sf_dir)
+    # re-register __bands__ for THIS sf explicitly: build_band_index
+    # only calls cached_bands on a memo MISS, so after a session has
+    # touched another SF (which re-pointed the session-wide __bands__
+    # view), a memo hit would leave the batch select below reading the
+    # other SF's bands (the round-13 mixed-SF stale-probe bug).
+    cached_bands(spark, sf_dir)
     spark.sql(
         f"SELECT * FROM __bands__ "
         f"WHERE doc_id % {D33_NEW_MOD} = {D33_NEW_REM}"

@@ -3644,22 +3644,31 @@ _LAYOUT_TABLES: Dict[tuple, object] = {}
 
 
 def _bucketed_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    # SF-qualified physical name: the memo is per (session, sf) but
+    # the catalog is session-wide — with a fixed name, a session
+    # touching two SFs leaves the last writer's content under a name
+    # the other SF's memo still vouches for (the stale-probe bug
+    # reproduced on the d33 index in round 13; see band_index_table).
+    import hashlib
+
     from ..session import SparkEngine
 
-    key = (id(spark), os.path.abspath(sf_dir), _Q83_LAYOUT_TABLE)
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    table = f"{_Q83_LAYOUT_TABLE}_{h}"
+    key = (id(spark), os.path.abspath(sf_dir), table)
     if _LAYOUT_TABLES.get(key):
-        return _Q83_LAYOUT_TABLE
+        return table
     SparkEngine(spark).write_bucketed(
         spark.table("lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         ),
-        _Q83_LAYOUT_TABLE,
+        table,
         "l_orderkey",
         n_buckets=_Q83_N_BUCKETS,
         sort_cols="l_orderkey",
     )
-    _LAYOUT_TABLES[key] = _Q83_LAYOUT_TABLE
-    return _Q83_LAYOUT_TABLE
+    _LAYOUT_TABLES[key] = table
+    return table
 
 
 _Q83_AGG_SQL = """

@@ -4445,3 +4445,30 @@ def test_q92_shuffled_hash_join_vs_python(spark, sf_dir):
         n, tot = agg[r["segment"]]
         assert r["n_orders"] == n
         assert r["total_price"] == float(tot)
+
+
+def test_shared_layouts_stable_across_sf_switch(spark):
+    """Round-13 regression: the memoized shared layouts (q83 lineitem
+    buckets, d33 corpus band index) are keyed per (session, sf) but
+    used to write ONE sf-independent catalog table — a session that
+    touched a second SF (exactly what this suite does: most tests at
+    sf0.001, the plan gates at sf0.01) left the other SF's memo
+    vouching for the wrong bytes, and d33 additionally read the
+    session-wide __bands__ view without re-registering it for its own
+    SF. Each query's result at sf0.001 must be identical before and
+    after the same session runs it at sf0.01."""
+    from ankaflow_spark.operators import collect_all
+
+    queries, _ = collect_all()
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    names = [
+        "q84_bucketed_colocated_agg",  # rides the memoized lineitem layout
+        "d33_bucketed_band_probe",  # rides the memoized band index + __bands__
+        "st28_stream_band_probe",  # streamed probe of the same index
+    ]
+    before = {n: [tuple(r) for r in queries[n](spark, a).collect()] for n in names}
+    for n in names:
+        queries[n](spark, b).count()
+    for n in names:
+        after = [tuple(r) for r in queries[n](spark, a).collect()]
+        assert after == before[n], f"{n} diverged after the session touched {b}"
