@@ -1661,6 +1661,7 @@ SPAN_GRAM = 40  # minimum duplicated-span length, chars
 
 def _span_positions_cte(spark_dialect: bool) -> str:
     k = SPAN_GRAM
+    gen_parts = int(os.environ.get("SPARK_GRAFT_GEN_PARTITIONS", "64"))
     step = (
         f"explode(sequence(1, length(text) - {k} + 1))"
         if spark_dialect
@@ -1672,6 +1673,13 @@ def _span_positions_cte(spark_dialect: bool) -> str:
         # position blow-up (and every hash) runs at scan parallelism —
         # measured 20s -> ~2s at sf0.1. Cheap (5k slim rows) and at
         # cluster scale it spreads generator work over all executors.
+        # The width is env-parameterized (SPARK_GRAFT_GEN_PARTITIONS,
+        # local default 64 — the measured knee on local[32]): a fixed
+        # constant tuned for one machine would CAP generator
+        # parallelism on a real cluster, where this should be sized to
+        # executor cores (guide §2: scale-dependent settings stay
+        # conf/env-parameterized with local defaults). Partition count
+        # is plan-only — the span relation is identical at any width.
         # Fingerprint: the fp is a pure EQUALITY key (grouped per
         # engine, never compared across engines or emitted), so the
         # Spark side uses xxhash64 — one 8-byte BIGINT per position
@@ -1688,7 +1696,7 @@ def _span_positions_cte(spark_dialect: bool) -> str:
       SELECT doc_id, n_chars, p,
              xxhash64(substr(text, p, {k})) AS fp
       FROM (SELECT doc_id, n_chars, text, {step} AS p
-            FROM (SELECT /*+ REPARTITION(64) */ doc_id, n_chars, text
+            FROM (SELECT /*+ REPARTITION({gen_parts}) */ doc_id, n_chars, text
                   FROM documents WHERE length(text) >= {k}))
     )"""
     return f"""

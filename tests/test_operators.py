@@ -4472,3 +4472,19 @@ def test_shared_layouts_stable_across_sf_switch(spark):
     for n in names:
         after = [tuple(r) for r in queries[n](spark, a).collect()]
         assert after == before[n], f"{n} diverged after the session touched {b}"
+
+
+def test_span_generator_width_is_env_parameterized(monkeypatch):
+    """d19/d20's pre-explode REPARTITION width must come from
+    SPARK_GRAFT_GEN_PARTITIONS (local default 64): a constant tuned
+    for one machine would cap generator parallelism on a real
+    cluster. Width is plan-only — d19 is oracle-verified unchanged
+    under an override (r13)."""
+    from ankaflow_spark.operators.dedup import _span_positions_cte
+
+    monkeypatch.delenv("SPARK_GRAFT_GEN_PARTITIONS", raising=False)
+    assert "REPARTITION(64)" in _span_positions_cte(True)
+    monkeypatch.setenv("SPARK_GRAFT_GEN_PARTITIONS", "512")
+    assert "REPARTITION(512)" in _span_positions_cte(True)
+    # the DuckDB oracle text carries no Spark hint either way
+    assert "REPARTITION" not in _span_positions_cte(False)

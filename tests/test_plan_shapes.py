@@ -726,7 +726,11 @@ SCAN_BUDGETS = {
     # plan, one text pass at build
     "t19_chunk_dedup": {"documents": 0},  # chunk instances checkpointed
     "t23_woe_binning": {"documents": 0},  # (bin, label) counts checkpointed
-    "t24_ngram_novelty": {"documents": 0},  # distinct-gram relation checkpointed
+    # r13: t24's gram relation is no longer checkpointed — the one-
+    # shuffle window rework consumes it ONCE, so the returned plan
+    # carries exactly the single honest documents pass (0 only when a
+    # prior same-session consumer left the table materialized).
+    "t24_ngram_novelty": {"documents": 1},
     "t30_langid_confusion": {"documents": 0},  # confusion cells checkpointed
     "t32_temperature_mix": {"documents": 0},  # per-source token inventory checkpointed
     "ts45_daily_acf": {"events": 0},  # daily lattice checkpointed (both lag-join sides consume it)
