@@ -183,6 +183,36 @@ def test_stream_stage_state_store_rocksdb(engine, sf_dir):
         run(", state_store: bogus")
 
 
+def test_state_store_conf_scopes_rocksdb_changelog(engine):
+    """The rocksdb provider scope also enables changelog checkpointing
+    (incremental per-batch commits instead of full-snapshot fsyncs —
+    the measured st27 per-batch wall driver and the at-scale commit
+    contract), and restores BOTH keys unset-aware on exit; the hdfs
+    provider scope must NOT touch the rocksdb-only key."""
+    from ankaflow_spark.streaming.stream import (
+        _PROVIDER_KEY,
+        _ROCKSDB_CHANGELOG_KEY,
+        state_store_conf,
+    )
+
+    spark = engine.spark
+    assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY, None) is None
+    with state_store_conf(spark, "rocksdb"):
+        assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY) == "true"
+        assert "RocksDB" in spark.conf.get(_PROVIDER_KEY)
+    assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY, None) is None  # restored
+    assert spark.conf.get(_PROVIDER_KEY, None) is None
+    # pre-set value is restored, not clobbered
+    spark.conf.set(_ROCKSDB_CHANGELOG_KEY, "false")
+    with state_store_conf(spark, "rocksdb"):
+        assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY) == "true"
+    assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY) == "false"
+    spark.conf.unset(_ROCKSDB_CHANGELOG_KEY)
+    # hdfs scope leaves the rocksdb-only key alone
+    with state_store_conf(spark, "hdfs"):
+        assert spark.conf.get(_ROCKSDB_CHANGELOG_KEY, None) is None
+
+
 def test_stream_stage_dedup_op(engine, sf_dir):
     from ankaflow_spark.models.core import Stages
     from ankaflow_spark.plans.flow import Flow
