@@ -194,7 +194,18 @@ def sessionize_stateful(
     (start, last-seen, count); a gap beyond ``gap_minutes`` closes and
     emits the previous session, and an event-time timeout flushes a
     session once the watermark passes its last event + gap (idle keys
-    leave state — bounded at three longs per live key)."""
+    leave state — bounded at three longs per live key).
+
+    The per-key kernel is VECTORIZED (guide §4.2): the key's batch
+    timestamps sort once as an int64-µs numpy array and session
+    boundaries are ``diff > gap`` cut points — the same
+    close-and-reopen rule the original per-row loop applied, so the
+    emitted (start, end, n) set is bit-identical, but the Python work
+    per key is a handful of array ops instead of one interpreted
+    iteration (plus a Timestamp object construction) per event.
+    Measured on st29's 1500-key replay: the row loop was the dominant
+    Python cost inside applyInPandasWithState."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -214,22 +225,41 @@ def sessionize_stateful(
                 }
             )
             return
-        rows = []
         start = last = n = None
         if state.exists:
             start, last, n = state.get
-        for pdf in pdf_iter:
-            for t in sorted(pdf[ts_col]):
-                t_us = int(pd.Timestamp(t).value // 1000)
-                if start is None:
-                    start, last, n = t_us, t_us, 1
-                elif t_us - last > gap_us:
-                    rows.append((user_id, start, last, n))
-                    start, last, n = t_us, t_us, 1
+        # one sorted int64-µs array for the key's whole batch
+        # (datetime64 unit narrowing truncates ns -> µs exactly like the
+        # old per-row `Timestamp.value // 1000`)
+        chunks = [
+            pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            for pdf in pdf_iter
+        ]
+        ts = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        rows = []
+        if ts.size:
+            cuts = np.flatnonzero(np.diff(ts) > gap_us)
+            lo = np.concatenate(([0], cuts + 1))
+            hi = np.concatenate((cuts, [ts.size - 1]))
+            segs = [
+                (int(ts[a]), int(ts[b]), int(b - a + 1))
+                for a, b in zip(lo, hi)
+            ]
+            if last is not None:
+                if ts[0] - last <= gap_us:
+                    # carried open session absorbs the first segment
+                    _, l0, c0 = segs[0]
+                    segs[0] = (start, l0, n + c0)
                 else:
-                    last, n = t_us, n + 1
+                    rows.append((user_id, start, last, n))
+            rows.extend((user_id, s, e, c) for s, e, c in segs[:-1])
+            start, last, n = segs[-1]
         if start is not None:
-            state.update((start, last, n))
+            state.update((int(start), int(last), int(n)))
             # flush when event-time watermark passes last + gap
             state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
         if rows:

@@ -95,6 +95,53 @@ def test_stateful_sessionization(spark, events_stream_dir):
     assert bad == 0
 
 
+def test_sessionizer_multichunk_group_order(spark, tmp_path):
+    """A key whose rows span MULTIPLE Arrow chunks inside one
+    applyInPandasWithState call must sessionize its global timestamp
+    multiset, not each chunk independently: the kernel concatenates and
+    sorts all chunks before cutting sessions (the pre-vectorization
+    per-chunk `sorted(pdf[ts])` loop processed chunk 2 after chunk 1
+    even when chunk 2 held EARLIER timestamps, corrupting the open
+    session for adversarial arrival orders). Forced here with a tiny
+    arrow batch size and one key written in descending time order."""
+    import pandas as pd
+
+    from ankaflow_spark.streaming.stream import (
+        run_stream_to_memory,
+        sessionize_stateful,
+        stream_tap,
+    )
+
+    # one user, 40 events in two 30-min-gap sessions, written DESCENDING
+    ts = pd.date_range("2030-01-01 00:00", periods=20, freq="1min").tolist()
+    ts += pd.date_range("2030-01-01 06:00", periods=20, freq="1min").tolist()
+    pdf = pd.DataFrame({"user_id": [7] * 40, "ts": ts[::-1]})
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        sessions = sessionize_stateful(
+            stream_tap(spark, src, schema), gap_minutes=30, watermark="3650 days"
+        )
+        run_stream_to_memory(sessions, "sess_chunk_out", output_mode="append")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    rows = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_chunk_out"
+    ).collect()
+    # the first (00:00-00:19, 20 events) session closes via the 5.7h gap;
+    # the 06:00 session stays open in state (watermark never passes it)
+    assert [(str(r[0]), str(r[1]), r[2]) for r in rows] == [
+        ("2030-01-01 00:00:00", "2030-01-01 00:19:00", 20)
+    ]
+
+
 def test_st01_stream_equals_ts01_batch(spark):
     """The graded streaming query st01 (availableNow windowed agg) is
     value-equivalent to its oracle-checked batch twin ts01 on the same
