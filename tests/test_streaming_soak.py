@@ -166,10 +166,16 @@ def test_soak_st21_native_session_window_grows(spark):
     rows = _drive_with_progress(agg, "soak_st21", "complete")
     assert len(rows) >= MIN_BATCHES
     state = [r[2] for r in rows]
-    # growing across the run (the progress metric updates in steps, so
-    # compare windows, not adjacent batches): the back half holds >=1.5x
-    # the mid-stream state, which holds >= the early state
-    assert state[-1] >= 1.5 * state[len(state) // 2] >= 1.5 * state[2] > 0
+    # growing across the run. numRowsTotal for the native session-window
+    # operator updates in PLATEAU STEPS (identical values across several
+    # batches), and where the steps land shifts with the range-partition
+    # sampling at staging time — a back-half window ratio (>=1.5x mid)
+    # proved brittle against that (r13: a restaged trajectory read
+    # end/mid = 1.30 while still growing 8.7x overall). Assert the
+    # actual contrast property instead: never shrinks, and total growth
+    # is far beyond anything the bounded family's exact plateau allows.
+    assert state == sorted(state), f"state shrank mid-stream: {state}"
+    assert state[-1] >= 3 * state[0] > 0, f"no unbounded growth: {state}"
     # and it blows past the bounded sessionizer's live-key ceiling
     n_users = spark.read.parquet(staged).select("user_id").distinct().count()
     assert state[-1] > 2 * n_users
