@@ -2318,10 +2318,90 @@ def _hubness_sql(spark_dialect: bool) -> str:
     """
 
 
+def _hubness_half_sql(buckets: str) -> str:
+    """Spark staged spelling of _hubness_sql's `cands` + `half` CTEs:
+    the bucket self-join candidates + the cosine fold, computed ONCE
+    per unordered pair off the materialized bucket view `buckets`.
+    Expressions are verbatim copies of the CTE form (oracle_check at
+    both SFs is the equivalence gate)."""
+    return f"""
+      SELECT cands.query_id, cands.cand_id,
+             {_SPARK_DOT} / (sqrt(cands.q_norm2) * sqrt(cands.c_norm2)) AS cosine
+      FROM (
+        SELECT bq.vec_id AS query_id, bc.vec_id AS cand_id,
+               bq.norm2 AS q_norm2, bc.norm2 AS c_norm2
+        FROM {buckets} bq JOIN {buckets} bc
+          ON bq.bucket = bc.bucket AND bc.vec_id < bq.vec_id
+      ) cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.cand_id
+    """
+
+
+def _hubness_tail_sql(half: str) -> str:
+    """Spark staged spelling of _hubness_sql's dots/ranked/edges/indeg/
+    tot CTEs over the materialized half-pair view `half`. Spelled with
+    subqueries, NOT `WITH`: a WITH chain whose CTEs reference a
+    checkpoint-backed temp view twice trips a Spark 4.1 analyzer bug
+    (NoSuchElementException: key not found: <exprId> during
+    optimization); the subquery form analyzes cleanly. `tot` is spelled
+    as the distinct-vec_id count the optimizer already reduces it to in
+    the CTE form's plan (a LEFT JOIN preserves every left-side group,
+    so COUNT(*) over indeg == COUNT(*) over embeddings GROUP BY
+    vec_id — the before-plan's join-pruned tot branch, now explicit)."""
+    return f"""
+    SELECT i.in_degree AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS vec_share,
+           i.in_degree >= {2 * HUB_K} AS is_hub_degree,
+           i.in_degree = 0 AS is_antihub
+    FROM (
+      SELECT e.vec_id, CAST(COUNT(g.query_id) AS BIGINT) AS in_degree
+      FROM embeddings e
+      LEFT JOIN (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id
+                 ) AS rn
+          FROM (
+            SELECT query_id, cand_id, cosine FROM {half}
+            UNION ALL
+            SELECT cand_id AS query_id, query_id AS cand_id, cosine FROM {half}
+          ) dots
+        ) ranked WHERE rn <= {HUB_K}
+      ) g ON g.cand_id = e.vec_id
+      GROUP BY e.vec_id
+    ) i
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT e.vec_id FROM embeddings e GROUP BY e.vec_id) grp
+    ) t
+    GROUP BY i.in_degree
+    ORDER BY in_degree
+    """
+
+
 def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _hubness_sql(True): Spark INLINES multiply-
+    referenced CTEs, so the one-string form executed the per-vector
+    signature fold 4x (q/c sides x the UNION ALL mirror) and the
+    per-pair cosine fold 2x (the mirror) — guide §2.4 shared work.
+    Materializing `buckets` (|V| rows) and `half` (~|V|*occ/2 rows)
+    with eager localCheckpoints computes each fold exactly once; the
+    mirror replays the SAME doubles (cosine is symmetric — this is the
+    documented bit-identical mirror, now by construction). The oracle
+    replays the one-string CTE form (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
-    return spark.sql(_hubness_sql(True))
+    spark.sql(_adaptive_bucket_sql(True, HUB_TARGET_OCC)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("s23_buckets")
+    spark.sql(_hubness_half_sql("s23_buckets")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("s23_half")
+    return spark.sql(_hubness_tail_sql("s23_half"))
 
 
 QUERIES["s23_hubness_audit"] = s23
