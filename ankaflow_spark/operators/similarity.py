@@ -2019,8 +2019,13 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH " + ivf_assign_ctes(True, training_only=True)
         + " SELECT cid, d, q FROM ivf_tcdims"
     ).localCheckpoint(eager=True).createOrReplaceTempView("__s20_cdims__")
+    # Route against the checkpointed trained-centroid dims instead of
+    # re-running the Lloyd training chain inside the assignment build
+    # (same relation by construction — ivf_routing_ctes routes assign2
+    # against tcdims; measured bit-identical, ~0.7 s of the 2.4 s).
     spark.sql(
-        "WITH " + ivf_assign_ctes(True) + " SELECT vec_id, cid FROM assign2"
+        "WITH " + ivf_routing_ctes(True, tcdims="__s20_cdims__")
+        + " SELECT vec_id, cid FROM assign2"
     ).localCheckpoint(eager=True).createOrReplaceTempView("__s20_assign__")
     QUERIES["s01_cosine_topk"](spark, sf_dir).localCheckpoint(
         eager=True
@@ -2641,10 +2646,88 @@ def _stale_recall_sql(spark_dialect: bool) -> str:
     """
 
 
+def _stale_recall_tail_sql(assign: str, norms: str) -> str:
+    """Spark staged spelling of _stale_recall_sql's probes/truth/approx/
+    report CTEs over the materialized assignment view `assign` and norm
+    view `norms`. The one-string form inlined `assign_all` twice (aq and
+    am — each re-running corpus routing AND the stale-training chain)
+    and `norms` four times. Expressions are verbatim copies of the CTE
+    form (oracle_check at both SFs is the equivalence gate)."""
+    f = _ivf_fragments(True)
+    dot = f["dot"]
+    return f"""
+    WITH probes AS (SELECT * FROM (VALUES {_S25_QUERIES}) AS t(qid, cohort)),
+    truth AS (
+      SELECT qid, cohort, cand_id FROM (
+        SELECT p.qid, p.cohort, m.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, m.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.qid
+        JOIN {norms} nq ON nq.vec_id = p.qid
+        CROSS JOIN embeddings m
+        JOIN {norms} nc ON nc.vec_id = m.vec_id
+        WHERE m.vec_id <> p.qid
+      ) r WHERE rn <= 5
+    ),
+    approx AS (
+      SELECT qid, cohort, cand_id FROM (
+        SELECT p.qid, p.cohort, m.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, m.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN {assign} aq ON aq.vec_id = p.qid
+        JOIN {assign} am ON am.cid = aq.cid AND am.vec_id <> p.qid
+        JOIN embeddings q ON q.vec_id = p.qid
+        JOIN embeddings m ON m.vec_id = am.vec_id
+        JOIN {norms} nq ON nq.vec_id = p.qid
+        JOIN {norms} nc ON nc.vec_id = am.vec_id
+      ) r WHERE rn <= 5
+    )
+    SELECT t.cohort AS cohort,
+           CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(a.cand_id) AS DOUBLE) / 25.0 AS recall_at_5
+    FROM truth t
+    LEFT JOIN approx a ON a.qid = t.qid AND a.cand_id = t.cand_id
+    GROUP BY t.cohort
+    ORDER BY cohort
+    """
+
+
 def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _stale_recall_sql(True) — guide §2.4 shared
+    work: Spark inlines multiply-referenced CTEs, so the one-string form
+    re-ran the stale-centroid training + full-corpus routing twice (the
+    aq/am self-join on assign_all) and the corpus norm fold four times.
+    Materialize the trained-centroid dims, the corpus assignment, and
+    the norms once (eager localCheckpoints, the s17/s20 pattern); the
+    tail replays the SAME stored values. The oracle replays the
+    one-string CTE form (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
-    return spark.sql(_stale_recall_sql(True))
+    spark.sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3"
+    ).createOrReplaceTempView("__s25_old__")
+    spark.sql(
+        "WITH "
+        + ivf_assign_ctes(True, table="__s25_old__", training_only=True)
+        + " SELECT cid, d, q FROM ivf_tcdims"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__s25_tcdims__")
+    # ivf_routing_ctes' ivf_alldims/assign2 are textually the same
+    # expansion+argmin as _stale_recall_sql's all_dims/assign_all.
+    spark.sql(
+        "WITH " + ivf_routing_ctes(True, tcdims="__s25_tcdims__")
+        + " SELECT vec_id, cid FROM assign2"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("__s25_assign__")
+    spark.sql(_SPARK_NORM).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__s25_norms__"
+    )
+    return spark.sql(_stale_recall_tail_sql("__s25_assign__", "__s25_norms__"))
 
 
 QUERIES["s25_stale_index_recall"] = s25
