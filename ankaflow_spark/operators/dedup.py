@@ -2241,8 +2241,25 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (the reference delegates execution
 # to DuckDB); extends the d18/d12/d24 sketch-verdict family.
 # ---------------------------------------------------------------------------
-def _bbit_sql(spark_dialect: bool) -> str:
-    if spark_dialect:
+_BBIT_MATCHES_CTE = """matches AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m,
+             SUM(CASE WHEN pa.mh % 4 = pb.mh % 4 THEN 1 ELSE 0 END) AS m2,
+             SUM(CASE WHEN pa.mh % 2 = pb.mh % 2 THEN 1 ELSE 0 END) AS m1
+      FROM cands c
+      JOIN perm pa ON pa.doc_id = c.doc_a
+      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
+      GROUP BY c.doc_a, c.doc_b
+    )"""
+
+
+def _bbit_sql(spark_dialect: bool, matches_rel: str | None = None) -> str:
+    if matches_rel is not None:
+        # Spark staged path: `matches` is pre-materialized (see d26 —
+        # inlined, each of its two references re-ran the 16-min
+        # signature aggregation twice through `perm`).
+        ctes = f"""{SPARK_CAND_CTES}"""
+    elif spark_dialect:
         ctes = f"""{SPARK_CAND_CTES},
     hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
     sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
@@ -2255,18 +2272,14 @@ def _bbit_sql(spark_dialect: bool) -> str:
     e_full = f"3 * ABS(m.m * u.u - {k} * u.nc)"
     e_b1 = f"3 * ABS((2 * m.m1 - {k}) * u.u - {k} * u.nc)"
     e_b2 = f"ABS((4 * m.m2 - {k}) * u.u - 3 * {k} * u.nc)"
+    matches_cte = (
+        f"matches AS (SELECT * FROM {matches_rel})"
+        if matches_rel is not None
+        else _BBIT_MATCHES_CTE
+    )
     return f"""
     WITH {ctes},
-    matches AS (
-      SELECT c.doc_a, c.doc_b,
-             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m,
-             SUM(CASE WHEN pa.mh % 4 = pb.mh % 4 THEN 1 ELSE 0 END) AS m2,
-             SUM(CASE WHEN pa.mh % 2 = pb.mh % 2 THEN 1 ELSE 0 END) AS m1
-      FROM cands c
-      JOIN perm pa ON pa.doc_id = c.doc_a
-      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
-      GROUP BY c.doc_a, c.doc_b
-    ),
+    {matches_cte},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
@@ -2302,10 +2315,29 @@ def _bbit_sql(spark_dialect: bool) -> str:
 
 
 def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _bbit_sql(True) — guide §2.4 shared work:
+    Spark inlines multiply-referenced CTEs, so the one-string form ran
+    `matches` twice (the u chain + the report join) and `perm` twice
+    per `matches` — the 16-min signature aggregation over every shingle
+    executed FOUR times. Materialize perm (docs x 16 rows) and matches
+    (|cands| rows) once with eager localCheckpoints; the tail replays
+    the verbatim expressions. The oracle replays the one-string form
+    (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     cached_cands(spark, sf_dir)
-    return spark.sql(_bbit_sql(True))
+    spark.sql(f"""
+    WITH hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
+    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, stack({MINHASH_K}, {_SPARK_PERM_STACK}) AS (seed, mh) FROM sigs
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__d26_perm__")
+    spark.sql(f"""
+    WITH cands AS (SELECT doc_a, doc_b FROM __cands__),
+    perm AS (SELECT * FROM __d26_perm__),
+    {_BBIT_MATCHES_CTE}
+    SELECT doc_a, doc_b, m, m2, m1 FROM matches
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__d26_matches__")
+    return spark.sql(_bbit_sql(True, matches_rel="__d26_matches__"))
 
 
 QUERIES["d26_bbit_minhash"] = d26
@@ -2383,10 +2415,67 @@ def _transitivity_sql(spark_dialect: bool) -> str:
 
 
 def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _transitivity_sql(True) — guide §2.4 shared
+    work: Spark inlines multiply-referenced CTEs, and d27's chain
+    multiplies them combinatorially — classified -> wedges -> edges(x2)
+    -> verified(x2 each) plus classified's own verified probe and the
+    tot/report double-read of classified put the exact-Jaccard
+    verification join at ~10 executions in the one-string plan.
+    Materialize `verified` (pair list) and `classified` (one row per
+    wedge) once with eager localCheckpoints; the report replays the
+    verbatim expressions over the views (subquery form for the tot
+    scalar — same analyzer-bug dodge as s23). Oracle replays the
+    one-string form (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     cached_cands(spark, sf_dir)
-    return spark.sql(_transitivity_sql(True))
+    spark.sql("""
+    WITH shingles AS (SELECT doc_id, sh FROM __shingles__),
+    cands AS (SELECT doc_a, doc_b FROM __cands__),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b
+    FROM cands c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    WHERE COALESCE(cm.nc, 0) * 5 >= za.n + zb.n - COALESCE(cm.nc, 0)
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__d27_verified__")
+    spark.sql("""
+    WITH verified AS (SELECT * FROM __d27_verified__),
+    edges AS (
+      SELECT doc_a AS m, doc_b AS o FROM verified
+      UNION ALL
+      SELECT doc_b AS m, doc_a AS o FROM verified
+    ),
+    wedges AS (
+      SELECT e1.o AS a, e2.o AS c
+      FROM edges e1 JOIN edges e2 ON e2.m = e1.m AND e1.o < e2.o
+    )
+    SELECT CASE WHEN v.doc_a IS NOT NULL THEN 'closed'
+                WHEN cd.doc_a IS NOT NULL THEN 'open_below_threshold'
+                ELSE 'open_not_candidate' END AS wedge_class
+    FROM wedges w
+    LEFT JOIN verified v ON v.doc_a = w.a AND v.doc_b = w.c
+    LEFT JOIN __cands__ cd ON cd.doc_a = w.a AND cd.doc_b = w.c
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__d27_classified__")
+    return spark.sql("""
+    SELECT c.wedge_class AS wedge_class,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS wedge_share,
+           c.wedge_class = 'closed' AS is_transitive
+    FROM __d27_classified__ c CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __d27_classified__
+    ) t
+    GROUP BY c.wedge_class
+    ORDER BY wedge_class
+    """)
 
 
 QUERIES["d27_transitivity_audit"] = d27

@@ -2540,10 +2540,96 @@ def _plane_sweep_sql(spark_dialect: bool) -> str:
     """
 
 
+def _plane_sweep_tail_sql(sig: str, norms: str) -> str:
+    """Spark staged spelling of _plane_sweep_sql's spine/masked/occ/
+    cost/truth/approx/hits/report CTEs over the materialized signature
+    view `sig` and norm view `norms`. The one-string form inlined
+    `masked` three times (occ + the approx self-join's mq/mc sides —
+    each re-running the 10-plane signature fold over the whole corpus)
+    and `norms` four times. Expressions are verbatim copies of the CTE
+    form (oracle_check at both SFs is the equivalence gate)."""
+    dot = _SPARK_DOT
+    shift_p = "shiftleft(CAST(1 AS BIGINT), CAST(p.p AS INT))"
+    spine = ", ".join(f"({p})" for p in _SWEEP_PLANES)
+    return f"""
+    WITH spine AS (SELECT * FROM (VALUES {spine}) AS t(p)),
+    masked AS (
+      SELECT p.p AS p, s.vec_id, s.bucket % {shift_p} AS b
+      FROM {sig} s CROSS JOIN spine p
+    ),
+    occ AS (SELECT p, b, CAST(COUNT(*) AS BIGINT) AS c FROM masked GROUP BY p, b),
+    cost AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(c) AS BIGINT) AS max_occupancy,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS cand_total
+      FROM occ GROUP BY p
+    ),
+    truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, c.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN {norms} nq ON nq.vec_id = q.vec_id
+        CROSS JOIN embeddings c
+        JOIN {norms} nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+      ) WHERE rn <= 5
+    ),
+    approx AS (
+      SELECT p, query_id, cand_id FROM (
+        SELECT mq.p AS p, mq.vec_id AS query_id, mc.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY mq.p, mq.vec_id
+                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, mc.vec_id
+               ) AS rn
+        FROM masked mq
+        JOIN masked mc ON mc.p = mq.p AND mc.b = mq.b AND mc.vec_id <> mq.vec_id
+        JOIN embeddings q ON q.vec_id = mq.vec_id
+        JOIN embeddings c ON c.vec_id = mc.vec_id
+        JOIN {norms} nq ON nq.vec_id = mq.vec_id
+        JOIN {norms} nc ON nc.vec_id = mc.vec_id
+        WHERE mq.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT a.p, CAST(COUNT(*) AS BIGINT) AS matched
+      FROM approx a
+      JOIN truth t ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+      GROUP BY a.p
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT c.p AS n_planes, c.n_buckets, c.max_occupancy,
+           CAST(c.cand_total AS DOUBLE) / t.n AS mean_cands_per_query,
+           CAST(COALESCE(h.matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(h.matched, 0) AS DOUBLE) / {5 * N_QUERY_VECS} AS recall_at_5
+    FROM cost c
+    LEFT JOIN hits h ON h.p = c.p
+    CROSS JOIN tot t
+    ORDER BY n_planes
+    """
+
+
 def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _plane_sweep_sql(True) — guide §2.4 shared
+    work: Spark inlines multiply-referenced CTEs, so the one-string
+    form re-ran the 10-plane corpus signature fold three times (occ +
+    the approx self-join's two masked sides) and the corpus norm fold
+    four times. Materialize the signature and the norms once (eager
+    localCheckpoints); `masked` stays inline — over the view it is a
+    modulo projection, not a fold. The oracle replays the one-string
+    CTE form (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
-    return spark.sql(_plane_sweep_sql(True))
+    spark.sql(_bucket_sql_n(True, _S24_MAXP)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__s24_sig__")
+    spark.sql(_SPARK_NORM).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__s24_norms__"
+    )
+    return spark.sql(_plane_sweep_tail_sql("__s24_sig__", "__s24_norms__"))
 
 
 QUERIES["s24_lsh_plane_sweep"] = s24
@@ -2781,10 +2867,7 @@ def _cached_dims(spark: SparkSession) -> None:
     )
 
 
-def _ch_sql(spark_dialect: bool) -> str:
-    intdiv = "div" if spark_dialect else "//"
-    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
-    assign = """
+_CH_ASSIGN = """
       SELECT vec_id, c, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
       FROM (
@@ -2794,6 +2877,12 @@ def _ch_sql(spark_dialect: bool) -> str:
         GROUP BY dims.vec_id, {cent}.c
       ) x
     """
+
+
+def _ch_sql(spark_dialect: bool) -> str:
+    intdiv = "div" if spark_dialect else "//"
+    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
+    assign = _CH_ASSIGN
     return f"""
     WITH dims AS ({dims}),
     c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
@@ -2846,10 +2935,70 @@ def _ch_sql(spark_dialect: bool) -> str:
 
 @query("s26_calinski_harabasz", oracle=_ch_sql(False))
 def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _ch_sql(True) — guide §2.4 shared work: Spark
+    inlines multiply-referenced CTEs, so the one-string form re-ran the
+    first Lloyd scoring chain twice (`c1` feeds both a2 and between_c)
+    and the whole a2 chain twice more (`per_cluster` feeds both the
+    report and tot). Materialize c1 (k x 64 rows) and per_cluster
+    (k rows) once with eager localCheckpoints; every stage replays the
+    verbatim CTE expressions (the shared _CH_ASSIGN template) over the
+    views. Oracle replays the one-string CTE form."""
+    intdiv = "div"
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     _cached_dims(spark)
-    return spark.sql(_ch_sql(True))
+    spark.sql(f"""
+    WITH dims AS (SELECT * FROM __km_dims__),
+    c0 AS (SELECT vec_id AS c, d, q FROM dims WHERE vec_id < {_KM_K}),
+    a1 AS ({_CH_ASSIGN.format(cent="c0")}),
+    m1 AS (SELECT vec_id, c FROM a1 WHERE rk = 1),
+    c1 AS (
+      SELECT m1.c, dims.d,
+             CAST(floor(CAST(SUM(dims.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims JOIN m1 ON m1.vec_id = dims.vec_id
+      GROUP BY m1.c, dims.d
+    )
+    SELECT c, d, q FROM c1
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__s26_c1__")
+    spark.sql(f"""
+    WITH dims AS (SELECT * FROM __km_dims__),
+    c1 AS (SELECT * FROM __s26_c1__),
+    a2 AS ({_CH_ASSIGN.format(cent="c1")}),
+    m2 AS (SELECT vec_id, c, dist FROM a2 WHERE rk = 1),
+    gcent AS (
+      SELECT d, CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM dims GROUP BY d
+    ),
+    within AS (
+      SELECT m2.c,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(m2.dist {intdiv} 1000000) AS BIGINT) AS within_e6
+      FROM m2 GROUP BY m2.c
+    ),
+    between_c AS (
+      SELECT c1.c,
+             CAST(SUM((c1.q - g.q) * (c1.q - g.q)) {intdiv} 1000000 AS BIGINT) AS cg_e6
+      FROM c1 JOIN gcent g ON g.d = c1.d
+      GROUP BY c1.c
+    )
+    SELECT w.c, w.n_members, w.within_e6,
+           CAST(w.n_members * b.cg_e6 AS BIGINT) AS between_e6
+    FROM within w JOIN between_c b ON b.c = w.c
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__s26_pc__")
+    return spark.sql("""
+    SELECT p.c AS cluster, p.n_members AS n_members,
+           p.within_e6 AS within_e6, p.between_e6 AS between_e6,
+           (CAST(t.b_tot AS DOUBLE) / (t.k - 1))
+             / (CAST(t.w_tot AS DOUBLE) / (t.n - t.k)) AS ch_score
+    FROM __s26_pc__ p CROSS JOIN (
+      SELECT CAST(SUM(n_members) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(within_e6) AS BIGINT) AS w_tot,
+             CAST(SUM(between_e6) AS BIGINT) AS b_tot
+      FROM __s26_pc__
+    ) t
+    ORDER BY cluster
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -2872,9 +3021,7 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _stability_sql(spark_dialect: bool) -> str:
-    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
-    assign = """
+_ARI_ASSIGN = """
       SELECT vec_id, c FROM (
         SELECT dims.vec_id, {cent}.c,
                ROW_NUMBER() OVER (
@@ -2885,7 +3032,8 @@ def _stability_sql(spark_dialect: bool) -> str:
         GROUP BY dims.vec_id, {cent}.c
       ) x WHERE rk = 1
     """
-    lloyd = """
+
+_ARI_LLOYD = """
     c0{tag} AS (SELECT vec_id - {lo} AS c, d, q FROM dims
                 WHERE vec_id >= {lo} AND vec_id < {hi}),
     m1{tag} AS ({assign0}),
@@ -2898,14 +3046,20 @@ def _stability_sql(spark_dialect: bool) -> str:
     m2{tag} AS ({assign1})
     """
 
-    def run(tag: str, lo: int, hi: int) -> str:
-        return lloyd.format(
-            tag=tag,
-            lo=lo,
-            hi=hi,
-            assign0=assign.format(cent=f"c0{tag}"),
-            assign1=assign.format(cent=f"c1{tag}"),
-        )
+
+def _ari_run(tag: str, lo: int, hi: int) -> str:
+    return _ARI_LLOYD.format(
+        tag=tag,
+        lo=lo,
+        hi=hi,
+        assign0=_ARI_ASSIGN.format(cent=f"c0{tag}"),
+        assign1=_ARI_ASSIGN.format(cent=f"c1{tag}"),
+    )
+
+
+def _stability_sql(spark_dialect: bool) -> str:
+    dims = "SELECT * FROM __km_dims__" if spark_dialect else _dims_sql(False)
+    run = _ari_run
 
     return f"""
     WITH dims AS ({dims}),
@@ -2938,10 +3092,45 @@ def _stability_sql(spark_dialect: bool) -> str:
 
 @query("s27_clustering_stability", oracle=_stability_sql(False))
 def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged spelling of _stability_sql(True) — guide §2.4 shared
+    work: the one-string form references `cont` FIVE times (rowsums,
+    colsums, two ari scalar subqueries, the report), and Spark inlines
+    each into a fresh execution of BOTH Lloyd runs (two n x k scoring
+    joins each). Materialize cont (k x k rows) once — the single
+    statement that builds it has no multiply-referenced CTE, so the
+    Lloyd runs execute exactly once; the ARI tail replays the verbatim
+    expressions over the view. Oracle replays the one-string form."""
     load_tables(spark, sf_dir)
     cached_embeddings(spark)
     _cached_dims(spark)
-    return spark.sql(_stability_sql(True))
+    spark.sql(f"""
+    WITH dims AS (SELECT * FROM __km_dims__),
+    {_ari_run("a", 0, _KM_K)},
+    {_ari_run("b", _KM_K, 2 * _KM_K)}
+    SELECT a.c AS ca, b.c AS cb, CAST(COUNT(*) AS BIGINT) AS n
+    FROM m2a a JOIN m2b b ON b.vec_id = a.vec_id
+    GROUP BY a.c, b.c
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__s27_cont__")
+    return spark.sql("""
+    WITH cont AS (SELECT * FROM __s27_cont__),
+    rowsums AS (SELECT ca, CAST(SUM(n) AS BIGINT) AS n FROM cont GROUP BY ca),
+    colsums AS (SELECT cb, CAST(SUM(n) AS BIGINT) AS n FROM cont GROUP BY cb),
+    ari AS (
+      SELECT
+        CAST((SELECT SUM(n * (n - 1)) FROM cont) AS BIGINT) AS idx2,
+        CAST((SELECT SUM(n * (n - 1)) FROM rowsums) AS BIGINT) AS sa2,
+        CAST((SELECT SUM(n * (n - 1)) FROM colsums) AS BIGINT) AS sb2,
+        CAST((SELECT SUM(n) AS n FROM cont) AS BIGINT) AS n
+    ),
+    score AS (
+      SELECT CAST(2 * (idx2 * (n * (n - 1)) - sa2 * sb2) AS DOUBLE)
+             / ((n * (n - 1)) * (sa2 + sb2) - 2 * sa2 * sb2) AS ari
+      FROM ari
+    )
+    SELECT c.ca AS cluster_a, c.cb AS cluster_b, c.n AS n_points, s.ari AS ari
+    FROM cont c CROSS JOIN score s
+    ORDER BY cluster_a, cluster_b
+    """)
 
 
 # ---------------------------------------------------------------------------
