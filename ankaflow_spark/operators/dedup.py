@@ -2241,25 +2241,8 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: no counterpart (the reference delegates execution
 # to DuckDB); extends the d18/d12/d24 sketch-verdict family.
 # ---------------------------------------------------------------------------
-_BBIT_MATCHES_CTE = """matches AS (
-      SELECT c.doc_a, c.doc_b,
-             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m,
-             SUM(CASE WHEN pa.mh % 4 = pb.mh % 4 THEN 1 ELSE 0 END) AS m2,
-             SUM(CASE WHEN pa.mh % 2 = pb.mh % 2 THEN 1 ELSE 0 END) AS m1
-      FROM cands c
-      JOIN perm pa ON pa.doc_id = c.doc_a
-      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
-      GROUP BY c.doc_a, c.doc_b
-    )"""
-
-
-def _bbit_sql(spark_dialect: bool, matches_rel: str | None = None) -> str:
-    if matches_rel is not None:
-        # Spark staged path: `matches` is pre-materialized (see d26 —
-        # inlined, each of its two references re-ran the 16-min
-        # signature aggregation twice through `perm`).
-        ctes = f"""{SPARK_CAND_CTES}"""
-    elif spark_dialect:
+def _bbit_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
         ctes = f"""{SPARK_CAND_CTES},
     hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
     sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id),
@@ -2272,14 +2255,18 @@ def _bbit_sql(spark_dialect: bool, matches_rel: str | None = None) -> str:
     e_full = f"3 * ABS(m.m * u.u - {k} * u.nc)"
     e_b1 = f"3 * ABS((2 * m.m1 - {k}) * u.u - {k} * u.nc)"
     e_b2 = f"ABS((4 * m.m2 - {k}) * u.u - 3 * {k} * u.nc)"
-    matches_cte = (
-        f"matches AS (SELECT * FROM {matches_rel})"
-        if matches_rel is not None
-        else _BBIT_MATCHES_CTE
-    )
     return f"""
     WITH {ctes},
-    {matches_cte},
+    matches AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS m,
+             SUM(CASE WHEN pa.mh % 4 = pb.mh % 4 THEN 1 ELSE 0 END) AS m2,
+             SUM(CASE WHEN pa.mh % 2 = pb.mh % 2 THEN 1 ELSE 0 END) AS m1
+      FROM cands c
+      JOIN perm pa ON pa.doc_id = c.doc_a
+      JOIN perm pb ON pb.doc_id = c.doc_b AND pb.seed = pa.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
@@ -2315,29 +2302,18 @@ def _bbit_sql(spark_dialect: bool, matches_rel: str | None = None) -> str:
 
 
 def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged spelling of _bbit_sql(True) — guide §2.4 shared work:
-    Spark inlines multiply-referenced CTEs, so the one-string form ran
-    `matches` twice (the u chain + the report join) and `perm` twice
-    per `matches` — the 16-min signature aggregation over every shingle
-    executed FOUR times. Materialize perm (docs x 16 rows) and matches
-    (|cands| rows) once with eager localCheckpoints; the tail replays
-    the verbatim expressions. The oracle replays the one-string form
-    (DuckDB computes each CTE once)."""
+    # Examined for the wave-12 CTE staging and deliberately left
+    # one-string: a three-way fresh-process A/B (inline vs perm-staged
+    # vs perm+matches-staged) read 2.17 / 2.01 / 2.11 s at sf0.1 and
+    # 10.3 / 11.0 / 12.2 s at 10x clone-dense volume — AQE runtime
+    # exchange reuse already shares the duplicate matches/perm shuffle
+    # subtrees, and materializing the |cands|-sized matches relation
+    # COSTS at volume (the candidate set is the quadratic axis in the
+    # dup-dense regime). See OPTIMIZATION_r13.md wave 12.
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     cached_cands(spark, sf_dir)
-    spark.sql(f"""
-    WITH hashed AS (SELECT doc_id, md5(sh) AS h FROM __shingles__),
-    sigs AS (SELECT doc_id, {_SPARK_SIG_AGGS} FROM hashed GROUP BY doc_id)
-    SELECT doc_id, stack({MINHASH_K}, {_SPARK_PERM_STACK}) AS (seed, mh) FROM sigs
-    """).localCheckpoint(eager=True).createOrReplaceTempView("__d26_perm__")
-    spark.sql(f"""
-    WITH cands AS (SELECT doc_a, doc_b FROM __cands__),
-    perm AS (SELECT * FROM __d26_perm__),
-    {_BBIT_MATCHES_CTE}
-    SELECT doc_a, doc_b, m, m2, m1 FROM matches
-    """).localCheckpoint(eager=True).createOrReplaceTempView("__d26_matches__")
-    return spark.sql(_bbit_sql(True, matches_rel="__d26_matches__"))
+    return spark.sql(_bbit_sql(True))
 
 
 QUERIES["d26_bbit_minhash"] = d26
