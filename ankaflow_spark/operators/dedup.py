@@ -614,10 +614,45 @@ ORACLES["d05_embedding_neardup"] = ORACLES["d05_embedding_neardup"].format(
 CC_MAX_ROUNDS = 64  # safety bound only; the loop exits at fixpoint
 
 
-def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+def cc_persist_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Materialize a candidate-pair relation (doc_a, doc_b) through a
+    parquet round-trip and return the parquet-backed DataFrame — the
+    connected_components ENTRY materialization, exposed so a caller can
+    reuse the persisted image (e.g. rebind a pipeline stage view to it,
+    so downstream counts of the pair stage read the file instead of
+    re-executing the banding plan — measured 2.5 s per re-execution in
+    dedup_ann_curation's release_report, guide §1.2 "don't compute
+    things twice"). Pass the result to connected_components with
+    ``pairs_persisted=True``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="ankaflow_cc_")
+    atexit.register(shutil.rmtree, workdir, True)
+    path = os.path.join(workdir, "pairs")
+    pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def connected_components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    ordered: bool = True,
+    pairs_persisted: bool = False,
+) -> DataFrame:
     """Min-label propagation to fixpoint over an undirected edge list
     (columns doc_a, doc_b). Returns (doc_id, cluster_id,
     is_representative) with cluster_id = min doc_id in the component.
+
+    ``ordered=False`` skips the exit ORDER BY: the sort is applied on
+    top of the exit parquet read, so every downstream execution replays
+    a global sort of the label table — pure waste for consumers that
+    immediately JOIN the labels (the join's exchange destroys order).
+    Graded relations that emit labels directly (d06) keep the default.
+    ``pairs_persisted=True`` declares ``pairs`` already materialized by
+    cc_persist_pairs (skips the internal entry round-trip).
 
     Scale shape: each round is one shuffle-join of labels against the
     (small, checkpointed) edge table plus a groupBy and three pointer
@@ -676,7 +711,8 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         except Exception:
             return persist_reset(df, name)
 
-    pairs = persist_reset(pairs.select("doc_a", "doc_b"), "pairs")
+    if not pairs_persisted:
+        pairs = persist_reset(pairs.select("doc_a", "doc_b"), "pairs")
     edges = (
         pairs.selectExpr("doc_a AS doc_id", "doc_b AS nbr")
         .unionAll(pairs.selectExpr("doc_b AS doc_id", "doc_a AS nbr"))
@@ -687,61 +723,86 @@ def connected_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     labels = ckpt_reset(
         edges.groupBy("doc_id").agg(F.min("nbr").alias("lbl")), "labels_init"
     )
+    # Per-round shape (r14 re-measured, guide §1): TWO neighbor-min hops
+    # then ONE pointer jump (l(v) <- min(l(v), l(l(v)))) per
+    # materialization. The r13 shape (one hop + three jumps) rested on a
+    # doubling theory ("rounds ~ log16(diameter)") that measurement
+    # refutes: on the sf0.1 semantic graph rounds were IDENTICAL at 1,
+    # 2, 3 and even 8 jumps (8 rounds) — min-label propagation here is
+    # hop-bound (reach grows ~linearly with hops, jumps only shave a
+    # constant), while every extra jump is a stats-less label self-join
+    # (SMJ, two shuffles) that made rounds strictly slower (interleaved
+    # A/B: 1 jump 2.4-3.8s total, 3 jumps 4.0-5.8s). Two hops per round
+    # halve the round count (8 -> 5 measured) and with it the per-round
+    # fixed costs (checkpoint + fixpoint probe) and the JVM-cumulative
+    # latency degradation seen past ~8 checkpointed iterations; total
+    # label shuffles per converged run drop from ~24 to ~20. Fixpoint
+    # labels are scheme-independent (min reachable id), pinned by the
+    # union-find property test and the d06/d08/d10/d31 oracles.
+    converged = False
     for rnd in range(CC_MAX_ROUNDS):
-        n = edges.alias("n")
-        l_own = labels.alias("l")
-        l_nbr = labels.alias("nl")
-        new_labels = (
-            n.join(l_own, F.col("n.doc_id") == F.col("l.doc_id"))
-            .join(l_nbr, F.col("n.nbr") == F.col("nl.doc_id"))
-            .groupBy(F.col("n.doc_id").alias("doc_id"), F.col("l.lbl").alias("old_lbl"))
-            .agg(F.min(F.col("nl.lbl")).alias("min_nbr"))
-            .select(
-                "doc_id",
-                F.least(F.col("old_lbl"), F.col("min_nbr")).alias("lbl"),
-                "old_lbl",
+        cur = labels.selectExpr("doc_id", "lbl", "lbl AS old_lbl")
+        for _ in range(2):
+            n = edges.alias("n")
+            l_own = cur.alias("l")
+            l_nbr = cur.alias("nl")
+            cur = (
+                n.join(l_own, F.col("n.doc_id") == F.col("l.doc_id"))
+                .join(l_nbr, F.col("n.nbr") == F.col("nl.doc_id"))
+                .groupBy(
+                    F.col("n.doc_id").alias("doc_id"),
+                    F.col("l.lbl").alias("lb"),
+                    F.col("l.old_lbl").alias("old_lbl"),
+                )
+                .agg(F.min(F.col("nl.lbl")).alias("min_nbr"))
+                .select(
+                    "doc_id",
+                    F.least(F.col("lb"), F.col("min_nbr")).alias("lbl"),
+                    "old_lbl",
+                )
             )
+        ptr = cur.selectExpr("doc_id AS j_doc", "lbl AS j_lbl")
+        new_labels = cur.join(ptr, F.col("lbl") == F.col("j_doc")).select(
+            "doc_id",
+            F.least(F.col("lbl"), F.col("j_lbl")).alias("lbl"),
+            "old_lbl",
         )
-        # pointer jumps: l(v) <- min(l(v), l(l(v))), applied 3x per
-        # round. Neighbor-min alone converges in DIAMETER rounds — a
-        # thresholded-similarity graph can be path-shaped (measured:
-        # the sf0.1 semantic graph was still changing after 64 rounds,
-        # minutes of driver-loop joins). Each jump halves the label's
-        # distance-to-root, so a round shrinks it 16x (one hop + three
-        # doublings): rounds ~ log16(diameter). Round count matters
-        # beyond wall-clock: measured on local[32], per-round latency
-        # degrades sharply after ~8 checkpointed iterations with
-        # constant plans/rows/tasks (JVM-cumulative, not data-driven) —
-        # converging in <=6 rounds sidesteps it for any realistic
-        # diameter (16^6 ≈ 1.7e7).
-        for _ in range(3):
-            ptr = new_labels.selectExpr("doc_id AS j_doc", "lbl AS j_lbl")
-            new_labels = new_labels.join(
-                ptr, F.col("lbl") == F.col("j_doc")
-            ).select(
-                "doc_id",
-                F.least(F.col("lbl"), F.col("j_lbl")).alias("lbl"),
-                "old_lbl",
-            )
         new_labels = ckpt_reset(new_labels, f"labels_r{rnd % 2}")
         changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Fail LOUD, never silently under-merged: hop-bound propagation
+        # means a component of diameter >> 2 * CC_MAX_ROUNDS cannot
+        # converge within the cap (measured: a 50k-node shuffled path
+        # graph exhausts 64 rounds under EVERY jump setting, r13's
+        # included, and the old code returned the truncated labels as
+        # if final). Real near-dup graphs are clique-dense with tiny
+        # diameters (<= 15 rounds observed across the battery at both
+        # SFs and 10x volume); an input that trips this needs a
+        # star-contraction CC, not a bigger cap.
+        raise RuntimeError(
+            f"connected_components did not converge within {CC_MAX_ROUNDS}"
+            " rounds (component diameter exceeds the propagation"
+            " horizon); labels would be silently under-merged"
+        )
     try:
         edges.rdd.unpersist()
     except Exception:
         pass
     # exit through parquet: downstream survivor joins plan against real
     # file-size stats (see the persist strategy note above)
-    return persist_reset(
+    out = persist_reset(
         labels.select(
             F.col("doc_id"),
             F.col("lbl").alias("cluster_id"),
             (F.col("doc_id") == F.col("lbl")).alias("is_representative"),
         ),
         "labels_final",
-    ).orderBy("cluster_id", "doc_id")
+    )
+    return out.orderBy("cluster_id", "doc_id") if ordered else out
 
 
 @query("d06_dedup_clusters")
@@ -889,7 +950,9 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
-    labels = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    labels = connected_components(spark, pairs, ordered=False).select(
+        "doc_id", "cluster_id"
+    )
     labels.createOrReplaceTempView("d08_cluster_labels")
     return spark.sql(
         _survivor_select(
@@ -1057,32 +1120,50 @@ def semdedup_pairs_df(
     ).createOrReplaceTempView(view)
     k = _sem_k_expr(view) if k is None else k
     two_level = isinstance(k, str)
-    init_sql = ivf_assign_ctes(True, table=view, k=k, init_only=True)
-    tdims = spark.sql(
-        f"WITH {init_sql} SELECT vec_id, d, q FROM ivf_tdims"
-    ).localCheckpoint(eager=True)
-    tdims.createOrReplaceTempView("__semdedup_tdims__")
-    icdims = spark.sql(
-        f"WITH {init_sql} SELECT cid, d, q FROM ivf_icdims"
-    ).localCheckpoint(eager=True)
-    icdims.createOrReplaceTempView("__semdedup_icdims__")
-    tcdims = spark.sql(
-        f"WITH train_set AS (SELECT vec_id, embedding FROM {view}"
-        f" WHERE vec_id % {IVF_TRAIN_MOD} = 0),\n"
-        + ivf_train_tail_ctes(
-            True,
-            two_level=two_level,
-            tdims="__semdedup_tdims__",
-            icdims="__semdedup_icdims__",
-        )
-        + " SELECT cid, d, q FROM ivf_tcdims"
-    ).localCheckpoint(eager=True)
-    tcdims.createOrReplaceTempView(tview)
-    assign = spark.sql(
-        f"WITH {ivf_routing_ctes(True, table=view, two_level=two_level, tcdims=tview)} "
-        "SELECT vec_id, cid FROM assign2"
-    ).localCheckpoint(eager=True)
-    assign.createOrReplaceTempView(aview)
+    if two_level:
+        # corpus-scaled K: the two-level assignment references
+        # tdims/icdims/tcdims SEVERAL times each and Spark inlines CTEs,
+        # so each intermediate materializes once (measured at 10x
+        # volume: 177s of a 196s wall was training re-execution).
+        init_sql = ivf_assign_ctes(True, table=view, k=k, init_only=True)
+        tdims = spark.sql(
+            f"WITH {init_sql} SELECT vec_id, d, q FROM ivf_tdims"
+        ).localCheckpoint(eager=True)
+        tdims.createOrReplaceTempView("__semdedup_tdims__")
+        icdims = spark.sql(
+            f"WITH {init_sql} SELECT cid, d, q FROM ivf_icdims"
+        ).localCheckpoint(eager=True)
+        icdims.createOrReplaceTempView("__semdedup_icdims__")
+        tcdims = spark.sql(
+            f"WITH train_set AS (SELECT vec_id, embedding FROM {view}"
+            f" WHERE vec_id % {IVF_TRAIN_MOD} = 0),\n"
+            + ivf_train_tail_ctes(
+                True,
+                two_level=two_level,
+                tdims="__semdedup_tdims__",
+                icdims="__semdedup_icdims__",
+            )
+            + " SELECT cid, d, q FROM ivf_tcdims"
+        ).localCheckpoint(eager=True)
+        tcdims.createOrReplaceTempView(tview)
+        assign = spark.sql(
+            f"WITH {ivf_routing_ctes(True, table=view, two_level=two_level, tcdims=tview)} "
+            "SELECT vec_id, cid FROM assign2"
+        ).localCheckpoint(eager=True)
+        assign.createOrReplaceTempView(aview)
+    else:
+        # literal K (the YAML operator's target_cell_size path): flat
+        # argmin at both levels references every CTE in the
+        # training+routing chain exactly ONCE, so nothing is shared and
+        # the intermediate checkpoints bought no re-execution — they
+        # only paid 3 extra driver jobs per call (r14 profile: 0.15 +
+        # 0.14 + 0.67 s at sf0.1). Run the whole chain as one statement
+        # and materialize only the multiply-consumed assignment.
+        assign = spark.sql(
+            "WITH " + ivf_assign_ctes(True, table=view, k=k)
+            + " SELECT vec_id, cid FROM assign2"
+        ).localCheckpoint(eager=True)
+        assign.createOrReplaceTempView(aview)
     return spark.sql(f"""
     WITH assign2 AS (SELECT * FROM {aview}),
     {_sem_pair_ctes(True, view, threshold)}
@@ -1094,7 +1175,9 @@ def semdedup_pairs_df(
 def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     pairs = semdedup_pairs_df(spark)
-    cc = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    cc = connected_components(spark, pairs, ordered=False).select(
+        "doc_id", "cluster_id"
+    )
     emb = spark.table("embeddings").select("vec_id")
     # plain left join, no forced broadcast: labels cover every vector
     # in any near-dup pair, which is corpus-scale in a dup-heavy
@@ -2397,11 +2480,11 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> verified(x2 each) plus classified's own verified probe and the
     tot/report double-read of classified put the exact-Jaccard
     verification join at ~10 executions in the one-string plan.
-    Materialize `verified` (pair list) and `classified` (one row per
-    wedge) once with eager localCheckpoints; the report replays the
-    verbatim expressions over the views (subquery form for the tot
-    scalar — same analyzer-bug dodge as s23). Oracle replays the
-    one-string form (DuckDB computes each CTE once)."""
+    Materialize `verified` (pair list) once and the per-class COUNTS
+    (<= 3 rows — never the wedge-sized classified relation, r13 ADVICE)
+    once with eager localCheckpoints; the report replays the verbatim
+    expressions over the views. Oracle replays the one-string form
+    (DuckDB computes each CTE once)."""
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     cached_cands(spark, sf_dir)
@@ -2423,6 +2506,14 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
     WHERE COALESCE(cm.nc, 0) * 5 >= za.n + zb.n - COALESCE(cm.nc, 0)
     """).localCheckpoint(eager=True).createOrReplaceTempView("__d27_verified__")
+    # Checkpoint only the |classes|-bounded COUNTS (<= 3 rows), not the
+    # wedge-sized classified relation: wedges grow quadratically in
+    # verified-edge degree, so materializing them pressures executor
+    # local storage in the dup-dense regime (r13 ADVICE). The classified
+    # relation is consumed exactly once (by this GROUP BY), so folding
+    # it into the same statement loses no sharing; the report tail
+    # divides the same BIGINT count by the same BIGINT total in DOUBLE,
+    # bit-identical to the previous two-read spelling.
     spark.sql("""
     WITH verified AS (SELECT * FROM __d27_verified__),
     edges AS (
@@ -2433,23 +2524,26 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges AS (
       SELECT e1.o AS a, e2.o AS c
       FROM edges e1 JOIN edges e2 ON e2.m = e1.m AND e1.o < e2.o
+    ),
+    classified AS (
+      SELECT CASE WHEN v.doc_a IS NOT NULL THEN 'closed'
+                  WHEN cd.doc_a IS NOT NULL THEN 'open_below_threshold'
+                  ELSE 'open_not_candidate' END AS wedge_class
+      FROM wedges w
+      LEFT JOIN verified v ON v.doc_a = w.a AND v.doc_b = w.c
+      LEFT JOIN __cands__ cd ON cd.doc_a = w.a AND cd.doc_b = w.c
     )
-    SELECT CASE WHEN v.doc_a IS NOT NULL THEN 'closed'
-                WHEN cd.doc_a IS NOT NULL THEN 'open_below_threshold'
-                ELSE 'open_not_candidate' END AS wedge_class
-    FROM wedges w
-    LEFT JOIN verified v ON v.doc_a = w.a AND v.doc_b = w.c
-    LEFT JOIN __cands__ cd ON cd.doc_a = w.a AND cd.doc_b = w.c
-    """).localCheckpoint(eager=True).createOrReplaceTempView("__d27_classified__")
+    SELECT wedge_class, CAST(COUNT(*) AS BIGINT) AS n_wedges
+    FROM classified GROUP BY wedge_class
+    """).localCheckpoint(eager=True).createOrReplaceTempView("__d27_counts__")
     return spark.sql("""
     SELECT c.wedge_class AS wedge_class,
-           CAST(COUNT(*) AS BIGINT) AS n_wedges,
-           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS wedge_share,
+           c.n_wedges AS n_wedges,
+           CAST(c.n_wedges AS DOUBLE) / t.n AS wedge_share,
            c.wedge_class = 'closed' AS is_transitive
-    FROM __d27_classified__ c CROSS JOIN (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __d27_classified__
+    FROM __d27_counts__ c CROSS JOIN (
+      SELECT CAST(SUM(n_wedges) AS BIGINT) AS n FROM __d27_counts__
     ) t
-    GROUP BY c.wedge_class
     ORDER BY wedge_class
     """)
 
@@ -2811,7 +2905,9 @@ def _cluster_size_tail(labels_rel: str) -> str:
 def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     pairs = QUERIES["d02_minhash_lsh_pairs"](spark, sf_dir)
-    labels = connected_components(spark, pairs).select("doc_id", "cluster_id")
+    labels = connected_components(spark, pairs, ordered=False).select(
+        "doc_id", "cluster_id"
+    )
     labels.createOrReplaceTempView("__d31_labels__")
     return spark.sql("WITH " + _cluster_size_tail("__d31_labels__"))
 

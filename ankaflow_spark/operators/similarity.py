@@ -2402,11 +2402,11 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached_embeddings(spark)
     spark.sql(_adaptive_bucket_sql(True, HUB_TARGET_OCC)).localCheckpoint(
         eager=True
-    ).createOrReplaceTempView("s23_buckets")
-    spark.sql(_hubness_half_sql("s23_buckets")).localCheckpoint(
+    ).createOrReplaceTempView("__s23_buckets__")
+    spark.sql(_hubness_half_sql("__s23_buckets__")).localCheckpoint(
         eager=True
-    ).createOrReplaceTempView("s23_half")
-    return spark.sql(_hubness_tail_sql("s23_half"))
+    ).createOrReplaceTempView("__s23_half__")
+    return spark.sql(_hubness_tail_sql("__s23_half__"))
 
 
 QUERIES["s23_hubness_audit"] = s23

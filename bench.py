@@ -429,22 +429,45 @@ def main() -> None:
             fh.write("\n")
     except OSError as e:
         print(f"BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
-    # LAST line: compact, bounded-size — survives any tail-capture window
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "runs": runs,
-                "pipelines_total_sec": pipelines_total,
-                "n_pipelines": len(pipelines),
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
+    # Per-query visibility for the PERF builder (r13 verdict punch item
+    # 2): a dedicated queries-only JSON line right before the final
+    # line, for any consumer that reads more of stdout than the
+    # artifact's 2000-char tail window.
+    per_query_line = json.dumps(
+        {
+            "metric": "headline_per_query_sec",
+            "sf": sf,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            "queries": timings,
+        },
+        separators=(",", ":"),
     )
+    print(per_query_line)
+    # LAST line: compact, bounded-size — survives any tail-capture window.
+    # The r13 verdict asked for the per-query map IN the parsed one-line
+    # JSON; the driver's BENCH artifacts prove the parse window is the
+    # last 2000 chars of stdout (BENCH_r07: a queries-bearing last line
+    # was cut mid-JSON and the total was LOST; BENCH_r12/r13: tail field
+    # is exactly 2000 chars). The 115 query names alone are ~2.3 KB, so
+    # a full map can never fit — it is included only when it does
+    # (smaller batteries / a driver with a wider window), else the line
+    # stays totals-only and the map rides the line above + the sidecar.
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs": runs,
+        "pipelines_total_sec": pipelines_total,
+        "n_pipelines": len(pipelines),
+        "detail": "BENCH_DETAIL.json",
+    }
+    tail_budget = int(os.environ.get("SPARK_GRAFT_TAIL_BUDGET", "1900"))
+    with_queries = json.dumps(
+        {**compact, "queries": timings}, separators=(",", ":")
+    )
+    print(with_queries if len(with_queries) <= tail_budget else json.dumps(compact))
 
 
 if __name__ == "__main__":

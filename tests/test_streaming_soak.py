@@ -174,6 +174,14 @@ def test_soak_st21_native_session_window_grows(spark):
     # end/mid = 1.30 while still growing 8.7x overall). Assert the
     # actual contrast property instead: never shrinks, and total growth
     # is far beyond anything the bounded family's exact plateau allows.
+    # Strict monotonicity is safe HERE because arrival order is
+    # time-ascending by construction (the staging repartitionByRange on
+    # ts + one file per trigger): a new event can only extend a user's
+    # latest session or open a new one, never land in a gap between two
+    # existing sessions — so cross-batch session MERGES (which would
+    # shrink numRowsTotal) cannot occur. If the staging ever feeds
+    # out-of-order slices, relax this to a tolerance dip (r13 ADVICE)
+    # instead of deleting the contrast check.
     assert state == sorted(state), f"state shrank mid-stream: {state}"
     assert state[-1] >= 3 * state[0] > 0, f"no unbounded growth: {state}"
     # and it blows past the bounded sessionizer's live-key ceiling
