@@ -2426,6 +2426,12 @@ ORACLES["d26_bbit_minhash"] = _bbit_sql(False)
 # to DuckDB); completes the d06/d12/d22/d23 cluster-quality family.
 # ---------------------------------------------------------------------------
 def _transitivity_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        raise ValueError(
+            "_transitivity_sql(True) is retired: the Spark side runs the staged "
+            "spelling in d27() (r13 ADVICE: the one-string spark "
+            "branch was a dead, silently-drifting copy)"
+        )
     ctes = SPARK_CAND_CTES if spark_dialect else DUCK_CAND_CTES
     return f"""
     WITH {ctes},
@@ -2484,7 +2490,18 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= 3 rows — never the wedge-sized classified relation, r13 ADVICE)
     once with eager localCheckpoints; the report replays the verbatim
     expressions over the views. Oracle replays the one-string form
-    (DuckDB computes each CTE once)."""
+    (DuckDB computes each CTE once).
+
+    Volume bound (r13 verdict item 8): |wedges| = sum_m deg(m)*(deg(m)-1)/2
+    over verified-edge degrees — quadratic in the max degree, which in
+    the dup-dense regime is the clone-cluster size (10x-clone stress:
+    10.2 s vs ~0.8 s organic, ~13x — BY DESIGN of that axis; nothing is
+    materialized at wedge size anymore, so the blow-up is compute, not
+    storage). At 100 TB the same preflights that bound the candidate
+    join bound this audit: d30's band-occupancy audit flags degenerate
+    bands BEFORE d27 runs, and d29's capped per-doc verify is the
+    production spelling when degrees are unbounded — run d27 on the
+    capped `verified` relation in that regime."""
     load_tables(spark, sf_dir)
     cached_shingles(spark, sf_dir)
     cached_cands(spark, sf_dir)

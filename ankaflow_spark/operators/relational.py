@@ -2236,21 +2236,35 @@ def _profile_oracle() -> str:
 
 @query("q60_column_profile", oracle=_profile_oracle())
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One aggregate PER PROFILED COLUMN, stitched with 1-row cross
+    # joins, instead of one aggregate with 4 countDistincts (r13 ledger
+    # defended the latter as "the one-pass spelling"; the r14 A/B
+    # refutes it — guide §1.2). Multiple countDistincts plan as an
+    # Expand that multiplies every row 5x into one hash aggregate
+    # carrying all profiled columns: measured 1.77-1.93 s at sf0.1 vs
+    # 0.58-0.68 s for the per-column spelling (outputs pandas-equal).
+    # The per-column form is also the better 100 TB plan: parquet is
+    # columnar, so the 5 single-column scans decode the same total
+    # bytes as one 4-column scan, each countDistinct partially
+    # aggregates map-side (shuffling distinct values, not 5x rows),
+    # and each 1-row aggregate broadcasts into the stitch join.
     t = load_tables(spark, sf_dir)
-    aggs = [F.count("*").alias("n")]
+    orders = t["orders"]
+    out = orders.agg(F.count("*").alias("n"))
     for i, c in enumerate(_PROFILE_COLS):
-        aggs += [
-            F.count(c).alias(f"nn_{i}"),
-            F.countDistinct(c).alias(f"nd_{i}"),
-            F.min(c).cast("string").alias(f"mn_{i}"),
-            F.max(c).cast("string").alias(f"mx_{i}"),
-        ]
-    one = t["orders"].agg(*aggs)
+        out = out.crossJoin(
+            orders.agg(
+                F.count(c).alias(f"nn_{i}"),
+                F.countDistinct(c).alias(f"nd_{i}"),
+                F.min(c).cast("string").alias(f"mn_{i}"),
+                F.max(c).cast("string").alias(f"mx_{i}"),
+            )
+        )
     stack_args = ", ".join(
         f"'{c}', n - nn_{i}, nd_{i}, mn_{i}, mx_{i}" for i, c in enumerate(_PROFILE_COLS)
     )
     return (
-        one.selectExpr(
+        out.selectExpr(
             "n",
             f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct, min_val, max_val)",
         )

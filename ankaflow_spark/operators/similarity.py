@@ -2276,6 +2276,12 @@ def _adaptive_bucket_sql(spark_dialect: bool, target_occ: int) -> str:
 
 
 def _hubness_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        raise ValueError(
+            "_hubness_sql(True) is retired: the Spark side runs the staged "
+            "spelling in s23() (r13 ADVICE: the one-string spark "
+            "branch was a dead, silently-drifting copy)"
+        )
     dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
     return f"""
     WITH buckets AS ({_adaptive_bucket_sql(spark_dialect, HUB_TARGET_OCC)}),
@@ -2468,8 +2474,15 @@ def _bucket_sql_n(spark_dialect: bool, n_planes: int, table: str = "embeddings")
     """
 
 
-def _plane_sweep_sql(spark_dialect: bool) -> str:
-    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+def _plane_sweep_tail_sql(
+    spark_dialect: bool, sig: str, norms: str, lead_ctes: str = ""
+) -> str:
+    """THE single source of the plane-sweep CTE chain (spine/masked/
+    occ/cost/truth/approx/hits/report), parameterized on the signature
+    relation `sig` and norm relation `norms` (r13 ADVICE: the staged
+    Spark spelling and the one-string oracle used to be drifting text
+    copies). The Spark path passes checkpoint views; the oracle passes
+    CTE names it defines via `lead_ctes`."""
     dot = _SPARK_DOT if spark_dialect else _DUCK_DOT.format(dim=DIM)
     shift_p = (
         "shiftleft(CAST(1 AS BIGINT), CAST(p.p AS INT))"
@@ -2478,81 +2491,7 @@ def _plane_sweep_sql(spark_dialect: bool) -> str:
     )
     spine = ", ".join(f"({p})" for p in _SWEEP_PLANES)
     return f"""
-    WITH sig AS ({_bucket_sql_n(spark_dialect, _S24_MAXP)}),
-    spine AS (SELECT * FROM (VALUES {spine}) AS t(p)),
-    masked AS (
-      SELECT p.p AS p, s.vec_id, s.bucket % {shift_p} AS b
-      FROM sig s CROSS JOIN spine p
-    ),
-    occ AS (SELECT p, b, CAST(COUNT(*) AS BIGINT) AS c FROM masked GROUP BY p, b),
-    cost AS (
-      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-             CAST(MAX(c) AS BIGINT) AS max_occupancy,
-             CAST(SUM(c * (c - 1)) AS BIGINT) AS cand_total
-      FROM occ GROUP BY p
-    ),
-    norms AS ({norm}),
-    truth AS (
-      SELECT query_id, cand_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, c.vec_id
-               ) AS rn
-        FROM embeddings q
-        JOIN norms nq ON nq.vec_id = q.vec_id
-        CROSS JOIN embeddings c
-        JOIN norms nc ON nc.vec_id = c.vec_id
-        WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
-      ) WHERE rn <= 5
-    ),
-    approx AS (
-      SELECT p, query_id, cand_id FROM (
-        SELECT mq.p AS p, mq.vec_id AS query_id, mc.vec_id AS cand_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY mq.p, mq.vec_id
-                 ORDER BY {dot} / (sqrt(nq.norm2) * sqrt(nc.norm2)) DESC, mc.vec_id
-               ) AS rn
-        FROM masked mq
-        JOIN masked mc ON mc.p = mq.p AND mc.b = mq.b AND mc.vec_id <> mq.vec_id
-        JOIN embeddings q ON q.vec_id = mq.vec_id
-        JOIN embeddings c ON c.vec_id = mc.vec_id
-        JOIN norms nq ON nq.vec_id = mq.vec_id
-        JOIN norms nc ON nc.vec_id = mc.vec_id
-        WHERE mq.vec_id < {N_QUERY_VECS}
-      ) WHERE rn <= 5
-    ),
-    hits AS (
-      SELECT a.p, CAST(COUNT(*) AS BIGINT) AS matched
-      FROM approx a
-      JOIN truth t ON t.query_id = a.query_id AND t.cand_id = a.cand_id
-      GROUP BY a.p
-    ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
-    SELECT c.p AS n_planes, c.n_buckets, c.max_occupancy,
-           CAST(c.cand_total AS DOUBLE) / t.n AS mean_cands_per_query,
-           CAST(COALESCE(h.matched, 0) AS BIGINT) AS n_matched,
-           CAST(COALESCE(h.matched, 0) AS DOUBLE) / {5 * N_QUERY_VECS} AS recall_at_5
-    FROM cost c
-    LEFT JOIN hits h ON h.p = c.p
-    CROSS JOIN tot t
-    ORDER BY n_planes
-    """
-
-
-def _plane_sweep_tail_sql(sig: str, norms: str) -> str:
-    """Spark staged spelling of _plane_sweep_sql's spine/masked/occ/
-    cost/truth/approx/hits/report CTEs over the materialized signature
-    view `sig` and norm view `norms`. The one-string form inlined
-    `masked` three times (occ + the approx self-join's mq/mc sides —
-    each re-running the 10-plane signature fold over the whole corpus)
-    and `norms` four times. Expressions are verbatim copies of the CTE
-    form (oracle_check at both SFs is the equivalence gate)."""
-    dot = _SPARK_DOT
-    shift_p = "shiftleft(CAST(1 AS BIGINT), CAST(p.p AS INT))"
-    spine = ", ".join(f"({p})" for p in _SWEEP_PLANES)
-    return f"""
-    WITH spine AS (SELECT * FROM (VALUES {spine}) AS t(p)),
+    WITH {lead_ctes}spine AS (SELECT * FROM (VALUES {spine}) AS t(p)),
     masked AS (
       SELECT p.p AS p, s.vec_id, s.bucket % {shift_p} AS b
       FROM {sig} s CROSS JOIN spine p
@@ -2612,6 +2551,18 @@ def _plane_sweep_tail_sql(sig: str, norms: str) -> str:
     """
 
 
+def _plane_sweep_sql(spark_dialect: bool) -> str:
+    """One-string form: the shared tail with sig/norms defined inline
+    as CTEs (the oracle's spelling — DuckDB computes multi-referenced
+    CTEs once, so inlining costs nothing there)."""
+    norm = _SPARK_NORM if spark_dialect else _DUCK_NORM
+    lead = (
+        f"sig AS ({_bucket_sql_n(spark_dialect, _S24_MAXP)}),\n"
+        f"    norms AS ({norm}),\n    "
+    )
+    return _plane_sweep_tail_sql(spark_dialect, "sig", "norms", lead_ctes=lead)
+
+
 def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged spelling of _plane_sweep_sql(True) — guide §2.4 shared
     work: Spark inlines multiply-referenced CTEs, so the one-string
@@ -2629,7 +2580,9 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(_SPARK_NORM).localCheckpoint(eager=True).createOrReplaceTempView(
         "__s24_norms__"
     )
-    return spark.sql(_plane_sweep_tail_sql("__s24_sig__", "__s24_norms__"))
+    return spark.sql(
+        _plane_sweep_tail_sql(True, "__s24_sig__", "__s24_norms__")
+    )
 
 
 QUERIES["s24_lsh_plane_sweep"] = s24
@@ -2664,6 +2617,12 @@ _S25_QUERIES = (
 
 
 def _stale_recall_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        raise ValueError(
+            "_stale_recall_sql(True) is retired: the Spark side runs the staged "
+            "spelling in s25() (r13 ADVICE: the one-string spark "
+            "branch was a dead, silently-drifting copy)"
+        )
     f = _ivf_fragments(spark_dialect)
     dot = f["dot"]
     norm = _SPARK_NORM if spark_dialect else _DUCK_NORM

@@ -167,8 +167,12 @@ def handle_sink(flow: Flow, stage: Stage) -> Optional[DataFrame]:
         df = flow.engine.table(flow.lastname)
     else:
         raise FlowError("sink has no input: no query and no previous stage")
-    conn.sink(df, stage)
-    return df
+    # A connector may return a read-back of the files it just wrote
+    # (identical rows by construction — see FileConnection._sink_readback
+    # and its guards): anything consuming the flow's tail then scans the
+    # sink output instead of re-executing the upstream plan.
+    readback = conn.sink(df, stage)
+    return readback if readback is not None else df
 
 
 def handle_sql(flow: Flow, stage: Stage) -> None:

@@ -225,6 +225,35 @@ class BaseFileConnection:
         return os.path.splitext(os.path.basename(loc))[0] or None
 
     # -- sink --------------------------------------------------------------
+    def _sink_readback(self, df: DataFrame, mode: str):
+        """After an overwrite-mode parquet directory sink, the written
+        files ARE the stage's relation — return a read-back DataFrame so
+        downstream consumers (and the flow's terminal action) scan the
+        file instead of re-executing the whole upstream plan (measured
+        r14: training_data_pipeline's terminal noop re-ran the full
+        score+dedup chain for 2.5 s right after the sink wrote the same
+        rows). Guarded tight: parquet only (csv/json round-trips change
+        types), overwrite/error modes only (an append read-back would
+        surface PRE-EXISTING rows the lazy plan does not contain), no
+        partition_by (partition columns come back re-ordered/re-typed),
+        and the read-back schema must match the written one field for
+        field — anything else falls back to the lazy plan unchanged."""
+        if self.format != "parquet":
+            return None
+        if mode not in ("overwrite", "error", "errorifexists"):
+            return None
+        if self.spec.get("partition_by"):
+            return None
+        try:
+            rb = self._read()
+            if [(f.name, f.dataType) for f in rb.schema.fields] == [
+                (f.name, f.dataType) for f in df.schema.fields
+            ]:
+                return rb
+        except Exception:
+            pass
+        return None
+
     def sink(self, df: DataFrame, stage: Stage) -> None:
         mode = self.spec.get("mode") or "overwrite"
         bucket_by = self.spec.get("bucket_by")
@@ -298,6 +327,7 @@ class BaseFileConnection:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             self._do_write(writer, path)
+        return self._sink_readback(df, mode)
 
     def _do_write(self, writer, path: str) -> None:
         getattr(writer, self.format)(path)

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "s10_pq_recall_eval",  # 3-query ADC/truth scalar relations (d12's metrics-row class)
     "ts20_trajectory_similarity",  # 3-user query cohort broadcast against the journey table (s01's class)
     "q49_important_value_share",  # 1-row cohort-total scalar broadcast into the share filter
+    "q60_column_profile",  # 1-row per-column profile aggregates stitched by broadcast cross join (r14: replaces the 5x Expand multi-distinct — each side is exactly one row)
     "q51_untapped_segments",  # 1-row avg-balance scalar broadcast into the customer filter
     "q52_heavy_hitters",  # 1-row miss-bound scalar broadcast into the verdict projection
     "s12_hard_negatives",  # 5-query broadcast cross join (s01's class, label-pruned)
