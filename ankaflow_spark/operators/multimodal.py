@@ -701,20 +701,26 @@ def synth_media_neardup(spark, n: int = 120) -> DataFrame:
       different bytes — the re-encoded-copy class),
     - g2: first byte +128 mod 256 (at most ONE difference bit flips —
       the slightly-edited class)."""
+    # SQL-built-in spelling of the same spec (see synth_media — the
+    # pickled-row source was the m13 inverse-scaling cost class). The
+    # g2 byte edit happens in the hex domain: byte 0 is the first two
+    # hex chars, (+128) % 256, re-padded and re-prefixed.
     base = n // 3
-    rows = []
-    for i in range(n):
-        seed, g = i % base, i // base
-        payload = bytearray(
-            hashlib.md5(str(seed).encode()).digest() * (5 + seed % 4)
+    hexpay = f"repeat(md5(CAST(id % {base} AS STRING)), CAST(5 + (id % {base}) % 4 AS INT))"
+    return (
+        spark.range(0, n, 1, _media_parts(spark, n))
+        .selectExpr(
+            "CAST(id AS BIGINT) AS media_id",
+            "'image' AS kind",
+            f"CASE CAST(id DIV {base} AS INT)"
+            f" WHEN 1 THEN unhex(concat({hexpay}, 'FFFFFFFFFFFFFFFF'))"
+            f" WHEN 2 THEN unhex(concat("
+            f"   lpad(hex((conv(substring({hexpay}, 1, 2), 16, 10) + 128) % 256), 2, '0'),"
+            f"   substring({hexpay}, 3)))"
+            f" ELSE unhex({hexpay}) END AS payload",
+            "map('w', '64', 'h', '48') AS meta",
         )
-        if g == 1:
-            payload += b"\xff" * 8
-        elif g == 2:
-            payload[0] = (payload[0] + 128) % 256
-        rows.append((i, "image", payload, {"w": "64", "h": "48"}))
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(n_parts)
+    )
 
 
 def dhash_fingerprints(media: DataFrame) -> DataFrame:

@@ -2939,7 +2939,7 @@ def st29(spark: SparkSession, sf_dir: str) -> DataFrame:
     RocksDB state store provider (see the block comment above)."""
     global _ST29_LAST_METRICS
     from ..streaming.stream import (
-        run_stream_to_memory,
+        foreachbatch_append,
         sessionize_stateful,
         state_store_conf,
         stream_tap,
@@ -2951,24 +2951,28 @@ def st29(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stateful(
         stream, gap_minutes=SESSION_GAP_MIN, watermark="3650 days"
     )
-    name = "st29_out"
+    # Parquet append sink instead of the memory sink (guide §5 — the
+    # driver should do almost no data work): the memory sink collected
+    # every emitted session (93,965 rows at sf0.1) into driver JVM
+    # memory inside addBatch and served the survival tail from a
+    # ONE-partition LocalTableScan re-serialized per execution
+    # (measured 1.21-1.35 s per tail run). The per-batch parquet append
+    # stays executor-side and the tail reads the files distributed with
+    # real stats. The emitted session SET is sink-independent, so the
+    # graded relation (st22's oracle) is unchanged.
+    base = staged.rstrip("/") + "_st29_sessions"
+    progress: list = []
     with state_store_conf(spark, "rocksdb"):
-        q = run_stream_to_memory(sessions, name, output_mode="append")
-    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+        out = foreachbatch_append(
+            sessions, lambda batch_df: batch_df, base, progress_out=progress
+        )
+    prog = [p for p in progress if p.get("stateOperators")]
     _ST29_LAST_METRICS = (
         dict(prog[-1]["stateOperators"][0].get("customMetrics", {}))
         if prog
         else {}
     )
-    # Distribute the session projection before the survival tail: the
-    # memory sink's table is a driver-side LocalTableScan (94k session
-    # rows at sf0.1, ONE partition), so the tail's windows/aggregates
-    # ran serially on re-serialized driver rows — measured 1.21-1.35 s
-    # per execution vs 0.52 s checkpoint + 0.44-0.60 s distributed
-    # (identical output, interleaved A/B). localCheckpoint also stops
-    # every downstream consumer re-scanning the driver rows (guide §5:
-    # the driver should do almost no data work).
-    spark.table(name).select(
+    out.select(
         F.floor(
             (
                 F.unix_micros(F.col("session_end"))
@@ -2979,7 +2983,7 @@ def st29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dur_min"),
         F.unix_micros(F.col("session_end")).cast("bigint").alias("end_us"),
-    ).localCheckpoint(eager=True).createOrReplaceTempView("st29_sessions")
+    ).createOrReplaceTempView("st29_sessions")
     return spark.sql(_survival_tail_sql("st29_sessions"))
 
 

@@ -503,6 +503,7 @@ def foreachbatch_append(
     stream_df: DataFrame,
     transform,
     state_base: str,
+    progress_out: Optional[list] = None,
 ) -> DataFrame:
     """Apply ``transform(batch_df) -> DataFrame`` to every micro-batch
     and APPEND the result to a parquet state dir — the sink shape for
@@ -543,6 +544,10 @@ def foreachbatch_append(
         .start()
     )
     q.processAllAvailable()
+    if progress_out is not None:
+        # caller wants the engine-reported per-batch progress (e.g.
+        # st29's provider-proof metrics) — harvest before stop()
+        progress_out.extend(q.recentProgress or [])
     q.stop()
     spark = stream_df.sparkSession
     import glob as _glob

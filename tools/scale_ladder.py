@@ -50,7 +50,18 @@ LADDER = [
     ("s20_ivf_probe_sweep", "embeddings", True),
     ("s23_hubness_audit", "embeddings", True),
     ("s25_stale_index_recall", "embeddings", True),
+    # r14 additions: the queries this round restructured, each on its
+    # own axis (m12/m13/m14 have no axis — their sources are fixed-size
+    # synthetic generators)
+    ("q60_column_profile", "orders", False),
+    ("st29_rocksdb_survival", "events", False),
+    ("d27_transitivity_audit", "documents", False),
+    ("d10_semantic_dedup", "embeddings", True),
 ]
+
+
+def main_filter(names):
+    return [(q, t, p) for q, t, p in LADDER if not names or any(q.startswith(n) for n in names)]
 
 
 def time_query(spark, queries, name: str, sf_dir: str, runs: int = 2) -> float:
@@ -67,6 +78,7 @@ def time_query(spark, queries, name: str, sf_dir: str, runs: int = 2) -> float:
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:]  # optional query-name prefixes to run a subset
 
     from ankaflow_spark.operators import clear_shared_caches, collect_all
     from ankaflow_spark.session import get_spark
@@ -78,7 +90,7 @@ def main() -> None:
     # group by axis so each 10x corpus is built once and each axis's
     # queries run together (cache clear between scales per axis)
     axes = {}
-    for q, table, perturb in LADDER:
+    for q, table, perturb in main_filter(names):
         axes.setdefault((table, perturb), []).append(q)
 
     rows = []
